@@ -1,0 +1,236 @@
+package graft
+
+import graft.tsdb._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The driver-checked query battery: every SURVEY §2 operator exercised
+  * over the driver-generated tables, each with a DuckDB-equivalent oracle
+  * (registered in `SparkEntry.oracleSql`).
+  *
+  * Conventions shared with the oracle SQL (the driver hash-compares after
+  * sorting columns by name):
+  *  - `events.ts` is ns-epoch; Spark reads it as long, DuckDB via epoch_ns().
+  *  - computed doubles are rounded (sum→2dp, means/quantiles→4dp) on BOTH
+  *    sides so cross-engine summation-order ulps can't flip the hash;
+  *    raw stored doubles pass through unrounded (bit-identical parquet).
+  *  - every query has a total deterministic ORDER BY.
+  */
+object Queries {
+
+  // ---- helpers ----------------------------------------------------------
+
+  /** Events viewed as the canonical point stream (metric=event_type,
+    * tags={user}, ns timestamp, fields={value,props}). */
+  private def pts(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsAsPoints(s, dir)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** End-of-data sentinel well past all event timestamps (year 2100). */
+  private val FarFuture = 4102444800000000000L
+  /** 2024-01-01T00:00:00Z .. 2024-01-02T00:00:00Z in ns. */
+  private val Jan1 = 1704067200000000000L
+  private val Jan2 = 1704153600000000000L
+  private val Jan5 = 1704412800000000000L
+  private val Jan10 = 1704844800000000000L
+  private val HourNs = 3600000000000L
+
+  private def userCol: Column = col("tags").getItem("user").as("user")
+
+  /** Output projection of a ns timestamp, truncated to microseconds —
+    * DuckDB (the oracle) reads parquet TIMESTAMP(NANOS) as us-precision
+    * TIMESTAMP, so sub-us digits can never hash-match. The engine itself
+    * stays full-ns; only battery outputs truncate. */
+  private def tsUs: Column =
+    (col("timestamp") - pmod(col("timestamp"), lit(1000L))).as("timestamp")
+
+  // ---- TSDB operator battery (engine-driven) ----------------------------
+
+  /** A2 downsample: per-series epoch-aligned 1h tumbling windows (SURVEY §2.4). */
+  def tsdbDownsample1h(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture),
+      downsampleNs = Some(HourNs),
+      aggs = Seq(AggSpec("avg", "value"), AggSpec("sum", "value"), AggSpec("count", "*")))
+    QueryEngine.run(pts(s, dir), q)
+      .select(col("metric"), userCol, col("window_start"),
+        round(col("avg_value"), 4).as("avg_value"),
+        round(col("sum_value"), 2).as("sum_value"), col("count_star"))
+      .orderBy("window_start", "user")
+  }
+
+  /** A1 final aggregation: the full function set in one whole-range row. */
+  def tsdbFinalAgg(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture),
+      aggs = Seq(AggSpec("count", "*"), AggSpec("count", "value"),
+        AggSpec("sum", "value"), AggSpec("avg", "value"),
+        AggSpec("min", "value"), AggSpec("max", "value"),
+        AggSpec("first", "value"), AggSpec("last", "value"),
+        AggSpec("frac", "value"), AggSpec("stddev", "value"),
+        AggSpec("p50", "value"), AggSpec("p95", "value")))
+    QueryEngine.run(pts(s, dir), q).select(
+      col("metric"), col("count_star"), col("count_value"),
+      round(col("sum_value"), 2).as("sum_value"),
+      round(col("avg_value"), 4).as("avg_value"),
+      col("min_value"), col("max_value"), col("first_value"), col("last_value"),
+      round(col("frac_value"), 4).as("frac_value"),
+      round(col("stddev_value"), 4).as("stddev_value"),
+      round(col("p50_value"), 4).as("p50_value"),
+      round(col("p95_value"), 4).as("p95_value"))
+  }
+
+  /** F3 raw time-range scan, inclusive bounds, asc order, LIMIT (W1/W2). */
+  def tsdbRawScan(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("error", startNs = Jan1, endNs = Some(Jan2),
+      limit = Some(500))
+    QueryEngine.run(pts(s, dir), q)
+      .select(col("metric"), userCol, tsUs,
+        col("fields").getItem("value").getField("d").as("value"),
+        col("fields").getItem("props").getField("s").as("props"))
+      .orderBy("timestamp")
+  }
+
+  /** F1/F7 series resolution: metric + tag equality filter. */
+  def tsdbTagFilter(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("click", tags = Map("user" -> "7"),
+      startNs = 0L, endNs = Some(FarFuture))
+    QueryEngine.run(pts(s, dir), q)
+      .select(col("metric"), userCol, tsUs,
+        col("fields").getItem("value").getField("d").as("value"))
+      .orderBy("timestamp")
+  }
+
+  /** F5 exact point lookup at the series' earliest timestamp. */
+  def tsdbPointLookup(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir)
+    val ts0 = p.filter(col("metric") === "purchase")
+      .agg(min(col("timestamp"))).head().getLong(0)
+    QueryEngine.run(p, QueryParams("purchase", startNs = ts0, endNs = Some(ts0)))
+      .select(col("metric"), userCol, tsUs,
+        col("fields").getItem("value").getField("d").as("value"))
+  }
+
+  /** W3 cursor (AFTER) pagination: strictly-after keyset page. */
+  def tsdbCursorPage(s: SparkSession, dir: String): DataFrame = {
+    // Sentinel key above any real series key makes the cursor a strict ts>
+    val cur = Cursor(Jan2, "\uffff")
+    val q = QueryParams("view", startNs = Jan1, endNs = Some(FarFuture),
+      limit = Some(300), afterKey = Some(cur))
+    QueryEngine.run(pts(s, dir), q)
+      .select(col("metric"), userCol, tsUs,
+        col("fields").getItem("value").getField("d").as("value"))
+      .orderBy("timestamp")
+  }
+
+  /** M1 latest-version-wins: re-ingest every signup point with a higher seq
+    * and doubled value; the merge must surface only the new versions. */
+  def tsdbLatestVersion(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir)
+    val v2 = p.withColumn("seq", col("seq") + 1000000000L)
+      .withColumn("fields", map(
+        lit("value"), struct(
+          (col("fields").getItem("value").getField("d") * 2).as("d"),
+          lit(null).cast("long").as("l"), lit(null).cast("string").as("s"),
+          lit(null).cast("boolean").as("b"))))
+    val q = QueryParams("signup", startNs = 0L, endNs = Some(FarFuture))
+    QueryEngine.run(p.select("metric", "tags", "timestamp", "fields", "seq")
+        .union(v2.select("metric", "tags", "timestamp", "fields", "seq")), q)
+      .select(col("metric"), userCol, tsUs,
+        col("fields").getItem("value").getField("d").as("value"))
+      .orderBy("timestamp")
+  }
+
+  /** M4/M3 tombstones: a range delete for one user and a whole-series
+    * delete for another must hide exactly those points. */
+  def tsdbTombstones(s: SparkSession, dir: String): DataFrame = {
+    val tombs = Seq(
+      RangeTombstone("click", Map("user" -> "3"), Jan5, Jan10, seq = Long.MaxValue),
+      SeriesTombstone("click", Map("user" -> "5"), seq = Long.MaxValue))
+    val q = QueryParams("click", startNs = 0L, endNs = Some(FarFuture))
+    QueryEngine.run(pts(s, dir), q, tombs)
+      .select(col("metric"), userCol, tsUs,
+        col("fields").getItem("value").getField("d").as("value"))
+      .orderBy("timestamp")
+  }
+
+  /** W1 descending order + limit (newest-first scan). */
+  def tsdbDescScan(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("signup", startNs = 0L, endNs = Some(FarFuture),
+      order = Descending, limit = Some(200))
+    QueryEngine.run(pts(s, dir), q)
+      .select(col("metric"), userCol, tsUs,
+        col("fields").getItem("value").getField("d").as("value"))
+      .orderBy(col("timestamp").desc)
+  }
+
+  /** I1 SHOW METRICS. */
+  def showMetrics(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir).select(col("metric")).distinct().orderBy("metric")
+
+  /** I3 SHOW TAG VALUES WITH KEY = user (for one metric). */
+  def showTagValues(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir).filter(col("metric") === "error")
+      .select(col("tags").getItem("user").as("tag_value"))
+      .distinct().orderBy("tag_value")
+
+  /** I4 GetSeriesByTags: distinct series identities of a metric subset. */
+  def seriesByTags(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir).filter(col("metric").isin("purchase", "signup"))
+      .select(col("metric"), col("tags").getItem("user").as("user"))
+      .distinct().orderBy("metric", "user")
+
+  // ---- Analytics battery (Spark-native capabilities at scale) ------------
+
+  /** TPC-H Q1-shaped pricing summary (scan + multi-agg groupBy). */
+  def tpchQ1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Broadcast-join rollup: revenue per nation & region (joins the
+    * reference lacks entirely, SURVEY §2.6). */
+  def joinRevenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val nation = t(s, dir, "nation")
+    val region = t(s, dir, "region")
+    orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Top-K per group via window ranking (W4 — absent in the reference,
+    * free on Spark): 3 highest-value orders per order priority. */
+  def topKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
+  /** Narrow projection + pushed filters (F4 pruning analog — .explain shows
+    * PushedFilters + 2-column ReadSchema). */
+  def pushdownScan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") < 5 && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+      .orderBy("l_orderkey", "l_linenumber")
+}

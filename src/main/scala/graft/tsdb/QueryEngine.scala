@@ -1,0 +1,216 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Compiles a `QueryParams` (the reference's `core.QueryParams`,
+  * `core/query.go:29-42`) into a declarative DataFrame plan over the
+  * canonical point stream (schema `DataPoint.storageSchema`:
+  * metric, tags, timestamp(ns), fields, seq).
+  *
+  * The reference executes queries as a hand-wired iterator chain
+  * (`engine2/adapter.go:1103-1396`): tag-index bitmap intersection →
+  * per-series range scan → k-way merge with latest-version dedup and
+  * tombstone elision → optional aggregation → cursor skip. Here every
+  * stage is a Catalyst-optimizable transformation instead:
+  *
+  *  - series resolution (F1/F7) = metric/tag equality filters, pushed to
+  *    the parquet scan (replaces the roaring-bitmap tag index);
+  *  - time-range scan (F3) = `timestamp BETWEEN` — inclusive BOTH ends
+  *    (`engine2/adapter.go:2798-2803`) — pruned by row-group stats
+  *    (replaces SSTable min/max pruning F4);
+  *  - latest-version-wins (M1) = max_by(row, seq) per (series, ts)
+  *    (replaces the merge heap's seq-desc tie break,
+  *    `iterator/iterator.go:60-62`);
+  *  - tombstones (M2-M4) = predicate (or broadcast anti-join at scale)
+  *    honoring the sequence-number shadowing rule;
+  *  - A1/A2 aggregation = groupBy with the `AggFunctions` registry.
+  *
+  * At 100 TB the plan shape matters: the only shuffle is the single
+  * hash-partition by series key (dedup + downsample share it — Catalyst
+  * reuses the exchange because both key sets start with `series_key`),
+  * aggregation is partial+final (map-side combine), and the scan carries
+  * pushed filters for metric/tags/time so partition+row-group pruning does
+  * what the LSM's bloom filters and key-range checks did.
+  */
+object QueryEngine {
+
+  /** series-key Column matching `SeriesKey.of` (sorted `k=v` joined on ). */
+  def seriesKeyCol(metric: Column, tags: Column): Column = {
+    val entries = array_join(
+      transform(array_sort(map_entries(tags)),
+        e => concat(e.getField("key"), lit("="), e.getField("value"))),
+      SeriesKey.Sep)
+    when(size(map_entries(tags)) === 0, metric)
+      .otherwise(concat(metric, lit(SeriesKey.Sep), entries))
+  }
+
+  /** Resolve the effective inclusive [start, end] window.
+    * End=None → now; RELATIVE(d) → end = min(now, max data ts), start =
+    * end − d (`engine2/adapter.go:1117-1120`, `:1236-1276`). Resolving
+    * against max-data-ts needs one scalar action over the series-filtered
+    * frame (cheap: min/max come from parquet footer stats). */
+  def resolveRange(filtered: DataFrame, p: QueryParams): (Long, Long) = {
+    val now = p.nowNs.getOrElse(System.currentTimeMillis() * 1000000L)
+    p.relativeNs match {
+      case Some(d) =>
+        val maxTs = filtered.agg(max(col("timestamp"))).head().get(0)
+        val dataMax = if (maxTs == null) now else maxTs.asInstanceOf[Long]
+        val end = math.min(now, dataMax)
+        (end - d, end)
+      case None =>
+        (p.startNs, p.endNs.filter(_ != 0L).getOrElse(now))
+    }
+  }
+
+  /** survive-filter for tombstones: drop a point iff some tombstone covers
+    * its series/time AND has seq >= the point's seq. */
+  private def applyTombstones(df: DataFrame, tombs: Seq[Tombstone]): DataFrame = {
+    if (tombs.isEmpty) return df
+    val dead = tombs.map {
+      case PointTombstone(m, tg, t, sq) =>
+        col("series_key") === SeriesKey.of(m, tg) &&
+          col("timestamp") === t && col("seq") <= sq
+      case SeriesTombstone(m, tg, sq) =>
+        col("series_key") === SeriesKey.of(m, tg) && col("seq") <= sq
+      case RangeTombstone(m, tg, a, b, sq) =>
+        col("series_key") === SeriesKey.of(m, tg) &&
+          col("timestamp").between(a, b) && col("seq") <= sq
+    }.reduce(_ || _)
+    df.filter(!dead)
+  }
+
+  /** Full pipeline. `points` must have the canonical storage schema. */
+  def run(points: DataFrame, p: QueryParams, tombstones: Seq[Tombstone] = Nil): DataFrame = {
+    // 1. series resolution: metric + tag equality (AND of equalities — the
+    //    reference's bitmap intersection, `indexer/tag_index_manager2.go:247-280`)
+    var df = points.filter(col("metric") === p.metric)
+    p.tags.foreach { case (k, v) => df = df.filter(col("tags").getItem(k) === v) }
+
+    // 2. time range (inclusive both ends)
+    val (startNs, endNs) = resolveRange(df, p)
+    df = df.filter(col("timestamp").between(startNs, endNs))
+
+    // 3. series key + latest-version dedup (M1)
+    df = df.withColumn("series_key", seriesKeyCol(col("metric"), col("tags")))
+    val w = Window.partitionBy(col("series_key"), col("timestamp"))
+      .orderBy(col("seq").desc)
+    df = df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+
+    // 4. tombstone elision (M2-M4)
+    df = applyTombstones(df, tombstones)
+
+    // 5. shape: raw scan | final agg (A1) | downsample (A2)
+    val shaped =
+      if (p.isDownsample) downsample(df, p, startNs, endNs)
+      else if (p.isFinalAgg) finalAgg(df, p, startNs)
+      else rawScan(df, p)
+
+    // 6. cursor + limit
+    val afterCursor = p.afterKey match {
+      case Some(c) =>
+        val tsc = if (p.isDownsample) col("window_start") else col("timestamp")
+        val pred =
+          if (p.order == Ascending)
+            tsc > c.timestamp || (tsc === c.timestamp && col("series_key") > c.seriesKey)
+          else tsc < c.timestamp || (tsc === c.timestamp && col("series_key") < c.seriesKey)
+        shaped.filter(pred)
+      case None => shaped
+    }
+    val limited = p.limit.fold(afterCursor)(n => afterCursor.limit(n.toInt))
+    if (p.isFinalAgg) limited.drop("series_key") else limited
+  }
+
+  private def orderCols(p: QueryParams, tsc: Column): Seq[Column] =
+    if (p.order == Ascending) Seq(tsc.asc, col("series_key").asc)
+    else Seq(tsc.desc, col("series_key").desc)
+
+  private def rawScan(df: DataFrame, p: QueryParams): DataFrame =
+    df.select("metric", "tags", "timestamp", "fields", "seq", "series_key")
+      .orderBy(orderCols(p, col("timestamp")): _*)
+
+  // field accessors over the dynamic fields map
+  private def fv(f: String): Column = col("fields").getItem(f)
+  private def numericOf(f: String): Column =
+    AggFunctions.cleanNumeric(coalesce(fv(f).getField("d"), fv(f).getField("l").cast("double")))
+  private def anyNonNullOf(f: String): Column = {
+    val v = fv(f)
+    when(v.isNotNull && (v.getField("d").isNotNull || v.getField("l").isNotNull ||
+      v.getField("s").isNotNull || v.getField("b").isNotNull), lit(1))
+  }
+
+  private def aggColumns(p: QueryParams): Seq[Column] = {
+    // stream order for first/last: (ts asc, series_key asc, seq desc) —
+    // the k-way merge emission order, `iterator/iterator.go:35-63`.
+    val ord = struct(col("timestamp"), col("series_key"), (col("seq") * -1).as("negseq"))
+    p.aggs.map { s =>
+      val numeric = if (s.field == "*") lit(null).cast("double") else numericOf(s.field)
+      val nonNull = if (s.field == "*") lit(1) else anyNonNullOf(s.field)
+      AggFunctions.build(s, numeric, nonNull, ord)
+    }
+  }
+
+  /** A1: one row for the whole range, keyed by metric at query start time
+    * (`engine2/adapter.go:1350-1364`). */
+  private def finalAgg(df: DataFrame, p: QueryParams, startNs: Long): DataFrame = {
+    val cols = aggColumns(p)
+    df.agg(cols.head, cols.tail: _*)
+      .select(lit(p.metric).as("metric") +: lit(startNs).as("timestamp") +:
+        p.aggs.map(s => col(s.outputName)): _*)
+  }
+
+  /** A2: epoch-aligned tumbling windows, one row per (series, window)
+    * (`iterator/multi_field_downsampling_iterator.go:93-476`). Windows run
+    * from `start − start % interval` and stop before `end`
+    * (`:180-190`); `EmitEmptyWindows` fills gaps with count/sum 0 and NaN
+    * for the other functions (`:305-333` — rationalized: every series in
+    * the result emits its empty windows, not just the last-seen one). */
+  private def downsample(df: DataFrame, p: QueryParams, startNs: Long, endNs: Long): DataFrame = {
+    val interval = p.downsampleNs.get
+    require(interval > 0, "downsample interval must be > 0")
+    val aligned = startNs - floorMod(startNs, interval)
+    // last emitted window start: largest multiple of interval < endNs
+    val lastW = if (endNs <= aligned) aligned
+                else aligned + ((endNs - 1 - aligned) / interval) * interval
+
+    val bucketed = df
+      .withColumn("window_start", col("timestamp") - pmod(col("timestamp"), lit(interval)))
+      .filter(col("window_start") <= lastW)
+    val aggd = bucketed
+      .groupBy(col("series_key"), col("window_start"))
+      .agg(first(col("metric")).as("metric"),
+        (first(col("tags")).as("tags") +: aggColumns(p)): _*)
+
+    val out =
+      if (!p.emitEmptyWindows) aggd
+      else {
+        // all (series × window) slots, then left-join the filled buckets in
+        // (distinct via groupBy on the string key — MapType tags are not
+        // comparable, so they ride along as first())
+        val series = df.groupBy(col("series_key"))
+          .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"))
+        val slots = series.withColumn("window_start",
+          explode(sequence(lit(aligned), lit(lastW), lit(interval))))
+        val fills = p.aggs.map { s =>
+          val c = col(s.outputName)
+          val filled = s.func match {
+            case "count" => coalesce(c, lit(0L))
+            case "sum"   => coalesce(c, lit(0.0))
+            case _       => coalesce(c, AggFunctions.nan)
+          }
+          filled.as(s.outputName)
+        }
+        slots.join(aggd.drop("metric", "tags"), Seq("series_key", "window_start"), "left")
+          .select(col("series_key") +: col("window_start") +: col("metric") +:
+            col("tags") +: fills: _*)
+      }
+
+    out.withColumn("window_end", col("window_start") + interval)
+      .select(Seq(col("metric"), col("tags"), col("series_key"), col("window_start"),
+        col("window_end")) ++ p.aggs.map(s => col(s.outputName)): _*)
+      .orderBy(orderCols(p, col("window_start")): _*)
+  }
+
+  private def floorMod(a: Long, b: Long): Long = java.lang.Math.floorMod(a, b)
+}

@@ -1,0 +1,58 @@
+package graft.tsdb
+
+/** One aggregation request: `func(field) [AS alias]`.
+  * Mirrors `core/aggregation.go` — result column name is `alias` when
+  * given, else `"{func}_{field}"` (`core/aggregation.go:12-17`).
+  * Percentiles arrive as func `p<N>` (e.g. `p95`, `p99.9`),
+  * `iterator/agg_helpers.go:8-16`. */
+final case class AggSpec(func: String, field: String, alias: Option[String] = None) {
+  def outputName: String = alias.getOrElse {
+    val f = if (field == "*") "star" else field
+    s"${func}_$f"
+  }
+  /** Percentile in [0,100] when func is a `p<N>` spec. */
+  def percentile: Option[Double] =
+    if (func.length > 1 && func.charAt(0) == 'p')
+      scala.util.Try(func.drop(1).toDouble).toOption.filter(p => p >= 0 && p <= 100)
+    else None
+}
+
+sealed trait SortOrder
+case object Ascending extends SortOrder
+case object Descending extends SortOrder
+
+/** Cursor for `AFTER` keyset pagination (`api/nbql/executor.go:159-165`):
+  * the last-delivered row's (timestamp, series key). */
+final case class Cursor(timestamp: Long, seriesKey: String) {
+  def encode: String = java.util.Base64.getEncoder.encodeToString(
+    s"$timestamp|$seriesKey".getBytes("UTF-8"))
+}
+object Cursor {
+  def decode(s: String): Cursor = {
+    val raw = new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+    val i = raw.indexOf('|')
+    Cursor(raw.substring(0, i).toLong, raw.substring(i + 1))
+  }
+}
+
+/** Mirror of the reference's `core.QueryParams` (`core/query.go:29-42`).
+  * Times are ns-epoch, inclusive on BOTH ends (`engine2/adapter.go:2798-2803`).
+  * `endNs = None` means "now" (`engine2/adapter.go:1117-1120`); relative
+  * queries resolve end = min(now, max data ts) then start = end − duration
+  * (`engine2/adapter.go:1236-1276`). `nowNs` is injectable for determinism. */
+final case class QueryParams(
+    metric: String,
+    tags: Map[String, String] = Map.empty,
+    startNs: Long = 0L,
+    endNs: Option[Long] = None,
+    relativeNs: Option[Long] = None,
+    aggs: Seq[AggSpec] = Seq.empty,
+    downsampleNs: Option[Long] = None,
+    emitEmptyWindows: Boolean = false,
+    order: SortOrder = Ascending,
+    limit: Option[Long] = None,
+    afterKey: Option[Cursor] = None,
+    nowNs: Option[Long] = None) {
+  def isFinalAgg: Boolean = aggs.nonEmpty && downsampleNs.isEmpty
+  def isDownsample: Boolean = downsampleNs.isDefined
+}

@@ -1,0 +1,211 @@
+package graft
+
+import graft.tsdb._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Row shape used to build canonical point frames in tests. */
+case class TP(metric: String, tags: Map[String, String], timestamp: Long,
+    fields: Map[String, FV], seq: Long)
+case class FV(d: Option[Double] = None, l: Option[Long] = None,
+    s: Option[String] = None, b: Option[Boolean] = None)
+object FV {
+  def dv(v: Double): FV = FV(d = Some(v))
+  def lv(v: Long): FV = FV(l = Some(v))
+  def sv(v: String): FV = FV(s = Some(v))
+  def bv(v: Boolean): FV = FV(b = Some(v))
+}
+
+/** Operator-semantics tests mirroring the reference's edge cases
+  * (SURVEY §5 / §7.3): merge order, latest-version-wins, tombstone
+  * shadowing, inclusive bounds, NaN/empty-window semantics, cursors. */
+class TsdbQuerySpec extends SparkSpec {
+  import spark.implicits._
+
+  val M = 1000000L // ns per ms for readable literals
+  def mkDf(rows: Seq[TP]): DataFrame = rows.toDF()
+
+  // canonical single-value series fixture (FIXTURES A1)
+  def series(host: String, n: Int, base: Long = 0L, step: Long = 60 * 1000 * M,
+      v0: Double = 1.0, seq0: Long = 0): Seq[TP] =
+    (0 until n).map { i =>
+      TP("cpu.usage", Map("host" -> host), base + i * step,
+        Map("value" -> FV.dv(v0 + i)), seq0 + i)
+    }
+
+  test("raw scan: inclusive bounds, tag filter, asc order") {
+    val df = mkDf(series("h1", 5, base = 100, step = 10) ++ series("h2", 5, base = 100, step = 10))
+    val out = QueryEngine.run(df, QueryParams("cpu.usage", Map("host" -> "h1"),
+      startNs = 110, endNs = Some(130)))
+    val rows = out.select("timestamp").as[Long].collect()
+    assert(rows.toSeq == Seq(110L, 120L, 130L)) // both ends inclusive
+  }
+
+  test("raw scan: desc order over (ts, series)") {
+    val df = mkDf(series("h1", 3, base = 0, step = 10) ++ series("h2", 3, base = 0, step = 10))
+    val out = QueryEngine.run(df, QueryParams("cpu.usage", order = Descending,
+      endNs = Some(1000)))
+    val got = out.select($"timestamp", $"tags"("host")).as[(Long, String)].collect().toSeq
+    assert(got == Seq((20L, "h2"), (20L, "h1"), (10L, "h2"), (10L, "h1"), (0L, "h2"), (0L, "h1")))
+  }
+
+  test("latest version wins on duplicate (series, ts) keys") {
+    val df = mkDf(Seq(
+      TP("m", Map("h" -> "a"), 10, Map("value" -> FV.dv(1.0)), seq = 1),
+      TP("m", Map("h" -> "a"), 10, Map("value" -> FV.dv(9.0)), seq = 7),
+      TP("m", Map("h" -> "a"), 20, Map("value" -> FV.dv(2.0)), seq = 2)))
+    val out = QueryEngine.run(df, QueryParams("m", endNs = Some(100)))
+    val got = out.select($"timestamp", $"fields"("value")("d")).as[(Long, Double)].collect().toMap
+    assert(got == Map(10L -> 9.0, 20L -> 2.0))
+  }
+
+  test("tombstones: point, range, series + seq shadowing") {
+    val pts = mkDf(Seq(
+      TP("m", Map("h" -> "a"), 10, Map("value" -> FV.dv(1.0)), seq = 1),
+      TP("m", Map("h" -> "a"), 20, Map("value" -> FV.dv(2.0)), seq = 2),
+      TP("m", Map("h" -> "a"), 30, Map("value" -> FV.dv(3.0)), seq = 3),
+      TP("m", Map("h" -> "a"), 40, Map("value" -> FV.dv(4.0)), seq = 10), // written AFTER deletes
+      TP("m", Map("h" -> "b"), 10, Map("value" -> FV.dv(5.0)), seq = 4)))
+    val tombs = Seq(
+      PointTombstone("m", Map("h" -> "a"), 10, seq = 5),
+      RangeTombstone("m", Map("h" -> "a"), 20, 50, seq = 5), // hides 20,30 but NOT seq10@40
+      SeriesTombstone("m", Map("h" -> "b"), seq = 5))
+    val out = QueryEngine.run(pts, QueryParams("m", endNs = Some(100)), tombs)
+    val got = out.select("timestamp").as[Long].collect().toSeq
+    assert(got == Seq(40L))
+  }
+
+  test("final agg: full function set semantics") {
+    val pts = mkDf(Seq(
+      TP("m", Map(), 10, Map("v" -> FV.dv(10.0), "s" -> FV.sv("x")), 1),
+      TP("m", Map(), 20, Map("v" -> FV.lv(20), "s" -> FV.sv("y")), 2), // int promoted
+      TP("m", Map(), 30, Map("v" -> FV.dv(Double.NaN)), 3),            // NaN input skipped
+      TP("m", Map(), 40, Map("v" -> FV.dv(60.0)), 4),
+      TP("m", Map(), 50, Map("s" -> FV.sv("z")), 5)))                  // no numeric v
+    val out = QueryEngine.run(pts, QueryParams("m", endNs = Some(100), aggs = Seq(
+      AggSpec("count", "*"), AggSpec("count", "s"), AggSpec("count", "v"),
+      AggSpec("sum", "v"), AggSpec("avg", "v"), AggSpec("min", "v"), AggSpec("max", "v"),
+      AggSpec("first", "v"), AggSpec("last", "v"), AggSpec("frac", "v"),
+      AggSpec("p50", "v", alias = Some("median_v")))))
+    val r = out.collect()(0)
+    assert(r.getAs[String]("metric") == "m")
+    assert(r.getAs[Long]("count_star") == 5)
+    assert(r.getAs[Long]("count_s") == 3)   // strings count (any-type non-null)
+    assert(r.getAs[Long]("count_v") == 4)   // NaN row still non-null
+    assert(r.getAs[Double]("sum_v") == 90.0)
+    assert(r.getAs[Double]("avg_v") == 30.0)
+    assert(r.getAs[Double]("min_v") == 10.0)
+    assert(r.getAs[Double]("max_v") == 60.0)
+    assert(r.getAs[Double]("first_v") == 10.0)
+    assert(r.getAs[Double]("last_v") == 60.0)
+    assert(r.getAs[Double]("frac_v") == 5.0) // (60-10)/10
+    assert(r.getAs[Double]("median_v") == 20.0)
+  }
+
+  test("final agg: empty-set defaults (sum 0, count 0, rest NaN)") {
+    val pts = mkDf(Seq(TP("m", Map(), 10, Map("other" -> FV.dv(1.0)), 1)))
+    val out = QueryEngine.run(pts, QueryParams("m", endNs = Some(100), aggs = Seq(
+      AggSpec("count", "v"), AggSpec("sum", "v"), AggSpec("avg", "v"),
+      AggSpec("min", "v"), AggSpec("frac", "v"), AggSpec("stddev", "v"))))
+    val r = out.collect()(0)
+    assert(r.getAs[Long]("count_v") == 0)
+    assert(r.getAs[Double]("sum_v") == 0.0)
+    assert(r.getAs[Double]("avg_v").isNaN)
+    assert(r.getAs[Double]("min_v").isNaN)
+    assert(r.getAs[Double]("frac_v").isNaN)
+    assert(r.getAs[Double]("stddev_v").isNaN)
+  }
+
+  test("frac edge cases: both-zero → 0; first-zero → +Inf; single value → NaN") {
+    def frac(vals: Seq[Double]): Double = {
+      val pts = mkDf(vals.zipWithIndex.map { case (v, i) =>
+        TP("m", Map(), 10 + i, Map("v" -> FV.dv(v)), i) })
+      QueryEngine.run(pts, QueryParams("m", endNs = Some(100),
+        aggs = Seq(AggSpec("frac", "v")))).collect()(0).getAs[Double]("frac_v")
+    }
+    assert(frac(Seq(0.0, 0.0)) == 0.0)
+    assert(frac(Seq(0.0, 5.0)) == Double.PositiveInfinity)
+    assert(frac(Seq(3.0)).isNaN)
+    assert(frac(Seq(4.0, 6.0)) == 0.5)
+  }
+
+  test("stddev: sample stddev, single value → NaN") {
+    val pts = mkDf(Seq(
+      TP("m", Map(), 10, Map("v" -> FV.dv(2.0)), 1),
+      TP("m", Map(), 20, Map("v" -> FV.dv(4.0)), 2),
+      TP("m", Map(), 30, Map("v" -> FV.dv(6.0)), 3)))
+    val out = QueryEngine.run(pts, QueryParams("m", endNs = Some(100),
+      aggs = Seq(AggSpec("stddev", "v"))))
+    assert(math.abs(out.collect()(0).getAs[Double]("stddev_v") - 2.0) < 1e-12)
+  }
+
+  test("downsample: epoch-aligned windows, per-series grouping") {
+    // interval 100; points at 105,150 (w=100), 210 (w=200) for h1; 110 for h2
+    val pts = mkDf(Seq(
+      TP("m", Map("h" -> "1"), 105, Map("v" -> FV.dv(1.0)), 1),
+      TP("m", Map("h" -> "1"), 150, Map("v" -> FV.dv(3.0)), 2),
+      TP("m", Map("h" -> "1"), 210, Map("v" -> FV.dv(5.0)), 3),
+      TP("m", Map("h" -> "2"), 110, Map("v" -> FV.dv(7.0)), 4)))
+    val out = QueryEngine.run(pts, QueryParams("m", startNs = 105, endNs = Some(290),
+      downsampleNs = Some(100), aggs = Seq(AggSpec("avg", "v"), AggSpec("count", "*"))))
+    val got = out.select($"tags"("h"), $"window_start", $"window_end", $"avg_v", $"count_star")
+      .as[(String, Long, Long, Double, Long)].collect().toSet
+    assert(got == Set(
+      ("1", 100L, 200L, 2.0, 2L),  // aligned to 100 even though query starts at 105
+      ("2", 100L, 200L, 7.0, 1L),
+      ("1", 200L, 300L, 5.0, 1L)))
+  }
+
+  test("downsample: emit empty windows fills count=0 sum=0 others NaN") {
+    val pts = mkDf(Seq(
+      TP("m", Map("h" -> "1"), 0, Map("v" -> FV.dv(1.0)), 1),
+      TP("m", Map("h" -> "1"), 250, Map("v" -> FV.dv(5.0)), 2)))
+    val out = QueryEngine.run(pts, QueryParams("m", startNs = 0, endNs = Some(299),
+      downsampleNs = Some(100), emitEmptyWindows = true,
+      aggs = Seq(AggSpec("count", "*"), AggSpec("sum", "v"), AggSpec("avg", "v"))))
+    val got = out.select($"window_start", $"count_star", $"sum_v", $"avg_v")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.length == 3)
+    assert(got(0) == ((0L, 1L, 1.0, 1.0)))
+    assert(got(1)._1 == 100L && got(1)._2 == 0L && got(1)._3 == 0.0 && got(1)._4.isNaN)
+    assert(got(2) == ((200L, 1L, 5.0, 5.0)))
+  }
+
+  test("downsample: window starting at exactly queryEnd is not emitted") {
+    val pts = mkDf(Seq(
+      TP("m", Map(), 100, Map("v" -> FV.dv(1.0)), 1),
+      TP("m", Map(), 200, Map("v" -> FV.dv(2.0)), 2))) // ts=200 == end, window [200,300) not emitted
+    val out = QueryEngine.run(pts, QueryParams("m", startNs = 100, endNs = Some(200),
+      downsampleNs = Some(100), aggs = Seq(AggSpec("count", "*"))))
+    assert(out.select("window_start").as[Long].collect().toSeq == Seq(100L))
+  }
+
+  test("cursor pagination walks all rows exactly once") {
+    val df = mkDf(series("h1", 7, base = 0, step = 10) ++ series("h2", 7, base = 0, step = 10))
+    var cursor: Option[Cursor] = None
+    var seen = Vector.empty[(Long, String)]
+    var pages = 0
+    var done = false
+    while (!done && pages < 20) {
+      val page = QueryEngine.run(df, QueryParams("cpu.usage", endNs = Some(1000),
+        limit = Some(5), afterKey = cursor)).collect()
+      if (page.isEmpty) done = true
+      else {
+        seen ++= page.map(r => (r.getAs[Long]("timestamp"), r.getAs[String]("series_key")))
+        val last = page.last
+        cursor = Some(Cursor(last.getAs[Long]("timestamp"), last.getAs[String]("series_key")))
+        pages += 1
+      }
+    }
+    assert(seen.length == 14)
+    assert(seen.distinct.length == 14)
+    assert(seen == seen.sorted)
+  }
+
+  test("relative range: end = min(now, max data ts), start = end − dur") {
+    val df = mkDf(series("h1", 10, base = 1000, step = 100)) // ts 1000..1900
+    val out = QueryEngine.run(df, QueryParams("cpu.usage",
+      relativeNs = Some(300), nowNs = Some(100000)))
+    // end = min(100000, 1900) = 1900; start = 1600 → ts 1600..1900 inclusive
+    assert(out.select("timestamp").as[Long].collect().toSeq == Seq(1600L, 1700L, 1800L, 1900L))
+  }
+}
