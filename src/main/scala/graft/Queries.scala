@@ -233,4 +233,111 @@ object Queries {
       .filter(col("l_quantity") < 5 && col("l_discount") > 0.05)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
       .orderBy("l_orderkey", "l_linenumber")
+
+  // ---- Training-data pipeline battery (dedup/similarity/text/multimodal) --
+
+  import graft.pipeline.{Dedup, Similarity, TextAnalysis => TA}
+
+  /** Text quality statistics + heuristic quality score per document. */
+  def docStats(s: SparkSession, dir: String): DataFrame = {
+    val ws = TA.words(col("text"))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(ws).as("n_tokens"),
+      size(array_distinct(ws)).as("n_uniq"),
+      TA.bpeishTokenCount(col("text")).as("n_bpeish"),
+      length(col("text")).as("n_chars_measured"),
+      round(TA.qualityScore(col("text")), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic (stopword/CJK scoring, deterministic tie-break). */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"), col("lang").as("labeled"),
+      TA.langId(col("text")).as("predicted"))
+      .orderBy("doc_id")
+
+  /** Exact dedup groups by normalized-content fingerprint. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("fp")
+
+  /** Near-dup pairs: exact 3-gram shingle Jaccard >= 0.8 via the
+    * inverted-index join (no cross join). */
+  def dedupJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  /** MinHash signatures (k=8 engine-agnostic string minhash). */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", n = 3, k = 8)
+      .orderBy("doc")
+
+  /** MinHash-LSH candidate pairs (4 bands × 2 rows) verified by exact
+    * Jaccard >= 0.8 — the scale path for near-dup dedup. */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, k = 8, bands = 4, threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  /** SimHash 64-bit sketches (rows-only check: DuckDB lacks a compatible
+    * 64-bit hash, so no SQL oracle; determinism covered by PipelineSpec). */
+  def simhashSketches(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", n = 3)
+      .orderBy("doc")
+
+  private def embVecs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  /** Brute-force exact cosine top-10 for the first five query vectors.
+    * Ranked on the ROUNDED cosine with id tie-break so a last-ulp
+    * cross-engine difference can never flip a rank. */
+  def embeddingTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = embVecs(s, dir)
+    val q = all.filter(col("id") < 5).select(col("id").as("query_id"), col("vec").as("qv"))
+    val c = all.select(col("id").as("neighbor_id"), col("vec").as("nv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    q.crossJoin(c).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(Similarity.cosine(col("qv"), col("nv")), 4))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding near-dup pairs: cosine >= 0.45 (exact baseline). */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(embVecs(s, dir), threshold = 0.45)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("id_a", "id_b")
+
+  /** Vector statistics (L2 norm, mean component). */
+  def embeddingNorms(s: SparkSession, dir: String): DataFrame =
+    embVecs(s, dir).select(col("id").as("vec_id"),
+      round(Similarity.norm(col("vec")), 4).as("l2_norm"),
+      round(Similarity.dot(col("vec"), col("vec")) / size(col("vec")), 6).as("mean_sq"))
+      .orderBy("vec_id")
+
+  /** ANN via sign-LSH buckets (approximate — rows-only check; recall vs
+    * brute force measured in PipelineSpec). */
+  def annLshTopK(s: SparkSession, dir: String): DataFrame = {
+    val all = embVecs(s, dir)
+    Similarity.lshTopK(all.filter(col("id") < 5), all, k = 10,
+      tables = 8, bits = 4, dim = 64)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Multimodal byte-column metadata (binary plumbing, no decode). */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Multimodal.byteMeta(
+      t(s, dir, "documents").withColumn("payload", col("text")),
+      "doc_id", "payload")
+      .withColumnRenamed("content_md5", "payload_md5")
+      .orderBy("doc_id")
 }

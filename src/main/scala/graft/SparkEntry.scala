@@ -30,6 +30,19 @@ object SparkEntry {
     "join_revenue_nation" -> (Queries.joinRevenueByNation _),
     "topk_per_group" -> (Queries.topKPerGroup _),
     "pushdown_scan" -> (Queries.pushdownScan _),
+    // Training-data pipeline (dedup / similarity / text / multimodal)
+    "doc_stats" -> (Queries.docStats _),
+    "lang_id" -> (Queries.langId _),
+    "dedup_exact" -> (Queries.dedupExact _),
+    "dedup_jaccard_pairs" -> (Queries.dedupJaccardPairs _),
+    "minhash_signatures" -> (Queries.minhashSignatures _),
+    "dedup_minhash_lsh" -> (Queries.dedupMinhashLsh _),
+    "simhash_sketches" -> (Queries.simhashSketches _),
+    "embedding_topk" -> (Queries.embeddingTopK _),
+    "embedding_neardup" -> (Queries.embeddingNearDup _),
+    "embedding_norms" -> (Queries.embeddingNorms _),
+    "ann_lsh_topk" -> (Queries.annLshTopK _),
+    "multimodal_meta" -> (Queries.multimodalMeta _),
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark side —
@@ -123,5 +136,123 @@ object SparkEntry {
     "pushdown_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
         |WHERE l_quantity < 5 AND l_discount > 0.05 ORDER BY 1, 2""".stripMargin,
+    // ---- pipeline battery (simhash_sketches / ann_lsh_topk are
+    // deliberately omitted: approximate/engine-specific hashing → the
+    // driver records the weaker rows-only check for those two) ----
+    "doc_stats" ->
+      """WITH w AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents)
+        |SELECT doc_id, len(ws) AS n_tokens, len(list_distinct(ws)) AS n_uniq,
+        |  len(list_filter(string_split_regex(text, '[^\w]+'), x -> x <> ''))
+        |    + (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) AS n_bpeish,
+        |  length(text) AS n_chars_measured,
+        |  round(0.4 * least(len(ws) / 100.0, 1.0)
+        |      + 0.3 * (len(list_distinct(ws))::DOUBLE / len(ws))
+        |      + 0.3 * (len(list_filter(ws, x -> x IN ('the','a','of','and')))::DOUBLE / len(ws)),
+        |    4) AS quality
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """WITH w AS (SELECT doc_id, lang, text,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(ws, x -> x IN ('the','a','of','and'))) AS s_en,
+        |  len(list_filter(ws, x -> x IN ('der','die','und','das'))) AS s_de,
+        |  len(list_filter(ws, x -> x IN ('el','que','los','y'))) AS s_es,
+        |  len(list_filter(ws, x -> x IN ('le','les','et','la'))) AS s_fr,
+        |  length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS s_zh
+        | FROM w)
+        |SELECT doc_id, lang AS labeled,
+        | CASE WHEN s_zh > greatest(s_en, s_de, s_es, s_fr) THEN 'zh'
+        |      WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+        |      WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+        |      WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_jaccard_pairs" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]) AS s
+        |  FROM w WHERE len(ws) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+    "minhash_signatures" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]) AS s
+        |  FROM w WHERE len(ws) >= 3),
+        |posts AS (SELECT doc_id, unnest(s) AS sg FROM sh)
+        |SELECT doc_id AS doc,
+        | min(md5('0:' || sg)) AS m0, min(md5('1:' || sg)) AS m1,
+        | min(md5('2:' || sg)) AS m2, min(md5('3:' || sg)) AS m3,
+        | min(md5('4:' || sg)) AS m4, min(md5('5:' || sg)) AS m5,
+        | min(md5('6:' || sg)) AS m6, min(md5('7:' || sg)) AS m7
+        |FROM posts GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]) AS s
+        |  FROM w WHERE len(ws) >= 3),
+        |posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+        |sig AS (SELECT doc_id,
+        | min(md5('0:' || sg)) AS m0, min(md5('1:' || sg)) AS m1,
+        | min(md5('2:' || sg)) AS m2, min(md5('3:' || sg)) AS m3,
+        | min(md5('4:' || sg)) AS m4, min(md5('5:' || sg)) AS m5,
+        | min(md5('6:' || sg)) AS m6, min(md5('7:' || sg)) AS m7
+        | FROM posts GROUP BY 1),
+        |band AS (
+        | SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS h FROM sig
+        | UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+        | UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+        | UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM band a JOIN band b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+        |ver AS (SELECT c.doc_a, c.doc_b,
+        |  len(list_intersect(x.s, y.s))::DOUBLE
+        |    / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
+        | FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM ver WHERE j >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+    "embedding_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings),
+        |j AS (SELECT query_id, neighbor_id,
+        |        round(list_cosine_similarity(qv, nv), 4) AS cosine
+        |      FROM q, c WHERE query_id <> neighbor_id)
+        |SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM j) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        |ORDER BY 1, 2""".stripMargin,
+    "embedding_norms" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS l2_norm,
+        |  round(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) / len(embedding), 6) AS mean_sq
+        |FROM embeddings ORDER BY 1""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed as
+  * a shuffle-conscious DataFrame transformation:
+  *
+  *  - exact: hash-groupBy on a content fingerprint — one shuffle on the
+  *    16-byte hash, never on the document body;
+  *  - near-dup via shingle Jaccard: inverted-index self-join (shuffle on
+  *    shingle, then on the pair key) — NEVER an all-pairs cross join, so
+  *    cost is Σ(posting-list²) not n²;
+  *  - MinHash + LSH banding: constant-size signatures (k string mins),
+  *    candidate generation by band equality, exact Jaccard verification
+  *    on candidates only — the 100 TB path;
+  *  - SimHash: 64-bit sketch via per-shingle hash bit-voting; hamming
+  *    buckets give another near-dup family.
+  *
+  * MinHash here is string-min over md5(seed:shingle) — deliberately
+  * engine-agnostic (lexicographic min of hex digests) so the DuckDB
+  * oracle can reproduce signatures bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) per normalized-content hash. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** (id, distinct shingle array, shingle count) per document. */
+  def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc"), TextAnalysis.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("nsh", size(col("sh")))
+
+  /** Near-duplicate pairs by exact shingle Jaccard >= threshold, via an
+    * inverted-index join: explode shingles, self-join postings, count
+    * common shingles per pair, then jaccard = c / (na + nb − c). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingled(df, idCol, textCol, n)
+    val posts = sh.select(col("doc"), col("nsh"), explode(col("sh")).as("s"))
+    val a = posts.select(col("s"), col("doc").as("doc_a"), col("nsh").as("nsh_a"))
+    val b = posts.select(col("s"), col("doc").as("doc_b"), col("nsh").as("nsh_b"))
+    a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("nsh_a"), col("nsh_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("nsh_a") + col("nsh_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signature columns m0..m{k−1}: lexicographic min of
+    * md5("<i>:<shingle>") per seed — engine-agnostic string minhash. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val posts = shingled(df, idCol, textCol, n)
+      .select(col("doc"), explode(col("sh")).as("s"))
+    val mins = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"m$i"))
+    posts.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding over minhash signatures: k mins folded into `bands`
+    * bands of k/bands rows each; docs sharing any band hash are
+    * candidates; candidates are verified with exact Jaccard. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+    val bandCols = (0 until bands).map { bi =>
+      struct(lit(bi).as("band"),
+        md5(concat_ws("|", (0 until rows).map(r => col(s"m${bi * rows + r}")): _*)).as("h"))
+    }
+    val banded = sigs.select(col("doc"), explode(array(bandCols: _*)).as("bh"))
+    val cand = banded.as("x").join(banded.as("y"), col("x.bh") === col("y.bh"))
+      .filter(col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b")).distinct()
+    // verify candidates with exact jaccard on the shingle sets
+    val sh = shingled(df, idCol, textCol, n)
+    cand
+      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a"), col("nsh").as("nsh_a")), "doc_a")
+      .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b"), col("nsh").as("nsh_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("nsh_a") + col("nsh_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over shingle hashes: for every bit, +1 when set else
+    * −1, summed across shingles; the sketch bit is the vote's sign.
+    * Pure column algebra (explode → groupBy-sum over 64 bit lanes). */
+  def simhash(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val posts = shingled(df, idCol, textCol, n)
+      .select(col("doc"), explode(col("sh")).as("s"))
+      .select(col("doc"), xxhash64(col("s")).as("h"))
+    // vote per bit lane: sum of (bit ? 1 : -1) == 2*countSet - count
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val voted = posts.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce((x, y) => x.bitwiseOR(y))
+    voted.select(col("doc"), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All are
+  * pure column expressions (whole-stage codegen, no UDFs) so they run
+  * at 100 TB as narrow map stages — no shuffle, no driver state.
+  */
+object TextAnalysis {
+
+  /** Whitespace word list (lowercased, empty tokens dropped). */
+  def words(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => w =!= "")
+
+  /** Raw (case-preserving) whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), w => w =!= "")
+
+  /** BPE-ish subword count: word chunks + standalone punctuation marks
+    * (lookahead-free so RE2-based engines agree: chunk count from a
+    * non-word split plus a punctuation character count). */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "[^\\w]+"), t => t =!= "")) +
+      charClassCount(text, "[^\\w\\s]")
+
+  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup.
+    * Docs shorter than n words yield an empty array (guarded — Spark's
+    * sequence(1,0) would count DOWN, not produce an empty range). */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    val cnt = size(ws) - (n - 1)
+    val idx = when(cnt >= 1, sequence(lit(1), cnt))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx, i =>
+      concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*)))
+  }
+
+  /** Canonical normalized form: lowercase, whitespace collapsed. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Document fingerprint = md5 of the normalized text (content hash for
+    * exact dedup; the rolling-hash variant is `simhash` in [[Dedup]]). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Count of characters in a regex class (cross-engine: length-difference
+    * of a global regexp_replace, identical in Spark and DuckDB). */
+  def charClassCount(text: Column, clazz: String): Column =
+    length(text) - length(regexp_replace(text, clazz, ""))
+
+  private val stop = Map(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "es" -> Seq("el", "que", "los", "y"),
+    "fr" -> Seq("le", "les", "et", "la"))
+
+  /** Per-language stopword hit count over the word list. */
+  def stopHits(ws: Column, lang: String): Column =
+    size(filter(ws, w => w.isin(stop(lang).map(lit): _*)))
+
+  /** CJK character count (Han ideograph range). */
+  def cjkCount(text: Column): Column =
+    charClassCount(text, "[一-鿿]")
+
+  /** N-gram/stopword language-ID heuristic with a deterministic
+    * priority tie-break (zh by ideographs, then en/de/es/fr stopwords). */
+  def langId(text: Column): Column = {
+    val ws = words(text)
+    val (en, de, es, fr) = (stopHits(ws, "en"), stopHits(ws, "de"),
+      stopHits(ws, "es"), stopHits(ws, "fr"))
+    val zh = cjkCount(text)
+    when(zh > greatest(en, de, es, fr), "zh")
+      .when(en >= greatest(de, es, fr), "en")
+      .when(de >= greatest(es, fr), "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Heuristic quality score in [0,1]: length saturation + lexical
+    * diversity + stopword density (the usual cheap pre-filters applied
+    * before expensive model-based scoring). */
+  def qualityScore(text: Column): Column = {
+    val ws = words(text)
+    val nTok = size(ws).cast("double")
+    val uniq = size(array_distinct(ws)).cast("double")
+    val stopR = stopHits(ws, "en").cast("double") / when(nTok =!= 0.0, nTok)
+    val lenSat = least(nTok / 100.0, lit(1.0))
+    val divers = uniq / when(nTok =!= 0.0, nTok)
+    coalesce(lit(0.4) * lenSat + lit(0.3) * divers + lit(0.3) * stopR, lit(0.0))
+  }
+}

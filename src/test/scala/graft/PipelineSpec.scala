@@ -1,0 +1,99 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("exact dedup groups true copies") {
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "different text entirely"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, "doc_id", "text").collect()
+    assert(groups.length == 2)
+    val g = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(g.getAs[Long]("keep_id") == 1L) // min id kept, case/ws-normalized
+  }
+
+  test("jaccard pairs: identical docs 1.0, disjoint docs absent") {
+    val df = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w q r"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("doc_a") == 1L && pairs(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("minhash LSH finds the same high-threshold pairs as exact jaccard") {
+    val docs = graft.tsdb.Tables.load(spark, sf, "documents")
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, k = 8, bands = 4, 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // banding (b=4,r=2) catches ~all pairs at j>=0.9: P(miss) = (1-j^2)^4 < 2%
+    assert(lsh.subsetOf(exact), "LSH must never invent pairs (verified jaccard)")
+    assert(exact.nonEmpty && lsh.size >= exact.size * 9 / 10,
+      s"recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash: deterministic, identical docs collide, near-dups close") {
+    val docs = graft.tsdb.Tables.load(spark, sf, "documents")
+    val s1 = Dedup.simhash(docs, "doc_id", "text", 3)
+    val dup = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h")).toDF("doc_id", "text")
+    val two = Dedup.simhash(dup, "doc_id", "text", 3).select("simhash").as[Long].collect()
+    assert(two(0) == two(1))
+    // deterministic across evaluations
+    val a = s1.orderBy("doc").limit(5).as[(Long, Long)].collect()
+    val b = s1.orderBy("doc").limit(5).as[(Long, Long)].collect()
+    assert(a.sameElements(b))
+  }
+
+  test("LSH ANN reaches >=60% of brute-force top-10 (8 tables x 4 bits)") {
+    val vecs = graft.tsdb.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = vecs.filter(col("id") < 10)
+    val brute = Similarity.bruteTopK(q, vecs, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshTopK(q, vecs, 10, tables = 8, bits = 4, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("cosine: orthogonal 0, identical 1, zero vector null-safe") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 1.0f), 4L, Array(1.0f, 1.0f)),
+      (5L, Array(0.0f, 0.0f), 6L, Array(1.0f, 0.0f)))
+      .toDF("ida", "va", "idb", "vb")
+    val got = df.select(Similarity.cosine(col("va"), col("vb")).as("c"))
+      .as[Option[Double]].collect()
+    assert(got(0).get == 0.0)
+    assert(math.abs(got(1).get - 1.0) < 1e-12)
+    assert(got(2).isEmpty) // zero vector → null, not a crash
+  }
+
+  test("multimodal: partition-parallel feature extraction over binary") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, Array[Byte](0, 0, 0, 0), "image/png", 2, 2),
+      Multimodal.MediaRow(2L, Array.fill[Byte](256)(-1), "image/png", 16, 16),
+      Multimodal.MediaRow(3L, null, "audio/wav", 0, 0)).toDS()
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(feats(0).brightness == 0.0 && feats(0).n_bytes == 4)
+    assert(math.abs(feats(1).brightness - 1.0) < 1e-12 && feats(1).frames_sampled == 4)
+    assert(feats(2).n_bytes == 0L)
+  }
+
+  test("lang id + quality score are deterministic and bounded") {
+    val docs = graft.tsdb.Tables.load(spark, sf, "documents")
+    val q = docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
+      .agg(min("q"), max("q")).as[(Double, Double)].head()
+    assert(q._1 >= 0.0 && q._2 <= 1.0)
+    val langs = docs.select(TextAnalysis.langId(col("text")).as("l"))
+      .distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "de", "es", "fr", "zh")))
+  }
+}
