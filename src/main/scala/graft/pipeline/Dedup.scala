@@ -29,30 +29,52 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** (id, distinct shingle array, shingle count) per document. */
+  /** (id, distinct shingle array, shingle count) per document. Words and
+    * shingles are materialized in separate projections so each regex
+    * split / array build happens exactly once per row. */
   def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc"), TextAnalysis.shingles(col(textCol), n).as("sh"))
+    df.select(col(idCol).as("doc"), TextAnalysis.words(col(textCol)).as("ws"))
+      .select(col("doc"), TextAnalysis.shinglesOfWords(col("ws"), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("nsh", size(col("sh")))
 
-  /** Near-duplicate pairs by exact shingle Jaccard >= threshold, via an
-    * inverted-index join: explode shingles, self-join postings, count
-    * common shingles per pair, then jaccard = c / (na + nb − c). */
+  /** Near-duplicate pairs by exact shingle Jaccard >= threshold.
+    *
+    * Candidate generation uses PREFIX FILTERING (PPJoin-style): under a
+    * global shingle order, a pair with jaccard >= t must share a shingle
+    * within each side's first `|s| − ⌈t·|s|⌉ + 1` sorted shingles — so only
+    * prefixes are exploded into the inverted index (~(1−t) of postings),
+    * which also defuses the hot-key blowup of template-shared shingles.
+    * Candidates are then verified with exact Jaccard over the full sets.
+    * Result is IDENTICAL to the naive all-postings join. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     val sh = shingled(df, idCol, textCol, n)
-    val posts = sh.select(col("doc"), col("nsh"), explode(col("sh")).as("s"))
-    val a = posts.select(col("s"), col("doc").as("doc_a"), col("nsh").as("nsh_a"))
-    val b = posts.select(col("s"), col("doc").as("doc_b"), col("nsh").as("nsh_b"))
-    a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("nsh_a"), col("nsh_b"))
-      .agg(count(lit(1)).as("common"))
+      .withColumn("sh", array_sort(col("sh")))
+    val prefixLen = (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int")
+    val posts = sh
+      .select(col("doc"), col("sh"), explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
+    val a = posts.select(col("s"), col("doc").as("doc_a"))
+    val b = posts.select(col("s"), col("doc").as("doc_b"))
+    val cand = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: join the (small)
+    * id-only candidate set back to the shingle arrays — ids travel
+    * through the wide shuffle, arrays only through the final joins. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame =
+    cand
+      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a"), col("nsh").as("nsh_a")), "doc_a")
+      .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b"), col("nsh").as("nsh_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("nsh_a") + col("nsh_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
 
   /** MinHash signature columns m0..m{k−1}: lexicographic min of
     * md5("<i>:<shingle>") per seed — engine-agnostic string minhash. */
@@ -81,17 +103,7 @@ object Dedup {
     val cand = banded.as("x").join(banded.as("y"), col("x.bh") === col("y.bh"))
       .filter(col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b")).distinct()
-    // verify candidates with exact jaccard on the shingle sets
-    val sh = shingled(df, idCol, textCol, n)
-    cand
-      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a"), col("nsh").as("nsh_a")), "doc_a")
-      .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b"), col("nsh").as("nsh_b")), "doc_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("nsh_a") + col("nsh_b") - col("common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyJaccard(cand, shingled(df, idCol, textCol, n), threshold)
   }
 
   /** 64-bit SimHash over shingle hashes: for every bit, +1 when set else

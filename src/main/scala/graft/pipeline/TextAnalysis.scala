@@ -25,17 +25,14 @@ object TextAnalysis {
     size(filter(split(text, "[^\\w]+"), t => t =!= "")) +
       charClassCount(text, "[^\\w\\s]")
 
-  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup.
+  /** n-gram shingles (distinct) over an ALREADY-MATERIALIZED words column.
+    * Always project `words()` into its own column first: referencing a
+    * computed array from inside the transform lambda would re-evaluate the
+    * regex split per element access (CSE cannot hoist into lambdas).
     * Docs shorter than n words yield an empty array (guarded — Spark's
     * sequence(1,0) would count DOWN, not produce an empty range). */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = words(text)
-    val cnt = size(ws) - (n - 1)
-    val idx = when(cnt >= 1, sequence(lit(1), cnt))
-      .otherwise(array().cast("array<int>"))
-    array_distinct(transform(idx, i =>
-      concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*)))
-  }
+  def shinglesOfWords(ws: Column, n: Int): Column =
+    graft.functions.TextFunctions.word_shingles(ws, n)
 
   /** Canonical normalized form: lowercase, whitespace collapsed. */
   def normalized(text: Column): Column =
