@@ -1,0 +1,54 @@
+package graft.nbql
+
+import graft.model.FieldValue
+import graft.tsdb.{AggSpec, SortOrder, Ascending}
+
+/** AST for the NBQL statement surface, mirroring the shape used by the
+  * reference executor (`api/nbql/executor.go:29-50`, `core/query.go:29-42`;
+  * grammar reconstructed in SURVEY §3.4 — the reference's parser lives in
+  * an un-vendored submodule). */
+sealed trait Statement
+
+/** `PUSH m [TAGGED (k=v,…)] SET (f=v,…) [AT ts]` */
+final case class PushStatement(
+    metric: String,
+    tags: Map[String, String],
+    fields: Map[String, FieldValue],
+    atNs: Option[Long]) extends Statement
+
+/** `QUERY m [FROM a TO b | FROM RELATIVE(d)] [TAGGED(…)]
+  *  [AGGREGATE [BY iv] (f(x) [AS a],…)] [EMIT EMPTY WINDOWS]
+  *  [ASC|DESC] [LIMIT n] [AFTER cursor]` */
+final case class QueryStatement(
+    metric: String,
+    fromNs: Option[Long] = None,
+    toNs: Option[Long] = None,
+    relativeNs: Option[Long] = None,
+    tags: Map[String, String] = Map.empty,
+    aggs: Seq[AggSpec] = Seq.empty,
+    byIntervalNs: Option[Long] = None,
+    emitEmptyWindows: Boolean = false,
+    order: SortOrder = Ascending,
+    limit: Option[Long] = None,
+    after: Option[String] = None) extends Statement
+
+/** `REMOVE SERIES m TAGGED (…)` */
+final case class RemoveSeriesStatement(metric: String, tags: Map[String, String])
+  extends Statement
+/** `REMOVE FROM m TAGGED (…) AT ts` (point) */
+final case class RemovePointStatement(metric: String, tags: Map[String, String],
+    atNs: Long) extends Statement
+/** `REMOVE FROM m TAGGED (…) FROM a TO b` (range) */
+final case class RemoveRangeStatement(metric: String, tags: Map[String, String],
+    fromNs: Long, toNs: Long) extends Statement
+
+sealed trait ShowStatement extends Statement
+case object ShowMetricsStatement extends ShowStatement
+final case class ShowTagKeysStatement(metric: String) extends ShowStatement
+final case class ShowTagValuesStatement(metric: Option[String], key: String)
+  extends ShowStatement
+
+/** `FLUSH [MEMTABLE|DISK|ALL]` */
+final case class FlushStatement(target: String) extends Statement
+case object SnapshotStatement extends Statement
+final case class RestoreStatement(path: String, overwrite: Boolean) extends Statement

@@ -1,0 +1,143 @@
+package graft.nbql
+
+import graft.model.FieldValue
+import graft.tsdb.{AggSpec, Ascending, Descending}
+import scala.util.parsing.combinator.RegexParsers
+
+/** NBQL text parser (grammar per SURVEY §3.4, reconstructed from the
+  * reference's AST usage and the literal query strings in its tests, e.g.
+  * `server/app_server_tcp_test.go:169`, `clients/nbql/golang/example/
+  * main.go:88`). Keywords are case-insensitive; metric names are bare
+  * dotted identifiers or quoted strings; durations accept ns/us/ms/s/m/h/d;
+  * bare timestamps are ns since epoch. */
+object NbqlParser extends RegexParsers {
+
+  private def kw(s: String): Parser[String] = (s"(?i)${java.util.regex.Pattern.quote(s)}\\b").r
+
+  private val identifier: Parser[String] = """[A-Za-z_][A-Za-z0-9_.\-]*""".r
+  private val quoted: Parser[String] =
+    "\"" ~> """[^"]*""".r <~ "\"" | "'" ~> """[^']*""".r <~ "'"
+  private val name: Parser[String] = quoted | identifier
+
+  private val longNum: Parser[Long] = """-?\d+""".r ^^ (_.toLong)
+  private val doubleNum: Parser[Double] = """-?\d+\.\d+([eE][+-]?\d+)?""".r ^^ (_.toDouble)
+
+  /** `1h` `30s` `500ms` `10us` `100ns` `2d` → nanoseconds. */
+  private val duration: Parser[Long] =
+    """(\d+)(ns|us|ms|s|m|h|d)""".r ^^ { s =>
+      val m = """(\d+)(ns|us|ms|s|m|h|d)""".r.findFirstMatchIn(s).get
+      val v = m.group(1).toLong
+      m.group(2) match {
+        case "ns" => v
+        case "us" => v * 1000L
+        case "ms" => v * 1000000L
+        case "s"  => v * 1000000000L
+        case "m"  => v * 60L * 1000000000L
+        case "h"  => v * 3600L * 1000000000L
+        case "d"  => v * 86400L * 1000000000L
+      }
+    }
+
+  private val fieldValue: Parser[FieldValue] =
+    kw("TRUE") ^^^ FieldValue.ofBool(true) |
+    kw("FALSE") ^^^ FieldValue.ofBool(false) |
+    kw("NULL") ^^^ FieldValue.NilValue |
+    doubleNum ^^ FieldValue.ofDouble |
+    longNum ^^ FieldValue.ofLong |
+    quoted ^^ FieldValue.ofString
+
+  private val tagPair: Parser[(String, String)] =
+    (name <~ "=") ~ (quoted | identifier | """-?\d+""".r) ^^ { case k ~ v => k -> v }
+  private val tagged: Parser[Map[String, String]] =
+    kw("TAGGED") ~> "(" ~> repsep(tagPair, ",") <~ ")" ^^ (_.toMap)
+
+  private val setPair: Parser[(String, FieldValue)] =
+    (name <~ "=") ~ fieldValue ^^ { case k ~ v => k -> v }
+
+  private val push: Parser[PushStatement] =
+    kw("PUSH") ~> name ~ opt(tagged) ~
+      (kw("SET") ~> "(" ~> repsep(setPair, ",") <~ ")") ~
+      opt(kw("AT") ~> longNum) ^^ {
+      case m ~ tg ~ fs ~ at => PushStatement(m, tg.getOrElse(Map.empty), fs.toMap, at)
+    }
+
+  /** `avg(load1)`, `count(*)`, `p99.9(lat) AS p_lat` */
+  private val aggSpec: Parser[AggSpec] =
+    ("""[A-Za-z_][A-Za-z0-9_.]*""".r <~ "(") ~ (("*": Parser[String]) | name) ~ (")" ~>
+      opt(kw("AS") ~> name)) ^^ {
+      case f ~ fld ~ alias => AggSpec(f.toLowerCase, fld, alias)
+    }
+
+  private val timeRange: Parser[QueryStatement => QueryStatement] =
+    kw("FROM") ~> kw("RELATIVE") ~> "(" ~> duration <~ ")" ^^ {
+      d => (q: QueryStatement) => q.copy(relativeNs = Some(d))
+    } |
+    (kw("FROM") ~> longNum) ~ (kw("TO") ~> longNum) ^^ {
+      case a ~ b => (q: QueryStatement) => q.copy(fromNs = Some(a), toNs = Some(b))
+    }
+
+  private val aggregateClause: Parser[QueryStatement => QueryStatement] =
+    kw("AGGREGATE") ~> opt(kw("BY") ~> duration) ~
+      ("(" ~> rep1sep(aggSpec, ",") <~ ")") ^^ {
+      case by ~ specs => (q: QueryStatement) => q.copy(aggs = specs, byIntervalNs = by)
+    }
+
+  private val queryTail: Parser[QueryStatement => QueryStatement] =
+    tagged ^^ { tg => (q: QueryStatement) => q.copy(tags = tg) } |
+    aggregateClause |
+    kw("EMIT") ~ kw("EMPTY") ~ kw("WINDOWS") ^^^ {
+      (q: QueryStatement) => q.copy(emitEmptyWindows = true) } |
+    kw("ASC") ^^^ { (q: QueryStatement) => q.copy(order = Ascending) } |
+    kw("DESC") ^^^ { (q: QueryStatement) => q.copy(order = Descending) } |
+    kw("LIMIT") ~> longNum ^^ { n => (q: QueryStatement) => q.copy(limit = Some(n)) } |
+    kw("AFTER") ~> (quoted | """[A-Za-z0-9+/=]+""".r) ^^ {
+      c => (q: QueryStatement) => q.copy(after = Some(c)) } |
+    timeRange
+
+  private val query: Parser[QueryStatement] =
+    kw("QUERY") ~> name ~ rep(queryTail) ^^ {
+      case m ~ mods => mods.foldLeft(QueryStatement(m))((q, f) => f(q))
+    }
+
+  private val remove: Parser[Statement] =
+    kw("REMOVE") ~> kw("SERIES") ~> name ~ opt(tagged) ^^ {
+      case m ~ tg => RemoveSeriesStatement(m, tg.getOrElse(Map.empty))
+    } |
+    kw("REMOVE") ~> kw("FROM") ~> name ~ opt(tagged) ~ (kw("AT") ~> longNum) ^^ {
+      case m ~ tg ~ ts => RemovePointStatement(m, tg.getOrElse(Map.empty), ts)
+    } |
+    kw("REMOVE") ~> kw("FROM") ~> name ~ opt(tagged) ~
+      (kw("FROM") ~> longNum) ~ (kw("TO") ~> longNum) ^^ {
+      case m ~ tg ~ a ~ b => RemoveRangeStatement(m, tg.getOrElse(Map.empty), a, b)
+    }
+
+  private val show: Parser[Statement] =
+    kw("SHOW") ~> kw("METRICS") ^^^ ShowMetricsStatement |
+    kw("SHOW") ~> kw("TAG") ~> kw("KEYS") ~> kw("FROM") ~> name ^^ ShowTagKeysStatement |
+    kw("SHOW") ~> kw("TAG") ~> kw("VALUES") ~> opt(kw("FROM") ~> name) ~
+      (kw("WITH") ~> kw("KEY") ~> "=" ~> name) ^^ {
+      case m ~ k => ShowTagValuesStatement(m, k)
+    }
+
+  private val flush: Parser[Statement] =
+    kw("FLUSH") ~> opt(kw("MEMTABLE") | kw("DISK") | kw("ALL")) ^^ {
+      t => FlushStatement(t.map(_.toUpperCase).getOrElse("ALL"))
+    }
+
+  private val snapshotRestore: Parser[Statement] =
+    kw("SNAPSHOT") ^^^ SnapshotStatement |
+    kw("RESTORE") ~> kw("FROM") ~> quoted ~ opt(kw("WITH") ~> kw("OVERWRITE")) ^^ {
+      case p ~ ow => RestoreStatement(p, ow.isDefined)
+    }
+
+  private val statement: Parser[Statement] =
+    (push | query | remove | show | flush | snapshotRestore) <~ opt(";")
+
+  def parse(input: String): Either[String, Statement] =
+    parseAll(statement, input) match {
+      case Success(s, _) => Right(s)
+      case NoSuccess(msg, next) =>
+        Left(s"parse error at ${next.pos.line}:${next.pos.column}: $msg")
+      case other => Left(s"parse error: $other")
+    }
+}

@@ -81,6 +81,20 @@ object QueryEngine {
     df.filter(!dead)
   }
 
+  /** The merged logical view of raw storage: latest-version-wins per
+    * (series, timestamp) with tombstoned rows removed — what the
+    * reference's merging iterator exposes (`iterator/iterator.go:244-294`)
+    * and what compaction materializes. */
+  def mergedView(points: DataFrame, tombstones: Seq[Tombstone]): DataFrame = {
+    val keyed = points.withColumn("series_key",
+      seriesKeyCol(col("metric"), col("tags")))
+    val w = Window.partitionBy(col("series_key"), col("timestamp"))
+      .orderBy(col("seq").desc)
+    val deduped = keyed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    applyTombstones(deduped, tombstones)
+  }
+
   /** Full pipeline. `points` must have the canonical storage schema. */
   def run(points: DataFrame, p: QueryParams, tombstones: Seq[Tombstone] = Nil): DataFrame = {
     // 1. series resolution: metric + tag equality (AND of equalities — the

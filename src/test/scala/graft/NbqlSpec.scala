@@ -1,0 +1,177 @@
+package graft
+
+import graft.model.FieldValue
+import graft.nbql._
+import graft.tsdb._
+
+/** Parser-level tests over the grammar strings the reference's own tests
+  * use (SURVEY §3.4, e.g. `server/app_server_tcp_test.go:169`,
+  * `clients/nbql/golang/example/main.go:88`). */
+class NbqlParserSpec extends SparkSpec {
+
+  def p(s: String): Statement = NbqlParser.parse(s).fold(e => fail(e), identity)
+
+  test("PUSH with tags, mixed-type fields, AT") {
+    val st = p("""PUSH system.logs TAGGED (app="api", dc="us-east-1")
+                  SET (level="info", status=200, success=TRUE, score=1.5) AT 123456789;""")
+    val push = st.asInstanceOf[PushStatement]
+    assert(push.metric == "system.logs")
+    assert(push.tags == Map("app" -> "api", "dc" -> "us-east-1"))
+    assert(push.fields("level") == FieldValue.ofString("info"))
+    assert(push.fields("status") == FieldValue.ofLong(200))
+    assert(push.fields("success") == FieldValue.ofBool(true))
+    assert(push.fields("score") == FieldValue.ofDouble(1.5))
+    assert(push.atNs.contains(123456789L))
+  }
+
+  test("QUERY with range, tags, downsample aggregate, alias, modifiers") {
+    val st = p("""QUERY cpu.usage FROM 0 TO 1000000000 TAGGED (region="eu")
+                  AGGREGATE BY 1m (avg(load1), max(load5) AS peak, count(*), p99.9(lat))
+                  EMIT EMPTY WINDOWS DESC LIMIT 50""")
+    val q = st.asInstanceOf[QueryStatement]
+    assert(q.metric == "cpu.usage")
+    assert(q.fromNs.contains(0L) && q.toNs.contains(1000000000L))
+    assert(q.tags == Map("region" -> "eu"))
+    assert(q.byIntervalNs.contains(60L * 1000000000L))
+    assert(q.aggs == Seq(
+      AggSpec("avg", "load1"), AggSpec("max", "load5", Some("peak")),
+      AggSpec("count", "*"), AggSpec("p99.9", "lat")))
+    assert(q.aggs(3).percentile.contains(99.9))
+    assert(q.emitEmptyWindows && q.order == Descending && q.limit.contains(50L))
+  }
+
+  test("QUERY FROM RELATIVE and final aggregate (no BY)") {
+    val q = p("QUERY mem FROM RELATIVE(2h) AGGREGATE (sum(used), stddev(used))")
+      .asInstanceOf[QueryStatement]
+    assert(q.relativeNs.contains(7200L * 1000000000L))
+    assert(q.byIntervalNs.isEmpty && q.aggs.size == 2)
+  }
+
+  test("REMOVE forms") {
+    assert(p("""REMOVE SERIES "web.hits" TAGGED (host="h1")""") ==
+      RemoveSeriesStatement("web.hits", Map("host" -> "h1")))
+    assert(p("""REMOVE FROM "web.hits" TAGGED (host="h1") AT 42""") ==
+      RemovePointStatement("web.hits", Map("host" -> "h1"), 42L))
+    assert(p("""REMOVE FROM "web.hits" TAGGED (host="h1") FROM 10 TO 20""") ==
+      RemoveRangeStatement("web.hits", Map("host" -> "h1"), 10L, 20L))
+  }
+
+  test("SHOW / FLUSH / SNAPSHOT / RESTORE") {
+    assert(p("SHOW METRICS") == ShowMetricsStatement)
+    assert(p("SHOW TAG KEYS FROM cpu") == ShowTagKeysStatement("cpu"))
+    assert(p("SHOW TAG VALUES FROM cpu WITH KEY = host") ==
+      ShowTagValuesStatement(Some("cpu"), "host"))
+    assert(p("FLUSH MEMTABLE") == FlushStatement("MEMTABLE"))
+    assert(p("SNAPSHOT") == SnapshotStatement)
+    assert(p("RESTORE FROM '/tmp/snap' WITH OVERWRITE") ==
+      RestoreStatement("/tmp/snap", overwrite = true))
+  }
+
+  test("parse errors are reported, not thrown") {
+    assert(NbqlParser.parse("QUERY").isLeft)
+    assert(NbqlParser.parse("PUSH m").isLeft) // SET is mandatory
+    assert(NbqlParser.parse("FETCH x").isLeft)
+  }
+}
+
+/** End-to-end: NBQL strings against a live engine on a temp dir —
+  * the analog of `api/nbql/executor_e2e_test.go` / `server/e2e_test.go`. */
+class NbqlExecutorSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  def withEngine(f: (TsdbEngine, NbqlExecutor) => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    val ex = new NbqlExecutor(eng)
+    ex.nowNs = Some(10_000_000_000L)
+    try f(eng, ex)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  def rows(ex: NbqlExecutor, q: String): Seq[org.apache.spark.sql.Row] =
+    ex.execute(q).fold(e => fail(e), { case r: ex.Rows @unchecked => r.df.collect().toSeq
+                                        case other => fail(s"expected rows, got $other") })
+
+  test("push → query → aggregate → remove → flush → snapshot/restore") {
+    withEngine { (eng, ex) =>
+      // ingest two series
+      for (i <- 0 until 10) {
+        assert(ex.execute(
+          s"""PUSH cpu.usage TAGGED (host="h1") SET (value=${i}.0) AT ${i * 1000}""").isRight)
+        assert(ex.execute(
+          s"""PUSH cpu.usage TAGGED (host="h2") SET (value=${i * 2}.0) AT ${i * 1000}""").isRight)
+      }
+      // raw range query, inclusive bounds
+      val raw = rows(ex, """QUERY cpu.usage FROM 2000 TO 4000 TAGGED (host="h1")""")
+      assert(raw.map(_.getAs[Long]("timestamp")) == Seq(2000L, 3000L, 4000L))
+
+      // final aggregation
+      val agg = rows(ex, """QUERY cpu.usage TAGGED (host="h1") FROM 0 TO 999999
+                            AGGREGATE (sum(value), avg(value), count(*))""").head
+      assert(agg.getAs[Double]("sum_value") == 45.0)
+      assert(agg.getAs[Long]("count_star") == 10L)
+
+      // downsample with window math
+      val ds = rows(ex, """QUERY cpu.usage TAGGED (host="h2") FROM 0 TO 9999
+                           AGGREGATE BY 2us (sum(value))""")
+      assert(ds.map(r => (r.getAs[Long]("window_start"), r.getAs[Double]("sum_value"))) ==
+        Seq((0L, 2.0), (2000L, 10.0), (4000L, 18.0), (6000L, 26.0), (8000L, 34.0)))
+
+      // point remove + range remove with seq shadowing
+      assert(ex.execute("""REMOVE FROM cpu.usage TAGGED (host="h1") AT 0""").isRight)
+      assert(ex.execute("""REMOVE FROM cpu.usage TAGGED (host="h1") FROM 8000 TO 9000""").isRight)
+      val afterRm = rows(ex, """QUERY cpu.usage TAGGED (host="h1") FROM 0 TO 999999""")
+      assert(afterRm.map(_.getAs[Long]("timestamp")) ==
+        Seq(1000L, 2000L, 3000L, 4000L, 5000L, 6000L, 7000L))
+
+      // a point pushed after the delete survives it
+      assert(ex.execute(
+        """PUSH cpu.usage TAGGED (host="h1") SET (value=99.0) AT 8000""").isRight)
+      val resurrect = rows(ex, """QUERY cpu.usage TAGGED (host="h1") FROM 8000 TO 9000""")
+      assert(resurrect.map(_.getAs[Long]("timestamp")) == Seq(8000L))
+
+      // series remove hides h2 entirely
+      assert(ex.execute("""REMOVE SERIES cpu.usage TAGGED (host="h2")""").isRight)
+      assert(rows(ex, """QUERY cpu.usage TAGGED (host="h2") FROM 0 TO 999999""").isEmpty)
+
+      // FLUSH = compact: same observable state, tombstones gone
+      assert(ex.execute("FLUSH ALL").isRight)
+      assert(eng.loadTombstones().isEmpty)
+      val postCompact = rows(ex, """QUERY cpu.usage TAGGED (host="h1") FROM 0 TO 999999""")
+      assert(postCompact.map(_.getAs[Long]("timestamp")) ==
+        Seq(1000L, 2000L, 3000L, 4000L, 5000L, 6000L, 7000L, 8000L))
+
+      // SHOW
+      assert(rows(ex, "SHOW METRICS").map(_.getString(0)) == Seq("cpu.usage"))
+      assert(rows(ex, "SHOW TAG KEYS FROM cpu.usage").map(_.getString(0)) == Seq("host"))
+      assert(rows(ex, "SHOW TAG VALUES FROM cpu.usage WITH KEY = host")
+        .map(_.getString(0)) == Seq("h1"))
+
+      // SNAPSHOT → mutate → RESTORE
+      val snapDir = ex.execute("SNAPSHOT").fold(e => fail(e), {
+        case a: ex.Ack @unchecked => a.message; case o => fail(s"$o") })
+      assert(ex.execute("""REMOVE SERIES cpu.usage TAGGED (host="h1")""").isRight)
+      assert(rows(ex, """QUERY cpu.usage TAGGED (host="h1") FROM 0 TO 999999""").isEmpty)
+      assert(ex.execute(s"RESTORE FROM '$snapDir' WITH OVERWRITE").isRight)
+      assert(rows(ex, """QUERY cpu.usage TAGGED (host="h1") FROM 0 TO 999999""").size == 8)
+    }
+  }
+
+  test("latest version wins across re-push") {
+    withEngine { (eng, ex) =>
+      assert(ex.execute("""PUSH m TAGGED (k="a") SET (v=1.0) AT 100""").isRight)
+      assert(ex.execute("""PUSH m TAGGED (k="a") SET (v=2.0) AT 100""").isRight)
+      val r = rows(ex, "QUERY m FROM 0 TO 1000")
+      assert(r.size == 1)
+      assert(r.head.getAs[Map[String, org.apache.spark.sql.Row]]("fields")("v")
+        .getAs[Double]("d") == 2.0)
+    }
+  }
+
+  test("validation rejects bad names") {
+    withEngine { (_, ex) =>
+      val res = ex.execute("PUSH \"\" SET (v=1.0)")
+      assert(res.isLeft)
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.streaming._
+import graft.tsdb._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  def tmp(): String = java.nio.file.Files.createTempDirectory("graft_stream").toString
+
+  test("streaming ingest: json → validate → engine storage, poison rows dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    val engine = new TsdbEngine(spark, s"$dir/db")
+    val mem = MemoryStream[String]
+    val q = Ingest.start(engine, mem.toDF(), s"$dir/ckpt")
+    try {
+      mem.addData(
+        """{"metric":"cpu","tags":{"h":"a"},"timestamp":100,"fields":{"v":{"d":1.5}}}""",
+        """{"metric":"cpu","tags":{"h":"b"},"timestamp":200,"fields":{"v":{"l":7}}}""",
+        """not json at all""",
+        """{"metric":"","timestamp":1,"fields":{}}""")
+      q.processAllAvailable()
+      mem.addData(
+        """{"metric":"cpu","tags":{"h":"a"},"timestamp":100,"fields":{"v":{"d":9.9}}}""")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // latest-version-wins: the second batch's re-push of (cpu,{h:a},100) wins
+    val out = engine.query(QueryParams("cpu", endNs = Some(1000)))
+      .select(col("timestamp"), col("fields").getItem("v").getField("d").as("d"),
+        col("fields").getItem("v").getField("l").as("l"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(out == Seq(
+      (100L, Some(9.9), None),
+      (200L, None, Some(7L))))
+  }
+
+  test("subscription filters: exact + prefix wildcard on metric and tags") {
+    val updates = Seq(
+      ("cpu.usage", Map("host" -> "web-1"), 1L),
+      ("cpu.idle", Map("host" -> "web-2"), 2L),
+      ("mem.free", Map("host" -> "db-1"), 3L))
+      .toDF("metric", "tags", "timestamp")
+    def got(f: PubSub.SubscriptionFilter): Seq[Long] =
+      PubSub.subscribe(updates, f).select("timestamp").as[Long].collect().sorted.toSeq
+    assert(got(PubSub.SubscriptionFilter("cpu.*")) == Seq(1L, 2L))
+    assert(got(PubSub.SubscriptionFilter("*")) == Seq(1L, 2L, 3L))
+    assert(got(PubSub.SubscriptionFilter("cpu.usage")) == Seq(1L))
+    assert(got(PubSub.SubscriptionFilter("*", Map("host" -> "web-*"))) == Seq(1L, 2L))
+    assert(got(PubSub.SubscriptionFilter("*", Map("host" -> "db-1"))) == Seq(3L))
+  }
+
+  test("outlier hook flags out-of-band values") {
+    val pts = Seq(
+      TP("m", Map("h" -> "a"), 1, Map("v" -> FV.dv(5.0)), 1),
+      TP("m", Map("h" -> "a"), 2, Map("v" -> FV.dv(500.0)), 2),
+      TP("m", Map("h" -> "a"), 3, Map("v" -> FV.lv(-3)), 3)).toDF()
+    val alerts = Hooks.outliers(pts, "v", 0.0, 100.0)
+    assert(alerts.select("timestamp").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("new-series alerter fires once per series across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Hooks.SeriesEvent]
+    val alerts = Hooks.newSeriesAlerts(mem.toDS())
+    val q = alerts.writeStream.format("memory").queryName("new_series")
+      .outputMode("append").start()
+    try {
+      mem.addData(Hooks.SeriesEvent("cpu|h=a", 100), Hooks.SeriesEvent("cpu|h=a", 150),
+        Hooks.SeriesEvent("cpu|h=b", 200))
+      q.processAllAvailable()
+      mem.addData(Hooks.SeriesEvent("cpu|h=a", 300), Hooks.SeriesEvent("cpu|h=c", 400))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("new_series").as[Hooks.NewSeriesAlert]
+      .collect().map(a => a.series_key -> a.first_seen).toMap
+    assert(got == Map("cpu|h=a" -> 100L, "cpu|h=b" -> 200L, "cpu|h=c" -> 400L))
+  }
+}
