@@ -333,6 +333,42 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** As-of join (backward): each purchase matched to the user's latest
+    * click at-or-before it. Spark has no native as-of join — this is the
+    * single-shuffle union+window implementation; the oracle is DuckDB's
+    * built-in ASOF JOIN (an independent implementation of the same
+    * semantics). Timestamps are pre-truncated to µs on BOTH sides so the
+    * boundary comparison is identical in the two engines. */
+  def asofClickBeforePurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", col("ts") - pmod(col("ts"), lit(1000L)))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("c_ts"), col("event_id").as("click_event"))
+    graft.operators.AsOfJoin.backward(purchases, clicks,
+      by = Seq("user_id"), leftTime = "p_ts", rightTime = "c_ts")
+      .select(col("event_id"), col("user_id"), col("p_ts"),
+        col("c_ts_matched").as("click_ts"), col("click_event"))
+      .orderBy("event_id")
+  }
+
+  /** Gap-based sessionization (1h gap) per user over all events. */
+  def sessionizeUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("t", col("ts") - pmod(col("ts"), lit(1000L)))
+    graft.operators.Sessionize.sessions(ev, "user_id", "t", gapNs = HourNs)
+      .select(col("user_id"), col("session_id"), col("session_start"),
+        col("session_end"), col("n_events"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** I2 SHOW TAG KEYS (canonical point stream has one tag key). */
+  def showTagKeys(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir).filter(col("metric") === "purchase")
+      .select(explode(map_keys(col("tags"))).as("tag_key"))
+      .distinct().orderBy("tag_key")
+
   /** Multimodal byte-column metadata (binary plumbing, no decode). */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Multimodal.byteMeta(

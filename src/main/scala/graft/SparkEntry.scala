@@ -43,6 +43,10 @@ object SparkEntry {
     "embedding_norms" -> (Queries.embeddingNorms _),
     "ann_lsh_topk" -> (Queries.annLshTopK _),
     "multimodal_meta" -> (Queries.multimodalMeta _),
+    // Extended operators (as-of join, sessionization, introspection)
+    "asof_click_before_purchase" -> (Queries.asofClickBeforePurchase _),
+    "sessionize_users" -> (Queries.sessionizeUsers _),
+    "show_tag_keys" -> (Queries.showTagKeys _),
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark side —
@@ -254,5 +258,27 @@ object SparkEntry {
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "asof_click_before_purchase" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             (epoch_ns(ts) // 1000) * 1000 AS t FROM events),
+        |p AS (SELECT event_id, user_id, t AS p_ts FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, t AS c_ts, event_id AS click_event FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.p_ts, c.c_ts AS click_ts, c.click_event
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.c_ts <= p.p_ts
+        |ORDER BY p.event_id""".stripMargin,
+    "sessionize_users" ->
+      """WITH o AS (SELECT user_id, (epoch_ns(ts) // 1000) * 1000 AS t FROM events),
+        |b AS (SELECT user_id, t,
+        |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+        |                  > 3600000000000 THEN 1 ELSE 0 END AS brk
+        |      FROM o),
+        |s AS (SELECT user_id, t,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                       ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM b)
+        |SELECT user_id, session_id, min(t) AS session_start, max(t) AS session_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "show_tag_keys" -> "SELECT 'user' AS tag_key",
   )
 }

@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.{AsOfJoin, Sessionize}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof backward: latest right at-or-before, inclusive ties, null when none") {
+    val trades = Seq(
+      ("A", 100L, 1.0), ("A", 200L, 2.0), ("B", 50L, 3.0))
+      .toDF("sym", "t_ts", "price")
+    val quotes = Seq(
+      ("A", 90L, 10.0), ("A", 100L, 11.0), ("A", 150L, 12.0), ("B", 60L, 13.0))
+      .toDF("sym", "q_ts", "bid")
+    val out = AsOfJoin.backward(trades, quotes, Seq("sym"), "t_ts", "q_ts")
+      .select($"sym", $"t_ts", $"q_ts_matched", $"bid")
+      .as[(String, Long, Option[Long], Option[Double])].collect().toSet
+    assert(out == Set(
+      ("A", 100L, Some(100L), Some(11.0)), // tie at 100 is inclusive
+      ("A", 200L, Some(150L), Some(12.0)),
+      ("B", 50L, None, None)))             // no quote before 50
+  }
+
+  test("sessionize: gap break creates sessions with correct rollups") {
+    val ev = Seq(
+      (1L, 0L), (1L, 100L), (1L, 250L),   // session 0 (gaps <= 150)
+      (1L, 1000L), (1L, 1100L),           // session 1
+      (2L, 0L))                           // other key
+      .toDF("user_id", "t")
+    val out = Sessionize.sessions(ev, "user_id", "t", gapNs = 150L)
+      .select($"user_id", $"session_id", $"session_start", $"session_end", $"n_events")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 0L, 250L, 3L),
+      (1L, 1L, 1000L, 1100L, 2L),
+      (2L, 0L, 0L, 0L, 1L)))
+  }
+}
