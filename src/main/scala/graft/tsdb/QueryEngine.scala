@@ -106,8 +106,17 @@ object QueryEngine {
     val (startNs, endNs) = resolveRange(df, p)
     df = df.filter(col("timestamp").between(startNs, endNs))
 
-    // 3. series key + latest-version dedup (M1)
+    // 3. series key + latest-version dedup (M1).
+    //    One explicit hash-repartition on series_key ALONE: hash(sk) is a
+    //    subset of both downstream clusterings — the dedup window's
+    //    (sk, ts) and the downsample groupBy's (sk, window) — so
+    //    EnsureRequirements inserts no further exchange and the whole
+    //    merge+aggregate pipeline runs off a single shuffle (vs 2-3
+    //    otherwise). Parallelism unit = series, like the reference's
+    //    per-series iterators; a pathologically hot single series would
+    //    need salting, which downsampling could shard by window bucket.
     df = df.withColumn("series_key", seriesKeyCol(col("metric"), col("tags")))
+      .repartition(col("series_key"))
     val w = Window.partitionBy(col("series_key"), col("timestamp"))
       .orderBy(col("seq").desc)
     df = df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")

@@ -1,0 +1,64 @@
+package graft
+
+/** Plan-shape regression tests: the scale properties (pushdown, pruning,
+  * broadcast joins, shuffle counts) asserted on the ACTUAL physical plans
+  * — a wrong-but-correct plan at sf0.01 is a broken plan at 100 TB. */
+class PlanSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+  def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  def countIn(p: String, needle: String): Int =
+    p.linesIterator.count(_.contains(needle))
+
+  test("filters and column pruning reach the parquet scan") {
+    val p = plan("pushdown_scan")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("LessThan(l_quantity,5.0)"), "quantity filter must push down")
+    // (PushedFilters display truncates; DataFilters carries the full list)
+    assert(p.contains("(l_discount") && p.contains("> 0.05)"),
+      "discount filter must push down")
+    // projection pruned to exactly the 4 selected columns at the scan
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scanLine.contains("[l_orderkey") && !scanLine.contains("l_extendedprice"),
+      s"scan must read only selected columns: $scanLine")
+  }
+
+  test("metric + time filters push into the events scan (tag-index analog)") {
+    val p = plan("tsdb_raw_scan")
+    assert(p.contains("EqualTo(event_type,error)"), "metric filter at the scan")
+    assert(p.contains("GreaterThanOrEqual(ts,"), "time range at the scan")
+  }
+
+  test("small-dimension joins broadcast, never sort-merge") {
+    val p = plan("join_revenue_nation")
+    assert(countIn(p, "BroadcastHashJoin") == 3)
+    assert(countIn(p, "SortMergeJoin") == 0)
+  }
+
+  test("downsample pipeline runs off a single data shuffle") {
+    val p = plan("tsdb_downsample_1h")
+    // one hash exchange (series_key) + one range exchange (presentation sort)
+    assert(countIn(p, "Exchange hashpartitioning") == 1, p.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n"))
+    assert(countIn(p, "Exchange rangepartitioning") <= 1)
+  }
+
+  test("raw scan: one shuffle, ordered limit uses TakeOrdered") {
+    val p = plan("tsdb_raw_scan")
+    assert(countIn(p, "Exchange hashpartitioning") == 1)
+    assert(p.contains("TakeOrderedAndProject") || p.contains("Sort"),
+      "limit+order should plan TakeOrdered (no global sort materialization)")
+  }
+
+  test("aggregation is partial+final (map-side combine) inside codegen") {
+    val df = SparkEntry.queries("tpch_q1")(spark, sf)
+    val pre = df.queryExecution.executedPlan.toString
+    assert(pre.contains("partial_sum"), "map-side partial aggregation expected")
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    val post = df.queryExecution.executedPlan.toString
+    assert(post.contains("*("), "whole-stage codegen stages expected in final plan")
+    assert(countIn(pre, "Exchange") <= 2)
+  }
+}
