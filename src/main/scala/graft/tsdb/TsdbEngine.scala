@@ -38,6 +38,12 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
 
   private val seqCounter = new java.util.concurrent.atomic.AtomicLong(initialSeq())
 
+  /** Bumped by every mutation; orphans older [[QueryCache]] entries. */
+  private val writeEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val resultCache = new QueryCache()
+  def epoch: Long = writeEpoch.get()
+  def cacheStats: (Long, Long) = resultCache.stats
+
   private def initialSeq(): Long = {
     val p = loadPoints()
     val t = loadTombstones()
@@ -71,6 +77,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         nextSeq())
     }
     rows.toDF().write.mode(SaveMode.Append).parquet(pointsDir)
+    writeEpoch.incrementAndGet()
     Right(rows.size.toLong)
   }
 
@@ -78,8 +85,10 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
 
   /** Append an arbitrary DataFrame already in canonical shape
     * (metric, tags, timestamp, fields, seq) — the bulk/streaming path. */
-  def putDF(df: DataFrame): Unit =
+  def putDF(df: DataFrame): Unit = {
     df.write.mode(SaveMode.Append).parquet(pointsDir)
+    writeEpoch.incrementAndGet()
+  }
 
   // ---- delete path (tombstones) ----------------------------------------
 
@@ -95,6 +104,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   private def appendTombstone(t: TombRow): Unit = {
     import spark.implicits._
     Seq(t).toDF().write.mode(SaveMode.Append).parquet(tombsDir)
+    writeEpoch.incrementAndGet()
   }
 
   // ---- read path --------------------------------------------------------
@@ -110,6 +120,22 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   def query(params: QueryParams): DataFrame = {
     val pts = loadPoints().getOrElse(emptyPoints(spark))
     QueryEngine.run(pts, params, loadTombstones())
+  }
+
+  /** Query through the result cache (serving-layer path): collected rows,
+    * canonical-key lookup, epoch invalidation on any mutation. RELATIVE
+    * queries with an un-pinned `now` are never cached (non-deterministic). */
+  def queryCached(params: QueryParams): Array[Row] = {
+    val cacheable = params.relativeNs.isEmpty || params.nowNs.isDefined
+    val e = epoch
+    if (cacheable) resultCache.get(params, e) match {
+      case Some(rows) => return rows
+      case None => ()
+    }
+    val df = query(params)
+    val rows = df.collect()
+    if (cacheable) resultCache.put(params, e, rows, df.schema.treeString)
+    rows
   }
 
   // ---- introspection (SURVEY §2.8) --------------------------------------
