@@ -34,6 +34,24 @@ object PubSub {
     updates.filter(matches(f))
 }
 
+/** Event-time streaming aggregation (ST3 — ABSENT in the reference,
+  * whose downsampling is batch-only over stored data; Structured
+  * Streaming adds it): tumbling windows on the event-time column with a
+  * watermark bounding state and dropping data later than `lateness`. */
+object StreamingAgg {
+  import org.apache.spark.sql.DataFrame
+
+  /** Per-(window, metric) streaming rollup. `tsCol` must be TimestampType;
+    * ns-epoch longs convert via `timestamp_micros(ns / 1000)`. */
+  def windowed(points: DataFrame, tsCol: String, lateness: String,
+      windowDur: String): DataFrame =
+    points
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDur), col("metric"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+        avg(col("value")).as("avg_value"))
+}
+
 /** Hook-system analogs (ST4, `hooks/hooks.go` + shipped listeners). */
 object Hooks {
 

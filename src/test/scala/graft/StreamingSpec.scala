@@ -79,4 +79,34 @@ class StreamingSpec extends SparkSpec {
       .collect().map(a => a.series_key -> a.first_seen).toMap
     assert(got == Map("cpu|h=a" -> 100L, "cpu|h=b" -> 200L, "cpu|h=c" -> 400L))
   }
+
+  test("watermarked event-time windowed aggregation drops too-late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val pts = mem.toDF().toDF("ts_ns", "metric", "value")
+      .withColumn("ts", timestamp_micros(col("ts_ns") / lit(1000L) cast "long"))
+    val agg = StreamingAgg.windowed(pts, "ts", lateness = "10 seconds", windowDur = "10 seconds")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    try {
+      val S = 1000000000L // ns per second
+      mem.addData((5 * S, "cpu", 1.0), (7 * S, "cpu", 3.0), (12 * S, "cpu", 5.0))
+      q.processAllAvailable()
+      // advance watermark far past the first window, then send a too-late row
+      mem.addData((60 * S, "cpu", 7.0))
+      q.processAllAvailable()
+      mem.addData((6 * S, "cpu", 100.0)) // later than watermark -> dropped
+      q.processAllAvailable()
+      mem.addData((90 * S, "cpu", 9.0)) // flush remaining windows
+      q.processAllAvailable()
+    } finally q.stop()
+    import org.apache.spark.sql.Row
+    val rows = spark.table("win_agg")
+      .selectExpr("window.start as ws", "n", "sum_value").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ws").getTime / 1000, r.getAs[Long]("n"),
+        r.getAs[Double]("sum_value"))).toSet
+    // first window [0,10) emitted with ONLY the on-time rows (late 100.0 dropped)
+    assert(rows.contains((0L, 2L, 4.0)), s"got $rows")
+    assert(rows.contains((10L, 1L, 5.0)), s"got $rows")
+  }
 }
