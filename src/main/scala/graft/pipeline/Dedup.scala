@@ -41,19 +41,30 @@ object Dedup {
   /** Near-duplicate pairs by exact shingle Jaccard >= threshold.
     *
     * Candidate generation uses PREFIX FILTERING (PPJoin-style): under a
-    * global shingle order, a pair with jaccard >= t must share a shingle
-    * within each side's first `|s| − ⌈t·|s|⌉ + 1` sorted shingles — so only
-    * prefixes are exploded into the inverted index (~(1−t) of postings),
-    * which also defuses the hot-key blowup of template-shared shingles.
-    * Candidates are then verified with exact Jaccard over the full sets.
-    * Result is IDENTICAL to the naive all-postings join. */
+    * GLOBAL shingle order, a pair with jaccard >= t must share a shingle
+    * within each side's first `|s| − ⌈t·|s|⌉ + 1` ordered shingles — so
+    * only prefixes are exploded into the inverted index (~(1−t) of
+    * postings). The global order is RAREST-FIRST (ascending document
+    * frequency, shingle text as tie-break): prefixes then hold each doc's
+    * most selective shingles, so posting lists in the candidate join stay
+    * short and the hot template-shared shingles never enter the index —
+    * the standard defense against the quadratic hot-key blowup at scale.
+    * Candidates are verified with exact Jaccard over the full sets;
+    * the result is IDENTICAL to the naive all-postings join. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     val sh = shingled(df, idCol, textCol, n)
-      .withColumn("sh", array_sort(col("sh")))
+    // global rarest-first order: document frequency per shingle
+    val dfreq = sh.select(explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
     val prefixLen = (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int")
     val posts = sh
-      .select(col("doc"), col("sh"), explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
+      .select(col("doc"), col("nsh"), explode(col("sh")).as("s"))
+      .join(dfreq, "s") // broadcast-able: distinct shingles << postings
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc"))
+          .orderBy(col("df").asc, col("s").asc)))
+      .filter(col("__rk") <= prefixLen)
     val a = posts.select(col("s"), col("doc").as("doc_a"))
     val b = posts.select(col("s"), col("doc").as("doc_b"))
     val cand = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))

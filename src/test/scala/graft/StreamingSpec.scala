@@ -109,4 +109,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((0L, 2L, 4.0)), s"got $rows")
     assert(rows.contains((10L, 1L, 5.0)), s"got $rows")
   }
+
+  test("self-monitoring: streaming progress republished as __ series") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    val metricsEngine = new TsdbEngine(spark, s"$dir/metrics_db")
+    val listener = new EngineMetricsListener(metricsEngine)
+    spark.streams.addListener(listener)
+    val mem = MemoryStream[String]
+    val ingestEngine = new TsdbEngine(spark, s"$dir/db")
+    val q = Ingest.start(ingestEngine, mem.toDF(), s"$dir/ckpt")
+    try {
+      mem.addData("""{"metric":"cpu","tags":{"h":"a"},"timestamp":100,"fields":{"v":{"d":1.0}}}""")
+      q.processAllAvailable()
+      // listener callbacks are async: wait for the progress points to land
+      var tries = 0
+      def count(): Long = metricsEngine.loadPoints().map(_.count()).getOrElse(0L)
+      while (count() == 0 && tries < 50) { Thread.sleep(200); tries += 1 }
+      assert(count() > 0, "expected __graft.streaming.progress points")
+      val m = metricsEngine.showMetrics().collect().map(_.getString(0))
+      assert(m.contains("__graft.streaming.progress"))
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
 }
