@@ -35,8 +35,43 @@ object Bench {
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+
+    // Reference-protocol throughput (cmd/perf-client + query-perf-client
+    // shapes): bulk ingest points/sec into a fresh engine, then repeated
+    // tag-equality range queries — cold (full Spark plan per query) and
+    // cached (the serving path a dashboard hits).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    val (ingestRps, qpsCold, qpsCached) = try {
+      val engine = new graft.tsdb.TsdbEngine(spark, s"$tmp/db")
+      val pts = graft.tsdb.Tables.eventsAsPoints(spark, sfDir)
+      val nRows = pts.count()
+      val t0 = System.nanoTime()
+      engine.putDF(pts)
+      val ingestSec = (System.nanoTime() - t0) / 1e9
+      val rnd = new scala.util.Random(42)
+      def q(i: Int) = graft.tsdb.QueryParams("purchase",
+        Map("user" -> (rnd.nextInt(100).toString)),
+        startNs = 1704067200000000000L + i * 3600000000000L,
+        endNs = Some(1704067200000000000L + (i + 24) * 3600000000000L))
+      val nCold = 20
+      val t1 = System.nanoTime()
+      (0 until nCold).foreach(i => engine.query(q(i)).count())
+      val coldSec = (System.nanoTime() - t1) / 1e9
+      val nCached = 200
+      val cq = q(0)
+      engine.queryCached(cq)
+      val t2 = System.nanoTime()
+      (0 until nCached).foreach(_ => engine.queryCached(cq))
+      val cachedSec = (System.nanoTime() - t2) / 1e9
+      (nRows / ingestSec, nCold / coldSec, nCached / cachedSec)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp)); ()
+    }
+
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""p50":${pct(0.5)},"p90":${pct(0.9)},"p99":${pct(0.99)},""" +
+      s""""ingest_rows_per_sec":$ingestRps,"query_qps_cold":$qpsCold,""" +
+      s""""query_qps_cached":$qpsCached,""" +
       s""""n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

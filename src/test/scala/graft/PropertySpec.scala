@@ -1,0 +1,120 @@
+package graft
+
+import graft.tsdb._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based cross-check: the distributed QueryEngine against a
+  * trivially-correct in-memory model of the reference semantics
+  * (latest-version-wins, sequence-shadowed tombstones, inclusive range,
+  * downsample bucketing). Randomized inputs cover the key-collision and
+  * tombstone-interleaving space the example-based specs can't enumerate —
+  * the role fuzzing plays in the reference's test suite (SURVEY §5). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run a scalacheck property with a small fixed budget (each case is a
+    * Spark job) and surface the failing case through ScalaTest. */
+  def check(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12).withMaxSize(24), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  case class MPoint(metric: String, host: String, ts: Long, v: Double, seq: Long)
+  sealed trait MTomb { def seq: Long }
+  case class MPointT(metric: String, host: String, ts: Long, seq: Long) extends MTomb
+  case class MSeriesT(metric: String, host: String, seq: Long) extends MTomb
+  case class MRangeT(metric: String, host: String, a: Long, b: Long, seq: Long) extends MTomb
+
+  val genPoint: Gen[MPoint] = for {
+    m <- Gen.oneOf("m1", "m2")
+    h <- Gen.oneOf("a", "b", "c")
+    ts <- Gen.choose(0L, 15L)
+    v <- Gen.choose(-5, 20).map(_.toDouble)
+  } yield MPoint(m, h, ts, v, 0)
+
+  val genTomb: Gen[Long => MTomb] = Gen.oneOf(
+    for { m <- Gen.oneOf("m1", "m2"); h <- Gen.oneOf("a", "b", "c");
+          ts <- Gen.choose(0L, 15L) } yield (s: Long) => MPointT(m, h, ts, s),
+    for { m <- Gen.oneOf("m1", "m2"); h <- Gen.oneOf("a", "b", "c") }
+      yield (s: Long) => MSeriesT(m, h, s),
+    for { m <- Gen.oneOf("m1", "m2"); h <- Gen.oneOf("a", "b", "c");
+          a <- Gen.choose(0L, 15L); len <- Gen.choose(0L, 6L) }
+      yield (s: Long) => MRangeT(m, h, a, a + len, s))
+
+  /** model: survivors after latest-version merge + tombstone shadowing. */
+  def modelSurvivors(pts: Seq[MPoint], tombs: Seq[MTomb],
+      metric: String, lo: Long, hi: Long): Seq[MPoint] = {
+    val latest = pts.groupBy(p => (p.metric, p.host, p.ts))
+      .map { case (_, vs) => vs.maxBy(_.seq) }.toSeq
+    val visible = latest.filterNot { p =>
+      tombs.exists {
+        case MPointT(m, h, ts, s) => m == p.metric && h == p.host && ts == p.ts && p.seq <= s
+        case MSeriesT(m, h, s) => m == p.metric && h == p.host && p.seq <= s
+        case MRangeT(m, h, a, b, s) =>
+          m == p.metric && h == p.host && p.ts >= a && p.ts <= b && p.seq <= s
+      }
+    }
+    visible.filter(p => p.metric == metric && p.ts >= lo && p.ts <= hi)
+  }
+
+  def toDf(pts: Seq[MPoint]) =
+    pts.map(p => TP(p.metric, Map("host" -> p.host), p.ts,
+      Map("v" -> FV.dv(p.v)), p.seq)).toDF()
+
+  def toTombstones(ts: Seq[MTomb]): Seq[Tombstone] = ts.map {
+    case MPointT(m, h, t, s) => PointTombstone(m, Map("host" -> h), t, s)
+    case MSeriesT(m, h, s) => SeriesTombstone(m, Map("host" -> h), s)
+    case MRangeT(m, h, a, b, s) => RangeTombstone(m, Map("host" -> h), a, b, s)
+  }
+
+  test("raw scan == reference model under random points + tombstones") {
+    check(Prop.forAllNoShrink(Gen.listOf(genPoint), Gen.listOf(genTomb),
+      Gen.choose(0L, 8L), Gen.choose(8L, 16L)) {
+      (rawPts: List[MPoint], rawTombs: List[Long => MTomb], lo: Long, hi: Long) =>
+      // interleave writes and deletes in one sequence space
+      val n = rawPts.size
+      val pts = rawPts.zipWithIndex.map { case (p, i) => p.copy(seq = i.toLong) }
+      val tombs = rawTombs.zipWithIndex.map { case (f, i) =>
+        f(n.toLong + i) } // deletes after some writes... mix below
+      // shuffle half the tombstone seqs into the middle of the write range
+      val mixed = tombs.zipWithIndex.map { case (t, i) =>
+        if (i % 2 == 0 && n > 0) (t, (i * 7 % n).toLong) else (t, t.seq)
+      }.map {
+        case (MPointT(m, h, ts, _), s) => MPointT(m, h, ts, s)
+        case (MSeriesT(m, h, _), s) => MSeriesT(m, h, s)
+        case (MRangeT(m, h, a, b, _), s) => MRangeT(m, h, a, b, s)
+      }
+      val expected = modelSurvivors(pts, mixed, "m1", lo, hi)
+        .map(p => (p.host, p.ts, p.v)).sorted
+      val got = QueryEngine.run(toDf(pts), QueryParams("m1", startNs = lo,
+          endNs = Some(hi)), toTombstones(mixed))
+        .select($"tags"("host"), $"timestamp", $"fields"("v")("d"))
+        .as[(String, Long, Double)].collect().toSeq.sorted
+      got == expected
+    })
+  }
+
+  test("downsample sum/count == reference model bucketing") {
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(genPoint), Gen.choose(1L, 5L)) {
+      (rawPts: List[MPoint], interval: Long) =>
+      val pts = rawPts.zipWithIndex.map { case (p, i) => p.copy(seq = i.toLong) }
+      val latest = pts.groupBy(p => (p.metric, p.host, p.ts))
+        .map { case (_, vs) => vs.maxBy(_.seq) }.toSeq
+      val lo = 0L; val hi = 16L
+      val lastW = ((hi - 1) / interval) * interval
+      val expected = latest
+        .filter(p => p.metric == "m1" && p.ts >= lo && p.ts <= hi)
+        .groupBy(p => (p.host, p.ts - p.ts % interval))
+        .collect { case ((h, w), vs) if w <= lastW =>
+          (h, w, vs.map(_.v).sum, vs.size.toLong) }
+        .toSeq.sorted
+      val got = QueryEngine.run(toDf(pts), QueryParams("m1", startNs = lo,
+          endNs = Some(hi), downsampleNs = Some(interval),
+          aggs = Seq(AggSpec("sum", "v"), AggSpec("count", "*"))))
+        .select($"tags"("host"), $"window_start", $"sum_v", $"count_star")
+        .as[(String, Long, Double, Long)].collect().toSeq.sorted
+      got == expected
+    })
+  }
+}
