@@ -247,7 +247,11 @@ object Queries {
       size(array_distinct(ws)).as("n_uniq"),
       TA.bpeishTokenCount(col("text")).as("n_bpeish"),
       length(col("text")).as("n_chars_measured"),
-      round(TA.qualityScore(col("text")), 4).as("quality"))
+      // quality is a quantized rational (k/n terms) that lands EXACTLY on
+      // decimal rounding boundaries — round() semantics differ between
+      // engines there (BigDecimal HALF_UP vs double math). floor(x*1e4+0.5)
+      // is pure IEEE arithmetic, identical in any engine.
+      floor(TA.qualityScore(col("text")) * 10000 + 0.5).cast("long").as("quality_e4"))
       .orderBy("doc_id")
   }
 
@@ -362,6 +366,43 @@ object Queries {
         col("session_end"), col("n_events"))
       .orderBy("user_id", "session_id")
   }
+
+  /** A2 + EMIT EMPTY WINDOWS against a DuckDB generate-series oracle:
+    * 6h windows over the first week, every series emits every window,
+    * gaps filled with count=0 / sum=0 / avg=NaN. */
+  def tsdbEmptyWindows(s: SparkSession, dir: String): DataFrame = {
+    val sixH = 6L * HourNs
+    val jan8 = Jan1 + 7L * 24L * HourNs
+    val q = QueryParams("purchase", startNs = Jan1, endNs = Some(jan8),
+      downsampleNs = Some(sixH), emitEmptyWindows = true,
+      aggs = Seq(AggSpec("count", "*"), AggSpec("sum", "value"), AggSpec("avg", "value")))
+    QueryEngine.run(pts(s, dir), q)
+      .select(userCol, col("window_start"), col("count_star"),
+        round(col("sum_value"), 2).as("sum_value"),
+        round(col("avg_value"), 4).as("avg_value"))
+      .orderBy("window_start", "user")
+  }
+
+  /** A2 multi-field, mixed-type aggregation (FIXTURES A3 shape): numeric
+    * avg/max on one field + any-type count on a string field, daily. */
+  def tsdbMultifieldAgg(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("error", startNs = 0L, endNs = Some(FarFuture),
+      downsampleNs = Some(24L * HourNs),
+      aggs = Seq(AggSpec("avg", "value"), AggSpec("max", "value"),
+        AggSpec("count", "props"), AggSpec("count", "value")))
+    QueryEngine.run(pts(s, dir), q)
+      .select(userCol, col("window_start"),
+        round(col("avg_value"), 4).as("avg_value"), col("max_value"),
+        col("count_props"), col("count_value"))
+      .orderBy("window_start", "user")
+  }
+
+  /** Distinct aggregation (count distinct series per metric). */
+  def distinctUsersPerType(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("event_type")
 
   /** I2 SHOW TAG KEYS (canonical point stream has one tag key). */
   def showTagKeys(s: SparkSession, dir: String): DataFrame =

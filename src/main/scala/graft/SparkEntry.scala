@@ -47,6 +47,9 @@ object SparkEntry {
     "asof_click_before_purchase" -> (Queries.asofClickBeforePurchase _),
     "sessionize_users" -> (Queries.sessionizeUsers _),
     "show_tag_keys" -> (Queries.showTagKeys _),
+    "tsdb_empty_windows" -> (Queries.tsdbEmptyWindows _),
+    "tsdb_multifield_agg" -> (Queries.tsdbMultifieldAgg _),
+    "distinct_users_per_type" -> (Queries.distinctUsersPerType _),
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark side —
@@ -151,10 +154,10 @@ object SparkEntry {
         |  len(list_filter(string_split_regex(text, '[^\w]+'), x -> x <> ''))
         |    + (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) AS n_bpeish,
         |  length(text) AS n_chars_measured,
-        |  round(0.4 * least(len(ws) / 100.0, 1.0)
+        |  CAST(floor((0.4 * least(len(ws) / 100.0, 1.0)
         |      + 0.3 * (len(list_distinct(ws))::DOUBLE / len(ws))
-        |      + 0.3 * (len(list_filter(ws, x -> x IN ('the','a','of','and')))::DOUBLE / len(ws)),
-        |    4) AS quality
+        |      + 0.3 * (len(list_filter(ws, x -> x IN ('the','a','of','and')))::DOUBLE / len(ws)))
+        |    * 10000 + 0.5) AS BIGINT) AS quality_e4
         |FROM w ORDER BY doc_id""".stripMargin,
     "lang_id" ->
       """WITH w AS (SELECT doc_id, lang, text,
@@ -280,5 +283,34 @@ object SparkEntry {
         |       count(*) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "show_tag_keys" -> "SELECT 'user' AS tag_key",
+    "tsdb_empty_windows" ->
+      """WITH b AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u,
+        |    (epoch_ns(ts) // 21600000000000) * 21600000000000 AS w,
+        |    count(*) AS n, sum(value) AS s, avg(value) AS a
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND epoch_ns(ts) BETWEEN 1704067200000000000 AND 1704672000000000000
+        |  GROUP BY 1, 2),
+        |series AS (SELECT DISTINCT u FROM b),
+        |wins AS (SELECT w FROM range(1704067200000000000, 1704672000000000000,
+        |                             21600000000000) t(w))
+        |SELECT series.u AS "user", wins.w AS window_start,
+        |  coalesce(b.n, 0) AS count_star,
+        |  round(coalesce(b.s, 0.0), 2) AS sum_value,
+        |  round(coalesce(b.a, 'NaN'::DOUBLE), 4) AS avg_value
+        |FROM series CROSS JOIN wins
+        |LEFT JOIN b ON b.u = series.u AND b.w = wins.w
+        |ORDER BY 2, 1""".stripMargin,
+    "tsdb_multifield_agg" ->
+      """SELECT CAST(user_id AS VARCHAR) AS "user",
+        |  (epoch_ns(ts) // 86400000000000) * 86400000000000 AS window_start,
+        |  round(avg(value), 4) AS avg_value, max(value) AS max_value,
+        |  count(props) AS count_props, count(value) AS count_value
+        |FROM events WHERE event_type = 'error'
+        |GROUP BY 1, 2 ORDER BY 2, 1""".stripMargin,
+    "distinct_users_per_type" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
