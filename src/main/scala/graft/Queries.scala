@@ -190,7 +190,7 @@ object Queries {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -271,7 +271,8 @@ object Queries {
     * inverted-index join (no cross join). */
   def dedupJaccardPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("jaccard") * 10000 + 0.5).cast("long").as("jaccard_e4"))
       .orderBy("doc_a", "doc_b")
 
   /** MinHash signatures (k=8 engine-agnostic string minhash). */
@@ -284,7 +285,8 @@ object Queries {
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
       n = 3, k = 8, bands = 4, threshold = 0.8)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("jaccard") * 10000 + 0.5).cast("long").as("jaccard_e4"))
       .orderBy("doc_a", "doc_b")
 
   /** SimHash 64-bit sketches (rows-only check: DuckDB lacks a compatible

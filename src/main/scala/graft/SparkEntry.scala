@@ -122,7 +122,7 @@ object SparkEntry {
     "tpch_q1" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
         | round(avg(l_quantity), 4) AS avg_qty, round(avg(l_extendedprice), 4) AS avg_price,
         | round(avg(l_discount), 4) AS avg_disc, count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -188,8 +188,9 @@ object SparkEntry {
         |  list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]) AS s
         |  FROM w WHERE len(ws) >= 3)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  round(len(list_intersect(a.s, b.s))::DOUBLE
-        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |  CAST(floor((len(list_intersect(a.s, b.s))::DOUBLE
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 10000 + 0.5)
+        |       AS BIGINT) AS jaccard_e4
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
@@ -233,7 +234,8 @@ object SparkEntry {
         |  len(list_intersect(x.s, y.s))::DOUBLE
         |    / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
         | FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b)
-        |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM ver WHERE j >= 0.8
+        |SELECT doc_a, doc_b, CAST(floor(j * 10000 + 0.5) AS BIGINT) AS jaccard_e4
+        |FROM ver WHERE j >= 0.8
         |ORDER BY 1, 2""".stripMargin,
     "embedding_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
