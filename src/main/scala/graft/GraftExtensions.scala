@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL exposure of graft's native functions.
+  *
+  *  - `GraftFunctions.registerAll(spark)` — register on a live session;
+  *  - `--conf spark.sql.extensions=graft.GraftExtensions` — inject at
+  *    session build (cluster deployments, spark-sql shells).
+  *
+  * Functions: `vec_dot(a, b)`, `vec_cosine(a, b)`, `word_shingles(ws, n)`,
+  * `tdigest_percentile(x, q[, compression])`.
+  */
+object GraftFunctions {
+
+  private def litDouble(e: Expression, what: String): Double = e match {
+    case Literal(v, _) if v != null => v.toString.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal number, got $other")
+  }
+
+  private def litInt(e: Expression, what: String): Int =
+    litDouble(e, what).toInt
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> ((es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    "vec_cosine" -> ((es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    "word_shingles" -> ((es: Seq[Expression]) =>
+      WordShingles(es(0), litInt(es(1), "shingle size"))),
+    "tdigest_percentile" -> ((es: Seq[Expression]) => {
+      val q = litDouble(es(1), "quantile")
+      val compression =
+        if (es.length > 2) litDouble(es(2), "compression") else 100.0
+      TDigestPercentileAgg(es(0), q, compression).toAggregateExpression()
+    }))
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), b))
+    }
+}

@@ -26,23 +26,33 @@ trait VectorBinaryExpression extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(e: Expression): Boolean = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+      case ArrayType(_: DecimalType, _) => true // SQL array(1.0, …) literals
       case _ => false
     }
     if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<float|double> inputs, got " +
+      s"$prettyName requires numeric array inputs, got " +
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
   }
 
   protected def getD(dt: DataType, arr: ArrayData, i: Int): Double = dt match {
     case FloatType => arr.getFloat(i).toDouble
-    case _ => arr.getDouble(i)
+    case DoubleType => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case d: DecimalType => arr.getDecimal(i, d.precision, d.scale).toDouble
+    case other => throw new IllegalStateException(s"unsupported element type $other")
   }
 
   protected def codegenGet(dt: DataType, arr: String, i: String): String = dt match {
     case FloatType => s"(double) $arr.getFloat($i)"
-    case _ => s"$arr.getDouble($i)"
+    case DoubleType => s"$arr.getDouble($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case LongType => s"(double) $arr.getLong($i)"
+    case d: DecimalType =>
+      s"$arr.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+    case other => throw new IllegalStateException(s"unsupported element type $other")
   }
 }
 

@@ -76,7 +76,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         p.fields.map { case (k, v) => k -> StoredValue(v.d, v.l, v.s, v.b) },
         nextSeq())
     }
-    rows.toDF().write.mode(SaveMode.Append).parquet(pointsDir)
+    rows.toDF().write.mode(SaveMode.Append).partitionBy("metric").parquet(pointsDir)
     writeEpoch.incrementAndGet()
     Right(rows.size.toLong)
   }
@@ -86,7 +86,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   /** Append an arbitrary DataFrame already in canonical shape
     * (metric, tags, timestamp, fields, seq) — the bulk/streaming path. */
   def putDF(df: DataFrame): Unit = {
-    df.write.mode(SaveMode.Append).parquet(pointsDir)
+    df.write.mode(SaveMode.Append).partitionBy("metric").parquet(pointsDir)
     writeEpoch.incrementAndGet()
   }
 
@@ -109,8 +109,16 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
 
   // ---- read path --------------------------------------------------------
 
-  def loadPoints(): Option[DataFrame] =
-    if (hasParquet(pointsDir)) Some(spark.read.parquet(pointsDir)) else None
+  /** Storage is hive-partitioned by metric: `metric=<name>/part-*.parquet`
+    * — a metric-equality query prunes at the DIRECTORY level before any
+    * footer is read (the file-level analog of the reference's tag index;
+    * at real scale a date sub-partition joins it). Partition-column type
+    * inference is disabled so a numeric-looking metric name stays a
+    * string. */
+  def loadPoints(): Option[DataFrame] = {
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    if (hasPartitionedParquet(pointsDir)) Some(spark.read.parquet(pointsDir)) else None
+  }
 
   def loadTombstones(): Seq[Tombstone] =
     if (!hasParquet(tombsDir)) Seq.empty
@@ -179,7 +187,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     val survivors = QueryEngine.mergedView(pts, tombstones)
       .select("metric", "tags", "timestamp", "fields", "seq")
     val tmp = s"$rootDir/points_compact_tmp"
-    survivors.write.mode(SaveMode.Overwrite).parquet(tmp)
+    survivors.write.mode(SaveMode.Overwrite).partitionBy("metric").parquet(tmp)
     deleteDir(Paths.get(pointsDir))
     Files.move(Paths.get(tmp), Paths.get(pointsDir))
     deleteDir(Paths.get(tombsDir))
@@ -206,6 +214,14 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   private def hasParquet(dir: String): Boolean = {
     val p = Paths.get(dir)
     Files.isDirectory(p) && Files.list(p).iterator().asScala.exists(
+      f => f.getFileName.toString.endsWith(".parquet"))
+  }
+
+  /** True when the dir holds parquet files directly or in partition
+    * subdirectories (metric=...). */
+  private def hasPartitionedParquet(dir: String): Boolean = {
+    val p = Paths.get(dir)
+    Files.isDirectory(p) && Files.walk(p, 2).iterator().asScala.exists(
       f => f.getFileName.toString.endsWith(".parquet"))
   }
 }

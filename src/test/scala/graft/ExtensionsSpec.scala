@@ -1,0 +1,34 @@
+package graft
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("registered SQL functions: vec_cosine, word_shingles, tdigest_percentile") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT round(vec_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f)), 6) AS c,
+        |       vec_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d,
+        |       word_shingles(array('a', 'b', 'c', 'b', 'c'), 2) AS sh""".stripMargin).head()
+    assert(r.getAs[Double]("c") == 1.0)
+    assert(r.getAs[Double]("d") == 11.0)
+    assert(r.getAs[scala.collection.Seq[String]]("sh").toSeq == Seq("a b", "b c", "c b"))
+
+    spark.range(0, 1000).createOrReplaceTempView("nums")
+    val p = spark.sql(
+      "SELECT tdigest_percentile(CAST(id AS DOUBLE), 0.5) AS med FROM nums")
+      .head().getAs[Double]("med")
+    assert(math.abs(p - 499.5) < 10.0, s"median $p")
+  }
+
+  test("GraftExtensions injects into a session-extensions instance") {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(e) // must not throw; builders validated above
+  }
+
+  test("non-literal quantile is rejected with a clear error") {
+    GraftFunctions.registerAll(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT tdigest_percentile(1.0, rand()) AS x").head()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+}
