@@ -412,6 +412,16 @@ object Queries {
       .select(explode(map_keys(col("tags"))).as("tag_key"))
       .distinct().orderBy("tag_key")
 
+  /** ANN via IVF coarse quantization (rows-only check; recall measured in
+    * PipelineSpec against brute force). */
+  def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val all = embVecs(s, dir)
+    Similarity.ivfTopK(all.filter(col("id") < 5), all, k = 10, nlist = 16, nprobe = 6)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Multimodal byte-column metadata (binary plumbing, no decode). */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Multimodal.byteMeta(

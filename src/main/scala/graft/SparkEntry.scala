@@ -42,6 +42,7 @@ object SparkEntry {
     "embedding_neardup" -> (Queries.embeddingNearDup _),
     "embedding_norms" -> (Queries.embeddingNorms _),
     "ann_lsh_topk" -> (Queries.annLshTopK _),
+    "ann_ivf_topk" -> (Queries.annIvfTopK _),
     "multimodal_meta" -> (Queries.multimodalMeta _),
     // Extended operators (as-of join, sessionization, introspection)
     "asof_click_before_purchase" -> (Queries.asofClickBeforePurchase _),

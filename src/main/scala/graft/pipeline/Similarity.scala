@@ -93,6 +93,47 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** IVF (inverted-file) ANN: corpus is bucketed by nearest centroid,
+    * queries probe their `nprobe` nearest centroid lists, exact cosine
+    * ranks the candidates — the coarse-quantizer half of FAISS-style IVF
+    * (no product quantization; vectors stay exact).
+    *
+    * Centroids here are a deterministic sample (first `nlist` corpus
+    * vectors by id) — at real scale swap in a k-means fit over a sample;
+    * the assignment/probe plan is unchanged. Assignment is a narrow map
+    * stage against broadcast literal centroids; the candidate join is
+    * hash-partitioned by centroid id, scanning ~nprobe/nlist of the
+    * corpus per query. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe <= nlist)
+    val cents: Array[(Int, Array[Double])] = corpus.orderBy(col("id")).limit(nlist)
+      .select(col("vec")).collect()
+      .zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Float](0).map(_.toDouble).toArray }
+    def centArr(c: Array[Double]) = array(c.map(lit): _*)
+    // per-row (centroid id, -similarity) ranking against the literal centroids
+    def nearest(vec: Column, n: Int): Column = {
+      val scored = array(cents.map { case (cid, c) =>
+        struct((dot(vec, centArr(c)) * -1).as("negSim"), lit(cid).as("cid"))
+      }: _*)
+      slice(array_sort(scored), 1, n)
+    }
+    val cb = corpus.select(col("id").as("neighbor_id"), col("vec").as("nv"),
+      element_at(nearest(col("vec"), 1), 1).getField("cid").as("cid"))
+    val qb = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      explode(nearest(col("vec"), nprobe)).as("probe"))
+      .select(col("query_id"), col("qv"), col("probe").getField("cid").as("cid"))
+    val joined = qb.join(cb, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** All pairs with cosine >= threshold (embedding near-dup detection).
     * Exact baseline: block-nested cross join; at scale swap the cross
     * join for `lshBucket` equality + verification (same contract). */

@@ -96,4 +96,17 @@ class PipelineSpec extends SparkSpec {
       .distinct().as[String].collect().toSet
     assert(langs.subsetOf(Set("en", "de", "es", "fr", "zh")))
   }
+
+  test("IVF ANN recall vs brute force (16 lists, probe 6)") {
+    val vecs = graft.tsdb.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = vecs.filter(col("id") < 10)
+    val brute = Similarity.bruteTopK(q, vecs, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, vecs, 10, nlist = 16, nprobe = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+    assert(ivf.size <= brute.size) // never more than k per query
+  }
 }
