@@ -25,6 +25,18 @@ class NbqlExecutor(engine: TsdbEngine, snapshotDir: String => String = identity)
   def execute(nbql: String): Either[String, ExecResult] =
     NbqlParser.parse(nbql).flatMap(run)
 
+  /** Execute a `;`-separated script, stopping at the first failure (the
+    * reference's PutBatch stop-on-first-error shape, `engine2/adapter.go:635`). */
+  def executeScript(nbql: String): Either[String, Seq[ExecResult]] =
+    NbqlParser.parseScript(nbql).flatMap { stmts =>
+      val out = Vector.newBuilder[ExecResult]
+      for (st <- stmts) run(st) match {
+        case Right(r) => out += r
+        case Left(e) => return Left(e)
+      }
+      Right(out.result())
+    }
+
   def run(st: Statement): Either[String, ExecResult] = st match {
     case PushStatement(metric, tags, fields, at) =>
       val ts = at.getOrElse(nowNs.getOrElse(System.currentTimeMillis() * 1000000L))

@@ -140,4 +140,13 @@ object NbqlParser extends RegexParsers {
         Left(s"parse error at ${next.pos.line}:${next.pos.column}: $msg")
       case other => Left(s"parse error: $other")
     }
+
+  /** A whole `;`-separated script (quoted strings may contain `;`). */
+  def parseScript(input: String): Either[String, Seq[Statement]] =
+    parseAll(rep1(statement), input) match {
+      case Success(s, _) => Right(s)
+      case NoSuccess(msg, next) =>
+        Left(s"parse error at ${next.pos.line}:${next.pos.column}: $msg")
+      case other => Left(s"parse error: $other")
+    }
 }

@@ -64,21 +64,54 @@ object QueryEngine {
     }
   }
 
+  /** Above this many tombstones the literal predicate chain (one OR branch
+    * per tombstone, evaluated per row) gives way to a broadcast anti-join
+    * — O(rows) with a hashed lookup instead of O(rows × tombstones). */
+  private[graft] var antiJoinThreshold: Int = 64
+
   /** survive-filter for tombstones: drop a point iff some tombstone covers
     * its series/time AND has seq >= the point's seq. */
   private def applyTombstones(df: DataFrame, tombs: Seq[Tombstone]): DataFrame = {
-    if (tombs.isEmpty) return df
-    val dead = tombs.map {
-      case PointTombstone(m, tg, t, sq) =>
-        col("series_key") === SeriesKey.of(m, tg) &&
-          col("timestamp") === t && col("seq") <= sq
-      case SeriesTombstone(m, tg, sq) =>
-        col("series_key") === SeriesKey.of(m, tg) && col("seq") <= sq
-      case RangeTombstone(m, tg, a, b, sq) =>
-        col("series_key") === SeriesKey.of(m, tg) &&
-          col("timestamp").between(a, b) && col("seq") <= sq
-    }.reduce(_ || _)
-    df.filter(!dead)
+    if (tombs.isEmpty) df
+    else if (tombs.size <= antiJoinThreshold) {
+      val dead = tombs.map {
+        case PointTombstone(m, tg, t, sq) =>
+          col("series_key") === SeriesKey.of(m, tg) &&
+            col("timestamp") === t && col("seq") <= sq
+        case SeriesTombstone(m, tg, sq) =>
+          col("series_key") === SeriesKey.of(m, tg) && col("seq") <= sq
+        case RangeTombstone(m, tg, a, b, sq) =>
+          col("series_key") === SeriesKey.of(m, tg) &&
+            col("timestamp").between(a, b) && col("seq") <= sq
+      }.reduce(_ || _)
+      df.filter(!dead)
+    } else {
+      // broadcast anti-join per tombstone kind; ranges/series keep a
+      // non-equi seq/time condition next to the hashed series_key equality
+      val spark = df.sparkSession
+      import spark.implicits._
+      def anti(rows: Seq[(String, Long, Long, Long)], cond: DataFrame => Column) = {
+        (base: DataFrame) =>
+          if (rows.isEmpty) base
+          else {
+            val t = broadcast(rows.toDF("t_key", "t_a", "t_b", "t_seq"))
+            base.join(t, cond(t), "left_anti")
+          }
+      }
+      val points = tombs.collect { case PointTombstone(m, tg, ts, sq) =>
+        (SeriesKey.of(m, tg), ts, ts, sq) }
+      val series = tombs.collect { case SeriesTombstone(m, tg, sq) =>
+        (SeriesKey.of(m, tg), 0L, 0L, sq) }
+      val ranges = tombs.collect { case RangeTombstone(m, tg, a, b, sq) =>
+        (SeriesKey.of(m, tg), a, b, sq) }
+      val steps = Seq(
+        anti(points, t => col("series_key") === t("t_key") &&
+          col("timestamp") === t("t_a") && col("seq") <= t("t_seq")),
+        anti(series, t => col("series_key") === t("t_key") && col("seq") <= t("t_seq")),
+        anti(ranges, t => col("series_key") === t("t_key") &&
+          col("timestamp").between(t("t_a"), t("t_b")) && col("seq") <= t("t_seq")))
+      steps.foldLeft(df)((acc, step) => step(acc))
+    }
   }
 
   /** The merged logical view of raw storage: latest-version-wins per

@@ -174,4 +174,25 @@ class NbqlExecutorSpec extends SparkSpec {
       assert(res.isLeft)
     }
   }
+
+  test("multi-statement script: executes in order, stops at first failure") {
+    withEngine { (_, ex) =>
+      val r = ex.executeScript(
+        """PUSH m TAGGED (k="a") SET (v=1.0) AT 10;
+          |PUSH m TAGGED (k="a") SET (v=2.0) AT 20;
+          |QUERY m FROM 0 TO 100;""".stripMargin)
+      assert(r.isRight)
+      val results = r.toOption.get
+      assert(results.size == 3)
+      // failure mid-script stops execution and reports the error
+      val bad = ex.executeScript(
+        """PUSH m TAGGED (k="a") SET (v=3.0) AT 30;
+          |QUERY m AGGREGATE (nosuchfunc(v));
+          |PUSH m TAGGED (k="a") SET (v=4.0) AT 40;""".stripMargin)
+      assert(bad.isLeft && bad.swap.toOption.get.contains("nosuchfunc"))
+      // third statement did NOT run
+      val after = rows(ex, "QUERY m FROM 0 TO 100")
+      assert(after.map(_.getAs[Long]("timestamp")) == Seq(10L, 20L, 30L))
+    }
+  }
 }

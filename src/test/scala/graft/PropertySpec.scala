@@ -68,7 +68,17 @@ class PropertySpec extends SparkSpec {
     case MRangeT(m, h, a, b, s) => RangeTombstone(m, Map("host" -> h), a, b, s)
   }
 
+  test("raw scan == reference model with the anti-join tombstone path") {
+    val saved = QueryEngine.antiJoinThreshold
+    QueryEngine.antiJoinThreshold = 0 // force broadcast anti-joins
+    try rawScanProperty() finally QueryEngine.antiJoinThreshold = saved
+  }
+
   test("raw scan == reference model under random points + tombstones") {
+    rawScanProperty()
+  }
+
+  private def rawScanProperty(): Unit = {
     check(Prop.forAllNoShrink(Gen.listOf(genPoint), Gen.listOf(genTomb),
       Gen.choose(0L, 8L), Gen.choose(8L, 16L)) {
       (rawPts: List[MPoint], rawTombs: List[Long => MTomb], lo: Long, hi: Long) =>
