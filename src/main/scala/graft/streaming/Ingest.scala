@@ -16,8 +16,15 @@ import org.apache.spark.sql.types._
   * — parsed with a fixed schema (no inference on the hot path), validated
   * (reference `core/validator.go` name rules), stamped with a write
   * sequence, and appended to the engine's storage by `foreachBatch`.
-  * Durability/exactly-once comes from the streaming checkpoint +
-  * idempotent-per-batch append — the role the reference's WAL plays (S4).
+  *
+  * Delivery is AT-LEAST-ONCE (the streaming checkpoint replays an
+  * unacknowledged batch after a crash, and parquet append is not
+  * transactional), but replays are invisible to readers: a replayed row
+  * carries a new seq for the same (series, timestamp) key, and the
+  * latest-version-wins merge collapses it; compaction physically drops the
+  * dead versions. That pair — checkpoint + version merge — is what the
+  * reference's WAL-replay-into-memtable gives it (S4). A Delta sink would
+  * upgrade the append itself to transactional exactly-once.
   */
 object Ingest {
 
