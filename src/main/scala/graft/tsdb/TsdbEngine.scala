@@ -84,9 +84,14 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   def put(p: DataPoint): Either[String, Long] = putBatch(Seq(p))
 
   /** Append an arbitrary DataFrame already in canonical shape
-    * (metric, tags, timestamp, fields, seq) — the bulk/streaming path. */
+    * (metric, tags, timestamp, fields, seq) — the bulk/streaming path.
+    * The pre-write repartition clusters rows by their partition value so
+    * each metric directory receives ONE file per batch instead of one per
+    * (shuffle partition × metric) — fewer, bigger parquet files, which is
+    * both the faster write and the healthier read layout. */
   def putDF(df: DataFrame): Unit = {
-    df.write.mode(SaveMode.Append).partitionBy("metric").parquet(pointsDir)
+    df.repartition(col("metric"))
+      .write.mode(SaveMode.Append).partitionBy("metric").parquet(pointsDir)
     writeEpoch.incrementAndGet()
   }
 
