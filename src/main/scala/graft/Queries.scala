@@ -289,10 +289,13 @@ object Queries {
         floor(col("jaccard") * 10000 + 0.5).cast("long").as("jaccard_e4"))
       .orderBy("doc_a", "doc_b")
 
-  /** SimHash 64-bit sketches (rows-only check: DuckDB lacks a compatible
-    * 64-bit hash, so no SQL oracle; determinism covered by PipelineSpec). */
+  /** SimHash 64-bit sketches, emitted as a 16-hex-char string. Bit lanes
+    * come from md5(shingle) nibbles, so the DuckDB oracle reproduces the
+    * sketch bit-for-bit from its own md5 (hash-checkable, not rows-only). */
   def simhashSketches(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", n = 3)
+      .select(col("doc"),
+        lpad(lower(hex(col("simhash"))), 16, "0").as("simhash_hex"))
       .orderBy("doc")
 
   private def embVecs(s: SparkSession, dir: String): DataFrame =

@@ -144,9 +144,8 @@ object SparkEntry {
     "pushdown_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
         |WHERE l_quantity < 5 AND l_discount > 0.05 ORDER BY 1, 2""".stripMargin,
-    // ---- pipeline battery (simhash_sketches / ann_lsh_topk are
-    // deliberately omitted: approximate/engine-specific hashing → the
-    // driver records the weaker rows-only check for those two) ----
+    // ---- pipeline battery ----
+    "simhash_sketches" -> simhashOracle,
     "doc_stats" ->
       """WITH w AS (SELECT doc_id, text,
         |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
@@ -279,8 +278,8 @@ object SparkEntry {
         |                  > 3600000000000 THEN 1 ELSE 0 END AS brk
         |      FROM o),
         |s AS (SELECT user_id, t,
-        |        sum(brk) OVER (PARTITION BY user_id ORDER BY t
-        |                       ROWS UNBOUNDED PRECEDING) AS session_id
+        |        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |      FROM b)
         |SELECT user_id, session_id, min(t) AS session_start, max(t) AS session_end,
         |       count(*) AS n_events
@@ -316,4 +315,34 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
+
+  /** DuckDB oracle for the SimHash battery, generated over the 64 bit
+    * lanes: lane b = bit (b%4) of md5-hex nibble (b/4); vote = Σ(±1);
+    * sketch nibble j = sign bits 4j..4j+3, printed MSB-first as hex.
+    * Mirrors [[graft.pipeline.Dedup.simhash]] exactly — both sides hash
+    * the same 3-gram shingles with their own md5. */
+  private def simhashOracle: String = {
+    val votes = (0 until 64).map { b =>
+      s"sum(CASE WHEN (((strpos('0123456789abcdef', h[${b / 4 + 1}]) - 1) >> ${b % 4}) & 1) = 1" +
+        s" THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n   ")
+    val hexChars = (15 to 0 by -1).map { j =>
+      val nib = (0 until 4)
+        .map(i => s"(CASE WHEN v${4 * j + i} > 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"substring('0123456789abcdef', 1 + $nib, 1)"
+    }.mkString(" || ")
+    s"""WITH w AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws
+       |  FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]) AS s
+       |  FROM w WHERE len(ws) >= 3),
+       |posts AS (SELECT doc_id, md5(unnest(s)) AS h FROM sh),
+       |v AS (SELECT doc_id,
+       |   $votes
+       | FROM posts GROUP BY 1)
+       |SELECT doc_id AS doc, $hexChars AS simhash_hex
+       |FROM v ORDER BY 1""".stripMargin
+  }
 }

@@ -119,14 +119,20 @@ object Dedup {
 
   /** 64-bit SimHash over shingle hashes: for every bit, +1 when set else
     * −1, summed across shingles; the sketch bit is the vote's sign.
-    * Pure column algebra (explode → groupBy-sum over 64 bit lanes). */
+    * Pure column algebra (explode → groupBy-sum over 64 bit lanes).
+    *
+    * Bit lanes are md5-derived — lane `b` is bit `b % 4` of the hex
+    * nibble at position `b / 4` of md5(shingle) — deliberately
+    * engine-agnostic (like the string minhash above) so a SQL oracle can
+    * reproduce the sketch bit-for-bit from its own md5. */
   def simhash(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val posts = shingled(df, idCol, textCol, n)
       .select(col("doc"), explode(col("sh")).as("s"))
-      .select(col("doc"), xxhash64(col("s")).as("h"))
+      .select(col("doc"), md5(col("s")).as("h"))
     // vote per bit lane: sum of (bit ? 1 : -1) == 2*countSet - count
     val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+      val nib = conv(substring(col("h"), b / 4 + 1, 1), 16, 10).cast("int")
+      sum(when(shiftright(nib, b % 4).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
     }
     val voted = posts.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
     val sig = (0 until 64).map { b =>
