@@ -305,22 +305,18 @@ object Queries {
     * Ranked on the ROUNDED cosine with id tie-break so a last-ulp
     * cross-engine difference can never flip a rank. */
   def embeddingTopK(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val all = embVecs(s, dir)
-    val q = all.filter(col("id") < 5).select(col("id").as("query_id"), col("vec").as("qv"))
-    val c = all.select(col("id").as("neighbor_id"), col("vec").as("nv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    q.crossJoin(c).filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(Similarity.cosine(col("qv"), col("nv")), 4))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    Similarity.bruteTopK(all.filter(col("id") < 5), all, k = 10)
       .orderBy("query_id", "rank")
   }
 
-  /** Embedding near-dup pairs: cosine >= 0.45 (exact baseline). */
+  /** Embedding near-dup pairs: cosine >= 0.45 via sign-LSH bucketed
+    * candidates + exact verification (the scale path — bucket-equality
+    * hash join, no cartesian product; the oracle is the independent
+    * brute-force SQL, which the bucketed result matches because the
+    * per-pair miss probability at the defaults is < 1e-5). */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosinePairs(embVecs(s, dir), threshold = 0.45)
+    Similarity.cosinePairsBucketed(embVecs(s, dir), threshold = 0.45, dim = 64)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
       .orderBy("id_a", "id_b")
 
@@ -331,14 +327,14 @@ object Queries {
       round(Similarity.dot(col("vec"), col("vec")) / size(col("vec")), 6).as("mean_sq"))
       .orderBy("vec_id")
 
-  /** ANN via sign-LSH buckets (approximate — rows-only check; recall vs
-    * brute force measured in PipelineSpec). */
+  /** ANN via sign-LSH buckets. Approximate, but fully DETERMINISTIC: the
+    * hyperplanes are seeded literals, so the DuckDB oracle embeds the same
+    * planes and reproduces buckets, candidates, and ranks exactly (recall
+    * vs brute force measured separately in PipelineSpec). */
   def annLshTopK(s: SparkSession, dir: String): DataFrame = {
     val all = embVecs(s, dir)
     Similarity.lshTopK(all.filter(col("id") < 5), all, k = 10,
       tables = 8, bits = 4, dim = 64)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"))
       .orderBy("query_id", "rank")
   }
 
@@ -415,13 +411,15 @@ object Queries {
       .select(explode(map_keys(col("tags"))).as("tag_key"))
       .distinct().orderBy("tag_key")
 
-  /** ANN via IVF coarse quantization (rows-only check; recall measured in
-    * PipelineSpec against brute force). */
+  /** ANN via IVF coarse quantization. The battery uses the
+    * first-16-by-id centroid rule so the DuckDB oracle derives the SAME
+    * centroids from the same table and reproduces assignment, probing,
+    * and ranks exactly; the k-means default's recall is asserted in
+    * PipelineSpec. */
   def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
     val all = embVecs(s, dir)
-    Similarity.ivfTopK(all.filter(col("id") < 5), all, k = 10, nlist = 16, nprobe = 6)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"))
+    Similarity.ivfTopK(all.filter(col("id") < 5), all, k = 10, nlist = 16, nprobe = 6,
+      centroids = Some(Similarity.firstNCentroids(all, 16)), replicate = 1)
       .orderBy("query_id", "rank")
   }
 

@@ -146,6 +146,8 @@ object SparkEntry {
         |WHERE l_quantity < 5 AND l_discount > 0.05 ORDER BY 1, 2""".stripMargin,
     // ---- pipeline battery ----
     "simhash_sketches" -> simhashOracle,
+    "ann_lsh_topk" -> annLshOracle,
+    "ann_ivf_topk" -> annIvfOracle,
     "doc_stats" ->
       """WITH w AS (SELECT doc_id, text,
         |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
@@ -345,4 +347,69 @@ object SparkEntry {
        |SELECT doc_id AS doc, $hexChars AS simhash_hex
        |FROM v ORDER BY 1""".stripMargin
   }
+
+  /** DuckDB oracle for sign-LSH ANN: the SAME seeded hyperplanes the
+    * Spark side uses ([[graft.pipeline.Similarity.tablePlanes]]) embedded
+    * as list literals (shortest-round-trip doubles — both engines see
+    * bit-identical planes, and both compute dot products as a sequential
+    * left-to-right sum, so bucket signs agree exactly). Ranks are taken
+    * on the 4-dp-rounded cosine with id tie-break, like the Spark side. */
+  private def annLshOracle: String = {
+    val planeRows = graft.pipeline.Similarity.tablePlanes(8, 4, 64, 42L)
+      .map { case (t, planes) =>
+        planes.map(_.mkString("[", ", ", "]")).mkString(s"($t, ", ", ", ")")
+      }.mkString(",\n  ")
+    def bkt(v: String) = (0 until 4)
+      .map(i => s"${1 << i} * (CASE WHEN list_dot_product($v, p$i) >= 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings),
+       |planes(tbl, p0, p1, p2, p3) AS (VALUES
+       |  $planeRows),
+       |qb AS (SELECT query_id, tbl, ${bkt("qv")} AS bkt FROM q CROSS JOIN planes),
+       |cb AS (SELECT neighbor_id, tbl, ${bkt("nv")} AS bkt FROM c CROSS JOIN planes),
+       |cand AS (SELECT DISTINCT query_id, neighbor_id
+       |         FROM qb JOIN cb USING (tbl, bkt) WHERE query_id <> neighbor_id),
+       |scored AS (SELECT query_id, neighbor_id,
+       |             round(list_cosine_similarity(qv, nv), 4) AS cosine
+       |           FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id))
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB oracle for IVF ANN: centroids are the first 16 corpus vectors
+    * by id — a rule the oracle derives from the same parquet table, so
+    * assignment (dot DESC, cid ASC), nprobe=6 probing, and ranking are
+    * reproduced exactly. */
+  private def annIvfOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings),
+      |cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+      |            embedding::DOUBLE[] AS cv
+      |          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+      |ca AS (SELECT neighbor_id, cid FROM (
+      |  SELECT neighbor_id, cid,
+      |    row_number() OVER (PARTITION BY neighbor_id
+      |                       ORDER BY list_dot_product(nv, cv) DESC, cid ASC) AS rn
+      |  FROM c CROSS JOIN cents) t WHERE rn = 1),
+      |qa AS (SELECT query_id, cid FROM (
+      |  SELECT query_id, cid,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY list_dot_product(qv, cv) DESC, cid ASC) AS rn
+      |  FROM q CROSS JOIN cents) t WHERE rn <= 6),
+      |cand AS (SELECT DISTINCT query_id, neighbor_id
+      |         FROM qa JOIN ca USING (cid) WHERE query_id <> neighbor_id),
+      |scored AS (SELECT query_id, neighbor_id,
+      |             round(list_cosine_similarity(qv, nv), 4) AS cosine
+      |           FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id))
+      |SELECT query_id, rank, neighbor_id, cosine FROM (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      |  FROM scored) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 }

@@ -6,12 +6,19 @@ import org.apache.spark.sql.functions._
 /** Embedding similarity search over an `array<float>` column.
   *
   * Baseline: brute-force cosine top-k — exact, one wide join, the
-  * correctness oracle. Scale path: random-hyperplane LSH bucketing —
-  * candidates only meet inside a bucket, so the join is
-  * bucket-partitioned instead of all-pairs (recall traded for a
-  * ~(buckets)× cost cut; verified against brute force in tests).
-  * All vector math is `zip_with`/`aggregate` column algebra (codegen,
-  * no UDF, no driver-side state — executor-parallel at any scale).
+  * correctness oracle. Scale paths: random-hyperplane LSH bucketing and
+  * IVF coarse quantization — candidates only meet inside a bucket, so
+  * the join is bucket-partitioned instead of all-pairs. Candidate
+  * generation shuffles ONLY ids+bucket keys; vectors are joined back in
+  * exactly once for scoring (a 64-dim float array never rides through
+  * the distinct).
+  *
+  * Ranking ties are broken on the 4-dp-rounded cosine + neighbor id, so
+  * an independent engine (the DuckDB oracle) computing the same floating
+  * point dot products reproduces ranks exactly.
+  *
+  * All vector math is native codegen expressions
+  * ([[graft.functions.VectorFunctions]]) — no UDF, no driver-side state.
   */
 object Similarity {
 
@@ -28,50 +35,66 @@ object Similarity {
     * loop), null for zero vectors — never a divide-by-zero. */
   def cosine(a: Column, b: Column): Column = vec_cosine(a, b)
 
-  /** Exact top-k neighbors for each query row against the corpus
-    * (brute force; both sides are (id, vec) frames). */
-  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  /** Cosine rounded to 4 dp — the cross-engine-stable ranking key (a
+    * last-ulp difference can never flip a rank; id breaks rounded ties). */
+  private def cosine4(a: Column, b: Column): Column = round(vec_cosine(a, b), 4)
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val joined = queries.select(col("id").as("query_id"), col("vec").as("qv"))
-      .crossJoin(corpus.select(col("id").as("neighbor_id"), col("vec").as("nv")))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("nv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Exact top-k neighbors for each query row against the corpus
+    * (brute force; both sides are (id, vec) frames). */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val joined = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+      .crossJoin(corpus.select(col("id").as("neighbor_id"), col("vec").as("nv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine4(col("qv"), col("nv")))
+    rankTopK(joined, k)
+  }
+
   /** Deterministic random hyperplanes (seeded), as literal array columns —
-    * shipped to executors as constants, no RNG on workers. */
-  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    * shipped to executors as constants, no RNG on workers. Exposed to
+    * [[graft.SparkEntry]] so the DuckDB oracle embeds the SAME literal
+    * planes and reproduces bucket ids exactly. */
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** The planes of each LSH table: table t uses `bits` planes seeded
+    * `seed + t*7919`. */
+  private[graft] def tablePlanes(tables: Int, bits: Int, dim: Int,
+      seed: Long): Seq[(Int, Seq[Array[Double]])] =
+    (0 until tables).map(t => t -> hyperplanes(bits, dim, seed + t * 7919L))
+
   /** Sign-LSH bucket id: one bit per hyperplane (same-bucket vectors are
     * near-duplicate candidates). */
-  def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
-    val planes = hyperplanes(nPlanes, dim, seed)
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    bucketOf(vec, hyperplanes(nPlanes, dim, seed))
+
+  private def bucketOf(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val plane = array(p.map(lit): _*)
       when(dot(vec, plane) >= 0, lit(1L << i)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
-  }
 
   /** Multi-table bucket assignment: `tables` independent sign-LSH hashes
     * of `bits` hyperplanes each. A row lands in one bucket per table;
-    * queries and corpus meet when ANY table agrees — the classic
+    * two rows are candidates when ANY table agrees — the classic
     * recall/cost dial (recall ≈ 1−(1−p^bits)^tables for per-plane
-    * agreement p = 1−θ/π). Returns (id, vec, table, bucket) exploded. */
-  private def bucketed(df: DataFrame, idAs: String, vecAs: String,
+    * agreement p = 1−θ/π). Returns (idAs, tb) — ids only; vectors are
+    * joined back at scoring time. */
+  private def bucketed(df: DataFrame, idAs: String,
       tables: Int, bits: Int, dim: Int, seed: Long): DataFrame = {
-    val buckets = (0 until tables).map { t =>
-      struct(lit(t).as("tbl"),
-        lshBucket(col("vec"), bits, dim, seed + t * 7919L).as("bkt"))
+    val buckets = tablePlanes(tables, bits, dim, seed).map { case (t, planes) =>
+      struct(lit(t).as("tbl"), bucketOf(col("vec"), planes).as("bkt"))
     }
-    df.select(col("id").as(idAs), col("vec").as(vecAs),
-      explode(array(buckets: _*)).as("tb"))
+    df.select(col("id").as(idAs), explode(array(buckets: _*)).as("tb"))
   }
 
   /** ANN top-k via multi-table sign-LSH: candidates are pairs sharing at
@@ -79,39 +102,118 @@ object Similarity {
     * Approximate — recall vs brute force measured in PipelineSpec. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       tables: Int, bits: Int, dim: Int, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cb = bucketed(corpus, "neighbor_id", "nv", tables, bits, dim, seed)
-    val qb = bucketed(queries, "query_id", "qv", tables, bits, dim, seed)
-    val joined = qb.join(cb, qb("tb") === cb("tb"))
+    val cb = bucketed(corpus, "neighbor_id", tables, bits, dim, seed)
+    val qb = bucketed(queries, "query_id", tables, bits, dim, seed)
+    // a pair can collide in several tables — dedup on (ids) BEFORE the
+    // vectors are fetched, so only 8-byte ids ride the wide shuffle
+    val cand = qb.join(cb, qb("tb") === cb("tb"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qv"), col("neighbor_id"), col("nv"))
-      .distinct() // a pair can collide in several tables — score once
-      .withColumn("cosine", cosine(col("qv"), col("nv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val scored = cand
+      .join(queries.select(col("id").as("query_id"), col("vec").as("qv")), "query_id")
+      .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("nv")), "neighbor_id")
+      .withColumn("cosine", cosine4(col("qv"), col("nv")))
+    rankTopK(scored, k)
   }
 
-  /** IVF (inverted-file) ANN: corpus is bucketed by nearest centroid,
+  /** Spherical k-means over a deterministic id-ordered corpus sample, run
+    * on the driver (the sample is bounded; at 100 TB you fit on ~100k
+    * sampled rows and the ASSIGNMENT stays fully distributed — the
+    * centroids are broadcast literals either way).
+    *
+    * Spherical (assign by max cosine, centroid = normalized mean of unit
+    * vectors) rather than Lloyd/L2, because IVF assignment and the final
+    * ranking are both cosine — an L2 fit over unnormalized vectors
+    * fragments direction space and costs recall. Deterministic:
+    * farthest-point init from the first sample vector, fixed iteration
+    * count, empty clusters keep their centroid. Returned centroids are
+    * unit-norm, so max-dot assignment == max-cosine assignment. */
+  def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int = 15,
+      maxSample: Int = 4096): Array[Array[Double]] = {
+    val raw: Array[Array[Double]] = corpus.orderBy(col("id")).limit(maxSample)
+      .select(col("vec")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(raw.length >= nlist, s"need >= $nlist sample vectors")
+    val dim = raw.head.length
+    def normalize(a: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * a(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) a.clone() else a.map(_ / n)
+    }
+    val sample = raw.map(normalize)
+    def dotv(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // farthest-point init (deterministic k-means++ analog) in angle space
+    val cents = scala.collection.mutable.ArrayBuffer(sample(0).clone())
+    while (cents.length < nlist) {
+      var best = -1; var bestSim = Double.MaxValue
+      var i = 0
+      while (i < sample.length) {
+        var nearest = -1.0
+        cents.foreach(c => nearest = math.max(nearest, dotv(sample(i), c)))
+        if (nearest < bestSim) { bestSim = nearest; best = i }
+        i += 1
+      }
+      cents += sample(best).clone()
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Long](nlist)
+      var i = 0
+      while (i < sample.length) {
+        var bc = 0; var bd = Double.MinValue; var c = 0
+        while (c < nlist) {
+          val d = dotv(sample(i), cents(c)); if (d > bd) { bd = d; bc = c }; c += 1
+        }
+        counts(bc) += 1
+        var j = 0
+        while (j < dim) { sums(bc)(j) += sample(i)(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < nlist) {
+        if (counts(c) > 0) cents(c) = normalize(sums(c))
+        c += 1
+      }
+      it += 1
+    }
+    cents.toArray
+  }
+
+  /** The first `nlist` corpus vectors by id — a deterministic,
+    * data-dependent-but-order-insensitive centroid choice that an
+    * independent SQL engine can reproduce exactly (used by the oracled
+    * battery entry; [[kmeansCentroids]] is the quality default). */
+  def firstNCentroids(corpus: DataFrame, nlist: Int): Array[Array[Double]] =
+    corpus.orderBy(col("id")).limit(nlist).select(col("vec")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** IVF (inverted-file) ANN: corpus is bucketed by nearest centroid(s),
     * queries probe their `nprobe` nearest centroid lists, exact cosine
     * ranks the candidates — the coarse-quantizer half of FAISS-style IVF
     * (no product quantization; vectors stay exact).
     *
-    * Centroids here are a deterministic sample (first `nlist` corpus
-    * vectors by id) — at real scale swap in a k-means fit over a sample;
-    * the assignment/probe plan is unchanged. Assignment is a narrow map
-    * stage against broadcast literal centroids; the candidate join is
-    * hash-partitioned by centroid id, scanning ~nprobe/nlist of the
-    * corpus per query. */
+    * `centroids` defaults to a seeded driver-side spherical k-means fit
+    * ([[kmeansCentroids]]); pass [[firstNCentroids]] for the
+    * oracle-reproducible variant. `replicate` indexes each corpus vector
+    * under its top-r cells (r× index size for a large recall boost near
+    * cell boundaries — the standard multi-assignment dial; r=1 is the
+    * classic single-cell IVF). Assignment is a narrow map stage against
+    * broadcast literal centroids; the candidate join is hash-partitioned
+    * by centroid id, scanning ~(replicate·nprobe/nlist) of the corpus per
+    * query, and only ids travel through the candidate dedup. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int, nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(nprobe <= nlist)
-    val cents: Array[(Int, Array[Double])] = corpus.orderBy(col("id")).limit(nlist)
-      .select(col("vec")).collect()
-      .zipWithIndex.map { case (r, i) =>
-        i -> r.getSeq[Float](0).map(_.toDouble).toArray }
+      nlist: Int, nprobe: Int,
+      centroids: Option[Array[Array[Double]]] = None,
+      replicate: Int = 2): DataFrame = {
+    require(nprobe <= nlist && replicate >= 1 && replicate <= nlist)
+    val cents: Array[(Int, Array[Double])] =
+      centroids.getOrElse(kmeansCentroids(corpus, nlist)).zipWithIndex.map(_.swap)
     def centArr(c: Array[Double]) = array(c.map(lit): _*)
     // per-row (centroid id, -similarity) ranking against the literal centroids
     def nearest(vec: Column, n: Int): Column = {
@@ -120,27 +222,56 @@ object Similarity {
       }: _*)
       slice(array_sort(scored), 1, n)
     }
-    val cb = corpus.select(col("id").as("neighbor_id"), col("vec").as("nv"),
-      element_at(nearest(col("vec"), 1), 1).getField("cid").as("cid"))
-    val qb = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+    val cb = corpus.select(col("id").as("neighbor_id"),
+      explode(nearest(col("vec"), replicate)).as("a"))
+      .select(col("neighbor_id"), col("a").getField("cid").as("cid"))
+    val qb = queries.select(col("id").as("query_id"),
       explode(nearest(col("vec"), nprobe)).as("probe"))
-      .select(col("query_id"), col("qv"), col("probe").getField("cid").as("cid"))
-    val joined = qb.join(cb, "cid")
+      .select(col("query_id"), col("probe").getField("cid").as("cid"))
+    // a pair can meet in several probed cells once replicate > 1 — dedup
+    // on ids, then fetch vectors exactly once for scoring
+    val cand = qb.join(cb, "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("nv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val scored = cand
+      .join(queries.select(col("id").as("query_id"), col("vec").as("qv")), "query_id")
+      .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("nv")), "neighbor_id")
+      .withColumn("cosine", cosine4(col("qv"), col("nv")))
+    rankTopK(scored, k)
   }
 
-  /** All pairs with cosine >= threshold (embedding near-dup detection).
-    * Exact baseline: block-nested cross join; at scale swap the cross
-    * join for `lshBucket` equality + verification (same contract). */
+  /** All pairs with cosine >= threshold (embedding near-dup detection),
+    * exact baseline: block-nested cross join. Kept as the small-sf oracle
+    * anchor; the battery/scale contract is [[cosinePairsBucketed]]. */
   def cosinePairs(vecs: DataFrame, threshold: Double): DataFrame = {
     val a = vecs.select(col("id").as("id_a"), col("vec").as("va"))
     val b = vecs.select(col("id").as("id_b"), col("vec").as("vb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Near-dup pairs via multi-table sign-LSH candidates + exact cosine
+    * verification — the scale path: the join is bucket-equality (hash),
+    * never a cartesian product, and only ids travel through the candidate
+    * distinct. With T tables of b bits, a pair at angle θ is missed with
+    * probability (1−(1−θ/π)^b)^T — the defaults (b=2, T=24) push that
+    * below 1e-5 at cosine 0.45, so at verification thresholds the result
+    * matches the exact join (checked against [[cosinePairs]] in tests and
+    * against the brute-force oracle in the driver battery). */
+  def cosinePairsBucketed(vecs: DataFrame, threshold: Double, dim: Int,
+      tables: Int = 24, bits: Int = 2, seed: Long = 42L): DataFrame = {
+    val bk = vecs.select(col("id"),
+      explode(array(tablePlanes(tables, bits, dim, seed).map { case (t, planes) =>
+        struct(lit(t).as("tbl"), bucketOf(col("vec"), planes).as("bkt"))
+      }: _*)).as("tb"))
+    val cand = bk.as("x").join(bk.as("y"), col("x.tb") === col("y.tb")
+        && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
