@@ -83,18 +83,28 @@ object Similarity {
       when(dot(vec, plane) >= 0, lit(1L << i)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Pinned partition count for candidate fan-out stages. A bucket join
+    * multiplies rows AFTER the shuffle, so AQE — which coalesces on
+    * pre-join input bytes — would collapse the tiny exploded-key frame to
+    * one partition and serialize the whole fan-out on one core. Pinning
+    * to the session's shuffle parallelism keeps the multiply distributed
+    * regardless of the input's file layout. */
+  private def fanoutParallelism(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** Multi-table bucket assignment: `tables` independent sign-LSH hashes
-    * of `bits` hyperplanes each. A row lands in one bucket per table;
-    * two rows are candidates when ANY table agrees — the classic
-    * recall/cost dial (recall ≈ 1−(1−p^bits)^tables for per-plane
-    * agreement p = 1−θ/π). Returns (idAs, tb) — ids only; vectors are
-    * joined back at scoring time. */
+    * of `bits` hyperplanes each, flattened to ONE long key
+    * (`tbl << bits | bkt` — long-keyed hash joins beat struct keys). A
+    * row lands in one bucket per table; two rows are candidates when ANY
+    * table agrees — the classic recall/cost dial (recall ≈
+    * 1−(1−p^bits)^tables for per-plane agreement p = 1−θ/π). Returns
+    * (idAs, key) — ids only; vectors are joined back at scoring time. */
   private def bucketed(df: DataFrame, idAs: String,
       tables: Int, bits: Int, dim: Int, seed: Long): DataFrame = {
-    val buckets = tablePlanes(tables, bits, dim, seed).map { case (t, planes) =>
-      struct(lit(t).as("tbl"), bucketOf(col("vec"), planes).as("bkt"))
+    val keys = tablePlanes(tables, bits, dim, seed).map { case (t, planes) =>
+      bucketOf(col("vec"), planes) + lit(t.toLong << bits)
     }
-    df.select(col("id").as(idAs), explode(array(buckets: _*)).as("tb"))
+    df.select(col("id").as(idAs), explode(array(keys: _*)).as("key"))
   }
 
   /** ANN top-k via multi-table sign-LSH: candidates are pairs sharing at
@@ -102,11 +112,14 @@ object Similarity {
     * Approximate — recall vs brute force measured in PipelineSpec. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       tables: Int, bits: Int, dim: Int, seed: Long = 42L): DataFrame = {
+    // repartition by bucket key: full parallelism on the candidate
+    // fan-out even off a single-file corpus, skew split at scale
     val cb = bucketed(corpus, "neighbor_id", tables, bits, dim, seed)
+      .repartition(fanoutParallelism(corpus), col("key"))
     val qb = bucketed(queries, "query_id", tables, bits, dim, seed)
     // a pair can collide in several tables — dedup on (ids) BEFORE the
     // vectors are fetched, so only 8-byte ids ride the wide shuffle
-    val cand = qb.join(cb, qb("tb") === cb("tb"))
+    val cand = qb.join(cb, "key")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
     val scored = cand
@@ -225,6 +238,7 @@ object Similarity {
     val cb = corpus.select(col("id").as("neighbor_id"),
       explode(nearest(col("vec"), replicate)).as("a"))
       .select(col("neighbor_id"), col("a").getField("cid").as("cid"))
+      .repartition(fanoutParallelism(corpus), col("cid")) // parallel fan-out off any layout
     val qb = queries.select(col("id").as("query_id"),
       explode(nearest(col("vec"), nprobe)).as("probe"))
       .select(col("query_id"), col("probe").getField("cid").as("cid"))
@@ -259,16 +273,24 @@ object Similarity {
     * probability (1−(1−θ/π)^b)^T — the defaults (b=2, T=24) push that
     * below 1e-5 at cosine 0.45, so at verification thresholds the result
     * matches the exact join (checked against [[cosinePairs]] in tests and
-    * against the brute-force oracle in the driver battery). */
+    * against the brute-force oracle in the driver battery).
+    *
+    * Plan shape, tuned on the executed plan: the bucket key is ONE long
+    * (`tbl << bits | bkt` — a long-keyed HashedRelation beats a struct
+    * key), and the exploded frame is hash-repartitioned by that key so
+    * the candidate fan-out runs at full parallelism even when the input
+    * is a single file/partition (also the skew split at scale). */
   def cosinePairsBucketed(vecs: DataFrame, threshold: Double, dim: Int,
       tables: Int = 24, bits: Int = 2, seed: Long = 42L): DataFrame = {
-    val bk = vecs.select(col("id"),
-      explode(array(tablePlanes(tables, bits, dim, seed).map { case (t, planes) =>
-        struct(lit(t).as("tbl"), bucketOf(col("vec"), planes).as("bkt"))
-      }: _*)).as("tb"))
-    val cand = bk.as("x").join(bk.as("y"), col("x.tb") === col("y.tb")
+    val keys = tablePlanes(tables, bits, dim, seed).map { case (t, planes) =>
+      bucketOf(col("vec"), planes) + lit(t.toLong << bits)
+    }
+    val bk = vecs.select(col("id"), explode(array(keys: _*)).as("key"))
+      .repartition(fanoutParallelism(vecs), col("key"))
+    val cand = bk.as("x").join(bk.as("y"), col("x.key") === col("y.key")
         && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
     cand
       .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")

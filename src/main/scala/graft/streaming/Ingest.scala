@@ -17,14 +17,16 @@ import org.apache.spark.sql.types._
   * (reference `core/validator.go` name rules), stamped with a write
   * sequence, and appended to the engine's storage by `foreachBatch`.
   *
-  * Delivery is AT-LEAST-ONCE (the streaming checkpoint replays an
-  * unacknowledged batch after a crash, and parquet append is not
-  * transactional), but replays are invisible to readers: a replayed row
-  * carries a new seq for the same (series, timestamp) key, and the
-  * latest-version-wins merge collapses it; compaction physically drops the
-  * dead versions. That pair — checkpoint + version merge — is what the
-  * reference's WAL-replay-into-memtable gives it (S4). A Delta sink would
-  * upgrade the append itself to transactional exactly-once.
+  * Delivery is EXACTLY-ONCE: each micro-batch commits to the engine's
+  * transaction log with an (app, batchId) watermark, so a batch the
+  * checkpoint replays after a crash is recognized and skipped before any
+  * file becomes visible — idempotent-writer dedup, the same mechanism a
+  * Delta `txnAppId`/`txnVersion` sink uses. Combined with the log's
+  * no-torn-reads guarantee this matches the reference's WAL recovery
+  * semantics (S4, `wal/wal.go:53-60`, `engine2/engine_recovery_test.go`);
+  * belt-and-braces, a replayed row would also lose the
+  * latest-version-wins merge, so even a watermark wipe cannot surface
+  * duplicates to readers.
   */
 object Ingest {
 
@@ -48,17 +50,21 @@ object Ingest {
   }
 
   /** Start streaming ingest into an engine. Each micro-batch reserves a
-    * block of the engine's sequence space; rows get unique, monotonically
-    * increasing seqs (later batches always win the version merge). */
-  def start(engine: TsdbEngine, source: DataFrame, checkpointDir: String): StreamingQuery = {
+    * block of the engine's sequence space (rows get unique, monotonically
+    * increasing seqs — later batches always win the version merge) and
+    * commits with an (appId, batchId) watermark for exactly-once. */
+  def start(engine: TsdbEngine, source: DataFrame, checkpointDir: String,
+      appId: String = null): StreamingQuery = {
+    val app = Option(appId).getOrElse(checkpointDir)
     source.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val pts = parse(batch).filter(!col("_rejected"))
           .drop("_rejected")
           .withColumn("tags", coalesce(col("tags"), map()))
         val base = engine.reserveSeqBlock()
-        engine.putDF(pts.withColumn("seq", lit(base) + monotonically_increasing_id()))
+        engine.putDF(pts.withColumn("seq", lit(base) + monotonically_increasing_id()),
+          txn = Some((app, batchId)))
       }
       .start()
   }

@@ -135,9 +135,16 @@ object QueryEngine {
     var df = points.filter(col("metric") === p.metric)
     p.tags.foreach { case (k, v) => df = df.filter(col("tags").getItem(k) === v) }
 
-    // 2. time range (inclusive both ends)
+    // 2. time range (inclusive both ends). When the frame carries the
+    //    storage layer's `date` partition column, the same bounds are
+    //    restated against it — a filter on `timestamp` alone prunes row
+    //    groups, but only a filter on the PARTITION column prunes whole
+    //    date directories before any footer is read (asserted in PlanSpec).
     val (startNs, endNs) = resolveRange(df, p)
     df = df.filter(col("timestamp").between(startNs, endNs))
+    if (points.columns.contains("date"))
+      df = df.filter(col("date").between(
+        TsdbEngine.dayStr(startNs), TsdbEngine.dayStr(endNs)))
 
     // 3. series key + latest-version dedup (M1).
     //    One explicit hash-repartition on series_key ALONE: hash(sk) is a

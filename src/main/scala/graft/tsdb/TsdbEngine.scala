@@ -1,55 +1,60 @@
 package graft.tsdb
 
-import graft.model.{DataPoint, FieldValue}
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import graft.model.DataPoint
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.collection.JavaConverters._
 
-/** Parquet-backed storage engine with the reference's observable
-  * semantics (SURVEY §1, §2.1, §2.3):
+/** Transactional parquet storage engine with the reference's observable
+  * semantics (SURVEY §1, §2.1, §2.3), built on a [[TxLog]] commit log:
   *
-  *  - `put*` appends versioned rows (monotonic `seq`, the reference's
-  *    write sequence, `engine2/adapter.go:465`); readers always see
-  *    latest-version-wins via [[QueryEngine]]'s merge (M1);
-  *  - deletes are TOMBSTONE rows in a side table (M2-M4) with the
+  *  - `put*` stages parquet files partitioned by `metric` + `date`, moves
+  *    them into the data root under unique names, and commits — a crash
+  *    anywhere before the commit leaves NOTHING visible (the reference's
+  *    WAL gives the same no-torn-reads guarantee, `wal/wal.go:53-60`);
+  *  - streaming ingest is EXACTLY-ONCE: each micro-batch commits with an
+  *    (app, batchId) watermark and replays are skipped
+  *    (cf. `engine2/engine_recovery_test.go`'s replay-dedup);
+  *  - deletes are tombstones recorded IN THE LOG (M2-M4) with the
   *    sequence-shadowing rule — a point written after a delete survives;
-  *  - `compact()` plays the role of the LSM compaction
-  *    (`engine2/compaction_manager.go`): rewrites storage dropping
-  *    shadowed versions and tombstoned rows, then clears tombstones;
-  *  - `snapshot`/`restore` copy the storage directory wholesale
-  *    (`snapshot/manager.go`, `RESTORE FROM '<path>' WITH OVERWRITE`).
+  *    they never round-trip through a side table or a per-query collect;
+  *  - `compact()` is the LSM-compaction/OPTIMIZE analog
+  *    (`engine2/compaction_manager.go`): rewrite keeping winning
+  *    versions, drop tombstoned rows, swap the file set in one commit,
+  *    clear tombstones, vacuum unreferenced files;
+  *  - `snapshot`/`restore` (S7) are INCREMENTAL — data files are
+  *    content-addressed by unique name, so a snapshot copies only files
+  *    the destination lacks (`snapshot/manager.go:225` does the same
+  *    with SSTable hard links); `readAt(version)` gives time travel.
   *
-  * The LSM mechanisms themselves (WAL, memtable, SSTables, bloom filters,
-  * block cache) are deliberately absent: parquet row groups + footer
-  * stats give the pruning, the filesystem gives durability, and at real
-  * scale this directory becomes a Delta table (append/DELETE/OPTIMIZE)
-  * partitioned by metric + date with the identical read semantics.
+  * Storage layout: `data/metric=<m>/date=<yyyy-MM-dd>/<commit>-<part>.parquet`
+  * — a metric+time query prunes at the DIRECTORY level before any footer
+  * is read (the file-level analog of the reference's tag index +
+  * SSTable key ranges), and no metric directory grows unboundedly.
   *
   * Writes here are driver-mediated (Seq[DataPoint] → small parquet
-  * appends): the high-volume path is [[graft.streaming.Ingest]], which
-  * streams a DataFrame straight to the same layout.
+  * appends); the high-volume path is [[graft.streaming.Ingest]], which
+  * streams a DataFrame into the same layout through the same log.
   */
 class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   import TsdbEngine._
 
-  private val pointsDir = s"$rootDir/points"
-  private val tombsDir = s"$rootDir/tombstones"
+  private val dataDir = s"$rootDir/data"
+  private val log = new TxLog(s"$rootDir/_log")
 
-  private val seqCounter = new java.util.concurrent.atomic.AtomicLong(initialSeq())
-
-  /** Bumped by every mutation; orphans older [[QueryCache]] entries. */
-  private val writeEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+  @volatile private var snap: LogSnapshot = log.replay()
+  private val seqCounter = new java.util.concurrent.atomic.AtomicLong(snap.maxSeq)
   private val resultCache = new QueryCache()
-  def epoch: Long = writeEpoch.get()
+
+  def version: Long = snap.version
+  /** Log version of the last commit touching `metric` — the cache epoch:
+    * writes to metric A never evict cached queries on metric B. */
+  def metricEpoch(metric: String): Long = snap.metricEpoch.getOrElse(metric, 0L)
   def cacheStats: (Long, Long) = resultCache.stats
 
-  private def initialSeq(): Long = {
-    val p = loadPoints()
-    val t = loadTombstones()
-    val maxP = if (p.isEmpty) 0L else p.get.agg(max(col("seq"))).head().getLong(0)
-    val maxT = t.map(_.seq).foldLeft(0L)(math.max)
-    math.max(maxP, maxT)
+  private def refresh(): Unit = synchronized {
+    snap = log.replay(snap)
   }
 
   def nextSeq(): Long = seqCounter.incrementAndGet()
@@ -64,8 +69,8 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
 
   // ---- write path -------------------------------------------------------
 
-  /** Validate + append a batch (one parquet append per batch — the
-    * analog of PutBatch, `engine2/adapter.go:635`). */
+  /** Validate + append a batch (one commit per batch — the analog of
+    * PutBatch, `engine2/adapter.go:635`). */
   def putBatch(points: Seq[DataPoint]): Either[String, Long] = {
     val bad = points.iterator.map(DataPoint.validate).collectFirst {
       case Left(err) => err }
@@ -76,8 +81,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         p.fields.map { case (k, v) => k -> StoredValue(v.d, v.l, v.s, v.b) },
         nextSeq())
     }
-    rows.toDF().write.mode(SaveMode.Append).partitionBy("metric").parquet(pointsDir)
-    writeEpoch.incrementAndGet()
+    commitAppend(rows.toDF(), txn = None)
     Right(rows.size.toLong)
   }
 
@@ -85,49 +89,93 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
 
   /** Append an arbitrary DataFrame already in canonical shape
     * (metric, tags, timestamp, fields, seq) — the bulk/streaming path.
-    * The pre-write repartition clusters rows by their partition value so
-    * each metric directory receives ONE file per batch instead of one per
-    * (shuffle partition × metric) — fewer, bigger parquet files, which is
-    * both the faster write and the healthier read layout. */
-  def putDF(df: DataFrame): Unit = {
-    df.repartition(col("metric"))
-      .write.mode(SaveMode.Append).partitionBy("metric").parquet(pointsDir)
-    writeEpoch.incrementAndGet()
+    * `txn = Some((app, batchId))` makes the append IDEMPOTENT: a replayed
+    * micro-batch (streaming checkpoint re-delivery after a crash) is
+    * recognized by its watermark and skipped — exactly-once end to end. */
+  def putDF(df: DataFrame, txn: Option[(String, Long)] = None): Unit =
+    commitAppend(df, txn)
+
+  /** Stage → move-in → commit. The staged write clusters rows by their
+    * partition values so each (metric, date) directory receives ONE file
+    * per batch instead of one per (shuffle partition × metric) — fewer,
+    * bigger parquet files, the healthier layout on both ends. Files are
+    * invisible to readers until the log commit lands. */
+  private def commitAppend(df: DataFrame, txn: Option[(String, Long)]): Unit = {
+    txn.foreach { case (app, batch) =>
+      if (snap.txnSeen(app, batch)) return // replayed micro-batch — drop it
+    }
+    val stamp = java.util.UUID.randomUUID().toString.take(12)
+    val staging = s"$rootDir/_staging/$stamp"
+    df.withColumn("date", dateOfTs(col("timestamp")))
+      .repartition(col("metric"), col("date"))
+      .write.partitionBy("metric", "date").parquet(staging)
+    val added = moveStaged(Paths.get(staging), stamp)
+    deleteDir(Paths.get(staging))
+    val hwm = seqCounter.get()
+    log.commit(v => LogCommit(v, adds = added, metrics = metricsOf(added),
+      txnApp = txn.map(_._1), txnBatch = txn.map(_._2), maxSeq = hwm))
+    refresh()
   }
 
-  // ---- delete path (tombstones) ----------------------------------------
+  /** Move staged parquet files into the data root, preserving their
+    * metric=/date= partition subpaths, under commit-unique names. */
+  private def moveStaged(staging: Path, stamp: String): Seq[String] = {
+    if (!Files.isDirectory(staging)) return Nil
+    Files.walk(staging).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.toString)
+      .map { src =>
+        val rel = staging.relativize(src)
+        val destRel = s"${rel.getParent}/$stamp-${src.getFileName}"
+        val dest = Paths.get(dataDir).resolve(destRel)
+        Files.createDirectories(dest.getParent)
+        Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
+        destRel
+      }
+  }
+
+  // ---- delete path (logical deletes in the log) --------------------------
 
   def deletePoint(metric: String, tags: Map[String, String], tsNs: Long): Unit =
-    appendTombstone(TombRow("point", metric, tags, tsNs, tsNs, nextSeq()))
+    commitTombstone(TombRow("point", metric, tags, tsNs, tsNs, nextSeq()))
 
   def deleteSeries(metric: String, tags: Map[String, String]): Unit =
-    appendTombstone(TombRow("series", metric, tags, 0L, 0L, nextSeq()))
+    commitTombstone(TombRow("series", metric, tags, 0L, 0L, nextSeq()))
 
   def deleteRange(metric: String, tags: Map[String, String], fromNs: Long, toNs: Long): Unit =
-    appendTombstone(TombRow("range", metric, tags, fromNs, toNs, nextSeq()))
+    commitTombstone(TombRow("range", metric, tags, fromNs, toNs, nextSeq()))
 
-  private def appendTombstone(t: TombRow): Unit = {
-    import spark.implicits._
-    Seq(t).toDF().write.mode(SaveMode.Append).parquet(tombsDir)
-    writeEpoch.incrementAndGet()
+  private def commitTombstone(t: TombRow): Unit = {
+    val hwm = seqCounter.get()
+    log.commit(v => LogCommit(v, tombs = Seq(t), metrics = Seq(t.metric), maxSeq = hwm))
+    refresh()
   }
 
   // ---- read path --------------------------------------------------------
 
-  /** Storage is hive-partitioned by metric: `metric=<name>/part-*.parquet`
-    * — a metric-equality query prunes at the DIRECTORY level before any
-    * footer is read (the file-level analog of the reference's tag index;
-    * at real scale a date sub-partition joins it). Partition-column type
-    * inference is disabled so a numeric-looking metric name stays a
-    * string. */
-  def loadPoints(): Option[DataFrame] = {
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    if (hasPartitionedParquet(pointsDir)) Some(spark.read.parquet(pointsDir)) else None
+  /** The committed file set as one DataFrame (hive-style partition
+    * columns `metric`, `date` recovered via basePath). Only
+    * manifest-listed files are read — a torn or uncommitted file in the
+    * directory is invisible. Plan reuse: the resolved frame is cached per
+    * log version. */
+  def loadPoints(): Option[DataFrame] = loadPointsAt(snap)
+
+  private var viewCache: (Long, Option[DataFrame]) = (-1L, None)
+
+  private def loadPointsAt(s: LogSnapshot): Option[DataFrame] = synchronized {
+    if (viewCache._1 == s.version) viewCache._2
+    else {
+      spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      val v =
+        if (s.files.isEmpty) None
+        else Some(spark.read.option("basePath", dataDir)
+          .parquet(s.files.map(f => s"$dataDir/$f"): _*))
+      viewCache = (s.version, v)
+      v
+    }
   }
 
-  def loadTombstones(): Seq[Tombstone] =
-    if (!hasParquet(tombsDir)) Seq.empty
-    else spark.read.parquet(tombsDir).collect().toSeq.map(rowToTombstone)
+  def loadTombstones(): Seq[Tombstone] = snap.tombs.map(tombOf)
 
   /** Execute a query with full merge/tombstone semantics. */
   def query(params: QueryParams): DataFrame = {
@@ -135,12 +183,23 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     QueryEngine.run(pts, params, loadTombstones())
   }
 
+  /** Read the table as of an older log version (time travel — what
+    * Delta's VERSION AS OF gives; bounded by vacuum retention). */
+  def readAt(version: Long): DataFrame = {
+    val s = log.replay(upTo = version)
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    if (s.files.isEmpty) emptyPoints(spark)
+    else spark.read.option("basePath", dataDir)
+      .parquet(s.files.map(f => s"$dataDir/$f"): _*)
+  }
+
   /** Query through the result cache (serving-layer path): collected rows,
-    * canonical-key lookup, epoch invalidation on any mutation. RELATIVE
-    * queries with an un-pinned `now` are never cached (non-deterministic). */
+    * canonical-key lookup, PER-METRIC epoch invalidation — continuous
+    * ingest into one metric leaves every other metric's entries live.
+    * RELATIVE queries with an un-pinned `now` are never cached. */
   def queryCached(params: QueryParams): Array[Row] = {
     val cacheable = params.relativeNs.isEmpty || params.nowNs.isDefined
-    val e = epoch
+    val e = metricEpoch(params.metric)
     if (cacheable) resultCache.get(params, e) match {
       case Some(rows) => return rows
       case None => ()
@@ -182,52 +241,105 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
 
   // ---- maintenance ------------------------------------------------------
 
-  /** LSM-compaction analog: rewrite points keeping only the winning
-    * version of each (series, ts) with tombstoned rows dropped, then
-    * clear the tombstone log. Observable state is unchanged; storage
-    * shrinks and reads stop paying the merge. */
+  /** LSM-compaction / OPTIMIZE analog: rewrite points keeping only the
+    * winning version of each (series, ts) with tombstoned rows dropped,
+    * swap the whole file set in ONE commit (readers see either the old
+    * or the new state, never both), clear the tombstone log, vacuum.
+    * Observable state is unchanged; storage shrinks and reads stop
+    * paying the merge. */
   def compact(): Unit = {
-    val pts = loadPoints().getOrElse(return)
-    val tombstones = loadTombstones()
-    val survivors = QueryEngine.mergedView(pts, tombstones)
+    val s = snap
+    val pts = loadPointsAt(s).getOrElse(return)
+    val survivors = QueryEngine.mergedView(pts, s.tombs.map(tombOf))
       .select("metric", "tags", "timestamp", "fields", "seq")
-    val tmp = s"$rootDir/points_compact_tmp"
-    survivors.write.mode(SaveMode.Overwrite).partitionBy("metric").parquet(tmp)
-    deleteDir(Paths.get(pointsDir))
-    Files.move(Paths.get(tmp), Paths.get(pointsDir))
-    deleteDir(Paths.get(tombsDir))
+    val stamp = java.util.UUID.randomUUID().toString.take(12)
+    val staging = s"$rootDir/_staging/$stamp"
+    survivors.withColumn("date", dateOfTs(col("timestamp")))
+      .repartition(col("metric"), col("date"))
+      .write.partitionBy("metric", "date").parquet(staging)
+    val added = moveStaged(Paths.get(staging), stamp)
+    deleteDir(Paths.get(staging))
+    val hwm = seqCounter.get()
+    log.commit(v => LogCommit(v, adds = added, removes = s.files,
+      clearTombs = true, metrics = metricsOf(s.files ++ added), maxSeq = hwm))
+    refresh()
+    vacuum()
   }
 
-  /** Snapshot = full copy of the storage directory (cf. `SNAPSHOT`,
-    * `snapshot/manager.go`). */
+  /** Physically delete data files no longer referenced by the CURRENT
+    * version (like `VACUUM`; time travel reaches back only to versions
+    * whose files survive). */
+  def vacuum(): Unit = {
+    val live = snap.files.toSet
+    val root = Paths.get(dataDir)
+    if (!Files.isDirectory(root)) return
+    Files.walk(root).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .filterNot(p => live.contains(root.relativize(p).toString))
+      .foreach(Files.deleteIfExists(_))
+  }
+
+  /** Snapshot = log copy + INCREMENTAL data copy: file names are
+    * commit-unique, so only files the destination lacks are transferred
+    * (the reference's incremental snapshot hard-links unchanged SSTables,
+    * `snapshot/manager.go:225-355`). Stale destination files from older
+    * snapshots are pruned to keep the snapshot tight. */
   def snapshot(destDir: String): Unit = {
-    val dst = Paths.get(destDir)
-    deleteDir(dst)
-    copyDir(Paths.get(rootDir), dst)
+    val s = snap
+    val destData = Paths.get(s"$destDir/data")
+    val srcData = Paths.get(dataDir)
+    Files.createDirectories(destData)
+    s.files.foreach { rel =>
+      val dst = destData.resolve(rel)
+      if (!Files.exists(dst)) {
+        Files.createDirectories(dst.getParent)
+        Files.copy(srcData.resolve(rel), dst)
+      }
+    }
+    // prune data files the current version no longer references
+    val live = s.files.toSet
+    Files.walk(destData).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .filterNot(p => live.contains(destData.relativize(p).toString))
+      .foreach(Files.deleteIfExists(_))
+    // replace the log wholesale (tiny JSON files)
+    val destLog = Paths.get(s"$destDir/_log")
+    deleteDir(destLog)
+    copyDir(Paths.get(s"$rootDir/_log"), destLog)
   }
 
   /** `RESTORE FROM '<path>' [WITH OVERWRITE]` (`api/nbql/executor.go:53-81`). */
   def restore(srcDir: String, overwrite: Boolean): Either[String, Unit] = {
-    if (!Files.isDirectory(Paths.get(srcDir))) return Left(s"no snapshot at $srcDir")
-    if (hasParquet(pointsDir) && !overwrite) return Left("target not empty; use WITH OVERWRITE")
+    if (!Files.isDirectory(Paths.get(s"$srcDir/_log")))
+      return Left(s"no snapshot at $srcDir")
+    if (snap.files.nonEmpty && !overwrite)
+      return Left("target not empty; use WITH OVERWRITE")
     deleteDir(Paths.get(rootDir))
     copyDir(Paths.get(srcDir), Paths.get(rootDir))
-    seqCounter.set(initialSeq())
+    synchronized {
+      snap = log.replay()
+      viewCache = (-1L, None)
+      seqCounter.set(snap.maxSeq)
+    }
     Right(())
   }
 
-  private def hasParquet(dir: String): Boolean = {
-    val p = Paths.get(dir)
-    Files.isDirectory(p) && Files.list(p).iterator().asScala.exists(
-      f => f.getFileName.toString.endsWith(".parquet"))
-  }
-
-  /** True when the dir holds parquet files directly or in partition
-    * subdirectories (metric=...). */
-  private def hasPartitionedParquet(dir: String): Boolean = {
-    val p = Paths.get(dir)
-    Files.isDirectory(p) && Files.walk(p, 2).iterator().asScala.exists(
-      f => f.getFileName.toString.endsWith(".parquet"))
+  /** Roll the table back to an older version IN PLACE with one commit
+    * (Delta's RESTORE): the file set and tombstone state become those of
+    * `version`. Fails if vacuum already removed a needed file. */
+  def restoreVersion(version: Long): Either[String, Unit] = {
+    val old = log.replay(upTo = version)
+    val missing = old.files.filterNot(f => Files.exists(Paths.get(s"$dataDir/$f")))
+    if (missing.nonEmpty)
+      return Left(s"cannot restore to $version: ${missing.size} files vacuumed")
+    val cur = snap
+    val hwm = seqCounter.get()
+    log.commit(v => LogCommit(v,
+      adds = old.files.diff(cur.files), removes = cur.files.diff(old.files),
+      tombs = old.tombs, clearTombs = true,
+      metrics = metricsOf(cur.files ++ old.files), maxSeq = hwm))
+    refresh()
+    Right(())
   }
 }
 
@@ -240,26 +352,65 @@ object TsdbEngine {
   final case class TombRow(kind: String, metric: String,
       tags: Map[String, String], fromNs: Long, toNs: Long, seq: Long)
 
-  def rowToTombstone(r: Row): Tombstone = {
-    val tags = r.getAs[Map[String, String]]("tags")
-    val m = r.getAs[String]("metric")
-    val seq = r.getAs[Long]("seq")
-    r.getAs[String]("kind") match {
-      case "point" => PointTombstone(m, tags, r.getAs[Long]("fromNs"), seq)
-      case "series" => SeriesTombstone(m, tags, seq)
-      case "range" =>
-        RangeTombstone(m, tags, r.getAs[Long]("fromNs"), r.getAs[Long]("toNs"), seq)
+  val DayNs: Long = 86400000000000L
+
+  /** Partition date (yyyy-MM-dd string) of a ns-epoch timestamp. Exact
+    * long arithmetic (`div`) — double division rounds ns values above
+    * 2^53, so a point 1 ns before midnight could land one partition off
+    * and disagree with the pruning filter. */
+  def dateOfTs(ts: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val days = ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression(ts - pmod(ts, lit(DayNs))),
+      ColumnBridge.expression(lit(DayNs))))
+    date_add(lit(java.sql.Date.valueOf("1970-01-01")), days.cast("int")).cast("string")
+  }
+
+  /** The same day computation on the driver, for pruning literals. */
+  def dayStr(ns: Long): String =
+    java.time.LocalDate.ofEpochDay(Math.floorDiv(ns, DayNs)).toString
+
+  def tombOf(t: TombRow): Tombstone = t.kind match {
+    case "point" => PointTombstone(t.metric, t.tags, t.fromNs, t.seq)
+    case "series" => SeriesTombstone(t.metric, t.tags, t.seq)
+    case "range" => RangeTombstone(t.metric, t.tags, t.fromNs, t.toNs, t.seq)
+  }
+
+  def rowOf(t: Tombstone): TombRow = t match {
+    case PointTombstone(m, tg, ts, sq) => TombRow("point", m, tg, ts, ts, sq)
+    case SeriesTombstone(m, tg, sq) => TombRow("series", m, tg, 0L, 0L, sq)
+    case RangeTombstone(m, tg, a, b, sq) => TombRow("range", m, tg, a, b, sq)
+  }
+
+  /** Distinct metrics named by a set of `metric=<m>/...` paths
+    * (partition-escaped; %XX-unescaped like Spark's unescapePathName). */
+  def metricsOf(paths: Seq[String]): Seq[String] =
+    paths.flatMap { p =>
+      val seg = p.takeWhile(_ != '/')
+      if (seg.startsWith("metric=")) Some(unescapePath(seg.drop(7))) else None
+    }.distinct
+
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
     }
+    sb.toString
   }
 
   def emptyPoints(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DataPoint.storageSchema)
 
-  private def deleteDir(p: Path): Unit =
+  private[tsdb] def deleteDir(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
 
-  private def copyDir(src: Path, dst: Path): Unit = {
+  private[tsdb] def copyDir(src: Path, dst: Path): Unit = {
     Files.walk(src).iterator().asScala.foreach { s =>
       val d = dst.resolve(src.relativize(s))
       if (Files.isDirectory(s)) Files.createDirectories(d)

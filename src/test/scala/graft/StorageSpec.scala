@@ -1,0 +1,173 @@
+package graft
+
+import graft.model.{DataPoint, FieldValue}
+import graft.tsdb._
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Transactional-storage guarantees of the TxLog-backed engine: no torn
+  * reads, exactly-once streaming appends, restart recovery, time travel,
+  * incremental snapshots, vacuum — the semantics the reference gets from
+  * its WAL + snapshot manager (`wal/wal.go`, `snapshot/manager.go`,
+  * `engine2/engine_recovery_test.go`). */
+class StorageSpec extends SparkSpec {
+
+  def withDir(f: String => Unit): Unit = {
+    val dir = Files.createTempDirectory("graft_storage").toString
+    try f(dir)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  def pt(metric: String, host: String, ts: Long, v: Double): DataPoint =
+    DataPoint(metric, Map("host" -> host), ts, Map("value" -> FieldValue.ofDouble(v)))
+
+  def count(e: TsdbEngine, metric: String): Long =
+    e.query(QueryParams(metric, startNs = 0L, endNs = Some(Long.MaxValue / 2))).count()
+
+  test("uncommitted files are invisible (no torn reads)") {
+    withDir { dir =>
+      val e = new TsdbEngine(spark, s"$dir/db")
+      assert(e.putBatch(Seq(pt("m", "h1", 1000L, 1.0), pt("m", "h1", 2000L, 2.0))).isRight)
+      assert(count(e, "m") == 2)
+      // simulate a crash mid-append: a file appears in the data directory
+      // (even a VALID parquet file) without a log commit
+      val stray = e.loadPoints().get.limit(1)
+      val tmp = s"$dir/stray"
+      stray.write.parquet(tmp)
+      val strayFile = Files.walk(Paths.get(tmp)).iterator()
+      var copied = false
+      strayFile.forEachRemaining { p =>
+        if (!copied && p.getFileName.toString.endsWith(".parquet")) {
+          val dst = Paths.get(s"$dir/db/data/metric=m/date=1970-01-01/torn-${p.getFileName}")
+          Files.createDirectories(dst.getParent)
+          Files.copy(p, dst)
+          copied = true
+        }
+      }
+      assert(copied)
+      val e2 = new TsdbEngine(spark, s"$dir/db") // fresh reader, same log
+      assert(count(e2, "m") == 2, "a file without a commit must stay invisible")
+    }
+  }
+
+  test("idempotent txn appends: a replayed micro-batch commits nothing") {
+    withDir { dir =>
+      val e = new TsdbEngine(spark, s"$dir/db")
+      import spark.implicits._
+      def batch(v: Double) = Seq(
+        TsdbEngine.StoredPoint("m", Map("host" -> "h1"), 1000L,
+          Map("value" -> TsdbEngine.StoredValue(Some(v), None, None, None)),
+          e.nextSeq())).toDF()
+      e.putDF(batch(1.0), txn = Some(("appA", 0L)))
+      assert(count(e, "m") == 1)
+      val vBefore = e.version
+      e.putDF(batch(99.0), txn = Some(("appA", 0L))) // checkpoint replay
+      assert(e.version == vBefore, "replayed batch must not commit")
+      assert(count(e, "m") == 1)
+      e.putDF(batch(2.0), txn = Some(("appA", 1L))) // next batch lands
+      assert(count(e, "m") == 1) // same (series, ts): merge keeps latest
+      assert(e.loadPoints().get.count() == 2)
+    }
+  }
+
+  test("restart recovery: new engine sees committed state, seq continues") {
+    withDir { dir =>
+      val e = new TsdbEngine(spark, s"$dir/db")
+      e.putBatch(Seq(pt("m", "h1", 1000L, 1.0)))
+      e.deleteSeries("m", Map("host" -> "gone"))
+      val e2 = new TsdbEngine(spark, s"$dir/db")
+      assert(count(e2, "m") == 1)
+      assert(e2.loadTombstones().size == 1)
+      // the seq counter resumes ABOVE every committed seq (an uncommitted
+      // draw may be reissued — like a WAL, only written entries persist)
+      val maxCommitted = e2.loadTombstones().map {
+        case SeriesTombstone(_, _, s) => s; case t => fail(s"unexpected $t")
+      }.max
+      assert(e2.nextSeq() > maxCommitted, "seq high-water mark must survive restart")
+    }
+  }
+
+  test("time travel: readAt older version; restoreVersion rolls back in place") {
+    withDir { dir =>
+      val e = new TsdbEngine(spark, s"$dir/db")
+      e.putBatch(Seq(pt("m", "h1", 1000L, 1.0)))
+      val v1 = e.version
+      e.putBatch(Seq(pt("m", "h1", 2000L, 2.0)))
+      assert(e.loadPoints().get.count() == 2)
+      assert(e.readAt(v1).count() == 1)
+      assert(e.restoreVersion(v1).isRight)
+      assert(e.loadPoints().get.count() == 1)
+      assert(count(e, "m") == 1)
+    }
+  }
+
+  test("date partitioning: one directory per day, vacuum drops compacted files") {
+    withDir { dir =>
+      val e = new TsdbEngine(spark, s"$dir/db")
+      val day = TsdbEngine.DayNs
+      e.putBatch(Seq(pt("m", "h1", 5L, 1.0), pt("m", "h1", day + 5L, 2.0),
+        pt("m", "h1", 2 * day + 5L, 3.0)))
+      val dates = Files.list(Paths.get(s"$dir/db/data/metric=m")).iterator()
+      val dateDirs = new scala.collection.mutable.ArrayBuffer[String]
+      dates.forEachRemaining(p => dateDirs += p.getFileName.toString)
+      assert(dateDirs.sorted == Seq("date=1970-01-01", "date=1970-01-02", "date=1970-01-03"))
+      // overwrite one point, compact: merge materialized, old files vacuumed
+      e.putBatch(Seq(pt("m", "h1", 5L, 10.0)))
+      val before = Files.walk(Paths.get(s"$dir/db/data")).iterator()
+      var nBefore = 0
+      before.forEachRemaining(p => if (p.toString.endsWith(".parquet")) nBefore += 1)
+      e.compact()
+      var nAfter = 0
+      Files.walk(Paths.get(s"$dir/db/data")).iterator()
+        .forEachRemaining(p => if (p.toString.endsWith(".parquet")) nAfter += 1)
+      assert(nAfter < nBefore, s"vacuum must shrink storage ($nBefore -> $nAfter)")
+      assert(count(e, "m") == 3)
+      val vals = e.query(QueryParams("m", startNs = 0L, endNs = Some(day)))
+        .select(col("fields").getItem("value").getField("d")).collect().map(_.getDouble(0))
+      assert(vals.toSeq == Seq(10.0))
+    }
+  }
+
+  test("incremental snapshot: second snapshot copies only new files") {
+    withDir { dir =>
+      val e = new TsdbEngine(spark, s"$dir/db")
+      e.putBatch(Seq(pt("m", "h1", 1000L, 1.0)))
+      val snapDir = s"$dir/snap"
+      e.snapshot(snapDir)
+      val firstCopy = Files.walk(Paths.get(s"$snapDir/data")).iterator()
+      val mtimes = new scala.collection.mutable.HashMap[String, Long]
+      firstCopy.forEachRemaining { p =>
+        if (p.toString.endsWith(".parquet"))
+          mtimes(p.toString) = Files.getLastModifiedTime(p).toMillis
+      }
+      assert(mtimes.nonEmpty)
+      Thread.sleep(20)
+      e.putBatch(Seq(pt("m", "h1", 2000L, 2.0)))
+      e.snapshot(snapDir)
+      // previously-copied files were NOT rewritten (same mtime)...
+      mtimes.foreach { case (p, t) =>
+        assert(Files.getLastModifiedTime(Paths.get(p)).toMillis == t,
+          s"unchanged file recopied: $p")
+      }
+      // ...and restore from the incremental snapshot sees both points
+      val e2 = new TsdbEngine(spark, s"$dir/db2")
+      assert(e2.restore(snapDir, overwrite = true).isRight)
+      assert(count(e2, "m") == 2)
+    }
+  }
+
+  test("commit log race: two writers never drop a commit") {
+    withDir { dir =>
+      val log = new TxLog(s"$dir/_log")
+      val threads = (0 until 4).map { t =>
+        new Thread(() => (0 until 10).foreach { i =>
+          log.commit(v => LogCommit(v, adds = Seq(s"t$t-$i"), maxSeq = 0L))
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val s = log.replay()
+      assert(s.version == 40L)
+      assert(s.files.size == 40, "every add from every writer must survive")
+    }
+  }
+}
