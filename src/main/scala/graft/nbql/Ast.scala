@@ -16,6 +16,14 @@ final case class PushStatement(
     fields: Map[String, FieldValue],
     atNs: Option[Long]) extends Statement
 
+/** `PUSHS item[, item…]` — the batch push. In the reference PUSHS is a
+  * binary-framed command (`api/nbql/nbql.go:100,631`,
+  * `server/tcp_connection_handler.go:134-151`) carrying N point items
+  * that execute as ONE batch; this text form is its grammar projection
+  * (each item has PUSH's shape), and the executor applies the whole
+  * batch in a single storage commit. */
+final case class PushsStatement(items: Seq[PushStatement]) extends Statement
+
 /** `QUERY m [FROM a TO b | FROM RELATIVE(d)] [TAGGED(…)]
   *  [AGGREGATE [BY iv] (f(x) [AS a],…)] [EMIT EMPTY WINDOWS]
   *  [ASC|DESC] [LIMIT n] [AFTER cursor]` */

@@ -2,7 +2,7 @@ package graft.nbql
 
 import graft.model.DataPoint
 import graft.tsdb._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 
 /** NBQL executor: parse → AST → engine calls, mirroring
   * `api/nbql/executor.go:131-172` (QUERY), `:174-205` (REMOVE),
@@ -12,15 +12,32 @@ import org.apache.spark.sql.DataFrame
   * row-at-a-time TCP/gRPC transport (S9) is a serving-layer concern on
   * top of `toLocalIterator`. `LIMIT` is enforced here (the reference
   * engine never truncates and only uses it for cursor bookkeeping —
-  * SURVEY §2.5 W2 treats that as a bug and enforces). */
+  * SURVEY §2.5 W2 treats that as a bug and enforces).
+  *
+  * Pagination: like the reference (`api/nbql/executor.go:349-351`), a
+  * LIMITed query's response carries NextCursor — the (timestamp, series
+  * key) of the last delivered row, base64-framed — whenever the page was
+  * full; feed it back via `AFTER` for the next page. [[Rows.page]] is
+  * the serving-layer collect that computes it. */
 class NbqlExecutor(engine: TsdbEngine, snapshotDir: String => String = identity) {
 
   /** Injectable clock for RELATIVE queries (determinism in tests). */
   @volatile var nowNs: Option[Long] = None
 
   sealed trait ExecResult
-  final case class Rows(df: DataFrame) extends ExecResult
+  /** A result-set statement. `df` is the full lazy frame (the engine
+    * seam); `page()` collects it and returns the rows plus the cursor to
+    * resume AFTER, when one exists. */
+  final case class Rows(df: DataFrame,
+      private val cursorOf: Array[Row] => Option[String]) extends ExecResult {
+    def page(): (Array[Row], Option[String]) = {
+      val rows = df.collect()
+      (rows, cursorOf(rows))
+    }
+  }
   final case class Ack(message: String) extends ExecResult
+
+  private val noCursor: Array[Row] => Option[String] = _ => None
 
   def execute(nbql: String): Either[String, ExecResult] =
     NbqlParser.parse(nbql).flatMap(run)
@@ -37,10 +54,19 @@ class NbqlExecutor(engine: TsdbEngine, snapshotDir: String => String = identity)
       Right(out.result())
     }
 
+  private def toPoint(p: PushStatement): DataPoint = {
+    val ts = p.atNs.getOrElse(nowNs.getOrElse(System.currentTimeMillis() * 1000000L))
+    DataPoint(p.metric, p.tags, ts, p.fields)
+  }
+
   def run(st: Statement): Either[String, ExecResult] = st match {
-    case PushStatement(metric, tags, fields, at) =>
-      val ts = at.getOrElse(nowNs.getOrElse(System.currentTimeMillis() * 1000000L))
-      engine.put(DataPoint(metric, tags, ts, fields)).map(n => Ack(s"OK $n"))
+    case p: PushStatement =>
+      engine.putBatch(Seq(toPoint(p))).map(n => Ack(s"OK $n"))
+
+    /** The batch fast path: N items → ONE storage commit (the binary
+      * PUSHS frame's semantics, `server/tcp_connection_handler.go:134`). */
+    case PushsStatement(items) =>
+      engine.putBatch(items.map(toPoint)).map(n => Ack(s"OK $n"))
 
     case q: QueryStatement =>
       val unknown = q.aggs.find(s =>
@@ -64,7 +90,19 @@ class NbqlExecutor(engine: TsdbEngine, snapshotDir: String => String = identity)
         limit = q.limit,
         afterKey = q.after.map(Cursor.decode),
         nowNs = nowNs)
-      Right(Rows(engine.query(params)))
+      val cursorOf: Array[Row] => Option[String] =
+        if (params.isFinalAgg || params.limit.isEmpty) noCursor
+        else { rows =>
+          // a full page means more may follow — resume after its last row
+          // (`executor.go:349-351` emits the cursor alongside the rows)
+          if (params.limit.contains(rows.length.toLong) && rows.nonEmpty) {
+            val last = rows.last
+            val tsField = if (params.isDownsample) "window_start" else "timestamp"
+            Some(Cursor(last.getAs[Long](tsField),
+              last.getAs[String]("series_key")).encode)
+          } else None
+        }
+      Right(Rows(engine.query(params), cursorOf))
 
     case RemoveSeriesStatement(m, tg) =>
       engine.deleteSeries(m, tg); Right(Ack("OK"))
@@ -73,9 +111,9 @@ class NbqlExecutor(engine: TsdbEngine, snapshotDir: String => String = identity)
     case RemoveRangeStatement(m, tg, a, b) =>
       engine.deleteRange(m, tg, a, b); Right(Ack("OK"))
 
-    case ShowMetricsStatement => Right(Rows(engine.showMetrics()))
-    case ShowTagKeysStatement(m) => Right(Rows(engine.showTagKeys(m)))
-    case ShowTagValuesStatement(m, k) => Right(Rows(engine.showTagValues(m, k)))
+    case ShowMetricsStatement => Right(Rows(engine.showMetrics(), noCursor))
+    case ShowTagKeysStatement(m) => Right(Rows(engine.showTagKeys(m), noCursor))
+    case ShowTagValuesStatement(m, k) => Right(Rows(engine.showTagValues(m, k), noCursor))
 
     case FlushStatement(_) =>
       // memtable/disk flush is meaningless on parquet storage; compaction

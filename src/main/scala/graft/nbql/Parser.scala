@@ -54,12 +54,19 @@ object NbqlParser extends RegexParsers {
   private val setPair: Parser[(String, FieldValue)] =
     (name <~ "=") ~ fieldValue ^^ { case k ~ v => k -> v }
 
-  private val push: Parser[PushStatement] =
-    kw("PUSH") ~> name ~ opt(tagged) ~
+  private val pushItem: Parser[PushStatement] =
+    name ~ opt(tagged) ~
       (kw("SET") ~> "(" ~> repsep(setPair, ",") <~ ")") ~
       opt(kw("AT") ~> longNum) ^^ {
       case m ~ tg ~ fs ~ at => PushStatement(m, tg.getOrElse(Map.empty), fs.toMap, at)
     }
+
+  private val push: Parser[PushStatement] = kw("PUSH") ~> pushItem
+
+  /** Batch push — text form of the reference's binary PUSHS frame
+    * (`api/nbql/nbql.go:631`): N PUSH-shaped items, one storage commit. */
+  private val pushs: Parser[PushsStatement] =
+    kw("PUSHS") ~> rep1sep(pushItem, ",") ^^ PushsStatement
 
   /** `avg(load1)`, `count(*)`, `p99.9(lat) AS p_lat` */
   private val aggSpec: Parser[AggSpec] =
@@ -131,7 +138,7 @@ object NbqlParser extends RegexParsers {
     }
 
   private val statement: Parser[Statement] =
-    (push | query | remove | show | flush | snapshotRestore) <~ opt(";")
+    (pushs | push | query | remove | show | flush | snapshotRestore) <~ opt(";")
 
   def parse(input: String): Either[String, Statement] =
     parseAll(statement, input) match {

@@ -72,6 +72,17 @@ class NbqlParserSpec extends SparkSpec {
     assert(NbqlParser.parse("PUSH m").isLeft) // SET is mandatory
     assert(NbqlParser.parse("FETCH x").isLeft)
   }
+
+  test("PUSHS: batch of PUSH-shaped items") {
+    val st = p("""PUSHS cpu TAGGED (h="a") SET (v=1.0) AT 10,
+                  cpu TAGGED (h="b") SET (v=2.0) AT 20,
+                  mem SET (v=3.0) AT 30""")
+    val b = st.asInstanceOf[PushsStatement]
+    assert(b.items.size == 3)
+    assert(b.items(0).metric == "cpu" && b.items(0).tags == Map("h" -> "a"))
+    assert(b.items(2).metric == "mem" && b.items(2).atNs.contains(30L))
+    assert(NbqlParser.parse("PUSHS").isLeft) // at least one item
+  }
 }
 
 /** End-to-end: NBQL strings against a live engine on a temp dir —
@@ -172,6 +183,49 @@ class NbqlExecutorSpec extends SparkSpec {
     withEngine { (_, ex) =>
       val res = ex.execute("PUSH \"\" SET (v=1.0)")
       assert(res.isLeft)
+    }
+  }
+
+  test("PUSHS executes the whole batch as ONE storage commit") {
+    withEngine { (eng, ex) =>
+      val v0 = eng.version
+      assert(ex.execute(
+        """PUSHS cpu TAGGED (h="a") SET (v=1.0) AT 10,
+          |      cpu TAGGED (h="a") SET (v=2.0) AT 20,
+          |      cpu TAGGED (h="b") SET (v=3.0) AT 30""".stripMargin)
+        .exists { case a: ex.Ack @unchecked => a.message == "OK 3"; case _ => false })
+      assert(eng.version == v0 + 1, "batch push must be a single commit")
+      assert(rows(ex, "QUERY cpu FROM 0 TO 100").size == 3)
+    }
+  }
+
+  test("LIMIT pages end-to-end using only returned NextCursors") {
+    withEngine { (eng, ex) =>
+      for (i <- 1 to 10)
+        assert(ex.execute(
+          s"""PUSH m TAGGED (k="a") SET (v=$i.0) AT ${i * 100}""").isRight)
+      def pageAfter(cursor: Option[String]): (Seq[Long], Option[String]) = {
+        val after = cursor.map(c => s" AFTER $c").getOrElse("")
+        ex.execute(s"QUERY m FROM 0 TO 99999 LIMIT 3$after") match {
+          case Right(r: ex.Rows @unchecked) =>
+            val (rows, next) = r.page()
+            (rows.map(_.getAs[Long]("timestamp")).toSeq, next)
+          case other => fail(s"$other")
+        }
+      }
+      val all = scala.collection.mutable.ArrayBuffer[Long]()
+      var cursor: Option[String] = None
+      var pages = 0
+      var done = false
+      while (!done && pages < 10) {
+        val (ts, next) = pageAfter(cursor)
+        all ++= ts
+        pages += 1
+        if (next.isEmpty) done = true else cursor = next
+      }
+      assert(all.toSeq == (1 to 10).map(_ * 100L),
+        "cursor walk must deliver every row exactly once, in order")
+      assert(pages == 4, s"10 rows at LIMIT 3 = 4 pages, got $pages")
     }
   }
 
