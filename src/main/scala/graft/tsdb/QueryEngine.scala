@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
   *  - A1/A2 aggregation = groupBy with the `AggFunctions` registry.
   *
   * At 100 TB the plan shape matters: the only shuffle is the single
-  * hash-partition by series key (dedup + downsample share it — Catalyst
-  * reuses the exchange because both key sets start with `series_key`),
+  * hash-partition on (series_key, time-bucket) — dedup + downsample share
+  * it because the exchange key is a subset of both clusterings, and the
+  * time component spreads a hot series across tasks (skew salting) —
   * aggregation is partial+final (map-side combine), and the scan carries
   * pushed filters for metric/tags/time so partition+row-group pruning does
   * what the LSM's bloom filters and key-range checks did.
@@ -128,8 +129,15 @@ object QueryEngine {
     applyTombstones(deduped, tombstones)
   }
 
-  /** Full pipeline. `points` must have the canonical storage schema. */
-  def run(points: DataFrame, p: QueryParams, tombstones: Seq[Tombstone] = Nil): DataFrame = {
+  /** Test seam: `false` restores series_key-only partitioning so the
+    * property suite can prove time-salting changes plans, never results. */
+  private[graft] var timeSalting: Boolean = true
+
+  /** Steps 1-3 of the pipeline: series resolution, time range, series key,
+    * and the single skew-safe hash-repartition. Split out so specs can
+    * observe the partitioning directly (spark_partition_id spread).
+    * Returns the partitioned frame plus the resolved [start, end]. */
+  private[graft] def partitionedInput(points: DataFrame, p: QueryParams): (DataFrame, Long, Long) = {
     // 1. series resolution: metric + tag equality (AND of equalities — the
     //    reference's bitmap intersection, `indexer/tag_index_manager2.go:247-280`)
     var df = points.filter(col("metric") === p.metric)
@@ -146,19 +154,46 @@ object QueryEngine {
       df = df.filter(col("date").between(
         TsdbEngine.dayStr(startNs), TsdbEngine.dayStr(endNs)))
 
-    // 3. series key + latest-version dedup (M1).
-    //    One explicit hash-repartition on series_key ALONE: hash(sk) is a
-    //    subset of both downstream clusterings — the dedup window's
-    //    (sk, ts) and the downsample groupBy's (sk, window) — so
-    //    EnsureRequirements inserts no further exchange and the whole
-    //    merge+aggregate pipeline runs off a single shuffle (vs 2-3
-    //    otherwise). Parallelism unit = series, like the reference's
-    //    per-series iterators; a pathologically hot single series would
-    //    need salting, which downsampling could shard by window bucket.
+    // 3. series key + ONE explicit hash-repartition whose key set is a
+    //    syntactic subset of every downstream clustering — the dedup
+    //    window's and the downsample groupBy's — so EnsureRequirements
+    //    inserts no further exchange and the whole merge+aggregate
+    //    pipeline runs off a single shuffle (vs 2-3 otherwise). The key
+    //    always carries a TIME component next to series_key — the window
+    //    bucket when downsampling, the raw timestamp otherwise — so a
+    //    pathologically hot series (one key holding most rows) spreads
+    //    across tasks instead of serializing into one. `window_start` is
+    //    computed HERE, before the shuffle, and reused downstream:
+    //    recomputing it post-shuffle would re-alias the attribute and
+    //    orphan the child partitioning (= a second exchange).
     df = df.withColumn("series_key", seriesKeyCol(col("metric"), col("tags")))
-      .repartition(col("series_key"))
-    val w = Window.partitionBy(col("series_key"), col("timestamp"))
-      .orderBy(col("seq").desc)
+    val timeKey =
+      if (p.isDownsample) {
+        val interval = p.downsampleNs.get
+        require(interval > 0, "downsample interval must be > 0")
+        df = df.withColumn("window_start",
+          col("timestamp") - pmod(col("timestamp"), lit(interval)))
+        col("window_start")
+      } else col("timestamp")
+    val partitioned =
+      if (timeSalting) df.repartition(col("series_key"), timeKey)
+      else df.repartition(col("series_key"))
+    (partitioned, startNs, endNs)
+  }
+
+  /** Full pipeline. `points` must have the canonical storage schema. */
+  def run(points: DataFrame, p: QueryParams, tombstones: Seq[Tombstone] = Nil): DataFrame = {
+    val (input, startNs, endNs) = partitionedInput(points, p)
+    var df = input
+
+    //    latest-version dedup (M1). For downsample the window adds the
+    //    (ts-functional, hence semantics-preserving) window_start key so
+    //    hash(sk, window_start) satisfies its clustering without a new
+    //    exchange.
+    val dedupKeys =
+      if (p.isDownsample) Seq(col("series_key"), col("window_start"), col("timestamp"))
+      else Seq(col("series_key"), col("timestamp"))
+    val w = Window.partitionBy(dedupKeys: _*).orderBy(col("seq").desc)
     df = df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
 
     // 4. tombstone elision (M2-M4)
@@ -231,15 +266,15 @@ object QueryEngine {
     * the result emits its empty windows, not just the last-seen one). */
   private def downsample(df: DataFrame, p: QueryParams, startNs: Long, endNs: Long): DataFrame = {
     val interval = p.downsampleNs.get
-    require(interval > 0, "downsample interval must be > 0")
     val aligned = startNs - floorMod(startNs, interval)
     // last emitted window start: largest multiple of interval < endNs
     val lastW = if (endNs <= aligned) aligned
                 else aligned + ((endNs - 1 - aligned) / interval) * interval
 
-    val bucketed = df
-      .withColumn("window_start", col("timestamp") - pmod(col("timestamp"), lit(interval)))
-      .filter(col("window_start") <= lastW)
+    // `window_start` was computed upstream of the shuffle (partitionedInput)
+    // precisely so this groupBy rides the same exchange — reuse, don't
+    // recompute (a fresh alias would orphan the child partitioning).
+    val bucketed = df.filter(col("window_start") <= lastW)
     val aggd = bucketed
       .groupBy(col("series_key"), col("window_start"))
       .agg(first(col("metric")).as("metric"),

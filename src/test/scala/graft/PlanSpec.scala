@@ -39,10 +39,42 @@ class PlanSpec extends SparkSpec {
 
   test("downsample pipeline runs off a single data shuffle") {
     val p = plan("tsdb_downsample_1h")
-    // one hash exchange (series_key) + one range exchange (presentation sort)
+    // one hash exchange (series_key, window_start) + one range exchange
+    // (presentation sort)
     assert(countIn(p, "Exchange hashpartitioning") == 1, p.linesIterator
       .filter(_.contains("Exchange")).mkString("\n"))
     assert(countIn(p, "Exchange rangepartitioning") <= 1)
+    // the exchange key must carry the window bucket: that's what spreads a
+    // hot series across tasks instead of one (skew salting)
+    val ex = p.linesIterator.find(_.contains("Exchange hashpartitioning")).get
+    assert(ex.contains("series_key") && ex.contains("window_start"),
+      s"downsample exchange must key on (series_key, window_start): $ex")
+  }
+
+  test("downsample of a single hot series spreads across tasks") {
+    import graft.tsdb._
+    import org.apache.spark.sql.functions.spark_partition_id
+    import spark.implicits._
+    // ONE series, 500 points over 100 windows — the pathological skew case
+    val pts = (0 until 500).map(i =>
+      TP("hot", Map("h" -> "1"), i.toLong, Map("v" -> FV.dv(1.0)), i.toLong))
+    val df = pts.toDF()
+    val params = QueryParams("hot", startNs = 0, endNs = Some(500),
+      downsampleNs = Some(5L), aggs = Seq(AggSpec("sum", "v")))
+    // AQE's size-based coalescing folds this tiny shuffle to one partition
+    // (at real scale it would keep many); disable it to observe KEY spread
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val (salted, _, _) = QueryEngine.partitionedInput(df, params)
+      val spread = salted.select(spark_partition_id()).distinct().count()
+      assert(spread > 1, s"hot series must spread across tasks, got $spread partition(s)")
+      QueryEngine.timeSalting = false
+      try {
+        val (unsalted, _, _) = QueryEngine.partitionedInput(df, params)
+        assert(unsalted.select(spark_partition_id()).distinct().count() == 1,
+          "series_key-only partitioning must serialize a single series (the bug being fixed)")
+      } finally QueryEngine.timeSalting = true
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
   }
 
   test("raw scan: one shuffle, ordered limit uses TakeOrdered") {

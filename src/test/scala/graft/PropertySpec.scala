@@ -105,6 +105,27 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("time-salted partitioning changes plans, never results") {
+    // same random query evaluated with the (series_key, time) skew-safe
+    // exchange and with the legacy series_key-only exchange — identical
+    // rows prove the salt is partitioning-only (window keys stay correct)
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(genPoint), Gen.choose(1L, 5L)) {
+      (rawPts: List[MPoint], interval: Long) =>
+      val pts = rawPts.zipWithIndex.map { case (p, i) => p.copy(seq = i.toLong) }
+      def results(params: QueryParams, salted: Boolean): Seq[String] = {
+        QueryEngine.timeSalting = salted
+        try QueryEngine.run(toDf(pts), params).collect().toSeq.map(_.toString).sorted
+        finally QueryEngine.timeSalting = true
+      }
+      val ds = QueryParams("m1", startNs = 0L, endNs = Some(16L),
+        downsampleNs = Some(interval),
+        aggs = Seq(AggSpec("sum", "v"), AggSpec("count", "*")))
+      val raw = QueryParams("m1", startNs = 0L, endNs = Some(16L))
+      results(ds, salted = true) == results(ds, salted = false) &&
+        results(raw, salted = true) == results(raw, salted = false)
+    })
+  }
+
   test("downsample sum/count == reference model bucketing") {
     check(Prop.forAllNoShrink(Gen.nonEmptyListOf(genPoint), Gen.choose(1L, 5L)) {
       (rawPts: List[MPoint], interval: Long) =>
