@@ -27,17 +27,21 @@ class NbqlExecutor(engine: TsdbEngine, snapshotDir: String => String = identity)
   sealed trait ExecResult
   /** A result-set statement. `df` is the full lazy frame (the engine
     * seam); `page()` collects it and returns the rows plus the cursor to
-    * resume AFTER, when one exists. */
+    * resume AFTER, when one exists. A streaming caller (S9) instead
+    * iterates `df` row-at-a-time and calls [[nextCursor]] with the count
+    * delivered and the last row — no driver materialization. */
   final case class Rows(df: DataFrame,
-      private val cursorOf: Array[Row] => Option[String]) extends ExecResult {
+      private val cursorOf: (Long, Option[Row]) => Option[String]) extends ExecResult {
     def page(): (Array[Row], Option[String]) = {
       val rows = df.collect()
-      (rows, cursorOf(rows))
+      (rows, cursorOf(rows.length.toLong, rows.lastOption))
     }
+    def nextCursor(delivered: Long, last: Option[Row]): Option[String] =
+      cursorOf(delivered, last)
   }
   final case class Ack(message: String) extends ExecResult
 
-  private val noCursor: Array[Row] => Option[String] = _ => None
+  private val noCursor: (Long, Option[Row]) => Option[String] = (_, _) => None
 
   def execute(nbql: String): Either[String, ExecResult] =
     NbqlParser.parse(nbql).flatMap(run)
@@ -90,17 +94,16 @@ class NbqlExecutor(engine: TsdbEngine, snapshotDir: String => String = identity)
         limit = q.limit,
         afterKey = q.after.map(Cursor.decode),
         nowNs = nowNs)
-      val cursorOf: Array[Row] => Option[String] =
+      val cursorOf: (Long, Option[Row]) => Option[String] =
         if (params.isFinalAgg || params.limit.isEmpty) noCursor
-        else { rows =>
+        else { (delivered, lastRow) =>
           // a full page means more may follow — resume after its last row
           // (`executor.go:349-351` emits the cursor alongside the rows)
-          if (params.limit.contains(rows.length.toLong) && rows.nonEmpty) {
-            val last = rows.last
+          lastRow.filter(_ => params.limit.contains(delivered)).map { last =>
             val tsField = if (params.isDownsample) "window_start" else "timestamp"
-            Some(Cursor(last.getAs[Long](tsField),
-              last.getAs[String]("series_key")).encode)
-          } else None
+            Cursor(last.getAs[Long](tsField),
+              last.getAs[String]("series_key")).encode
+          }
         }
       Right(Rows(engine.query(params), cursorOf))
 

@@ -1,0 +1,197 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.nbql._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+/** The serving layer (S10): `POST /api/nbql` with `{"query": "<nbql>"}`,
+  * mirroring the reference's HTTP endpoint (`server/http_server.go:37,
+  * 105-155`) — built on the JDK's `com.sun.net.httpserver` so the library
+  * adds no dependencies.
+  *
+  * Responses (shapes follow `api/nbql/nbql.go:126-141`):
+  *  - acks:    `{"status":"ok","message":"OK 3"}`
+  *  - queries: `{"status":"ok","results":[…],"row_count":N,
+  *              "next_cursor":"…"}` — next_cursor only when LIMIT filled
+  *              the page (`api/nbql/executor.go:349-351`)
+  *  - errors:  400 parse / 401 unauthenticated / 403 role / 405 method /
+  *             500 execution, body `{"status":"error","error":"…"}`
+  *
+  * `?stream=1` switches a query to chunked NDJSON — one JSON object per
+  * row pulled through `Dataset.toLocalIterator`, then a trailer line
+  * `{"done":true,"row_count":N,"next_cursor":…}`. That is S9's row
+  * streaming (the reference's framed TCP parts,
+  * `server/tcp_connection_handler.go:183-210`) without materializing the
+  * result on the driver: partitions stream as they finish, memory is
+  * O(one partition).
+  *
+  * Auth (optional): HTTP Basic against the binary user file
+  * (`auth/authenticator.go`); QUERY/SHOW need `reader`, everything that
+  * mutates needs `writer`. */
+final class GraftHttpServer(executor: NbqlExecutor, port: Int = 0,
+    authenticator: Option[Authenticator] = None) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.createContext("/api/nbql", (ex: HttpExchange) => handle(ex))
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+  /** actual bound port (pass port=0 for an ephemeral one in tests). */
+  def boundPort: Int = server.getAddress.getPort
+
+  private def requiredRole(st: Statement): String = st match {
+    case _: QueryStatement | _: ShowStatement => Auth.RoleReader
+    case _ => Auth.RoleWriter
+  }
+
+  private def reply(ex: HttpExchange, code: Int, jv: JValue): Unit = {
+    val body = JsonMethods.compact(JsonMethods.render(jv)).getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, body.length.toLong)
+    ex.getResponseBody.write(body)
+    ex.close()
+  }
+
+  private def err(ex: HttpExchange, code: Int, msg: String): Unit =
+    reply(ex, code, JObject("status" -> JString("error"), "error" -> JString(msg)))
+
+  private def basicUser(ex: HttpExchange, auth: Authenticator): Option[Auth.UserRecord] =
+    for {
+      header <- Option(ex.getRequestHeaders.getFirst("Authorization"))
+      if header.startsWith("Basic ")
+      decoded <- scala.util.Try(new String(
+        Base64.getDecoder.decode(header.stripPrefix("Basic ")), UTF_8)).toOption
+      colon = decoded.indexOf(':') if colon >= 0
+      user <- auth.authenticate(decoded.take(colon), decoded.drop(colon + 1))
+    } yield user
+
+  private def handle(ex: HttpExchange): Unit =
+    try handleInner(ex)
+    catch { case e: Exception => err(ex, 500, s"internal: ${e.getMessage}") }
+
+  private def handleInner(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") return err(ex, 405, "Only POST is allowed")
+
+    val user = authenticator match {
+      case None => None
+      case Some(a) =>
+        basicUser(ex, a) match {
+          case None =>
+            ex.getResponseHeaders.set("WWW-Authenticate", "Basic realm=\"graft\"")
+            return err(ex, 401, "invalid username or password")
+          case some => some
+        }
+    }
+
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val query = scala.util.Try(JsonMethods.parse(body) \ "query").toOption match {
+      case Some(JString(q)) if q.nonEmpty => q
+      case Some(_) => return err(ex, 400, "Query cannot be empty")
+      case None => return err(ex, 400, "Invalid JSON format")
+    }
+
+    NbqlParser.parse(query) match {
+      case Left(perr) => err(ex, 400, s"Query parsing error: $perr")
+      case Right(st) =>
+        val denied = authenticator.zip(user).collectFirst {
+          case (a, u) if !a.authorize(u, requiredRole(st)) => u
+        }
+        denied match {
+          case Some(u) =>
+            return err(ex, 403,
+              s"user '${u.username}' with role '${u.role}' is not authorized")
+          case None => ()
+        }
+        executor.run(st) match {
+          case Left(eerr) => err(ex, 500, s"Query execution error: $eerr")
+          case Right(a: executor.Ack) =>
+            reply(ex, 200, JObject("status" -> JString("ok"),
+              "message" -> JString(a.message)))
+          case Right(r: executor.Rows) =>
+            val streaming = Option(ex.getRequestURI.getQuery).exists(
+              _.split("&").contains("stream=1"))
+            if (streaming) streamRows(ex, r) else bufferRows(ex, r)
+        }
+    }
+  }
+
+  private def bufferRows(ex: HttpExchange, r: NbqlExecutor#Rows): Unit = {
+    val schema = r.df.schema
+    val (rows, next) = r.page()
+    val fields = List(
+      "status" -> JString("ok"),
+      "results" -> JArray(rows.map(row => RowJson.toJValue(row, schema)).toList),
+      "row_count" -> JLong(rows.length.toLong)) ++
+      next.map(c => "next_cursor" -> JString(c))
+    reply(ex, 200, JObject(fields))
+  }
+
+  /** S9: chunked NDJSON, one row per line via toLocalIterator — rows flow
+    * as partitions complete; nothing is materialized driver-side. */
+  private def streamRows(ex: HttpExchange, r: NbqlExecutor#Rows): Unit = {
+    val schema = r.df.schema
+    ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+    ex.sendResponseHeaders(200, 0) // length 0 = chunked transfer
+    val out = ex.getResponseBody
+    def writeLine(jv: JValue): Unit = {
+      out.write((JsonMethods.compact(JsonMethods.render(jv)) + "\n").getBytes(UTF_8))
+      out.flush()
+    }
+    var delivered = 0L
+    var last: Option[Row] = None
+    try {
+      val it = r.df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        writeLine(RowJson.toJValue(row, schema))
+        delivered += 1
+        last = Some(row)
+      }
+      val trailer = List("done" -> JBool(true), "row_count" -> JLong(delivered)) ++
+        r.nextCursor(delivered, last).map(c => "next_cursor" -> JString(c))
+      writeLine(JObject(trailer))
+    } catch {
+      case e: Exception => // mid-stream failure: error trailer, stream stays valid NDJSON
+        writeLine(JObject("done" -> JBool(false), "error" -> JString(e.getMessage)))
+    } finally ex.close()
+  }
+}
+
+/** Schema-driven Row → json4s rendering (Spark's `toJSON` needs a
+  * serializable Dataset round-trip; this renders driver-side rows from
+  * collect/toLocalIterator directly). */
+private[server] object RowJson {
+  def toJValue(row: Row, schema: StructType): JValue =
+    JObject(schema.fields.toList.zipWithIndex.map { case (f, i) =>
+      f.name -> valueToJ(if (row.isNullAt(i)) null else row.get(i), f.dataType)
+    })
+
+  private def valueToJ(v: Any, dt: DataType): JValue =
+    if (v == null) JNull
+    else dt match {
+      case StringType => JString(v.toString)
+      case LongType | IntegerType | ShortType | ByteType =>
+        JLong(v.asInstanceOf[Number].longValue())
+      case DoubleType | FloatType =>
+        val d = v.asInstanceOf[Number].doubleValue()
+        if (d.isNaN || d.isInfinite) JString(d.toString) else JDouble(d)
+      case BooleanType => JBool(v.asInstanceOf[Boolean])
+      case BinaryType =>
+        JString(Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]]))
+      case MapType(_, vt, _) =>
+        JObject(v.asInstanceOf[scala.collection.Map[Any, Any]].toList
+          .map { case (k, x) => k.toString -> valueToJ(x, vt) }
+          .sortBy(_._1))
+      case ArrayType(et, _) =>
+        JArray(v.asInstanceOf[scala.collection.Seq[Any]].toList.map(valueToJ(_, et)))
+      case st: StructType => toJValue(v.asInstanceOf[Row], st)
+      case _ => JString(v.toString)
+    }
+}

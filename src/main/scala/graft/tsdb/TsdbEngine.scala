@@ -55,7 +55,19 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
 
   private def refresh(): Unit = synchronized {
     snap = log.replay(snap)
+    // a follower that picked up foreign commits must never mint a seq at
+    // or below the observed high-water mark (matters on writer promotion)
+    seqCounter.updateAndGet(cur => math.max(cur, snap.maxSeq))
   }
+
+  /** Pick up commits made by OTHER engine instances on the same root.
+    * This is the replication story (reference `replication/`): the commit
+    * log over shared storage IS the WAL shipped to followers — a replica
+    * is just another `TsdbEngine` on the same directory calling `sync()`,
+    * and it observes each commit atomically (never a torn file set),
+    * because readers only see manifest-listed files. Returns the version
+    * now visible. */
+  def sync(): Long = { refresh(); version }
 
   def nextSeq(): Long = seqCounter.incrementAndGet()
 

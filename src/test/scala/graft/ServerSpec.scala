@@ -1,0 +1,151 @@
+package graft
+
+import graft.nbql.NbqlExecutor
+import graft.server.{Auth, Authenticator, GraftHttpServer}
+import graft.tsdb.TsdbEngine
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+/** The serving layer over a REAL socket — the analog of the reference's
+  * `server/e2e_test.go` + `server/app_server_tcp_test.go`: HTTP POST
+  * /api/nbql, buffered + NDJSON streaming responses, NextCursor paging,
+  * user-file auth accept/reject, reader/writer role enforcement. */
+class ServerSpec extends SparkSpec {
+
+  private val client = HttpClient.newHttpClient()
+
+  def withServer(auth: Option[Authenticator] = None)(
+      f: (NbqlExecutor, Int) => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_srv").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    val ex = new NbqlExecutor(eng)
+    ex.nowNs = Some(10_000_000_000L)
+    val srv = new GraftHttpServer(ex, port = 0, authenticator = auth)
+    srv.start()
+    try f(ex, srv.boundPort)
+    finally {
+      srv.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  def post(port: Int, nbql: String, stream: Boolean = false,
+      basic: Option[(String, String)] = None): HttpResponse[String] = {
+    val suffix = if (stream) "?stream=1" else ""
+    val body = JsonMethods.compact(JsonMethods.render(JObject("query" -> JString(nbql))))
+    var b = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/api/nbql$suffix"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    basic.foreach { case (u, p) =>
+      b = b.header("Authorization", "Basic " + Base64.getEncoder
+        .encodeToString(s"$u:$p".getBytes(UTF_8)))
+    }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  def json(r: HttpResponse[String]): JValue = JsonMethods.parse(r.body)
+
+  test("POST /api/nbql: push acks, buffered query returns typed rows") {
+    withServer() { (_, port) =>
+      val ack = post(port,
+        """PUSHS cpu TAGGED (h="a") SET (v=1.5) AT 1000, cpu TAGGED (h="a") SET (v=2.5) AT 2000""")
+      assert(ack.statusCode() == 200)
+      assert((json(ack) \ "message") == JString("OK 2"))
+
+      val q = post(port, "QUERY cpu FROM 0 TO 5000")
+      assert(q.statusCode() == 200)
+      val j = json(q)
+      assert((j \ "status") == JString("ok"))
+      assert((j \ "row_count") == JInt(2))
+      val results = (j \ "results").asInstanceOf[JArray].arr
+      assert(results.map(r => r \ "timestamp") == List(JInt(1000), JInt(2000)))
+      assert((results.head \ "fields" \ "v" \ "d") == JDouble(1.5))
+      assert((results.head \ "tags" \ "h") == JString("a"))
+      // no LIMIT → no cursor
+      assert((j \ "next_cursor") == JNothing)
+    }
+  }
+
+  test("errors: bad JSON 400, parse error 400, wrong method 405") {
+    withServer() { (_, port) =>
+      val bad = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${port}/api/nbql"))
+        .POST(HttpRequest.BodyPublishers.ofString("not json"))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() == 400)
+
+      assert(post(port, "FETCH nope").statusCode() == 400)
+
+      val get = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${port}/api/nbql")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(get.statusCode() == 405)
+    }
+  }
+
+  test("streaming: NDJSON rows + done trailer, cursor pages the remainder") {
+    withServer() { (_, port) =>
+      for (i <- 1 to 7)
+        assert(post(port, s"""PUSH m TAGGED (k="x") SET (v=$i.0) AT ${i * 10}""")
+          .statusCode() == 200)
+
+      val r1 = post(port, "QUERY m FROM 0 TO 1000 LIMIT 4", stream = true)
+      assert(r1.statusCode() == 200)
+      assert(r1.headers().firstValue("Content-Type").orElse("")
+        .contains("application/x-ndjson"))
+      val lines1 = r1.body.trim.split("\n").toSeq.map(JsonMethods.parse(_))
+      assert(lines1.size == 5, s"4 rows + trailer: ${r1.body}")
+      assert(lines1.take(4).map(_ \ "timestamp") ==
+        Seq(JInt(10), JInt(20), JInt(30), JInt(40)))
+      val trailer1 = lines1.last
+      assert((trailer1 \ "done") == JBool(true))
+      assert((trailer1 \ "row_count") == JInt(4))
+      val cursor = (trailer1 \ "next_cursor").asInstanceOf[JString].s
+
+      // second page via the returned cursor drains the rest; no cursor after
+      val r2 = post(port, s"QUERY m FROM 0 TO 1000 LIMIT 4 AFTER $cursor", stream = true)
+      val lines2 = r2.body.trim.split("\n").toSeq.map(JsonMethods.parse(_))
+      assert(lines2.dropRight(1).map(_ \ "timestamp") ==
+        Seq(JInt(50), JInt(60), JInt(70)))
+      assert((lines2.last \ "next_cursor") == JNothing)
+    }
+  }
+
+  test("auth: 401 without/with bad credentials, roles gate writes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_users").toString
+    val userFile = s"$dir/users.db"
+    Auth.writeUserFile(userFile, Seq(
+      Auth.UserRecord("admin", Auth.hashPassword("s3cret", Auth.HashSha256), Auth.RoleWriter),
+      Auth.UserRecord("viewer", Auth.hashPassword("viewpass", Auth.HashSha256), Auth.RoleReader)))
+    // file round-trips through the reference's binary layout
+    val (users, hashType) = Auth.readUserFile(userFile)
+    assert(users.keySet == Set("admin", "viewer") && hashType == Auth.HashSha256)
+
+    withServer(Some(Authenticator.fromFile(userFile))) { (_, port) =>
+      assert(post(port, "SHOW METRICS").statusCode() == 401)
+      assert(post(port, "SHOW METRICS", basic = Some("admin" -> "wrong"))
+        .statusCode() == 401)
+      assert(post(port, "SHOW METRICS", basic = Some("ghost" -> "s3cret"))
+        .statusCode() == 401)
+
+      // writer: can write and read
+      assert(post(port, """PUSH cpu SET (v=1.0) AT 5""",
+        basic = Some("admin" -> "s3cret")).statusCode() == 200)
+      assert(post(port, "QUERY cpu FROM 0 TO 10",
+        basic = Some("admin" -> "s3cret")).statusCode() == 200)
+
+      // reader: reads ok, writes 403
+      assert(post(port, "QUERY cpu FROM 0 TO 10",
+        basic = Some("viewer" -> "viewpass")).statusCode() == 200)
+      assert(post(port, """PUSH cpu SET (v=2.0) AT 6""",
+        basic = Some("viewer" -> "viewpass")).statusCode() == 403)
+      assert(post(port, """REMOVE SERIES cpu""",
+        basic = Some("viewer" -> "viewpass")).statusCode() == 403)
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+}
