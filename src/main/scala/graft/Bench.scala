@@ -41,6 +41,14 @@ object Bench {
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // count()-mode pass: Catalyst prunes result projections, so this
+    // UNDERSTATES serving cost — reported only for apples-to-apples
+    // comparison with rounds benched before the materialization fix.
+    val resultsCount = qs.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
     val lat = results.map(_._2).sorted
     def pct(p: Double): Double =
       if (lat.isEmpty) 0.0 else lat(math.min(lat.size - 1, (p * lat.size).toInt))
@@ -84,7 +92,10 @@ object Bench {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp)); ()
     }
 
+    val totalCount = resultsCount.map(_._2).sum
+
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
+      s""""total_count_mode":$totalCount,""" +
       s""""p50":${pct(0.5)},"p90":${pct(0.9)},"p99":${pct(0.99)},""" +
       s""""ingest_rows_per_sec":$ingestRps,"query_qps_cold":$qpsCold,""" +
       s""""query_qps_cached":$qpsCached,""" +

@@ -50,21 +50,37 @@ object Dedup {
     * short and the hot template-shared shingles never enter the index —
     * the standard defense against the quadratic hot-key blowup at scale.
     * Candidates are verified with exact Jaccard over the full sets;
-    * the result is IDENTICAL to the naive all-postings join. */
+    * the result is IDENTICAL to the naive all-postings join.
+    *
+    * Plan shape: with `broadcastDict` (the default — the distinct-shingle
+    * dictionary is orders of magnitude smaller than the postings) the
+    * df-lookup join is a broadcast hash join, so exploded postings never
+    * shuffle on shingle; prefix selection is then ONE hash aggregation on
+    * doc (array_sort of the tiny per-doc (df, s) list + slice) instead of
+    * a sort-based window — no partition-wide sort. Pass
+    * `broadcastDict = false` when the dictionary itself is too large to
+    * broadcast (corpus-of-everything scale); the join then rides the `s`
+    * partitioning the dfreq aggregation already produced. At true 100 TB
+    * scale prefer [[minhashLshPairs]] — this operator is the exact
+    * mid-scale tool and the small-sf oracle anchor. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, broadcastDict: Boolean = true): DataFrame = {
     val sh = shingled(df, idCol, textCol, n)
     // global rarest-first order: document frequency per shingle
     val dfreq = sh.select(explode(col("sh")).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val dict = if (broadcastDict) broadcast(dfreq) else dfreq
     val prefixLen = (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int")
+    // struct ordering is field-wise: (df asc, s asc) == rarest-first
     val posts = sh
       .select(col("doc"), col("nsh"), explode(col("sh")).as("s"))
-      .join(dfreq, "s") // broadcast-able: distinct shingles << postings
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc"))
-          .orderBy(col("df").asc, col("s").asc)))
-      .filter(col("__rk") <= prefixLen)
+      .join(dict, "s")
+      .groupBy(col("doc"))
+      .agg(first(col("nsh")).as("nsh"),
+        array_sort(collect_list(struct(col("df"), col("s")))).as("ranked"))
+      .select(col("doc"),
+        explode(slice(col("ranked"), lit(1), prefixLen)).as("p"))
+      .select(col("doc"), col("p.s").as("s"))
     val a = posts.select(col("s"), col("doc").as("doc_a"))
     val b = posts.select(col("s"), col("doc").as("doc_b"))
     val cand = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
@@ -126,13 +142,17 @@ object Dedup {
     * engine-agnostic (like the string minhash above) so a SQL oracle can
     * reproduce the sketch bit-for-bit from its own md5. */
   def simhash(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    // hoist the 16 hex nibbles into one projection so each conv/substring
+    // is evaluated once per posting (each nibble feeds 4 bit lanes)
     val posts = shingled(df, idCol, textCol, n)
       .select(col("doc"), explode(col("sh")).as("s"))
       .select(col("doc"), md5(col("s")).as("h"))
+      .select(col("doc") +: (0 until 16).map(p =>
+        conv(substring(col("h"), p + 1, 1), 16, 10).cast("int").as(s"n$p")): _*)
     // vote per bit lane: sum of (bit ? 1 : -1) == 2*countSet - count
     val votes = (0 until 64).map { b =>
-      val nib = conv(substring(col("h"), b / 4 + 1, 1), 16, 10).cast("int")
-      sum(when(shiftright(nib, b % 4).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+      sum(when(shiftright(col(s"n${b / 4}"), b % 4).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$b")
     }
     val voted = posts.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
     val sig = (0 until 64).map { b =>

@@ -8,14 +8,16 @@ import org.apache.spark.sql.types._
   * pipelines. Media ride as opaque `binary` columns plus a typed metadata
   * struct; decode/feature steps run partition-parallel over the bytes.
   *
-  * The actual codecs are STUBBED (this container has no image/audio
-  * libraries): `decodeStub` derives small deterministic fake features
-  * from the bytes. Everything Spark-side is real and tested — the
-  * schema, the batch iteration shape (mapPartitions ≙ Python's
-  * `mapInPandas`: one iterator of batches per partition, codec state
-  * initialized once per partition, never per row), and the
-  * partitioning/pushdown behavior (metadata predicates prune before any
-  * byte is touched).
+  * Decode is REAL for images and audio using pure-JDK codecs — no
+  * external dependencies: `javax.imageio` (PNG/JPEG/GIF/BMP → dims +
+  * stride-sampled luminance, plus bilinear [[resizeImage]]) and
+  * `javax.sound.sampled` (WAV/AIFF/AU → duration/rate/channels/RMS over
+  * streamed 16-bit PCM). Video has no JDK codec and falls back to
+  * byte-stat features ([[decodeStub]], kind="opaque") — swap in a real
+  * codec there and the pipeline shape stays put. The Spark side follows
+  * the `mapInPandas` pattern: one iterator per partition, codec state
+  * initialized once per partition (never per row), and metadata
+  * predicates prune before any byte is touched.
   */
 object Multimodal {
 
@@ -74,4 +76,128 @@ object Multimodal {
     df.select(col(idCol),
       octet_length(col(payloadCol)).cast("long").as("n_bytes"),
       md5(col(payloadCol)).as("content_md5"))
+
+  // ---- real decode (pure-JVM codecs, no external deps) ------------------
+
+  /** One decoded row per media item. `kind` is what actually decoded:
+    * "image" (javax.imageio: PNG/JPEG/GIF/BMP), "audio"
+    * (javax.sound.sampled: WAV/AIFF/AU), or "opaque" (undecodable —
+    * byte-stat fallback features only). Video has no JDK codec and lands
+    * in "opaque"; the pipeline shape is identical when a codec is added. */
+  final case class DecodedMedia(media_id: Long, kind: String,
+      width: Int, height: Int, brightness: Double,
+      duration_ms: Long, sample_rate: Int, channels: Int, rms: Double)
+
+  /** Image decode: (width, height, mean luminance in [0,1]). Luminance is
+    * Rec.601 over an at-most-256×256 pixel stride sample, so cost is
+    * bounded per image regardless of resolution. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double)] = {
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val (sx, sy) = (math.max(1, w / 256), math.max(1, h / 256))
+      var sum = 0.0; var n = 0L; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          n += 1; x += sx
+        }
+        y += sy
+      }
+      Some((w, h, if (n == 0) 0.0 else sum / n / 255.0))
+    }
+  }
+
+  /** Audio decode: (duration_ms, sample_rate, channels, rms in [0,1]).
+    * RMS is computed over 16-bit PCM frames (the decoded stream is asked
+    * for PCM_SIGNED 16-bit); frames stream through a fixed buffer. */
+  def decodeAudio(payload: Array[Byte]): Option[(Long, Int, Int, Double)] = {
+    if (payload == null || payload.isEmpty) return None
+    import javax.sound.sampled._
+    try {
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels,
+          2 * fmt.getChannels, fmt.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
+        val nFrames = in.getFrameLength
+        val durationMs =
+          if (nFrames >= 0) (nFrames * 1000.0 / fmt.getFrameRate).toLong else -1L
+        val buf = new Array[Byte](8192)
+        var sumSq = 0.0; var n = 0L
+        var read = pcm.read(buf)
+        while (read > 0) {
+          var i = 0
+          while (i + 1 < read) {
+            val s = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort / 32768.0
+            sumSq += s * s; n += 1; i += 2
+          }
+          read = pcm.read(buf)
+        }
+        Some((durationMs, fmt.getSampleRate.toInt, fmt.getChannels,
+          if (n == 0) 0.0 else math.sqrt(sumSq / n)))
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Resize an image to fit within `maxDim` (aspect preserved), re-encoded
+    * as PNG. Undecodable payloads return None. */
+  def resizeImage(payload: Array[Byte], maxDim: Int): Option[Array[Byte]] = {
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val scale = math.min(1.0, maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+      val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+        math.max(1, (img.getHeight * scale).toInt))
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    }
+  }
+
+  /** The real decode pipeline: per-partition codec setup once (ImageIO
+    * cache off — no temp files on executors), then rows stream through
+    * image → audio → opaque fallback. Narrow transformation, no shuffle;
+    * decode cost is bounded per row (stride-sampled pixels, streamed PCM),
+    * so partition skew only tracks payload size — at 100 TB pair this with
+    * `repartition` on a size bucket if payloads are wildly uneven. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // once per partition
+      it.map { r =>
+        decodeImage(r.payload) match {
+          case Some((w, h, bright)) =>
+            DecodedMedia(r.media_id, "image", w, h, bright, -1L, 0, 0, 0.0)
+          case None => decodeAudio(r.payload) match {
+            case Some((durMs, rate, ch, rms)) =>
+              DecodedMedia(r.media_id, "audio", 0, 0, 0.0, durMs, rate, ch, rms)
+            case None =>
+              val (bright, _) = decodeStub(r.payload)
+              DecodedMedia(r.media_id, "opaque", 0, 0, bright, -1L, 0, 0, 0.0)
+          }
+        }
+      }
+    }
+  }
 }

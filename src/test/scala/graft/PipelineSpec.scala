@@ -87,6 +87,50 @@ class PipelineSpec extends SparkSpec {
     assert(feats(2).n_bytes == 0L)
   }
 
+  test("multimodal: real JDK decode — PNG dims/luminance, WAV duration/RMS, opaque fallback") {
+    // a real 8×4 PNG: left half white, right half black → mean luma 0.5
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0xffffff else 0x000000)
+    val pngBos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pngBos)
+    val png = pngBos.toByteArray
+
+    // a real WAV: 8000 frames @ 8kHz mono 16-bit of a full-scale square
+    // wave → duration 1000 ms, RMS ~1.0
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](8000 * 2)
+    for (i <- 0 until 8000) {
+      val s: Short = if (i % 2 == 0) 32767 else -32767
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val wavBos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 8000L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavBos)
+    val wav = wavBos.toByteArray
+
+    val media = Seq(
+      Multimodal.MediaRow(1L, png, "image/png", 8, 4),
+      Multimodal.MediaRow(2L, wav, "audio/wav", 0, 0),
+      Multimodal.MediaRow(3L, Array.fill[Byte](64)(42), "video/mp4", 0, 0)).toDS()
+    val d = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+
+    assert(d(0).kind == "image" && d(0).width == 8 && d(0).height == 4)
+    assert(math.abs(d(0).brightness - 0.5) < 0.01)
+    assert(d(1).kind == "audio" && d(1).duration_ms == 1000L &&
+      d(1).sample_rate == 8000 && d(1).channels == 1)
+    assert(math.abs(d(1).rms - 1.0) < 0.01)
+    assert(d(2).kind == "opaque") // no JDK video codec — byte-stat fallback
+
+    // resize: 8×4 fit into 4 → 4×2, still a decodable PNG
+    val resized = Multimodal.resizeImage(png, 4).get
+    val (w2, h2, _) = Multimodal.decodeImage(resized).get
+    assert(w2 == 4 && h2 == 2)
+  }
+
   test("lang id + quality score are deterministic and bounded") {
     val docs = graft.tsdb.Tables.load(spark, sf, "documents")
     val q = docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
