@@ -148,4 +148,144 @@ class ServerSpec extends SparkSpec {
     }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  // ---- framed TCP protocol (byte-compatible with the reference) ---------
+
+  import graft.server.{GraftTcpServer, Wire}
+  import graft.model.FieldValue
+  import java.io.DataInputStream
+
+  def withTcp(auth: Option[Authenticator] = None)(
+      f: (java.net.Socket, DataInputStream, java.io.OutputStream) => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tcp").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    val ex = new NbqlExecutor(eng)
+    ex.nowNs = Some(10_000_000_000L)
+    val srv = new GraftTcpServer(ex, port = 0, authenticator = auth)
+    srv.start()
+    val sock = new java.net.Socket("127.0.0.1", srv.boundPort)
+    try f(sock, new DataInputStream(sock.getInputStream), sock.getOutputStream)
+    finally {
+      try sock.close() catch { case _: Exception => () }
+      srv.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("TCP: binary PUSH/PUSHS fast path acks; QUERY streams framed points") {
+    withTcp() { (_, in, out) =>
+      // PUSH one point (binary fast path — no text parsing)
+      Wire.writeFrame(out, Wire.CmdPush, Wire.encodePush(
+        "cpu", Map("h" -> "a"), 1000L,
+        Map("v" -> FieldValue.ofDouble(1.5), "n" -> FieldValue.ofLong(7))))
+      val ack1 = Wire.readFrame(in)
+      assert(ack1.cmd == Wire.CmdManipulate)
+      val a1 = Wire.dis(ack1.payload)
+      assert(a1.readByte() == Wire.StatusOk && a1.readLong() == 1L)
+
+      // PUSHS two points as ONE batch frame
+      val items = Wire.withDOS { o =>
+        o.writeInt(2)
+        Seq(2000L, 3000L).foreach { ts =>
+          o.write(Wire.encodePush("cpu", Map("h" -> "a"), ts,
+            Map("v" -> FieldValue.ofDouble(ts / 1000.0))))
+        }
+      }
+      Wire.writeFrame(out, Wire.CmdPushs, items)
+      val ack2 = Wire.dis(Wire.readFrame(in).payload)
+      assert(ack2.readByte() == Wire.StatusOk && ack2.readLong() == 2L)
+
+      // QUERY streams one frame per row + end trailer with total
+      Wire.writeFrame(out, Wire.CmdQuery,
+        Wire.withDOS(o => Wire.writeString(o, "QUERY cpu FROM 0 TO 5000")))
+      val rows = Iterator.continually(Wire.readFrame(in))
+        .takeWhile(_.cmd == Wire.CmdQueryResultPart).toList
+      val (p1, _) = Wire.decodeQueryResultPart(rows.head.payload)
+      assert(rows.size == 3)
+      assert(p1.metric == "cpu" && p1.tags == Map("h" -> "a") &&
+        p1.timestamp == 1000L && !p1.isAggregated)
+      assert(p1.fields("v") == FieldValue.ofDouble(1.5))
+      assert(p1.fields("n") == FieldValue.ofLong(7)) // int64 survives as int
+      // the takeWhile consumed the QueryEnd frame check: re-issue and drain
+      Wire.writeFrame(out, Wire.CmdQuery,
+        Wire.withDOS(o => Wire.writeString(o, "QUERY cpu FROM 0 TO 5000 LIMIT 2")))
+      var frame = Wire.readFrame(in)
+      var n = 0L
+      var cursor = ""
+      while (frame.cmd == Wire.CmdQueryResultPart) {
+        val (items, c) = Wire.decodeQueryResultParts(frame.payload)
+        if (c.nonEmpty) cursor = c
+        n += items.size
+        frame = Wire.readFrame(in)
+      }
+      assert(frame.cmd == Wire.CmdQueryEnd)
+      val end = Wire.dis(frame.payload)
+      assert(end.readByte() == Wire.StatusDataEnd && end.readLong() == 2L)
+      assert(cursor.nonEmpty, "LIMITed page must carry a next cursor")
+    }
+  }
+
+  test("TCP: aggregated query rides the IsAggregated flag; errors frame 0xEE") {
+    withTcp() { (_, in, out) =>
+      Seq(500L, 1500L, 2500L).foreach { ts =>
+        Wire.writeFrame(out, Wire.CmdPush, Wire.encodePush(
+          "m", Map.empty, ts, Map("value" -> FieldValue.ofDouble(ts.toDouble))))
+        assert(Wire.readFrame(in).cmd == Wire.CmdManipulate)
+      }
+      Wire.writeFrame(out, Wire.CmdQuery, Wire.withDOS(o =>
+        Wire.writeString(o, "QUERY m FROM 0 TO 3000 AGGREGATE BY 1us (sum(value))")))
+      val parts = Iterator.continually(Wire.readFrame(in))
+        .takeWhile(_.cmd == Wire.CmdQueryResultPart).toList
+      assert(parts.size == 3)
+      val (w1, _) = Wire.decodeQueryResultPart(parts.head.payload)
+      assert(w1.isAggregated && w1.windowStart == 0L &&
+        w1.aggregated.toMap.get("sum_value").contains(500.0))
+
+      // parse error → 0xEE frame with code + message
+      Wire.writeFrame(out, Wire.CmdQuery,
+        Wire.withDOS(o => Wire.writeString(o, "FETCH nope")))
+      val err = Wire.readFrame(in)
+      assert(err.cmd == Wire.CmdError)
+      val e = Wire.dis(err.payload)
+      assert(e.readShort() == 400 && Wire.readString(e).nonEmpty)
+    }
+  }
+
+  test("TCP auth handshake: reject bad creds, reader role blocks writes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tcpauth").toString
+    val userFile = s"$dir/users.db"
+    Auth.writeUserFile(userFile, Seq(
+      Auth.UserRecord("viewer", Auth.hashPassword("pw", Auth.HashSha256), Auth.RoleReader)))
+    val auth = Some(Authenticator.fromFile(userFile))
+
+    // bad credentials: handshake answers error and the server closes
+    withTcp(auth) { (_, in, out) =>
+      out.write(Wire.encodeAuthRequest("viewer", "wrong")); out.flush()
+      val ver = in.readByte(); val op = in.readByte()
+      val plen = in.readUnsignedShort()
+      val payload = new Array[Byte](plen); in.readFully(payload)
+      assert(ver == 1 && op == Wire.AuthResponseOp)
+      assert(Wire.dis(payload).readByte() == Wire.AuthError)
+    }
+
+    // good credentials: reads flow, writes are denied by role
+    withTcp(auth) { (_, in, out) =>
+      out.write(Wire.encodeAuthRequest("viewer", "pw")); out.flush()
+      in.readByte(); in.readByte()
+      val plen = in.readUnsignedShort()
+      val payload = new Array[Byte](plen); in.readFully(payload)
+      assert(Wire.dis(payload).readByte() == Wire.AuthOk)
+
+      Wire.writeFrame(out, Wire.CmdPush, Wire.encodePush(
+        "m", Map.empty, 1L, Map("v" -> FieldValue.ofDouble(1.0))))
+      assert(Wire.readFrame(in).cmd == Wire.CmdError) // writer role required
+
+      Wire.writeFrame(out, Wire.CmdQuery,
+        Wire.withDOS(o => Wire.writeString(o, "SHOW METRICS")))
+      var f = Wire.readFrame(in)
+      while (f.cmd == Wire.CmdQueryResultPart) f = Wire.readFrame(in)
+      assert(f.cmd == Wire.CmdQueryEnd) // read allowed
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
