@@ -94,6 +94,14 @@ class PlanSpec extends SparkSpec {
     assert(countIn(pre, "Exchange") <= 2)
   }
 
+  test("jaccard near-dup: dict join broadcasts, no sort-based window") {
+    val p = plan("dedup_jaccard_pairs")
+    assert(p.contains("BroadcastHashJoin"),
+      "shingle-frequency dictionary must broadcast (postings never shuffle on shingle)")
+    assert(!p.contains("Window"),
+      "prefix selection must ride the hash aggregation, not a sort-based window")
+  }
+
   test("engine storage: time-ranged query prunes metric AND date partitions") {
     import graft.model.{DataPoint, FieldValue}
     import graft.tsdb._
