@@ -52,38 +52,43 @@ object Dedup {
     * Candidates are verified with exact Jaccard over the full sets;
     * the result is IDENTICAL to the naive all-postings join.
     *
-    * Plan shape: with `broadcastDict` (the default — the distinct-shingle
-    * dictionary is orders of magnitude smaller than the postings) the
-    * df-lookup join is a broadcast hash join, so exploded postings never
-    * shuffle on shingle; prefix selection is then ONE hash aggregation on
-    * doc (array_sort of the tiny per-doc (df, s) list + slice) instead of
-    * a sort-based window — no partition-wide sort. Pass
-    * `broadcastDict = false` when the dictionary itself is too large to
-    * broadcast (corpus-of-everything scale); the join then rides the `s`
-    * partitioning the dfreq aggregation already produced. At true 100 TB
-    * scale prefer [[minhashLshPairs]] — this operator is the exact
-    * mid-scale tool and the small-sf oracle anchor. */
+    * Plan shape: candidate generation runs entirely on 64-bit shingle
+    * HASHES — the wide shuffles (document-frequency count, per-doc prefix
+    * aggregation, inverted-index self-join) move 8-byte longs, never
+    * shingle text. Hashing token space is sound: the prefix principle
+    * holds under any global total order (here (df, hash)); a hash
+    * collision merges two shingles into one token, which only ADDS
+    * candidates and can push the per-doc prefix bound up, never below the
+    * required `|s| − ⌈t·|s|⌉ + 1`; exact verification over the original
+    * string arrays then makes the result provably identical. Prefix
+    * selection is ONE hash aggregation per doc (array_sort of the tiny
+    * (df, h) list + slice) — no sort-based window, no partition-wide
+    * sort. `broadcastDict = true` turns the df-lookup join into a
+    * broadcast (only worthwhile while the distinct-shingle dictionary is
+    * driver-sized; the default shuffle join rides the partitioning the
+    * dfreq aggregation already produced and is what survives 100 TB —
+    * though at that scale prefer [[minhashLshPairs]]). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, broadcastDict: Boolean = true): DataFrame = {
+      n: Int, threshold: Double, broadcastDict: Boolean = false): DataFrame = {
     val sh = shingled(df, idCol, textCol, n)
-    // global rarest-first order: document frequency per shingle
-    val dfreq = sh.select(explode(col("sh")).as("s"))
-      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val posts = sh.select(col("doc"), col("nsh"), explode(col("sh")).as("s"))
+      .select(col("doc"), col("nsh"), xxhash64(col("s")).as("h"))
+    // global rarest-first order: document frequency per hashed shingle
+    val dfreq = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val dict = if (broadcastDict) broadcast(dfreq) else dfreq
     val prefixLen = (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int")
-    // struct ordering is field-wise: (df asc, s asc) == rarest-first
-    val posts = sh
-      .select(col("doc"), col("nsh"), explode(col("sh")).as("s"))
-      .join(dict, "s")
+    // struct ordering is field-wise: (df asc, h asc) == rarest-first
+    val prefix = posts
+      .join(dict, "h")
       .groupBy(col("doc"))
       .agg(first(col("nsh")).as("nsh"),
-        array_sort(collect_list(struct(col("df"), col("s")))).as("ranked"))
+        array_sort(collect_list(struct(col("df"), col("h")))).as("ranked"))
       .select(col("doc"),
         explode(slice(col("ranked"), lit(1), prefixLen)).as("p"))
-      .select(col("doc"), col("p.s").as("s"))
-    val a = posts.select(col("s"), col("doc").as("doc_a"))
-    val b = posts.select(col("s"), col("doc").as("doc_b"))
-    val cand = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc"), col("p.h").as("h"))
+    val a = prefix.select(col("h"), col("doc").as("doc_a"))
+    val b = prefix.select(col("h"), col("doc").as("doc_b"))
+    val cand = a.join(b, Seq("h")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     verifyJaccard(cand, sh, threshold)
   }

@@ -94,12 +94,15 @@ class PlanSpec extends SparkSpec {
     assert(countIn(pre, "Exchange") <= 2)
   }
 
-  test("jaccard near-dup: dict join broadcasts, no sort-based window") {
+  test("jaccard near-dup: hashed candidate shuffles, no sort-based window") {
     val p = plan("dedup_jaccard_pairs")
-    assert(p.contains("BroadcastHashJoin"),
-      "shingle-frequency dictionary must broadcast (postings never shuffle on shingle)")
     assert(!p.contains("Window"),
       "prefix selection must ride the hash aggregation, not a sort-based window")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "candidate generation must stay an equi-join")
+    // the inverted-index self-join keys on the 64-bit shingle hash, so the
+    // wide exchanges carry longs, not shingle text
+    assert(p.contains("xxhash64"), "candidates must be generated on hashed shingles")
   }
 
   test("engine storage: time-ranged query prunes metric AND date partitions") {
