@@ -206,10 +206,14 @@ object SparkEntry {
         |  FROM w WHERE len(ws) >= 3),
         |posts AS (SELECT doc_id, unnest(s) AS sg FROM sh)
         |SELECT doc_id AS doc,
-        | min(md5('0:' || sg)) AS m0, min(md5('1:' || sg)) AS m1,
-        | min(md5('2:' || sg)) AS m2, min(md5('3:' || sg)) AS m3,
-        | min(md5('4:' || sg)) AS m4, min(md5('5:' || sg)) AS m5,
-        | min(md5('6:' || sg)) AS m6, min(md5('7:' || sg)) AS m7
+        | min(substring(md5('0:' || sg), 1, 8)) AS m0,
+        | min(substring(md5('0:' || sg), 9, 8)) AS m1,
+        | min(substring(md5('0:' || sg), 17, 8)) AS m2,
+        | min(substring(md5('0:' || sg), 25, 8)) AS m3,
+        | min(substring(md5('1:' || sg), 1, 8)) AS m4,
+        | min(substring(md5('1:' || sg), 9, 8)) AS m5,
+        | min(substring(md5('1:' || sg), 17, 8)) AS m6,
+        | min(substring(md5('1:' || sg), 25, 8)) AS m7
         |FROM posts GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_minhash_lsh" ->
       """WITH w AS (SELECT doc_id,
@@ -220,10 +224,14 @@ object SparkEntry {
         |  FROM w WHERE len(ws) >= 3),
         |posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
         |sig AS (SELECT doc_id,
-        | min(md5('0:' || sg)) AS m0, min(md5('1:' || sg)) AS m1,
-        | min(md5('2:' || sg)) AS m2, min(md5('3:' || sg)) AS m3,
-        | min(md5('4:' || sg)) AS m4, min(md5('5:' || sg)) AS m5,
-        | min(md5('6:' || sg)) AS m6, min(md5('7:' || sg)) AS m7
+        | min(substring(md5('0:' || sg), 1, 8)) AS m0,
+        | min(substring(md5('0:' || sg), 9, 8)) AS m1,
+        | min(substring(md5('0:' || sg), 17, 8)) AS m2,
+        | min(substring(md5('0:' || sg), 25, 8)) AS m3,
+        | min(substring(md5('1:' || sg), 1, 8)) AS m4,
+        | min(substring(md5('1:' || sg), 9, 8)) AS m5,
+        | min(substring(md5('1:' || sg), 17, 8)) AS m6,
+        | min(substring(md5('1:' || sg), 25, 8)) AS m7
         | FROM posts GROUP BY 1),
         |band AS (
         | SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS h FROM sig

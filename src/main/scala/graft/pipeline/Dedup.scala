@@ -108,14 +108,28 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
-  /** MinHash signature columns m0..m{k−1}: lexicographic min of
-    * md5("<i>:<shingle>") per seed — engine-agnostic string minhash. */
+  /** Each md5 feeds this many signature lanes (8 hex chars = 32 bits per
+    * lane): k lanes cost only ⌈k/4⌉ md5 evaluations per posting. */
+  private val LanesPerMd5 = 4
+
+  /** MinHash signature columns m0..m{k−1}: lane `i` is the lexicographic
+    * min of an 8-hex-char slice of md5("<i/4>:<shingle>") — still an
+    * engine-agnostic string minhash a SQL oracle reproduces verbatim
+    * (`min(substring(md5('j:' || sg), off, 8))`), but ⌈k/4⌉ md5 calls per
+    * posting instead of k. 32-bit lanes perturb min-collisions only at
+    * ~|shingles|/2³² — immaterial to LSH banding. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
+    val nMd5 = (k + LanesPerMd5 - 1) / LanesPerMd5
     val posts = shingled(df, idCol, textCol, n)
       .select(col("doc"), explode(col("sh")).as("s"))
-    val mins = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("s")))).as(s"m$i"))
+      .select(col("doc") +: (0 until nMd5).map(j =>
+        md5(concat(lit(s"$j:"), col("s"))).as(s"h$j")): _*)
+    val mins = (0 until k).map { i =>
+      val j = i / LanesPerMd5
+      val off = (i % LanesPerMd5) * 8 + 1
+      min(substring(col(s"h$j"), off, 8)).as(s"m$i")
+    }
     posts.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
   }
 
