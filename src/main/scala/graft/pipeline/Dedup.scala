@@ -161,16 +161,22 @@ object Dedup {
     * engine-agnostic (like the string minhash above) so a SQL oracle can
     * reproduce the sketch bit-for-bit from its own md5. */
   def simhash(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    // hoist the 16 hex nibbles into one projection so each conv/substring
-    // is evaluated once per posting (each nibble feeds 4 bit lanes)
+    // extract md5's 64 bits as two 32-bit ints (2 convs per posting, not
+    // 16 nibble convs): hex char p (1-based) is the (8-p)-th nibble of the
+    // int holding its half, so lane b — nibble b/4, nibble-bit b%4 —
+    // reads int bit 4*(7 - (b/4 % 8)) + b%4 of half b/32. Bit-identical
+    // to per-nibble extraction, so the oracle is untouched.
     val posts = shingled(df, idCol, textCol, n)
       .select(col("doc"), explode(col("sh")).as("s"))
       .select(col("doc"), md5(col("s")).as("h"))
-      .select(col("doc") +: (0 until 16).map(p =>
-        conv(substring(col("h"), p + 1, 1), 16, 10).cast("int").as(s"n$p")): _*)
+      .select(col("doc"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("w0"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("w1"))
     // vote per bit lane: sum of (bit ? 1 : -1) == 2*countSet - count
     val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col(s"n${b / 4}"), b % 4).bitwiseAND(1) === 1, 1)
+      val word = col(if (b < 32) "w0" else "w1")
+      val shift = 4 * (7 - (b / 4 % 8)) + b % 4
+      sum(when(shiftright(word, shift).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"v$b")
     }
     val voted = posts.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
