@@ -320,6 +320,18 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  /** Near-dup pairs via IVF cell blocking (linear-candidate scale path
+    * for low thresholds). First-16 centroids + replicate 2 are literals
+    * the oracle reproduces, so candidates — and therefore rows — are
+    * pinned exactly, not just recall-tested. */
+  def embeddingNearDupIvf(s: SparkSession, dir: String): DataFrame = {
+    val vecs = embVecs(s, dir)
+    Similarity.cosinePairsIvf(vecs, threshold = 0.45, nlist = 16,
+        replicate = 2, centroids = Some(Similarity.firstNCentroids(vecs, 16)))
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Vector statistics (L2 norm, mean component). */
   def embeddingNorms(s: SparkSession, dir: String): DataFrame =
     embVecs(s, dir).select(col("id").as("vec_id"),

@@ -220,6 +220,18 @@ object Similarity {
     * broadcast literal centroids; the candidate join is hash-partitioned
     * by centroid id, scanning ~(replicate·nprobe/nlist) of the corpus per
     * query, and only ids travel through the candidate dedup. */
+  /** Per-row array of the `n` nearest centroid cells as (negSim, cid)
+    * structs — a narrow map against literal (broadcast-by-value)
+    * centroids, deterministic tie-break on cid. */
+  private def nearestCells(cents: Array[(Int, Array[Double])])(
+      vec: Column, n: Int): Column = {
+    def centArr(c: Array[Double]) = array(c.map(lit): _*)
+    val scored = array(cents.map { case (cid, c) =>
+      struct((dot(vec, centArr(c)) * -1).as("negSim"), lit(cid).as("cid"))
+    }: _*)
+    slice(array_sort(scored), 1, n)
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int, nprobe: Int,
       centroids: Option[Array[Array[Double]]] = None,
@@ -227,14 +239,7 @@ object Similarity {
     require(nprobe <= nlist && replicate >= 1 && replicate <= nlist)
     val cents: Array[(Int, Array[Double])] =
       centroids.getOrElse(kmeansCentroids(corpus, nlist)).zipWithIndex.map(_.swap)
-    def centArr(c: Array[Double]) = array(c.map(lit): _*)
-    // per-row (centroid id, -similarity) ranking against the literal centroids
-    def nearest(vec: Column, n: Int): Column = {
-      val scored = array(cents.map { case (cid, c) =>
-        struct((dot(vec, centArr(c)) * -1).as("negSim"), lit(cid).as("cid"))
-      }: _*)
-      slice(array_sort(scored), 1, n)
-    }
+    val nearest = nearestCells(cents) _
     val cb = corpus.select(col("id").as("neighbor_id"),
       explode(nearest(col("vec"), replicate)).as("a"))
       .select(col("neighbor_id"), col("a").getField("cid").as("cid"))
@@ -291,6 +296,41 @@ object Similarity {
         && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Near-dup pairs via IVF cell blocking: every vector is assigned to
+    * its `replicate` nearest k-means cells (multi-assignment softens the
+    * cell-boundary misses), candidates are same-cell pairs, exact cosine
+    * verifies. Candidate volume is Σ_cells |cell|² · replicate² ≈
+    * n²·replicate²/nlist — sizing nlist ∝ n keeps it LINEAR in n, which
+    * is why this (not sign-LSH) is the scale path for LOW thresholds:
+    * at e.g. cosine ≥ 0.45 a sign-LSH table with few bits collides ~half
+    * of all random pairs (candidates ≈ T·n²/2^bits ≥ the brute-force
+    * join), while more bits kill recall faster than tables restore it.
+    * Cell blocking instead exploits that near-dup pairs rank the same
+    * centroids nearly identically. Approximate: cross-cell pairs beyond
+    * the replicate overlap are missed (recall vs the exact join is
+    * asserted in PipelineSpec; the battery entry pins candidates exactly
+    * via literal first-N centroids the oracle reproduces). */
+  def cosinePairsIvf(vecs: DataFrame, threshold: Double, nlist: Int,
+      replicate: Int = 2,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(replicate >= 1 && replicate <= nlist)
+    val cents: Array[(Int, Array[Double])] =
+      centroids.getOrElse(kmeansCentroids(vecs, nlist)).zipWithIndex.map(_.swap)
+    val assigned = vecs
+      .select(col("id"), explode(nearestCells(cents)(col("vec"), replicate)).as("a"))
+      .select(col("id"), col("a").getField("cid").as("cid"))
+      .repartition(fanoutParallelism(vecs), col("cid"))
+    val cand = assigned.as("x").join(assigned.as("y"),
+        col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
     cand
       .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")

@@ -154,6 +154,36 @@ class PipelineSpec extends SparkSpec {
     assert(ivf.size <= brute.size) // never more than k per query
   }
 
+  test("IVF near-dup: no invented pairs; planted duplicates found") {
+    // testdata pairs at >=0.45 are coincidental (cosines 0.45-0.48, ~62°)
+    // — no blocking scheme has locality there; verification correctness
+    // is what matters on that data
+    val vecs = graft.tsdb.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val exact = Similarity.cosinePairs(vecs, 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.cosinePairsIvf(vecs, 0.45, nlist = 16, replicate = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ivf.subsetOf(exact), "verification must kill false candidates")
+
+    // the real near-dup workload: planted high-similarity duplicates —
+    // base vectors plus small perturbations (cosine ~0.95) among noise
+    val rnd = new scala.util.Random(7)
+    def unit(dim: Int) = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def perturb(v: Array[Float]) = v.map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+    val planted = (0 until 40).map(i => (i.toLong, unit(64)))
+    val dups = planted.map { case (i, v) => (i + 1000L, perturb(v)) }
+    val noise = (0 until 400).map(i => (i + 2000L, unit(64)))
+    val df = (planted ++ dups ++ noise).toDF("id", "vec")
+    val found = Similarity.cosinePairsIvf(df, 0.85, nlist = 16, replicate = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val truth = Similarity.cosinePairs(df, 0.85)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.size >= 30, s"perturbation too strong: ${truth.size}")
+    val recall = (found & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"planted-dup recall $recall")
+  }
+
   test("bucketed near-dup pairs == exact cross-join pairs at the battery threshold") {
     val vecs = graft.tsdb.Tables.load(spark, sf, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
