@@ -321,14 +321,15 @@ object Queries {
       .orderBy("id_a", "id_b")
 
   /** Near-dup pairs via IVF cell blocking (linear-candidate scale path
-    * for low thresholds — nlist grows with n; 64 cells here). First-64
-    * centroids + replicate 2 are literals the oracle reproduces, so
-    * candidates — and therefore rows — are pinned exactly, not just
-    * recall-tested. */
+    * for low thresholds — at scale pick nlist ∝ n so candidate volume
+    * n²·r²/nlist stays linear; 16 cells here for n=500, where coarser
+    * cells also recall more of the exact pairs). First-16 centroids +
+    * replicate 2 are literals the oracle reproduces, so candidates — and
+    * therefore rows — are pinned exactly, not just recall-tested. */
   def embeddingNearDupIvf(s: SparkSession, dir: String): DataFrame = {
     val vecs = embVecs(s, dir)
-    Similarity.cosinePairsIvf(vecs, threshold = 0.45, nlist = 64,
-        replicate = 2, centroids = Some(Similarity.firstNCentroids(vecs, 64)))
+    Similarity.cosinePairsIvf(vecs, threshold = 0.45, nlist = 16,
+        replicate = 2, centroids = Some(Similarity.firstNCentroids(vecs, 16)))
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
       .orderBy("id_a", "id_b")
   }
