@@ -4,8 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Perf harness (driver contract: ONE JSON line on stdout).
   * Mirrors the reference's measurement shape (`cmd/perf-client/main.go`,
   * `engine2/bench_perf001_test.go`): a warmup pass excluded from
-  * measurement, then one timed pass per query, P50/P90/P99 across query
-  * latencies. `value` = total measured seconds across the battery.
+  * measurement, then three timed passes per query (interleaved round-robin
+  * so a transient stall can't poison one query's every sample), reporting
+  * the per-query MEDIAN, P50/P90/P99 across query medians. `value` = total
+  * of per-query medians across the battery; `runs` carries the raw samples
+  * so spread is visible.
   *
   * Queries are timed to FULL MATERIALIZATION (noop-format write, which
   * evaluates every output row and column) — `count()` would let Catalyst
@@ -36,11 +39,21 @@ object Bench {
     qs.foreach { case (_, fn) =>
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
-    val results = qs.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    // 3 measured passes, interleaved (pass 1 of every query, then pass 2,
+    // then pass 3): a transient CPU stall lands in at most one sample per
+    // query, and the per-query median discards it.
+    val nPasses = 3
+    val samples: Seq[Seq[(String, Double)]] = (0 until nPasses).map { _ =>
+      qs.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val byQuery: Seq[(String, Seq[Double])] =
+      qs.map { case (name, _) => name -> samples.map(_.toMap.apply(name)) }
+    val results = byQuery.map { case (name, ts) => name -> median(ts) }
     // count()-mode pass: Catalyst prunes result projections, so this
     // UNDERSTATES serving cost — reported only for apples-to-apples
     // comparison with rounds benched before the materialization fix.
@@ -54,6 +67,9 @@ object Bench {
       if (lat.isEmpty) 0.0 else lat(math.min(lat.size - 1, (p * lat.size).toInt))
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val runsJson = byQuery.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
     // Reference-protocol throughput (cmd/perf-client + query-perf-client
@@ -95,6 +111,7 @@ object Bench {
     val totalCount = resultsCount.map(_._2).sum
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
+      s""""runs":$runsJson,"passes":$nPasses,""" +
       s""""total_count_mode":$totalCount,""" +
       s""""p50":${pct(0.5)},"p90":${pct(0.9)},"p99":${pct(0.99)},""" +
       s""""ingest_rows_per_sec":$ingestRps,"query_qps_cold":$qpsCold,""" +
