@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
 
 /** Real-time subscription semantics (S8, `engine2/pubsub.go`):
   * subscribers receive per-write `DataPointUpdate`s filtered by metric and
@@ -32,6 +33,67 @@ object PubSub {
     * and streaming frames). */
   def subscribe(updates: DataFrame, f: SubscriptionFilter): DataFrame =
     updates.filter(matches(f))
+
+  /** Full update stream with the reference's PUT *and* DELETE semantics
+    * (`engine2/pubsub.go:105-126`; proto `DataPointUpdate.UpdateType`,
+    * `api/tsdb/tsdb.pb.go:1163-1227`): a subscriber of the reference sees
+    * delete notifications, so ours must too. `puts` is the ingest stream
+    * (metric/tags/timestamp/fields), `deletes` a [[ChangeFeed]] frame;
+    * schemas are aligned by name, absent columns null-filled, and the
+    * same prefix filters apply to both via [[subscribe]]. */
+  def updateStream(puts: DataFrame, deletes: DataFrame): DataFrame =
+    puts.withColumn("update_type", lit("PUT"))
+      .unionByName(deletes, allowMissingColumns = true)
+}
+
+/** Change-data feed over the engine's transaction log (the `_log`
+  * directory of JSON commit files). Tombstones are log-resident, so a
+  * DELETE notification stream is just a file-source scan of the commit
+  * log with `tombs` exploded — no extra bookkeeping, and it works both as
+  * a Structured-Streaming source (new commit files are discovered as they
+  * land; the put-if-absent hard-link publish in `TxLog.commit` means a
+  * visible file is always complete) and as a batch cursor read
+  * (`sinceVersion` keyset paging, same model as the serving cursor).
+  *
+  * Compaction commits carry `clearTombs` (storage GC of delete markers);
+  * the feed deliberately ignores that flag — a subscriber must see each
+  * DELETE exactly once, when it was committed, regardless of when storage
+  * reclaims the marker. */
+object ChangeFeed {
+
+  private val commitSchema = StructType(Seq(
+    StructField("version", LongType),
+    StructField("tombs", ArrayType(StructType(Seq(
+      StructField("kind", StringType),
+      StructField("metric", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("startNs", LongType),
+      StructField("endNs", LongType),
+      StructField("seq", LongType)))))))
+
+  private def decode(commits: DataFrame): DataFrame =
+    commits.select(col("version"), explode(col("tombs")).as("t"))
+      .select(
+        lit("DELETE").as("update_type"),
+        col("t.kind").as("delete_kind"),
+        col("t.metric").as("metric"),
+        coalesce(col("t.tags"), map()).as("tags"),
+        col("t.startNs").as("start_ns"),
+        col("t.endNs").as("end_ns"),
+        col("t.seq").as("seq"),
+        col("version"))
+
+  /** Streaming DELETE updates from an engine root (one row per tombstone,
+    * in commit order as files are discovered). */
+  def deleteUpdates(spark: SparkSession, engineRoot: String): DataFrame =
+    decode(spark.readStream.schema(commitSchema).json(s"$engineRoot/_log"))
+
+  /** Batch/polling form: DELETE updates with `version > sinceVersion` —
+    * a subscriber resumes from its last-seen commit version. */
+  def deleteUpdatesBatch(spark: SparkSession, engineRoot: String,
+      sinceVersion: Long = 0L): DataFrame =
+    decode(spark.read.schema(commitSchema).json(s"$engineRoot/_log"))
+      .filter(col("version") > sinceVersion)
 }
 
 /** Event-time streaming aggregation (ST3 — ABSENT in the reference,

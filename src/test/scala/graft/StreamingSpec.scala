@@ -53,6 +53,49 @@ class StreamingSpec extends SparkSpec {
     assert(got(PubSub.SubscriptionFilter("*", Map("host" -> "db-1"))) == Seq(3L))
   }
 
+  test("subscribers receive DELETE updates for NBQL REMOVE via the log changefeed") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    val engine = new TsdbEngine(spark, s"$dir/db")
+    val ex = new graft.nbql.NbqlExecutor(engine)
+    assert(ex.execute("""PUSH cpu.usage TAGGED (host="web-1") SET (value=1.0) AT 1000""").isRight)
+    assert(ex.execute("""PUSH mem.free TAGGED (host="db-1") SET (value=2.0) AT 2000""").isRight)
+
+    // streaming subscriber with a prefix filter, fed by the commit log
+    val deletes = ChangeFeed.deleteUpdates(spark, s"$dir/db")
+    val sub = PubSub.subscribe(deletes, PubSub.SubscriptionFilter("cpu.*"))
+    val q = sub.writeStream.format("memory").queryName("cpu_deletes")
+      .option("checkpointLocation", s"$dir/ckpt").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cpu_deletes").isEmpty) // puts alone emit no DELETE
+      assert(ex.execute("""REMOVE SERIES cpu.usage TAGGED (host="web-1")""").isRight)
+      assert(ex.execute("""REMOVE SERIES mem.free TAGGED (host="db-1")""").isRight)
+      assert(ex.execute("""REMOVE FROM cpu.usage TAGGED (host="web-1") FROM 0 TO 500""").isRight)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the cpu.* subscriber sees cpu deletes (series + range), not mem's
+    val got = spark.table("cpu_deletes")
+      .select("update_type", "delete_kind", "metric")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("DELETE", "series", "cpu.usage"), ("DELETE", "range", "cpu.usage")))
+
+    // batch cursor form: resume past the already-seen versions
+    val all = ChangeFeed.deleteUpdatesBatch(spark, s"$dir/db")
+    assert(all.count() == 3)
+    val lastSeen = all.agg(max("version")).head().getLong(0)
+    assert(ChangeFeed.deleteUpdatesBatch(spark, s"$dir/db", lastSeen).isEmpty)
+
+    // PUT+DELETE union stream carries both update types through one filter
+    val puts = Seq(("cpu.usage", Map("host" -> "web-1"), 1000L))
+      .toDF("metric", "tags", "timestamp")
+    val unified = PubSub.subscribe(
+      PubSub.updateStream(puts, ChangeFeed.deleteUpdatesBatch(spark, s"$dir/db")),
+      PubSub.SubscriptionFilter("cpu.*"))
+    assert(unified.select("update_type").as[String].collect().sorted.toSeq ==
+      Seq("DELETE", "DELETE", "PUT"))
+  }
+
   test("outlier hook flags out-of-band values") {
     val pts = Seq(
       TP("m", Map("h" -> "a"), 1, Map("v" -> FV.dv(5.0)), 1),
