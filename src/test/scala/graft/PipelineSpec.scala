@@ -182,6 +182,17 @@ class PipelineSpec extends SparkSpec {
     assert(truth.size >= 30, s"perturbation too strong: ${truth.size}")
     val recall = (found & truth).size.toDouble / truth.size
     assert(recall >= 0.9, s"planted-dup recall $recall")
+
+    // k-means is the quality default: at equal nlist it must recall at
+    // least as much as the naive first-N centroid choice (this pins the
+    // reason it IS the default, and catches a silent k-means regression)
+    val foundFirstN = Similarity.cosinePairsIvf(df, 0.85, nlist = 16,
+        replicate = 2, centroids = Some(Similarity.firstNCentroids(df, 16)))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recallFirstN = (foundFirstN & truth).size.toDouble / truth.size
+    assert(recall >= recallFirstN,
+      s"k-means recall $recall below first-N recall $recallFirstN")
+    assert(recallFirstN >= 0.9, s"first-N planted-dup recall $recallFirstN")
   }
 
   test("bucketed near-dup pairs == exact cross-join pairs at the battery threshold") {
