@@ -199,13 +199,46 @@ object QueryEngine {
     // 4. tombstone elision (M2-M4)
     df = applyTombstones(df, tombstones)
 
-    // 5. shape: raw scan | final agg (A1) | downsample (A2)
-    val shaped =
-      if (p.isDownsample) downsample(df, p, startNs, endNs)
-      else if (p.isFinalAgg) finalAgg(df, p, startNs)
-      else rawScan(df, p)
+    // 5-6. shape + cursor + limit
+    finish(df, p, startNs, endNs)
+  }
 
-    // 6. cursor + limit
+  /** Serving-path pipeline over a PRE-MERGED frame (latest-version dedup +
+    * tombstones already applied — the engine's per-metric serving view).
+    * Results are identical to [[run]]: the merged view is
+    * query-shape-independent (dedup on (series, ts) commutes with any
+    * downstream time filter, aggregation, or ordering), so only the
+    * filter/shape/order stages replan per query — the merge shuffle and
+    * the parquet scan are paid once per (metric, commit) instead of per
+    * query. */
+  def runMerged(merged: DataFrame, p: QueryParams, ordered: Boolean = true): DataFrame = {
+    var df = merged.filter(col("metric") === p.metric)
+    p.tags.foreach { case (k, v) => df = df.filter(col("tags").getItem(k) === v) }
+    val (startNs, endNs) = resolveRange(df, p)
+    df = df.filter(col("timestamp").between(startNs, endNs))
+    if (p.isDownsample) {
+      val interval = p.downsampleNs.get
+      require(interval > 0, "downsample interval must be > 0")
+      df = df.withColumn("window_start",
+        col("timestamp") - pmod(col("timestamp"), lit(interval)))
+    }
+    // LIMIT needs the order to be deterministic, and Spark plans ordered
+    // limits as TakeOrdered (partial per-partition top-K, no sort
+    // exchange) — so only UN-limited queries may defer ordering to the
+    // caller (the serving layer sorts collected rows driver-side, saving
+    // the global-sort exchange + its sampling job).
+    finish(df, p, startNs, endNs, ordered = ordered || p.limit.isDefined)
+  }
+
+  /** Steps 5-6, shared by [[run]] and [[runMerged]]: shape (raw | final
+    * agg | downsample), then cursor + limit. */
+  private def finish(df: DataFrame, p: QueryParams, startNs: Long, endNs: Long,
+      ordered: Boolean = true): DataFrame = {
+    val shaped =
+      if (p.isDownsample) downsample(df, p, startNs, endNs, ordered)
+      else if (p.isFinalAgg) finalAgg(df, p, startNs)
+      else rawScan(df, p, ordered)
+
     val afterCursor = p.afterKey match {
       case Some(c) =>
         val tsc = if (p.isDownsample) col("window_start") else col("timestamp")
@@ -224,9 +257,10 @@ object QueryEngine {
     if (p.order == Ascending) Seq(tsc.asc, col("series_key").asc)
     else Seq(tsc.desc, col("series_key").desc)
 
-  private def rawScan(df: DataFrame, p: QueryParams): DataFrame =
-    df.select("metric", "tags", "timestamp", "fields", "seq", "series_key")
-      .orderBy(orderCols(p, col("timestamp")): _*)
+  private def rawScan(df: DataFrame, p: QueryParams, ordered: Boolean = true): DataFrame = {
+    val sel = df.select("metric", "tags", "timestamp", "fields", "seq", "series_key")
+    if (ordered) sel.orderBy(orderCols(p, col("timestamp")): _*) else sel
+  }
 
   // field accessors over the dynamic fields map
   private def fv(f: String): Column = col("fields").getItem(f)
@@ -264,7 +298,8 @@ object QueryEngine {
     * (`:180-190`); `EmitEmptyWindows` fills gaps with count/sum 0 and NaN
     * for the other functions (`:305-333` — rationalized: every series in
     * the result emits its empty windows, not just the last-seen one). */
-  private def downsample(df: DataFrame, p: QueryParams, startNs: Long, endNs: Long): DataFrame = {
+  private def downsample(df: DataFrame, p: QueryParams, startNs: Long, endNs: Long,
+      ordered: Boolean = true): DataFrame = {
     val interval = p.downsampleNs.get
     val aligned = startNs - floorMod(startNs, interval)
     // last emitted window start: largest multiple of interval < endNs
@@ -304,10 +339,10 @@ object QueryEngine {
             col("tags") +: fills: _*)
       }
 
-    out.withColumn("window_end", col("window_start") + interval)
+    val sel = out.withColumn("window_end", col("window_start") + interval)
       .select(Seq(col("metric"), col("tags"), col("series_key"), col("window_start"),
         col("window_end")) ++ p.aggs.map(s => col(s.outputName)): _*)
-      .orderBy(orderCols(p, col("window_start")): _*)
+    if (ordered) sel.orderBy(orderCols(p, col("window_start")): _*) else sel
   }
 
   private def floorMod(a: Long, b: Long): Long = java.lang.Math.floorMod(a, b)

@@ -208,4 +208,71 @@ class TsdbQuerySpec extends SparkSpec {
     // end = min(100000, 1900) = 1900; start = 1600 → ts 1600..1900 inclusive
     assert(out.select("timestamp").as[Long].collect().toSeq == Seq(1600L, 1700L, 1800L, 1900L))
   }
+
+  test("serving view: queryServing == query across every shape; epoch-scoped rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_serving").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    eng.putDF(mkDf(series("h1", 20, base = 0, step = 10 * M) ++
+      series("h2", 20, base = 0, step = 10 * M, v0 = 5.0, seq0 = 100) :+
+      TP("mem.free", Map("host" -> "h1"), 50 * M, Map("value" -> FV.dv(3.0)), 500)))
+    // bulk putDF takes row seqs as-given without advancing the engine's
+    // counter; jump it so the tombstones below shadow every row above
+    eng.reserveSeqBlock()
+    eng.deletePoint("cpu.usage", Map("host" -> "h1"), 30 * M)
+    eng.deleteRange("cpu.usage", Map("host" -> "h2"), 100 * M, 140 * M)
+
+    def same(p: QueryParams): Unit = {
+      val a = eng.query(p).collect().map(_.toString).sorted.toSeq
+      val b = eng.queryServing(p).collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"serving mismatch for $p")
+      assert(a.nonEmpty || p.tags.contains("none"), s"vacuous check for $p")
+    }
+    same(QueryParams("cpu.usage", endNs = Some(1000 * M)))
+    same(QueryParams("cpu.usage", Map("host" -> "h2"),
+      startNs = 50 * M, endNs = Some(160 * M), order = Descending, limit = Some(5)))
+    same(QueryParams("cpu.usage", endNs = Some(1000 * M),
+      aggs = Seq(AggSpec("avg", "value"), AggSpec("count", "value"))))
+    same(QueryParams("cpu.usage", endNs = Some(199 * M), downsampleNs = Some(60 * M),
+      aggs = Seq(AggSpec("sum", "value")), emitEmptyWindows = true))
+    same(QueryParams("cpu.usage", relativeNs = Some(50 * M), nowNs = Some(1000 * M)))
+    same(QueryParams("cpu.usage", endNs = Some(1000 * M),
+      afterKey = Some(Cursor(100 * M, "cpu.usage"))))
+
+    // queryCached misses execute UNORDERED and sort driver-side — the
+    // returned row order must still equal the Spark-side global sort
+    def sameOrdered(p: QueryParams): Unit = {
+      val a = eng.query(p).collect().map(_.toString).toSeq
+      val b = eng.queryCached(p).map(_.toString).toSeq
+      assert(a == b, s"presentation-order mismatch for $p")
+    }
+    sameOrdered(QueryParams("cpu.usage", endNs = Some(1000 * M)))
+    sameOrdered(QueryParams("cpu.usage", endNs = Some(1000 * M), order = Descending))
+    sameOrdered(QueryParams("cpu.usage", endNs = Some(199 * M),
+      downsampleNs = Some(60 * M), aggs = Seq(AggSpec("sum", "value")),
+      emitEmptyWindows = true, order = Descending))
+    sameOrdered(QueryParams("cpu.usage", endNs = Some(1000 * M), limit = Some(7)))
+    sameOrdered(QueryParams("cpu.usage", Map("host" -> "h2"),
+      relativeNs = Some(50 * M), nowNs = Some(1000 * M)))
+    sameOrdered(QueryParams("cpu.usage", endNs = Some(1000 * M),
+      afterKey = Some(Cursor(100 * M, "cpu.usage")), limit = Some(3),
+      order = Descending))
+    // identical answers with the driver-resident tier disabled (Spark path)
+    eng.localServingMaxRows = 0
+    sameOrdered(QueryParams("cpu.usage", endNs = Some(1000 * M), order = Descending))
+    sameOrdered(QueryParams("cpu.usage", Map("host" -> "h2"),
+      relativeNs = Some(50 * M), nowNs = Some(1000 * M)))
+    eng.localServingMaxRows = 1000000L
+
+    // epoch scoping: a commit to mem.free must NOT rebuild cpu.usage's view
+    val before = eng.servingView("cpu.usage")
+    eng.putBatch(Seq(graft.model.DataPoint("mem.free", Map("host" -> "h9"),
+      1L, Map("value" -> graft.model.FieldValue(d = Some(1.0))))))
+    assert(eng.servingView("cpu.usage") eq before, "foreign commit rebuilt view")
+    // ...while a delete on cpu.usage must invalidate it and be visible
+    eng.deleteSeries("cpu.usage", Map("host" -> "h1"))
+    assert(eng.servingView("cpu.usage") ne before, "own commit kept stale view")
+    same(QueryParams("cpu.usage", endNs = Some(1000 * M)))
+    assert(eng.queryServing(QueryParams("cpu.usage", Map("host" -> "h1"),
+      endNs = Some(1000 * M))).isEmpty)
+  }
 }
