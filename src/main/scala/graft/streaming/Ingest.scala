@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.model.DataPoint
 import graft.tsdb.TsdbEngine
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
@@ -36,17 +36,52 @@ object Ingest {
     StructField("timestamp", LongType),
     StructField("fields", MapType(StringType, graft.model.FieldValue.sparkType))))
 
+  /** A declarative ingest-guard rule (extends the reference's
+    * `core/validator.go` name checks with content checks): scoped by a
+    * metric pattern (trailing-`*` prefix, like subscriptions), it rejects
+    * a point whose numeric field value leaves [minValue, maxValue] or
+    * whose tag value is outside an allowlist. Compiled to pure Column
+    * predicates — the guard rides the ingest stream's codegen, no UDF. */
+  final case class IngestRule(
+      metric: String = "*",
+      field: String = "*",
+      minValue: Option[Double] = None,
+      maxValue: Option[Double] = None,
+      allowedTags: Map[String, Seq[String]] = Map.empty) {
+
+    private[streaming] def violated: Column = {
+      val scope = PubSub.patternMatch(col("metric"), metric)
+      val vals =
+        if (field == "*") map_values(col("fields"))
+        else array(col("fields").getItem(field))
+      def num(v: Column): Column =
+        coalesce(v.getField("d"), v.getField("l").cast("double"))
+      val range = (minValue, maxValue) match {
+        case (None, None) => lit(false)
+        case (lo, hi) =>
+          exists(vals, v =>
+            lo.map(m => num(v) < m).getOrElse(lit(false)) ||
+              hi.map(m => num(v) > m).getOrElse(lit(false)))
+      }
+      val tagViolation = allowedTags.map { case (k, allowed) =>
+        col("tags").getItem(k).isNotNull &&
+          !col("tags").getItem(k).isin(allowed: _*)
+      }.foldLeft(lit(false))(_ || _)
+      scope && (range || tagViolation)
+    }
+  }
+
   /** Parse a stream/frame of JSON strings (column `value`) into canonical
-    * points; malformed or invalid-name rows are routed to a `_rejected`
-    * flag instead of failing the stream (at 100 TB a poison record must
-    * never kill ingest). */
-  def parse(raw: DataFrame): DataFrame = {
+    * points; malformed or invalid-name rows — and rows violating any
+    * [[IngestRule]] — are routed to a `_rejected` flag instead of failing
+    * the stream (at 100 TB a poison record must never kill ingest). */
+  def parse(raw: DataFrame, rules: Seq[IngestRule] = Nil): DataFrame = {
     val parsed = raw.select(from_json(col("value").cast("string"), wireSchema).as("p"))
       .select(col("p.metric"), col("p.tags"), col("p.timestamp"), col("p.fields"))
-    parsed.withColumn("_rejected",
+    parsed.withColumn("_rejected", rules.map(_.violated).foldLeft(
       col("metric").isNull || length(col("metric")) === 0 ||
         col("timestamp").isNull || col("fields").isNull ||
-        col("metric").contains(" ") || col("metric").contains("\u0000"))
+        col("metric").contains(" ") || col("metric").contains("\u0000"))(_ || _))
   }
 
   /** Start streaming ingest into an engine. Each micro-batch reserves a
@@ -54,12 +89,12 @@ object Ingest {
     * increasing seqs — later batches always win the version merge) and
     * commits with an (appId, batchId) watermark for exactly-once. */
   def start(engine: TsdbEngine, source: DataFrame, checkpointDir: String,
-      appId: String = null): StreamingQuery = {
+      appId: String = null, rules: Seq[IngestRule] = Nil): StreamingQuery = {
     val app = Option(appId).getOrElse(checkpointDir)
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val pts = parse(batch).filter(!col("_rejected"))
+        val pts = parse(batch, rules).filter(!col("_rejected"))
           .drop("_rejected")
           .withColumn("tags", coalesce(col("tags"), map()))
         val base = engine.reserveSeqBlock()

@@ -423,6 +423,29 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
 
   // ---- maintenance ------------------------------------------------------
 
+  /** Write-amplification accounting across compactions — the analog of
+    * the reference's WriteAmplificationListener
+    * (`hooks/listeners/waf.go:23-94`: PostCompaction sums old-table bytes
+    * as read, new-table bytes as written, publishes
+    * `engine_compaction_waf` = written/read). */
+  private val wafBytesRead = new java.util.concurrent.atomic.AtomicLong
+  private val wafBytesWritten = new java.util.concurrent.atomic.AtomicLong
+  private val wafEvents = new java.util.concurrent.atomic.AtomicLong
+
+  final case class CompactionStats(bytesRead: Long, bytesWritten: Long,
+      events: Long) {
+    /** Write-amplification factor; 0 when nothing read (`waf.go:32-35`). */
+    def waf: Double =
+      if (bytesRead == 0) 0.0 else bytesWritten.toDouble / bytesRead
+  }
+  def compactionStats: CompactionStats =
+    CompactionStats(wafBytesRead.get(), wafBytesWritten.get(), wafEvents.get())
+
+  private def bytesOf(relFiles: Seq[String]): Long =
+    relFiles.iterator.map { f =>
+      try Files.size(Paths.get(dataDir).resolve(f)) catch { case _: Exception => 0L }
+    }.sum
+
   /** LSM-compaction / OPTIMIZE analog: rewrite points keeping only the
     * winning version of each (series, ts) with tombstoned rows dropped,
     * swap the whole file set in ONE commit (readers see either the old
@@ -441,6 +464,10 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       .write.partitionBy("metric", "date").parquet(staging)
     val added = moveStaged(Paths.get(staging), stamp)
     deleteDir(Paths.get(staging))
+    // WAF accounting while both file sets exist (pre-vacuum)
+    wafBytesRead.addAndGet(bytesOf(s.files))
+    wafBytesWritten.addAndGet(bytesOf(added))
+    wafEvents.incrementAndGet()
     val hwm = seqCounter.get()
     log.commit(v => LogCommit(v, adds = added, removes = s.files,
       clearTombs = true, metrics = metricsOf(s.files ++ added), maxSeq = hwm))

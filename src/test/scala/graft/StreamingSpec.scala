@@ -53,6 +53,49 @@ class StreamingSpec extends SparkSpec {
     assert(got(PubSub.SubscriptionFilter("*", Map("host" -> "db-1"))) == Seq(3L))
   }
 
+  test("ingest rules reject poison rows (range + tag allowlist), rest pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    val engine = new TsdbEngine(spark, s"$dir/db")
+    val rules = Seq(
+      Ingest.IngestRule(metric = "cpu.*", field = "value",
+        minValue = Some(0.0), maxValue = Some(100.0)),
+      Ingest.IngestRule(allowedTags = Map("env" -> Seq("prod", "dev"))))
+    val mem = MemoryStream[String]
+    val q = Ingest.start(engine, mem.toDF(), s"$dir/ckpt", rules = rules)
+    try {
+      mem.addData(
+        """{"metric":"cpu.usage","tags":{"env":"prod"},"timestamp":100,"fields":{"value":{"d":42.0}}}""",
+        """{"metric":"cpu.usage","tags":{"env":"prod"},"timestamp":200,"fields":{"value":{"d":420.0}}}""",
+        """{"metric":"cpu.usage","tags":{"env":"prod"},"timestamp":250,"fields":{"value":{"l":-3}}}""",
+        """{"metric":"cpu.usage","tags":{"env":"lab"},"timestamp":300,"fields":{"value":{"d":1.0}}}""",
+        """{"metric":"mem.free","tags":{"env":"dev"},"timestamp":400,"fields":{"value":{"d":9999.0}}}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    // 420.0 breaks the cpu.* range, -3 too, env=lab breaks the allowlist;
+    // mem.free's 9999.0 passes (range rule is scoped to cpu.*)
+    val got = engine.query(QueryParams("cpu.usage", endNs = Some(1000)))
+      .select("timestamp").as[Long].collect().sorted.toSeq
+    assert(got == Seq(100L))
+    assert(engine.query(QueryParams("mem.free", endNs = Some(1000))).count() == 1)
+  }
+
+  test("compaction WAF accounting: bytes read/written, waf ratio") {
+    val dir = tmp()
+    val engine = new TsdbEngine(spark, s"$dir/db")
+    val pts = (1 to 5).map(i =>
+      TP("cpu", Map("h" -> "a"), i * 100L, Map("v" -> FV.dv(i)), i))
+    engine.putDF(pts.toDF())
+    engine.putDF(pts.toDF().withColumn("seq", col("seq") + 10)) // shadowed versions
+    assert(engine.compactionStats.events == 0)
+    engine.compact()
+    val s = engine.compactionStats
+    assert(s.events == 1)
+    assert(s.bytesRead > 0 && s.bytesWritten > 0)
+    // two overlapping appends merge into fewer bytes than were read
+    assert(s.waf > 0.0 && s.waf < 1.0, s"waf ${s.waf}")
+  }
+
   test("subscribers receive DELETE updates for NBQL REMOVE via the log changefeed") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmp()
