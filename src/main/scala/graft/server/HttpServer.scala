@@ -39,6 +39,7 @@ final class GraftHttpServer(executor: NbqlExecutor, port: Int = 0,
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/api/nbql", (ex: HttpExchange) => handle(ex))
+  server.createContext("/query", (ex: HttpExchange) => handleUi(ex))
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
 
   def start(): Unit = server.start()
@@ -71,6 +72,19 @@ final class GraftHttpServer(executor: NbqlExecutor, port: Int = 0,
       colon = decoded.indexOf(':') if colon >= 0
       user <- auth.authenticate(decoded.take(colon), decoded.drop(colon + 1))
     } yield user
+
+  /** `GET /query`: the reference serves a small query UI page next to the
+    * API (`server/http_server.go:37-38` → `ui/query.html`); same here — a
+    * dependency-free page posting NBQL to `/api/nbql` and rendering the
+    * JSON result as a table. */
+  private def handleUi(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "GET") return err(ex, 405, "Only GET is allowed")
+    val body = GraftHttpServer.QueryPageHtml.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+    ex.sendResponseHeaders(200, body.length.toLong)
+    ex.getResponseBody.write(body)
+    ex.close()
+  }
 
   private def handle(ex: HttpExchange): Unit =
     try handleInner(ex)
@@ -194,4 +208,39 @@ private[server] object RowJson {
       case st: StructType => toJValue(v.asInstanceOf[Row], st)
       case _ => JString(v.toString)
     }
+}
+
+object GraftHttpServer {
+  /** Minimal query console, served at `GET /query`. */
+  private[server] val QueryPageHtml: String =
+    """<!doctype html><html><head><meta charset="utf-8"><title>graft query</title>
+      |<style>
+      | body{font-family:monospace;margin:2em;max-width:70em}
+      | textarea{width:100%;height:6em;font:inherit}
+      | table{border-collapse:collapse;margin-top:1em}
+      | td,th{border:1px solid #999;padding:2px 8px;text-align:left}
+      | #err{color:#b00}
+      |</style></head><body>
+      |<h3>graft NBQL console</h3>
+      |<textarea id="q">SHOW METRICS;</textarea><br>
+      |<button onclick="run()">Run</button> <span id="err"></span>
+      |<div id="out"></div>
+      |<script>
+      |async function run(){
+      |  const err=document.getElementById('err'), out=document.getElementById('out');
+      |  err.textContent=''; out.innerHTML='';
+      |  const r=await fetch('/api/nbql',{method:'POST',
+      |    headers:{'Content-Type':'application/json'},
+      |    body:JSON.stringify({query:document.getElementById('q').value})});
+      |  const j=await r.json();
+      |  if(j.status!=='ok'){err.textContent=j.error||('HTTP '+r.status);return;}
+      |  if(!j.results){out.textContent=j.message||'OK';return;}
+      |  const rows=j.results; if(!rows.length){out.textContent='(0 rows)';return;}
+      |  const cols=Object.keys(rows[0]);
+      |  let h='<table><tr>'+cols.map(c=>'<th>'+c+'</th>').join('')+'</tr>';
+      |  for(const row of rows)
+      |    h+='<tr>'+cols.map(c=>'<td>'+JSON.stringify(row[c])+'</td>').join('')+'</tr>';
+      |  out.innerHTML=h+'</table>'+(j.next_cursor?'<p>next_cursor: '+j.next_cursor+'</p>':'');
+      |}
+      |</script></body></html>""".stripMargin
 }

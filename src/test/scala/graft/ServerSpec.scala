@@ -49,6 +49,22 @@ class ServerSpec extends SparkSpec {
 
   def json(r: HttpResponse[String]): JValue = JsonMethods.parse(r.body)
 
+  test("GET /query serves the HTML console; POST to it is rejected") {
+    withServer() { (_, port) =>
+      val r = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/query")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+      assert(r.body().contains("/api/nbql")) // the console posts to the API
+      val bad = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/query"))
+        .POST(HttpRequest.BodyPublishers.ofString("x")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() == 405)
+    }
+  }
+
   test("POST /api/nbql: push acks, buffered query returns typed rows") {
     withServer() { (_, port) =>
       val ack = post(port,
