@@ -517,6 +517,48 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     copyDir(Paths.get(s"$rootDir/_log"), destLog)
   }
 
+  /** Push replication to a DISJOINT-storage follower — the network-
+    * shipping analog of the reference's WAL applier
+    * (`replication/wal_applier.go`, `replication/grpc_server.go`), which
+    * streams WAL entries to a remote and applies them in order. Here the
+    * commit log IS the WAL, so shipping = for every version the
+    * destination lacks: copy that commit's data files FIRST, then the
+    * commit manifest — a follower tailing `destDir` with `sync()`
+    * observes each commit atomically (a manifest never lands before the
+    * files it publishes, the same invariant local commits have; the
+    * manifest copy itself is an atomic move). Data files vacuumed at the
+    * source are skipped: they are, by construction, dead by the shipped
+    * tip, so the follower's visible file set never references them.
+    * Returns the version now shipped. Incremental and idempotent —
+    * call it on a schedule and the follower stays current. */
+  def replicateTo(destDir: String): Long = {
+    val s = snap
+    val destLogDir = Paths.get(s"$destDir/_log")
+    val destDataDir = Paths.get(s"$destDir/data")
+    Files.createDirectories(destLogDir)
+    Files.createDirectories(destDataDir)
+    val from = new TxLog(s"$destDir/_log").latestVersion()
+    (from + 1 to s.version).foreach { v =>
+      val c = log.read(v)
+      c.adds.foreach { rel =>
+        val src = Paths.get(dataDir).resolve(rel)
+        val dst = destDataDir.resolve(rel)
+        if (Files.exists(src) && !Files.exists(dst)) {
+          Files.createDirectories(dst.getParent)
+          Files.copy(src, dst)
+        }
+      }
+      val manifest = destLogDir.resolve(f"$v%020d.json")
+      if (!Files.exists(manifest)) {
+        val tmp = destLogDir.resolve(s".ship-$v.tmp")
+        Files.copy(Paths.get(s"$rootDir/_log").resolve(f"$v%020d.json"), tmp,
+          StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    s.version
+  }
+
   /** `RESTORE FROM '<path>' [WITH OVERWRITE]` (`api/nbql/executor.go:53-81`). */
   def restore(srcDir: String, overwrite: Boolean): Either[String, Unit] = {
     if (!Files.isDirectory(Paths.get(s"$srcDir/_log")))

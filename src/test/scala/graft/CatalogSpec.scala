@@ -88,4 +88,35 @@ class CatalogSpec extends SparkSpec {
       assert(writer.query(QueryParams("cpu", startNs = 0, endNs = Some(10000))).count() == 3)
     }
   }
+
+  test("push replication ships commits to a disjoint-storage follower in order") {
+    withRoot { root =>
+      val leader = new TsdbEngine(spark, s"$root/leader")
+      assert(leader.putBatch(Seq(pt("cpu", 1000, 1.0), pt("cpu", 2000, 2.0))).isRight)
+      val shipped1 = leader.replicateTo(s"$root/follower")
+      assert(shipped1 == leader.version)
+
+      val follower = new TsdbEngine(spark, s"$root/follower")
+      def rows(e: TsdbEngine): Seq[Long] =
+        e.query(QueryParams("cpu", startNs = 0, endNs = Some(10000)))
+          .select("timestamp").collect().map(_.getLong(0)).sorted.toSeq
+      assert(rows(follower) == Seq(1000L, 2000L))
+
+      // more commits: append + delete + compaction (file-set swap)
+      assert(leader.putBatch(Seq(pt("cpu", 3000, 3.0))).isRight)
+      leader.deletePoint("cpu", Map("h" -> "1"), 1000)
+      leader.compact() // vacuums superseded source files pre-ship
+      val shipped2 = leader.replicateTo(s"$root/follower")
+      assert(shipped2 == leader.version && shipped2 > shipped1)
+
+      assert(rows(follower) == Seq(1000L, 2000L), "isolated until sync")
+      follower.sync()
+      assert(rows(follower) == Seq(2000L, 3000L), "append + delete + compact shipped")
+
+      // idempotent re-ship: no change, still consistent
+      assert(leader.replicateTo(s"$root/follower") == shipped2)
+      follower.sync()
+      assert(rows(follower) == Seq(2000L, 3000L))
+    }
+  }
 }
