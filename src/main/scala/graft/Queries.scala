@@ -236,7 +236,7 @@ object Queries {
 
   // ---- Training-data pipeline battery (dedup/similarity/text/multimodal) --
 
-  import graft.pipeline.{Dedup, Similarity, TextAnalysis => TA}
+  import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis => TA}
 
   /** Text quality statistics + heuristic quality score per document. */
   def docStats(s: SparkSession, dir: String): DataFrame = {
@@ -297,6 +297,43 @@ object Queries {
       .select(col("doc"),
         lpad(lower(hex(col("simhash"))), 16, "0").as("simhash_hex"))
       .orderBy("doc")
+
+  /** SimHash near-dup PAIRS at Hamming radius 3 via complete 4x16-bit
+    * band blocking (pigeonhole) + exact Hamming verify — provably equal
+    * to the all-pairs scan the oracle runs. */
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
+  /** Duplicate-cluster resolution: connected components over the
+    * MinHash-LSH near-dup pairs (threshold 0.8 — the proven
+    * `dedup_minhash_lsh` pair set), every doc labeled with its cluster's
+    * min doc_id and the cluster size. `doc_id == cluster_id` is the
+    * canonical copy a dedup pipeline keeps. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, k = 8, bands = 4, threshold = 0.8)
+    Dedup.dupClusters(docs, "doc_id", pairs)
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test assignment (80/10/10) by hashed id —
+    * stable across runs/engines/parallelism, unlike RNG sampling. */
+  def datasetSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.datasetSplit(t(s, dir, "documents"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("bucket"), col("split"))
+      .orderBy("doc_id")
+
+  /** Deterministic stratified sample: downsample dominant strata
+    * (en→30%, zh→60%), keep the rest — `sampleBy` semantics with
+    * reproducible hash buckets instead of RNG. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+      rates = Map("en" -> 30, "zh" -> 60))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
 
   private def embVecs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))

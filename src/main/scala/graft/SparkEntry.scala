@@ -38,6 +38,10 @@ object SparkEntry {
     "minhash_signatures" -> (Queries.minhashSignatures _),
     "dedup_minhash_lsh" -> (Queries.dedupMinhashLsh _),
     "simhash_sketches" -> (Queries.simhashSketches _),
+    "simhash_neardup" -> (Queries.simhashNearDup _),
+    "dedup_clusters" -> (Queries.dedupClusters _),
+    "dataset_split" -> (Queries.datasetSplit _),
+    "sample_stratified" -> (Queries.sampleStratified _),
     "embedding_topk" -> (Queries.embeddingTopK _),
     "embedding_neardup" -> (Queries.embeddingNearDup _),
     "embedding_neardup_ivf" -> (Queries.embeddingNearDupIvf _),
@@ -147,6 +151,27 @@ object SparkEntry {
         |WHERE l_quantity < 5 AND l_discount > 0.05 ORDER BY 1, 2""".stripMargin,
     // ---- pipeline battery ----
     "simhash_sketches" -> simhashOracle,
+    "simhash_neardup" -> simhashNearDupOracle,
+    "dedup_clusters" -> dedupClustersOracle,
+    "dataset_split" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+         |  FROM documents),
+         |b AS (SELECT doc_id, lang,
+         |  CAST((${hexToIntSql("hx")}) % 100 AS BIGINT) AS bucket FROM h)
+         |SELECT doc_id, lang, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  substring(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+         |  FROM documents),
+         |b AS (SELECT doc_id, lang,
+         |  CAST((${hexToIntSql("hx")}) % 100 AS BIGINT) AS bucket FROM h)
+         |SELECT doc_id, lang, bucket FROM b
+         |WHERE bucket < CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 60 ELSE 100 END
+         |ORDER BY doc_id""".stripMargin,
     "ann_lsh_topk" -> annLshOracle,
     "ann_ivf_topk" -> annIvfOracle,
     "doc_stats" ->
@@ -349,18 +374,14 @@ object SparkEntry {
     * sketch nibble j = sign bits 4j..4j+3, printed MSB-first as hex.
     * Mirrors [[graft.pipeline.Dedup.simhash]] exactly — both sides hash
     * the same 3-gram shingles with their own md5. */
-  private def simhashOracle: String = {
+  /** Shared CTE prefix: 3-gram shingles → md5 posts → per-doc 64 bit-lane
+    * votes (lane b = bit b%4 of md5-hex nibble b/4), as `v(doc_id, v0..v63)`. */
+  private def simhashVotesCte: String = {
     val votes = (0 until 64).map { b =>
       s"sum(CASE WHEN (((strpos('0123456789abcdef', h[${b / 4 + 1}]) - 1) >> ${b % 4}) & 1) = 1" +
         s" THEN 1 ELSE -1 END) AS v$b"
     }.mkString(",\n   ")
-    val hexChars = (15 to 0 by -1).map { j =>
-      val nib = (0 until 4)
-        .map(i => s"(CASE WHEN v${4 * j + i} > 0 THEN ${1 << i} ELSE 0 END)")
-        .mkString(" + ")
-      s"substring('0123456789abcdef', 1 + $nib, 1)"
-    }.mkString(" || ")
-    s"""WITH w AS (SELECT doc_id,
+    s"""w AS (SELECT doc_id,
        |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws
        |  FROM documents),
        |sh AS (SELECT doc_id,
@@ -369,10 +390,94 @@ object SparkEntry {
        |posts AS (SELECT doc_id, md5(unnest(s)) AS h FROM sh),
        |v AS (SELECT doc_id,
        |   $votes
-       | FROM posts GROUP BY 1)
+       | FROM posts GROUP BY 1)""".stripMargin
+  }
+
+  private def simhashOracle: String = {
+    val hexChars = (15 to 0 by -1).map { j =>
+      val nib = (0 until 4)
+        .map(i => s"(CASE WHEN v${4 * j + i} > 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"substring('0123456789abcdef', 1 + $nib, 1)"
+    }.mkString(" || ")
+    s"""WITH $simhashVotesCte
        |SELECT doc_id AS doc, $hexChars AS simhash_hex
        |FROM v ORDER BY 1""".stripMargin
   }
+
+  /** DuckDB oracle for SimHash near-dup pairs: same vote CTE as
+    * [[simhashOracle]], sketches materialized as 16 nibble ints, then a
+    * BRUTE-FORCE all-pairs Hamming join — the Spark side's band blocking
+    * is complete at radius 3 (pigeonhole over 4 disjoint 16-bit bands),
+    * so the two must agree exactly. */
+  private def simhashNearDupOracle: String = {
+    val nibs = (0 until 16).map { j =>
+      "(" + (0 until 4)
+        .map(i => s"(CASE WHEN v${4 * j + i} > 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ") + s") AS nib$j"
+    }.mkString(", ")
+    val ham = (0 until 16)
+      .map(j => s"bit_count(xor(a.nib$j, b.nib$j)::BIGINT)")
+      .mkString(" + ")
+    s"""WITH $simhashVotesCte,
+       |n AS (SELECT doc_id, $nibs FROM v)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST($ham AS BIGINT) AS hamming
+       |FROM n a JOIN n b ON a.doc_id < b.doc_id
+       |WHERE $ham <= 3
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** DuckDB oracle for dup-cluster resolution: the dedup_minhash_lsh pair
+    * chain (same signatures/bands/verify), then connected components via
+    * a recursive reachability CTE, labels = per-component min doc_id. */
+  private def dedupClustersOracle: String =
+    """WITH RECURSIVE w AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]) AS s
+      |  FROM w WHERE len(ws) >= 3),
+      |posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |sig AS (SELECT doc_id,
+      | min(substring(md5('0:' || sg), 1, 8)) AS m0,
+      | min(substring(md5('0:' || sg), 9, 8)) AS m1,
+      | min(substring(md5('0:' || sg), 17, 8)) AS m2,
+      | min(substring(md5('0:' || sg), 25, 8)) AS m3,
+      | min(substring(md5('1:' || sg), 1, 8)) AS m4,
+      | min(substring(md5('1:' || sg), 9, 8)) AS m5,
+      | min(substring(md5('1:' || sg), 17, 8)) AS m6,
+      | min(substring(md5('1:' || sg), 25, 8)) AS m7
+      | FROM posts GROUP BY 1),
+      |band AS (
+      | SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS h FROM sig
+      | UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+      | UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+      | UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
+      |cnd AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM band a JOIN band b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+      |pairs AS (SELECT c.doc_a, c.doc_b
+      | FROM cnd c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b
+      | WHERE len(list_intersect(x.s, y.s))::DOUBLE
+      |       / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.8),
+      |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |        UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(node, r) AS (
+      | SELECT doc_id, doc_id FROM documents
+      | UNION
+      | SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r),
+      |lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+      |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+      |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
+      |FROM lab JOIN sz USING (cluster_id) ORDER BY 1""".stripMargin
+
+  /** SQL parsing an 8-hex-char column to its integer value (DuckDB lacks
+    * a hex→int conv; both engines then agree on md5-bucket arithmetic). */
+  private def hexToIntSql(col: String): String =
+    (1 to 8).map { i =>
+      val mult = math.pow(16, 8 - i).toLong
+      s"(strpos('0123456789abcdef', $col[$i]) - 1) * ${mult}"
+    }.mkString(" + ")
 
   /** DuckDB oracle for sign-LSH ANN: the SAME seeded hyperplanes the
     * Spark side uses ([[graft.pipeline.Similarity.tablePlanes]]) embedded

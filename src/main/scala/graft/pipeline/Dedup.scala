@@ -188,4 +188,88 @@ object Dedup {
 
   /** Hamming distance between two 64-bit sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-duplicate pairs by SimHash Hamming distance <= `maxHamming`.
+    *
+    * Candidate generation splits the 64-bit sketch into 4 disjoint 16-bit
+    * bands: two sketches within Hamming distance 3 differ in at most 3
+    * bits, so BY PIGEONHOLE at least one band is untouched — band
+    * equality is a complete blocking key (recall 1.0, same as all-pairs)
+    * for radius <= 3. The band join shuffles (band, 16-bit value, id)
+    * only; sketches rejoin for the exact Hamming verification, so the
+    * result is provably identical to the n² scan. At 100 TB the per-band
+    * bucket population is n/2¹⁶ uniformly — for larger corpora widen the
+    * sketch (128-bit, 4x32-bit bands) rather than adding bands, which
+    * loosens the radius the pigeonhole argument covers. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit band blocking is complete only for radius <= 3")
+    val sk = simhash(df, idCol, textCol, n)
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), 16 * b).bitwiseAND(0xFFFFL).as("v"))
+    }
+    val banded = sk.select(col("doc"), explode(array(bandCols: _*)).as("bh"))
+    val cand = banded.as("x").join(banded.as("y"), col("x.bh") === col("y.bh"))
+      .filter(col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b")).distinct()
+    cand
+      .join(sk.select(col("doc").as("doc_a"), col("simhash").as("sk_a")), "doc_a")
+      .join(sk.select(col("doc").as("doc_b"), col("simhash").as("sk_b")), "doc_b")
+      .withColumn("hamming", hamming(col("sk_a"), col("sk_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Connected components by iterative min-label propagation: every node
+    * starts labeled with its own id; each round a node takes the minimum
+    * of its own and its neighbors' labels; fixpoint = component minima.
+    *
+    * Each round is one shuffle join + aggregation over (id, label) pairs
+    * — payloads are two longs regardless of document size — and rounds
+    * needed = component DIAMETER, which for dedup graphs is tiny (dup
+    * clusters are near-cliques; the testdata converges in 2). For
+    * adversarially long path-shaped graphs the known upgrade is
+    * large-star/small-star (O(log n) rounds); label propagation is kept
+    * here because its per-round plan is half the shuffles and dedup
+    * components are shallow. Results are cached per round and the
+    * previous round unpersisted, so lineage stays bounded. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    var labels = nodes.select(col("node"), col("node").as("label")).cache()
+    var it = 0
+    var changed = 1L
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = und
+        .join(labels.select(col("node").as("b"), col("label").as("blabel")), "b")
+        .groupBy(col("a").as("node")).agg(min(col("blabel")).as("nbr"))
+      val step = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .cache()
+      changed = step.filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = step.select(col("node"), col("label"))
+      it += 1
+    }
+    labels
+  }
+
+  /** Duplicate-cluster resolution: connected components over a near-dup
+    * pair set, plus the cluster size — the operator a dedup pipeline
+    * actually ships (keep `doc_id == cluster_id` as the canonical copy,
+    * drop the rest). Docs in no pair are singleton clusters of
+    * themselves. */
+  def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val nodes = docs.select(col(idCol).as("node"))
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labeled = connectedComponents(nodes, edges)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    val sizes = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
 }

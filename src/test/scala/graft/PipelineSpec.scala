@@ -209,4 +209,62 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       "bucketed path must not plan an all-pairs join")
   }
+
+  test("simhash pairs: band blocking == all-pairs hamming at radius 3") {
+    val docs = graft.tsdb.Tables.load(spark, sf, "documents")
+    val sk = Dedup.simhash(docs, "doc_id", "text", 3)
+    val exact = sk.as("x").join(sk.as("y"), col("x.doc") < col("y.doc"))
+      .filter(Dedup.hamming(col("x.simhash"), col("y.simhash")) <= 3)
+      .select(col("x.doc"), col("y.doc")).as[(Long, Long)].collect().toSet
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", 3, maxHamming = 3)
+    val got = banded.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == exact, s"missed ${exact -- got}, invented ${got -- exact}")
+    assert(got.nonEmpty, "testdata should contain hamming<=3 pairs")
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "band blocking must not plan an all-pairs join")
+  }
+
+  test("connected components: chain merges, singleton survives, min label wins") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("node")
+    // path 1-2-3-4 (diameter 3 forces >1 propagation round) + edge 5-9
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 5L)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 9L -> 5L))
+  }
+
+  test("dup clusters: exact copies cluster under min id with sizes") {
+    val df = Seq(
+      (10L, "a b c d e f g h"), (11L, "a b c d e f g h"),
+      (12L, "a b c d e f g h"), (20L, "x y z w q r s t"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.8)
+    val out = Dedup.dupClusters(df, "doc_id", pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L), (20L, 20L, 1L)))
+  }
+
+  test("dataset split: deterministic, partition-invariant, ~80/10/10") {
+    val docs = graft.tsdb.Tables.load(spark, sf, "documents")
+    val s1 = Sampling.datasetSplit(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val s2 = Sampling.datasetSplit(docs.repartition(7), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s1 == s2, "split assignment must not depend on partitioning")
+    val n = s1.size.toDouble
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, s"train ${frac("train")}")
+    assert(frac.getOrElse("val", 0.0) > 0.03 && frac.getOrElse("test", 0.0) > 0.03)
+  }
+
+  test("stratified sample keeps listed strata at their rate, others whole") {
+    val docs = graft.tsdb.Tables.load(spark, sf, "documents")
+    val kept = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      rates = Map("en" -> 0), defaultPct = 100)
+    val langs = kept.select("lang").distinct().as[String].collect().toSet
+    assert(!langs.contains("en"), "rate 0 must drop the stratum entirely")
+    val total = docs.count() - docs.filter(col("lang") === "en").count()
+    assert(kept.count() == total, "unlisted strata must be kept whole")
+  }
 }
