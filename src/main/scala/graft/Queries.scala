@@ -319,6 +319,21 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Winnowing fingerprint sketch per document (rolling-hash k-gram,
+    * window-min selection) — the per-doc index rows a containment
+    * detector stores. */
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, w = 4)
+      .orderBy("doc", "fp")
+
+  /** Partial-overlap pairs (>= 3 shared winnowing fingerprints, hot
+    * fingerprints capped at df 50) with shared/min-sketch score. */
+  def winnowOverlapPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, w = 4, minShared = 3L, maxDf = 50L)
+      .orderBy("doc_a", "doc_b")
+
   /** Deterministic train/val/test assignment (80/10/10) by hashed id —
     * stable across runs/engines/parallelism, unlike RNG sampling. */
   def datasetSplit(s: SparkSession, dir: String): DataFrame =

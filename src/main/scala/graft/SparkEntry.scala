@@ -42,6 +42,8 @@ object SparkEntry {
     "dedup_clusters" -> (Queries.dedupClusters _),
     "dataset_split" -> (Queries.datasetSplit _),
     "sample_stratified" -> (Queries.sampleStratified _),
+    "winnow_fingerprints" -> (Queries.winnowFingerprints _),
+    "winnow_overlap_pairs" -> (Queries.winnowOverlapPairs _),
     "embedding_topk" -> (Queries.embeddingTopK _),
     "embedding_neardup" -> (Queries.embeddingNearDup _),
     "embedding_neardup_ivf" -> (Queries.embeddingNearDupIvf _),
@@ -172,6 +174,22 @@ object SparkEntry {
          |SELECT doc_id, lang, bucket FROM b
          |WHERE bucket < CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 60 ELSE 100 END
          |ORDER BY doc_id""".stripMargin,
+    "winnow_fingerprints" ->
+      s"""$winnowFpsCte
+         |SELECT doc_id AS doc, unnest(fps) AS fp FROM m ORDER BY 1, 2""".stripMargin,
+    "winnow_overlap_pairs" ->
+      s"""$winnowFpsCte,
+         |fp AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+         |keep AS (SELECT fp FROM fp GROUP BY 1 HAVING count(*) <= 50),
+         |fpk AS (SELECT doc_id, fp.fp FROM fp JOIN keep USING (fp)),
+         |nf AS (SELECT doc_id, count(*) AS n FROM fpk GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |          FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT doc_a, doc_b, shared,
+         |  CAST(floor(shared * 10000.0 / least(x.n, y.n) + 0.5) AS BIGINT) AS overlap_e4
+         |FROM pairs JOIN nf x ON x.doc_id = doc_a JOIN nf y ON y.doc_id = doc_b
+         |ORDER BY 1, 2""".stripMargin,
     "ann_lsh_topk" -> annLshOracle,
     "ann_ivf_topk" -> annIvfOracle,
     "doc_stats" ->
@@ -470,6 +488,24 @@ object SparkEntry {
       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
       |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
       |FROM lab JOIN sz USING (cluster_id) ORDER BY 1""".stripMargin
+
+  /** Shared CTE prefix for the winnowing oracles: positional 3-gram
+    * shingles (duplicates kept) → int(md5[0:8]) hashes → window-4 min
+    * selection, distinct, as `m(doc_id, fps)`. Mirrors
+    * [[graft.pipeline.TextAnalysis.winnowHashes]] exactly. */
+  private def winnowFpsCte: String =
+    s"""WITH w AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws
+       |  FROM documents),
+       |g AS (SELECT doc_id,
+       |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)] AS sh
+       |  FROM w WHERE len(ws) >= 3),
+       |h AS (SELECT doc_id,
+       |  list_transform(list_transform(sh, s -> substring(md5(s), 1, 8)),
+       |                 x -> ${hexToIntSql("x")}) AS hs FROM g),
+       |m AS (SELECT doc_id, CASE WHEN len(hs) >= 4
+       |  THEN list_distinct([list_min(hs[i:i+3]) FOR i IN range(1, len(hs) - 2)])
+       |  ELSE [list_min(hs)] END AS fps FROM h)""".stripMargin
 
   /** SQL parsing an 8-hex-char column to its integer value (DuckDB lacks
     * a hex→int conv; both engines then agree on md5-bucket arithmetic). */

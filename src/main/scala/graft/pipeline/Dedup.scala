@@ -257,6 +257,45 @@ object Dedup {
     labels
   }
 
+  /** (doc, fp) winnowing fingerprint postings — see
+    * [[TextAnalysis.winnowHashes]] for the selection scheme. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      n: Int, w: Int): DataFrame =
+    df.select(col(idCol).as("doc"), TextAnalysis.words(col(textCol)).as("ws"))
+      .select(col("doc"), TextAnalysis.winnowHashes(col("ws"), n, w).as("fps"))
+      .filter(size(col("fps")) > 0)
+      .select(col("doc"), explode(col("fps")).as("fp"))
+
+  /** Partial-overlap / containment pairs over winnowing fingerprints:
+    * inverted-index self-join on the fingerprint (8-byte longs through
+    * every wide shuffle), pairs kept at >= `minShared` shared
+    * fingerprints, scored shared/min(|sketch|). Fingerprints appearing
+    * in more than `maxDf` docs are dropped FIRST — boilerplate/template
+    * runs otherwise put the same fp in thousands of docs and the
+    * posting-list self-join goes quadratic on those hot keys (the same
+    * df-defense the Jaccard prefix filter uses, here as a hard cap
+    * because overlap counts, unlike Jaccard, stay meaningful when
+    * ubiquitous runs are ignored). */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, w: Int, minShared: Long, maxDf: Long): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, n, w)
+    val keep = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("fdf")).filter(col("fdf") <= maxDf)
+    val fpk = fps.join(keep.select("fp"), "fp")
+    val nf = fpk.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val pairs = fpk.as("a")
+      .join(fpk.as("b"), col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pairs
+      .join(nf.select(col("doc").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(nf.select(col("doc").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("overlap_e4",
+        floor(col("shared") * 10000.0 / least(col("n_a"), col("n_b")) + 0.5).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("overlap_e4"))
+  }
+
   /** Duplicate-cluster resolution: connected components over a near-dup
     * pair set, plus the cluster size — the operator a dedup pipeline
     * actually ships (keep `doc_id == cluster_id` as the canonical copy,

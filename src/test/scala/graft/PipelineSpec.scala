@@ -258,6 +258,40 @@ class PipelineSpec extends SparkSpec {
     assert(frac.getOrElse("val", 0.0) > 0.03 && frac.getOrElse("test", 0.0) > 0.03)
   }
 
+  test("winnowing: shared run of w+n-1 words guarantees a shared fingerprint") {
+    // w=4, n=3 → any shared 6-word run must share a selected fingerprint
+    val run = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"one two $run three four five six seven"),
+      (2L, s"nine ten eleven twelve $run thirteen"),
+      (3L, "completely different words with no common run at all here"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, "doc_id", "text", n = 3, w = 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared run must surface a shared fp")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    // short docs: < n words → no sketch row; n..w-1 shingle hashes → global min
+    val short = Seq((9L, "just two"), (10L, "exactly three words here")).toDF("doc_id", "text")
+    val sfp = Dedup.winnowFingerprints(short, "doc_id", "text", 3, 4)
+      .as[(Long, Long)].collect()
+    assert(!sfp.exists(_._1 == 9L) && sfp.count(_._1 == 10L) == 1)
+  }
+
+  test("winnow overlap pairs: df-capped, counts shared fingerprints") {
+    val boiler = "standard legal disclaimer text applies to everything always"
+    val df = Seq(
+      (1L, s"unique alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"other unique alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, boiler), (4L, boiler), (5L, boiler))
+      .toDF("doc_id", "text")
+    // maxDf=2 drops the boilerplate fps (df=3); docs 1-2 share a long run
+    val pairs = Dedup.winnowOverlapPairs(df, "doc_id", "text", 3, 4,
+      minShared = 1L, maxDf = 2L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "overlapping docs must pair")
+    assert(!pairs.exists(p => p._1 >= 3L), "df-capped boilerplate must not pair")
+  }
+
   test("stratified sample keeps listed strata at their rate, others whole") {
     val docs = graft.tsdb.Tables.load(spark, sf, "documents")
     val kept = Sampling.stratifiedSample(docs, "doc_id", "lang",
