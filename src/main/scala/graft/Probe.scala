@@ -32,6 +32,8 @@ object Probe {
     t("minhash sigs")(Dedup.minhashSignatures(docs, "doc_id", "text", 3, 8))
     t("minhash lsh")(Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 8, 4, 0.6))
     t("simhash")(Dedup.simhash(docs, "doc_id", "text", 3))
+    t("winnow fps")(Dedup.winnowFingerprints(docs, "doc_id", "text", 3, 4))
+    t("winnow overlap")(Dedup.winnowOverlapPairs(docs, "doc_id", "text", 3, 4, 3L, 50L))
     val emb = graft.tsdb.Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     t("neardup bucketed")(Similarity.cosinePairsBucketed(

@@ -64,8 +64,99 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** Winnowing selection in one tight JVM loop. The Catalyst-lambda
+  * formulation (transform over a window sequence slicing a computed hash
+  * array) is a trap: CollapseProject inlines the hash-array expression
+  * into the lambda body, where CSE cannot hoist it, so every window
+  * element re-hashes the whole document — O(tokens²) md5 calls per row.
+  * This expression evaluates its child once and runs O(tokens · w). */
+object WinnowUtil {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Positional n-gram hashes — first 32 bits of md5 of the space-joined
+    * shingle as an unsigned long, bit-identical to SQL
+    * `conv(substring(md5(s), 1, 8), 16, 10)` — then window-`w` minimum
+    * selection, distinct in first-selection order. Fewer than n words →
+    * empty; fewer than w shingles → the single global minimum. */
+  def winnow(words: ArrayData, n: Int, w: Int): ArrayData = {
+    val m = words.numElements() - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val digest = md5.get()
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        val wd = words.getUTF8String(i + j)
+        if (wd != null) sb.append(wd.toString)
+        j += 1
+      }
+      digest.reset()
+      val d = digest.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val lastStart = m - w
+    if (lastStart >= 0) {
+      var s = 0
+      while (s <= lastStart) {
+        var mn = hs(s)
+        var k = 1
+        while (k < w) { if (hs(s + k) < mn) mn = hs(s + k); k += 1 }
+        out.add(mn)
+        s += 1
+      }
+    } else {
+      var mn = hs(0)
+      var k = 1
+      while (k < m) { if (hs(k) < mn) mn = hs(k); k += 1 }
+      out.add(mn)
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** `winnow_hashes(words, n, w)` — winnowing fingerprint sketch of a word
+  * array (Schleimer/Wilkerson/Aiken selection over positional n-grams). */
+case class WinnowHashes(child: Expression, n: Int, w: Int)
+    extends UnaryExpression {
+  require(n >= 1 && w >= 1, "shingle size and window must be >= 1")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_hashes requires array<string>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(words: Any): Any =
+    WinnowUtil.winnow(words.asInstanceOf[ArrayData], n, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowUtil.winnow($c, $n, $w)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "winnow_hashes"
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graft.ColumnBridge
   def word_shingles(words: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(words), n))
+  def winnow_hashes(words: Column, n: Int, w: Int): Column =
+    ColumnBridge.column(WinnowHashes(ColumnBridge.expression(words), n, w))
 }

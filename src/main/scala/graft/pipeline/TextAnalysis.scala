@@ -34,35 +34,22 @@ object TextAnalysis {
   def shinglesOfWords(ws: Column, n: Int): Column =
     graft.functions.TextFunctions.word_shingles(ws, n)
 
-  /** Ordered (positional) n-gram shingles — duplicates KEPT, unlike
-    * [[shinglesOfWords]]: winnowing selection is positional, so repeated
-    * runs must occupy their positions. */
-  def orderedShingles(ws: Column, n: Int): Column =
-    when(size(ws) >= n,
-      transform(sequence(lit(1), size(ws) - (n - 1)),
-        i => concat_ws(" ", slice(ws, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-
   /** Winnowing fingerprint selection (the rolling-hash document
     * fingerprinting scheme of Schleimer/Wilkerson/Aiken, SIGMOD'03):
-    * hash every positional n-gram, slide a window of `w` hashes, select
-    * each window's minimum; the distinct selected values are the doc's
+    * hash every POSITIONAL n-gram (duplicates kept — repeated runs must
+    * occupy their positions), slide a window of `w` hashes, select each
+    * window's minimum; the distinct selected values are the doc's
     * sketch. Guarantee: two docs sharing any run of >= w+n-1 words share
     * at least one selected fingerprint — the basis for PARTIAL-overlap /
     * containment detection that whole-doc similarity (Jaccard, SimHash)
     * cannot express. Hashes are int(md5[0:8]) so a SQL oracle reproduces
-    * them; sketch size is ~2/(w+1) of token count. Pure column algebra —
-    * a narrow map stage. Docs with < n words yield an empty sketch. */
-  def winnowHashes(ws: Column, n: Int, w: Int): Column = {
-    val hs = transform(orderedShingles(ws, n),
-      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
-    val len = size(hs)
-    when(len >= w,
-      array_distinct(transform(sequence(lit(1), len - (w - 1)),
-        i => array_min(slice(hs, i, lit(w))))))
-      .when(len > 0, array(array_min(hs)))
-      .otherwise(array().cast("array<bigint>"))
-  }
+    * them; sketch size is ~2/(w+1) of token count. A native codegen
+    * expression (one O(tokens · w) loop per row — the Catalyst-lambda
+    * formulation re-hashes the doc per window element, O(tokens²); see
+    * [[graft.functions.WinnowUtil]]), so it runs at 100 TB as a narrow
+    * map stage. Docs with < n words yield an empty sketch. */
+  def winnowHashes(ws: Column, n: Int, w: Int): Column =
+    graft.functions.TextFunctions.winnow_hashes(ws, n, w)
 
   /** Canonical normalized form: lowercase, whitespace collapsed. */
   def normalized(text: Column): Column =
