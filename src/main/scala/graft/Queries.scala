@@ -236,7 +236,7 @@ object Queries {
 
   // ---- Training-data pipeline battery (dedup/similarity/text/multimodal) --
 
-  import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis => TA}
+  import graft.pipeline.{Decontaminate, Dedup, Sampling, Similarity, TextAnalysis => TA}
 
   /** Text quality statistics + heuristic quality score per document. */
   def docStats(s: SparkSession, dir: String): DataFrame = {
@@ -333,6 +333,44 @@ object Queries {
     Dedup.winnowOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
       n = 3, w = 4, minShared = 3L, maxDf = 50L)
       .orderBy("doc_a", "doc_b")
+
+  /** Benchmark decontamination: the mod-20 doc slice plays the eval
+    * benchmark; train docs sharing >= 3 distinct 5-grams with it are
+    * flagged (eval n-gram set broadcast — the 100 TB probe shape). */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Decontaminate.contamination(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 5, minHits = 3L)
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition signals: duplicate-word and top-bigram
+    * fractions (×10⁴) per document. */
+  def docRepetition(s: SparkSession, dir: String): DataFrame =
+    TA.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** PII scan + redaction over text with deterministically planted PII
+    * (the synthetic corpus has none): hit counts per class and the md5
+    * of the redacted text — byte-level proof both engines' regex
+    * passes agree. */
+  def piiScan(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail-"), col("doc_id").cast("string"), lit(".example.com"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" or +1-202-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0."), (col("doc_id") % 100).cast("string"), lit(" end"))
+    t(s, dir, "documents")
+      .select(col("doc_id") +: (TA.piiCounts(planted) :+
+        md5(TA.piiRedact(planted)).as("red_fp")): _*)
+      .orderBy("doc_id")
+  }
 
   /** Deterministic train/val/test assignment (80/10/10) by hashed id —
     * stable across runs/engines/parallelism, unlike RNG sampling. */

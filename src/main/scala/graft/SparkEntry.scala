@@ -44,6 +44,9 @@ object SparkEntry {
     "sample_stratified" -> (Queries.sampleStratified _),
     "winnow_fingerprints" -> (Queries.winnowFingerprints _),
     "winnow_overlap_pairs" -> (Queries.winnowOverlapPairs _),
+    "decontaminate" -> (Queries.decontaminate _),
+    "doc_repetition" -> (Queries.docRepetition _),
+    "pii_scan" -> (Queries.piiScan _),
     "embedding_topk" -> (Queries.embeddingTopK _),
     "embedding_neardup" -> (Queries.embeddingNearDup _),
     "embedding_neardup_ivf" -> (Queries.embeddingNearDupIvf _),
@@ -190,6 +193,55 @@ object SparkEntry {
          |  CAST(floor(shared * 10000.0 / least(x.n, y.n) + 0.5) AS BIGINT) AS overlap_e4
          |FROM pairs JOIN nf x ON x.doc_id = doc_a JOIN nf y ON y.doc_id = doc_b
          |ORDER BY 1, 2""".stripMargin,
+    "decontaminate" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws
+         |  FROM documents),
+         |g AS (SELECT doc_id, list_distinct(
+         |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+         |   FOR i IN range(1, len(ws) - 3)]) AS sh
+         |  FROM w WHERE len(ws) >= 5),
+         |p AS (SELECT doc_id, substring(md5(s), 1, 8) AS hx
+         |      FROM (SELECT doc_id, unnest(sh) AS s FROM g)),
+         |ph AS (SELECT doc_id, CAST(${hexToIntSql("hx")} AS BIGINT) AS gh FROM p),
+         |tp AS (SELECT doc_id, gh FROM ph WHERE doc_id % 20 <> 0),
+         |ep AS (SELECT doc_id AS eval_id, gh FROM ph WHERE doc_id % 20 = 0),
+         |j AS (SELECT tp.doc_id, tp.gh, ep.eval_id FROM tp JOIN ep USING (gh))
+         |SELECT doc_id, count(DISTINCT gh) AS hits, count(DISTINCT eval_id) AS evals
+         |FROM j GROUP BY 1 HAVING count(DISTINCT gh) >= 3 ORDER BY 1""".stripMargin,
+    "doc_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |nz AS (SELECT doc_id, ws FROM w WHERE len(ws) > 0),
+        |base AS (SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct FROM nz),
+        |bg AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS bg
+        |       FROM nz WHERE len(ws) >= 2),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS top_c FROM c GROUP BY 1)
+        |SELECT b.doc_id, b.n_words,
+        |  CAST(floor((b.n_words - b.n_distinct) * 10000.0 / b.n_words + 0.5) AS BIGINT) AS dup_word_e4,
+        |  COALESCE(CAST(floor(t.top_c * 10000.0 / (b.n_words - 1) + 0.5) AS BIGINT), 0) AS top_bigram_e4
+        |FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id ORDER BY 1""".stripMargin,
+    "pii_scan" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail-'
+        |    || CAST(doc_id AS VARCHAR) || '.example.com'
+        |    || CASE WHEN doc_id % 3 = 0
+        |       THEN ' or +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END
+        |    || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+        |    || CAST(doc_id % 100 AS VARCHAR) || ' end' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t, '\+\d{1,2}-\d{3}-\d{3}-\d{4}')) AS n_phone,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS red_fp
+        |FROM p ORDER BY doc_id""".stripMargin,
     "ann_lsh_topk" -> annLshOracle,
     "ann_ivf_topk" -> annIvfOracle,
     "doc_stats" ->

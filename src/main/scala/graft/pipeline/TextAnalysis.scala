@@ -92,6 +92,57 @@ object TextAnalysis {
       .otherwise("fr")
   }
 
+  /** Repetition signals (the Gopher/MassiveText-style repetition
+    * filters): duplicate-word fraction and most-frequent-bigram
+    * fraction, ×10⁴ as integers (`floor(x·10⁴+0.5)` — identical IEEE
+    * ops in any engine, immune to decimal-rounding divergence).
+    * Bigrams are POSITIONAL (duplicates kept — frequency is the
+    * point); the only shuffle carries (doc, bigram) rows for the
+    * per-doc mode, partial-aggregated map-side. Docs with < 2 words
+    * report 0 for both fractions. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = df.select(col(idCol).as("doc"), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) > 0)
+    val base = ws.select(col("doc"), size(col("ws")).as("n_words"),
+      size(array_distinct(col("ws"))).as("n_distinct"))
+    val top = ws.filter(size(col("ws")) >= 2)
+      .select(col("doc"), explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat(element_at(col("ws"), i), lit(" "),
+          element_at(col("ws"), i + 1)))).as("bg"))
+      .groupBy(col("doc"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc")).agg(max(col("c")).as("top_c"))
+    base.join(top, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_words"),
+        floor((col("n_words") - col("n_distinct")) * 10000.0 / col("n_words") + 0.5)
+          .cast("long").as("dup_word_e4"),
+        coalesce(
+          floor(col("top_c") * 10000.0 / (col("n_words") - 1) + 0.5).cast("long"),
+          lit(0L)).as("top_bigram_e4"))
+  }
+
+  /** PII patterns — deliberately restricted to syntax Java regex and
+    * RE2 (DuckDB/Go engines) interpret identically, so a SQL oracle
+    * can reproduce scan counts and redactions byte-for-byte. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"
+
+  /** Per-document PII hit counts (emails, intl-format phones, IPv4s). */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(emailRe)).as("n_email"),
+    regexp_count(text, lit(phoneRe)).as("n_phone"),
+    regexp_count(text, lit(ipv4Re)).as("n_ipv4"))
+
+  /** Redaction: email first (its domain would otherwise be visible to
+    * the dotted-quad pattern), then IPv4, then phone. A narrow map
+    * stage — the 100 TB PII pass is scan-shaped, no shuffle at all. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
   /** Heuristic quality score in [0,1]: length saturation + lexical
     * diversity + stopword density (the usual cheap pre-filters applied
     * before expensive model-based scoring). */

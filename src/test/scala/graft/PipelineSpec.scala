@@ -292,6 +292,51 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 >= 3L), "df-capped boilerplate must not pair")
   }
 
+  test("decontamination flags train docs sharing eval n-grams, broadcasts eval") {
+    val leak = "the quick brown fox jumps over the lazy dog today"
+    val train = Seq(
+      (1L, s"prefix words here $leak suffix words here"),
+      (2L, "totally clean document with nothing shared at all in it okay"))
+      .toDF("doc_id", "text")
+    val evalDf = Seq((100L, s"benchmark question says $leak as its answer"))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.contamination(train, evalDf, "doc_id", "text",
+      n = 5, minHits = 3L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval probe must broadcast:\n$plan")
+    val byDoc = out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byDoc.contains(1L) && !byDoc.contains(2L))
+    // a 10-word leak has 6 positional 5-grams, all distinct here
+    assert(byDoc(1L) == ((6L, 1L)), s"got ${byDoc(1L)}")
+  }
+
+  test("repetition stats: duplicate-word and top-bigram fractions") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),          // 4 words 1 distinct; bigram "spam spam" x3/3
+      (2L, "all words fully distinct here"), // no dup; every bigram count 1 → 1/4
+      (3L, "solo"))                          // 1 word: no bigram → 0
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((4, 7500L, 10000L)), s"got ${out(1L)}")
+    assert(out(2L) == ((5, 0L, 2500L)), s"got ${out(2L)}")
+    assert(out(3L) == ((1, 0L, 0L)), s"got ${out(3L)}")
+  }
+
+  test("pii scan counts and redacts emails, phones, ipv4s") {
+    val df = Seq((1L,
+      "mail bob.smith@corp-x.example.org and +1-415-555-0199 from 192.168.10.7 twice 10.0.0.1"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id") +: (TextAnalysis.piiCounts(col("text")) :+
+        TextAnalysis.piiRedact(col("text")).as("red")): _*)
+      .as[(Long, Int, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 1 && out(1L)._3 == 1 && out(1L)._4 == 2, s"counts ${out(1L)}")
+    assert(out(1L)._5 ==
+      "mail <EMAIL> and <PHONE> from <IP> twice <IP>")
+    assert(out(2L)._2 == 0 && out(2L)._3 == 0 && out(2L)._4 == 0)
+    assert(out(2L)._5 == "no pii here at all")
+  }
+
   test("stratified sample keeps listed strata at their rate, others whole") {
     val docs = graft.tsdb.Tables.load(spark, sf, "documents")
     val kept = Sampling.stratifiedSample(docs, "doc_id", "lang",
