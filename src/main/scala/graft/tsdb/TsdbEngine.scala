@@ -446,16 +446,34 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       try Files.size(Paths.get(dataDir).resolve(f)) catch { case _: Exception => 0L }
     }.sum
 
+  /** Retention policy (reference `retention_period` config,
+    * `engine2/compaction_manager.go:812-825`): data points older than
+    * `now - period` are dropped at COMPACTION time, not query time —
+    * matching the reference, where expired entries stay visible until a
+    * compaction cycle rewrites their tables (`:750-759`). */
+  @volatile var retentionPeriodNs: Option[Long] = None
+
   /** LSM-compaction / OPTIMIZE analog: rewrite points keeping only the
-    * winning version of each (series, ts) with tombstoned rows dropped,
-    * swap the whole file set in ONE commit (readers see either the old
-    * or the new state, never both), clear the tombstone log, vacuum.
-    * Observable state is unchanged; storage shrinks and reads stop
-    * paying the merge. */
-  def compact(): Unit = {
+    * winning version of each (series, ts) with tombstoned rows dropped
+    * — and, when a retention period is set, expired rows dropped too
+    * (the `timestamp >= cutoff` filter rides metric+date partition
+    * pruning, so fully-expired date partitions are never even READ by
+    * the rewrite) — then swap the whole file set in ONE commit (readers
+    * see either the old or the new state, never both), clear the
+    * tombstone log, vacuum. Observable state is unchanged apart from
+    * retention-expired rows; storage shrinks and reads stop paying the
+    * merge. `nowNs` is injectable for determinism (same convention as
+    * [[QueryParams.nowNs]]). */
+  def compact(nowNs: Option[Long] = None): Unit = {
     val s = snap
     val pts = loadPointsAt(s).getOrElse(return)
-    val survivors = QueryEngine.mergedView(pts, s.tombs.map(tombOf))
+    val retained = retentionPeriodNs match {
+      case Some(period) =>
+        val cutoff = nowNs.getOrElse(System.currentTimeMillis() * 1000000L) - period
+        pts.filter(col("timestamp") >= cutoff)
+      case None => pts
+    }
+    val survivors = QueryEngine.mergedView(retained, s.tombs.map(tombOf))
       .select("metric", "tags", "timestamp", "fields", "seq")
     val stamp = java.util.UUID.randomUUID().toString.take(12)
     val staging = s"$rootDir/_staging/$stamp"

@@ -128,6 +128,27 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("retention: expired points dropped at compaction time, not query time") {
+    withDir { dir =>
+      val e = new TsdbEngine(spark, s"$dir/db")
+      val day = TsdbEngine.DayNs
+      val now = 10 * day
+      e.putBatch(Seq(pt("m", "h1", 1 * day, 1.0), pt("m", "h1", 5 * day, 2.0),
+        pt("m", "h1", 9 * day, 3.0)))
+      e.retentionPeriodNs = Some(4 * day) // cutoff = day 6
+      // reference semantics: expired rows stay VISIBLE until a compaction
+      assert(count(e, "m") == 3)
+      e.compact(nowNs = Some(now))
+      val ts = e.query(QueryParams("m", startNs = 0L, endNs = Some(now)))
+        .select("timestamp").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ts == Seq(9 * day), s"only the unexpired point survives: $ts")
+      // no retention configured → compaction never drops by age
+      e.retentionPeriodNs = None
+      e.compact(nowNs = Some(100 * day))
+      assert(count(e, "m") == 1)
+    }
+  }
+
   test("incremental snapshot: second snapshot copies only new files") {
     withDir { dir =>
       val e = new TsdbEngine(spark, s"$dir/db")
