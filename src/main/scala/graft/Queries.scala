@@ -236,7 +236,7 @@ object Queries {
 
   // ---- Training-data pipeline battery (dedup/similarity/text/multimodal) --
 
-  import graft.pipeline.{Decontaminate, Dedup, Sampling, Similarity, TextAnalysis => TA}
+  import graft.pipeline.{Clustering, Decontaminate, Dedup, Sampling, Sharding, Similarity, TextAnalysis => TA}
 
   /** Text quality statistics + heuristic quality score per document. */
   def docStats(s: SparkSession, dir: String): DataFrame = {
@@ -388,8 +388,50 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy("doc_id")
 
+  /** Token-budget training-shard packing (5000 bpe-ish tokens/shard):
+    * global running sum via the two-level bucketed scan (width 64 here
+    * so the tiny SFs exercise multiple buckets; 2²⁰ in production). */
+  def shardAssign(s: SparkSession, dir: String): DataFrame =
+    Sharding.shardAssign(t(s, dir, "documents"), "doc_id",
+      TA.bpeishTokenCount(col("text")), shardBudget = 5000L, bucketWidth = 64L)
+      .orderBy("doc_id")
+
+  /** Canonical-copy selection over the proven MinHash-LSH cluster set:
+    * keep the highest-quality doc per duplicate cluster (quality_e4
+    * score, min doc_id tie-break). */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, k = 8, bands = 4, threshold = 0.8)
+    Dedup.canonicalDocs(docs, "doc_id", pairs,
+      floor(TA.qualityScore(col("text")) * 10000 + 0.5))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-level top-50 bigrams with term + document frequency — the
+    * vocabulary/boilerplate audit pass. */
+  def ngramTopK(s: SparkSession, dir: String): DataFrame =
+    TA.ngramTopK(t(s, dir, "documents"), "doc_id", "text", n = 2, k = 50)
+
   private def embVecs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  /** Exact-integer k-means over the embeddings (8 clusters, first-8
+    * seed, one Lloyd round): every vector labeled with its cluster and
+    * integer affinity — bit-reproducible on any engine (see
+    * [[graft.pipeline.Clustering]]). */
+  def kmeansAssign(s: SparkSession, dir: String): DataFrame =
+    Clustering.kmeansAssign(s, embVecs(s, dir), "id", "vec", nlist = 8, iters = 1)
+      .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("dot"))
+      .orderBy("vec_id")
+
+  /** Int8 scalar quantization summaries per embedding (exact integer
+    * L1/L2² of the quantized vector + the scale ×10⁹). */
+  def embeddingQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.int8Quantize(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("id").as("vec_id"), col("scale_e9"), col("q_l1"), col("q_l2sq"))
+      .orderBy("vec_id")
 
   /** Brute-force exact cosine top-10 for the first five query vectors.
     * Ranked on the ROUNDED cosine with id tie-break so a last-ulp

@@ -40,6 +40,9 @@ object SparkEntry {
     "simhash_sketches" -> (Queries.simhashSketches _),
     "simhash_neardup" -> (Queries.simhashNearDup _),
     "dedup_clusters" -> (Queries.dedupClusters _),
+    "dedup_canonical" -> (Queries.dedupCanonical _),
+    "shard_assign" -> (Queries.shardAssign _),
+    "ngram_topk" -> (Queries.ngramTopK _),
     "dataset_split" -> (Queries.datasetSplit _),
     "sample_stratified" -> (Queries.sampleStratified _),
     "winnow_fingerprints" -> (Queries.winnowFingerprints _),
@@ -47,6 +50,8 @@ object SparkEntry {
     "decontaminate" -> (Queries.decontaminate _),
     "doc_repetition" -> (Queries.docRepetition _),
     "pii_scan" -> (Queries.piiScan _),
+    "kmeans_assign" -> (Queries.kmeansAssign _),
+    "embedding_quantize" -> (Queries.embeddingQuantize _),
     "embedding_topk" -> (Queries.embeddingTopK _),
     "embedding_neardup" -> (Queries.embeddingNearDup _),
     "embedding_neardup_ivf" -> (Queries.embeddingNearDupIvf _),
@@ -158,6 +163,26 @@ object SparkEntry {
     "simhash_sketches" -> simhashOracle,
     "simhash_neardup" -> simhashNearDupOracle,
     "dedup_clusters" -> dedupClustersOracle,
+    "dedup_canonical" -> dedupCanonicalOracle,
+    "shard_assign" ->
+      """WITH tok AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '[^\w]+'), x -> x <> ''))
+        |   + (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) AS BIGINT) AS weight
+        |  FROM documents),
+        |c AS (SELECT doc_id, weight,
+        |  CAST(sum(weight) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight
+        |  FROM tok)
+        |SELECT doc_id, weight, cum_weight,
+        |  CAST(floor((cum_weight - weight) / 5000.0) AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "ngram_topk" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS ngram
+        |      FROM w WHERE len(ws) >= 2)
+        |SELECT ngram, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM g GROUP BY 1 ORDER BY tf DESC, ngram ASC LIMIT 50""".stripMargin,
     "dataset_split" ->
       s"""WITH h AS (SELECT doc_id, lang,
          |  substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
@@ -378,6 +403,46 @@ object SparkEntry {
         |FROM cand JOIN v a ON a.id = cand.id_a JOIN v b ON b.id = cand.id_b
         |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.45
         |ORDER BY 1, 2""".stripMargin,
+    "kmeans_assign" ->
+      """WITH v AS (SELECT vec_id AS id,
+        |  list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, qv AS cv
+        |       FROM (SELECT id, qv FROM v ORDER BY id LIMIT 8)),
+        |d0 AS (SELECT v.id, c0.cid,
+        |         CAST(list_sum([qv[i] * cv[i] FOR i IN range(1, len(qv) + 1)]) AS BIGINT) AS d
+        |       FROM v CROSS JOIN c0),
+        |a0 AS (SELECT id, cid FROM (
+        |        SELECT id, cid,
+        |          row_number() OVER (PARTITION BY id ORDER BY d DESC, cid ASC) AS rn
+        |        FROM d0) t WHERE rn = 1),
+        |ex AS (SELECT a0.cid, t.i AS pos, v.qv[CAST(t.i AS INT)] AS val
+        |       FROM a0 JOIN v USING (id) CROSS JOIN range(1, 65) t(i)),
+        |u AS (SELECT cid, pos, CAST(floor(sum(val)::DOUBLE / count(*)) AS BIGINT) AS c
+        |      FROM ex GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM u GROUP BY 1),
+        |d1 AS (SELECT v.id, c1.cid,
+        |         CAST(list_sum([qv[i] * cv[i] FOR i IN range(1, len(qv) + 1)]) AS BIGINT) AS d
+        |       FROM v CROSS JOIN c1),
+        |a1 AS (SELECT id, cid, d FROM (
+        |        SELECT id, cid, d,
+        |          row_number() OVER (PARTITION BY id ORDER BY d DESC, cid ASC) AS rn
+        |        FROM d1) t WHERE rn = 1)
+        |SELECT id AS vec_id, cid AS cluster, d AS dot FROM a1 ORDER BY vec_id""".stripMargin,
+    "embedding_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+        |  FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |  CASE WHEN mx = 0 THEN NULL ELSE 127.0 / mx END AS scale FROM m),
+        |q AS (SELECT vec_id, scale,
+        |  list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
+        |  FROM sc)
+        |SELECT vec_id,
+        |  CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale_e9,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+        |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_l2sq
+        |FROM q ORDER BY vec_id""".stripMargin,
     "embedding_norms" ->
       """SELECT vec_id,
         |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS l2_norm,
@@ -498,10 +563,12 @@ object SparkEntry {
        |ORDER BY 1, 2""".stripMargin
   }
 
-  /** DuckDB oracle for dup-cluster resolution: the dedup_minhash_lsh pair
+  /** Shared CTE chain for the cluster oracles: the dedup_minhash_lsh pair
     * chain (same signatures/bands/verify), then connected components via
-    * a recursive reachability CTE, labels = per-component min doc_id. */
-  private def dedupClustersOracle: String =
+    * a recursive reachability CTE, labels = per-component min doc_id —
+    * ends with `lab(doc_id, cluster_id)` and `sz(cluster_id,
+    * cluster_size)`. */
+  private def dupClusterCte: String =
     """WITH RECURSIVE w AS (SELECT doc_id,
       |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
       |  FROM documents),
@@ -537,9 +604,29 @@ object SparkEntry {
       | UNION
       | SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r),
       |lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
-      |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
-      |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
-      |FROM lab JOIN sz USING (cluster_id) ORDER BY 1""".stripMargin
+      |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)""".stripMargin
+
+  private def dedupClustersOracle: String =
+    s"""$dupClusterCte
+       |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
+       |FROM lab JOIN sz USING (cluster_id) ORDER BY 1""".stripMargin
+
+  /** Canonical-copy oracle: per-cluster argmax on the doc_stats quality
+    * score (same formula), min doc_id tie-break. */
+  private def dedupCanonicalOracle: String =
+    s"""$dupClusterCte,
+       |qq AS (SELECT doc_id,
+       |  CAST(floor((0.4 * least(len(ws) / 100.0, 1.0)
+       |      + 0.3 * (len(list_distinct(ws))::DOUBLE / len(ws))
+       |      + 0.3 * (len(list_filter(ws, x -> x IN ('the','a','of','and')))::DOUBLE / len(ws)))
+       |    * 10000 + 0.5) AS BIGINT) AS score
+       |  FROM w),
+       |rkd AS (SELECT lab.doc_id, lab.cluster_id, sz.cluster_size, qq.score,
+       |    row_number() OVER (PARTITION BY lab.cluster_id
+       |                       ORDER BY qq.score DESC, lab.doc_id ASC) AS rk
+       |  FROM lab JOIN sz USING (cluster_id) JOIN qq USING (doc_id))
+       |SELECT doc_id, cluster_id, cluster_size, score
+       |FROM rkd WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
   /** Shared CTE prefix for the winnowing oracles: positional 3-gram
     * shingles (duplicates kept) → int(md5[0:8]) hashes → window-4 min

@@ -311,4 +311,25 @@ object Dedup {
     labeled.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
+
+  /** Canonical-copy selection: after cluster resolution, keep ONE doc per
+    * duplicate cluster — the highest-`score` copy (min doc_id on ties),
+    * the policy real dedup pipelines ship (prefer the best-quality copy,
+    * not an arbitrary one). One hash shuffle on cluster_id for the
+    * per-cluster argmax; scores ride the shuffle as a single long, never
+    * the document bodies. Returns (doc_id, cluster_id, cluster_size,
+    * score) — `cluster_size - 1` siblings were dropped. */
+  def canonicalDocs(docs: DataFrame, idCol: String, pairs: DataFrame,
+      score: Column): DataFrame = {
+    val labeled = dupClusters(docs, idCol, pairs)
+    val scored = labeled.join(
+      docs.select(col(idCol).as("doc_id"), score.cast("long").as("score")),
+      "doc_id")
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"), col("score"))
+  }
 }

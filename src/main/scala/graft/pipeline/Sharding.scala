@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-shard packing: assign every document to an output shard so
+  * each shard holds ~`shardBudget` tokens of consecutive (by id) docs —
+  * the materialization step that turns a filtered/deduped corpus into
+  * fixed-size training shards.
+  *
+  * The core is a GLOBAL running sum, which naive Spark
+  * (`sum over (order by id)` with no partition) computes in a single
+  * task — a non-starter at 100 TB. Here it is the classic two-level
+  * scan: ids are range-bucketed (`floor(id / bucketWidth)`), each
+  * bucket's subtotal is aggregated in parallel (map-side combine), the
+  * per-bucket prefix offsets are computed over the TINY bucket frame
+  * (n/bucketWidth rows — the only sequential window, e.g. 100k rows for
+  * 100 G docs at width 2²⁰) and broadcast back, and each bucket then
+  * computes its local running sum in parallel under
+  * `Window.partitionBy(bucket)`. Net: two narrow shuffles of (id, long)
+  * pairs, no global sort, no single-partition stage over the data.
+  */
+object Sharding {
+
+  /** Adds `weight`, `cum_weight` (inclusive global running sum in id
+    * order), and `shard` = floor(exclusive-prefix / shardBudget): a doc
+    * opens shard k when the tokens before it fill k budgets. Requires a
+    * numeric id. Cumulative weights are exact integer sums; the shard
+    * division is double `floor`, exact below 2⁵³ total tokens (≫ any
+    * real corpus; a 100 T-token corpus is 2⁴⁷). */
+  def shardAssign(df: DataFrame, idCol: String, weight: Column,
+      shardBudget: Long, bucketWidth: Long = 1L << 20): DataFrame = {
+    require(shardBudget > 0 && bucketWidth > 0)
+    val w = df.select(col(idCol).cast("long").as("id"), weight.cast("long").as("w"))
+      .withColumn("bucket", floor(col("id") / bucketWidth).cast("long"))
+    val offsets = w.groupBy("bucket").agg(sum("w").as("bw"))
+      .withColumn("offset",
+        coalesce(sum("bw").over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("bucket", "offset")
+    val local = Window.partitionBy("bucket").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w.join(broadcast(offsets), "bucket")
+      .withColumn("cum_weight", col("offset") + sum("w").over(local))
+      .select(col("id").as(idCol), col("w").as("weight"), col("cum_weight"),
+        floor((col("cum_weight") - col("w")) / shardBudget.toDouble)
+          .cast("long").as("shard"))
+  }
+}

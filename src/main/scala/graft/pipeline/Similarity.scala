@@ -57,6 +57,31 @@ object Similarity {
     rankTopK(joined, k)
   }
 
+  /** Int8 scalar quantization of an embedding column — the memory-side
+    * scale move for ANN at 100 TB (64-dim float32 → 64 bytes + one
+    * scale, 4× smaller, SIMD-friendly integer dots downstream). Per
+    * vector: scale = 127 / max|xᵢ| (a single IEEE division — identical
+    * in any engine), qᵢ = floor(xᵢ·scale + 0.5) ∈ [-127, 127]. Emits
+    * deterministic integer summaries (L1, squared L2) plus the scale
+    * ×10⁹ — all exact, so an independent engine reproduces the rows
+    * bit-for-bit. A narrow map stage: no shuffle, no UDF. Zero vectors
+    * yield null scale/stats rather than a divide-by-zero. */
+  def int8Quantize(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val withMax = vecs.select(col(idCol).as("id"),
+      col(vecCol).as("v"),
+      array_max(transform(col(vecCol), x => abs(x.cast("double")))).as("m"))
+    val scale = lit(127.0) / when(col("m") =!= 0.0, col("m"))
+    // two-step select: `q` references the materialized scale column, not
+    // the array_max expression (lambda CSE cannot hoist, see TextAnalysis)
+    val withQ = withMax.withColumn("scale", scale)
+      .withColumn("q", transform(col("v"),
+        x => floor(x.cast("double") * col("scale") + 0.5).cast("long")))
+    withQ.select(col("id"),
+      floor(col("scale") * 1e9 + 0.5).cast("long").as("scale_e9"),
+      aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x)).as("q_l1"),
+      aggregate(col("q"), lit(0L), (acc, x) => acc + x * x).as("q_l2sq"))
+  }
+
   /** Deterministic random hyperplanes (seeded), as literal array columns —
     * shipped to executors as constants, no RNG on workers. Exposed to
     * [[graft.SparkEntry]] so the DuckDB oracle embeds the SAME literal

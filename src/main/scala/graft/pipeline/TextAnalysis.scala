@@ -120,6 +120,33 @@ object TextAnalysis {
           lit(0L)).as("top_bigram_e4"))
   }
 
+  /** POSITIONAL n-grams (duplicates kept) over a materialized words
+    * column — frequency-preserving, unlike the distinct `shinglesOfWords`.
+    * Docs shorter than n words yield an empty array. */
+  def ngramsPositional(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Corpus-level top-k n-grams with term frequency and document
+    * frequency — the vocabulary/boilerplate profile pass of a corpus
+    * audit. The explode shuffles (doc, ngram) rows once; `count` is
+    * partial-aggregated map-side, `count distinct` doc_ids expands in
+    * the same exchange, and the top-k is a TakeOrdered (no global sort
+    * materialization). Total deterministic order: (tf desc, ngram asc)
+    * is unique per group row. */
+  def ngramTopK(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val posts = df
+      .select(col(idCol).as("doc"), words(col(textCol)).as("ws"))
+      .select(col("doc"), explode(ngramsPositional(col("ws"), n)).as("ngram"))
+    posts.groupBy("ngram")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc")).as("df"))
+      .orderBy(col("tf").desc, col("ngram").asc)
+      .limit(k)
+  }
+
   /** PII patterns — deliberately restricted to syntax Java regex and
     * RE2 (DuckDB/Go engines) interpret identically, so a SQL oracle
     * can reproduce scan counts and redactions byte-for-byte. */

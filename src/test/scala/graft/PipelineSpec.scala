@@ -51,6 +51,78 @@ class PipelineSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("shard assign: bucketed two-level cumsum == naive global cumsum") {
+    // ids deliberately sparse/unordered across several width-4 buckets
+    val rows = Seq(3L -> 10L, 1L -> 5L, 9L -> 7L, 4L -> 20L, 17L -> 1L,
+      12L -> 13L, 5L -> 2L, 21L -> 8L)
+    val df = rows.toDF("doc_id", "w")
+    val got = Sharding.shardAssign(df, "doc_id", col("w"),
+      shardBudget = 15L, bucketWidth = 4L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    var cum = 0L
+    val want = rows.sortBy(_._1).map { case (id, w) =>
+      val before = cum; cum += w
+      (id, w, cum, before / 15L)
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("canonical docs: best-quality copy kept per cluster, singletons kept") {
+    val docs = Seq(
+      (1L, "short"), (2L, "a much longer and better document body here"),
+      (3L, "lonely")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.canonicalDocs(docs, "doc_id", pairs,
+      TextAnalysis.bpeishTokenCount(col("text")))
+      .orderBy("doc_id").collect()
+    // cluster {1,2}: doc 2 has the higher token score and wins despite id 2
+    assert(kept.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 3L))
+    assert(kept(0).getAs[Long]("cluster_id") == 1L)
+    assert(kept(0).getAs[Long]("cluster_size") == 2L)
+    assert(kept(1).getAs[Long]("cluster_size") == 1L)
+  }
+
+  test("ngram top-k counts positional duplicates and ranks deterministically") {
+    val df = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    val top = TextAnalysis.ngramTopK(df, "doc_id", "text", n = 2, k = 3)
+      .as[(String, Long, Long)].collect()
+    // "a b" occurs 3x (twice in doc 1 — positional, not distinct) in 2 docs
+    assert(top(0) == (("a b", 3L, 2L)))
+    // remaining bigrams all tf=1 → ordered by ngram asc
+    assert(top.drop(1).map(_._1).toSeq == top.drop(1).map(_._1).toSeq.sorted)
+  }
+
+  test("kmeans assign: deterministic, exact copies co-cluster, labels = argmax") {
+    val vecs = graft.tsdb.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val a = Clustering.kmeansAssign(spark, vecs, "id", "vec", nlist = 4, iters = 1)
+      .orderBy("id").as[(Long, Int, Long)].collect()
+    val b = Clustering.kmeansAssign(spark, vecs, "id", "vec", nlist = 4, iters = 1)
+      .orderBy("id").as[(Long, Int, Long)].collect()
+    assert(a.sameElements(b), "integer k-means must be bit-deterministic")
+    assert(a.length == vecs.count() && a.map(_._2).distinct.length >= 2)
+    // a duplicated vector must land in the same cluster as its twin
+    val dup = vecs.limit(1).select((col("id") + 100000L).as("id"), col("vec"))
+    val withDup = Clustering.kmeansAssign(spark, vecs.union(dup), "id", "vec",
+      nlist = 4, iters = 1).orderBy("id").as[(Long, Int, Long)].collect()
+    val first = withDup.find(_._1 == a.head._1).get
+    val twin = withDup.find(_._1 == a.head._1 + 100000L).get
+    assert(first._2 == twin._2 && first._3 == twin._3)
+  }
+
+  test("int8 quantize: exact summaries, bounds respected, zero vector null") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val rows = Similarity.int8Quantize(df, "vec_id", "embedding")
+      .orderBy("id").collect()
+    // vec 1: scale = 127, q = (64, -127, 32) -> l1 = 223, l2sq = 134-ish
+    assert(rows(0).getAs[Long]("scale_e9") == 127000000000L)
+    assert(rows(0).getAs[Long]("q_l1") == 64 + 127 + 32)
+    assert(rows(0).getAs[Long]("q_l2sq") == 64L * 64 + 127L * 127 + 32L * 32)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("scale_e9")))
+  }
+
   test("LSH ANN reaches >=60% of brute-force top-10 (8 tables x 4 bits)") {
     val vecs = graft.tsdb.Tables.load(spark, sf, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
