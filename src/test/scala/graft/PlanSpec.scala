@@ -105,6 +105,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("xxhash64"), "candidates must be generated on hashed shingles")
   }
 
+  test("shard assign: data cumsum windows on bucket; offsets broadcast back") {
+    val p = plan("shard_assign")
+    // exactly two Windows: the tiny bucket-offset prefix (empty partition
+    // spec over the aggregated bucket frame) and the per-bucket local
+    // cumsum over the data — which MUST be partitioned by bucket
+    assert(countIn(p, "Window") == 2, p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(bucket")), s"data window must partition by bucket:\n$p")
+    assert(p.contains("BroadcastHashJoin") && countIn(p, "SortMergeJoin") == 0,
+      "bucket offsets must broadcast, never shuffle the data side")
+  }
+
+  test("ngram top-k: map-side partial counts, TakeOrdered (no global sort)") {
+    val p = plan("ngram_topk")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "ngram counting must partial-aggregate map-side")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must plan TakeOrdered, not a materialized global sort")
+  }
+
+  test("kmeans assignment stage is a narrow map: no join, no data shuffle") {
+    val df = SparkEntry.queries("kmeans_assign")(spark, sf)
+    // strip the presentation sort: the assignment itself must be narrow
+    val p = df.queryExecution.executedPlan.toString
+    assert(countIn(p, "Join") == 0, "centroids are literals — no join expected")
+    assert(countIn(p, "Exchange hashpartitioning") == 0,
+      s"assignment must not shuffle the vectors:\n$p")
+  }
+
+  test("int8 quantize is a pure narrow map over the scan") {
+    val df = graft.pipeline.Similarity.int8Quantize(
+      graft.tsdb.Tables.load(spark, sf, "embeddings"), "vec_id", "embedding")
+    val p = df.queryExecution.executedPlan.toString
+    assert(countIn(p, "Exchange") == 0 && countIn(p, "Join") == 0, p)
+  }
+
   test("engine storage: time-ranged query prunes metric AND date partitions") {
     import graft.model.{DataPoint, FieldValue}
     import graft.tsdb._

@@ -196,6 +196,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((10L, 1L, 5.0)), s"got $rows")
   }
 
+  test("streaming exact dedup: first copy emitted, within-watermark dups dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val docs = mem.toDF().toDF("sec", "doc_id", "text")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val dd = StreamingDedup.exactDedup(docs, "ts", "text", lateness = "10 seconds")
+    val q = dd.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 1L, "alpha beta"), (2L, 2L, "gamma delta"))
+      q.processAllAvailable()
+      // same normalized content (case/whitespace differ) inside the horizon
+      mem.addData((3L, 3L, "ALPHA   Beta"), (4L, 4L, "epsilon zeta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sdedup").select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 4L), s"dup doc 3 must be dropped, got $got")
+  }
+
   test("self-monitoring: streaming progress republished as __ series") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmp()
