@@ -31,11 +31,14 @@ object Clustering {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * 10000d + 0.5).cast("long"))
 
-  /** Integer dot of a quantized vector column against literal longs. */
+  /** Integer dot of a quantized vector column against literal longs.
+    * Runs through the codegen [[graft.functions.VectorFunctions.vec_dot]]
+    * (fused primitive loop, no interpreted lambda): every term is an
+    * exact integer ≪ 2⁵³, so the double accumulation is EXACT regardless
+    * of summation order and the final cast loses nothing. */
   private def qdot(qv: Column, cent: Array[Long]): Column =
-    aggregate(
-      zip_with(qv, array(cent.map(lit): _*), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorFunctions
+      .vec_dot(qv, array(cent.map(lit): _*)).cast("long")
 
   /** argmax over literal (cid, centroid) pairs: max dot, lowest cid on
     * ties (struct max over (dot, -cid) — a total order). Returns
