@@ -319,6 +319,18 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup: odd doc_ids play the incoming crawl, even ids the
+    * existing corpus — each incoming doc classified exact_dup / near_dup
+    * (MinHash-LSH vs existing only, threshold 0.8) / new. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.incrementalDedup(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", n = 3, k = 8, bands = 4, threshold = 0.8)
+      .orderBy("doc_id")
+  }
+
   /** Winnowing fingerprint sketch per document (rolling-hash k-gram,
     * window-min selection) — the per-doc index rows a containment
     * detector stores. */

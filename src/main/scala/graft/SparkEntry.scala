@@ -41,6 +41,7 @@ object SparkEntry {
     "simhash_neardup" -> (Queries.simhashNearDup _),
     "dedup_clusters" -> (Queries.dedupClusters _),
     "dedup_canonical" -> (Queries.dedupCanonical _),
+    "dedup_incremental" -> (Queries.dedupIncremental _),
     "shard_assign" -> (Queries.shardAssign _),
     "ngram_topk" -> (Queries.ngramTopK _),
     "dataset_split" -> (Queries.datasetSplit _),
@@ -164,6 +165,48 @@ object SparkEntry {
     "simhash_neardup" -> simhashNearDupOracle,
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_canonical" -> dedupCanonicalOracle,
+    "dedup_incremental" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]) AS s
+        |  FROM w WHERE len(ws) >= 3),
+        |posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+        |sig AS (SELECT doc_id,
+        | min(substring(md5('0:' || sg), 1, 8)) AS m0,
+        | min(substring(md5('0:' || sg), 9, 8)) AS m1,
+        | min(substring(md5('0:' || sg), 17, 8)) AS m2,
+        | min(substring(md5('0:' || sg), 25, 8)) AS m3,
+        | min(substring(md5('1:' || sg), 1, 8)) AS m4,
+        | min(substring(md5('1:' || sg), 9, 8)) AS m5,
+        | min(substring(md5('1:' || sg), 17, 8)) AS m6,
+        | min(substring(md5('1:' || sg), 25, 8)) AS m7
+        | FROM posts GROUP BY 1),
+        |band AS (
+        | SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS h FROM sig
+        | UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+        | UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+        | UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
+        |exfp AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |           min(doc_id) AS exact_of
+        |         FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |infp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |         FROM documents WHERE doc_id % 2 = 1),
+        |exact AS (SELECT i.doc_id, e.exact_of FROM infp i LEFT JOIN exfp e USING (fp)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS ex_id
+        |         FROM band x JOIN band y ON x.band = y.band AND x.h = y.h
+        |         WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0),
+        |near AS (SELECT c.doc_id, min(c.ex_id) AS near_of
+        |         FROM cand c JOIN sh a ON a.doc_id = c.doc_id JOIN sh b ON b.doc_id = c.ex_id
+        |         WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |         GROUP BY 1)
+        |SELECT e.doc_id,
+        |  CASE WHEN e.exact_of IS NOT NULL THEN 'exact_dup'
+        |       WHEN n.near_of IS NOT NULL THEN 'near_dup' ELSE 'new' END AS verdict,
+        |  COALESCE(e.exact_of, n.near_of) AS dup_of
+        |FROM exact e LEFT JOIN near n USING (doc_id) ORDER BY doc_id""".stripMargin,
     "shard_assign" ->
       """WITH tok AS (SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(text, '[^\w]+'), x -> x <> ''))

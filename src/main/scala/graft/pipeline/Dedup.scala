@@ -133,11 +133,10 @@ object Dedup {
     posts.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH banding over minhash signatures: k mins folded into `bands`
-    * bands of k/bands rows each; docs sharing any band hash are
-    * candidates; candidates are verified with exact Jaccard. */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+  /** (doc, band hash) rows: k minhash lanes folded into `bands` band
+    * hashes per doc — the LSH bucket keys. */
+  private def bandKeys(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     val sigs = minhashSignatures(df, idCol, textCol, n, k)
@@ -145,11 +144,65 @@ object Dedup {
       struct(lit(bi).as("band"),
         md5(concat_ws("|", (0 until rows).map(r => col(s"m${bi * rows + r}")): _*)).as("h"))
     }
-    val banded = sigs.select(col("doc"), explode(array(bandCols: _*)).as("bh"))
+    sigs.select(col("doc"), explode(array(bandCols: _*)).as("bh"))
+  }
+
+  /** LSH banding over minhash signatures: k mins folded into `bands`
+    * bands of k/bands rows each; docs sharing any band hash are
+    * candidates; candidates are verified with exact Jaccard. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val banded = bandKeys(df, idCol, textCol, n, k, bands)
     val cand = banded.as("x").join(banded.as("y"), col("x.bh") === col("y.bh"))
       .filter(col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b")).distinct()
     verifyJaccard(cand, shingled(df, idCol, textCol, n), threshold)
+  }
+
+  /** Incremental dedup: classify each INCOMING doc against an EXISTING
+    * corpus without ever re-comparing existing docs to each other — the
+    * production shape for "dedup this crawl against the 100 TB corpus".
+    * Verdicts: `exact_dup` (same normalized content as an existing doc),
+    * `near_dup` (shingle Jaccard ≥ threshold with an existing doc via
+    * MinHash-LSH banding), else `new`; `dup_of` carries the smallest
+    * matching existing id.
+    *
+    * Scale shape: the exact pass is a hash join on 16-byte fingerprints
+    * (existing side pre-aggregated to one row per distinct content); the
+    * near pass joins band keys ACROSS the two sides only (incoming ⋈
+    * existing — never existing ⋈ existing, so the big corpus is read but
+    * never self-joined), candidates shuffle ids only, and verification
+    * touches just the candidate docs' shingle arrays. In steady state
+    * the existing side's signatures/bands would be a materialized index
+    * (write [[minhashSignatures]] output once, reuse per increment). */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val exFp = existing
+      .select(col(idCol).as("ex_id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp").agg(min("ex_id").as("exact_of"))
+    val inFp = incoming
+      .select(col(idCol).as("doc_id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val exact = inFp.join(exFp, Seq("fp"), "left")
+      .select(col("doc_id"), col("exact_of"))
+    val candidates = bandKeys(incoming, idCol, textCol, n, k, bands).as("x")
+      .join(bandKeys(existing, idCol, textCol, n, k, bands).as("y"), col("x.bh") === col("y.bh"))
+      .select(col("x.doc").as("doc_id"), col("y.doc").as("ex_id")).distinct()
+    val near = candidates
+      .join(shingled(incoming, idCol, textCol, n)
+        .select(col("doc").as("doc_id"), col("sh").as("sh_a"), col("nsh").as("nsh_a")), "doc_id")
+      .join(shingled(existing, idCol, textCol, n)
+        .select(col("doc").as("ex_id"), col("sh").as("sh_b"), col("nsh").as("nsh_b")), "ex_id")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(col("common").cast("double") /
+        (col("nsh_a") + col("nsh_b") - col("common")).cast("double") >= threshold)
+      .groupBy("doc_id").agg(min("ex_id").as("near_of"))
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_of").isNotNull, "exact_dup")
+          .when(col("near_of").isNotNull, "near_dup")
+          .otherwise("new").as("verdict"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"))
   }
 
   /** 64-bit SimHash over shingle hashes: for every bit, +1 when set else

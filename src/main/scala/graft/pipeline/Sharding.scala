@@ -48,4 +48,20 @@ object Sharding {
         floor((col("cum_weight") - col("w")) / shardBudget.toDouble)
           .cast("long").as("shard"))
   }
+
+  /** Materialize a corpus as training shards: every input column plus the
+    * shard id, written as parquet partitioned by `shard=` directories —
+    * the layout a training loader consumes (one directory per ~budget
+    * tokens, shard membership deterministic). The write repartitions by
+    * shard so each shard directory is produced by one task (one file per
+    * shard, no small-file spray); at 100 TB raise `bucketWidth` and let
+    * multi-file shards ride `maxRecordsPerFile` instead. */
+  def writeShards(df: DataFrame, idCol: String, weight: Column,
+      shardBudget: Long, outDir: String, bucketWidth: Long = 1L << 20): Unit = {
+    val assigned = shardAssign(df, idCol, weight, shardBudget, bucketWidth)
+      .select(col(idCol), col("shard"))
+    df.join(assigned, idCol)
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
 }

@@ -92,6 +92,53 @@ class PipelineSpec extends SparkSpec {
     assert(top.drop(1).map(_._1).toSeq == top.drop(1).map(_._1).toSeq.sorted)
   }
 
+  test("incremental dedup: exact/near/new verdicts against existing only") {
+    val existing = Seq(
+      (2L, "a b c d e f"), (4L, "m n o p q r")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (11L, "A  b c d e f"),        // exact dup of 2 (normalized)
+      (13L, "a b c d e f g"),       // near dup of 2 (jaccard 4/5 = 0.8)
+      (15L, "totally different words here now"), // new
+      (17L, "totally different words here now")  // dup of 15 but NOT of existing -> new
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(existing, incoming, "doc_id", "text",
+      n = 3, k = 8, bands = 4, threshold = 0.8)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("verdict"),
+        Option(r.getAs[Any]("dup_of"))))
+    assert(got(0) == ((11L, "exact_dup", Some(2L))))
+    assert(got(1) == ((13L, "near_dup", Some(2L))))
+    assert(got(2) == ((15L, "new", None)))
+    assert(got(3) == ((17L, "new", None)),
+      "a dup within the incoming batch only must stay 'new'")
+  }
+
+  test("shard writer: partitioned dirs, budget respected, content round-trips") {
+    val df = (0 until 40).map(i => (i.toLong, s"doc $i " + ("tok " * (i % 7 + 1)).trim))
+      .toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      Sharding.writeShards(df, "doc_id", TextAnalysis.bpeishTokenCount(col("text")),
+        shardBudget = 30L, outDir = out, bucketWidth = 8L)
+      // partition-type inference may be off (TsdbEngine pins it for date=
+      // dirs), so the shard= partition column can surface as string
+      val back = spark.read.parquet(out).withColumn("shard", col("shard").cast("long"))
+      assert(back.count() == 40)
+      assert(back.columns.toSet == Set("doc_id", "text", "shard"))
+      val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
+      assert(dirs.length > 1, "multiple shard directories expected")
+      // every shard except possibly the last stays within budget + one doc
+      val w = TextAnalysis.bpeishTokenCount(col("text"))
+      val perShard = back.groupBy("shard").agg(sum(w).as("tok"))
+        .orderBy("shard").as[(Long, Long)].collect()
+      val maxDoc = df.select(max(TextAnalysis.bpeishTokenCount(col("text"))))
+        .as[Long].head()
+      perShard.dropRight(1).foreach { case (sid, tok) =>
+        assert(tok <= 30L + maxDoc, s"shard $sid over budget: $tok") }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("kmeans assign: deterministic, exact copies co-cluster, labels = argmax") {
     val vecs = graft.tsdb.Tables.load(spark, sf, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
