@@ -319,6 +319,15 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Per-doc top-3 characteristic terms by the log-free tf-idf score
+    * (exact cross-engine ranking — see
+    * [[graft.pipeline.TextAnalysis.tfidfTopTerms]]). */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TA.tfidfTopTerms(docs, "doc_id", "text", nDocs = docs.count(), k = 3)
+      .orderBy("doc_id", "rank")
+  }
+
   /** Incremental dedup: odd doc_ids play the incoming crawl, even ids the
     * existing corpus — each incoming doc classified exact_dup / near_dup
     * (MinHash-LSH vs existing only, threshold 0.8) / new. */

@@ -42,6 +42,7 @@ object SparkEntry {
     "dedup_clusters" -> (Queries.dedupClusters _),
     "dedup_canonical" -> (Queries.dedupCanonical _),
     "dedup_incremental" -> (Queries.dedupIncremental _),
+    "tfidf_topterms" -> (Queries.tfidfTopTerms _),
     "shard_assign" -> (Queries.shardAssign _),
     "ngram_topk" -> (Queries.ngramTopK _),
     "dataset_split" -> (Queries.datasetSplit _),
@@ -218,6 +219,21 @@ object SparkEntry {
         |SELECT doc_id, weight, cum_weight,
         |  CAST(floor((cum_weight - weight) / 5000.0) AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+    "tfidf_topterms" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM p GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |        CAST(floor(tf.tf * n.n / dfq.df * 1000000 + 0.5) AS BIGINT) AS score_e6
+        |      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                  ORDER BY score_e6 DESC, term ASC) AS rank FROM s)
+        |SELECT doc_id, rank, term, tf, df, score_e6 FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "ngram_topk" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws

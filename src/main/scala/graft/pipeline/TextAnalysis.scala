@@ -147,6 +147,39 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-doc top-k characteristic terms by a tf-idf-shaped score.
+    *
+    * Score = tf · (N / df) — the classic shape with the LOG DROPPED on
+    * purpose: `ln` is libm, not IEEE-specified, so two engines may
+    * differ in the last ulp and flip a rank/floor; plain multiply-divide
+    * of exact integers is correctly-rounded IEEE and bit-identical
+    * everywhere (N/df is monotone in 1/df, so per-doc ranking quality is
+    * the same). Emitted as `floor(score·10⁶ + 0.5)`.
+    *
+    * Shuffles: one (doc, term) aggregation for tf, one (term)
+    * aggregation for df, a term-keyed join (the term dictionary is far
+    * smaller than the corpus but beyond broadcast at 100 TB — the join
+    * rides the df aggregation's partitioning), and a per-doc window for
+    * the top-k. `nDocs` is passed in (callers know it; a `count()` here
+    * would force an extra pass). */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      nDocs: Long, k: Int): DataFrame = {
+    val posts = df
+      .select(col(idCol).as("doc"), words(col(textCol)).as("ws"))
+      .select(col("doc"), explode(col("ws")).as("term"))
+    val tf = posts.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("score_e6",
+        floor(col("tf") * lit(nDocs.toDouble) / col("df") * 1e6 + 0.5)
+          .cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy(col("score_e6").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("doc").as(idCol), col("rank"), col("term"),
+        col("tf"), col("df"), col("score_e6"))
+  }
+
   /** PII patterns — deliberately restricted to syntax Java regex and
     * RE2 (DuckDB/Go engines) interpret identically, so a SQL oracle
     * can reproduce scan counts and redactions byte-for-byte. */

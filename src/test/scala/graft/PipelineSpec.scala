@@ -82,6 +82,22 @@ class PipelineSpec extends SparkSpec {
     assert(kept(1).getAs[Long]("cluster_size") == 1L)
   }
 
+  test("tfidf top terms: rare terms outrank common ones, ties break on term") {
+    val df = Seq(
+      (1L, "apple apple banana shared"),
+      (2L, "cherry shared shared"),
+      (3L, "shared date")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", nDocs = 3, k = 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "rank", "term").as[(Long, Int, String)].collect()
+    // doc 1: apple tf=2 df=1 (score 6) > banana tf=1 df=1 (3) > shared (1)
+    assert(top.filter(_._1 == 1L).map(_._3).toSeq == Seq("apple", "banana"))
+    // doc 2: shared tf=2 df=3 (2) vs cherry tf=1 df=1 (3) -> cherry first
+    assert(top.filter(_._1 == 2L).map(_._3).toSeq == Seq("cherry", "shared"))
+    // doc 3: date (3) > shared (1)
+    assert(top.filter(_._1 == 3L).map(_._3).toSeq == Seq("date", "shared"))
+  }
+
   test("ngram top-k counts positional duplicates and ranks deterministically") {
     val df = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
     val top = TextAnalysis.ngramTopK(df, "doc_id", "text", n = 2, k = 3)
