@@ -153,10 +153,65 @@ case class WinnowHashes(child: Expression, n: Int, w: Int)
   override def prettyName: String = "winnow_hashes"
 }
 
+/** Deflate compression ratio — the MassiveText/Gopher-style redundancy
+  * signal (highly repetitive text compresses far below ~0.4; high-entropy
+  * gibberish stays near 1). Level 6 zlib, per-thread Deflater reuse (no
+  * allocation per row). Deterministic for a given input on a given zlib
+  * level, but NOT SQL-reproducible — this signal is spec-tested, not
+  * battery-oracled. */
+object CompressUtil {
+  private val deflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6)
+  }
+  private val buf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](1 << 16)
+  }
+
+  /** deflate(utf8(text)).length / utf8(text).length; 1.0 for empty. */
+  def ratio(text: UTF8String): Double = {
+    val bytes = text.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = deflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    var total = 0L
+    val b = buf.get()
+    while (!d.finished()) total += d.deflate(b)
+    total.toDouble / bytes.length
+  }
+}
+
+/** `compress_ratio(text)` — deflate bytes over input bytes. */
+case class CompressRatio(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"compress_ratio requires string, got ${other.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(text: Any): Any =
+    CompressUtil.ratio(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CompressUtil.ratio($c)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "compress_ratio"
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graft.ColumnBridge
   def word_shingles(words: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(words), n))
   def winnow_hashes(words: Column, n: Int, w: Int): Column =
     ColumnBridge.column(WinnowHashes(ColumnBridge.expression(words), n, w))
+  def compress_ratio(text: Column): Column =
+    ColumnBridge.column(CompressRatio(ColumnBridge.expression(text)))
 }

@@ -203,6 +203,14 @@ object TextAnalysis {
         ipv4Re, "<IP>"),
       phoneRe, "<PHONE>")
 
+  /** Deflate compression ratio (MassiveText/Gopher redundancy signal):
+    * boilerplate/repetitive docs compress well below ~0.4, natural prose
+    * sits around 0.5-0.8. Native expression (whole-stage-codegen
+    * friendly, per-thread Deflater); spec-tested — zlib output is not
+    * SQL-reproducible, so this signal carries no battery oracle. */
+  def compressionRatio(text: Column): Column =
+    graft.functions.TextFunctions.compress_ratio(text)
+
   /** Heuristic quality score in [0,1]: length saturation + lexical
     * diversity + stopword density (the usual cheap pre-filters applied
     * before expensive model-based scoring). */

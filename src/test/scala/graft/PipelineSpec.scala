@@ -82,6 +82,24 @@ class PipelineSpec extends SparkSpec {
     assert(kept(1).getAs[Long]("cluster_size") == 1L)
   }
 
+  test("compression ratio: repetitive text low, high-entropy text high") {
+    val rnd = new scala.util.Random(7)
+    val df = Seq(
+      (1L, "spam " * 200),                                  // pure repetition
+      (2L, Seq.fill(200)(rnd.alphanumeric.take(8).mkString).mkString(" ")),
+      (3L, "")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextAnalysis.compressionRatio(col("text")).as("cr"))
+      .orderBy("doc_id").as[(Long, Double)].collect().toMap
+    assert(got(1L) < 0.1, s"repetition must compress hard: ${got(1L)}")
+    assert(got(2L) > 0.5, s"entropy must resist compression: ${got(2L)}")
+    assert(got(3L) == 1.0)
+    // deterministic across evaluations (same zlib level, same bytes)
+    val again = df.select(TextAnalysis.compressionRatio(col("text")))
+      .as[Double].collect().sorted
+    assert(again.sameElements(got.values.toArray.sorted))
+  }
+
   test("tfidf top terms: rare terms outrank common ones, ties break on term") {
     val df = Seq(
       (1L, "apple apple banana shared"),
