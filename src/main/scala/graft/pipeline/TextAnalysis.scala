@@ -211,6 +211,39 @@ object TextAnalysis {
   def compressionRatio(text: Column): Column =
     graft.functions.TextFunctions.compress_ratio(text)
 
+  /** Composite document filter (the C4/Gopher-style rule battery): every
+    * rule that fires lands in a `reasons` array, `keep` = no rule fired —
+    * provenance-preserving, so a pipeline can audit WHY a doc dropped
+    * (and re-admit classes of drops without a recompute). One narrow map
+    * stage over (text); thresholds are the published Gopher/C4 defaults
+    * scaled to this corpus. */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 5, maxWords: Int = 100000,
+      maxDupWordFrac: Double = 0.5, maxCompressRatio: Double = 0.35,
+      maxPiiPerKChars: Double = 10.0): DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    val nw = size(ws)
+    val dupFrac = (nw - size(array_distinct(ws))).cast("double") /
+      when(nw =!= 0, nw.cast("double"))
+    val pii = (regexp_count(t, lit(emailRe)) + regexp_count(t, lit(phoneRe)) +
+      regexp_count(t, lit(ipv4Re))).cast("double") * 1000.0 /
+      when(length(t) =!= 0, length(t).cast("double"))
+    val rules: Seq[(String, Column)] = Seq(
+      "too_short" -> (nw < minWords),
+      "too_long" -> (nw > maxWords),
+      "dup_words" -> (coalesce(dupFrac, lit(0.0)) > maxDupWordFrac),
+      "compressible" -> (nw >= minWords &&
+        compressionRatio(t) < maxCompressRatio),
+      "pii_dense" -> (coalesce(pii, lit(0.0)) > maxPiiPerKChars))
+    val reasons = filter(
+      array(rules.map { case (name, c) =>
+        when(c, name).otherwise(lit(null))
+      }: _*), r => r.isNotNull)
+    df.select(col(idCol), reasons.as("reasons"))
+      .withColumn("keep", size(col("reasons")) === 0)
+  }
+
   /** Heuristic quality score in [0,1]: length saturation + lexical
     * diversity + stopword density (the usual cheap pre-filters applied
     * before expensive model-based scoring). */

@@ -82,6 +82,25 @@ class PipelineSpec extends SparkSpec {
     assert(kept(1).getAs[Long]("cluster_size") == 1L)
   }
 
+  test("quality filter: rule provenance in reasons, clean docs keep") {
+    val df = Seq(
+      (1L, "a solid natural sentence with plenty of distinct meaningful words here"),
+      (2L, "hi"),                                       // too_short
+      (3L, ("repeat " * 100).trim),                     // dup_words + compressible
+      (4L, "reach me at a@b.example and c@d.example or e@f.example ok") // pii_dense
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityFilter(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("keep"),
+        r.getSeq[String](r.fieldIndex("reasons")).toSet))
+    assert(got(0) == ((1L, true, Set.empty[String])))
+    assert(got(1) == ((2L, false, Set("too_short"))))
+    assert(!got(2)._2 && got(2)._3.contains("dup_words") &&
+      got(2)._3.contains("compressible"))
+    assert(got(3) == ((4L, false, Set("pii_dense"))))
+  }
+
   test("compression ratio: repetitive text low, high-entropy text high") {
     val rnd = new scala.util.Random(7)
     val df = Seq(
