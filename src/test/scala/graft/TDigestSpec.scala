@@ -6,6 +6,32 @@ import org.apache.spark.sql.functions._
 class TDigestSpec extends SparkSpec {
   import spark.implicits._
 
+  test("heavy hitters: MG guarantees hold on a skewed stream across partitions") {
+    import graft.functions.HeavyHittersFunctions.heavy_hitters
+    // skewed corpus: item i has ~ (50-i)^2/10 occurrences
+    val rows = (0 until 50).flatMap(i => Seq.fill((50 - i) * (50 - i) / 10 + 1)(s"w$i"))
+    val shuffled = new scala.util.Random(11).shuffle(rows)
+    val df = spark.sparkContext.parallelize(shuffled, 8).toDF("w")
+    val k = 20
+    val hh = df.agg(heavy_hitters(col("w"), k).as("hh"))
+      .selectExpr("inline(hh)")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val truth = rows.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val n = rows.size.toLong
+    // summary bound: at most k-1 tracked items, est <= true <= est + err
+    assert(hh.length <= k - 1)
+    hh.foreach { case (w, est, err) =>
+      assert(est <= truth(w) && truth(w) <= est + err,
+        s"$w: est=$est err=$err true=${truth(w)}") }
+    // completeness: every item above N/k must be present
+    val present = hh.map(_._1).toSet
+    truth.filter(_._2 > n / k).keys.foreach(w =>
+      assert(present.contains(w), s"frequent item $w missing"))
+    // output is sorted (est desc, item asc)
+    assert(hh.sortBy { case (w, est, _) => (-est, w) }.sameElements(hh))
+  }
+
   test("sketch core: quantiles of a known distribution within tolerance") {
     val d = new TDigest(100)
     val rnd = new scala.util.Random(7)
