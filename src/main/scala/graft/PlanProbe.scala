@@ -16,7 +16,15 @@ object PlanProbe {
     val interesting = Seq(
       "dedup_jaccard_pairs", "dedup_minhash_lsh", "embedding_neardup",
       "embedding_neardup_ivf", "ann_lsh_topk", "ann_ivf_topk",
-      "tsdb_downsample_1h", "tsdb_raw_scan", "pushdown_scan")
+      "tsdb_downsample_1h", "tsdb_raw_scan", "pushdown_scan",
+      // round-3 additions
+      "dedup_incremental", "dedup_canonical", "shard_assign",
+      "ngram_topk", "tfidf_topterms", "kmeans_assign",
+      "embedding_quantize", "winnow_overlap_pairs", "simhash_neardup")
+    // running-frame windows whose partition size is bounded by
+    // construction (shard_assign: <= bucketWidth rows per bucket) — a
+    // rank pushdown cannot exist there, and none is needed
+    val boundedWindowByDesign = Set("shard_assign")
     var bad = 0
     for (name <- interesting) {
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -27,7 +35,8 @@ object PlanProbe {
       // over a big partition is the scale hazard.
       val window = plan.linesIterator.exists(_.contains("Window ["))
       val grouplimited = plan.linesIterator.exists(_.contains("WindowGroupLimit"))
-      val ok = !cartesian && (!window || grouplimited)
+      val ok = !cartesian &&
+        (!window || grouplimited || boundedWindowByDesign(name))
       if (!ok) bad += 1
       println(f"$name%-28s cartesian=$cartesian%-5s window=$window%-5s grouplimit=$grouplimited%-5s ${if (ok) "OK" else "BAD"}")
     }
