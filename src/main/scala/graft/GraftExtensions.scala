@@ -12,7 +12,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *    session build (cluster deployments, spark-sql shells).
   *
   * Functions: `vec_dot(a, b)`, `vec_cosine(a, b)`, `word_shingles(ws, n)`,
-  * `tdigest_percentile(x, q[, compression])`.
+  * `winnow_hashes(ws, n, w)`, `compress_ratio(text)`,
+  * `tdigest_percentile(x, q[, compression])`, `heavy_hitters(x, k)`.
   */
 object GraftFunctions {
 
@@ -30,6 +31,11 @@ object GraftFunctions {
     "vec_cosine" -> ((es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
     "word_shingles" -> ((es: Seq[Expression]) =>
       WordShingles(es(0), litInt(es(1), "shingle size"))),
+    "winnow_hashes" -> ((es: Seq[Expression]) =>
+      WinnowHashes(es(0), litInt(es(1), "shingle size"), litInt(es(2), "window"))),
+    "compress_ratio" -> ((es: Seq[Expression]) => CompressRatio(es(0))),
+    "heavy_hitters" -> ((es: Seq[Expression]) =>
+      HeavyHittersAgg(es(0), litInt(es(1), "k")).toAggregateExpression()),
     "tdigest_percentile" -> ((es: Seq[Expression]) => {
       val q = litDouble(es(1), "quantile")
       val compression =

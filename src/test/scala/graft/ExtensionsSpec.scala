@@ -19,6 +19,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(p - 499.5) < 10.0, s"median $p")
   }
 
+  test("registered SQL functions: winnow_hashes, compress_ratio, heavy_hitters") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT size(winnow_hashes(array('a', 'b', 'c', 'd', 'e'), 3, 2)) AS nw,
+        |       compress_ratio('xyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxy') AS cr""".stripMargin)
+      .head()
+    assert(r.getAs[Int]("nw") >= 1)
+    assert(r.getAs[Double]("cr") < 0.5)
+    spark.sql("SELECT explode(sequence(1, 20)) AS i")
+      .selectExpr("CASE WHEN i <= 15 THEN 'hot' ELSE concat('w', i) END AS w")
+      .createOrReplaceTempView("hh_in")
+    val hh = spark.sql("SELECT heavy_hitters(w, 4) AS hh FROM hh_in")
+      .selectExpr("inline(hh)").collect()
+    assert(hh.head.getString(0) == "hot")
+  }
+
   test("GraftExtensions injects into a session-extensions instance") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // must not throw; builders validated above
