@@ -148,4 +148,52 @@ class PropertySpec extends SparkSpec {
       got == expected
     })
   }
+
+  test("shard assign == naive global cumsum for any ids/weights/width") {
+    import org.apache.spark.sql.functions.col
+    val genRows: Gen[List[(Long, Long)]] = Gen.listOfN(30,
+      for { id <- Gen.choose(0L, 400L); w <- Gen.choose(0L, 50L) } yield (id, w))
+    check(Prop.forAll(genRows, Gen.choose(1L, 64L), Gen.choose(1L, 100L)) {
+      (rows, width, budget) =>
+        val uniq = rows.toMap.toSeq // unique ids
+        if (uniq.isEmpty) true
+        else {
+          val got = graft.pipeline.Sharding
+            .shardAssign(uniq.toDF("doc_id", "w"), "doc_id", col("w"),
+              shardBudget = budget, bucketWidth = width)
+            .orderBy("doc_id")
+            .as[(Long, Long, Long, Long)].collect().toSeq
+          var cum = 0L
+          val want = uniq.sortBy(_._1).map { case (id, w) =>
+            val before = cum; cum += w; (id, w, cum, before / budget)
+          }
+          got == want
+        }
+    })
+  }
+
+  test("MG heavy-hitters: bounds hold under any split/merge order") {
+    val genStream: Gen[List[String]] = Gen.listOfN(120,
+      Gen.frequency(6 -> Gen.const("hot"), 3 -> Gen.oneOf("warm1", "warm2"),
+        2 -> Gen.alphaLowerStr.map(_.take(3))))
+    check(Prop.forAll(genStream, Gen.choose(2, 8), Gen.choose(1, 5)) {
+      (xs, k, nSplits) =>
+        val parts = xs.grouped(math.max(1, xs.size / nSplits)).toSeq
+        val merged = parts.map { p =>
+          val s = new graft.functions.MGSummary(k); p.foreach(s.add(_)); s
+        }.reduceLeft { (a, b) => a.merge(b); a }
+        val truth = xs.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+        val n = xs.size.toLong
+        val it = merged.counts.entrySet().iterator()
+        var ok = merged.counts.size <= k - 1
+        while (it.hasNext && ok) {
+          val e = it.next()
+          val t = truth(e.getKey)
+          ok = e.getValue <= t && t <= e.getValue + merged.decrements
+        }
+        // every item above n/k must be tracked
+        ok && truth.forall { case (w, c) =>
+          c <= n / k || merged.counts.containsKey(w) }
+    })
+  }
 }
