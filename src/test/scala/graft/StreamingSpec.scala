@@ -215,6 +215,31 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(1L, 2L, 4L), s"dup doc 3 must be dropped, got $got")
   }
 
+  test("streaming dedup state expires at the horizon: far-later dup re-admits") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val docs = mem.toDF().toDF("sec", "doc_id", "text")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val dd = StreamingDedup.exactDedup(docs, "ts", "text", lateness = "10 seconds")
+    val q = dd.writeStream.format("memory").queryName("sdedup_exp")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 1L, "alpha beta"))
+      q.processAllAvailable()
+      // push the watermark far past doc 1's fingerprint state...
+      mem.addData((1000L, 2L, "unrelated text"))
+      q.processAllAvailable()
+      // ...then the same content again: state is gone, row re-admits —
+      // the bounded-state contract (and why forever-dedup is the batch
+      // CC pass downstream, not this operator)
+      mem.addData((1001L, 3L, "alpha beta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sdedup_exp").select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L),
+      s"doc 3 must re-admit after state expiry, got $got")
+  }
+
   test("self-monitoring: streaming progress republished as __ series") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmp()
