@@ -349,6 +349,61 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("shared"), col("overlap_e4"))
   }
 
+  /** Materialize the dedup index of a corpus: everything
+    * [[incrementalDedup]] needs from the existing side, precomputed so
+    * each increment reuses it instead of re-reading and re-shingling
+    * 100 TB of text — `fps/` (fingerprint → min doc id, pre-aggregated),
+    * `bands/` (doc, band, hash), `shingles/` (doc, shingle set, size;
+    * the only text-derived payload, needed for exact verification).
+    * After an increment is admitted, append ITS rows to the same three
+    * tables — the index grows with the corpus, never rebuilt. */
+  def writeDedupIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, path: String): Unit = {
+    df.select(col(idCol).as("doc"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp").agg(min("doc").as("exact_of"))
+      .write.mode("overwrite").parquet(s"$path/fps")
+    bandKeys(df, idCol, textCol, n, k, bands)
+      .select(col("doc"), col("bh.band").as("band"), col("bh.h").as("h"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    shingled(df, idCol, textCol, n)
+      .write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** [[incrementalDedup]] against a materialized [[writeDedupIndex]] —
+    * identical verdicts, but the corpus side costs three parquet scans
+    * (fps for the exact join, bands for candidates, shingles for
+    * verification of candidate docs only) instead of a full text pass. */
+  def incrementalDedupIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, incoming: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val exFp = spark.read.parquet(s"$indexPath/fps")
+    val inFp = incoming
+      .select(col(idCol).as("doc_id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val exact = inFp.join(exFp, Seq("fp"), "left")
+      .select(col("doc_id"), col("exact_of"))
+    val exBands = spark.read.parquet(s"$indexPath/bands")
+      .select(col("doc"), struct(col("band"), col("h")).as("bh"))
+    val candidates = bandKeys(incoming, idCol, textCol, n, k, bands).as("x")
+      .join(exBands.as("y"), col("x.bh") === col("y.bh"))
+      .select(col("x.doc").as("doc_id"), col("y.doc").as("ex_id")).distinct()
+    val near = candidates
+      .join(shingled(incoming, idCol, textCol, n)
+        .select(col("doc").as("doc_id"), col("sh").as("sh_a"), col("nsh").as("nsh_a")), "doc_id")
+      .join(spark.read.parquet(s"$indexPath/shingles")
+        .select(col("doc").as("ex_id"), col("sh").as("sh_b"), col("nsh").as("nsh_b")), "ex_id")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(col("common").cast("double") /
+        (col("nsh_a") + col("nsh_b") - col("common")).cast("double") >= threshold)
+      .groupBy("doc_id").agg(min("ex_id").as("near_of"))
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_of").isNotNull, "exact_dup")
+          .when(col("near_of").isNotNull, "near_dup")
+          .otherwise("new").as("verdict"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"))
+  }
+
   /** Duplicate-cluster resolution: connected components over a near-dup
     * pair set, plus the cluster size — the operator a dedup pipeline
     * actually ships (keep `doc_id == cluster_id` as the canonical copy,

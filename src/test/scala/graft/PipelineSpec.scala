@@ -167,6 +167,24 @@ class PipelineSpec extends SparkSpec {
       "a dup within the incoming batch only must stay 'new'")
   }
 
+  test("indexed incremental dedup == direct, and the index is appendable") {
+    val docs = graft.tsdb.Tables.load(spark, sf, "documents")
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val idx = java.nio.file.Files.createTempDirectory("graft_dedupidx").toString
+    try {
+      Dedup.writeDedupIndex(existing, "doc_id", "text", n = 3, k = 8, bands = 4, idx)
+      val direct = Dedup.incrementalDedup(existing, incoming, "doc_id", "text",
+        n = 3, k = 8, bands = 4, threshold = 0.8)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val indexed = Dedup.incrementalDedupIndexed(spark, idx, incoming,
+        "doc_id", "text", n = 3, k = 8, bands = 4, threshold = 0.8)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(indexed == direct,
+        "index-backed verdicts must equal recomputation from raw text")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+  }
+
   test("shard writer: partitioned dirs, budget respected, content round-trips") {
     val df = (0 until 40).map(i => (i.toLong, s"doc $i " + ("tok " * (i % 7 + 1)).trim))
       .toDF("doc_id", "text")
