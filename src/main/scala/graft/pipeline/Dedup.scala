@@ -289,25 +289,36 @@ object Dedup {
     * previous round unpersisted, so lineage stays bounded. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
+    // Persist the undirected edge set ONCE: every round joins it, and
+    // each round's `changed` count is an action — without this the
+    // whole upstream pair-generation lineage (e.g. the MinHash-LSH
+    // chain) re-executes per round. Caught by the sf1 measurement:
+    // cluster resolution cost rounds × LSH instead of LSH + rounds.
     val und = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-    var labels = nodes.select(col("node"), col("node").as("label")).cache()
-    var it = 0
-    var changed = 1L
-    while (changed > 0 && it < maxIter) {
-      val nbrMin = und
-        .join(labels.select(col("node").as("b"), col("label").as("blabel")), "b")
-        .groupBy(col("a").as("node")).agg(min(col("blabel")).as("nbr"))
-      val step = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("label").as("old"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .cache()
-      changed = step.filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = step.select(col("node"), col("label"))
-      it += 1
-    }
-    labels
+      .cache()
+    try {
+      var labels = nodes.select(col("node"), col("node").as("label")).cache()
+      var it = 0
+      var changed = 1L
+      while (changed > 0 && it < maxIter) {
+        val nbrMin = und
+          .join(labels.select(col("node").as("b"), col("label").as("blabel")), "b")
+          .groupBy(col("a").as("node")).agg(min(col("blabel")).as("nbr"))
+        val step = labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"), col("label").as("old"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+          .cache()
+        changed = step.filter(col("label") =!= col("old")).count()
+        labels.unpersist()
+        labels = step.select(col("node"), col("label"))
+        it += 1
+      }
+      // materialize before releasing the edge cache (labels' lineage
+      // still references und until the final plan executes — but every
+      // round already ran its action, so the last `step` is cached)
+      labels
+    } finally und.unpersist()
   }
 
   /** (doc, fp) winnowing fingerprint postings — see
