@@ -108,11 +108,11 @@ class NbqlExecutor(engine: TsdbEngine, snapshotDir: String => String = identity)
       Right(Rows(engine.query(params), cursorOf))
 
     case RemoveSeriesStatement(m, tg) =>
-      engine.deleteSeries(m, tg); Right(Ack("OK"))
+      engine.deleteSeries(m, tg).map(_ => Ack("OK"))
     case RemovePointStatement(m, tg, ts) =>
-      engine.deletePoint(m, tg, ts); Right(Ack("OK"))
+      engine.deletePoint(m, tg, ts).map(_ => Ack("OK"))
     case RemoveRangeStatement(m, tg, a, b) =>
-      engine.deleteRange(m, tg, a, b); Right(Ack("OK"))
+      engine.deleteRange(m, tg, a, b).map(_ => Ack("OK"))
 
     case ShowMetricsStatement => Right(Rows(engine.showMetrics(), noCursor))
     case ShowTagKeysStatement(m) => Right(Rows(engine.showTagKeys(m), noCursor))
@@ -121,11 +121,11 @@ class NbqlExecutor(engine: TsdbEngine, snapshotDir: String => String = identity)
     case FlushStatement(_) =>
       // memtable/disk flush is meaningless on parquet storage; compaction
       // is the nearest admin analog (cf. FLUSH triggering compaction)
-      engine.compact(); Right(Ack("OK"))
+      engine.compact().map(_ => Ack("OK"))
 
     case SnapshotStatement =>
       val dest = snapshotDir(s"${engine.rootDir}_snapshot_${engine.nextSeq()}")
-      engine.snapshot(dest); Right(Ack(dest))
+      engine.snapshot(dest).map(_ => Ack(dest))
 
     case RestoreStatement(path, overwrite) =>
       engine.restore(path, overwrite).map(_ => Ack("OK"))

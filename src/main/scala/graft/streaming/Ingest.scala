@@ -69,6 +69,24 @@ object Ingest {
       }.foldLeft(lit(false))(_ || _)
       scope && (range || tagViolation)
     }
+
+    /** Driver-side evaluation of the same rule, for the hook-listener
+      * form ([[graft.hooks.Listeners.IngestGuardListener]]) on the
+      * driver-mediated put path. Semantics identical to [[violated]]. */
+    def violatedBy(p: DataPoint): Boolean = {
+      def pat(s: String, q: String): Boolean =
+        q == "*" || (if (q.endsWith("*")) s.startsWith(q.dropRight(1)) else s == q)
+      if (!pat(p.metric, metric)) false
+      else {
+        val vals =
+          if (field == "*") p.fields.values.toSeq else p.fields.get(field).toSeq
+        val range = vals.exists(v => v.numeric.exists(n =>
+          minValue.exists(n < _) || maxValue.exists(n > _)))
+        val tagViolation = allowedTags.exists { case (k, allowed) =>
+          p.tags.get(k).exists(tv => !allowed.contains(tv)) }
+        range || tagViolation
+      }
+    }
   }
 
   /** Parse a stream/frame of JSON strings (column `value`) into canonical

@@ -1,5 +1,6 @@
 package graft.tsdb
 
+import graft.hooks.{EventType, HookEvent, HookManager, HookVetoException, Listeners, Payloads}
 import graft.model.DataPoint
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -47,6 +48,34 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   private val seqCounter = new java.util.concurrent.atomic.AtomicLong(snap.maxSeq)
   private val resultCache = new QueryCache()
 
+  /** User-pluggable event bus (the reference's hook system,
+    * `hooks/hooks.go:23-57`): register listeners on Pre/Post
+    * Put/Delete/Compaction/Snapshot/Query events and `OnSeriesCreate`.
+    * Pre listeners run sync in priority order and can veto or rewrite the
+    * payload; Post listeners observe (sync inline or async on a pool).
+    * The write-amplification accounting ships as a default-registered
+    * PostCompaction listener — a deployment extends the engine the same
+    * way, by registering, not by editing graft code. */
+  val hooks = new HookManager
+  private val wafListener = new Listeners.WriteAmplificationListener
+  hooks.register(EventType.PostCompaction, wafListener)
+
+  /** Series keys first-seen by this instance's driver-mediated puts —
+    * feeds `OnSeriesCreate` (tracked only while a listener is registered;
+    * the reference's in-memory series index gives its hook the same
+    * "first time this process creates the key" semantics). */
+  private val seenSeries = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def firePost(tpe: String, payload: AnyRef): Unit =
+    if (hooks.hasListeners(tpe)) hooks.trigger(HookEvent(tpe, payload))
+
+  /** Commit landed: refresh the snapshot, then announce the new manifest
+    * version (the reference's WAL/manifest post-write event). */
+  private def committed(): Unit = {
+    refresh()
+    firePost(EventType.PostManifestWrite, Payloads.PostManifestWrite(snap.version))
+  }
+
   def version: Long = snap.version
   /** Log version of the last commit touching `metric` — the cache epoch:
     * writes to metric A never evict cached queries on metric B. */
@@ -82,8 +111,40 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   // ---- write path -------------------------------------------------------
 
   /** Validate + append a batch (one commit per batch — the analog of
-    * PutBatch, `engine2/adapter.go:635`). */
+    * PutBatch, `engine2/adapter.go:635`). `PrePutBatch` listeners run
+    * first and may rewrite/drop points or veto the whole batch
+    * (`hooks.go:136-141`); `PostPutBatch` observes the outcome. */
   def putBatch(points: Seq[DataPoint]): Either[String, Long] = {
+    var pts = points
+    if (hooks.hasListeners(EventType.PrePutBatch)) {
+      val pay = new Payloads.PrePutBatch(pts)
+      hooks.trigger(HookEvent(EventType.PrePutBatch, pay)) match {
+        case Left(err) => return Left(err)
+        case Right(()) => pts = pay.points
+      }
+    }
+    val r = appendPoints(pts)
+    firePost(EventType.PostPutBatch, Payloads.PostPutBatch(pts, r.left.toOption))
+    r
+  }
+
+  /** Single-point put with the single-point hook pair (`hooks.go:106-110`):
+    * a `PrePutDataPoint` listener may rewrite the point or veto it. */
+  def put(p: DataPoint): Either[String, Long] = {
+    var pt = p
+    if (hooks.hasListeners(EventType.PrePutDataPoint)) {
+      val pay = new Payloads.PrePutDataPoint(pt)
+      hooks.trigger(HookEvent(EventType.PrePutDataPoint, pay)) match {
+        case Left(err) => return Left(err)
+        case Right(()) => pt = pay.point
+      }
+    }
+    val r = appendPoints(Seq(pt))
+    firePost(EventType.PostPutDataPoint, Payloads.PostPutDataPoint(pt, r.left.toOption))
+    r
+  }
+
+  private def appendPoints(points: Seq[DataPoint]): Either[String, Long] = {
     val bad = points.iterator.map(DataPoint.validate).collectFirst {
       case Left(err) => err }
     if (bad.isDefined) return Left(bad.get)
@@ -94,10 +155,14 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         nextSeq())
     }
     commitAppend(rows.toDF(), txn = None)
+    if (hooks.hasListeners(EventType.OnSeriesCreate))
+      points.foreach { p =>
+        val key = SeriesKey.of(p.metric, p.tags)
+        if (seenSeries.add(key))
+          hooks.trigger(HookEvent(EventType.OnSeriesCreate, Payloads.OnSeriesCreate(key)))
+      }
     Right(rows.size.toLong)
   }
-
-  def put(p: DataPoint): Either[String, Long] = putBatch(Seq(p))
 
   /** Append an arbitrary DataFrame already in canonical shape
     * (metric, tags, timestamp, fields, seq) — the bulk/streaming path.
@@ -126,7 +191,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     val hwm = seqCounter.get()
     log.commit(v => LogCommit(v, adds = added, metrics = metricsOf(added),
       txnApp = txn.map(_._1), txnBatch = txn.map(_._2), maxSeq = hwm))
-    refresh()
+    committed()
   }
 
   /** Move staged parquet files into the data root, preserving their
@@ -148,19 +213,56 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
 
   // ---- delete path (logical deletes in the log) --------------------------
 
-  def deletePoint(metric: String, tags: Map[String, String], tsNs: Long): Unit =
-    commitTombstone(TombRow("point", metric, tags, tsNs, tsNs, nextSeq()))
+  /** Pre hooks may rewrite the target or veto (`Left`); Post hooks
+    * observe the landed tombstone (`hooks.go:23-36` delete events). */
+  def deletePoint(metric: String, tags: Map[String, String], tsNs: Long): Either[String, Unit] = {
+    var (m, tg, ts) = (metric, tags, tsNs)
+    if (hooks.hasListeners(EventType.PreDeletePoint)) {
+      val pay = new Payloads.PreDeletePoint(m, tg, ts)
+      hooks.trigger(HookEvent(EventType.PreDeletePoint, pay)) match {
+        case Left(err) => return Left(err)
+        case Right(()) => m = pay.metric; tg = pay.tags; ts = pay.timestampNs
+      }
+    }
+    commitTombstone(TombRow("point", m, tg, ts, ts, nextSeq()))
+    firePost(EventType.PostDeletePoint, Payloads.PostDeletePoint(m, tg, ts))
+    Right(())
+  }
 
-  def deleteSeries(metric: String, tags: Map[String, String]): Unit =
-    commitTombstone(TombRow("series", metric, tags, 0L, 0L, nextSeq()))
+  def deleteSeries(metric: String, tags: Map[String, String]): Either[String, Unit] = {
+    var (m, tg) = (metric, tags)
+    if (hooks.hasListeners(EventType.PreDeleteSeries)) {
+      val pay = new Payloads.PreDeleteSeries(m, tg)
+      hooks.trigger(HookEvent(EventType.PreDeleteSeries, pay)) match {
+        case Left(err) => return Left(err)
+        case Right(()) => m = pay.metric; tg = pay.tags
+      }
+    }
+    commitTombstone(TombRow("series", m, tg, 0L, 0L, nextSeq()))
+    firePost(EventType.PostDeleteSeries,
+      Payloads.PostDeleteSeries(m, tg, SeriesKey.of(m, tg)))
+    Right(())
+  }
 
-  def deleteRange(metric: String, tags: Map[String, String], fromNs: Long, toNs: Long): Unit =
-    commitTombstone(TombRow("range", metric, tags, fromNs, toNs, nextSeq()))
+  def deleteRange(metric: String, tags: Map[String, String], fromNs: Long, toNs: Long): Either[String, Unit] = {
+    var (m, tg, a, b) = (metric, tags, fromNs, toNs)
+    if (hooks.hasListeners(EventType.PreDeleteRange)) {
+      val pay = new Payloads.PreDeleteRange(m, tg, a, b)
+      hooks.trigger(HookEvent(EventType.PreDeleteRange, pay)) match {
+        case Left(err) => return Left(err)
+        case Right(()) => m = pay.metric; tg = pay.tags; a = pay.startNs; b = pay.endNs
+      }
+    }
+    commitTombstone(TombRow("range", m, tg, a, b, nextSeq()))
+    firePost(EventType.PostDeleteRange,
+      Payloads.PostDeleteRange(m, tg, SeriesKey.of(m, tg), a, b))
+    Right(())
+  }
 
   private def commitTombstone(t: TombRow): Unit = {
     val hwm = seqCounter.get()
     log.commit(v => LogCommit(v, tombs = Seq(t), metrics = Seq(t.metric), maxSeq = hwm))
-    refresh()
+    committed()
   }
 
   // ---- read path --------------------------------------------------------
@@ -189,10 +291,24 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
 
   def loadTombstones(): Seq[Tombstone] = snap.tombs.map(tombOf)
 
-  /** Execute a query with full merge/tombstone semantics. */
+  /** Execute a query with full merge/tombstone semantics. A `PreQuery`
+    * listener may rewrite the params or veto (throws [[HookVetoException]]
+    * — this API has no error channel); `PostQuery` observes params +
+    * plan-construction time (execution is lazy downstream). */
   def query(params: QueryParams): DataFrame = {
+    var p = params
+    if (hooks.hasListeners(EventType.PreQuery)) {
+      val pay = new Payloads.PreQuery(p)
+      hooks.trigger(HookEvent(EventType.PreQuery, pay)) match {
+        case Left(err) => throw new HookVetoException(err)
+        case Right(()) => p = pay.params
+      }
+    }
+    val t0 = System.nanoTime()
     val pts = loadPoints().getOrElse(emptyPoints(spark))
-    QueryEngine.run(pts, params, loadTombstones())
+    val out = QueryEngine.run(pts, p, loadTombstones())
+    firePost(EventType.PostQuery, Payloads.PostQuery(p, System.nanoTime() - t0))
+    out
   }
 
   /** Read the table as of an older log version (time travel — what
@@ -423,23 +539,10 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
 
   // ---- maintenance ------------------------------------------------------
 
-  /** Write-amplification accounting across compactions — the analog of
-    * the reference's WriteAmplificationListener
-    * (`hooks/listeners/waf.go:23-94`: PostCompaction sums old-table bytes
-    * as read, new-table bytes as written, publishes
-    * `engine_compaction_waf` = written/read). */
-  private val wafBytesRead = new java.util.concurrent.atomic.AtomicLong
-  private val wafBytesWritten = new java.util.concurrent.atomic.AtomicLong
-  private val wafEvents = new java.util.concurrent.atomic.AtomicLong
-
-  final case class CompactionStats(bytesRead: Long, bytesWritten: Long,
-      events: Long) {
-    /** Write-amplification factor; 0 when nothing read (`waf.go:32-35`). */
-    def waf: Double =
-      if (bytesRead == 0) 0.0 else bytesWritten.toDouble / bytesRead
-  }
-  def compactionStats: CompactionStats =
-    CompactionStats(wafBytesRead.get(), wafBytesWritten.get(), wafEvents.get())
+  /** Write-amplification accounting across compactions — served by the
+    * default-registered [[Listeners.WriteAmplificationListener]] on
+    * `PostCompaction` (the re-homed analog of `hooks/listeners/waf.go`). */
+  def compactionStats: Listeners.CompactionStats = wafListener.stats
 
   private def bytesOf(relFiles: Seq[String]): Long =
     relFiles.iterator.map { f =>
@@ -464,9 +567,14 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * retention-expired rows; storage shrinks and reads stop paying the
     * merge. `nowNs` is injectable for determinism (same convention as
     * [[QueryParams.nowNs]]). */
-  def compact(nowNs: Option[Long] = None): Unit = {
+  def compact(nowNs: Option[Long] = None): Either[String, Unit] = {
+    if (hooks.hasListeners(EventType.PreCompaction))
+      hooks.trigger(HookEvent(EventType.PreCompaction, Payloads.PreCompaction())) match {
+        case Left(err) => return Left(err)
+        case Right(()) => ()
+      }
     val s = snap
-    val pts = loadPointsAt(s).getOrElse(return)
+    val pts = loadPointsAt(s).getOrElse(return Right(()))
     val retained = retentionPeriodNs match {
       case Some(period) =>
         val cutoff = nowNs.getOrElse(System.currentTimeMillis() * 1000000L) - period
@@ -482,15 +590,18 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       .write.partitionBy("metric", "date").parquet(staging)
     val added = moveStaged(Paths.get(staging), stamp)
     deleteDir(Paths.get(staging))
-    // WAF accounting while both file sets exist (pre-vacuum)
-    wafBytesRead.addAndGet(bytesOf(s.files))
-    wafBytesWritten.addAndGet(bytesOf(added))
-    wafEvents.incrementAndGet()
+    // byte accounting while both file sets exist (pre-vacuum) — handed to
+    // PostCompaction listeners (the default WAF listener consumes it)
+    val bytesRead = bytesOf(s.files)
+    val bytesWritten = bytesOf(added)
     val hwm = seqCounter.get()
     log.commit(v => LogCommit(v, adds = added, removes = s.files,
       clearTombs = true, metrics = metricsOf(s.files ++ added), maxSeq = hwm))
-    refresh()
+    committed()
+    firePost(EventType.PostCompaction,
+      Payloads.PostCompaction(s.files, added, bytesRead, bytesWritten))
     vacuum()
+    Right(())
   }
 
   /** Physically delete data files no longer referenced by the CURRENT
@@ -511,9 +622,17 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * (the reference's incremental snapshot hard-links unchanged SSTables,
     * `snapshot/manager.go:225-355`). Stale destination files from older
     * snapshots are pruned to keep the snapshot tight. */
-  def snapshot(destDir: String): Unit = {
+  def snapshot(destDir: String): Either[String, Unit] = {
+    var dest = destDir
+    if (hooks.hasListeners(EventType.PreCreateSnapshot)) {
+      val pay = new Payloads.PreCreateSnapshot(dest)
+      hooks.trigger(HookEvent(EventType.PreCreateSnapshot, pay)) match {
+        case Left(err) => return Left(err)
+        case Right(()) => dest = pay.snapshotDir
+      }
+    }
     val s = snap
-    val destData = Paths.get(s"$destDir/data")
+    val destData = Paths.get(s"$dest/data")
     val srcData = Paths.get(dataDir)
     Files.createDirectories(destData)
     s.files.foreach { rel =>
@@ -530,9 +649,11 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       .filterNot(p => live.contains(destData.relativize(p).toString))
       .foreach(Files.deleteIfExists(_))
     // replace the log wholesale (tiny JSON files)
-    val destLog = Paths.get(s"$destDir/_log")
+    val destLog = Paths.get(s"$dest/_log")
     deleteDir(destLog)
     copyDir(Paths.get(s"$rootDir/_log"), destLog)
+    firePost(EventType.PostCreateSnapshot, Payloads.PostCreateSnapshot(dest))
+    Right(())
   }
 
   /** Push replication to a DISJOINT-storage follower — the network-
@@ -607,7 +728,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       adds = old.files.diff(cur.files), removes = cur.files.diff(old.files),
       tombs = old.tombs, clearTombs = true,
       metrics = metricsOf(cur.files ++ old.files), maxSeq = hwm))
-    refresh()
+    committed()
     Right(())
   }
 }
