@@ -40,10 +40,18 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // A query that throws must SURFACE as an error, never bench as a
+    // ~0-second win: first failure message per query is recorded and
+    // reported in the JSON (`errors`/`n_errors`).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def run(name: String, f: => Unit): Unit =
+      try f catch { case e: Throwable =>
+        errors.getOrElseUpdate(name,
+          e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
+      }
     // warmup: codegen + JIT + page cache, excluded from measurement
-    qs.foreach { case (_, fn) =>
-      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
-    }
+    qs.foreach { case (name, fn) => run(name, materialize(fn(spark, sfDir))) }
     // 3 measured passes, interleaved (pass 1 of every query, then pass 2,
     // then pass 3): a transient CPU stall lands in at most one sample per
     // query, and the per-query median discards it.
@@ -51,7 +59,7 @@ object Bench {
     val samples: Seq[Seq[(String, Double)]] = (0 until nPasses).map { _ =>
       qs.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
+        run(name, materialize(fn(spark, sfDir)))
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
@@ -64,7 +72,7 @@ object Bench {
     // comparison with rounds benched before the materialization fix.
     val resultsCount = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      run(name, { fn(spark, sfDir).count(); () })
       name -> (System.nanoTime() - t0) / 1e9
     }
     val lat = results.map(_._2).sorted
@@ -121,12 +129,15 @@ object Bench {
 
     val totalCount = resultsCount.map(_._2).sum
 
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""runs":$runsJson,"passes":$nPasses,""" +
       s""""total_count_mode":$totalCount,""" +
       s""""p50":${pct(0.5)},"p90":${pct(0.9)},"p99":${pct(0.99)},""" +
       s""""ingest_rows_per_sec":$ingestRps,"query_qps_cold":$qpsCold,""" +
       s""""query_qps_cached":$qpsCached,""" +
+      s""""n_errors":${errors.size},"errors":$errJson,""" +
       s""""n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -463,15 +463,21 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  /** Embedding near-dup pairs: cosine >= 0.45 via sign-LSH bucketed
-    * candidates + exact verification (the scale path — bucket-equality
-    * hash join, no cartesian product; the oracle is the independent
-    * brute-force SQL, which the bucketed result matches because the
-    * per-pair miss probability at the defaults is < 1e-5). */
-  def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosinePairsBucketed(embVecs(s, dir), threshold = 0.45, dim = 64)
+  /** Embedding near-dup pairs at cosine >= 0.45, THRESHOLD-ROUTED
+    * ([[Similarity.cosinePairsAuto]]): below the 0.7 route point the
+    * low threshold takes the IVF cell-blocking branch — sign-LSH at 0.45
+    * collides ~¼ of random pairs per table and measured 75× slower than
+    * IVF at 10× data (SCALE.md), so it must never be the battery default
+    * here. First-16 centroids + replicate 3 are literals the oracle
+    * reproduces, pinning candidates (and therefore rows) exactly. */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val vecs = embVecs(s, dir)
+    Similarity.cosinePairsAuto(vecs, threshold = 0.45, dim = 64, nlist = 16,
+        replicate = 3, centroids = Some(Similarity.firstNCentroids(vecs, 16)))
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
       .orderBy("id_a", "id_b")
+  }
+
 
   /** Near-dup pairs via IVF cell blocking (linear-candidate scale path
     * for low thresholds — at scale pick nlist ∝ n so candidate volume

@@ -439,11 +439,25 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id
         |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
         |  FROM j) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // threshold-routed: 0.45 < 0.7 route point → IVF cell blocking with
+    // first-16 literal centroids and replicate 3 — the oracle reproduces
+    // the candidate generation exactly, so rows are pinned, not sampled
     "embedding_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        |            embedding::DOUBLE[] AS cv
+        |          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |asg AS (SELECT id, cid FROM (
+        |  SELECT id, cid,
+        |    row_number() OVER (PARTITION BY id
+        |                       ORDER BY list_dot_product(vec, cv) DESC, cid ASC) AS rn
+        |  FROM v CROSS JOIN cents) t WHERE rn <= 3),
+        |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        |         FROM asg x JOIN asg y ON x.cid = y.cid AND x.id < y.id)
+        |SELECT id_a, id_b,
+        |  round(list_cosine_similarity(a.vec, b.vec), 4) AS cosine
+        |FROM cand JOIN v a ON a.id = cand.id_a JOIN v b ON b.id = cand.id_b
+        |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.45
         |ORDER BY 1, 2""".stripMargin,
     "embedding_neardup_ivf" ->
       """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),

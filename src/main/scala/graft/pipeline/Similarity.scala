@@ -343,6 +343,37 @@ object Similarity {
     * the replicate overlap are missed (recall vs the exact join is
     * asserted in PipelineSpec; the battery entry pins candidates exactly
     * via literal first-N centroids the oracle reproduces). */
+  /** Threshold-routed near-dup pairs — the single entry point that picks
+    * the blocking scheme the threshold can actually afford. Sign-LSH
+    * bucket collision for RANDOM pairs is ~2^-bits per table regardless
+    * of the threshold, so selectivity comes only from spending bits —
+    * and a pair at angle θ survives b bits with p^b (p = 1−θ/π), so
+    * bits are only affordable when p is close to 1, i.e. at HIGH
+    * thresholds. Hence the route:
+    *
+    *  - `threshold >= routeAt` (default 0.85): sign-LSH with SELECTIVE
+    *    tables (8 bits × 24 tables — candidates ~T·n²/2^(b+1) ≈ n²/21,
+    *    ~64× fewer than the 2-bit default's ~3n²). Per-pair miss
+    *    probability (1−p^b)^T is ≤ 0.4% at 0.85 and ≤ 3e-4 at 0.9 —
+    *    the classic n^(1+ρ) LSH trade; verification stays exact.
+    *  - `threshold < routeAt`: IVF cell blocking ([[cosinePairsIvf]]).
+    *    At e.g. cosine ≥ 0.45 NO affordable bit count keeps recall
+    *    (p^b collapses), and the 2-bit table collides ~¼ of random
+    *    pairs (measured 75× slower than IVF at 10× data, SCALE.md).
+    *    Cell candidates are n²·replicate²/nlist; sizing nlist ∝ n
+    *    keeps the pass linear — the 100 TB default at ANY threshold.
+    *
+    * Both branches verify candidates with exact cosine; `centroids`
+    * passes through to the IVF branch (literal first-N for an
+    * oracle-pinned result, k-means default for recall). */
+  def cosinePairsAuto(vecs: DataFrame, threshold: Double, dim: Int,
+      nlist: Int, replicate: Int = 2,
+      centroids: Option[Array[Array[Double]]] = None,
+      routeAt: Double = 0.85): DataFrame =
+    if (threshold >= routeAt)
+      cosinePairsBucketed(vecs, threshold, dim, tables = 24, bits = 8)
+    else cosinePairsIvf(vecs, threshold, nlist, replicate, centroids)
+
   def cosinePairsIvf(vecs: DataFrame, threshold: Double, nlist: Int,
       replicate: Int = 2,
       centroids: Option[Array[Array[Double]]] = None): DataFrame = {

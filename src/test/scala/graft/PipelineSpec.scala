@@ -400,6 +400,45 @@ class PipelineSpec extends SparkSpec {
       "bucketed path must not plan an all-pairs join")
   }
 
+  test("threshold router: IVF branch below the route point, selective sign-LSH above") {
+    val vecs = graft.tsdb.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // below the route point the router must take IVF cell blocking —
+    // row-identical to calling cosinePairsIvf with the same pinned centroids
+    val pinned = Some(Similarity.firstNCentroids(vecs, 16))
+    val low = Similarity.cosinePairsAuto(vecs, 0.45, dim = 64, nlist = 16,
+      replicate = 3, centroids = pinned)
+    val ivf = Similarity.cosinePairsIvf(vecs, 0.45, nlist = 16,
+      replicate = 3, centroids = pinned)
+    assert(low.select("id_a", "id_b").as[(Long, Long)].collect().toSet ==
+      ivf.select("id_a", "id_b").as[(Long, Long)].collect().toSet)
+    // at/above the route point: selective 8-bit sign-LSH tables. Planted
+    // near-identical duplicates (cosine ~0.95) among noise — the workload
+    // where the high branch must recall essentially everything while its
+    // candidate volume stays ~n²/21 instead of the 2-bit tables' ~3n².
+    val rnd = new scala.util.Random(11)
+    def unit(dim: Int) = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def perturb(v: Array[Float]) = v.map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+    val planted = (0 until 50).map(i => (i.toLong, unit(64)))
+    val dups = planted.map { case (i, v) => (i + 1000L, perturb(v)) }
+    val noise = (0 until 400).map(i => (i + 2000L, unit(64)))
+    val df = (planted ++ dups ++ noise).toDF("id", "vec")
+    val hi = Similarity.cosinePairsAuto(df, 0.9, dim = 64, nlist = 16)
+    val got = hi.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val truth = Similarity.cosinePairs(df, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.size >= 40, s"perturbation too strong: ${truth.size}")
+    assert(got.subsetOf(truth), "exact verification must kill false candidates")
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.99, s"high-branch recall $recall")
+    // neither routed plan may fall back to an all-pairs join
+    Seq(low, hi).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        "routed path must not plan an all-pairs join")
+    }
+  }
+
   test("simhash pairs: band blocking == all-pairs hamming at radius 3") {
     val docs = graft.tsdb.Tables.load(spark, sf, "documents")
     val sk = Dedup.simhash(docs, "doc_id", "text", 3)
