@@ -489,8 +489,9 @@ object SparkEntry {
         |        SELECT id, cid,
         |          row_number() OVER (PARTITION BY id ORDER BY d DESC, cid ASC) AS rn
         |        FROM d0) t WHERE rn = 1),
-        |ex AS (SELECT a0.cid, t.i AS pos, v.qv[CAST(t.i AS INT)] AS val
-        |       FROM a0 JOIN v USING (id) CROSS JOIN range(1, 65) t(i)),
+        |ex AS (SELECT a0.cid, generate_subscripts(v.qv, 1) AS pos,
+        |         unnest(v.qv) AS val
+        |       FROM a0 JOIN v USING (id)),
         |u AS (SELECT cid, pos, CAST(floor(sum(val)::DOUBLE / count(*)) AS BIGINT) AS c
         |      FROM ex GROUP BY 1, 2),
         |c1 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM u GROUP BY 1),

@@ -160,9 +160,17 @@ case class WinnowHashes(child: Expression, n: Int, w: Int)
   * level, but NOT SQL-reproducible — this signal is spec-tested, not
   * battery-oracled. */
 object CompressUtil {
+  /** Frees each thread's native zlib state when the thread dies (pool
+    * churn would otherwise retain it until the Deflater's own JDK-internal
+    * cleaner eventually runs): the dead thread's ThreadLocal entry makes
+    * the Thread object collectable, which triggers this end(). */
+  private val cleaner = java.lang.ref.Cleaner.create()
   private val deflater = new ThreadLocal[java.util.zip.Deflater] {
-    override def initialValue(): java.util.zip.Deflater =
-      new java.util.zip.Deflater(6)
+    override def initialValue(): java.util.zip.Deflater = {
+      val d = new java.util.zip.Deflater(6)
+      cleaner.register(Thread.currentThread(), () => d.end())
+      d
+    }
   }
   private val buf = new ThreadLocal[Array[Byte]] {
     override def initialValue(): Array[Byte] = new Array[Byte](1 << 16)

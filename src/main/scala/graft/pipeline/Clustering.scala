@@ -73,17 +73,29 @@ object Clustering {
     * (id, cluster, dot). */
   def kmeansAssign(spark: SparkSession, vecs: DataFrame, idCol: String,
       vecCol: String, nlist: Int, iters: Int = 1): DataFrame = {
+    // cached across the seed collect + every Lloyd round: without this,
+    // each round's updateCentroids action re-runs the upstream scan +
+    // quantize lineage (the same per-round-recompute hazard the
+    // connected-components edge cache closes)
     val qvecs = vecs
       .select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
-    var cents: Seq[(Int, Array[Long])] = qvecs.orderBy("id").limit(nlist)
-      .select("qv").collect().zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Long](0).toArray }.toSeq
-    for (_ <- 0 until iters) {
-      val asg = qvecs.withColumn("cid", assign(col("qv"), cents).getField("cid"))
-      cents = updateCentroids(asg)
-    }
-    val fin = assign(col("qv"), cents)
-    qvecs.select(col("id"), fin.getField("cid").as("cluster"),
-      fin.getField("dot").as("dot"))
+      .cache()
+    try {
+      var cents: Seq[(Int, Array[Long])] = qvecs.orderBy("id").limit(nlist)
+        .select("qv").collect().zipWithIndex
+        .map { case (r, i) => i -> r.getSeq[Long](0).toArray }.toSeq
+      require(cents.nonEmpty,
+        s"kmeansAssign: input has no vectors to seed $nlist centroids")
+      for (_ <- 0 until iters) {
+        val asg = qvecs.withColumn("cid", assign(col("qv"), cents).getField("cid"))
+        cents = updateCentroids(asg)
+      }
+      val fin = assign(col("qv"), cents)
+      // the returned frame re-derives the narrow scan+quantize once when
+      // materialized after the unpersist — centroids (the expensive,
+      // action-per-round part) are already folded in as literals
+      qvecs.select(col("id"), fin.getField("cid").as("cluster"),
+        fin.getField("dot").as("dot"))
+    } finally { qvecs.unpersist(blocking = false); () }
   }
 }

@@ -185,11 +185,18 @@ object Dedup {
       .select(col(idCol).as("doc_id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
     val exact = inFp.join(exFp, Seq("fp"), "left")
       .select(col("doc_id"), col("exact_of"))
-    val candidates = bandKeys(incoming, idCol, textCol, n, k, bands).as("x")
+    // exact dups — the most common duplicate class — never enter the
+    // near pass: their verdict is already decided, so running them
+    // through LSH banding + Jaccard verification (the expensive half)
+    // would only produce rows the verdict CASE discards
+    val nonExact = incoming.join(
+      exact.filter(col("exact_of").isNull)
+        .select(col("doc_id").as(idCol)), Seq(idCol), "leftsemi")
+    val candidates = bandKeys(nonExact, idCol, textCol, n, k, bands).as("x")
       .join(bandKeys(existing, idCol, textCol, n, k, bands).as("y"), col("x.bh") === col("y.bh"))
       .select(col("x.doc").as("doc_id"), col("y.doc").as("ex_id")).distinct()
     val near = candidates
-      .join(shingled(incoming, idCol, textCol, n)
+      .join(shingled(nonExact, idCol, textCol, n)
         .select(col("doc").as("doc_id"), col("sh").as("sh_a"), col("nsh").as("nsh_a")), "doc_id")
       .join(shingled(existing, idCol, textCol, n)
         .select(col("doc").as("ex_id"), col("sh").as("sh_b"), col("nsh").as("nsh_b")), "ex_id")
@@ -299,6 +306,10 @@ object Dedup {
       .cache()
     try {
       var labels = nodes.select(col("node"), col("node").as("label")).cache()
+      // the dataset whose blocks are actually cached this round — labels
+      // becomes a SELECT over it, and unpersist on a derived frame is a
+      // no-op, so releasing must target this reference
+      var cached = labels
       var it = 0
       var changed = 1L
       while (changed > 0 && it < maxIter) {
@@ -310,14 +321,19 @@ object Dedup {
             least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
           .cache()
         changed = step.filter(col("label") =!= col("old")).count()
-        labels.unpersist()
+        cached.unpersist()
+        cached = step
         labels = step.select(col("node"), col("label"))
         it += 1
       }
-      // materialize before releasing the edge cache (labels' lineage
-      // still references und until the final plan executes — but every
-      // round already ran its action, so the last `step` is cached)
-      labels
+      // pin the result BEFORE releasing the caches: labels' lineage
+      // reaches back through every round to the edge set, so an evicted
+      // block (or this finally's unpersist) would otherwise silently
+      // re-execute the whole pair-generation chain the edge cache was
+      // added to prevent. (id, label) longs only — cheap to pin.
+      val out = labels.localCheckpoint(true)
+      cached.unpersist()
+      out
     } finally und.unpersist()
   }
 
