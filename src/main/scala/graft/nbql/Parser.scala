@@ -15,8 +15,13 @@ object NbqlParser extends RegexParsers {
   private def kw(s: String): Parser[String] = (s"(?i)${java.util.regex.Pattern.quote(s)}\\b").r
 
   private val identifier: Parser[String] = """[A-Za-z_][A-Za-z0-9_.\-]*""".r
+  /** Quoted strings unescape a DOUBLED quote to a literal one — the
+    * convention the reference clients emit when substituting `?` params
+    * (`clients/nbql/python/nbql/client.py:_quote_param`), so a value
+    * containing a quote can never break out of its string. */
   private val quoted: Parser[String] =
-    "\"" ~> """[^"]*""".r <~ "\"" | "'" ~> """[^']*""".r <~ "'"
+    "\"" ~> """(?:[^"]|"")*""".r <~ "\"" ^^ (_.replace("\"\"", "\"")) |
+      "'" ~> """(?:[^']|'')*""".r <~ "'" ^^ (_.replace("''", "'"))
   private val name: Parser[String] = quoted | identifier
 
   private val longNum: Parser[Long] = """-?\d+""".r ^^ (_.toLong)

@@ -304,4 +304,141 @@ class ServerSpec extends SparkSpec {
     }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  // ---- client library e2e (graft.client.NbqlClient over the live server) --
+
+  import graft.client.{NbqlApiError, NbqlClient}
+
+  def withClientServer(auth: Option[Authenticator] = None)(
+      f: Int => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    val ex = new NbqlExecutor(eng)
+    ex.nowNs = Some(10_000_000_000L)
+    val srv = new GraftTcpServer(ex, port = 0, authenticator = auth)
+    srv.start()
+    try f(srv.boundPort)
+    finally {
+      srv.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("client: push/pushBulk, parameterized query, typed rows, error surfacing") {
+    withClientServer() { port =>
+      val c = NbqlClient.connect("127.0.0.1", port)
+      try {
+        assert(c.push("cpu", Map("v" -> FieldValue.ofDouble(1.5)), 1000L,
+          Map("host" -> "a")) == 1L)
+        assert(c.pushBulk(Seq(
+          ("cpu", Map("host" -> "a"), 2000L, Map("v" -> FieldValue.ofDouble(2.5))),
+          ("cpu", Map("host" -> "b"), 3000L, Map("v" -> FieldValue.ofLong(7))))) == 2L)
+
+        // `?` substitution quotes the tag value — only host=a rows return
+        val r = c.query("QUERY cpu TAGGED (host=?) FROM 0 TO 5000", "a")
+        assert(r.totalRows == 2 && r.rows.size == 2)
+        assert(r.rows.map(_.timestamp) == Seq(1000L, 2000L))
+        assert(r.rows.forall(p => p.metric == "cpu" && p.tags == Map("host" -> "a")))
+        assert(r.rows.head.fields("v") == FieldValue.ofDouble(1.5))
+        assert(!r.hasMore)
+
+        // a value containing a quote round-trips through the doubling
+        // escape instead of breaking out of the string
+        assert(c.push("cpu", Map("v" -> FieldValue.ofDouble(9.0)), 4000L,
+          Map("host" -> "a\"b")) == 1L)
+        val esc = c.query("QUERY cpu TAGGED (host=?) FROM 0 TO 5000", "a\"b")
+        assert(esc.rows.map(_.timestamp) == Seq(4000L))
+
+        // numeric params substitute bare
+        val n = c.query("QUERY cpu FROM ? TO ?", 0, 5000)
+        assert(n.totalRows == 4)
+
+        // placeholder arity is checked client-side
+        intercept[IllegalArgumentException] {
+          c.query("QUERY cpu TAGGED (host=?) FROM 0 TO 1", "a", "extra"); ()
+        }
+        // server errors surface as NbqlApiError with the wire code
+        val err = intercept[NbqlApiError] { c.query("FETCH nope"); () }
+        assert(err.code == 400)
+      } finally c.close()
+    }
+  }
+
+  test("client: AFTER-cursor pagination walks every page in order") {
+    withClientServer() { port =>
+      val c = NbqlClient.connect("127.0.0.1", port)
+      try {
+        assert(c.pushBulk((1 to 7).map(i =>
+          ("m", Map.empty[String, String], i * 100L,
+            Map("v" -> FieldValue.ofDouble(i.toDouble))))) == 7L)
+
+        // manual page walk: LIMIT 3 → cursor → next page resumes after it
+        val p1 = c.query("QUERY m FROM 0 TO 1000 LIMIT 3")
+        assert(p1.rows.map(_.timestamp) == Seq(100L, 200L, 300L) && p1.hasMore)
+        val p2 = c.queryAfter("QUERY m FROM 0 TO 1000 LIMIT 3", p1.nextCursor)
+        assert(p2.rows.map(_.timestamp) == Seq(400L, 500L, 600L) && p2.hasMore)
+        val p3 = c.queryAfter("QUERY m FROM 0 TO 1000 LIMIT 3", p2.nextCursor)
+        assert(p3.rows.map(_.timestamp) == Seq(700L))
+        assert(!p3.hasMore, "a short page is the last page")
+
+        // and the convenience walker reassembles the full result
+        val all = c.queryAllPages("QUERY m FROM 0 TO 1000 LIMIT 3")
+        assert(all.map(_.timestamp) == (1 to 7).map(_ * 100L))
+      } finally c.close()
+    }
+  }
+
+  test("interop: independent python wire client pushes and queries the live server") {
+    // the script implements the frame/codec layer from scratch (struct +
+    // its own CRC-32C) — agreement proves the wire format, not the JVM code
+    assume(Seq("/usr/bin/python3", "/usr/local/bin/python3")
+      .exists(p => new java.io.File(p).exists()), "python3 not installed")
+    withClientServer() { port =>
+      def runPy(args: String*): (Int, String) = {
+        val pb = new ProcessBuilder(
+          (Seq("python3", "scripts/nbql_client.py", "127.0.0.1",
+            port.toString) ++ args): _*)
+        pb.redirectErrorStream(true)
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes(), UTF_8)
+        (p.waitFor(), out)
+      }
+      val (c1, o1) = runPy("push", "cpu", "1000", "v=1.5", "host=a")
+      assert(c1 == 0 && o1.contains("\"rows_affected\": 1"), o1)
+      val (c2, o2) = runPy("push", "cpu", "2000", "v=2.5", "host=b")
+      assert(c2 == 0, o2)
+      // parameterized query from python → typed rows + end trailer
+      val (c3, o3) = runPy("query", "QUERY cpu TAGGED (host=?) FROM 0 TO 5000", "a")
+      assert(c3 == 0, o3)
+      val lines = o3.trim.split("\n")
+      assert(lines.length == 2, o3)
+      val row = JsonMethods.parse(lines(0))
+      assert((row \ "metric") == JString("cpu"))
+      assert((row \ "timestamp") == JInt(1000))
+      assert((row \ "fields" \ "v") == JDouble(1.5))
+      assert((JsonMethods.parse(lines(1)) \ "total") == JInt(1))
+    }
+  }
+
+  test("client: auth handshake accepts good creds; role denial is an APIError") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cliauth").toString
+    val userFile = s"$dir/users.db"
+    Auth.writeUserFile(userFile, Seq(
+      Auth.UserRecord("viewer", Auth.hashPassword("pw", Auth.HashSha256), Auth.RoleReader)))
+    val auth = Some(Authenticator.fromFile(userFile))
+    withClientServer(auth) { port =>
+      intercept[NbqlApiError] {
+        NbqlClient.connect("127.0.0.1", port, Some(("viewer", "wrong"))); ()
+      }
+      val c = NbqlClient.connect("127.0.0.1", port, Some(("viewer", "pw")))
+      try {
+        assert(c.query("SHOW METRICS").totalRows == 0L) // read allowed
+        val denied = intercept[NbqlApiError] {
+          c.push("m", Map("v" -> FieldValue.ofDouble(1.0)), 1L); ()
+        }
+        assert(denied.code == 403)
+      } finally c.close()
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
