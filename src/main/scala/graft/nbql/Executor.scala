@@ -19,7 +19,7 @@ import org.apache.spark.sql.{DataFrame, Row}
   * key) of the last delivered row, base64-framed — whenever the page was
   * full; feed it back via `AFTER` for the next page. [[Rows.page]] is
   * the serving-layer collect that computes it. */
-class NbqlExecutor(engine: TsdbEngine, snapshotDir: String => String = identity) {
+class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = identity) {
 
   /** Injectable clock for RELATIVE queries (determinism in tests). */
   @volatile var nowNs: Option[Long] = None

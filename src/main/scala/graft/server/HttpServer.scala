@@ -40,6 +40,11 @@ final class GraftHttpServer(executor: NbqlExecutor, port: Int = 0,
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/api/nbql", (ex: HttpExchange) => handle(ex))
   server.createContext("/query", (ex: HttpExchange) => handleUi(ex))
+  server.createContext("/metrics", (ex: HttpExchange) => handleMetrics(ex))
+  server.createContext("/monitor",
+    (ex: HttpExchange) => handleStatic(ex, GraftHttpServer.MonitorPageHtml))
+  server.createContext("/memstats",
+    (ex: HttpExchange) => handleStatic(ex, GraftHttpServer.MemstatsPageHtml))
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
 
   def start(): Unit = server.start()
@@ -84,6 +89,57 @@ final class GraftHttpServer(executor: NbqlExecutor, port: Int = 0,
     ex.sendResponseHeaders(200, body.length.toLong)
     ex.getResponseBody.write(body)
     ex.close()
+  }
+
+  private def handleStatic(ex: HttpExchange, html: String): Unit = {
+    if (ex.getRequestMethod != "GET") return err(ex, 405, "Only GET is allowed")
+    val body = html.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+    ex.sendResponseHeaders(200, body.length.toLong)
+    ex.getResponseBody.write(body)
+    ex.close()
+  }
+
+  /** `GET /metrics`: engine + JVM internals as one JSON object — the
+    * expvar-style endpoint the reference's monitor pages poll
+    * (`server/metric_server.go:41`, expvar under `/metrics`). Engine
+    * figures come from the live components (commit-log version, WAF
+    * accounting via the default PostCompaction listener, result-cache
+    * hit/miss, hook post-listener errors); the `memstats` block is the
+    * JVM analog of Go's runtime.MemStats that `ui/memstats.html` charts. */
+  private def handleMetrics(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "GET") return err(ex, 405, "Only GET is allowed")
+    val eng = executor.engine
+    val cs = eng.compactionStats
+    val (hits, misses) = eng.cacheStats
+    val rt = Runtime.getRuntime
+    val mem = java.lang.management.ManagementFactory.getMemoryMXBean
+    val heap = mem.getHeapMemoryUsage
+    val gcs = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    var gcCount = 0L; var gcMs = 0L
+    gcs.forEach { g =>
+      if (g.getCollectionCount > 0) gcCount += g.getCollectionCount
+      if (g.getCollectionTime > 0) gcMs += g.getCollectionTime
+    }
+    reply(ex, 200, JObject(
+      "engine" -> JObject(
+        "version" -> JLong(eng.version),
+        "compaction_events" -> JLong(cs.events),
+        "compaction_bytes_read" -> JLong(cs.bytesRead),
+        "compaction_bytes_written" -> JLong(cs.bytesWritten),
+        "compaction_waf" -> JDouble(cs.waf),
+        "query_cache_hits" -> JLong(hits),
+        "query_cache_misses" -> JLong(misses),
+        "hook_errors" -> JLong(eng.hooks.errorCount)),
+      "memstats" -> JObject(
+        "heap_used" -> JLong(heap.getUsed),
+        "heap_committed" -> JLong(heap.getCommitted),
+        "heap_max" -> JLong(heap.getMax),
+        "gc_count" -> JLong(gcCount),
+        "gc_time_ms" -> JLong(gcMs),
+        "threads" -> JLong(
+          java.lang.management.ManagementFactory.getThreadMXBean.getThreadCount.toLong),
+        "processors" -> JLong(rt.availableProcessors().toLong))))
   }
 
   private def handle(ex: HttpExchange): Unit =
@@ -242,5 +298,68 @@ object GraftHttpServer {
       |    h+='<tr>'+cols.map(c=>'<td>'+JSON.stringify(row[c])+'</td>').join('')+'</tr>';
       |  out.innerHTML=h+'</table>'+(j.next_cursor?'<p>next_cursor: '+j.next_cursor+'</p>':'');
       |}
+      |</script></body></html>""".stripMargin
+
+  /** Monitoring dashboard at `GET /monitor` (ref `ui/monitor.html` +
+    * `server/metric_server.go:51-55`): polls `/metrics` and renders the
+    * engine section as a live table. Dependency-free (the reference pulls
+    * Chart.js from a CDN; this container has no egress and the numbers,
+    * not the charts, are the contract). */
+  private[server] val MonitorPageHtml: String =
+    """<!doctype html><html><head><meta charset="utf-8"><title>graft monitor</title>
+      |<style>
+      | body{font-family:monospace;margin:2em;max-width:70em}
+      | table{border-collapse:collapse;margin-top:1em}
+      | td,th{border:1px solid #999;padding:2px 8px;text-align:left}
+      | .k{font-weight:bold} #err{color:#b00}
+      |</style></head><body>
+      |<h3>graft engine monitor</h3>
+      |<p>auto-refreshes every 2s from <a href="/metrics">/metrics</a>.
+      | <a href="/query">query console</a> · <a href="/memstats">memstats</a></p>
+      |<span id="err"></span><div id="out">loading…</div>
+      |<script>
+      |async function tick(){
+      |  const err=document.getElementById('err'), out=document.getElementById('out');
+      |  try{
+      |    const j=await (await fetch('/metrics')).json();
+      |    err.textContent='';
+      |    let h='<table><tr><th>metric</th><th>value</th></tr>';
+      |    for(const [k,v] of Object.entries(j.engine))
+      |      h+='<tr><td class="k">'+k+'</td><td>'+v+'</td></tr>';
+      |    out.innerHTML=h+'</table>';
+      |  }catch(e){err.textContent=''+e;}
+      |}
+      |tick(); setInterval(tick, 2000);
+      |</script></body></html>""".stripMargin
+
+  /** JVM memory page at `GET /memstats` (ref `ui/memstats.html`, which
+    * charts Go runtime.MemStats): the JVM heap/GC analog, polling the
+    * same `/metrics` endpoint's memstats block. */
+  private[server] val MemstatsPageHtml: String =
+    """<!doctype html><html><head><meta charset="utf-8"><title>graft memstats</title>
+      |<style>
+      | body{font-family:monospace;margin:2em;max-width:70em}
+      | table{border-collapse:collapse;margin-top:1em}
+      | td,th{border:1px solid #999;padding:2px 8px;text-align:left}
+      | .k{font-weight:bold} #err{color:#b00}
+      |</style></head><body>
+      |<h3>graft JVM memstats</h3>
+      |<p>auto-refreshes every 2s from <a href="/metrics">/metrics</a>.
+      | <a href="/monitor">engine monitor</a></p>
+      |<span id="err"></span><div id="out">loading…</div>
+      |<script>
+      |function fmt(k,v){return /heap|bytes/.test(k)? (v/1048576).toFixed(1)+' MiB ('+v+')' : v;}
+      |async function tick(){
+      |  const err=document.getElementById('err'), out=document.getElementById('out');
+      |  try{
+      |    const j=await (await fetch('/metrics')).json();
+      |    err.textContent='';
+      |    let h='<table><tr><th>stat</th><th>value</th></tr>';
+      |    for(const [k,v] of Object.entries(j.memstats))
+      |      h+='<tr><td class="k">'+k+'</td><td>'+fmt(k,v)+'</td></tr>';
+      |    out.innerHTML=h+'</table>';
+      |  }catch(e){err.textContent=''+e;}
+      |}
+      |tick(); setInterval(tick, 2000);
       |</script></body></html>""".stripMargin
 }

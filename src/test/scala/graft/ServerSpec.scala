@@ -65,6 +65,42 @@ class ServerSpec extends SparkSpec {
     }
   }
 
+  test("GET /monitor + /memstats serve live pages; /metrics carries real numbers") {
+    withServer() { (ex, port) =>
+      def get(path: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      // drive the engine so the numbers are live, not zeros: two versions
+      // of one point → a compaction with real bytes, then a cached query
+      assert(post(port, """PUSH m TAGGED (h="a") SET (v=1.0) AT 100""").statusCode() == 200)
+      assert(post(port, """PUSH m TAGGED (h="a") SET (v=2.0) AT 100""").statusCode() == 200)
+      assert(ex.engine.compact().isRight)
+      ex.engine.queryCached(graft.tsdb.QueryParams("m", startNs = 0L, endNs = Some(1000L)))
+      ex.engine.queryCached(graft.tsdb.QueryParams("m", startNs = 0L, endNs = Some(1000L)))
+
+      val m = get("/metrics")
+      assert(m.statusCode() == 200)
+      val j = json(m)
+      assert((j \ "engine" \ "compaction_events") == JInt(1))
+      val JInt(bytesRead) = (j \ "engine" \ "compaction_bytes_read"): @unchecked
+      assert(bytesRead.toLong > 0, "compaction must account real bytes")
+      val JDouble(waf) = (j \ "engine" \ "compaction_waf"): @unchecked
+      assert(waf > 0.0)
+      assert((j \ "engine" \ "query_cache_hits") == JInt(1)) // second query hit
+      val JInt(heapUsed) = (j \ "memstats" \ "heap_used"): @unchecked
+      assert(heapUsed.toLong > 0)
+
+      // both pages serve and poll the metrics endpoint
+      Seq("/monitor", "/memstats").foreach { p =>
+        val r = get(p)
+        assert(r.statusCode() == 200, p)
+        assert(r.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+        assert(r.body().contains("/metrics"), s"$p must poll /metrics")
+      }
+    }
+  }
+
   test("POST /api/nbql: push acks, buffered query returns typed rows") {
     withServer() { (_, port) =>
       val ack = post(port,
