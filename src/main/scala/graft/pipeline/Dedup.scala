@@ -337,6 +337,75 @@ object Dedup {
     } finally und.unpersist()
   }
 
+  /** Connected components by alternating large-star/small-star — the
+    * documented upgrade over [[connectedComponents]] for PATH-SHAPED
+    * graphs (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): label propagation needs diameter rounds, this needs
+    * O(log n), because every round rewires whole neighborhoods onto
+    * their minimum instead of moving labels one hop.
+    *
+    *  - large-star (per node u over BOTH edge directions): m = min of
+    *    u's neighborhood and u; every neighbor v > u re-points to m;
+    *  - small-star (per node u over (max→min)-oriented edges): m = min
+    *    of u's small neighbors and u; u and each small neighbor
+    *    re-point to m.
+    *
+    * Both steps preserve connectivity and only shrink edge targets, so
+    * the fixpoint is a star per component rooted at its minimum; rounds
+    * alternate until the edge set stops changing. Per round: two
+    * shuffles over (long, long) pairs, same payload discipline as label
+    * propagation. Returns (labels, rounds) — each node labeled with its
+    * component minimum (isolated nodes label themselves), and the
+    * star rounds used (the spec pins the log-vs-diameter bound). */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 50): (DataFrame, Int) = {
+    // every round is localCheckpoint'ed (eager): the convergence check
+    // materializes the edge set anyway, and TRUNCATING THE PLAN is load-
+    // bearing — chaining each round's union+join+distinct over the
+    // previous round's frame grows the logical tree geometrically and
+    // OOMs the analyzer after a handful of rounds (caching alone
+    // truncates execution, not the plan). Also cuts the upstream
+    // pair-generation lineage once, like connectedComponents' edge cache.
+    var e = edges.select(col("a"), col("b")).filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint(true)
+    var it = 0
+    var stable = e.isEmpty
+    while (!stable && it < maxIter) {
+      // large-star: u gathers Γ(u) from both directions
+      val und = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val lsMin = und.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ls = und.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+      // small-star over (max → min) orientation: u and its small
+      // neighbors all re-point to the neighborhood minimum
+      val oriented = ls
+        .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      val ssMin = oriented.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ss = oriented.join(ssMin, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(ssMin.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+        .distinct().localCheckpoint(true)
+      // fixpoint when the canonical edge set is unchanged (equal sizes +
+      // one-sided containment of distinct sets == equality)
+      stable = ss.count() == e.count() && ss.except(e).limit(1).count() == 0L
+      e.unpersist(blocking = false)
+      e = ss
+      it += 1
+    }
+    // fixpoint edges form stars (non-root → root): label = root
+    val stars = e.select(col("a").as("node"), col("b").as("label"))
+    val labels = nodes.select(col("node"))
+      .join(stars, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    (labels, it)
+  }
+
   /** (doc, fp) winnowing fingerprint postings — see
     * [[TextAnalysis.winnowHashes]] for the selection scheme. */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,

@@ -172,6 +172,37 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("star CC == label propagation on random graphs; log rounds on a path") {
+    // seeded random graphs instead of scalacheck: every star-CC run is
+    // ~2 Spark jobs PER ROUND, so 12 shrinking cases would dominate the
+    // suite; four fixed seeds still cover sparse/dense/disconnected shapes
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 4) {
+      val nEdges = 8 + trial * 8
+      val edges = List.fill(nEdges)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }
+      val nodeIds = (edges.flatMap(t => Seq(t._1, t._2)) ++ Seq(7L, 99L)).distinct
+      val nodes = nodeIds.toDF("node")
+      val e = edges.toDF("a", "b")
+      val lp = graft.pipeline.Dedup.connectedComponents(nodes, e)
+        .as[(Long, Long)].collect().toMap
+      val (starDf, _) = graft.pipeline.Dedup.connectedComponentsStar(nodes, e)
+      val star = starDf.as[(Long, Long)].collect().toMap
+      assert(star == lp, s"trial $trial: star != label propagation for $edges")
+    }
+
+    // the reason the variant exists: a PATH (worst case for label
+    // propagation — diameter rounds) must resolve in O(log n) star
+    // rounds. 64-node path: diameter 63, log2 = 6; allow slack to 12.
+    val n = 64
+    val pathNodes = (0L until n.toLong).toDF("node")
+    val pathEdges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = graft.pipeline.Dedup.connectedComponentsStar(pathNodes, pathEdges)
+    assert(labels.as[(Long, Long)].collect().forall(_._2 == 0L),
+      "one path component rooted at 0")
+    assert(rounds <= 12, s"star CC took $rounds rounds on a ${n}-node path (want O(log n))")
+  }
+
   test("MG heavy-hitters: bounds hold under any split/merge order") {
     val genStream: Gen[List[String]] = Gen.listOfN(120,
       Gen.frequency(6 -> Gen.const("hot"), 3 -> Gen.oneOf("warm1", "warm2"),
