@@ -137,6 +137,54 @@ final class NbqlClient private (sock: Socket) extends AutoCloseable {
     }
   }
 
+  /** A live update delivered on a subscription: `isDelete` distinguishes
+    * DELETE notifications (fields carry delete_kind/start_ns/end_ns)
+    * from PUT points — the reference's `DataPointUpdate.UpdateType`. */
+  final case class SubscriptionUpdate(item: Wire.PointItem, isDelete: Boolean) {
+    def updateType: String = if (isDelete) "DELETE" else "PUT"
+  }
+
+  /** Blocking cursor over a live subscription. The subscription owns the
+    * connection (like the reference's gRPC Subscribe stream) — close()
+    * ends it; use a separate client for queries. */
+  final class Subscription private[NbqlClient] (startVersion: Long) {
+    /** Commit-log version the subscription started after — only commits
+      * later than this stream. */
+    def sinceVersion: Long = startVersion
+    /** Next matching update (blocks up to the socket timeout). */
+    def next(): SubscriptionUpdate = {
+      val frame = Wire.readFrame(in)
+      frame.cmd match {
+        case Wire.CmdError => fail(frame.payload)
+        case Wire.CmdQueryResultPart =>
+          val isDelete = (frame.payload(1) & Wire.FlagIsDelete) != 0
+          val (items, _) = Wire.decodeQueryResultParts(frame.payload)
+          SubscriptionUpdate(items.head, isDelete)
+        case other => throw new NbqlApiError(500,
+          s"unexpected frame 0x${"%02x".format(other)} on subscription")
+      }
+    }
+    def close(): Unit = NbqlClient.this.close()
+  }
+
+  /** Subscribe to live PUT/DELETE updates for metrics/tags matching the
+    * trailing-`*` patterns. Takes over this connection until closed. */
+  def subscribe(metricPattern: String,
+      tagPatterns: Map[String, String] = Map.empty): Subscription = synchronized {
+    Wire.writeFrame(out, Wire.CmdSubscribe,
+      Wire.encodeSubscribe(metricPattern, tagPatterns))
+    val frame = Wire.readFrame(in)
+    frame.cmd match {
+      case Wire.CmdError => fail(frame.payload)
+      case Wire.CmdManipulate =>
+        val i = Wire.dis(frame.payload)
+        i.readByte() // status
+        new Subscription(i.readLong())
+      case other => throw new NbqlApiError(500,
+        s"unexpected frame 0x${"%02x".format(other)} for subscribe")
+    }
+  }
+
   /** Binary single-point push (CmdPush). Returns rows affected. */
   def push(metric: String, fields: Map[String, FieldValue],
       timestampNs: Long, tags: Map[String, String] = Map.empty): Long =

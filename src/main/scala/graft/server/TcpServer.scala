@@ -120,6 +120,20 @@ final class GraftTcpServer(executor: NbqlExecutor, port: Int = 0,
         }))
       case Wire.CmdQuery =>
         NbqlParser.parse(Wire.readString(Wire.dis(frame.payload)))
+      case Wire.CmdSubscribe =>
+        // long-running: takes over the connection (like the reference's
+        // gRPC Subscribe stream) — never returns to the dispatch loop
+        // until the client disconnects
+        val denied = authenticator.zip(user).exists { case (a, u) =>
+          !a.authorize(u, Auth.RoleReader) }
+        if (denied)
+          Wire.writeFrame(out, Wire.CmdError, Wire.encodeError(403,
+            s"user '${user.map(_.username).getOrElse("")}' is not authorized"))
+        else {
+          val i = Wire.dis(frame.payload)
+          streamSubscription(out, Wire.readString(i), Wire.readTags(i))
+        }
+        return
       case other => Left(s"unknown command type: 0x${"%02x".format(other)}")
     }
 
@@ -147,6 +161,57 @@ final class GraftTcpServer(executor: NbqlExecutor, port: Int = 0,
               Wire.encodeManipulateResponse(rows, Nil))
           case Right(r: executor.Rows) => streamRows(out, r)
         }
+    }
+  }
+
+  /** Live subscription over the framed transport (the TCP carrier for
+    * S8/ST6 — the reference serves this on gRPC, `grpc_server.go:455-491`,
+    * with PUT and DELETE update types): ack with the start version, then
+    * poll the commit log and push every LATER commit's matching changes as
+    * QueryResultPart frames in commit order — pure-append commits as PUT
+    * rows (seq order), tombstones as DELETE frames ([[Wire.FlagIsDelete]],
+    * fields carry delete_kind/start_ns/end_ns). Runs until the client
+    * disconnects (a push fails) or the server stops. */
+  private def streamSubscription(out: java.io.OutputStream,
+      metricPat: String, tagPats: Map[String, String]): Unit = {
+    import graft.streaming.PubSub
+    val engine = executor.engine
+    val filter = PubSub.SubscriptionFilter(metricPat, tagPats)
+    var since = engine.sync()
+    Wire.writeFrame(out, Wire.CmdManipulate,
+      Wire.encodeManipulateResponse(since, Nil))
+    try {
+      while (running) {
+        val tip = engine.sync()
+        var v = since + 1
+        while (v <= tip) {
+          val (puts, tombs) = engine.commitChanges(v)
+          puts.foreach { df =>
+            val matched = PubSub.subscribe(df, filter).orderBy("seq")
+            matched.collect().foreach { row =>
+              Wire.writeFrame(out, Wire.CmdQueryResultPart,
+                Wire.encodeQueryResultPart(toPointItem(row, matched.schema, isAgg = false)))
+            }
+          }
+          tombs.filter(t => PubSub.matchesDriver(filter, t.metric, t.tags))
+            .foreach { t =>
+              val item = Wire.PointItem(t.seq, t.metric, t.tags, t.fromNs,
+                Map(
+                  "delete_kind" -> FieldValue.ofString(t.kind),
+                  "start_ns" -> FieldValue.ofLong(t.fromNs),
+                  "end_ns" -> FieldValue.ofLong(t.toNs)),
+                0L, Nil, isAggregated = false)
+              Wire.writeFrame(out, Wire.CmdQueryResultPart,
+                Wire.encodeQueryResultPart(item, extraFlags = Wire.FlagIsDelete))
+            }
+          since = v
+          v += 1
+        }
+        Thread.sleep(100)
+      }
+    } catch {
+      case _: java.io.IOException => ()      // client went away
+      case _: InterruptedException => ()     // server stopping
     }
   }
 

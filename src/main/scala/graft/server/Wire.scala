@@ -28,6 +28,13 @@ object Wire {
   val CmdQueryResultPart: Byte = 0x11
   val CmdQueryEnd: Byte = 0x12
   val CmdManipulate: Byte = 0x20
+  /** EXTENSION (not in the reference's TCP codes): live subscription over
+    * the same framing — the reference serves Subscribe on gRPC only
+    * (`server/grpc_server.go:455-491`); this carries the identical
+    * PUT/DELETE update semantics on the byte-compatible transport.
+    * Updates arrive as [[CmdQueryResultPart]] frames ([[FlagIsDelete]]
+    * marks delete notifications). */
+  val CmdSubscribe: Byte = 0x30
   val CmdError: Byte = 0xEE.toByte
 
   // response status bytes (`nbql.go:38-47`)
@@ -37,6 +44,10 @@ object Wire {
 
   // point-item flags (`nbql.go:50-56`)
   val FlagIsAggregated: Byte = 0x02
+  /** Extension flag on subscription frames: this update is a DELETE
+    * notification (`DataPointUpdate.UpdateType` in the reference proto);
+    * the item's fields carry delete_kind / start_ns / end_ns. */
+  val FlagIsDelete: Byte = 0x04
 
   final case class Frame(cmd: Byte, payload: Array[Byte])
 
@@ -168,10 +179,16 @@ object Wire {
       fields: Map[String, FieldValue], windowStart: Long,
       aggregated: Seq[(String, Double)], isAggregated: Boolean)
 
-  def encodeQueryResultPart(item: PointItem, nextCursor: String = ""): Array[Byte] =
+  /** SUBSCRIBE payload: metric pattern + tag patterns (trailing-`*`
+    * rules, `PubSub.patternMatch`). */
+  def encodeSubscribe(metric: String, tags: Map[String, String]): Array[Byte] =
+    withDOS { o => writeString(o, metric); writeTags(o, tags) }
+
+  def encodeQueryResultPart(item: PointItem, nextCursor: String = "",
+      extraFlags: Byte = 0): Array[Byte] =
     withDOS { o =>
       o.writeByte(StatusDataRow)
-      o.writeByte(if (item.isAggregated) FlagIsAggregated else 0)
+      o.writeByte(((if (item.isAggregated) FlagIsAggregated else 0) | extraFlags).toByte)
       writeString(o, nextCursor)
       o.writeInt(1) // one point per frame, like the reference
       o.writeLong(item.seq)

@@ -29,6 +29,17 @@ object PubSub {
       case (acc, (k, pat)) => acc && patternMatch(col("tags").getItem(k), pat)
     }
 
+  /** Driver-side form of [[matches]] (same trailing-`*` rules), for
+    * updates that never enter a DataFrame — tombstone DELETE
+    * notifications on the TCP subscription path. */
+  def matchesDriver(f: SubscriptionFilter, metric: String,
+      tags: Map[String, String]): Boolean = {
+    def pm(s: String, pat: String): Boolean =
+      pat == "*" || (if (pat.endsWith("*")) s.startsWith(pat.dropRight(1)) else s == pat)
+    pm(metric, f.metric) &&
+      f.tags.forall { case (k, pat) => tags.get(k).exists(pm(_, pat)) }
+  }
+
   /** Apply a subscription to an update stream (works identically on batch
     * and streaming frames). */
   def subscribe(updates: DataFrame, f: SubscriptionFilter): DataFrame =

@@ -311,6 +311,28 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     out
   }
 
+  /** One commit's observable changes, for polling subscriptions (S8/ST6
+    * over the TCP transport): PUT rows come from PURE-APPEND commits only
+    * — compaction/restore commits carry `removes` and are storage
+    * rewrites, not new data, so a subscriber must never see them as puts
+    * — and tombstones surface as DELETE updates. Files vacuumed since the
+    * commit are skipped (their rows were rewritten, not new). */
+  def commitChanges(version: Long): (Option[DataFrame], Seq[TombRow]) = {
+    val c = log.read(version)
+    val puts =
+      if (c.removes.nonEmpty || c.adds.isEmpty) None
+      else {
+        val files = c.adds.filter(f => Files.exists(Paths.get(dataDir).resolve(f)))
+        if (files.isEmpty) None
+        else {
+          spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+          Some(spark.read.option("basePath", dataDir)
+            .parquet(files.map(f => s"$dataDir/$f"): _*))
+        }
+      }
+    (puts, c.tombs)
+  }
+
   /** Read the table as of an older log version (time travel — what
     * Delta's VERSION AS OF gives; bounded by vacuum retention). */
   def readAt(version: Long): DataFrame = {

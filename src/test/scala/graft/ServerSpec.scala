@@ -456,6 +456,48 @@ class ServerSpec extends SparkSpec {
     }
   }
 
+  test("client: TCP SUBSCRIBE streams live PUT and DELETE updates, filtered") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sub").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    val ex = new NbqlExecutor(eng)
+    val srv = new GraftTcpServer(ex, port = 0)
+    srv.start()
+    val sub = NbqlClient.connect("127.0.0.1", srv.boundPort)
+    try {
+      val s = sub.subscribe("cpu*", Map("host" -> "a"))
+      assert(s.sinceVersion == eng.version)
+      // matching put arrives as a PUT update
+      assert(eng.put(graft.model.DataPoint("cpu.usage", Map("host" -> "a"), 1000L,
+        Map("v" -> FieldValue.ofDouble(1.5)))).isRight)
+      // non-matching metric and tag must NOT be delivered
+      assert(eng.put(graft.model.DataPoint("mem", Map("host" -> "a"), 1500L,
+        Map("v" -> FieldValue.ofDouble(9.0)))).isRight)
+      assert(eng.put(graft.model.DataPoint("cpu.usage", Map("host" -> "b"), 1600L,
+        Map("v" -> FieldValue.ofDouble(9.0)))).isRight)
+      // second matching put, then a matching series delete
+      assert(eng.put(graft.model.DataPoint("cpu.idle", Map("host" -> "a"), 2000L,
+        Map("v" -> FieldValue.ofDouble(2.5)))).isRight)
+      assert(eng.deleteSeries("cpu.usage", Map("host" -> "a")).isRight)
+
+      val u1 = s.next()
+      assert(!u1.isDelete && u1.updateType == "PUT")
+      assert(u1.item.metric == "cpu.usage" && u1.item.timestamp == 1000L)
+      assert(u1.item.fields("v") == FieldValue.ofDouble(1.5))
+      val u2 = s.next()
+      assert(!u2.isDelete && u2.item.metric == "cpu.idle" && u2.item.timestamp == 2000L,
+        s"filtered-out puts must be skipped, got ${u2.item.metric}@${u2.item.timestamp}")
+      val u3 = s.next()
+      assert(u3.isDelete && u3.updateType == "DELETE")
+      assert(u3.item.metric == "cpu.usage")
+      assert(u3.item.fields("delete_kind") == FieldValue.ofString("series"))
+      s.close()
+    } finally {
+      try sub.close() catch { case _: Exception => () }
+      srv.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("client: auth handshake accepts good creds; role denial is an APIError") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cliauth").toString
     val userFile = s"$dir/users.db"
