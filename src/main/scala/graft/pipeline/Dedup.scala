@@ -287,29 +287,33 @@ object Dedup {
     *
     * Each round is one shuffle join + aggregation over (id, label) pairs
     * — payloads are two longs regardless of document size — and rounds
-    * needed = component DIAMETER, which for dedup graphs is tiny (dup
-    * clusters are near-cliques; the testdata converges in 2). For
-    * adversarially long path-shaped graphs the known upgrade is
-    * large-star/small-star (O(log n) rounds); label propagation is kept
-    * here because its per-round plan is half the shuffles and dedup
-    * components are shallow. Results are cached per round and the
-    * previous round unpersisted, so lineage stays bounded. */
+    * needed = component DIAMETER. Dedup clusters are often near-cliques
+    * (the driver testdata converges in 2 rounds), but replica CHAINS
+    * produce path-shaped components (the local sf1 corpus needs ~9);
+    * for adversarially deep graphs [[connectedComponentsStar]] is the
+    * O(log n)-rounds alternative.
+    *
+    * Every round is eagerly localCheckpoint'ed — truncating the plan,
+    * not just the execution, is load-bearing: each step embeds the
+    * previous round's frame TWICE (via nbrMin and as the join's left
+    * side), so without truncation the logical tree DOUBLES per round;
+    * at ~9 rounds the analyzer/UI chew multi-GB plan strings and
+    * dominate runtime (measured 392 s for dedup_canonical at sf1 with
+    * per-round cache only). The checkpoint is ~free here because the
+    * convergence count materializes each round anyway and rows are two
+    * longs. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
-    // Persist the undirected edge set ONCE: every round joins it, and
-    // each round's `changed` count is an action — without this the
-    // whole upstream pair-generation lineage (e.g. the MinHash-LSH
-    // chain) re-executes per round. Caught by the sf1 measurement:
-    // cluster resolution cost rounds × LSH instead of LSH + rounds.
+    // Persist the undirected edge set ONCE: every round joins it —
+    // without this the whole upstream pair-generation lineage (e.g. the
+    // MinHash-LSH chain) re-executes per round. Caught by the sf1
+    // measurement: cluster resolution cost rounds × LSH, not LSH + rounds.
     val und = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .cache()
     try {
-      var labels = nodes.select(col("node"), col("node").as("label")).cache()
-      // the dataset whose blocks are actually cached this round — labels
-      // becomes a SELECT over it, and unpersist on a derived frame is a
-      // no-op, so releasing must target this reference
-      var cached = labels
+      var labels = nodes.select(col("node"), col("node").as("label"))
+        .localCheckpoint(true)
       var it = 0
       var changed = 1L
       while (changed > 0 && it < maxIter) {
@@ -319,21 +323,14 @@ object Dedup {
         val step = labels.join(nbrMin, Seq("node"), "left")
           .select(col("node"), col("label").as("old"),
             least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-          .cache()
+          .localCheckpoint(true)
         changed = step.filter(col("label") =!= col("old")).count()
-        cached.unpersist()
-        cached = step
         labels = step.select(col("node"), col("label"))
         it += 1
       }
-      // pin the result BEFORE releasing the caches: labels' lineage
-      // reaches back through every round to the edge set, so an evicted
-      // block (or this finally's unpersist) would otherwise silently
-      // re-execute the whole pair-generation chain the edge cache was
-      // added to prevent. (id, label) longs only — cheap to pin.
-      val out = labels.localCheckpoint(true)
-      cached.unpersist()
-      out
+      // labels is one projection over the last round's pinned blocks, so
+      // it survives the edge-cache unpersist without re-execution
+      labels
     } finally und.unpersist()
   }
 
