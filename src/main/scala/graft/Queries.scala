@@ -362,6 +362,13 @@ object Queries {
       n = 3, w = 4, minShared = 3L, maxDf = 50L)
       .orderBy("doc_a", "doc_b")
 
+  /** Cross-document repeated 6-gram spans — the exact-substring dedup
+    * signal; maximal merged [start, end) token ranges per doc. */
+  def repeatedSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+      n = 6, minDocs = 2L)
+      .orderBy("doc", "span_start")
+
   /** Benchmark decontamination: the mod-20 doc slice plays the eval
     * benchmark; train docs sharing >= 3 distinct 5-grams with it are
     * flagged (eval n-gram set broadcast — the 100 TB probe shape). */

@@ -49,6 +49,7 @@ object SparkEntry {
     "sample_stratified" -> (Queries.sampleStratified _),
     "winnow_fingerprints" -> (Queries.winnowFingerprints _),
     "winnow_overlap_pairs" -> (Queries.winnowOverlapPairs _),
+    "repeated_spans" -> (Queries.repeatedSpans _),
     "decontaminate" -> (Queries.decontaminate _),
     "doc_repetition" -> (Queries.docRepetition _),
     "pii_scan" -> (Queries.piiScan _),
@@ -277,6 +278,27 @@ object SparkEntry {
          |  CAST(floor(shared * 10000.0 / least(x.n, y.n) + 0.5) AS BIGINT) AS overlap_e4
          |FROM pairs JOIN nf x ON x.doc_id = doc_a JOIN nf y ON y.doc_id = doc_b
          |ORDER BY 1, 2""".stripMargin,
+    "repeated_spans" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws
+         |  FROM documents),
+         |g0 AS (SELECT doc_id,
+         |  [{'pos': i - 1, 'hx': substring(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |     || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5]), 1, 8)}
+         |   FOR i IN range(1, len(ws) - 4)] AS gs
+         |  FROM w WHERE len(ws) >= 6),
+         |g AS (SELECT doc_id, unnest(gs, recursive := true) FROM g0),
+         |p AS (SELECT doc_id, pos, CAST(${hexToIntSql("hx")} AS BIGINT) AS gh FROM g),
+         |dup AS (SELECT gh FROM p GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         |m AS (SELECT doc_id, pos FROM p JOIN dup USING (gh)),
+         |b AS (SELECT doc_id, pos,
+         |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 6
+         |       THEN 1 ELSE 0 END AS brk FROM m),
+         |isl AS (SELECT doc_id, pos,
+         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM b)
+         |SELECT doc_id AS doc, min(pos) AS span_start, max(pos) + 6 AS span_end,
+         |  max(pos) + 6 - min(pos) AS span_tokens
+         |FROM isl GROUP BY doc_id, island ORDER BY 1, 2""".stripMargin,
     "decontaminate" ->
       s"""WITH w AS (SELECT doc_id,
          |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws

@@ -442,6 +442,50 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("shared"), col("overlap_e4"))
   }
 
+  /** Cross-document repeated n-gram SPANS — the exact-substring dedup
+    * signal (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL'22): a positional n-gram is duplicated when it
+    * occurs in >= `minDocs` distinct documents; per document, duplicated
+    * grams whose [pos, pos+n) windows overlap or touch merge into
+    * maximal token spans — the ranges an exact-substring dedup pass
+    * would cut, where whole-doc similarity (Jaccard/SimHash) sees
+    * nothing. Returns (doc, span_start, span_end, span_tokens) with
+    * token positions 0-based, end exclusive.
+    *
+    * Shuffles: one (gram-hash) aggregation for the duplicated set, one
+    * hash join back onto the postings, one per-doc window for the
+    * interval merge. Grams ride every wide stage as 8-byte md5-prefix
+    * longs (never the text), the same cross-engine hash the winnowing /
+    * decontamination operators use — collisions are IDENTICAL in both
+    * engines, so the oracle matches by construction; at corpus scale a
+    * collision can only widen a span, the safe direction for a dedup
+    * cut. The interval-merge Window is partitioned BY DOC (per-group
+    * rows <= doc token count) — bounded state, unlike a global window. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val posts = docs
+      .select(col(idCol).as("doc"), TextAnalysis.words(col(textCol)).as("ws"))
+      .select(col("doc"),
+        posexplode(TextAnalysis.ngramsPositional(col("ws"), n)).as(Seq("pos", "gram")))
+      .select(col("doc"), col("pos"),
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("gh"))
+    val dup = posts.groupBy(col("gh"))
+      .agg(countDistinct(col("doc")).as("nd"))
+      .filter(col("nd") >= minDocs).select("gh")
+    val marked = posts.join(dup, "gh").select(col("doc"), col("pos"))
+    val byDoc = Window.partitionBy("doc").orderBy("pos")
+    marked
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) > n, 1).otherwise(0))
+      .withColumn("island", sum("brk").over(byDoc))
+      .groupBy(col("doc"), col("island"))
+      .agg(min("pos").as("s"), (max("pos") + n).as("e"))
+      .select(col("doc"), col("s").cast("long").as("span_start"),
+        col("e").cast("long").as("span_end"),
+        (col("e") - col("s")).cast("long").as("span_tokens"))
+  }
+
   /** Materialize the dedup index of a corpus: everything
     * [[incrementalDedup]] needs from the existing side, precomputed so
     * each increment reuses it instead of re-reading and re-shingling

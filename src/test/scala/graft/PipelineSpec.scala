@@ -454,6 +454,22 @@ class PipelineSpec extends SparkSpec {
       "band blocking must not plan an all-pairs join")
   }
 
+  test("repeated spans: overlapping dup grams merge, distant runs stay split") {
+    val df = Seq(
+      (1L, "p q r a b c d e u v w"),   // shared run "a b c d e" at tokens 3..7
+      (2L, "a b c d e m n o"),         // same run at tokens 0..4
+      (3L, "k1 k2 k3 k4 k5 k6"),       // all-unique: no spans
+      (4L, "a b c x1 x2 x3 x4 x5 c d e")) // two shared runs, gap > n
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(df, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, 8L, 5L),   // grams at 3,4,5 merge into [3, 8)
+      (2L, 0L, 5L, 5L),
+      (4L, 0L, 3L, 3L),   // "a b c" alone
+      (4L, 8L, 11L, 3L))) // "c d e" alone; gap 8 > n keeps spans apart
+  }
+
   test("connected components: chain merges, singleton survives, min label wins") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("node")
     // path 1-2-3-4 (diameter 3 forces >1 propagation round) + edge 5-9
