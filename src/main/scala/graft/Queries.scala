@@ -60,6 +60,26 @@ object Queries {
       .orderBy("window_start", "user")
   }
 
+  /** A2 answered from a MATERIALIZED 1m ROLLUP (SURVEY §4 north-star:
+    * downsample rewritten onto pre-aggregated partials). The oracle still
+    * computes from RAW events — a green row proves the rollup path is
+    * exact end-to-end, not merely self-consistent. */
+  def tsdbRollupDownsample(s: SparkSession, dir: String): DataFrame = {
+    val oneMin = 60000000000L
+    val rollup = Rollup.build(QueryEngine.mergedView(pts(s, dir), Nil),
+      oneMin, Seq("value"))
+    val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture - 1),
+      downsampleNs = Some(HourNs),
+      aggs = Seq(AggSpec("avg", "value"), AggSpec("sum", "value"),
+        AggSpec("count", "*"), AggSpec("min", "value"), AggSpec("max", "value")))
+    Rollup.run(rollup, oneMin, q)
+      .select(col("metric"), userCol, col("window_start"),
+        round(col("avg_value"), 4).as("avg_value"),
+        round(col("sum_value"), 2).as("sum_value"),
+        col("count_star"), col("min_value"), col("max_value"))
+      .orderBy("window_start", "user")
+  }
+
   /** A1 final aggregation: the full function set in one whole-range row. */
   def tsdbFinalAgg(s: SparkSession, dir: String): DataFrame = {
     val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture),

@@ -14,6 +14,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TSDB operator inventory (engine-driven; SURVEY §2.2-§2.5, §2.8)
     "tsdb_downsample_1h" -> (Queries.tsdbDownsample1h _),
+    "tsdb_rollup_downsample" -> (Queries.tsdbRollupDownsample _),
     "tsdb_final_agg" -> (Queries.tsdbFinalAgg _),
     "tsdb_raw_scan" -> (Queries.tsdbRawScan _),
     "tsdb_tag_filter" -> (Queries.tsdbTagFilter _),
@@ -79,6 +80,13 @@ object SparkEntry {
         | (epoch_ns(ts) // 3600000000000) * 3600000000000 AS window_start,
         | round(avg(value), 4) AS avg_value, round(sum(value), 2) AS sum_value,
         | count(*) AS count_star
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1, 2, 3 ORDER BY window_start, "user"""".stripMargin,
+    "tsdb_rollup_downsample" ->
+      """SELECT event_type AS metric, CAST(user_id AS VARCHAR) AS "user",
+        | (epoch_ns(ts) // 3600000000000) * 3600000000000 AS window_start,
+        | round(avg(value), 4) AS avg_value, round(sum(value), 2) AS sum_value,
+        | count(*) AS count_star, min(value) AS min_value, max(value) AS max_value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1, 2, 3 ORDER BY window_start, "user"""".stripMargin,
     "tsdb_final_agg" ->

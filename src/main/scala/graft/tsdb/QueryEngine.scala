@@ -239,6 +239,12 @@ object QueryEngine {
       else if (p.isFinalAgg) finalAgg(df, p, startNs)
       else rawScan(df, p, ordered)
 
+    val limited = applyCursorLimit(shaped, p)
+    if (p.isFinalAgg) limited.drop("series_key") else limited
+  }
+
+  /** W3 cursor + W2 limit over a shaped result — shared with [[Rollup]]. */
+  private[tsdb] def applyCursorLimit(shaped: DataFrame, p: QueryParams): DataFrame = {
     val afterCursor = p.afterKey match {
       case Some(c) =>
         val tsc = if (p.isDownsample) col("window_start") else col("timestamp")
@@ -249,8 +255,7 @@ object QueryEngine {
         shaped.filter(pred)
       case None => shaped
     }
-    val limited = p.limit.fold(afterCursor)(n => afterCursor.limit(n.toInt))
-    if (p.isFinalAgg) limited.drop("series_key") else limited
+    p.limit.fold(afterCursor)(n => afterCursor.limit(n.toInt))
   }
 
   private def orderCols(p: QueryParams, tsc: Column): Seq[Column] =
@@ -262,11 +267,11 @@ object QueryEngine {
     if (ordered) sel.orderBy(orderCols(p, col("timestamp")): _*) else sel
   }
 
-  // field accessors over the dynamic fields map
+  // field accessors over the dynamic fields map (shared with [[Rollup]])
   private def fv(f: String): Column = col("fields").getItem(f)
-  private def numericOf(f: String): Column =
+  private[tsdb] def numericOf(f: String): Column =
     AggFunctions.cleanNumeric(coalesce(fv(f).getField("d"), fv(f).getField("l").cast("double")))
-  private def anyNonNullOf(f: String): Column = {
+  private[tsdb] def anyNonNullOf(f: String): Column = {
     val v = fv(f)
     when(v.isNotNull && (v.getField("d").isNotNull || v.getField("l").isNotNull ||
       v.getField("s").isNotNull || v.getField("b").isNotNull), lit(1))
@@ -298,13 +303,20 @@ object QueryEngine {
     * (`:180-190`); `EmitEmptyWindows` fills gaps with count/sum 0 and NaN
     * for the other functions (`:305-333` — rationalized: every series in
     * the result emits its empty windows, not just the last-seen one). */
-  private def downsample(df: DataFrame, p: QueryParams, startNs: Long, endNs: Long,
-      ordered: Boolean = true): DataFrame = {
+  /** Epoch-aligned [first, last] emitted window starts for a range:
+    * windows run from `start − start % interval` and stop before `end`. */
+  private[tsdb] def windowBounds(p: QueryParams, startNs: Long, endNs: Long): (Long, Long) = {
     val interval = p.downsampleNs.get
     val aligned = startNs - floorMod(startNs, interval)
     // last emitted window start: largest multiple of interval < endNs
     val lastW = if (endNs <= aligned) aligned
                 else aligned + ((endNs - 1 - aligned) / interval) * interval
+    (aligned, lastW)
+  }
+
+  private def downsample(df: DataFrame, p: QueryParams, startNs: Long, endNs: Long,
+      ordered: Boolean = true): DataFrame = {
+    val (aligned, lastW) = windowBounds(p, startNs, endNs)
 
     // `window_start` was computed upstream of the shuffle (partitionedInput)
     // precisely so this groupBy rides the same exchange — reuse, don't
@@ -314,14 +326,22 @@ object QueryEngine {
       .groupBy(col("series_key"), col("window_start"))
       .agg(first(col("metric")).as("metric"),
         (first(col("tags")).as("tags") +: aggColumns(p)): _*)
+    shapeDownsampled(aggd, df, p, aligned, lastW, ordered)
+  }
 
+  /** Post-aggregation downsample shaping — empty-window fill (series drawn
+    * from `seriesSource`), window_end, column order, sort. Shared with
+    * [[Rollup]], whose re-aggregated partials arrive pre-grouped. */
+  private[tsdb] def shapeDownsampled(aggd: DataFrame, seriesSource: DataFrame,
+      p: QueryParams, aligned: Long, lastW: Long, ordered: Boolean): DataFrame = {
+    val interval = p.downsampleNs.get
     val out =
       if (!p.emitEmptyWindows) aggd
       else {
         // all (series × window) slots, then left-join the filled buckets in
         // (distinct via groupBy on the string key — MapType tags are not
         // comparable, so they ride along as first())
-        val series = df.groupBy(col("series_key"))
+        val series = seriesSource.groupBy(col("series_key"))
           .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"))
         val slots = series.withColumn("window_start",
           explode(sequence(lit(aligned), lit(lastW), lit(interval))))

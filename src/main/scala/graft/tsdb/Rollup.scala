@@ -1,0 +1,164 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Materialized rollup acceleration for downsample queries — the SURVEY §4
+  * north-star ("rewriting per-series downsampling onto pre-aggregated
+  * rollup tables"), absent from the reference but THE way A2 queries
+  * survive 100 TB: a fine-grained rollup (say 1 m) stores decomposable
+  * partial aggregates per (series, window); any downsample whose interval
+  * is a multiple of the rollup's re-aggregates rollup rows instead of raw
+  * points, reading |series| × range/1m rows instead of every point.
+  *
+  * Exactness, not approximation: every stored partial re-aggregates to
+  * the raw-path answer —
+  *
+  *  - count(f)/count(*): sums of window counts;
+  *  - sum/min/max: sum of sums, min of mins, max of maxes;
+  *  - avg: Σsum / Σcnt (NaN when no numeric values);
+  *  - first/last: each window stores its first/last NUMERIC value WITH
+  *    its stream-order key (timestamp, series_key, −seq); re-aggregation
+  *    is min_by/max_by over the stored keys — exactly the merge-order
+  *    semantics of the raw path (`iterator/iterator.go:35-63`);
+  *  - frac: derived from re-aggregated first/last + numeric count with
+  *    the reference's zero/±Inf/NaN cases;
+  *  - stddev: sum-of-squares partials — the SAME algorithm the reference
+  *    itself uses (`multi_field_aggregator.go:293-304`), sample variance
+  *    `(Σx² − (Σx)²/n)/(n−1)` clamped at 0, NaN when n < 2;
+  *  - percentiles are NOT decomposable from these partials — [[supports]]
+  *    returns false and the caller falls back to the raw path (a t-digest
+  *    partial column is the documented upgrade).
+  *
+  * The rollup must be built over the MERGED view (latest-version dedup +
+  * tombstones applied, [[QueryEngine.mergedView]]); a delete or
+  * re-ingest invalidates the affected (metric, date) rollup partitions,
+  * which is why [[build]] takes the merged frame rather than raw storage.
+  * At scale, partition the written rollup by (metric, date) so query-time
+  * pruning works unchanged, and rebuild only commit-touched partitions.
+  */
+object Rollup {
+
+  /** Stored partial-aggregate columns for field `f` (null-safe: a window
+    * whose points lack the field stores nulls / zero counts). */
+  private def partials(f: String): Seq[Column] = {
+    val n = QueryEngine.numericOf(f)
+    val ord = struct(col("timestamp"), col("series_key"),
+      (col("seq") * -1).as("negseq"))
+    val vord = when(n.isNotNull, ord)
+    Seq(
+      count(QueryEngine.anyNonNullOf(f)).as(s"${f}__cnt_any"),
+      count(n).as(s"${f}__cnt"),
+      sum(n).as(s"${f}__sum"),
+      sum(n * n).as(s"${f}__sumsq"),
+      min(n).as(s"${f}__min"),
+      max(n).as(s"${f}__max"),
+      min(vord).as(s"${f}__first_ord"),
+      min_by(n, vord).as(s"${f}__first"),
+      max(vord).as(s"${f}__last_ord"),
+      max_by(n, vord).as(s"${f}__last"))
+  }
+
+  /** Build the rollup at `intervalNs` over a MERGED point frame (the
+    * [[QueryEngine.mergedView]] output — or any frame with the canonical
+    * schema plus `series_key`). One row per (series, window) carrying
+    * count(*) plus [[partials]] for each rolled field. */
+  def build(merged: DataFrame, intervalNs: Long, fields: Seq[String]): DataFrame = {
+    require(intervalNs > 0, "rollup interval must be > 0")
+    val keyed =
+      if (merged.columns.contains("series_key")) merged
+      else merged.withColumn("series_key",
+        QueryEngine.seriesKeyCol(col("metric"), col("tags")))
+    keyed
+      .withColumn("window_start",
+        col("timestamp") - pmod(col("timestamp"), lit(intervalNs)))
+      .groupBy(col("series_key"), col("window_start"))
+      .agg(first(col("metric")).as("metric"),
+        (first(col("tags")).as("tags") +:
+          count(lit(1)).as("__cnt_star") +:
+          fields.flatMap(partials)): _*)
+  }
+
+  /** True when `p` can be answered EXACTLY from a rollup at
+    * `rollupIntervalNs` covering `fields`: a downsample whose interval is
+    * a multiple of the rollup's, whose inclusive [start, end] range is a
+    * union of whole rollup windows, with no RELATIVE/now resolution, and
+    * whose functions are all decomposable over the stored partials. */
+  def supports(p: QueryParams, rollupIntervalNs: Long,
+      fields: Set[String]): Boolean = {
+    val r = rollupIntervalNs
+    p.isDownsample &&
+      p.downsampleNs.exists(i => i > 0 && i % r == 0) &&
+      p.relativeNs.isEmpty &&
+      p.startNs % r == 0 &&
+      p.endNs.exists(e => e != 0L && (e + 1) % r == 0) &&
+      p.aggs.nonEmpty &&
+      p.aggs.forall(a =>
+        (a.field == "*" || fields.contains(a.field)) &&
+          a.percentile.isEmpty && AggFunctions.named.contains(a.func))
+  }
+
+  /** Re-aggregation Column for one spec over the stored partials. */
+  private def reAgg(s: AggSpec): Column = {
+    val f = s.field
+    def c(suffix: String): Column = col(s"${f}__$suffix")
+    val n = sum(c("cnt"))
+    val sm = sum(c("sum"))
+    val fst = min_by(c("first"), c("first_ord"))
+    val lst = max_by(c("last"), c("last_ord"))
+    val result: Column = s.func match {
+      case "count" if f == "*" => sum(col("__cnt_star"))
+      case "count" => sum(c("cnt_any"))
+      case "sum"   => coalesce(sm, lit(0.0))
+      case "avg"   => when(n > 0, sm / when(n =!= 0, n)).otherwise(AggFunctions.nan)
+      case "min"   => coalesce(min(c("min")), AggFunctions.nan)
+      case "max"   => coalesce(max(c("max")), AggFunctions.nan)
+      case "first" => coalesce(fst, AggFunctions.nan)
+      case "last"  => coalesce(lst, AggFunctions.nan)
+      case "frac"  =>
+        when(n < 2, AggFunctions.nan)
+          .when(fst === 0.0 && lst === 0.0, lit(0.0))
+          .when(fst === 0.0 && lst > 0.0, lit(Double.PositiveInfinity))
+          .when(fst === 0.0 && lst < 0.0, lit(Double.NegativeInfinity))
+          .otherwise((lst - fst) / when(fst =!= 0.0, fst))
+      case "stddev" =>
+        val ss = sum(c("sumsq"))
+        when(n < 2, AggFunctions.nan)
+          .otherwise(sqrt(greatest(
+            (ss - sm * sm / when(n =!= 0, n)) / (n - 1), lit(0.0))))
+      case other =>
+        throw new IllegalArgumentException(
+          s"not decomposable from rollup partials: $other")
+    }
+    result.as(s.outputName)
+  }
+
+  /** Answer a [[supports]]-eligible downsample query from the rollup:
+    * series/tag/time filters (pushed to the rollup scan), one groupBy onto
+    * the coarser window, then the SAME shaping/cursor/limit path the raw
+    * engine uses — output is row-identical to [[QueryEngine.run]]. */
+  def run(rollup: DataFrame, rollupIntervalNs: Long, p: QueryParams): DataFrame = {
+    require(supports(p, rollupIntervalNs,
+      p.aggs.map(_.field).filter(_ != "*").toSet),
+      s"query not answerable from a $rollupIntervalNs ns rollup")
+    val interval = p.downsampleNs.get
+    val endNs = p.endNs.get
+    var df = rollup.filter(col("metric") === p.metric)
+    p.tags.foreach { case (k, v) => df = df.filter(col("tags").getItem(k) === v) }
+    // [startNs, endNs] is a union of whole rollup windows (checked above),
+    // so window containment == the raw path's inclusive timestamp range
+    df = df.filter(col("window_start").between(p.startNs, endNs))
+    val (aligned, lastW) = QueryEngine.windowBounds(p, p.startNs, endNs)
+    val rolled = df
+      .withColumn("target_window",
+        col("window_start") - pmod(col("window_start"), lit(interval)))
+      .filter(col("target_window") <= lastW)
+      .groupBy(col("series_key"), col("target_window"))
+      .agg(first(col("metric")).as("metric"),
+        (first(col("tags")).as("tags") +: p.aggs.map(reAgg)): _*)
+      .withColumnRenamed("target_window", "window_start")
+    val shaped = QueryEngine.shapeDownsampled(rolled, rolled, p, aligned, lastW,
+      ordered = true)
+    QueryEngine.applyCursorLimit(shaped, p)
+  }
+}
