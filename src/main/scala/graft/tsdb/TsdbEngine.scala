@@ -420,9 +420,67 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   /** Serving-path query: identical results to [[query]] (spec-asserted
     * across every query shape), but the scan+merge stages come from the
     * persisted [[servingView]] — the uncached-result latency a dashboard
-    * actually sees. */
+    * actually sees. Downsample queries covered by a registered rollup are
+    * answered from materialized partials instead (same results,
+    * |series| × windows rows read instead of every point). */
   def queryServing(params: QueryParams): DataFrame =
-    QueryEngine.runMerged(servingView(params.metric), params)
+    rollupRoute(params).getOrElse(
+      QueryEngine.runMerged(servingView(params.metric), params))
+
+  // ---- rollup acceleration: per-metric materialized partials ------------
+
+  /** metric → (rollup interval ns, covered fields). */
+  private val rollupSpecs =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[String])]()
+  /** metric → (epoch built at, persisted rollup frame); LRU like the
+    * serving cache (same budget — rollups are far smaller than views). */
+  private val rollupCache =
+    new java.util.LinkedHashMap[String, (Long, DataFrame)](16, 0.75f, true)
+
+  /** Register a rollup for `metric`: from now on, downsample queries whose
+    * shape passes [[Rollup.supports]] against (`intervalNs`, `fields`) are
+    * answered from materialized partials. The rollup is built lazily from
+    * [[servingView]] (so it inherits merge + tombstone semantics) and is
+    * EPOCH-KEYED like the serving cache: any commit touching the metric —
+    * ingest, delete, compaction, restore — invalidates it and the next
+    * query rebuilds. Spec-asserted identical to the raw path. */
+  def registerRollup(metric: String, intervalNs: Long, fields: Seq[String]): Unit = {
+    require(intervalNs > 0, "rollup interval must be > 0")
+    rollupSpecs.put(metric, (intervalNs, fields))
+  }
+
+  def dropRollup(metric: String): Unit = synchronized {
+    rollupSpecs.remove(metric)
+    val old = rollupCache.remove(metric)
+    if (old != null) old._2.unpersist(blocking = false)
+  }
+
+  /** The routed rollup answer for `params`, when a registered rollup can
+    * serve it exactly; None otherwise (caller falls back to the view). */
+  private def rollupRoute(params: QueryParams): Option[DataFrame] = {
+    val spec = rollupSpecs.get(params.metric)
+    if (spec != null && Rollup.supports(params, spec._1, spec._2.toSet))
+      Some(Rollup.run(rollupView(params.metric, spec._1, spec._2), spec._1, params))
+    else None
+  }
+
+  private def rollupView(metric: String, intervalNs: Long,
+      fields: Seq[String]): DataFrame = synchronized {
+    val e = metricEpoch(metric)
+    rollupCache.get(metric) match {
+      case (`e`, df) => df
+      case old =>
+        if (old != null) old._2.unpersist(blocking = false)
+        val built = Rollup.build(servingView(metric), intervalNs, fields)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rollupCache.put(metric, (e, built))
+        while (rollupCache.size() > servingCacheMax) {
+          val eldest = rollupCache.keySet().iterator().next()
+          rollupCache.remove(eldest)._2.unpersist(blocking = false)
+        }
+        built
+    }
+  }
 
   /** Driver-resident merged rows for a small metric (raw-scan serving
     * tier), or None above [[localServingMaxRows]]. Rows are the exact
@@ -512,8 +570,14 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     // driver-side sort instead of a cluster shuffle. LIMIT queries keep
     // Spark-side TakeOrdered.
     val (rows, schemaStr) = serveLocal(params).getOrElse {
-      val df = QueryEngine.runMerged(servingView(params.metric), params, ordered = false)
-      (driverOrder(df.collect(), params), df.schema.treeString)
+      rollupRoute(params) match {
+        case Some(df) =>
+          // Rollup.run output is already in presentation order
+          (df.collect(), df.schema.treeString)
+        case None =>
+          val df = QueryEngine.runMerged(servingView(params.metric), params, ordered = false)
+          (driverOrder(df.collect(), params), df.schema.treeString)
+      }
     }
     if (cacheable) resultCache.put(params, e, rows, schemaStr)
     rows

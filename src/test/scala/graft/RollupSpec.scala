@@ -115,6 +115,44 @@ class RollupSpec extends SparkSpec {
     assert(!Rollup.supports(q(Seq(AggSpec("sum", "other"))), Min, fields))
   }
 
+  test("engine routing: registered rollup serves eligible shapes, epoch-invalidated") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_eng").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    eng.putDF(fixture)
+    eng.registerRollup("cpu.usage", Min, Seq("value", "load", "note"))
+
+    val p = q(Seq(AggSpec("sum", "value"), AggSpec("avg", "value"),
+      AggSpec("count", "*")))
+    def rows(df: DataFrame): Seq[String] = df.collect().map(_.toString).toSeq
+    val truth = rows(eng.query(p))
+    assert(truth.nonEmpty)
+    assert(rows(eng.queryServing(p)) == truth)
+    assert(eng.queryCached(p).map(_.toString).toSeq == truth)
+    // the routed plan computes over rollup partials, not raw fields
+    val plan = eng.queryServing(p).queryExecution.executedPlan.toString
+    assert(plan.contains("value__sum") || plan.contains("__cnt_star"),
+      s"expected rollup partial columns in plan:\n$plan")
+
+    // ineligible shapes fall back to the view and still answer correctly
+    for (pq <- Seq(
+        p.copy(aggs = Seq(AggSpec("p50", "value"))),          // percentile
+        p.copy(endNs = Some(100L * 1000000000L)),             // misaligned end
+        p.copy(downsampleNs = None))) {                       // final agg
+      assert(rows(eng.queryServing(pq)) == rows(eng.query(pq)), s"fallback for $pq")
+    }
+
+    // a commit to the metric invalidates the rollup: new point visible
+    eng.putBatch(Seq(graft.model.DataPoint("cpu.usage", Map("host" -> "h1"),
+      100L * Min, Map("value" -> graft.model.FieldValue(d = Some(1234.5))))))
+    val updated = rows(eng.queryServing(p))
+    assert(updated != truth, "rollup answer must refresh after a commit")
+    assert(updated == rows(eng.query(p)))
+
+    // dropRollup restores the merged-view path, same answers
+    eng.dropRollup("cpu.usage")
+    assert(rows(eng.queryServing(p)) == updated)
+  }
+
   test("rollup plan reads only rollup rows, with one exchange to the target window") {
     val pts = fixture
     val merged = QueryEngine.mergedView(pts, Nil)
