@@ -56,6 +56,15 @@ final case class ShowTagKeysStatement(metric: String) extends ShowStatement
 final case class ShowTagValuesStatement(metric: Option[String], key: String)
   extends ShowStatement
 
+/** `CREATE ROLLUP <metric> BY <interval> (field, ...)` — engine extension
+  * with no reference analog: registers materialized downsample partials
+  * so covered `AGGREGATE BY` queries re-aggregate the rollup instead of
+  * scanning raw points ([[graft.tsdb.Rollup]]). */
+final case class CreateRollupStatement(metric: String, intervalNs: Long,
+    fields: Seq[String]) extends Statement
+final case class DropRollupStatement(metric: String) extends Statement
+case object ShowRollupsStatement extends Statement
+
 /** `FLUSH [MEMTABLE|DISK|ALL]` */
 final case class FlushStatement(target: String) extends Statement
 case object SnapshotStatement extends Statement

@@ -105,7 +105,7 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
               last.getAs[String]("series_key")).encode
           }
         }
-      Right(Rows(engine.query(params), cursorOf))
+      Right(Rows(engine.queryRouted(params), cursorOf))
 
     case RemoveSeriesStatement(m, tg) =>
       engine.deleteSeries(m, tg).map(_ => Ack("OK"))
@@ -117,6 +117,19 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
     case ShowMetricsStatement => Right(Rows(engine.showMetrics(), noCursor))
     case ShowTagKeysStatement(m) => Right(Rows(engine.showTagKeys(m), noCursor))
     case ShowTagValuesStatement(m, k) => Right(Rows(engine.showTagValues(m, k), noCursor))
+
+    case CreateRollupStatement(m, i, fs) =>
+      if (i <= 0) Left("rollup interval must be positive")
+      else if (fs.isEmpty) Left("rollup needs at least one field")
+      else { engine.registerRollup(m, i, fs); Right(Ack("OK")) }
+    case DropRollupStatement(m) =>
+      engine.dropRollup(m); Right(Ack("OK"))
+    case ShowRollupsStatement =>
+      import engine.spark.implicits._
+      val df = engine.rollups
+        .map { case (m, i, fs) => (m, i, fs.mkString(",")) }
+        .toDF("metric", "interval_ns", "fields")
+      Right(Rows(df, noCursor))
 
     case FlushStatement(_) =>
       // memtable/disk flush is meaningless on parquet storage; compaction

@@ -131,6 +131,14 @@ object NbqlParser extends RegexParsers {
       case m ~ k => ShowTagValuesStatement(m, k)
     }
 
+  private val rollup: Parser[Statement] =
+    kw("CREATE") ~> kw("ROLLUP") ~> name ~ (kw("BY") ~> duration) ~
+      ("(" ~> rep1sep(name, ",") <~ ")") ^^ {
+      case m ~ d ~ fs => CreateRollupStatement(m, d, fs)
+    } |
+    kw("DROP") ~> kw("ROLLUP") ~> name ^^ DropRollupStatement |
+    kw("SHOW") ~> kw("ROLLUPS") ^^^ ShowRollupsStatement
+
   private val flush: Parser[Statement] =
     kw("FLUSH") ~> opt(kw("MEMTABLE") | kw("DISK") | kw("ALL")) ^^ {
       t => FlushStatement(t.map(_.toUpperCase).getOrElse("ALL"))
@@ -143,7 +151,7 @@ object NbqlParser extends RegexParsers {
     }
 
   private val statement: Parser[Statement] =
-    (pushs | push | query | remove | show | flush | snapshotRestore) <~ opt(";")
+    (pushs | push | query | remove | rollup | show | flush | snapshotRestore) <~ opt(";")
 
   def parse(input: String): Either[String, Statement] =
     parseAll(statement, input) match {

@@ -295,7 +295,15 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * listener may rewrite the params or veto (throws [[HookVetoException]]
     * — this API has no error channel); `PostQuery` observes params +
     * plan-construction time (execution is lazy downstream). */
-  def query(params: QueryParams): DataFrame = {
+  def query(params: QueryParams): DataFrame = queryImpl(params, routed = false)
+
+  /** [[query]] with rollup routing: identical results (spec-asserted in
+    * `RollupSpec`), but a registered rollup covering the shape answers
+    * from materialized partials. [[query]] itself stays unrouted so it
+    * remains the ground-truth path specs compare against. */
+  def queryRouted(params: QueryParams): DataFrame = queryImpl(params, routed = true)
+
+  private def queryImpl(params: QueryParams, routed: Boolean): DataFrame = {
     var p = params
     if (hooks.hasListeners(EventType.PreQuery)) {
       val pay = new Payloads.PreQuery(p)
@@ -305,8 +313,10 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       }
     }
     val t0 = System.nanoTime()
-    val pts = loadPoints().getOrElse(emptyPoints(spark))
-    val out = QueryEngine.run(pts, p, loadTombstones())
+    val out = (if (routed) rollupRoute(p) else None).getOrElse {
+      val pts = loadPoints().getOrElse(emptyPoints(spark))
+      QueryEngine.run(pts, p, loadTombstones())
+    }
     firePost(EventType.PostQuery, Payloads.PostQuery(p, System.nanoTime() - t0))
     out
   }
@@ -453,6 +463,13 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     rollupSpecs.remove(metric)
     val old = rollupCache.remove(metric)
     if (old != null) old._2.unpersist(blocking = false)
+  }
+
+  /** Registered rollups as (metric, interval ns, fields), metric-sorted. */
+  def rollups: Seq[(String, Long, Seq[String])] = {
+    val out = Seq.newBuilder[(String, Long, Seq[String])]
+    rollupSpecs.forEach((m, v) => out += ((m, v._1, v._2)))
+    out.result().sortBy(_._1)
   }
 
   /** The routed rollup answer for `params`, when a registered rollup can

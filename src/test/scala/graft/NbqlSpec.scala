@@ -168,6 +168,41 @@ class NbqlExecutorSpec extends SparkSpec {
     }
   }
 
+  test("CREATE/SHOW/DROP ROLLUP: routed AGGREGATE BY stays identical, sees new data") {
+    withEngine { (eng, ex) =>
+      for (i <- 0 until 12; h <- Seq("h1", "h2"))
+        assert(ex.execute(
+          s"""PUSH cpu.usage TAGGED (host="$h") SET (value=${i}.0) AT ${i * 1000}""").isRight)
+      // 1us rollup; BY 4us over [0, 11999] is a union of whole rollup windows
+      val q = """QUERY cpu.usage FROM 0 TO 11999
+                 AGGREGATE BY 4us (sum(value), avg(value), count(*))"""
+      val before = rows(ex, q).map(_.toString)
+      assert(before.nonEmpty)
+      assert(ex.execute("CREATE ROLLUP cpu.usage BY 1us (value)").isRight)
+      assert(rows(ex, q).map(_.toString) == before)
+      // the NBQL path really routed: plan computes over rollup partials
+      ex.execute(q).fold(e => fail(e), { case r: ex.Rows @unchecked =>
+        assert(r.df.queryExecution.executedPlan.toString.contains("value__sum"),
+          "expected the routed plan to read rollup partials")
+      })
+      val listed = rows(ex, "SHOW ROLLUPS")
+      assert(listed.map(r => (r.getAs[String]("metric"),
+        r.getAs[Long]("interval_ns"), r.getAs[String]("fields"))) ==
+        Seq(("cpu.usage", 1000L, "value")))
+      // epoch invalidation: a new point shows up through the routed path
+      assert(ex.execute(
+        """PUSH cpu.usage TAGGED (host="h1") SET (value=100.0) AT 500""").isRight)
+      val after = rows(ex, q).map(_.toString)
+      assert(after != before)
+      // dropping the rollup keeps answers (now raw path) and empties SHOW
+      assert(ex.execute("DROP ROLLUP cpu.usage").isRight)
+      assert(rows(ex, q).map(_.toString) == after)
+      assert(rows(ex, "SHOW ROLLUPS").isEmpty)
+      // bad interval is a clean error
+      assert(ex.execute("CREATE ROLLUP cpu.usage BY 0s (value)").isLeft)
+    }
+  }
+
   test("latest version wins across re-push") {
     withEngine { (eng, ex) =>
       assert(ex.execute("""PUSH m TAGGED (k="a") SET (v=1.0) AT 100""").isRight)
