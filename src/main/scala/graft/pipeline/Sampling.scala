@@ -46,4 +46,56 @@ object Sampling {
     }
     df.withColumn("bucket", b).filter(col("bucket") < rate)
   }
+
+  /** Deterministic [0, 1e6) bucket (parts-per-million resolution) for an
+    * id under a seed namespace — 12 md5 hex chars (48 bits) so the mod
+    * is unbiased to ~2⁻²⁸. */
+  def hashPpm(id: Column, seed: String): Column =
+    pmod(conv(substring(md5(concat(lit(seed + ":"), id.cast("string"))), 1, 12),
+      16, 10).cast("long"), lit(1000000L))
+
+  /** Temperature-weighted mixture sampling (T = 2, the mT5/multi-source
+    * rebalancing default): resample a multi-source corpus so source s is
+    * kept at a rate targeting mixture share q_s ∝ √n_s — low-resource
+    * sources are upweighted relative to their natural share, dominant
+    * sources downsampled — while keeping ~`keepPpm`·N rows overall.
+    *
+    * Everything is computed IN-PLAN and engine-exactly, so a SQL oracle
+    * reproduces row membership bit-for-bit:
+    *   - per-source counts `n` (one tiny groupBy; #sources rows),
+    *   - scaled integer sqrt `sq = floor(√(n·10⁶))` (IEEE sqrt is
+    *     correctly rounded — identical across engines),
+    *   - integer totals N = Σn, S = Σsq (order-independent),
+    *   - target rows `t = floor(N·keepPpm/10⁶)` and keep-rate
+    *     `rate_ppm = min(10⁶, floor(((t·10⁶)·sq) / (S·n)))` — double
+    *     products with PINNED parenthesization (deterministic IEEE ops,
+    *     no overflow at any corpus size),
+    *   - row selection `hashPpm(id) < rate_ppm` (broadcast rate join —
+    *     the corpus side never shuffles; the whole operator is one tiny
+    *     aggregation plus a narrow filtered scan).
+    *
+    * Rows whose source weight caps at 10⁶ keep ALL rows (a source too
+    * small to fill its target share cannot be upsampled without
+    * replacement), so the realized total can undershoot `keepPpm`·N —
+    * standard temperature-sampling behavior. */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+      keepPpm: Long, seed: String = "mix"): DataFrame = {
+    require(keepPpm >= 0 && keepPpm <= 1000000L, "keepPpm must be in [0, 1e6]")
+    val counts = df.groupBy(col(sourceCol).cast("string").as("__src"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("sq", floor(sqrt(col("n") * lit(1000000L))).cast("long"))
+    val tot = counts.agg(sum("n").as("N"), sum("sq").as("S"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("target",
+        floor((col("N") * lit(keepPpm.toDouble)) / lit(1000000.0)).cast("long"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          floor(((col("target") * lit(1000000.0)) * col("sq")) /
+            (col("S").cast("double") * col("n"))).cast("long")))
+      .select(col("__src"), col("rate_ppm"))
+    df.withColumn("ppm", hashPpm(col(idCol), seed))
+      .join(broadcast(rates), col(sourceCol).cast("string") === col("__src"))
+      .filter(col("ppm") < col("rate_ppm"))
+      .drop("__src")
+  }
 }

@@ -49,6 +49,60 @@ object Sharding {
           .cast("long").as("shard"))
   }
 
+  /** Fixed-budget training-SEQUENCE packing: place each doc whole into a
+    * sequence of at most `seqBudget` tokens (greedy next-fit in id order
+    * — a doc that would overflow the open sequence closes it), emitting
+    * `(id, weight, truncated, seq_id, offset)`. This is the example-
+    * construction step after sharding: training rows are fixed-length
+    * contexts of concatenated docs, and `offset` is where each doc's
+    * tokens start inside its sequence. Docs longer than the budget are
+    * capped at `seqBudget` tokens (`truncated` flags them) so every
+    * sequence is ≤ budget — the hard invariant training loaders assume
+    * (unlike [[shardAssign]], which lets a doc straddle shard
+    * boundaries).
+    *
+    * Greedy packing is inherently sequential, so a global pass cannot
+    * be distributed. Instead docs are range-bucketed
+    * (`floor(id / bucketWidth)`) and each bucket packs independently —
+    * embarrassingly parallel, deterministic at any parallelism, at the
+    * cost of at most one under-filled sequence per bucket (waste
+    * fraction ≤ budget/(bucketWidth·E[w]) — negligible at the 2²⁰
+    * production width). Sequence ids are globally unique via
+    * `bucket · bucketWidth + seq_in_bucket` (a bucket holds at most
+    * `bucketWidth` ids, so at most that many sequences). The only wide
+    * ops are the bucket repartition + in-partition sort of (id, long)
+    * pairs; the greedy scan itself is a per-partition iterator
+    * (genuine imperative state — the documented mapPartitions case). */
+  def packSequences(df: DataFrame, idCol: String, weight: Column,
+      seqBudget: Long, bucketWidth: Long = 1L << 20): DataFrame = {
+    require(seqBudget > 0 && bucketWidth > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = df.select(col(idCol).cast("long").as("id"),
+        least(weight.cast("long"), lit(seqBudget)).as("w"),
+        (weight.cast("long") > seqBudget).as("truncated"))
+      .withColumn("bucket", floor(col("id") / bucketWidth).cast("long"))
+    w.select(col("bucket"), col("id"), col("w"), col("truncated"))
+      .as[(Long, Long, Long, Boolean)]
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "id")
+      .mapPartitions { it =>
+        // partitions hold whole buckets (hash-partitioned on bucket),
+        // sorted so each bucket is a contiguous run; reset state per run
+        var curBucket = Long.MinValue
+        var seq = 0L
+        var fill = 0L
+        it.map { case (b, id, wt, tr) =>
+          if (b != curBucket) { curBucket = b; seq = 0L; fill = 0L }
+          if (fill + wt > seqBudget) { seq += 1; fill = 0L }
+          val off = fill
+          fill += wt
+          (id, wt, tr, b * bucketWidth + seq, off)
+        }
+      }
+      .toDF(idCol, "weight", "truncated", "seq_id", "offset")
+  }
+
   /** Materialize a corpus as training shards: every input column plus the
     * shard id, written as parquet partitioned by `shard=` directories —
     * the layout a training loader consumes (one directory per ~budget
