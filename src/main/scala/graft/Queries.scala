@@ -498,7 +498,7 @@ object Queries {
   }
 
   /** Embedding near-dup pairs at cosine >= 0.45, THRESHOLD-ROUTED
-    * ([[Similarity.cosinePairsAuto]]): below the 0.7 route point the
+    * ([[Similarity.cosinePairsAuto]]): below the 0.85 route point the
     * low threshold takes the IVF cell-blocking branch — sign-LSH at 0.45
     * collides ~¼ of random pairs per table and measured 75× slower than
     * IVF at 10× data (SCALE.md), so it must never be the battery default

@@ -469,7 +469,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id
         |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
         |  FROM j) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-    // threshold-routed: 0.45 < 0.7 route point → IVF cell blocking with
+    // threshold-routed: 0.45 < 0.85 route point → IVF cell blocking with
     // first-16 literal centroids and replicate 3 — the oracle reproduces
     // the candidate generation exactly, so rows are pinned, not sampled
     "embedding_neardup" ->

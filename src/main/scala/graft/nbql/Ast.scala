@@ -56,12 +56,14 @@ final case class ShowTagKeysStatement(metric: String) extends ShowStatement
 final case class ShowTagValuesStatement(metric: Option[String], key: String)
   extends ShowStatement
 
-/** `CREATE ROLLUP <metric> BY <interval> (field, ...)` — engine extension
-  * with no reference analog: registers materialized downsample partials
-  * so covered `AGGREGATE BY` queries re-aggregate the rollup instead of
-  * scanning raw points ([[graft.tsdb.Rollup]]). */
+/** `CREATE ROLLUP <metric> BY <interval> (field, ...) [WITH DIGESTS]` —
+  * engine extension with no reference analog: registers materialized
+  * downsample partials so covered `AGGREGATE BY` queries re-aggregate the
+  * rollup instead of scanning raw points ([[graft.tsdb.Rollup]]).
+  * `WITH DIGESTS` adds per-window t-digest sketches, making `p<N>`
+  * downsamples rollup-eligible (approximate contract). */
 final case class CreateRollupStatement(metric: String, intervalNs: Long,
-    fields: Seq[String]) extends Statement
+    fields: Seq[String], withDigests: Boolean = false) extends Statement
 final case class DropRollupStatement(metric: String) extends Statement
 case object ShowRollupsStatement extends Statement
 

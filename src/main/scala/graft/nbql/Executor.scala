@@ -118,10 +118,10 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
     case ShowTagKeysStatement(m) => Right(Rows(engine.showTagKeys(m), noCursor))
     case ShowTagValuesStatement(m, k) => Right(Rows(engine.showTagValues(m, k), noCursor))
 
-    case CreateRollupStatement(m, i, fs) =>
+    case CreateRollupStatement(m, i, fs, dig) =>
       if (i <= 0) Left("rollup interval must be positive")
       else if (fs.isEmpty) Left("rollup needs at least one field")
-      else { engine.registerRollup(m, i, fs); Right(Ack("OK")) }
+      else { engine.registerRollup(m, i, fs, dig); Right(Ack("OK")) }
     case DropRollupStatement(m) =>
       engine.dropRollup(m); Right(Ack("OK"))
     case ShowRollupsStatement =>

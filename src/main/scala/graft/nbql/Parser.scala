@@ -133,8 +133,9 @@ object NbqlParser extends RegexParsers {
 
   private val rollup: Parser[Statement] =
     kw("CREATE") ~> kw("ROLLUP") ~> name ~ (kw("BY") ~> duration) ~
-      ("(" ~> rep1sep(name, ",") <~ ")") ^^ {
-      case m ~ d ~ fs => CreateRollupStatement(m, d, fs)
+      ("(" ~> rep1sep(name, ",") <~ ")") ~
+      opt(kw("WITH") ~> kw("DIGESTS")) ^^ {
+      case m ~ d ~ fs ~ dig => CreateRollupStatement(m, d, fs, dig.isDefined)
     } |
     kw("DROP") ~> kw("ROLLUP") ~> name ^^ DropRollupStatement |
     kw("SHOW") ~> kw("ROLLUPS") ^^^ ShowRollupsStatement

@@ -81,21 +81,24 @@ object Sampling {
   def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
       keepPpm: Long, seed: String = "mix"): DataFrame = {
     require(keepPpm >= 0 && keepPpm <= 1000000L, "keepPpm must be in [0, 1e6]")
+    // totals use distinct names (tot_n/tot_s, never a case-variant of a
+    // per-source column) — Spark's default case-insensitive resolution
+    // treats `n` vs `N` as one ambiguous name after the cross join
     val counts = df.groupBy(col(sourceCol).cast("string").as("__src"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("sq", floor(sqrt(col("n") * lit(1000000L))).cast("long"))
-    val tot = counts.agg(sum("n").as("N"), sum("sq").as("S"))
+      .agg(count(lit(1)).as("src_n"))
+      .withColumn("sq", floor(sqrt(col("src_n") * lit(1000000L))).cast("long"))
+    val tot = counts.agg(sum("src_n").as("tot_n"), sum("sq").as("tot_s"))
     val rates = counts.crossJoin(broadcast(tot))
       .withColumn("target",
-        floor((col("N") * lit(keepPpm.toDouble)) / lit(1000000.0)).cast("long"))
+        floor((col("tot_n") * lit(keepPpm.toDouble)) / lit(1000000.0)).cast("long"))
       .withColumn("rate_ppm",
         least(lit(1000000L),
           floor(((col("target") * lit(1000000.0)) * col("sq")) /
-            (col("S").cast("double") * col("n"))).cast("long")))
+            (col("tot_s").cast("double") * col("src_n"))).cast("long")))
       .select(col("__src"), col("rate_ppm"))
     df.withColumn("ppm", hashPpm(col(idCol), seed))
       .join(broadcast(rates), col(sourceCol).cast("string") === col("__src"))
       .filter(col("ppm") < col("rate_ppm"))
-      .drop("__src")
+      .drop("__src", "ppm", "rate_ppm")
   }
 }

@@ -25,28 +25,44 @@ import org.apache.spark.sql.functions._
   *    the reference's zero/±Inf/NaN cases;
   *  - stddev: sum-of-squares partials — the SAME algorithm the reference
   *    itself uses (`multi_field_aggregator.go:293-304`), sample variance
-  *    `(Σx² − (Σx)²/n)/(n−1)` clamped at 0, NaN when n < 2;
-  *  - percentiles are NOT decomposable from these partials — [[supports]]
-  *    returns false and the caller falls back to the raw path (a t-digest
-  *    partial column is the documented upgrade).
+  *    `(Σx² − (Σx)²/n)/(n−1)` clamped at 0, NaN when n < 2.
+  *
+  * Percentiles (`p<N>`) are the one APPROXIMATE partial: when the rollup
+  * is built `withDigests`, each window additionally stores a serialized
+  * t-digest sketch ([[graft.functions.TDigestSketchAgg]]) and the
+  * re-aggregation merges sketches and interpolates — the same sketch
+  * family the reference embeds in its own percentile aggregations
+  * (`iterator/agg_helpers.go:8-16`). The contract is approximation with
+  * t-digest's quantile error bounds, NOT bit-equality with the raw exact
+  * `percentile` path; it is exact whenever window populations are small
+  * enough that every centroid stays a singleton (RollupSpec pins that
+  * case). [[supports]] therefore treats percentile specs as rollup-
+  * eligible ONLY when the frame carries digest columns — a rollup built
+  * without digests keeps routing percentile queries to the raw path.
   *
   * The rollup must be built over the MERGED view (latest-version dedup +
   * tombstones applied, [[QueryEngine.mergedView]]); a delete or
   * re-ingest invalidates the affected (metric, date) rollup partitions,
   * which is why [[build]] takes the merged frame rather than raw storage.
   * At scale, partition the written rollup by (metric, date) so query-time
-  * pruning works unchanged, and rebuild only commit-touched partitions.
+  * pruning works unchanged, and rebuild only commit-touched partitions —
+  * [[TsdbEngine]] materializes exactly that layout and its
+  * `rollupView` rebuilds only the date partitions later commits touch.
   */
 object Rollup {
 
+  import graft.functions.TDigestFunctions.{tdigest_sketch, tdigest_merge_quantile}
+
   /** Stored partial-aggregate columns for field `f` (null-safe: a window
-    * whose points lack the field stores nulls / zero counts). */
-  private def partials(f: String): Seq[Column] = {
+    * whose points lack the field stores nulls / zero counts). With
+    * `digest`, adds the serialized t-digest sketch of the window's
+    * numeric values (`f__tdigest`) for percentile re-aggregation. */
+  private def partials(f: String, digest: Boolean): Seq[Column] = {
     val n = QueryEngine.numericOf(f)
     val ord = struct(col("timestamp"), col("series_key"),
       (col("seq") * -1).as("negseq"))
     val vord = when(n.isNotNull, ord)
-    Seq(
+    val base = Seq(
       count(QueryEngine.anyNonNullOf(f)).as(s"${f}__cnt_any"),
       count(n).as(s"${f}__cnt"),
       sum(n).as(s"${f}__sum"),
@@ -57,13 +73,15 @@ object Rollup {
       min_by(n, vord).as(s"${f}__first"),
       max(vord).as(s"${f}__last_ord"),
       max_by(n, vord).as(s"${f}__last"))
+    if (digest) base :+ tdigest_sketch(n).as(s"${f}__tdigest") else base
   }
 
   /** Build the rollup at `intervalNs` over a MERGED point frame (the
     * [[QueryEngine.mergedView]] output — or any frame with the canonical
     * schema plus `series_key`). One row per (series, window) carrying
     * count(*) plus [[partials]] for each rolled field. */
-  def build(merged: DataFrame, intervalNs: Long, fields: Seq[String]): DataFrame = {
+  def build(merged: DataFrame, intervalNs: Long, fields: Seq[String],
+      withDigests: Boolean = false): DataFrame = {
     require(intervalNs > 0, "rollup interval must be > 0")
     val keyed =
       if (merged.columns.contains("series_key")) merged
@@ -76,16 +94,31 @@ object Rollup {
       .agg(first(col("metric")).as("metric"),
         (first(col("tags")).as("tags") +:
           count(lit(1)).as("__cnt_star") +:
-          fields.flatMap(partials)): _*)
+          fields.flatMap(partials(_, withDigests))): _*)
   }
 
-  /** True when `p` can be answered EXACTLY from a rollup at
-    * `rollupIntervalNs` covering `fields`: a downsample whose interval is
-    * a multiple of the rollup's, whose inclusive [start, end] range is a
-    * union of whole rollup windows, with no RELATIVE/now resolution, and
-    * whose functions are all decomposable over the stored partials. */
+  /** Fields whose partials a rollup frame actually carries (derived from
+    * the physical columns, so coverage checks can never go vacuous). */
+  def coveredFields(rollup: DataFrame): Set[String] =
+    rollup.columns.collect { case c if c.endsWith("__cnt") => c.dropRight(5) }.toSet
+
+  /** True when the frame stores t-digest sketches for every covered field
+    * (i.e. percentile specs are answerable). */
+  def hasDigests(rollup: DataFrame): Boolean = {
+    val cols = rollup.columns.toSet
+    val fs = coveredFields(rollup)
+    fs.nonEmpty && fs.forall(f => cols.contains(s"${f}__tdigest"))
+  }
+
+  /** True when `p` can be answered from a rollup at `rollupIntervalNs`
+    * covering `fields`: a downsample whose interval is a multiple of the
+    * rollup's, whose inclusive [start, end] range is a union of whole
+    * rollup windows, with no RELATIVE/now resolution, and whose functions
+    * are all decomposable over the stored partials. Percentile specs are
+    * eligible only with `digests` (approximate contract — see the object
+    * Scaladoc); everything else re-aggregates EXACTLY. */
   def supports(p: QueryParams, rollupIntervalNs: Long,
-      fields: Set[String]): Boolean = {
+      fields: Set[String], digests: Boolean = false): Boolean = {
     val r = rollupIntervalNs
     p.isDownsample &&
       p.downsampleNs.exists(i => i > 0 && i % r == 0) &&
@@ -95,7 +128,8 @@ object Rollup {
       p.aggs.nonEmpty &&
       p.aggs.forall(a =>
         (a.field == "*" || fields.contains(a.field)) &&
-          a.percentile.isEmpty && AggFunctions.named.contains(a.func))
+          (if (a.percentile.isDefined) digests && a.field != "*"
+           else AggFunctions.named.contains(a.func)))
   }
 
   /** Re-aggregation Column for one spec over the stored partials. */
@@ -126,6 +160,9 @@ object Rollup {
         when(n < 2, AggFunctions.nan)
           .otherwise(sqrt(greatest(
             (ss - sm * sm / when(n =!= 0, n)) / (n - 1), lit(0.0))))
+      case _ if s.percentile.isDefined =>
+        // approximate: merged t-digest quantile (NaN over empty windows)
+        tdigest_merge_quantile(c("tdigest"), s.percentile.get / 100.0)
       case other =>
         throw new IllegalArgumentException(
           s"not decomposable from rollup partials: $other")
@@ -134,13 +171,20 @@ object Rollup {
   }
 
   /** Answer a [[supports]]-eligible downsample query from the rollup:
-    * series/tag/time filters (pushed to the rollup scan), one groupBy onto
-    * the coarser window, then the SAME shaping/cursor/limit path the raw
-    * engine uses — output is row-identical to [[QueryEngine.run]]. */
+    * series/tag/time filters (pushed to the rollup scan — including the
+    * `date` PARTITION column when the frame is the engine's materialized
+    * date-partitioned layout, so whole date directories prune before any
+    * footer read), one groupBy onto the coarser window, then the SAME
+    * shaping/cursor/limit path the raw engine uses — output is
+    * row-identical to [[QueryEngine.run]] (percentiles: approximate per
+    * the digest contract). The eligibility guard derives the covered
+    * field set and digest availability FROM THE FRAME's columns, so a
+    * rollup that doesn't store a queried field's partials fails fast
+    * here, not with an opaque resolution error downstream. */
   def run(rollup: DataFrame, rollupIntervalNs: Long, p: QueryParams): DataFrame = {
-    require(supports(p, rollupIntervalNs,
-      p.aggs.map(_.field).filter(_ != "*").toSet),
-      s"query not answerable from a $rollupIntervalNs ns rollup")
+    require(supports(p, rollupIntervalNs, coveredFields(rollup), hasDigests(rollup)),
+      s"query not answerable from a $rollupIntervalNs ns rollup over " +
+        s"fields ${coveredFields(rollup).mkString("{", ",", "}")}")
     val interval = p.downsampleNs.get
     val endNs = p.endNs.get
     var df = rollup.filter(col("metric") === p.metric)
@@ -148,6 +192,9 @@ object Rollup {
     // [startNs, endNs] is a union of whole rollup windows (checked above),
     // so window containment == the raw path's inclusive timestamp range
     df = df.filter(col("window_start").between(p.startNs, endNs))
+    if (rollup.columns.contains("date"))
+      df = df.filter(col("date").between(
+        TsdbEngine.dayStr(p.startNs), TsdbEngine.dayStr(endNs)))
     val (aligned, lastW) = QueryEngine.windowBounds(p, p.startNs, endNs)
     val rolled = df
       .withColumn("target_window",

@@ -437,38 +437,65 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     rollupRoute(params).getOrElse(
       QueryEngine.runMerged(servingView(params.metric), params))
 
-  // ---- rollup acceleration: per-metric materialized partials ------------
+  // ---- rollup acceleration: materialized (metric, date) partials --------
 
-  /** metric → (rollup interval ns, covered fields). */
+  /** On-disk rollup materialization root:
+    * `_rollup/metric=<m>/date=<yyyy-MM-dd>/<stamp>-part*.parquet` plus a
+    * `_built.json` marker carrying (log version, spec) — the same
+    * partition grammar as the data root, so query-time date pruning works
+    * unchanged and MAINTENANCE is partition-level: a commit touching one
+    * day rebuilds ONE date directory, every other day's files stay
+    * physically untouched (the analog of level-scoped compaction,
+    * `engine2/compaction_manager.go:144-262` — work ∝ what changed, never
+    * the metric's full history). Derived cache, not source of truth:
+    * snapshots exclude it, a crash mid-swap just means a rebuild. */
+  private val rollupRoot = s"$rootDir/_rollup"
+
+  /** metric → registered rollup spec. */
   private val rollupSpecs =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[String])]()
-  /** metric → (epoch built at, persisted rollup frame); LRU like the
-    * serving cache (same budget — rollups are far smaller than views). */
+    new java.util.concurrent.ConcurrentHashMap[String, RollupReg]()
+  /** metric → (log version built at, spec built with, persisted frame);
+    * LRU like the serving cache. The SPEC rides in the key so
+    * re-registering with a different interval/fields/digests can never
+    * serve a stale frame (it forces a rebuild even with no intervening
+    * commit). */
   private val rollupCache =
-    new java.util.LinkedHashMap[String, (Long, DataFrame)](16, 0.75f, true)
+    new java.util.LinkedHashMap[String, (Long, RollupReg, DataFrame)](16, 0.75f, true)
 
   /** Register a rollup for `metric`: from now on, downsample queries whose
-    * shape passes [[Rollup.supports]] against (`intervalNs`, `fields`) are
-    * answered from materialized partials. The rollup is built lazily from
-    * [[servingView]] (so it inherits merge + tombstone semantics) and is
-    * EPOCH-KEYED like the serving cache: any commit touching the metric —
-    * ingest, delete, compaction, restore — invalidates it and the next
-    * query rebuilds. Spec-asserted identical to the raw path. */
-  def registerRollup(metric: String, intervalNs: Long, fields: Seq[String]): Unit = {
+    * shape passes [[Rollup.supports]] against the spec are answered from
+    * materialized partials. The materialization is built lazily from the
+    * metric's MERGED view (so it inherits latest-version + tombstone
+    * semantics), persisted under `_rollup/`, and maintained
+    * INCREMENTALLY: on a later commit only the (metric, date) partitions
+    * that commit touched are rebuilt. `withDigests` additionally stores
+    * per-window t-digest sketches, making `p<N>` downsamples
+    * rollup-eligible under the approximate contract documented on
+    * [[Rollup]]. Spec-asserted identical to the raw path (percentiles:
+    * within digest error; exact on singleton-centroid windows). */
+  def registerRollup(metric: String, intervalNs: Long, fields: Seq[String],
+      withDigests: Boolean = false): Unit = synchronized {
     require(intervalNs > 0, "rollup interval must be > 0")
-    rollupSpecs.put(metric, (intervalNs, fields))
+    val spec = RollupReg(intervalNs, fields, withDigests)
+    val prev = rollupSpecs.put(metric, spec)
+    if (prev != null && prev != spec) {
+      val old = rollupCache.remove(metric)
+      if (old != null) old._3.unpersist(blocking = false)
+    }
   }
 
+  /** Drop the rollup: stop routing AND free the on-disk materialization. */
   def dropRollup(metric: String): Unit = synchronized {
     rollupSpecs.remove(metric)
     val old = rollupCache.remove(metric)
-    if (old != null) old._2.unpersist(blocking = false)
+    if (old != null) old._3.unpersist(blocking = false)
+    deleteDir(rollupMetricDir(metric))
   }
 
   /** Registered rollups as (metric, interval ns, fields), metric-sorted. */
   def rollups: Seq[(String, Long, Seq[String])] = {
     val out = Seq.newBuilder[(String, Long, Seq[String])]
-    rollupSpecs.forEach((m, v) => out += ((m, v._1, v._2)))
+    rollupSpecs.forEach((m, v) => out += ((m, v.intervalNs, v.fields)))
     out.result().sortBy(_._1)
   }
 
@@ -476,27 +503,189 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * serve it exactly; None otherwise (caller falls back to the view). */
   private def rollupRoute(params: QueryParams): Option[DataFrame] = {
     val spec = rollupSpecs.get(params.metric)
-    if (spec != null && Rollup.supports(params, spec._1, spec._2.toSet))
-      Some(Rollup.run(rollupView(params.metric, spec._1, spec._2), spec._1, params))
+    if (spec != null &&
+        Rollup.supports(params, spec.intervalNs, spec.fields.toSet, spec.digests))
+      Some(Rollup.run(rollupView(params.metric, spec), spec.intervalNs, params))
     else None
   }
 
-  private def rollupView(metric: String, intervalNs: Long,
-      fields: Seq[String]): DataFrame = synchronized {
+  private def rollupView(metric: String, spec: RollupReg): DataFrame = synchronized {
     val e = metricEpoch(metric)
     rollupCache.get(metric) match {
-      case (`e`, df) => df
+      case (ver, s, df) if ver >= e && s == spec => df
       case old =>
-        if (old != null) old._2.unpersist(blocking = false)
-        val built = Rollup.build(servingView(metric), intervalNs, fields)
+        if (old != null) old._3.unpersist(blocking = false)
+        val built = materializeRollup(metric, spec)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        rollupCache.put(metric, (e, built))
+        rollupCache.put(metric, (snap.version, spec, built))
         while (rollupCache.size() > servingCacheMax) {
           val eldest = rollupCache.keySet().iterator().next()
-          rollupCache.remove(eldest)._2.unpersist(blocking = false)
+          rollupCache.remove(eldest)._3.unpersist(blocking = false)
         }
         built
     }
+  }
+
+  private def rollupMetricDir(metric: String): Path =
+    Paths.get(rollupRoot).resolve(
+      "metric=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(metric))
+
+  private implicit lazy val markerFormats: org.json4s.Formats =
+    org.json4s.DefaultFormats
+
+  private def readRollupMarker(dirM: Path): Option[RollupMarker] = {
+    val f = dirM.resolve("_built.json")
+    if (!Files.isRegularFile(f)) None
+    else scala.util.Try(
+      org.json4s.jackson.Serialization.read[RollupMarker](Files.readString(f))
+    ).toOption
+  }
+
+  private def writeRollupMarker(dirM: Path, version: Long, spec: RollupReg): Unit = {
+    Files.createDirectories(dirM)
+    val tmp = dirM.resolve(s".marker-${java.util.UUID.randomUUID()}.tmp")
+    Files.writeString(tmp, org.json4s.jackson.Serialization.write(
+      RollupMarker(version, spec.intervalNs, spec.fields, spec.digests)))
+    Files.move(tmp, dirM.resolve("_built.json"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** `date=` partition values named by this metric's paths in `files`. */
+  private def rollupDatesOf(files: Seq[String], metric: String): Set[String] =
+    files.iterator.flatMap { f =>
+      val segs = f.split('/')
+      if (segs.length >= 2 && segs(0).startsWith("metric=") &&
+          unescapePathSeg(segs(0).drop(7)) == metric &&
+          segs(1).startsWith("date="))
+        Some(segs(1).drop(5))
+      else None
+    }.toSet
+
+  /** Dates whose MERGED content a commit in (fromVersion, snap.version]
+    * may have changed for `metric`; None forces a full rebuild (e.g. a
+    * commit manifest is unreadable). File-churn dates come straight from
+    * the commit's add/remove paths; a tombstone only changes dates whose
+    * file set did NOT also churn, so intersecting its time range with the
+    * CURRENT file set's dates is sufficient (changed-file dates are
+    * already in adds∪removes). */
+  private def rollupTouchedDates(metric: String,
+      fromVersion: Long): Option[Set[String]] = {
+    val cur = snap
+    val out = scala.collection.mutable.Set.empty[String]
+    lazy val dataDates = rollupDatesOf(cur.files, metric)
+    var v = fromVersion + 1
+    while (v <= cur.version) {
+      val c = try log.read(v) catch { case _: Exception => return None }
+      if (c.metrics.contains(metric)) {
+        out ++= rollupDatesOf(c.adds, metric)
+        out ++= rollupDatesOf(c.removes, metric)
+        c.tombs.filter(_.metric == metric).foreach { t =>
+          if (t.kind == "series") out ++= dataDates
+          else {
+            val lo = dayStr(t.fromNs)
+            val hi = dayStr(math.max(t.fromNs, t.toNs))
+            out ++= dataDates.filter(d => d >= lo && d <= hi)
+          }
+        }
+      }
+      v += 1
+    }
+    Some(out.toSet)
+  }
+
+  /** MERGED view (dedup + tombstones) of one metric, optionally restricted
+    * to a set of `date` partitions — the pruned input of a partition-level
+    * rollup rebuild (only the touched dates' files are even listed; merge
+    * per (series, timestamp) is date-local, so the restriction is exact). */
+  private def metricMergedView(metric: String, dates: Option[Set[String]]): DataFrame = {
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val s = snap
+    val mine = s.files.filter { f =>
+      val segs = f.split('/')
+      segs(0).startsWith("metric=") &&
+        unescapePathSeg(segs(0).drop(7)) == metric &&
+        dates.forall(ds => segs.length >= 2 && segs(1).startsWith("date=") &&
+          ds.contains(segs(1).drop(5)))
+    }
+    val pts =
+      if (mine.isEmpty) emptyPoints(spark)
+      else spark.read.option("basePath", dataDir)
+        .parquet(mine.map(f => s"$dataDir/$f"): _*)
+    QueryEngine.mergedView(pts, loadTombstones().filter(_.metric == metric))
+  }
+
+  /** Build / refresh the on-disk rollup materialization and return a frame
+    * reading it. Incremental when the marker matches the spec, the
+    * interval divides a day (windows never straddle a date partition) and
+    * the touched-date set is derivable from the log; otherwise a full
+    * per-metric rebuild. Untouched date directories are not rewritten —
+    * each build stamps its files uniquely, so "this partition was not
+    * touched" is assertable at the FILE level (RollupSpec does). */
+  private def materializeRollup(metric: String, spec: RollupReg): DataFrame = {
+    val dirM = rollupMetricDir(metric)
+    val cur = snap
+    val marker = readRollupMarker(dirM)
+    val canIncrement = marker.exists(m =>
+      m.intervalNs == spec.intervalNs && m.fields == spec.fields &&
+        m.digests == spec.digests && m.version <= cur.version &&
+        DayNs % spec.intervalNs == 0)
+    val touched: Option[Set[String]] =
+      if (canIncrement) rollupTouchedDates(metric, marker.get.version) else None
+    touched match {
+      case Some(ds) if ds.isEmpty => () // nothing changed for this metric
+      case Some(ds) => writeRollupPartitions(dirM, metric, spec, Some(ds))
+      case None => writeRollupPartitions(dirM, metric, spec, None)
+    }
+    writeRollupMarker(dirM, cur.version, spec)
+    readRollup(dirM, metric, spec)
+  }
+
+  /** Aggregate + swap: build partials for the affected dates (all, when
+    * `replaceDates` is None), stage, delete the replaced date dirs, move
+    * the staged files in under build-unique names. A date rebuilt to
+    * empty simply loses its directory. */
+  private def writeRollupPartitions(dirM: Path, metric: String, spec: RollupReg,
+      replaceDates: Option[Set[String]]): Unit = {
+    val merged = metricMergedView(metric, replaceDates)
+    val rolled = Rollup.build(merged, spec.intervalNs, spec.fields, spec.digests)
+      .withColumn("date", dateOfTs(col("window_start")))
+    val stamp = java.util.UUID.randomUUID().toString.take(12)
+    val staging = Paths.get(s"$rootDir/_staging/rollup-$stamp")
+    rolled.repartition(col("date"))
+      .write.partitionBy("date").parquet(staging.toString)
+    replaceDates match {
+      case Some(ds) => ds.foreach(d => deleteDir(dirM.resolve(s"date=$d")))
+      case None =>
+        if (Files.isDirectory(dirM))
+          Files.list(dirM).iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith("date="))
+            .foreach(deleteDir)
+    }
+    if (Files.isDirectory(staging))
+      Files.walk(staging).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.toString)
+        .foreach { src =>
+          val rel = staging.relativize(src)
+          val dest = dirM.resolve(s"${rel.getParent}/$stamp-${src.getFileName}")
+          Files.createDirectories(dest.getParent)
+          Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
+        }
+    deleteDir(staging)
+  }
+
+  private def readRollup(dirM: Path, metric: String, spec: RollupReg): DataFrame = {
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val hasDates = Files.isDirectory(dirM) &&
+      Files.list(dirM).iterator().asScala
+        .exists(_.getFileName.toString.startsWith("date="))
+    if (!hasDates)
+      // schema-correct empty frame (metric with no data yet)
+      Rollup.build(QueryEngine.mergedView(emptyPoints(spark), Nil),
+          spec.intervalNs, spec.fields, spec.digests)
+        .withColumn("date", dateOfTs(col("window_start")))
+    else spark.read.option("basePath", dirM.toString).parquet(dirM.toString)
   }
 
   /** Driver-resident merged rows for a small metric (raw-scan serving
@@ -813,6 +1002,15 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       snap = log.replay()
       viewCache = (-1L, None)
       seqCounter.set(snap.maxSeq)
+      // log versions may have moved BACKWARDS — epoch-keyed caches are all
+      // stale (the restored root has no _rollup materialization either)
+      servingCache.values().iterator().asScala
+        .foreach(_._2.unpersist(blocking = false))
+      servingCache.clear()
+      rollupCache.values().iterator().asScala
+        .foreach(_._3.unpersist(blocking = false))
+      rollupCache.clear()
+      localCache.clear()
     }
     Right(())
   }
@@ -837,6 +1035,16 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
 }
 
 object TsdbEngine {
+  /** A registered rollup: interval, covered fields, and whether per-window
+    * t-digest sketches are stored (percentile eligibility). */
+  final case class RollupReg(intervalNs: Long, fields: Seq[String],
+      digests: Boolean)
+  /** `_built.json` marker of an on-disk rollup materialization: the log
+    * version it reflects plus the spec it was built with — top-level (not
+    * engine-inner) so json4s can round-trip it. */
+  final case class RollupMarker(version: Long, intervalNs: Long,
+      fields: Seq[String], digests: Boolean)
+
   /** Parquet row shapes (Options encode the FieldValue union). */
   final case class StoredValue(d: Option[Double], l: Option[Long],
       s: Option[String], b: Option[Boolean])

@@ -591,4 +591,31 @@ class PipelineSpec extends SparkSpec {
     val total = docs.count() - docs.filter(col("lang") === "en").count()
     assert(kept.count() == total, "unlisted strata must be kept whole")
   }
+
+  test("mixture sample: input schema preserved, sqrt-share rebalance, determinism") {
+    val docs = graft.tsdb.Tables.load(spark, sf, "documents")
+    val out = Sampling.mixtureSample(docs, "doc_id", "lang", keepPpm = 500000L)
+    // output schema == input schema: no internal helper columns leak
+    assert(out.columns.toSeq == docs.columns.toSeq,
+      s"helper columns leaked: ${out.columns.mkString(",")}")
+    // deterministic: same membership on a re-run at different parallelism
+    val ids1 = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Sampling.mixtureSample(docs.repartition(7), "doc_id", "lang",
+      keepPpm = 500000L).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    // T=2 rebalance: a dominant source's realized keep-rate is strictly
+    // below a rare source's (√-share upweights the tail)
+    val inC = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val outC = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val top = inC.maxBy(_._2)._1
+    val rare = inC.minBy(_._2)._1
+    if (top != rare) {
+      val topRate = outC.getOrElse(top, 0L).toDouble / inC(top)
+      val rareRate = outC.getOrElse(rare, 0L).toDouble / inC(rare)
+      assert(topRate < rareRate,
+        s"dominant '$top' rate $topRate must be below rare '$rare' rate $rareRate")
+    }
+    // overall volume lands at or under the keep target (caps can undershoot)
+    assert(out.count() <= (docs.count() * 0.5 * 1.02).toLong + 1)
+  }
 }

@@ -3,6 +3,7 @@ package graft
 import graft.tsdb._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import scala.collection.JavaConverters._
 
 /** Rollup acceleration: a downsample answered from pre-aggregated
   * partials must be ROW-IDENTICAL to the raw path for every decomposable
@@ -151,6 +152,158 @@ class RollupSpec extends SparkSpec {
     // dropRollup restores the merged-view path, same answers
     eng.dropRollup("cpu.usage")
     assert(rows(eng.queryServing(p)) == updated)
+  }
+
+  test("incremental maintenance: a one-day commit rebuilds ONLY that date partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_inc").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    val Day = TsdbEngine.DayNs
+    def p(day: Int, m: Long, v: Double, seq: Long) =
+      TP("disk.io", Map("host" -> "h1"), day * Day + m * Min,
+        Map("value" -> FV.dv(v)), seq)
+    // three days of data, then a rollup over them
+    eng.putDF((for (d <- 0 until 3; m <- 0 until 120 by 7)
+      yield p(d, m, d * 100.0 + m, d * 1000 + m)).toDF())
+    eng.registerRollup("disk.io", Min, Seq("value"))
+    val q3d = QueryParams("disk.io", startNs = 0L, endNs = Some(3 * Day - 1),
+      downsampleNs = Some(Hr),
+      aggs = Seq(AggSpec("sum", "value"), AggSpec("count", "*")))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    assert(rows(eng.queryServing(q3d)) == rows(eng.query(q3d)))
+
+    // snapshot the materialized file layout per date
+    val rollupM = java.nio.file.Paths.get(s"$dir/db/_rollup/metric=disk.io")
+    def filesOf(date: String): Set[String] = {
+      val dd = rollupM.resolve(s"date=$date")
+      if (!java.nio.file.Files.isDirectory(dd)) Set.empty
+      else {
+        val s = java.nio.file.Files.list(dd)
+        try s.iterator().asScala.map(_.getFileName.toString).toSet
+        finally s.close()
+      }
+    }
+    val day0 = "1970-01-01"; val day1 = "1970-01-02"; val day2 = "1970-01-03"
+    val (f0, f1, f2) = (filesOf(day0), filesOf(day1), filesOf(day2))
+    assert(f0.nonEmpty && f1.nonEmpty && f2.nonEmpty, "all three dates materialized")
+
+    // append ONE point on day 2 → only date=day2 is rewritten (each build
+    // stamps its files uniquely, so unchanged names == untouched files)
+    eng.putBatch(Seq(graft.model.DataPoint("disk.io", Map("host" -> "h1"),
+      2 * Day + 30 * Min,
+      Map("value" -> graft.model.FieldValue(d = Some(9999.0))))))
+    assert(rows(eng.queryServing(q3d)) == rows(eng.query(q3d)),
+      "routed result must stay identical to the raw path after the append")
+    assert(filesOf(day0) == f0, "day-0 rollup partition must be untouched")
+    assert(filesOf(day1) == f1, "day-1 rollup partition must be untouched")
+    assert(filesOf(day2) != f2, "day-2 rollup partition must be rebuilt")
+
+    // a point delete on day 1 → only date=day1 is rewritten
+    val (g0, g2) = (filesOf(day0), filesOf(day2))
+    val h1 = filesOf(day1)
+    eng.deletePoint("disk.io", Map("host" -> "h1"), 1 * Day + 0 * Min)
+    assert(rows(eng.queryServing(q3d)) == rows(eng.query(q3d)),
+      "routed result must reflect the tombstone")
+    assert(filesOf(day0) == g0 && filesOf(day2) == g2,
+      "untouched days must survive a tombstone commit")
+    assert(filesOf(day1) != h1, "tombstoned day must be rebuilt")
+  }
+
+  test("re-registering a different spec rebuilds instead of serving stale partials") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_respec").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    eng.putDF(fixture)
+    // 5-minute rollup first, materialized by a routed query
+    eng.registerRollup("cpu.usage", 5 * Min, Seq("value"))
+    val hourly = q(Seq(AggSpec("sum", "value"), AggSpec("count", "*")))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    val truth = rows(eng.query(hourly))
+    assert(rows(eng.queryServing(hourly)) == truth)
+    // re-register at 1m WITHOUT any intervening commit; a 1m downsample
+    // is only answerable from the NEW rollup — stale 5m partials would
+    // mis-bucket every window
+    eng.registerRollup("cpu.usage", Min, Seq("value"))
+    val perMin = q(Seq(AggSpec("sum", "value"), AggSpec("count", "*")), interval = Min)
+    assert(rows(eng.queryServing(perMin)) == rows(eng.query(perMin)),
+      "re-registered rollup must rebuild, not serve the old interval's partials")
+    // and the old hourly shape still answers correctly from the new rollup
+    assert(rows(eng.queryServing(hourly)) == truth)
+  }
+
+  test("digest rollup: percentiles route, merged sketch == raw t-digest, near exact") {
+    import graft.functions.TDigestFunctions.tdigest_percentile
+    // <= 14 distinct values per the whole range: every t-digest centroid
+    // stays a singleton, so merged-sketch quantiles equal the raw-sketch
+    // quantiles EXACTLY (the documented small-window exactness case)
+    def p(tMin: Long, v: Double, seq: Long) =
+      TP("lat.ms", Map("host" -> "h1"), tMin * Min, Map("value" -> FV.dv(v)), seq)
+    val pts = Seq(3.0, 7.0, 1.0, 9.0, 4.0, 8.0, 2.0, 6.0, 5.0, 11.0, 10.0, 12.5)
+      .zipWithIndex.map { case (v, i) => p(i * 9L, v, i) }.toDF()
+    val merged = QueryEngine.mergedView(pts, Nil)
+    val rollup = Rollup.build(merged, Min, Seq("value"), withDigests = true)
+    assert(Rollup.hasDigests(rollup))
+    assert(!Rollup.hasDigests(Rollup.build(merged, Min, Seq("value"))))
+
+    val query = QueryParams("lat.ms", startNs = 0L, endNs = Some(2 * Hr - 1),
+      downsampleNs = Some(Hr),
+      aggs = Seq(AggSpec("p50", "value"), AggSpec("p95", "value")))
+    assert(Rollup.supports(query, Min, Set("value"), digests = true))
+    assert(!Rollup.supports(query, Min, Set("value")),
+      "without digests, percentiles must fall back to the raw path")
+
+    val routed = Rollup.run(rollup, Min, query)
+      .select("series_key", "window_start", "p50_value", "p95_value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val raw = merged
+      .withColumn("window_start",
+        col("timestamp") - pmod(col("timestamp"), lit(Hr)))
+      .groupBy("series_key", "window_start")
+      .agg(tdigest_percentile(
+          col("fields").getItem("value").getField("d"), 0.50).as("p50"),
+        tdigest_percentile(
+          col("fields").getItem("value").getField("d"), 0.95).as("p95"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(routed.length == raw.length && routed.length == 2)
+    routed.zip(raw).foreach { case (a, b) =>
+      assert(a == b, s"merged-digest quantile must equal raw-digest: $a vs $b")
+    }
+    // and both sit close to the EXACT percentile (approximation contract)
+    val exact = QueryEngine.run(pts, query)
+      .select("series_key", "window_start", "p50_value", "p95_value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    routed.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a._3 - e._3) <= 2.0 && math.abs(a._4 - e._4) <= 2.0,
+        s"digest percentile too far from exact: $a vs $e")
+    }
+  }
+
+  test("engine routes digest-rollup percentiles end to end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_dig").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    eng.putDF(fixture)
+    eng.registerRollup("cpu.usage", Min, Seq("value"), withDigests = true)
+    val pq = q(Seq(AggSpec("p50", "value"), AggSpec("count", "*")))
+    // routed: the plan reads digest partials, not raw fields
+    val plan = eng.queryServing(pq).queryExecution.executedPlan.toString
+    assert(plan.contains("__tdigest"), s"expected digest column in plan:\n$plan")
+    // raw-path comparison: count exact; p50 within digest error of exact
+    val routed = eng.queryServing(pq)
+      .select("series_key", "window_start", "p50_value", "count_star")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val raw = eng.query(pq)
+      .select("series_key", "window_start", "p50_value", "count_star")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(routed.length == raw.length && routed.nonEmpty)
+    routed.zip(raw).foreach { case (a, b) =>
+      assert(a._1 == b._1 && a._2 == b._2 && a._4 == b._4)
+      val span = math.max(1.0, math.abs(b._3) * 0.25)
+      assert((a._3.isNaN && b._3.isNaN) || math.abs(a._3 - b._3) <= span,
+        s"routed p50 ${a._3} too far from exact ${b._3}")
+    }
   }
 
   test("rollup plan reads only rollup rows, with one exchange to the target window") {
