@@ -513,6 +513,32 @@ object Queries {
   }
 
 
+  /** High-threshold near-dup pairs through the SIGN-LSH branch of
+    * [[Similarity.cosinePairsAuto]] (threshold 0.9 >= the 0.85 route
+    * point → 24 tables × 8-bit selective LSH). The synthetic embeddings
+    * top out near cosine 0.51, so the query plants near-duplicates
+    * in-plan: each id < 50 vector gets a copy with components scaled by
+    * alternating 1.45/0.55 (cosine ≈ 1/√1.2025 ≈ 0.91) — pure IEEE
+    * double arithmetic both engines reproduce bit-for-bit. The oracle
+    * embeds the SAME 24×8 seeded hyperplanes as literals and re-derives
+    * buckets, candidates, and verification exactly, so BOTH routing
+    * branches of `cosinePairsAuto` now carry a hash-checked battery row
+    * (the IVF branch via `embedding_neardup`). */
+  def embeddingNearDupHi(s: SparkSession, dir: String): DataFrame = {
+    val base = embVecs(s, dir)
+    val pert = base.filter(col("id") < 50)
+      .select((col("id") + 100000L).as("id"),
+        transform(col("vec"), (x, i) =>
+          x.cast("double") *
+            when(pmod(i, lit(2)) === 0, lit(1.45)).otherwise(lit(0.55))).as("vec"))
+    val corpus = base
+      .select(col("id"), transform(col("vec"), x => x.cast("double")).as("vec"))
+      .union(pert)
+    Similarity.cosinePairsAuto(corpus, threshold = 0.9, dim = 64, nlist = 16)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Near-dup pairs via IVF cell blocking (linear-candidate scale path
     * for low thresholds — at scale pick nlist ∝ n so candidate volume
     * n²·r²/nlist stays linear; 16 cells here for n=500, where coarser

@@ -58,6 +58,7 @@ object SparkEntry {
     "embedding_quantize" -> (Queries.embeddingQuantize _),
     "embedding_topk" -> (Queries.embeddingTopK _),
     "embedding_neardup" -> (Queries.embeddingNearDup _),
+    "embedding_neardup_hi" -> (Queries.embeddingNearDupHi _),
     "embedding_neardup_ivf" -> (Queries.embeddingNearDupIvf _),
     "embedding_norms" -> (Queries.embeddingNorms _),
     "ann_lsh_topk" -> (Queries.annLshTopK _),
@@ -356,6 +357,7 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS red_fp
         |FROM p ORDER BY doc_id""".stripMargin,
+    "embedding_neardup_hi" -> neardupHiOracle,
     "ann_lsh_topk" -> annLshOracle,
     "ann_ivf_topk" -> annIvfOracle,
     "doc_stats" ->
@@ -757,6 +759,39 @@ object SparkEntry {
       val mult = math.pow(16, 8 - i).toLong
       s"(strpos('0123456789abcdef', $col[$i]) - 1) * ${mult}"
     }.mkString(" + ")
+
+  /** DuckDB oracle for the HIGH-threshold (sign-LSH-routed) near-dup
+    * battery entry: plants near-duplicate copies of the first 50 vectors
+    * (components × alternating 1.45/0.55 — DuckDB's lambda index is
+    * 1-based, hence `(i-1) % 2`), embeds the SAME 24-table × 8-plane
+    * seeded hyperplanes as literals, and re-derives buckets → candidates
+    * → exact-cosine verification. Any pair the 8-bit LSH misses is
+    * missed identically on both sides (same planes, same signs), so the
+    * row set is pinned exactly, not just recall-tested. */
+  private def neardupHiOracle: String = {
+    val planeRows = graft.pipeline.Similarity.tablePlanes(24, 8, 64, 42L)
+      .map { case (t, planes) =>
+        planes.map(_.mkString("[", ", ", "]")).mkString(s"($t, ", ", ", ")")
+      }.mkString(",\n  ")
+    def bkt(v: String) = (0 until 8)
+      .map(i => s"${1 << i} * (CASE WHEN list_dot_product($v, p$i) >= 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |pert AS (SELECT id + 100000 AS id,
+       |           list_transform(vec, (x, i) -> x * (CASE WHEN (i - 1) % 2 = 0
+       |             THEN 1.45::DOUBLE ELSE 0.55::DOUBLE END)) AS vec
+       |         FROM base WHERE id < 50),
+       |v AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+       |planes(tbl, p0, p1, p2, p3, p4, p5, p6, p7) AS (VALUES
+       |  $planeRows),
+       |bk AS (SELECT id, tbl, ${bkt("vec")} AS bkt FROM v CROSS JOIN planes),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |         FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.id < y.id)
+       |SELECT id_a, id_b, round(list_cosine_similarity(a.vec, b.vec), 4) AS cosine
+       |FROM cand JOIN v a ON a.id = cand.id_a JOIN v b ON b.id = cand.id_b
+       |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.9
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   /** DuckDB oracle for sign-LSH ANN: the SAME seeded hyperplanes the
     * Spark side uses ([[graft.pipeline.Similarity.tablePlanes]]) embedded
