@@ -32,6 +32,11 @@ final class GraftTcpServer(executor: NbqlExecutor, port: Int = 0,
   private val pool = Executors.newCachedThreadPool()
   @volatile private var running = false
 
+  /** Commit-log poll interval for live subscriptions (S8 over TCP). The
+    * 100 ms default matches interactive latency; a bulk-ingest follower
+    * can raise it to amortize the `sync()` log scan. */
+  @volatile var subscriptionPollMs: Long = 100L
+
   def boundPort: Int = server.getLocalPort
 
   def start(): Unit = {
@@ -188,7 +193,13 @@ final class GraftTcpServer(executor: NbqlExecutor, port: Int = 0,
           val (puts, tombs) = engine.commitChanges(v)
           puts.foreach { df =>
             val matched = PubSub.subscribe(df, filter).orderBy("seq")
-            matched.collect().foreach { row =>
+            // toLocalIterator, not collect: a bulk backfill commit streams
+            // through the push loop one partition at a time instead of
+            // materializing the whole matched set on the driver (the same
+            // seam the query result path uses)
+            val it = matched.toLocalIterator()
+            while (it.hasNext) {
+              val row = it.next()
               Wire.writeFrame(out, Wire.CmdQueryResultPart,
                 Wire.encodeQueryResultPart(toPointItem(row, matched.schema, isAgg = false)))
             }
@@ -207,7 +218,7 @@ final class GraftTcpServer(executor: NbqlExecutor, port: Int = 0,
           since = v
           v += 1
         }
-        Thread.sleep(100)
+        Thread.sleep(subscriptionPollMs)
       }
     } catch {
       case _: java.io.IOException => ()      // client went away

@@ -757,18 +757,39 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     }
   }
 
+  /** Row budget for driver-side collects on the cached serving path: an
+    * un-LIMITed query whose result exceeds this many rows is served
+    * TRUNCATED to the budget (in presentation order, so the cut is
+    * exactly the first page of the full result and the cursor protocol
+    * (W3) pages through the rest) instead of materializing an unbounded
+    * result on the driver. The budget probe itself is bounded:
+    * `limit(budget+1)` plans as CollectLimit, which pulls partitions
+    * incrementally and never holds more than budget+1 rows. Full
+    * unbounded results belong to the streaming path (S9,
+    * `HttpServer`/`TcpServer` row iterators), never to a driver array. */
+  @volatile var servingRowBudget: Long = 2000000L
+
   /** Query through the result cache (serving-layer path): collected rows,
     * canonical-key lookup, PER-METRIC epoch invalidation — continuous
     * ingest into one metric leaves every other metric's entries live.
-    * RELATIVE queries with an un-pinned `now` are never cached. Misses
-    * execute via [[queryServing]], so even a miss skips scan+merge. */
-  def queryCached(params: QueryParams): Array[Row] = {
+    * RELATIVE queries with an un-pinned `now` are never cached.
+    * Over-[[servingRowBudget]] results are truncated — see
+    * [[queryCachedCapped]] for the variant that reports truncation. */
+  def queryCached(params: QueryParams): Array[Row] = queryCachedCapped(params)._1
+
+  /** [[queryCached]] plus a truncation flag: (rows, true) means the query
+    * exceeded [[servingRowBudget]] and `rows` is the budget-sized FIRST
+    * page in presentation order (continue via the cursor, or switch to
+    * the streaming path). Truncated results are never cached. */
+  def queryCachedCapped(params: QueryParams): (Array[Row], Boolean) = {
     val cacheable = params.relativeNs.isEmpty || params.nowNs.isDefined
     val e = metricEpoch(params.metric)
     if (cacheable) resultCache.get(params, e) match {
-      case Some(rows) => return rows
+      case Some(rows) => return (rows, false)
       case None => ()
     }
+    val budget = servingRowBudget
+    var truncated = false
     // raw scans on small metrics serve from the driver-resident tier (no
     // Spark job); otherwise un-limited queries run UNORDERED (no
     // global-sort exchange, no sampling job) and are ordered here over
@@ -778,15 +799,39 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     val (rows, schemaStr) = serveLocal(params).getOrElse {
       rollupRoute(params) match {
         case Some(df) =>
-          // Rollup.run output is already in presentation order
-          (df.collect(), df.schema.treeString)
+          // Rollup.run output is already in presentation order, so the
+          // budget probe doubles as the cap: rows past it are dropped
+          val probe =
+            if (params.limit.isDefined) df.collect()
+            else df.limit(budget.toInt + 1).collect()
+          if (probe.length > budget) {
+            truncated = true
+            (probe.take(budget.toInt), df.schema.treeString)
+          } else (probe, df.schema.treeString)
         case None =>
           val df = QueryEngine.runMerged(servingView(params.metric), params, ordered = false)
-          (driverOrder(df.collect(), params), df.schema.treeString)
+          if (params.limit.isDefined || params.isFinalAgg)
+            // already bounded: TakeOrdered / single-row aggregate
+            (driverOrder(df.collect(), params), df.schema.treeString)
+          else {
+            // bounded probe: complete iff the result fits the budget
+            val probe = df.limit(budget.toInt + 1).collect()
+            if (probe.length <= budget)
+              (driverOrder(probe, params), df.schema.treeString)
+            else {
+              // over budget: re-run WITH the budget as a LIMIT — plans as
+              // TakeOrdered (per-partition top-K, bounded memory) and
+              // yields exactly the first page of the full ordering
+              truncated = true
+              val page = QueryEngine.runMerged(servingView(params.metric),
+                params.copy(limit = Some(budget)))
+              (page.collect(), page.schema.treeString)
+            }
+          }
       }
     }
-    if (cacheable) resultCache.put(params, e, rows, schemaStr)
-    rows
+    if (cacheable && !truncated) resultCache.put(params, e, rows, schemaStr)
+    (rows, truncated)
   }
 
   /** Restore presentation order on collected rows for queries that ran

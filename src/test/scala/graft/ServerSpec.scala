@@ -498,6 +498,36 @@ class ServerSpec extends SparkSpec {
     }
   }
 
+  test("client: TCP SUBSCRIBE drains a single bulk commit in seq order (streamed fan-out)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_subbulk").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    val ex = new NbqlExecutor(eng)
+    val srv = new GraftTcpServer(ex, port = 0)
+    srv.subscriptionPollMs = 20L
+    srv.start()
+    val sub = NbqlClient.connect("127.0.0.1", srv.boundPort)
+    try {
+      val s = sub.subscribe("bulk.*", Map.empty)
+      // ONE commit carrying 2500 matching rows over several partitions —
+      // the push loop must stream it (toLocalIterator), not collect it
+      val n = 2500
+      val rows = (0 until n).map(i => TP("bulk.m", Map("host" -> s"h${i % 7}"),
+        1000L + i, Map("v" -> FV.dv(i.toDouble)), 10000L + i))
+      eng.putDF(rows.toDF().repartition(8))
+      val got = (0 until n).map(_ => s.next())
+      assert(got.forall(u => !u.isDelete && u.item.metric == "bulk.m"))
+      val seqs = got.map(_.item.seq)
+      assert(seqs == seqs.sorted, "bulk commit must arrive in seq order")
+      assert(seqs.head == 10000L && seqs.last == 10000L + n - 1)
+      s.close()
+    } finally {
+      try sub.close() catch { case _: Exception => () }
+      srv.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("client: auth handshake accepts good creds; role denial is an APIError") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cliauth").toString
     val userFile = s"$dir/users.db"

@@ -275,4 +275,43 @@ class TsdbQuerySpec extends SparkSpec {
     assert(eng.queryServing(QueryParams("cpu.usage", Map("host" -> "h1"),
       endNs = Some(1000 * M))).isEmpty)
   }
+
+  test("serving row budget: over-budget queries serve a bounded, correct first page") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_budget").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    eng.putDF(mkDf(series("h1", 50, base = 0, step = M)))
+    eng.localServingMaxRows = 0 // force the Spark serving path
+    eng.servingRowBudget = 10
+    val p = QueryParams("cpu.usage", endNs = Some(1000 * M))
+    val full = eng.query(p).collect().map(_.toString).toSeq
+    assert(full.length == 50)
+
+    // over budget: truncated flag set, rows are EXACTLY the first page of
+    // the full presentation order, never a 50-row driver materialization
+    val (page, truncated) = eng.queryCachedCapped(p)
+    assert(truncated, "50 rows over a 10-row budget must report truncation")
+    assert(page.length == 10)
+    assert(page.map(_.toString).toSeq == full.take(10))
+
+    // the cursor continues from the truncation point (W3 pages the rest)
+    val last = page.last
+    val cur = Cursor(last.getAs[Long]("timestamp"), last.getAs[String]("series_key"))
+    val (page2, _) = eng.queryCachedCapped(p.copy(afterKey = Some(cur)))
+    assert(page2.map(_.toString).toSeq == full.slice(10, 20))
+
+    // truncated results were NOT cached: a raised budget serves the full set
+    eng.servingRowBudget = 2000000L
+    val (all, t2) = eng.queryCachedCapped(p)
+    assert(!t2 && all.map(_.toString).toSeq == full)
+
+    // an explicit LIMIT stays caller-controlled (bounded via TakeOrdered)
+    eng.servingRowBudget = 10
+    val (lim, t3) = eng.queryCachedCapped(p.copy(limit = Some(20L)))
+    assert(!t3 && lim.length == 20 && lim.map(_.toString).toSeq == full.take(20))
+
+    // aggregates stay un-truncated (tiny by construction)
+    val (agg, t4) = eng.queryCachedCapped(p.copy(
+      aggs = Seq(AggSpec("count", "*"), AggSpec("sum", "value"))))
+    assert(!t4 && agg.length == 1)
+  }
 }
