@@ -389,6 +389,15 @@ object Queries {
       n = 6, minDocs = 2L)
       .orderBy("doc", "span_start")
 
+  /** Exact-substring CUT: the cleaned corpus after removing every
+    * cross-document repeated 6-gram span — per-doc kept/cut token counts
+    * plus the md5 of the cleaned text (byte-level cross-engine proof,
+    * like `pii_scan`). */
+  def exactSubstringCut(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstringCut(t(s, dir, "documents"), "doc_id", "text",
+      n = 6, minDocs = 2L)
+      .orderBy("doc")
+
   /** Benchmark decontamination: the mod-20 doc slice plays the eval
     * benchmark; train docs sharing >= 3 distinct 5-grams with it are
     * flagged (eval n-gram set broadcast — the 100 TB probe shape). */

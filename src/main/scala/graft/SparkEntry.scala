@@ -51,6 +51,7 @@ object SparkEntry {
     "winnow_fingerprints" -> (Queries.winnowFingerprints _),
     "winnow_overlap_pairs" -> (Queries.winnowOverlapPairs _),
     "repeated_spans" -> (Queries.repeatedSpans _),
+    "exact_substring_cut" -> (Queries.exactSubstringCut _),
     "decontaminate" -> (Queries.decontaminate _),
     "doc_repetition" -> (Queries.docRepetition _),
     "pii_scan" -> (Queries.piiScan _),
@@ -308,6 +309,46 @@ object SparkEntry {
          |SELECT doc_id AS doc, min(pos) AS span_start, max(pos) + 6 AS span_end,
          |  max(pos) + 6 - min(pos) AS span_tokens
          |FROM isl GROUP BY doc_id, island ORDER BY 1, 2""".stripMargin,
+    // same span derivation as repeated_spans, then the cut: tokens are
+    // position-numbered (generate_subscripts + unnest pair positionally),
+    // span-covered positions anti-joined away, survivors re-joined in
+    // order; docs cut to nothing (or with no tokens) hash the empty string
+    "exact_substring_cut" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws
+         |  FROM documents),
+         |g0 AS (SELECT doc_id,
+         |  [{'pos': i - 1, 'hx': substring(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |     || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5]), 1, 8)}
+         |   FOR i IN range(1, len(ws) - 4)] AS gs
+         |  FROM w WHERE len(ws) >= 6),
+         |g AS (SELECT doc_id, unnest(gs, recursive := true) FROM g0),
+         |p AS (SELECT doc_id, pos, CAST(${hexToIntSql("hx")} AS BIGINT) AS gh FROM g),
+         |dup AS (SELECT gh FROM p GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         |m AS (SELECT doc_id, pos FROM p JOIN dup USING (gh)),
+         |b AS (SELECT doc_id, pos,
+         |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 6
+         |       THEN 1 ELSE 0 END AS brk FROM m),
+         |isl AS (SELECT doc_id, pos,
+         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM b),
+         |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 6 AS e
+         |       FROM isl GROUP BY doc_id, island),
+         |tok AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, unnest(ws) AS tk
+         |        FROM w),
+         |keepx AS (SELECT t.doc_id, t.pos, t.tk
+         |          FROM tok t LEFT JOIN sp ON sp.doc_id = t.doc_id
+         |            AND t.pos >= sp.s AND t.pos < sp.e
+         |          WHERE sp.doc_id IS NULL),
+         |ka AS (SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(tk, ' ' ORDER BY pos) AS clean
+         |       FROM keepx GROUP BY 1),
+         |ca AS (SELECT doc_id, sum(e - s) AS n_cut FROM sp GROUP BY 1)
+         |SELECT w.doc_id AS doc,
+         |  COALESCE(ka.n_kept, 0) AS n_kept,
+         |  COALESCE(ca.n_cut, 0) AS n_cut,
+         |  md5(COALESCE(ka.clean, '')) AS clean_fp
+         |FROM w LEFT JOIN ka USING (doc_id) LEFT JOIN ca USING (doc_id)
+         |ORDER BY doc""".stripMargin,
     "decontaminate" ->
       s"""WITH w AS (SELECT doc_id,
          |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws

@@ -486,6 +486,40 @@ object Dedup {
         (col("e") - col("s")).cast("long").as("span_tokens"))
   }
 
+  /** Apply [[repeatedSpans]] to produce the CLEANED corpus — the actual
+    * exact-substring dedup deliverable (Lee et al. cut the duplicated
+    * ranges out of every document, not just report them): per document,
+    * drop the tokens inside every merged span and re-join the survivors.
+    * Returns (doc, n_kept, n_cut, clean_fp) where `clean_fp` is the md5
+    * of the cleaned (normalized, single-space) text — byte-level proof an
+    * independent engine performs the identical cut.
+    *
+    * Plan shape for 100 TB: spans collapse to ONE small struct-list per
+    * affected doc (far fewer rows than tokens), then a single doc-keyed
+    * left join back onto the corpus and a NARROW array expression
+    * (`filter` with index + `exists` over the span list) does the cut —
+    * the token stream is never exploded and never shuffled; per-row cost
+    * is O(tokens × spans_in_that_doc). */
+  def exactSubstringCut(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Long = 2L): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, n, minDocs)
+      .groupBy(col("doc"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"),
+        sum(col("span_tokens")).as("n_cut"))
+    val toks = docs.select(col(idCol).as("doc"),
+      TextAnalysis.words(col(textCol)).as("ws"))
+    toks.join(spans, Seq("doc"), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("ws"))
+          .otherwise(filter(col("ws"), (_, i) =>
+            !exists(col("spans"), sp =>
+              i >= sp.getField("span_start") && i < sp.getField("span_end")))))
+      .select(col("doc"),
+        size(col("kept")).cast("long").as("n_kept"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+        md5(array_join(col("kept"), " ")).as("clean_fp"))
+  }
+
   /** Materialize the dedup index of a corpus: everything
     * [[incrementalDedup]] needs from the existing side, precomputed so
     * each increment reuses it instead of re-reading and re-shingling

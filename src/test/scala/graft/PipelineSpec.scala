@@ -470,6 +470,25 @@ class PipelineSpec extends SparkSpec {
       (4L, 8L, 11L, 3L))) // "c d e" alone; gap 8 > n keeps spans apart
   }
 
+  test("exact-substring cut removes exactly the repeated spans, token-aligned") {
+    val df = Seq(
+      (1L, "p q r a b c d e u v w"),   // span [3, 8) → keep p q r u v w
+      (2L, "a b c d e m n o"),         // span [0, 5) → keep m n o
+      (3L, "k1 k2 k3 k4 k5 k6"),       // no spans → untouched
+      (4L, "a b c x1 x2 x3 x4 x5 c d e")) // spans [0,3) + [8,11) → keep middle
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstringCut(df, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    def md5s(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got(1L) == (6L, 5L, md5s("p q r u v w")))
+    assert(got(2L) == (3L, 5L, md5s("m n o")))
+    assert(got(3L) == (6L, 0L, md5s("k1 k2 k3 k4 k5 k6")))
+    assert(got(4L) == (5L, 6L, md5s("x1 x2 x3 x4 x5")))
+  }
+
   test("connected components: chain merges, singleton survives, min label wins") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("node")
     // path 1-2-3-4 (diameter 3 forces >1 propagation round) + edge 5-9
