@@ -144,6 +144,93 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "vec_cosine"
 }
 
+/** All multi-table sign-LSH bucket keys of a vector in ONE fused loop:
+  * key t = `(t << bits) | Σᵢ (vec·planes[t·bits+i] >= 0) << i`.
+  *
+  * The composed-Column alternative (per-plane `when(vec_dot(...) >= 0)`
+  * chains bitwise-OR'd per table) builds a `tables × bits`-subexpression
+  * tree — at the selective 24×8 setting that is 192 dot products of
+  * 64-double literal arrays whose PLANNING + codegen dominate the whole
+  * query (measured ~6 s/run at sf0.1, nearly all fixed cost). Here the
+  * planes ride as one reference object and the generated code is a tiny
+  * triple loop — the same sequential left-to-right accumulation order as
+  * [[DotProduct]] and the SQL oracle's `list_dot_product`, so bucket
+  * signs agree bit-for-bit across engines. */
+case class SignLshKeys(child: Expression, planes: Array[Array[Double]], bits: Int)
+    extends UnaryExpression {
+  require(bits > 0 && bits < 32 && planes.nonEmpty && planes.length % bits == 0,
+    "planes must hold tables × bits rows")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_lsh_keys requires array<float|double>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val isFloat = elemType == FloatType
+    val tables = planes.length / bits
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var b = 0L
+      var i = 0
+      while (i < bits) {
+        val p = planes(t * bits + i)
+        val n = math.min(arr.numElements(), p.length)
+        var s = 0.0
+        var j = 0
+        while (j < n) {
+          s += (if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)) * p(j)
+          j += 1
+        }
+        if (s >= 0) b |= (1L << i)
+        i += 1
+      }
+      out(t) = b + (t.toLong << bits)
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    val get = if (elemType == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val (t, i, j, b, s, n, out, p) = (ctx.freshName("t"), ctx.freshName("i"),
+        ctx.freshName("j"), ctx.freshName("b"), ctx.freshName("s"),
+        ctx.freshName("n"), ctx.freshName("out"), ctx.freshName("p"))
+      val tables = planes.length / bits
+      s"""
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $b = 0L;
+         |  for (int $i = 0; $i < $bits; $i++) {
+         |    double[] $p = $planesRef[$t * $bits + $i];
+         |    int $n = java.lang.Math.min($a.numElements(), $p.length);
+         |    double $s = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $s += (double) $a.$get($j) * $p[$j];
+         |    }
+         |    if ($s >= 0) $b |= (1L << $i);
+         |  }
+         |  $out[$t] = $b + (((long) $t) << $bits);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "sign_lsh_keys"
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graft.ColumnBridge
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
@@ -151,6 +238,8 @@ object VectorFunctions {
     ColumnBridge.column(DotProduct(ex(a), ex(b)))
   def vec_cosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(ex(a), ex(b)))
+  def sign_lsh_keys(vec: Column, planes: Seq[Array[Double]], bits: Int): Column =
+    ColumnBridge.column(SignLshKeys(ex(vec), planes.toArray, bits))
 
   /** Register `vec_dot` / `vec_cosine` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

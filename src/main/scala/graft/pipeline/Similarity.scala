@@ -126,10 +126,13 @@ object Similarity {
     * (idAs, key) — ids only; vectors are joined back at scoring time. */
   private def bucketed(df: DataFrame, idAs: String,
       tables: Int, bits: Int, dim: Int, seed: Long): DataFrame = {
-    val keys = tablePlanes(tables, bits, dim, seed).map { case (t, planes) =>
-      bucketOf(col("vec"), planes) + lit(t.toLong << bits)
-    }
-    df.select(col("id").as(idAs), explode(array(keys: _*)).as("key"))
+    // one fused native expression for ALL table keys — the composed
+    // per-plane Column tree costs tables×bits planning/codegen per query
+    // (dominant at the selective 24×8 setting)
+    val planes = tablePlanes(tables, bits, dim, seed).flatMap(_._2)
+    df.select(col("id").as(idAs),
+      explode(graft.functions.VectorFunctions.sign_lsh_keys(
+        col("vec"), planes, bits)).as("key"))
   }
 
   /** ANN top-k via multi-table sign-LSH: candidates are pairs sharing at
@@ -312,10 +315,10 @@ object Similarity {
     * is a single file/partition (also the skew split at scale). */
   def cosinePairsBucketed(vecs: DataFrame, threshold: Double, dim: Int,
       tables: Int = 24, bits: Int = 2, seed: Long = 42L): DataFrame = {
-    val keys = tablePlanes(tables, bits, dim, seed).map { case (t, planes) =>
-      bucketOf(col("vec"), planes) + lit(t.toLong << bits)
-    }
-    val bk = vecs.select(col("id"), explode(array(keys: _*)).as("key"))
+    val planes = tablePlanes(tables, bits, dim, seed).flatMap(_._2)
+    val bk = vecs.select(col("id"),
+        explode(graft.functions.VectorFunctions.sign_lsh_keys(
+          col("vec"), planes, bits)).as("key"))
       .repartition(fanoutParallelism(vecs), col("key"))
     val cand = bk.as("x").join(bk.as("y"), col("x.key") === col("y.key")
         && col("x.id") < col("y.id"))

@@ -181,7 +181,8 @@ object Rollup {
     * field set and digest availability FROM THE FRAME's columns, so a
     * rollup that doesn't store a queried field's partials fails fast
     * here, not with an opaque resolution error downstream. */
-  def run(rollup: DataFrame, rollupIntervalNs: Long, p: QueryParams): DataFrame = {
+  def run(rollup: DataFrame, rollupIntervalNs: Long, p: QueryParams,
+      ordered: Boolean = true): DataFrame = {
     require(supports(p, rollupIntervalNs, coveredFields(rollup), hasDigests(rollup)),
       s"query not answerable from a $rollupIntervalNs ns rollup over " +
         s"fields ${coveredFields(rollup).mkString("{", ",", "}")}")
@@ -204,8 +205,11 @@ object Rollup {
       .agg(first(col("metric")).as("metric"),
         (first(col("tags")).as("tags") +: p.aggs.map(reAgg)): _*)
       .withColumnRenamed("target_window", "window_start")
+    // like runMerged: a LIMIT needs the Spark-side order (plans as
+    // TakeOrdered); only un-limited callers may defer ordering (the
+    // serving layer sorts collected rows driver-side)
     val shaped = QueryEngine.shapeDownsampled(rolled, rolled, p, aligned, lastW,
-      ordered = true)
+      ordered = ordered || p.limit.isDefined)
     QueryEngine.applyCursorLimit(shaped, p)
   }
 }

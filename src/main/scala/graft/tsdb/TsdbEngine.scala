@@ -500,12 +500,17 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   }
 
   /** The routed rollup answer for `params`, when a registered rollup can
-    * serve it exactly; None otherwise (caller falls back to the view). */
-  private def rollupRoute(params: QueryParams): Option[DataFrame] = {
+    * serve it exactly; None otherwise (caller falls back to the view).
+    * `ordered = false` defers presentation ordering to the caller (the
+    * cached serving path sorts collected rows driver-side, saving the
+    * global-sort exchange exactly like the raw unordered path). */
+  private def rollupRoute(params: QueryParams,
+      ordered: Boolean = true): Option[DataFrame] = {
     val spec = rollupSpecs.get(params.metric)
     if (spec != null &&
         Rollup.supports(params, spec.intervalNs, spec.fields.toSet, spec.digests))
-      Some(Rollup.run(rollupView(params.metric, spec), spec.intervalNs, params))
+      Some(Rollup.run(rollupView(params.metric, spec), spec.intervalNs, params,
+        ordered))
     else None
   }
 
@@ -638,7 +643,16 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       case None => writeRollupPartitions(dirM, metric, spec, None)
     }
     writeRollupMarker(dirM, cur.version, spec)
-    readRollup(dirM, metric, spec)
+    val read = readRollup(dirM, metric, spec)
+    // cached layout: hash-cluster on series_key (adaptive partition count,
+    // like the serving view) so the re-aggregation groupBy — clustered on
+    // (series_key, target_window), a superset — needs NO exchange at any
+    // size; window_start sort gives the in-memory scan batch-stats pruning
+    // against the query's window range.
+    val maxP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nP = math.max(1L, math.min(maxP.toLong, read.count() / 500000L + 1L)).toInt
+    read.repartition(nP, col("series_key"))
+      .sortWithinPartitions(col("window_start"))
   }
 
   /** Aggregate + swap: build partials for the affected dates (all, when
@@ -797,17 +811,23 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     // driver-side sort instead of a cluster shuffle. LIMIT queries keep
     // Spark-side TakeOrdered.
     val (rows, schemaStr) = serveLocal(params).getOrElse {
-      rollupRoute(params) match {
+      rollupRoute(params, ordered = false) match {
         case Some(df) =>
-          // Rollup.run output is already in presentation order, so the
-          // budget probe doubles as the cap: rows past it are dropped
-          val probe =
-            if (params.limit.isDefined) df.collect()
-            else df.limit(budget.toInt + 1).collect()
-          if (probe.length > budget) {
-            truncated = true
-            (probe.take(budget.toInt), df.schema.treeString)
-          } else (probe, df.schema.treeString)
+          if (params.limit.isDefined)
+            // ordered = limit.isDefined inside Rollup.run → TakeOrdered
+            (df.collect(), df.schema.treeString)
+          else {
+            // unordered probe + driver-side presentation sort (same shape
+            // as the raw path); over budget → ordered first page
+            val probe = df.limit(budget.toInt + 1).collect()
+            if (probe.length <= budget)
+              (driverOrder(probe, params), df.schema.treeString)
+            else {
+              truncated = true
+              val page = rollupRoute(params.copy(limit = Some(budget))).get
+              (page.collect(), page.schema.treeString)
+            }
+          }
         case None =>
           val df = QueryEngine.runMerged(servingView(params.metric), params, ordered = false)
           if (params.limit.isDefined || params.isFinalAgg)
