@@ -33,6 +33,28 @@ object ProbeRollup {
       f
       println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
+    if (args.headOption.contains("incr")) {
+      // incremental-maintenance cost: full build vs one-day rebuild
+      engine.registerRollup("purchase", DayNs, Seq("value"))
+      var t0 = System.nanoTime()
+      engine.queryCached(dq(55)) // full materialization
+      println(f"full build+first query: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      t0 = System.nanoTime()
+      engine.queryCached(dq(56))
+      println(f"routed steady read: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      // one-day append → only that date partition rebuilds
+      engine.putBatch(Seq(graft.model.DataPoint("purchase", Map("user" -> "7"),
+        1704067200000000000L + 5 * DayNs + 1234L,
+        Map("value" -> graft.model.FieldValue(d = Some(42.0))))))
+      t0 = System.nanoTime()
+      engine.queryCached(dq(57)) // incremental rebuild + query
+      println(f"one-day incremental rebuild+query: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      t0 = System.nanoTime()
+      engine.queryCached(dq(58))
+      println(f"routed steady read after incr: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      spark.stop()
+      return
+    }
     engine.queryCached(dq(55))
     // measure raw steady state WITHOUT a rollup registered, then register
     // and interleave: distinct params per call so the result cache never
