@@ -127,8 +127,8 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
     case ShowRollupsStatement =>
       import engine.spark.implicits._
       val df = engine.rollups
-        .map { case (m, i, fs) => (m, i, fs.mkString(",")) }
-        .toDF("metric", "interval_ns", "fields")
+        .map { case (m, i, fs, dig) => (m, i, fs.mkString(","), dig) }
+        .toDF("metric", "interval_ns", "fields", "digests")
       Right(Rows(df, noCursor))
 
     case FlushStatement(_) =>

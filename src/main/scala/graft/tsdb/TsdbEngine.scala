@@ -355,13 +355,30 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
 
   // ---- serving view: per-metric merged-frame cache ----------------------
 
-  /** metric → (epoch it was built at, persisted merged frame). Access-
-    * ordered for LRU eviction. */
+  /** One metric's materialized serving state: a PERSISTED base frame (the
+    * time-clustered full build) plus per-commit date DELTAS — the LSM
+    * shape (levels + small recent tables): a later commit's dates are
+    * served from its delta, everything else from the base. `view` is the
+    * memoized assembled frame queries run against. */
+  private final case class ServingMat(epoch: Long, base: DataFrame,
+      deltas: Vector[(Set[String], DataFrame)], view: DataFrame)
+
+  /** metric → serving state. Access-ordered for LRU eviction. */
   private val servingCache =
-    new java.util.LinkedHashMap[String, (Long, DataFrame)](16, 0.75f, true)
+    new java.util.LinkedHashMap[String, ServingMat](16, 0.75f, true)
   /** Dashboard-hot metrics kept persisted at once (MEMORY_AND_DISK — an
     * eviction degrades to recompute, never to wrong results). */
   private[graft] var servingCacheMax = 8
+  /** Deltas accumulated before the next commit triggers a FULL rebuild
+    * (restores the time-clustered base layout and collapses the union). */
+  private[graft] var servingDeltaMax = 16
+  /** Test seam: how the last serving (re)build ran. */
+  private[graft] var lastServingBuild: String = ""
+
+  private def unpersistMat(m: ServingMat): Unit = {
+    m.base.unpersist(blocking = false)
+    m.deltas.foreach(_._2.unpersist(blocking = false))
+  }
 
   /** Metrics at or below this many stored rows additionally keep their
     * merged view DRIVER-RESIDENT (a sorted row array) so raw-scan serving
@@ -385,45 +402,111 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * cost; see Bench `query_qps_cold`). Keyed by `metricEpoch`, so commits
     * to OTHER metrics neither invalidate nor rebuild this one; the frame
     * reads only this metric's files, so vacuum of other metrics' data can
-    * never break a cached plan. */
+    * never break a cached plan.
+    *
+    * Maintenance is INCREMENTAL, like the rollup store: merge semantics
+    * are date-local ((series, ts) determines the date partition), so a
+    * commit touching K dates re-merges ONLY those dates' files into a
+    * small persisted DELTA; untouched dates keep serving from the
+    * already-cached base/older deltas with zero re-scan, re-shuffle, or
+    * block copying. After [[servingDeltaMax]] deltas — or a commit
+    * touching most of the data (e.g. compaction) — a full rebuild
+    * restores the time-clustered single-frame layout. */
   def servingView(metric: String): DataFrame = synchronized {
     val e = metricEpoch(metric)
-    servingCache.get(metric) match {
-      case (`e`, df) => df
-      case old =>
-        if (old != null) old._2.unpersist(blocking = false)
-        spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-        val prefix = "metric="
-        val mine = snap.files.filter { f =>
-          val seg = f.takeWhile(_ != '/')
-          seg.startsWith(prefix) && unescapePathSeg(seg.drop(prefix.length)) == metric
+    val cur = servingCache.get(metric)
+    if (cur != null && cur.epoch == e) cur.view
+    else {
+      val next = Option(cur).flatMap(c => tryServingIncrement(metric, c, e))
+        .getOrElse(fullServingBuild(metric, e, Option(cur)))
+      servingCache.put(metric, next)
+      localCache.remove(metric) // stale epoch; repopulated lazily
+      while (servingCache.size() > servingCacheMax) {
+        val eldest = servingCache.keySet().iterator().next()
+        unpersistMat(servingCache.remove(eldest))
+      }
+      next.view
+    }
+  }
+
+  private def fullServingBuild(metric: String, e: Long,
+      old: Option[ServingMat]): ServingMat = {
+    lastServingBuild = "full"
+    old.foreach(unpersistMat)
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val prefix = "metric="
+    val mine = snap.files.filter { f =>
+      val seg = f.takeWhile(_ != '/')
+      seg.startsWith(prefix) && unescapePathSeg(seg.drop(prefix.length)) == metric
+    }
+    val pts =
+      if (mine.isEmpty) emptyPoints(spark)
+      else spark.read.option("basePath", dataDir)
+        .parquet(mine.map(f => s"$dataDir/$f"): _*)
+    val tombs = loadTombstones().filter(_.metric == metric)
+    // time-clustered layout: range-partition + sort by timestamp so the
+    // in-memory scan prunes whole cached batches against a query's time
+    // range via batch min/max stats (the cached analog of row-group
+    // pruning) — one extra shuffle per rebuild, saved on every query.
+    // Partition count adapts to the metric's size (parquet-metadata
+    // count, no scan): a 20k-row metric must not pay 32-task scheduling
+    // on every dashboard query, a billion-row one must not serialize
+    // into one task.
+    val maxP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nP = math.max(1L, math.min(maxP.toLong, pts.count() / 500000L + 1L)).toInt
+    val merged = QueryEngine.mergedView(pts, tombs)
+      .repartitionByRange(nP, col("timestamp"))
+      .sortWithinPartitions(col("timestamp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ServingMat(e, merged, Vector.empty, merged)
+  }
+
+  /** Incremental serving maintenance: re-merge only the dates the commits
+    * since `cur.epoch` touched, persist them as a small delta, and stitch
+    * the view by date ownership (latest delta covering a date wins). None
+    * → caller does a full rebuild: delta budget exhausted, the touched
+    * set is not derivable, the base predates the `date` column (empty
+    * metric), or the commit churned most of the data anyway. */
+  private def tryServingIncrement(metric: String, cur: ServingMat,
+      e: Long): Option[ServingMat] = {
+    if (cur.deltas.size >= servingDeltaMax) return None
+    if (!cur.base.columns.contains("date")) return None
+    rollupTouchedDates(metric, cur.epoch).flatMap { touched =>
+      if (touched.isEmpty)
+        // a commit named the metric but changed no observable content
+        Some(cur.copy(epoch = e))
+      else {
+        val dataDates = rollupDatesOf(snap.files, metric)
+        if (touched.size * 2 >= math.max(1, dataDates.size)) None // churned most data
+        else {
+          lastServingBuild = "incremental"
+          val fresh = metricMergedView(metric, Some(touched))
+          // a date rebuilt to empty (all files gone) contributes no rows;
+          // a day's worth of rows collapses to one cached partition
+          val delta =
+            (if (fresh.columns.contains("date")) fresh.coalesce(1)
+             else cur.base.limit(0))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val deltas = cur.deltas :+ ((touched, delta))
+          Some(ServingMat(e, cur.base, deltas, assembleServing(cur.base, deltas)))
         }
-        val pts =
-          if (mine.isEmpty) emptyPoints(spark)
-          else spark.read.option("basePath", dataDir)
-            .parquet(mine.map(f => s"$dataDir/$f"): _*)
-        val tombs = loadTombstones().filter(_.metric == metric)
-        // time-clustered layout: range-partition + sort by timestamp so the
-        // in-memory scan prunes whole cached batches against a query's time
-        // range via batch min/max stats (the cached analog of row-group
-        // pruning) — one extra shuffle per rebuild, saved on every query.
-        // Partition count adapts to the metric's size (parquet-metadata
-        // count, no scan): a 20k-row metric must not pay 32-task scheduling
-        // on every dashboard query, a billion-row one must not serialize
-        // into one task.
-        val maxP = spark.conf.get("spark.sql.shuffle.partitions").toInt
-        val nP = math.max(1L, math.min(maxP.toLong, pts.count() / 500000L + 1L)).toInt
-        val merged = QueryEngine.mergedView(pts, tombs)
-          .repartitionByRange(nP, col("timestamp"))
-          .sortWithinPartitions(col("timestamp"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        servingCache.put(metric, (e, merged))
-        localCache.remove(metric) // stale epoch; repopulated lazily
-        while (servingCache.size() > servingCacheMax) {
-          val eldest = servingCache.keySet().iterator().next()
-          servingCache.remove(eldest)._2.unpersist(blocking = false)
-        }
-        merged
+      }
+    }
+  }
+
+  /** Stitch base + deltas into one frame: each date is served by the
+    * NEWEST delta covering it, the base serves the rest. Pure lineage
+    * over already-cached frames — assembling costs no job. */
+  private def assembleServing(base: DataFrame,
+      deltas: Vector[(Set[String], DataFrame)]): DataFrame = {
+    val all = deltas.flatMap(_._1).toSet
+    val b = if (all.isEmpty) base
+            else base.filter(!col("date").isin(all.toSeq: _*))
+    deltas.zipWithIndex.foldLeft(b) { case (acc, ((dates, df), i)) =>
+      val later = deltas.drop(i + 1).flatMap(_._1).toSet
+      val live = (dates -- later).toSeq
+      if (live.isEmpty) acc
+      else acc.unionByName(df.filter(col("date").isin(live: _*)))
     }
   }
 
@@ -492,10 +575,11 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     deleteDir(rollupMetricDir(metric))
   }
 
-  /** Registered rollups as (metric, interval ns, fields), metric-sorted. */
-  def rollups: Seq[(String, Long, Seq[String])] = {
-    val out = Seq.newBuilder[(String, Long, Seq[String])]
-    rollupSpecs.forEach((m, v) => out += ((m, v.intervalNs, v.fields)))
+  /** Registered rollups as (metric, interval ns, fields, digests),
+    * metric-sorted. */
+  def rollups: Seq[(String, Long, Seq[String], Boolean)] = {
+    val out = Seq.newBuilder[(String, Long, Seq[String], Boolean)]
+    rollupSpecs.forEach((m, v) => out += ((m, v.intervalNs, v.fields, v.digests)))
     out.result().sortBy(_._1)
   }
 
@@ -1069,8 +1153,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       seqCounter.set(snap.maxSeq)
       // log versions may have moved BACKWARDS — epoch-keyed caches are all
       // stale (the restored root has no _rollup materialization either)
-      servingCache.values().iterator().asScala
-        .foreach(_._2.unpersist(blocking = false))
+      servingCache.values().iterator().asScala.foreach(unpersistMat)
       servingCache.clear()
       rollupCache.values().iterator().asScala
         .foreach(_._3.unpersist(blocking = false))

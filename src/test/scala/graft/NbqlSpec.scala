@@ -187,8 +187,9 @@ class NbqlExecutorSpec extends SparkSpec {
       })
       val listed = rows(ex, "SHOW ROLLUPS")
       assert(listed.map(r => (r.getAs[String]("metric"),
-        r.getAs[Long]("interval_ns"), r.getAs[String]("fields"))) ==
-        Seq(("cpu.usage", 1000L, "value")))
+        r.getAs[Long]("interval_ns"), r.getAs[String]("fields"),
+        r.getAs[Boolean]("digests"))) ==
+        Seq(("cpu.usage", 1000L, "value", false)))
       // epoch invalidation: a new point shows up through the routed path
       assert(ex.execute(
         """PUSH cpu.usage TAGGED (host="h1") SET (value=100.0) AT 500""").isRight)
@@ -200,6 +201,16 @@ class NbqlExecutorSpec extends SparkSpec {
       assert(rows(ex, "SHOW ROLLUPS").isEmpty)
       // bad interval is a clean error
       assert(ex.execute("CREATE ROLLUP cpu.usage BY 0s (value)").isLeft)
+      // WITH DIGESTS makes percentile downsamples rollup-eligible
+      assert(ex.execute("CREATE ROLLUP cpu.usage BY 1us (value) WITH DIGESTS").isRight)
+      assert(rows(ex, "SHOW ROLLUPS").map(r => r.getAs[Boolean]("digests")) ==
+        Seq(true))
+      val pq = """QUERY cpu.usage FROM 0 TO 11999
+                  AGGREGATE BY 4us (p50(value), count(*))"""
+      ex.execute(pq).fold(e => fail(e), { case r: ex.Rows @unchecked =>
+        assert(r.df.queryExecution.executedPlan.toString.contains("__tdigest"),
+          "expected the routed percentile plan to merge digest partials")
+      })
     }
   }
 

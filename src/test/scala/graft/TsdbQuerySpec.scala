@@ -276,6 +276,63 @@ class TsdbQuerySpec extends SparkSpec {
       endNs = Some(1000 * M))).isEmpty)
   }
 
+  test("serving view maintenance: commits rebuild only touched dates; churn → full") {
+    val Day = TsdbEngine.DayNs
+    val dir = java.nio.file.Files.createTempDirectory("graft_servinc").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    // three days of data
+    eng.putDF(mkDf((for (d <- 0 until 3; i <- 0 until 20) yield
+      TP("cpu.usage", Map("host" -> s"h${i % 2}"), d * Day + i * M,
+        Map("value" -> FV.dv(d * 100.0 + i)), d * 100L + i)).toSeq))
+    val p = QueryParams("cpu.usage", endNs = Some(10 * Day))
+    def same(): Unit = {
+      val a = eng.query(p).collect().map(_.toString).toSeq
+      assert(a.nonEmpty)
+      assert(eng.queryServing(p).collect().map(_.toString).toSeq == a)
+    }
+    same()
+    assert(eng.lastServingBuild == "full")
+
+    // a one-day append re-merges ONLY that day (delta path), same answers
+    eng.reserveSeqBlock()
+    eng.putBatch(Seq(graft.model.DataPoint("cpu.usage", Map("host" -> "h0"),
+      2 * Day + 555 * M, Map("value" -> graft.model.FieldValue(d = Some(7.5))))))
+    same()
+    assert(eng.lastServingBuild == "incremental",
+      "single-day append must take the delta path")
+
+    // a point delete on day 0 is another delta; latest data still wins
+    eng.deletePoint("cpu.usage", Map("host" -> "h0"), 0L)
+    same()
+    assert(eng.lastServingBuild == "incremental")
+
+    // the new point and the tombstone are both visible through the view
+    val served = eng.queryServing(p).collect().map(_.toString).toSeq
+    assert(served.exists(_.contains("7.5")), "delta row must be served")
+    // endNs=0 is the unset sentinel, so probe [0, 1] — only the deleted
+    // h0 point lived there
+    assert(eng.queryServing(p.copy(startNs = 0L, endNs = Some(1L)))
+      .collect().isEmpty, "tombstoned point must be gone")
+
+    // compaction rewrites every date → full rebuild, answers unchanged
+    assert(eng.compact().isRight)
+    same()
+    assert(eng.lastServingBuild == "full",
+      "most-data churn must collapse back to a full build")
+
+    // delta budget: exhausting it forces a full rebuild
+    eng.servingDeltaMax = 2
+    (0 until 3).foreach { k =>
+      eng.putBatch(Seq(graft.model.DataPoint("cpu.usage", Map("host" -> "h1"),
+        1 * Day + (600 + k) * M,
+        Map("value" -> graft.model.FieldValue(d = Some(k.toDouble))))))
+      same()
+    }
+    assert(eng.lastServingBuild == "full",
+      "third delta exceeds servingDeltaMax=2 and must trigger a full rebuild")
+    eng.servingDeltaMax = 16
+  }
+
   test("serving row budget: over-budget queries serve a bounded, correct first page") {
     val dir = java.nio.file.Files.createTempDirectory("graft_budget").toString
     val eng = new TsdbEngine(spark, s"$dir/db")
