@@ -456,6 +456,47 @@ class ServerSpec extends SparkSpec {
     }
   }
 
+  test("interop: independent Node wire client pushes and queries the live server") {
+    assume(Seq("/usr/bin/node", "/usr/local/bin/node")
+      .exists(p => new java.io.File(p).exists()), "node not installed")
+    withClientServer() { port =>
+      def runJs(args: String*): (Int, String) = {
+        val pb = new ProcessBuilder(
+          (Seq("node", "scripts/nbql_client.js", "127.0.0.1",
+            port.toString) ++ args): _*)
+        pb.redirectErrorStream(true)
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes(), UTF_8)
+        (p.waitFor(), out)
+      }
+      // push from node (third independent CRC-32C + codec implementation)
+      val (c1, o1) = runJs("push", "cpu", "1000", "v=1.5", "host=a")
+      assert(c1 == 0 && o1.contains("\"rows_affected\":1"), o1)
+      val (c2, o2) = runJs("push", "cpu", "2000", "v=2.5", "host=b")
+      assert(c2 == 0, o2)
+      // parameterized raw query
+      val (c3, o3) = runJs("query", "QUERY cpu TAGGED (host=?) FROM 0 TO 5000", "a")
+      assert(c3 == 0, o3)
+      val lines = o3.trim.split("\n")
+      assert(lines.length == 2, o3)
+      val row = JsonMethods.parse(lines(0))
+      assert((row \ "metric") == JString("cpu"))
+      assert((row \ "timestamp") == JInt(1000))
+      assert((row \ "fields" \ "v") == JDouble(1.5))
+      assert((JsonMethods.parse(lines(1)) \ "total") == JInt(1))
+      // aggregated query rides the IsAggregated flag end to end
+      val (c4, o4) = runJs("query",
+        "QUERY cpu FROM 0 TO 5000 AGGREGATE BY 5us (sum(v), count(*))")
+      assert(c4 == 0, o4)
+      val aggLines = o4.trim.split("\n")
+      // one row per (series, window): sums 1.5 (host=a) and 2.5 (host=b)
+      val sums = aggLines.init.map(l =>
+        (JsonMethods.parse(l) \ "aggregated" \ "sum_v")).toSet
+      assert(sums == Set(JDouble(1.5), JDouble(2.5)), o4)
+      assert((JsonMethods.parse(aggLines.last) \ "total") == JInt(2), o4)
+    }
+  }
+
   test("client: TCP SUBSCRIBE streams live PUT and DELETE updates, filtered") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sub").toString
     val eng = new TsdbEngine(spark, s"$dir/db")
