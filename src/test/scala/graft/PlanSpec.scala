@@ -165,4 +165,76 @@ class PlanSpec extends SparkSpec {
       assert(scan.nonEmpty)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  /** Assert on the PLAN TREE, not its string: AQE's toString interleaves
+    * pre-AQE "Initial Plan" sections and the cached relations' own build
+    * plans (whose one-time exchanges are not per-query work). With AQE
+    * off, the tree is plain, `InMemoryTableScanExec` is a leaf (its
+    * build plan is outside the tree), and hash-exchange membership is an
+    * exact node test. */
+  private def withAqeOff[T](f: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+  private def hashExchanges(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if s.outputPartitioning
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => s
+    }
+  private def cachedScans(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }
+
+  test("rollup-routed downsample re-aggregates with NO hash exchange") {
+    import graft.model.{DataPoint, FieldValue}
+    import graft.tsdb._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_plan").toString
+    try withAqeOff {
+      val e = new TsdbEngine(spark, s"$dir/db")
+      val min = 60L * 1000000000L
+      e.putBatch((0 until 120).map(i =>
+        DataPoint("cpu", Map("h" -> (i % 3).toString), i * min,
+          Map("v" -> FieldValue.ofDouble(i)))))
+      e.registerRollup("cpu", min, Seq("v"))
+      val q = QueryParams("cpu", startNs = 0L, endNs = Some(120 * min - 1),
+        downsampleNs = Some(60 * min),
+        aggs = Seq(AggSpec("sum", "v"), AggSpec("count", "*")))
+      val df = e.queryServing(q)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("v__sum"), s"expected the routed rollup plan:\n$p")
+      // the materialized rollup frame is hash-clustered on series_key — a
+      // subset of the (series_key, target_window) grouping — so the
+      // re-aggregation needs no exchange
+      assert(hashExchanges(df).isEmpty,
+        s"rollup re-aggregation must ride the cached clustering:\n$p")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("incremental serving view: delta assembly adds no shuffle to a raw scan") {
+    import graft.model.{DataPoint, FieldValue}
+    import graft.tsdb._
+    val dir = java.nio.file.Files.createTempDirectory("graft_serv_plan").toString
+    try withAqeOff {
+      val e = new TsdbEngine(spark, s"$dir/db")
+      val day = TsdbEngine.DayNs
+      e.putBatch((0 until 3).map(d =>
+        DataPoint("cpu", Map("h" -> "1"), d * day + 5L,
+          Map("v" -> FieldValue.ofDouble(d)))))
+      e.queryServing(QueryParams("cpu", endNs = Some(10 * day))).collect()
+      // a one-day append takes the delta path...
+      e.putBatch(Seq(DataPoint("cpu", Map("h" -> "1"), 2 * day + 6L,
+        Map("v" -> FieldValue.ofDouble(9.0)))))
+      val df = e.queryServing(QueryParams("cpu", endNs = Some(10 * day)))
+      assert(e.lastServingBuild == "incremental")
+      // ...and the served raw scan is filters + union over CACHED frames
+      assert(cachedScans(df).size >= 2,
+        "base + delta cached scans expected:\n" + df.queryExecution.executedPlan)
+      assert(hashExchanges(df).isEmpty,
+        "delta assembly must not introduce a hash shuffle:\n" +
+          df.queryExecution.executedPlan)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
