@@ -38,6 +38,46 @@ class StreamingSpec extends SparkSpec {
       (200L, None, Some(7L))))
   }
 
+  test("streaming ingest drives incremental rollup + serving maintenance") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    val engine = new TsdbEngine(spark, s"$dir/db")
+    val Day = TsdbEngine.DayNs
+    engine.registerRollup("cpu", 60L * 1000000000L, Seq("v"))
+    val mem = MemoryStream[String]
+    val q = Ingest.start(engine, mem.toDF(), s"$dir/ckpt")
+    def row(day: Int, m: Long, v: Double) =
+      s"""{"metric":"cpu","tags":{"h":"a"},"timestamp":${day * Day + m * 60000000000L},""" +
+        s""""fields":{"v":{"d":$v}}}"""
+    val p = QueryParams("cpu", startNs = 0L, endNs = Some(3 * Day - 1),
+      downsampleNs = Some(3600000000000L),
+      aggs = Seq(AggSpec("sum", "v"), AggSpec("count", "*")))
+    try {
+      // batch 1: three days (one day touched later is < half the dates,
+      // staying under the churn heuristic); materializes both views
+      mem.addData(row(0, 1, 1.0), row(0, 2, 2.0), row(1, 1, 3.0), row(2, 1, 5.0))
+      q.processAllAvailable()
+      // raw-scan shape exercises the SERVING VIEW; the downsample shape
+      // routes to the ROLLUP — both must track the raw path
+      val praw = QueryParams("cpu", startNs = 0L, endNs = Some(3 * Day - 1))
+      def same(): Unit = {
+        for (pq <- Seq(p, praw)) {
+          val truth = engine.query(pq).collect().map(_.toString).toSeq
+          assert(truth.nonEmpty)
+          assert(engine.queryServing(pq).collect().map(_.toString).toSeq == truth)
+        }
+      }
+      same()
+      // batch 2: ONE day touched — both materializations maintain
+      // incrementally off the streaming commit, answers stay identical
+      mem.addData(row(1, 30, 4.5))
+      q.processAllAvailable()
+      same()
+      assert(engine.lastServingBuild == "incremental",
+        "a one-day streaming micro-batch must take the serving delta path")
+    } finally q.stop()
+  }
+
   test("subscription filters: exact + prefix wildcard on metric and tags") {
     val updates = Seq(
       ("cpu.usage", Map("host" -> "web-1"), 1L),
