@@ -167,7 +167,11 @@ object TextAnalysis {
     val posts = df
       .select(col(idCol).as("doc"), words(col(textCol)).as("ws"))
       .select(col("doc"), explode(col("ws")).as("term"))
+    // tf feeds the df aggregation AND the score join — persist so the
+    // term explode + count run once (freed by ContextCleaner; same reuse
+    // policy as Dedup/Similarity)
     val tf = posts.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "term")
       .withColumn("score_e6",
