@@ -24,14 +24,6 @@ object Similarity {
 
   import graft.functions.VectorFunctions.{vec_dot, vec_cosine}
 
-  /** Persist a frame referenced by several plan branches (bucket/cell
-    * explode + both scoring joins) — otherwise the vector source,
-    * including any in-plan derivation, is recomputed per reference.
-    * MEMORY_AND_DISK; blocks freed by ContextCleaner on unreachability
-    * (same policy as [[Dedup]]'s reuse helper). */
-  private def reused(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
   /** Σ aᵢ·bᵢ as double — native codegen expression (fused primitive loop;
     * the zip_with/aggregate composition costs one interpreted lambda call
     * per element and is ~40× slower on 64-dim pair joins). */
@@ -146,10 +138,8 @@ object Similarity {
   /** ANN top-k via multi-table sign-LSH: candidates are pairs sharing at
     * least one (table, bucket); exact cosine ranks the candidates.
     * Approximate — recall vs brute force measured in PipelineSpec. */
-  def lshTopK(queries0: DataFrame, corpus0: DataFrame, k: Int,
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       tables: Int, bits: Int, dim: Int, seed: Long = 42L): DataFrame = {
-    val queries = reused(queries0)
-    val corpus = reused(corpus0)
     // repartition by bucket key: full parallelism on the candidate
     // fan-out even off a single-file corpus, skew split at scale
     val cb = bucketed(corpus, "neighbor_id", tables, bits, dim, seed)
@@ -270,13 +260,11 @@ object Similarity {
     slice(array_sort(scored), 1, n)
   }
 
-  def ivfTopK(queries0: DataFrame, corpus0: DataFrame, k: Int,
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int, nprobe: Int,
       centroids: Option[Array[Array[Double]]] = None,
       replicate: Int = 2): DataFrame = {
     require(nprobe <= nlist && replicate >= 1 && replicate <= nlist)
-    val queries = reused(queries0)
-    val corpus = reused(corpus0)
     val cents: Array[(Int, Array[Double])] =
       centroids.getOrElse(kmeansCentroids(corpus, nlist)).zipWithIndex.map(_.swap)
     val nearest = nearestCells(cents) _
@@ -325,9 +313,8 @@ object Similarity {
     * key), and the exploded frame is hash-repartitioned by that key so
     * the candidate fan-out runs at full parallelism even when the input
     * is a single file/partition (also the skew split at scale). */
-  def cosinePairsBucketed(vecs0: DataFrame, threshold: Double, dim: Int,
+  def cosinePairsBucketed(vecs: DataFrame, threshold: Double, dim: Int,
       tables: Int = 24, bits: Int = 2, seed: Long = 42L): DataFrame = {
-    val vecs = reused(vecs0)
     val planes = tablePlanes(tables, bits, dim, seed).flatMap(_._2)
     val bk = vecs.select(col("id"),
         explode(graft.functions.VectorFunctions.sign_lsh_keys(
@@ -390,11 +377,10 @@ object Similarity {
       cosinePairsBucketed(vecs, threshold, dim, tables = 24, bits = 8)
     else cosinePairsIvf(vecs, threshold, nlist, replicate, centroids)
 
-  def cosinePairsIvf(vecs0: DataFrame, threshold: Double, nlist: Int,
+  def cosinePairsIvf(vecs: DataFrame, threshold: Double, nlist: Int,
       replicate: Int = 2,
       centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     require(replicate >= 1 && replicate <= nlist)
-    val vecs = reused(vecs0)
     val cents: Array[(Int, Array[Double])] =
       centroids.getOrElse(kmeansCentroids(vecs, nlist)).zipWithIndex.map(_.swap)
     val assigned = vecs
