@@ -81,9 +81,15 @@ object Dedup {
     * though at that scale prefer [[minhashLshPairs]]). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, broadcastDict: Boolean = false): DataFrame = {
-    val sh = reused(shingled(df, idCol, textCol, n))
-    val posts = sh.select(col("doc"), col("nsh"), explode(col("sh")).as("s"))
-      .select(col("doc"), col("nsh"), xxhash64(col("s")).as("h"))
+    val sh = shingled(df, idCol, textCol, n)
+    // postings (three longs per row) feed the df count AND the prefix
+    // join — persist THEM, not the shingle arrays: caching the big
+    // array frames re-measured 3x slower at sf1 (storage churn competes
+    // with the prefix self-join's execution memory), while the slim
+    // posting cache wins at both scales
+    val posts = reused(
+      sh.select(col("doc"), col("nsh"), explode(col("sh")).as("s"))
+        .select(col("doc"), col("nsh"), xxhash64(col("s")).as("h")))
     // global rarest-first order: document frequency per hashed shingle
     val dfreq = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val dict = if (broadcastDict) broadcast(dfreq) else dfreq
