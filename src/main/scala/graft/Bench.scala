@@ -91,6 +91,9 @@ object Bench {
     // cached (the serving path a dashboard hits).
     val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
     val skipServing = sys.env.get("SPARK_GRAFT_SKIP_SERVING").contains("1")
+    // A serving-tier failure must degrade to zeros + an `errors` entry —
+    // never abort the run: the battery numbers above are already paid
+    // for, and the driver's JSON line is the round's only bench record.
     val (ingestRps, qpsCold, qpsCached, qpsDsRaw, qpsDsRollup) =
       if (skipServing) (0.0, 0.0, 0.0, 0.0, 0.0) else try {
       val pts = graft.tsdb.Tables.eventsAsPoints(spark, sfDir).cache()
@@ -157,6 +160,11 @@ object Bench {
       val routedDsSec = (System.nanoTime() - t4) / 1e9
       (nRows / ingestSec, nCold / coldSec, nCached / cachedSec,
         nDs / rawDsSec, nDs / routedDsSec)
+    } catch { case e: Throwable =>
+      errors.getOrElseUpdate("serving_tier",
+        e.getClass.getSimpleName + ": " +
+          String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
+      (0.0, 0.0, 0.0, 0.0, 0.0)
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp)); ()
     }

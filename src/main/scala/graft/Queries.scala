@@ -600,6 +600,29 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** KEYLESS interval join via [[graft.operators.RangeJoin]] — every
+    * click (any user) inside the 30 min attribution window after each
+    * purchase, rolled up per purchase. A bare inequality join would plan
+    * as BroadcastNestedLoopJoin (quadratic); bin-and-verify makes it a
+    * hash join on the 30 min time bin. The oracle is DuckDB's native
+    * inequality join — an independent execution of the same predicate. */
+  def rangeJoinAttrib(s: SparkSession, dir: String): DataFrame = {
+    val HalfHourNs = 30L * 60L * 1000000000L
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+        (col("ts") + HalfHourNs).as("p_end"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("ts").as("c_ts"), col("user_id").as("click_user"))
+    graft.operators.RangeJoin.intervalJoin(purchases, clicks,
+      "p_ts", "p_end", "c_ts", binWidth = HalfHourNs)
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        countDistinct(col("click_user")).as("n_users"),
+        min(col("c_ts")).as("first_click_ts"))
+      .orderBy("purchase_id")
+  }
+
   /** Gap-based sessionization (1h gap) per user over all events. */
   def sessionizeUsers(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
@@ -661,6 +684,20 @@ object Queries {
   def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
     val all = embVecs(s, dir)
     Similarity.ivfTopK(all.filter(col("id") < 5), all, k = 10, nlist = 16, nprobe = 6,
+      centroids = Some(Similarity.firstNCentroids(all, 16)), replicate = 1)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ ANN (asymmetric distance computation over product-quantized
+    * codes, IVF cell blocking). Battery pins everything deterministic:
+    * first-16 centroids AND first-16-per-subspace codebooks by id, so
+    * the oracle re-derives cells, codes, ADC tables, and ranks exactly;
+    * integer e4 partial sums make the score order-free. */
+  def annPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val all = embVecs(s, dir)
+    Similarity.pqTopK(all.filter(col("id") < 5), all, k = 10,
+      m = 8, ks = 16, nlist = 16, nprobe = 6,
+      codebooks = Some(Similarity.firstKsCodebooks(all, 8, 16)),
       centroids = Some(Similarity.firstNCentroids(all, 16)), replicate = 1)
       .orderBy("query_id", "rank")
   }

@@ -64,9 +64,11 @@ object SparkEntry {
     "embedding_norms" -> (Queries.embeddingNorms _),
     "ann_lsh_topk" -> (Queries.annLshTopK _),
     "ann_ivf_topk" -> (Queries.annIvfTopK _),
+    "ann_pq_topk" -> (Queries.annPqTopK _),
     "multimodal_meta" -> (Queries.multimodalMeta _),
     // Extended operators (as-of join, sessionization, introspection)
     "asof_click_before_purchase" -> (Queries.asofClickBeforePurchase _),
+    "range_join_attrib" -> (Queries.rangeJoinAttrib _),
     "sessionize_users" -> (Queries.sessionizeUsers _),
     "show_tag_keys" -> (Queries.showTagKeys _),
     "tsdb_empty_windows" -> (Queries.tsdbEmptyWindows _),
@@ -345,7 +347,7 @@ object SparkEntry {
          |ca AS (SELECT doc_id, sum(e - s) AS n_cut FROM sp GROUP BY 1)
          |SELECT w.doc_id AS doc,
          |  COALESCE(ka.n_kept, 0) AS n_kept,
-         |  COALESCE(ca.n_cut, 0) AS n_cut,
+         |  CAST(COALESCE(ca.n_cut, 0) AS BIGINT) AS n_cut,
          |  md5(COALESCE(ka.clean, '')) AS clean_fp
          |FROM w LEFT JOIN ka USING (doc_id) LEFT JOIN ca USING (doc_id)
          |ORDER BY doc""".stripMargin,
@@ -401,6 +403,7 @@ object SparkEntry {
     "embedding_neardup_hi" -> neardupHiOracle,
     "ann_lsh_topk" -> annLshOracle,
     "ann_ivf_topk" -> annIvfOracle,
+    "ann_pq_topk" -> annPqOracle,
     "doc_stats" ->
       """WITH w AS (SELECT doc_id, text,
         |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
@@ -606,6 +609,16 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.p_ts, c.c_ts AS click_ts, c.click_event
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.c_ts <= p.p_ts
         |ORDER BY p.event_id""".stripMargin,
+    "range_join_attrib" ->
+      """WITH p AS (SELECT event_id AS purchase_id, epoch_ns(ts) AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT epoch_ns(ts) AS c_ts, user_id AS click_user
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, count(*) AS n_clicks,
+        |       count(DISTINCT c.click_user) AS n_users,
+        |       min(c.c_ts) AS first_click_ts
+        |FROM p JOIN c ON c.c_ts >= p.p_ts AND c.c_ts <= p.p_ts + 1800000000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sessionize_users" ->
       """WITH o AS (SELECT user_id, (epoch_ns(ts) // 1000) * 1000 AS t FROM events),
         |b AS (SELECT user_id, t,
@@ -898,4 +911,56 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY query_id
       |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
       |  FROM scored) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB oracle for [[Queries.annPqTopK]] (IVF-PQ/ADC): first-16
+    * centroids + first-16-per-subspace codebooks derived from the table
+    * itself; encode = per-subspace argmin of x·x − 2·x·c + c·c (the
+    * EXACT double formula the Spark expression evaluates, so argmin ties
+    * break identically); ADC partials are ⌊dot·10⁴+0.5⌋ longs whose
+    * integer sum is summation-order-free in both engines. m=8 subspaces
+    * × 8 dims, ks=16 codes, nlist=16, nprobe=6, k=10. */
+  private def annPqOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings),
+      |f16 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS ci,
+      |          embedding::DOUBLE[] AS cv
+      |        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+      |ca AS (SELECT neighbor_id, cid FROM (
+      |  SELECT neighbor_id, ci AS cid,
+      |    row_number() OVER (PARTITION BY neighbor_id
+      |                       ORDER BY list_dot_product(nv, cv) DESC, ci ASC) AS rn
+      |  FROM c CROSS JOIN f16) t WHERE rn = 1),
+      |qa AS (SELECT query_id, cid FROM (
+      |  SELECT query_id, ci AS cid,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY list_dot_product(qv, cv) DESC, ci ASC) AS rn
+      |  FROM q CROSS JOIN f16) t WHERE rn <= 6),
+      |cb AS (SELECT j, ci AS code, list_slice(cv, j*8+1, j*8+8) AS cw,
+      |         list_dot_product(list_slice(cv, j*8+1, j*8+8),
+      |                          list_slice(cv, j*8+1, j*8+8)) AS cc
+      |       FROM f16 CROSS JOIN (SELECT unnest(range(8)) AS j)),
+      |enc AS (SELECT neighbor_id, j, code FROM (
+      |  SELECT c.neighbor_id, cb.j, cb.code,
+      |    row_number() OVER (PARTITION BY c.neighbor_id, cb.j
+      |      ORDER BY list_dot_product(list_slice(nv, cb.j*8+1, cb.j*8+8),
+      |                                list_slice(nv, cb.j*8+1, cb.j*8+8))
+      |               - list_dot_product(list_slice(nv, cb.j*8+1, cb.j*8+8), cb.cw) * 2
+      |               + cb.cc ASC, cb.code ASC) AS rn
+      |  FROM c CROSS JOIN cb) t WHERE rn = 1),
+      |cand AS (SELECT DISTINCT query_id, neighbor_id
+      |         FROM qa JOIN ca USING (cid) WHERE query_id <> neighbor_id),
+      |parts AS (SELECT cand.query_id, cand.neighbor_id,
+      |    CAST(floor(list_dot_product(list_slice(q.qv, cb.j*8+1, cb.j*8+8), cb.cw)
+      |               * 10000 + 0.5) AS BIGINT) AS pe4
+      |  FROM cand JOIN q USING (query_id)
+      |  JOIN enc e ON e.neighbor_id = cand.neighbor_id
+      |  JOIN cb ON cb.j = e.j AND cb.code = e.code),
+      |sc AS (SELECT query_id, neighbor_id, CAST(sum(pe4) AS BIGINT) AS adc_e4
+      |       FROM parts GROUP BY 1, 2)
+      |SELECT query_id, rank, neighbor_id, adc_e4 FROM (
+      |  SELECT query_id, neighbor_id, adc_e4,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY adc_e4 DESC, neighbor_id ASC) AS rank
+      |  FROM sc) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 }

@@ -287,6 +287,112 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  // ---- IVF-PQ: product-quantized ADC ranking under IVF blocking -------
+
+  /** Deterministic per-subspace PQ codebooks from the first `ks` corpus
+    * vectors by id — the oracle-reproducible analog of
+    * [[firstNCentroids]] (an independent engine derives the SAME
+    * codebooks from the same table). Returns codebooks(j)(c) = the j-th
+    * `dim/m`-wide slice of the c-th vector. Production fits would train
+    * per-subspace k-means instead; the transform/scoring machinery below
+    * is identical either way. */
+  def firstKsCodebooks(corpus: DataFrame, m: Int, ks: Int): Array[Array[Array[Double]]] = {
+    val vecs = corpus.orderBy(col("id")).limit(ks).select(col("vec")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(vecs.nonEmpty && vecs.head.length % m == 0,
+      s"dim ${vecs.headOption.fold(0)(_.length)} not divisible by m=$m")
+    val sub = vecs.head.length / m
+    Array.tabulate(m)(j => vecs.map(_.slice(j * sub, (j + 1) * sub)))
+  }
+
+  /** codes(j) = argmin_c ‖vec[j·sub,(j+1)·sub) − codebook(j)(c)‖² as a
+    * narrow literal-codebook expression; squared L2 is expanded as
+    * x·x − 2·x·c + c·c (the same three-dot formula the oracle uses, so
+    * the doubles — and any argmin tie, broken on code asc — are
+    * bit-identical cross-engine). */
+  private def pqCodes(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    array((0 until m).map { j =>
+      val s = slice(vec, j * sub + 1, sub)
+      val ss = dot(s, s)
+      val scored = array(codebooks(j).zipWithIndex.map { case (c, ci) =>
+        val cArr = array(c.map(lit): _*)
+        val cc = c.map(x => x * x).sum
+        struct((ss - dot(s, cArr) * 2 + lit(cc)).as("d2"), lit(ci).as("code"))
+      }: _*)
+      array_min(scored).getField("code")
+    }: _*)
+  }
+
+  /** PQ-encode a corpus: (id, codes array<int>) — m bytes of payload per
+    * vector instead of dim floats, the 100 TB memory move (64-dim f32 →
+    * 8 codes is 32×). */
+  def pqEncode(corpus: DataFrame, m: Int, ks: Int,
+      codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val cb = codebooks.getOrElse(firstKsCodebooks(corpus, m, ks))
+    corpus.select(col("id"), pqCodes(col("vec"), cb).as("codes"))
+  }
+
+  /** IVF-PQ top-k: IVF cells block the candidate set (same coarse
+    * quantizer as [[ivfTopK]]), then ASYMMETRIC DISTANCE COMPUTATION
+    * ranks candidates — each query precomputes an m×ks table of
+    * subspace dot products once (a narrow projection), and scoring a
+    * candidate is m table lookups over its codes, never touching the
+    * corpus vector. Candidates therefore ride the shuffle as m 1-byte
+    * codes; the full-precision corpus is read exactly once (encode) —
+    * the FAISS IVFADC layout (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", PAMI'11) re-expressed as dataframe ops.
+    *
+    * Scores are integer e4 partials: per subspace,
+    * ⌊dot·10⁴+0.5⌋ as a long, summed over subspaces. Integer summation
+    * is order-free, so the score — and the (adc_e4 desc, neighbor_id)
+    * ranking — is deterministic under ANY parallelism and reproducible
+    * by an independent engine; at 1e-4 resolution the quantization is
+    * far below PQ's own approximation error. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int, ks: Int, nlist: Int, nprobe: Int,
+      codebooks: Option[Array[Array[Array[Double]]]] = None,
+      centroids: Option[Array[Array[Double]]] = None,
+      replicate: Int = 1): DataFrame = {
+    require(nprobe <= nlist && replicate >= 1 && replicate <= nlist)
+    val cb = codebooks.getOrElse(firstKsCodebooks(corpus, m, ks))
+    val sub = cb(0)(0).length
+    val cents: Array[(Int, Array[Double])] =
+      centroids.getOrElse(kmeansCentroids(corpus, nlist)).zipWithIndex.map(_.swap)
+    val nearest = nearestCells(cents) _
+    // corpus: one narrow pass emits (cell, codes) — the stored index
+    val enc = corpus.select(col("id").as("neighbor_id"),
+      explode(nearest(col("vec"), replicate)).as("a"),
+      pqCodes(col("vec"), cb).as("codes"))
+      .select(col("neighbor_id"), col("a").getField("cid").as("cid"), col("codes"))
+      .repartition(fanoutParallelism(corpus), col("cid"))
+    // queries: probed cells + the ADC lookup table (m×ks e4 longs)
+    val adcTable = array((0 until m).map { j =>
+      val s = slice(col("vec"), j * sub + 1, sub)
+      array(cb(j).map { c =>
+        floor(dot(s, array(c.map(lit): _*)) * 1e4 + 0.5).cast("long")
+      }: _*)
+    }: _*)
+    val qb = queries.select(col("id").as("query_id"),
+      explode(nearest(col("vec"), nprobe)).as("probe"), adcTable.as("adc"))
+      .select(col("query_id"), col("probe").getField("cid").as("cid"), col("adc"))
+    val scored = qb.join(enc, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      // replicate>1 can surface a pair in several probed cells; the
+      // score is identical in each, so dedup AFTER scoring stays cheap
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("adc"), col("codes"),
+            (t, c) => element_at(t, c + 1)),
+          lit(0L), (acc, x) => acc + x).as("adc_e4"))
+      .distinct()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_e4").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_e4"))
+  }
+
   /** All pairs with cosine >= threshold (embedding near-dup detection),
     * exact baseline: block-nested cross join. Kept as the small-sf oracle
     * anchor; the battery/scale contract is [[cosinePairsBucketed]]. */

@@ -5,19 +5,38 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
-  * `events` carries a nanosecond-precision timestamp; Spark has no ns
-  * timestamp type, so we read it as a raw ns-epoch long
-  * (`spark.sql.legacy.parquet.nanosAsLong`) — which is exactly the
+  * `events.ts` must reach the engine as a raw ns-epoch long — the
   * reference's representation (UnixNano int64, `core/datapoint.go:10`).
+  * The driver has shipped the column as parquet TIMESTAMP(NANOS) (read
+  * as long via `spark.sql.legacy.parquet.nanosAsLong`), and as
+  * TIMESTAMP(MICROS) (read as a Spark timestamp) — so `load` normalizes
+  * by the OBSERVED type, not an assumed physical layout: any
+  * timestamp-typed `ts` is converted to ns since epoch with the naive
+  * wall clock taken as UTC, exactly how the DuckDB oracle's
+  * `epoch_ns(ts)` treats it.
   */
 object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events")
+    if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+      // naive-as-UTC requires the session clock to be UTC (all entry
+      // points set it; enforce for ad-hoc sessions)
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        // time-range filters on the computed ns column would stop
+        // reaching the scan — TsPushdown inverts them back onto `ts`
+        val existing = spark.experimental.extraOptimizations
+        if (!existing.contains(graft.plans.TsPushdown))
+          spark.experimental.extraOptimizations = existing :+ graft.plans.TsPushdown
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    } else df
   }
 
   /** The `events` table viewed as the engine's canonical point stream:

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Sessionize}
+import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
 import org.apache.spark.sql.functions._
 
 class OperatorsSpec extends SparkSpec {
@@ -35,5 +35,31 @@ class OperatorsSpec extends SparkSpec {
       (1L, 0L, 0L, 250L, 3L),
       (1L, 1L, 1000L, 1100L, 2L),
       (2L, 0L, 0L, 0L, 1L)))
+  }
+
+  test("range join: bin-and-verify equals the naive inequality join") {
+    // intervals spanning 1..4 bins at W=100, boundary instants at both
+    // ends, an instant matching two overlapping intervals, and misses
+    val ivs = Seq((1L, 0L, 100L), (2L, 50L, 420L), (3L, 400L, 400L), (4L, 900L, 950L))
+      .toDF("iv_id", "s", "e")
+    val pts = Seq((10L, 0L), (11L, 100L), (12L, 101L), (13L, 400L), (14L, 420L), (15L, 421L), (16L, 899L))
+      .toDF("pt_id", "t")
+    val got = RangeJoin.intervalJoin(ivs, pts, "s", "e", "t", binWidth = 100L)
+      .select($"iv_id", $"pt_id").as[(Long, Long)].collect().toSet
+    val naive = ivs.crossJoin(pts).filter($"t" >= $"s" && $"t" <= $"e")
+      .select($"iv_id", $"pt_id").as[(Long, Long)].collect().toSet
+    assert(got == naive)
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L), (2L, 13L),
+      (2L, 14L), (3L, 13L)))
+  }
+
+  test("range join: with equality keys, and no nested-loop in the plan") {
+    val ivs = Seq(("u1", 1L, 0L, 100L), ("u2", 2L, 0L, 100L)).toDF("u", "iv_id", "s", "e")
+    val pts = Seq(("u1", 10L, 50L), ("u2", 11L, 50L), ("u2", 12L, 150L)).toDF("u", "pt_id", "t")
+    val df = RangeJoin.intervalJoin(ivs, pts, "s", "e", "t", binWidth = 64L, by = Seq("u"))
+    val got = df.select($"iv_id", $"pt_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 11L)))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
   }
 }

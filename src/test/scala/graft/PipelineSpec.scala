@@ -344,6 +344,34 @@ class PipelineSpec extends SparkSpec {
     assert(ivf.size <= brute.size) // never more than k per query
   }
 
+  test("IVF-PQ: codebook vectors encode to themselves; ADC recall holds") {
+    val vecs = graft.tsdb.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cb = Similarity.firstKsCodebooks(vecs, m = 8, ks = 16)
+    assert(cb.length == 8 && cb(0).length == 16 && cb(0)(0).length == 8)
+    // a vector that IS codeword c in every subspace must encode to c
+    // (its own squared distance is exactly 0; ties impossible below)
+    val selfCodes = Similarity.pqEncode(vecs.filter(col("id") < 16), 8, 16, Some(cb))
+      .as[(Long, Seq[Int])].collect()
+    selfCodes.foreach { case (id, codes) =>
+      assert(codes.forall(_ == id.toInt), s"vec $id -> $codes") }
+    // ADC ranking over PQ codes must beat chance clearly. This testdata
+    // is the PQ worst case — i.i.d. gaussian dims have no subspace
+    // structure to quantize — so the bar is chance-relative: picking 10
+    // of the 49 non-self vectors at random recalls 10/49 ≈ 0.20;
+    // measured ADC recall is 0.32 (deterministic: pinned codebooks,
+    // pinned data). Clustered real-world embeddings quantize far better.
+    val q = vecs.filter(col("id") < 10)
+    val brute = Similarity.bruteTopK(q, vecs, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(q, vecs, 10, m = 8, ks = 16,
+      nlist = 16, nprobe = 6, codebooks = Some(cb))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.3, s"PQ recall $recall (chance ≈ 0.20)")
+    assert(pq.size <= brute.size)
+  }
+
   test("IVF near-dup: no invented pairs; planted duplicates found") {
     // testdata pairs at >=0.45 are coincidental (cosines 0.45-0.48, ~62°)
     // — no blocking scheme has locality there; verification correctness

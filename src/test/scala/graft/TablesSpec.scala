@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** `Tables.load` must deliver `events.ts` as a ns-epoch long under EVERY
+  * physical layout the driver has shipped: parquet TIMESTAMP(NANOS)
+  * (read as long via `nanosAsLong`), TIMESTAMP(MICROS) (read as a Spark
+  * timestamp — the round-5 regeneration that silently dropped all 14
+  * tsdb battery queries from the correctness run), and a raw int64
+  * column. Naive wall clocks are interpreted as UTC, matching the DuckDB
+  * oracle's `epoch_ns(ts)`. */
+class TablesSpec extends SparkSpec {
+  import graft.tsdb.Tables
+
+  private def writeAndLoad(dfSql: String): org.apache.spark.sql.DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tables").toString
+    spark.sql(dfSql).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Tables.load(spark, dir, "events")
+  }
+
+  // 2024-01-01T00:00:01Z in each unit
+  private val sec = 1704067201L
+  private val ns = sec * 1000000000L
+
+  test("micros-timestamp ts normalizes to ns-epoch long, naive-as-UTC") {
+    val df = writeAndLoad(
+      s"""SELECT 1L AS event_id,
+         |  CAST(timestamp_micros(${sec}000000 + 123456) AS TIMESTAMP_NTZ) AS ts,
+         |  2L AS user_id, 'click' AS event_type, 1.5D AS value, 'p' AS props""".stripMargin)
+    assert(df.schema("ts").dataType == LongType)
+    assert(df.select("ts").head.getLong(0) == ns + 123456000L)
+  }
+
+  test("tz-timestamp ts normalizes identically") {
+    val df = writeAndLoad(
+      s"""SELECT 1L AS event_id, timestamp_micros(${sec}000000 + 7) AS ts,
+         |  2L AS user_id, 'click' AS event_type, 1.5D AS value, 'p' AS props""".stripMargin)
+    assert(df.schema("ts").dataType == LongType)
+    assert(df.select("ts").head.getLong(0) == ns + 7000L)
+  }
+
+  test("int64 ts passes through untouched") {
+    val df = writeAndLoad(
+      s"""SELECT 1L AS event_id, ${ns}L + 42 AS ts, 2L AS user_id,
+         |  'click' AS event_type, 1.5D AS value, 'p' AS props""".stripMargin)
+    assert(df.schema("ts").dataType == LongType)
+    assert(df.select("ts").head.getLong(0) == ns + 42L)
+  }
+
+  test("eventsAsPoints timestamps line up with the real sf0.001 table") {
+    val pts = Tables.eventsAsPoints(spark, "/root/testdata/sf0.001")
+    assert(pts.schema("timestamp").dataType == LongType)
+    val (lo, hi) = pts.agg(min("timestamp"), max("timestamp"))
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)]).head()
+    // driver data is all inside 2024 (TESTDATA seed=42 generation)
+    assert(lo >= 1704067200000000000L && hi < 1735689600000000000L, s"[$lo,$hi]")
+  }
+}
