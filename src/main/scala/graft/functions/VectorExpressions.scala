@@ -231,6 +231,190 @@ case class SignLshKeys(child: Expression, planes: Array[Array[Double]], bits: In
   override def prettyName: String = "sign_lsh_keys"
 }
 
+/** Shared shape/arithmetic for the fused product-quantization
+  * expressions: codebooks(j)(c) is the c-th codeword of subspace j, each
+  * `sub` doubles wide; subspace j covers vector dims [j·sub, (j+1)·sub).
+  * All dot/Σx² loops run in index order, and d2 = x·x − 2·x·c + c·c
+  * evaluates as ((ss − dot·2) + cc) — the EXACT IEEE sequence the DuckDB
+  * oracle's `list_dot_product`-based SQL performs, so codes and tables
+  * are bit-reproducible cross-engine. Fused for the same reason as
+  * [[SignLshKeys]]: the compositional Column form costs m×ks
+  * literal-array subtrees to plan and codegen per query. */
+trait PqExpression extends UnaryExpression {
+  def codebooks: Array[Array[Array[Double]]]
+  protected val m: Int = codebooks.length
+  protected val ks: Int = codebooks(0).length
+  protected val sub: Int = codebooks(0)(0).length
+  /** codeword self-dots cc(j)(c) = Σ c², precomputed once. */
+  @transient protected lazy val cc: Array[Array[Double]] =
+    codebooks.map(_.map(cw => { var s = 0.0; var d = 0
+      while (d < cw.length) { s += cw(d) * cw(d); d += 1 }; s }))
+
+  protected def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.simpleString}")
+  }
+}
+
+/** codes(j) = argmin_c ‖sub_j(vec) − codebooks(j)(c)‖², ties → lowest
+  * code. One fused loop over a reference object. */
+case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends PqExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val f = isFloat
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val off = j * sub
+      val n = math.max(0, math.min(arr.numElements() - off, sub))
+      var ss = 0.0
+      var d = 0
+      while (d < n) {
+        val x = if (f) arr.getFloat(off + d).toDouble else arr.getDouble(off + d)
+        ss += x * x; d += 1
+      }
+      var best = Double.PositiveInfinity
+      var bc = 0
+      var ci = 0
+      while (ci < ks) {
+        val cw = codebooks(j)(ci)
+        var s = 0.0
+        d = 0
+        while (d < n) {
+          s += (if (f) arr.getFloat(off + d).toDouble else arr.getDouble(off + d)) * cw(d)
+          d += 1
+        }
+        val d2 = ss - s * 2 + cc(j)(ci)
+        if (d2 < best) { best = d2; bc = ci }
+        ci += 1
+      }
+      out(j) = bc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    val ccRef = ctx.addReferenceObj("cc", cc, "double[][]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val (j, d, ci, off, n, ss, s, d2, best, bc, out, cw) =
+        (ctx.freshName("j"), ctx.freshName("d"), ctx.freshName("ci"),
+          ctx.freshName("off"), ctx.freshName("n"), ctx.freshName("ss"),
+          ctx.freshName("s"), ctx.freshName("d2"), ctx.freshName("best"),
+          ctx.freshName("bc"), ctx.freshName("out"), ctx.freshName("cw"))
+      s"""
+         |int[] $out = new int[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $off = $j * $sub;
+         |  int $n = java.lang.Math.max(0,
+         |    java.lang.Math.min($a.numElements() - $off, $sub));
+         |  double $ss = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    double x = (double) $a.$get($off + $d);
+         |    $ss += x * x;
+         |  }
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  int $bc = 0;
+         |  for (int $ci = 0; $ci < $ks; $ci++) {
+         |    double[] $cw = $cbRef[$j][$ci];
+         |    double $s = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      $s += (double) $a.$get($off + $d) * $cw[$d];
+         |    }
+         |    double $d2 = $ss - $s * 2 + $ccRef[$j][$ci];
+         |    if ($d2 < $best) { $best = $d2; $bc = $ci; }
+         |  }
+         |  $out[$j] = $bc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "pq_codes"
+}
+
+/** Per-query ADC lookup tables: table(j)(c) = ⌊dot(sub_j(vec),
+  * codebooks(j)(c))·10⁴ + 0.5⌋ as a long — integer partials whose sum is
+  * summation-order-free. */
+case class PqAdcTable(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends PqExpression {
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val f = isFloat
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val off = j * sub
+      val n = math.max(0, math.min(arr.numElements() - off, sub))
+      val tbl = new Array[Long](ks)
+      var ci = 0
+      while (ci < ks) {
+        val cw = codebooks(j)(ci)
+        var s = 0.0
+        var d = 0
+        while (d < n) {
+          s += (if (f) arr.getFloat(off + d).toDouble else arr.getDouble(off + d)) * cw(d)
+          d += 1
+        }
+        tbl(ci) = math.floor(s * 1e4 + 0.5).toLong
+        ci += 1
+      }
+      out(j) = new org.apache.spark.sql.catalyst.util.GenericArrayData(tbl)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val (j, d, ci, off, n, s, out, tbl, cw) =
+        (ctx.freshName("j"), ctx.freshName("d"), ctx.freshName("ci"),
+          ctx.freshName("off"), ctx.freshName("n"), ctx.freshName("s"),
+          ctx.freshName("out"), ctx.freshName("tbl"), ctx.freshName("cw"))
+      s"""
+         |Object[] $out = new Object[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $off = $j * $sub;
+         |  int $n = java.lang.Math.max(0,
+         |    java.lang.Math.min($a.numElements() - $off, $sub));
+         |  long[] $tbl = new long[$ks];
+         |  for (int $ci = 0; $ci < $ks; $ci++) {
+         |    double[] $cw = $cbRef[$j][$ci];
+         |    double $s = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      $s += (double) $a.$get($off + $d) * $cw[$d];
+         |    }
+         |    $tbl[$ci] = (long) java.lang.Math.floor($s * 1.0E4 + 0.5);
+         |  }
+         |  $out[$j] = new org.apache.spark.sql.catalyst.util.GenericArrayData($tbl);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "pq_adc_table"
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graft.ColumnBridge
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
@@ -240,6 +424,10 @@ object VectorFunctions {
     ColumnBridge.column(CosineSimilarity(ex(a), ex(b)))
   def sign_lsh_keys(vec: Column, planes: Seq[Array[Double]], bits: Int): Column =
     ColumnBridge.column(SignLshKeys(ex(vec), planes.toArray, bits))
+  def pq_codes(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqCodes(ex(vec), codebooks))
+  def pq_adc_table(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqAdcTable(ex(vec), codebooks))
 
   /** Register `vec_dot` / `vec_cosine` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -305,25 +305,16 @@ object Similarity {
     Array.tabulate(m)(j => vecs.map(_.slice(j * sub, (j + 1) * sub)))
   }
 
-  /** codes(j) = argmin_c ‖vec[j·sub,(j+1)·sub) − codebook(j)(c)‖² as a
-    * narrow literal-codebook expression; squared L2 is expanded as
-    * x·x − 2·x·c + c·c (the same three-dot formula the oracle uses, so
-    * the doubles — and any argmin tie, broken on code asc — are
-    * bit-identical cross-engine). */
-  private def pqCodes(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
-    val m = codebooks.length
-    val sub = codebooks(0)(0).length
-    array((0 until m).map { j =>
-      val s = slice(vec, j * sub + 1, sub)
-      val ss = dot(s, s)
-      val scored = array(codebooks(j).zipWithIndex.map { case (c, ci) =>
-        val cArr = array(c.map(lit): _*)
-        val cc = c.map(x => x * x).sum
-        struct((ss - dot(s, cArr) * 2 + lit(cc)).as("d2"), lit(ci).as("code"))
-      }: _*)
-      array_min(scored).getField("code")
-    }: _*)
-  }
+  /** codes(j) = argmin_c ‖vec[j·sub,(j+1)·sub) − codebook(j)(c)‖²,
+    * squared L2 expanded as x·x − 2·x·c + c·c (the same three-dot
+    * formula, in the same IEEE order, the oracle uses — so the doubles,
+    * and any argmin tie broken on code asc, are bit-identical
+    * cross-engine). Fused native expression ([[graft.functions.PqCodes]])
+    * — the compositional m×ks literal-array Column tree costs a
+    * planning/codegen floor per query, the same disease `SignLshKeys`
+    * cured for the LSH keys. */
+  private def pqCodes(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.VectorFunctions.pq_codes(vec, codebooks)
 
   /** PQ-encode a corpus: (id, codes array<int>) — m bytes of payload per
     * vector instead of dim floats, the 100 TB memory move (64-dim f32 →
@@ -357,7 +348,6 @@ object Similarity {
       replicate: Int = 1): DataFrame = {
     require(nprobe <= nlist && replicate >= 1 && replicate <= nlist)
     val cb = codebooks.getOrElse(firstKsCodebooks(corpus, m, ks))
-    val sub = cb(0)(0).length
     val cents: Array[(Int, Array[Double])] =
       centroids.getOrElse(kmeansCentroids(corpus, nlist)).zipWithIndex.map(_.swap)
     val nearest = nearestCells(cents) _
@@ -367,13 +357,9 @@ object Similarity {
       pqCodes(col("vec"), cb).as("codes"))
       .select(col("neighbor_id"), col("a").getField("cid").as("cid"), col("codes"))
       .repartition(fanoutParallelism(corpus), col("cid"))
-    // queries: probed cells + the ADC lookup table (m×ks e4 longs)
-    val adcTable = array((0 until m).map { j =>
-      val s = slice(col("vec"), j * sub + 1, sub)
-      array(cb(j).map { c =>
-        floor(dot(s, array(c.map(lit): _*)) * 1e4 + 0.5).cast("long")
-      }: _*)
-    }: _*)
+    // queries: probed cells + the ADC lookup table (m×ks e4 longs),
+    // one fused native expression per row
+    val adcTable = graft.functions.VectorFunctions.pq_adc_table(col("vec"), cb)
     val qb = queries.select(col("id").as("query_id"),
       explode(nearest(col("vec"), nprobe)).as("probe"), adcTable.as("adc"))
       .select(col("query_id"), col("probe").getField("cid").as("cid"), col("adc"))

@@ -29,3 +29,29 @@ object StreamingDedup {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
 }
+
+/** Streaming gap sessionization — the Structured Streaming twin of
+  * [[graft.operators.Sessionize]]: Spark's native `session_window`
+  * merges events of a key into sessions that close when no event
+  * arrives within `gap`, finalizing each session once the watermark
+  * passes its end (no trigger needed to flush idle sessions). State per
+  * key is ONE open session (start, end, partials) — bounded by live-key
+  * cardinality × lateness, not by history; session state partitions by
+  * key hash and scales horizontally like any streaming aggregation.
+  * Batch and streaming emit the same rollup columns, so a lambda
+  * pipeline can reconcile the two paths row-for-row. */
+object StreamingSessionize {
+
+  /** `events` must carry an event-time timestamp `tsCol` (TimestampType);
+    * emits one finalized row per (key, session):
+    * (key, session_start, session_end, n_events). */
+  def sessions(events: DataFrame, keyCol: String, tsCol: String,
+      gap: String, lateness: String): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+}

@@ -255,6 +255,36 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(1L, 2L, 4L), s"dup doc 3 must be dropped, got $got")
   }
 
+  test("streaming sessionize: gap merge per key, finalized past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val ev = mem.toDF().toDF("sec", "user")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val ss = StreamingSessionize.sessions(ev, "user", "ts",
+      gap = "30 seconds", lateness = "10 seconds")
+    val q = ss.writeStream.format("memory").queryName("ssess")
+      .outputMode("append").start()
+    try {
+      // A: three events inside one 30 s-gap session; B: a singleton
+      mem.addData((100L, "A"), (110L, "A"), (120L, "A"), (105L, "B"))
+      q.processAllAvailable()
+      // watermark 200-10=190 > both session ends (150, 135) → finalized;
+      // 200 opens A's second session
+      mem.addData((200L, "A"))
+      q.processAllAvailable()
+      mem.addData((400L, "A")) // watermark 390 closes [200, 230)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssess")
+      .select(col("user"), unix_timestamp(col("session_start")),
+        unix_timestamp(col("session_end")), col("n_events"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    // session_window end = last event + gap
+    assert(got.contains(("A", 100L, 150L, 3L)), s"got $got")
+    assert(got.contains(("B", 105L, 135L, 1L)), s"got $got")
+    assert(got.contains(("A", 200L, 230L, 1L)), s"got $got")
+  }
+
   test("streaming dedup state expires at the horizon: far-later dup re-admits") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, String)]
