@@ -350,18 +350,30 @@ object Similarity {
     val cb = codebooks.getOrElse(firstKsCodebooks(corpus, m, ks))
     val cents: Array[(Int, Array[Double])] =
       centroids.getOrElse(kmeansCentroids(corpus, nlist)).zipWithIndex.map(_.swap)
-    val nearest = nearestCells(cents) _
     // corpus: one narrow pass emits (cell, codes) — the stored index
-    val enc = corpus.select(col("id").as("neighbor_id"),
-      explode(nearest(col("vec"), replicate)).as("a"),
+    val enc = pqCells(corpus, cb, cents, replicate)
+      .repartition(fanoutParallelism(corpus), col("cid"))
+    pqAdcRank(queries, enc, cb, cents, k, nprobe)
+  }
+
+  /** (neighbor_id, cid, codes): the corpus side of the IVF-PQ index —
+    * one narrow pass over the vectors. */
+  private def pqCells(corpus: DataFrame, cb: Array[Array[Array[Double]]],
+      cents: Array[(Int, Array[Double])], replicate: Int): DataFrame =
+    corpus.select(col("id").as("neighbor_id"),
+      explode(nearestCells(cents)(col("vec"), replicate)).as("a"),
       pqCodes(col("vec"), cb).as("codes"))
       .select(col("neighbor_id"), col("a").getField("cid").as("cid"), col("codes"))
-      .repartition(fanoutParallelism(corpus), col("cid"))
+
+  /** Probe + ADC-score + rank queries against an encoded cell frame. */
+  private def pqAdcRank(queries: DataFrame, enc: DataFrame,
+      cb: Array[Array[Array[Double]]], cents: Array[(Int, Array[Double])],
+      k: Int, nprobe: Int): DataFrame = {
     // queries: probed cells + the ADC lookup table (m×ks e4 longs),
     // one fused native expression per row
     val adcTable = graft.functions.VectorFunctions.pq_adc_table(col("vec"), cb)
     val qb = queries.select(col("id").as("query_id"),
-      explode(nearest(col("vec"), nprobe)).as("probe"), adcTable.as("adc"))
+      explode(nearestCells(cents)(col("vec"), nprobe)).as("probe"), adcTable.as("adc"))
       .select(col("query_id"), col("probe").getField("cid").as("cid"), col("adc"))
     val scored = qb.join(enc, "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -377,6 +389,63 @@ object Similarity {
       .orderBy(col("adc_e4").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_e4"))
+  }
+
+  /** `_index.json` marker of a materialized ANN index: quantizer
+    * geometry + the trained centroids/codebooks, so query batches need
+    * NO access to the original vectors. */
+  final case class AnnIndexMarker(m: Int, ks: Int, nlist: Int,
+      replicate: Int, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]])
+
+  /** Materialize the IVF-PQ index of a corpus: `cells/` parquet of
+    * (neighbor_id, codes) PARTITIONED BY cid, plus `_index.json`
+    * (centroids + codebooks). The 100 TB shape: the full-precision
+    * corpus is read exactly once, ever; each stored row is m bytes of
+    * codes; a query batch's probed cells become a partition-pruned scan
+    * (nprobe/nlist of the index, the on-disk analog of FAISS's inverted
+    * lists). Append increments by writing their [[pqCells]] rows under
+    * the same root — cell assignment depends only on the frozen
+    * quantizer, never on corpus membership, so incremental rows are
+    * index-identical to a full rebuild (same contract as
+    * [[graft.pipeline.Dedup.writeDedupIndex]]). */
+  def writeAnnIndex(corpus: DataFrame, path: String,
+      m: Int, ks: Int, nlist: Int,
+      codebooks: Option[Array[Array[Array[Double]]]] = None,
+      centroids: Option[Array[Array[Double]]] = None,
+      replicate: Int = 1): Unit = {
+    val cb = codebooks.getOrElse(firstKsCodebooks(corpus, m, ks))
+    val cents: Array[(Int, Array[Double])] =
+      centroids.getOrElse(kmeansCentroids(corpus, nlist)).zipWithIndex.map(_.swap)
+    pqCells(corpus, cb, cents, replicate)
+      .repartition(col("cid"))
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$path/cells")
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path, "_index.json"),
+      org.json4s.jackson.Serialization.write(AnnIndexMarker(
+        m, ks, nlist, replicate, cents.map(_._2), cb)))
+  }
+
+  /** Top-k against a materialized [[writeAnnIndex]] — identical ranks to
+    * [[pqTopK]] with the same quantizer, but the corpus side is a
+    * partition-pruned parquet scan of code rows: the probed cell ids are
+    * collected (≤ |queries|·nprobe values, bounded by nlist) and pushed
+    * as a static `cid` filter, so only nprobe/nlist of the index is
+    * read. */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val mk = org.json4s.jackson.Serialization.read[AnnIndexMarker](
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path, "_index.json")))
+    require(nprobe <= mk.nlist, s"nprobe $nprobe > nlist ${mk.nlist}")
+    val cents = mk.centroids.zipWithIndex.map(_.swap)
+    val probed = queries
+      .select(explode(nearestCells(cents)(col("vec"), nprobe)).as("p"))
+      .select(col("p").getField("cid")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val enc = spark.read.parquet(s"$path/cells")
+      .filter(col("cid").isin(probed.map(Integer.valueOf).toSeq: _*))
+    pqAdcRank(queries, enc, mk.codebooks, cents, k, nprobe)
   }
 
   /** All pairs with cosine >= threshold (embedding near-dup detection),

@@ -372,6 +372,29 @@ class PipelineSpec extends SparkSpec {
     assert(pq.size <= brute.size)
   }
 
+  test("ANN index: materialized IVF-PQ serves identical ranks, pruned scan") {
+    val vecs = graft.tsdb.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cb = Similarity.firstKsCodebooks(vecs, m = 8, ks = 16)
+    val cents = Similarity.firstNCentroids(vecs, 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    Similarity.writeAnnIndex(vecs, dir, m = 8, ks = 16, nlist = 16,
+      codebooks = Some(cb), centroids = Some(cents))
+    val q = vecs.filter(col("id") < 5)
+    val direct = Similarity.pqTopK(q, vecs, 10, m = 8, ks = 16,
+      nlist = 16, nprobe = 6, codebooks = Some(cb), centroids = Some(cents))
+      .select("query_id", "rank", "neighbor_id", "adc_e4")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val viaIndex = Similarity.pqTopKIndexed(spark, dir, q, k = 10, nprobe = 6)
+    val got = viaIndex.select("query_id", "rank", "neighbor_id", "adc_e4")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got == direct, "indexed ranks must equal the in-memory operator")
+    // probed cells become a partition-pruned scan of cells/cid=…
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"cid partition pruning missing:\n$plan")
+  }
+
   test("IVF near-dup: no invented pairs; planted duplicates found") {
     // testdata pairs at >=0.45 are coincidental (cosines 0.45-0.48, ~62°)
     // — no blocking scheme has locality there; verification correctness
