@@ -81,5 +81,11 @@ object TsPushdown extends Rule[LogicalPlan] {
       case EqualTo(Literal(v: Long, LongType), NsView(t)) =>
         if (v % 1000L == 0L) EqualTo(usLit(v / 1000L, t), t)
         else Literal.FalseLiteral
+      // t·1000 IN (v…): non-multiples of 1000 have no preimage
+      case In(NsView(t), vs) if vs.forall {
+          case Literal(_: Long, LongType) => true; case _ => false } =>
+        val us = vs.collect { case Literal(v: Long, LongType) if v % 1000L == 0L =>
+          usLit(v / 1000L, t) }
+        if (us.isEmpty) Literal.FalseLiteral else In(t, us)
     }
 }

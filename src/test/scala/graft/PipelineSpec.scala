@@ -395,6 +395,52 @@ class PipelineSpec extends SparkSpec {
       s"cid partition pruning missing:\n$plan")
   }
 
+  test("curate: lineage attributes every doc to its dropping stage, in order") {
+    val base = "the quick brown fox jumps over a lazy dog of great renown and style"
+    val docs = Seq(
+      (1L, base),                                       // kept (canonical)
+      (2L, base.toUpperCase + "  "),                    // exact dup of 1 (normalizes equal)
+      (3L, base.replace("style", "the")),               // near dup of 1, lower uniq → 1 wins
+      (4L, "der hund und die katze und das haus und der baum und das"), // lang=de
+      (5L, "spam spam spam spam spam spam spam spam spam spam spam"),   // junk → quality
+      (6L, "students often memorize the secret benchmark answer key verbatim and the " +
+        "grader of this corpus will notice that pattern"),              // hits eval set
+      (7L, "a completely different story about ships and storms and the open sea of stars")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "the secret benchmark answer key verbatim appears here"))
+      .toDF("doc_id", "text")
+    val lineage = Curate.curate(docs, "doc_id", "text",
+      allowedLangs = Set("en"), minQualityE4 = 2000L,
+      evalDocs = Some(eval), evalN = 5, evalMinHits = 1L)
+      .select($"doc_id", $"drop_reason", $"dup_of")
+      .as[(Long, Option[String], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(lineage(1L) == ((None, None)))
+    assert(lineage(2L) == ((Some("exact_dup"), Some(1L))))
+    assert(lineage(3L) == ((Some("near_dup"), Some(1L))))
+    assert(lineage(4L)._1 == Some("lang"))
+    assert(lineage(5L)._1 == Some("quality"))
+    assert(lineage(6L)._1 == Some("contaminated"))
+    assert(lineage(7L) == ((None, None)))
+    val counts = Curate.stageCounts(Curate.curate(docs, "doc_id", "text",
+      allowedLangs = Set("en"), minQualityE4 = 2000L,
+      evalDocs = Some(eval), evalN = 5, evalMinHits = 1L))
+      .as[(String, Long)].collect().toMap
+    assert(counts("kept") == 2L && counts("exact_dup") == 1L &&
+      counts("near_dup") == 1L, counts.toString)
+  }
+
+  test("curate: full lineage over the real documents table") {
+    val docs = graft.tsdb.Tables.load(spark, sf, "documents")
+    val lineage = Curate.curate(docs, "doc_id", "text",
+      allowedLangs = Set("en", "de", "es", "fr", "zh"), minQualityE4 = 1000L)
+    val n = lineage.count()
+    assert(n == docs.count(), "one lineage row per input doc")
+    val counts = Curate.stageCounts(lineage).as[(String, Long)].collect().toMap
+    assert(counts.getOrElse("kept", 0L) > 0L, counts.toString)
+    assert(counts.values.sum == n)
+  }
+
   test("IVF near-dup: no invented pairs; planted duplicates found") {
     // testdata pairs at >=0.45 are coincidental (cosines 0.45-0.48, ~62°)
     // — no blocking scheme has locality there; verification correctness

@@ -48,6 +48,18 @@ class TablesSpec extends SparkSpec {
     assert(df.select("ts").head.getLong(0) == ns + 42L)
   }
 
+  test("ns filters push to the scan through the conversion (TsPushdown)") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val ns1 = 1704067200000000000L
+    val range = ev.filter(org.apache.spark.sql.functions.col("ts") >= ns1)
+    val pr = range.queryExecution.executedPlan.toString
+    assert(pr.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), pr)
+    val in = ev.filter(org.apache.spark.sql.functions.col("ts")
+      .isin(ns1, ns1 + 1000L, ns1 + 7L)) // the +7 ns value has no µs preimage
+    val pi = in.queryExecution.executedPlan.toString
+    assert(pi.contains("In(ts, ["), pi)
+  }
+
   test("eventsAsPoints timestamps line up with the real sf0.001 table") {
     val pts = Tables.eventsAsPoints(spark, "/root/testdata/sf0.001")
     assert(pts.schema("timestamp").dataType == LongType)
