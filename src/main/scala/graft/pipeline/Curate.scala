@@ -50,36 +50,53 @@ object Curate {
     val langOk = signals.filter(col("__lang").isin(allowedLangs.toSeq: _*))
     val qualOk = langOk.filter(col("__q") >= minQualityE4)
 
+    // Reuse discipline (measured in SCALE.md round 5/6): persist only
+    // SLIM multiply-referenced frames — id/label/score longs. Text is
+    // NEVER cached; every consumer that needs it re-joins ids against
+    // the columnar source scan, which serves payloads better than the
+    // block manager at corpus scale. Without these two persists the
+    // sequential-survivor DAG re-ran exact dedup per consumer and CC
+    // label propagation 3× (sf1: 145 s → 60 s; sf0.1: 9.1 s → 6.7 s).
+    def slim(df: DataFrame): DataFrame =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // exact dedup on quality survivors: keep the min-id copy per fp
     val fped = qualOk.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
     val groups = fped.groupBy(col("__fp")).agg(min(id).as("__keep_id"))
-    val withKeep = fped.join(groups, "__fp")
-    val exactDropped = withKeep.filter(id =!= col("__keep_id"))
-      .select(id.as("doc_id"), lit("exact_dup").as("drop_reason"),
+    // (doc_id, __keep_id, __q) — three longs per surviving row
+    val keepOf = slim(fped.join(groups, "__fp")
+      .select(id.as("doc_id"), col("__keep_id"), col("__q")))
+    val exactDropped = keepOf.filter(col("doc_id") =!= col("__keep_id"))
+      .select(col("doc_id"), lit("exact_dup").as("drop_reason"),
         col("__keep_id").as("dup_of"))
-    val exactOk = withKeep.filter(id === col("__keep_id"))
-      .select(id, col(textCol), col("__q"))
+    val exactOkIds = keepOf.filter(col("doc_id") === col("__keep_id"))
+      .select(col("doc_id"), col("__q"))
+    // text re-served by the scan, not the cache
+    val exactOkText = docs.select(id, col(textCol))
+      .join(exactOkIds.select(col("doc_id").as(idCol)), idCol)
 
     // near-dup on exact survivors: LSH pairs → clusters → keep the
     // best-quality copy (min id on ties)
-    val pairs = Dedup.minhashLshPairs(exactOk, idCol, textCol,
+    val pairs = Dedup.minhashLshPairs(exactOkText, idCol, textCol,
       shingleN, minhashK, bands, jaccardThreshold)
-    val clustered = Dedup.dupClusters(exactOk, idCol, pairs)
+    val clustered = Dedup.dupClusters(
+      exactOkIds.select(col("doc_id").as(idCol)), idCol, pairs)
     val rk = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id")
       .orderBy(col("__q").desc, col("doc_id").asc)
-    val ranked = clustered
-      .join(exactOk.select(id.as("doc_id"), col("__q")), "doc_id")
+    // (doc_id, cluster_id, __q, __rk) — the CC result rides ONE persist
+    val ranked = slim(clustered
+      .join(exactOkIds, "doc_id")
       .withColumn("__rk", row_number().over(rk))
+      .select(col("doc_id"), col("cluster_id"), col("__q"), col("__rk")))
     val keepPerCluster = ranked.filter(col("__rk") === 1)
       .select(col("cluster_id"), col("doc_id").as("__keep"))
     val nearDropped = ranked.filter(col("__rk") > 1)
       .join(keepPerCluster, "cluster_id")
       .select(col("doc_id"), lit("near_dup").as("drop_reason"),
         col("__keep").as("dup_of"))
-    val nearOk = ranked.filter(col("__rk") === 1)
-      .select(col("doc_id").as(idCol))
-      .join(exactOk, idCol)
+    val nearOk = docs.select(id, col(textCol))
+      .join(ranked.filter(col("__rk") === 1).select(col("doc_id").as(idCol)), idCol)
 
     // decontamination on dedup survivors
     val contaminated = evalDocs match {

@@ -36,6 +36,15 @@ object Tables {
         if (!existing.contains(graft.plans.TsPushdown))
           spark.experimental.extraOptimizations = existing :+ graft.plans.TsPushdown
         df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    } else if (name == "embeddings") {
+      // same regeneration insurance as events.ts: the vector expressions
+      // accept float OR double arrays, but driver-side codebook/centroid
+      // collection reads float — pin the observed type to array<float>
+      import org.apache.spark.sql.types.{ArrayType, FloatType}
+      df.schema("embedding").dataType match {
+        case ArrayType(FloatType, _) => df
+        case _ => df.withColumn("embedding", col("embedding").cast("array<float>"))
+      }
     } else df
   }
 

@@ -60,6 +60,16 @@ class TablesSpec extends SparkSpec {
     assert(pi.contains("In(ts, ["), pi)
   }
 
+  test("embeddings normalize to array<float> whatever the stored width") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb").toString
+    spark.sql("SELECT 1L AS vec_id, array(CAST(0.5 AS DOUBLE), CAST(-1.25 AS DOUBLE)) AS embedding, 0 AS label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val df = Tables.load(spark, dir, "embeddings")
+    assert(df.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true))
+    assert(df.select("embedding").head.getSeq[Float](0) == Seq(0.5f, -1.25f))
+  }
+
   test("eventsAsPoints timestamps line up with the real sf0.001 table") {
     val pts = Tables.eventsAsPoints(spark, "/root/testdata/sf0.001")
     assert(pts.schema("timestamp").dataType == LongType)
