@@ -305,6 +305,71 @@ object Similarity {
     Array.tabulate(m)(j => vecs.map(_.slice(j * sub, (j + 1) * sub)))
   }
 
+  /** Trained per-subspace PQ codebooks: plain Euclidean Lloyd iterations
+    * over a driver-side sample's subvectors (farthest-point init, empty
+    * cells keep their previous codeword) — L2 is PQ's actual
+    * reconstruction objective, unlike the spherical [[kmeansCentroids]]
+    * used for IVF cells. Deterministic for a given corpus: the sample is
+    * the first `maxSample` vectors by id and every step is
+    * order-insensitive arithmetic. The quality default;
+    * [[firstKsCodebooks]] remains the oracle-reproducible pin. */
+  def trainedCodebooks(corpus: DataFrame, m: Int, ks: Int, iters: Int = 15,
+      maxSample: Int = 4096): Array[Array[Array[Double]]] = {
+    val raw: Array[Array[Double]] = corpus.orderBy(col("id")).limit(maxSample)
+      .select(col("vec")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(raw.length >= ks, s"need >= $ks sample vectors, got ${raw.length}")
+    val dim = raw.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < sub) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    Array.tabulate(m) { j =>
+      val pts = raw.map(_.slice(j * sub, (j + 1) * sub))
+      val cents = scala.collection.mutable.ArrayBuffer(pts(0).clone())
+      while (cents.length < ks) {
+        var best = 0; var bestD = -1.0
+        var i = 0
+        while (i < pts.length) {
+          var nearest = Double.MaxValue
+          cents.foreach(c => nearest = math.min(nearest, d2(pts(i), c)))
+          if (nearest > bestD) { bestD = nearest; best = i }
+          i += 1
+        }
+        cents += pts(best).clone()
+      }
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ks)(new Array[Double](sub))
+        val counts = new Array[Long](ks)
+        var i = 0
+        while (i < pts.length) {
+          var bc = 0; var bd = Double.MaxValue; var c = 0
+          while (c < ks) {
+            val d = d2(pts(i), cents(c)); if (d < bd) { bd = d; bc = c }; c += 1
+          }
+          counts(bc) += 1
+          var k = 0
+          while (k < sub) { sums(bc)(k) += pts(i)(k); k += 1 }
+          i += 1
+        }
+        var c = 0
+        while (c < ks) {
+          if (counts(c) > 0) {
+            var k = 0
+            while (k < sub) { cents(c)(k) = sums(c)(k) / counts(c); k += 1 }
+          }
+          c += 1
+        }
+        it += 1
+      }
+      cents.toArray.map(_.clone())
+    }
+  }
+
   /** codes(j) = argmin_c ‖vec[j·sub,(j+1)·sub) − codebook(j)(c)‖²,
     * squared L2 expanded as x·x − 2·x·c + c·c (the same three-dot
     * formula, in the same IEEE order, the oracle uses — so the doubles,

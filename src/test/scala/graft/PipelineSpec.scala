@@ -372,6 +372,27 @@ class PipelineSpec extends SparkSpec {
     assert(pq.size <= brute.size)
   }
 
+  test("trained PQ codebooks reconstruct better than sliced-vector ones") {
+    val vecs = graft.tsdb.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val raw = vecs.orderBy("id").select("vec").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val (m, ks, sub) = (8, 16, 8)
+    def mse(cb: Array[Array[Array[Double]]]): Double = {
+      var total = 0.0
+      for (v <- raw; j <- 0 until m) {
+        val s = v.slice(j * sub, (j + 1) * sub)
+        total += cb(j).map(c =>
+          s.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).min
+      }
+      total / raw.length
+    }
+    val naive = mse(Similarity.firstKsCodebooks(vecs, m, ks))
+    val trained = mse(Similarity.trainedCodebooks(vecs, m, ks))
+    // Lloyd iterations minimize exactly this objective — must not lose
+    assert(trained < naive, s"trained $trained vs firstKs $naive")
+  }
+
   test("ANN index: materialized IVF-PQ serves identical ranks, pruned scan") {
     val vecs = graft.tsdb.Tables.load(spark, sf, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
