@@ -87,5 +87,11 @@ object TsPushdown extends Rule[LogicalPlan] {
         val us = vs.collect { case Literal(v: Long, LongType) if v % 1000L == 0L =>
           usLit(v / 1000L, t) }
         if (us.isEmpty) Literal.FalseLiteral else In(t, us)
+      // OptimizeIn rewrites long IN lists to InSet before this batch runs
+      case InSet(NsView(t), hset) if hset.forall(_.isInstanceOf[java.lang.Long]) =>
+        val us = hset.collect {
+          case v: java.lang.Long if v.longValue % 1000L == 0L =>
+            java.lang.Long.valueOf(v.longValue / 1000L): Any }
+        if (us.isEmpty) Literal.FalseLiteral else InSet(t, us)
     }
 }

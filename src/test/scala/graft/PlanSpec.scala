@@ -105,6 +105,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("xxhash64"), "candidates must be generated on hashed shingles")
   }
 
+  test("range join battery: time-bin hash join, never a nested loop") {
+    val p = plan("range_join_attrib")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "the inequality predicate must verify AFTER a bin equi-join:\n" + p)
+  }
+
+  test("IVF-PQ battery: cell hash join over codes, no cross join, fused exprs") {
+    val p = plan("ann_pq_topk")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the scoring side must carry pq codes, not vectors — the fused
+    // expressions are the plan's encode/table nodes
+    assert(p.contains("pq_codes") && p.contains("pq_adc_table"), p)
+  }
+
   test("shard assign: data cumsum windows on bucket; offsets broadcast back") {
     val p = plan("shard_assign")
     // exactly two Windows: the tiny bucket-offset prefix (empty partition

@@ -58,6 +58,16 @@ class TablesSpec extends SparkSpec {
       .isin(ns1, ns1 + 1000L, ns1 + 7L)) // the +7 ns value has no µs preimage
     val pi = in.queryExecution.executedPlan.toString
     assert(pi.contains("In(ts, ["), pi)
+    // >10 items: OptimizeIn turns the list into InSet first
+    val many = (0 until 15).map(i => ns1 + i * 1000L)
+    val inset = ev.filter(org.apache.spark.sql.functions.col("ts")
+      .isin(many: _*))
+    val ps = inset.queryExecution.executedPlan.toString
+    // the FILTER lands on the raw column (pushed In + INSET on ts#…);
+    // the projection legitimately keeps the conversion for the output
+    assert(ps.contains("In(ts, ["), ps)
+    assert(!ps.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("unix_micros")), ps)
   }
 
   test("embeddings normalize to array<float> whatever the stored width") {
