@@ -491,6 +491,23 @@ object Similarity {
         m, ks, nlist, replicate, cents.map(_._2), cb)))
   }
 
+  /** Append an increment to a materialized [[writeAnnIndex]]: encode the
+    * new vectors under the index's FROZEN quantizer and append their
+    * cell rows. Assignment depends only on the marker's centroids and
+    * codebooks, never on corpus membership, so the grown index is
+    * row-identical to a full rebuild over old ∪ new (spec-asserted) —
+    * the 100 TB maintenance contract: daily increments cost one narrow
+    * encode of the new data, the existing cells are never rewritten. */
+  def appendAnnIndex(increment: DataFrame, path: String): Unit = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val mk = org.json4s.jackson.Serialization.read[AnnIndexMarker](
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path, "_index.json")))
+    pqCells(increment, mk.codebooks, mk.centroids.zipWithIndex.map(_.swap),
+        mk.replicate)
+      .repartition(col("cid"))
+      .write.partitionBy("cid").mode("append").parquet(s"$path/cells")
+  }
+
   /** Top-k against a materialized [[writeAnnIndex]] — identical ranks to
     * [[pqTopK]] with the same quantizer, but the corpus side is a
     * partition-pruned parquet scan of code rows: the probed cell ids are

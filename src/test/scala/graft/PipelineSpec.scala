@@ -462,6 +462,27 @@ class PipelineSpec extends SparkSpec {
     assert(counts.values.sum == n)
   }
 
+  test("ANN index append: increment under the frozen quantizer == full rebuild") {
+    val vecs = graft.tsdb.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cb = Similarity.firstKsCodebooks(vecs, m = 8, ks = 16)
+    val cents = Similarity.firstNCentroids(vecs, 16)
+    val (oldPart, newPart) = (vecs.filter(col("id") % 3 =!= 0), vecs.filter(col("id") % 3 === 0))
+    val grown = java.nio.file.Files.createTempDirectory("graft_ann_g").toString
+    Similarity.writeAnnIndex(oldPart, grown, 8, 16, 16,
+      codebooks = Some(cb), centroids = Some(cents))
+    Similarity.appendAnnIndex(newPart, grown)
+    val full = java.nio.file.Files.createTempDirectory("graft_ann_f").toString
+    Similarity.writeAnnIndex(vecs, full, 8, 16, 16,
+      codebooks = Some(cb), centroids = Some(cents))
+    val q = vecs.filter(col("id") < 5)
+    def ranks(path: String) = Similarity.pqTopKIndexed(spark, path, q, 10, 6)
+      .select("query_id", "rank", "neighbor_id", "adc_e4")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(ranks(grown) == ranks(full),
+      "incrementally grown index must answer like a full rebuild")
+  }
+
   test("IVF near-dup: no invented pairs; planted duplicates found") {
     // testdata pairs at >=0.45 are coincidental (cosines 0.45-0.48, ~62°)
     // — no blocking scheme has locality there; verification correctness
