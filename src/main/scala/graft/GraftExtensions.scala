@@ -59,5 +59,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name), b))
     }
     e.injectOptimizerRule(_ => graft.plans.TsPushdown)
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The optimizer-rule twin of RangeJoin: with
+  * `spark.graft.rangeJoin.binWidth` set, an inequality-only inner join
+  * must plan as a bin hash join (no nested loop) with unchanged
+  * results; without it, Spark's nested-loop plan is the control. */
+class RangeJoinRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRule[A](width: Long)(f: => A): A = {
+    val before = spark.experimental.extraOptimizations
+    if (!before.contains(graft.plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations = before :+ graft.plans.RangeJoinRewrite
+    spark.conf.set("spark.graft.rangeJoin.binWidth", width.toString)
+    try f finally {
+      spark.conf.unset("spark.graft.rangeJoin.binWidth")
+      spark.experimental.extraOptimizations = before
+    }
+  }
+
+  private def ivs = Seq((1L, 0L, 100L), (2L, 50L, 420L), (3L, 400L, 400L),
+    (4L, 900L, 950L)).toDF("iv_id", "s", "e")
+  private def pts = Seq((10L, 0L), (11L, 100L), (12L, 101L), (13L, 400L),
+    (14L, 420L), (15L, 421L), (16L, 899L)).toDF("pt_id", "t")
+
+  test("inequality join rewrites to a bin hash join with identical results") {
+    val naive = ivs.crossJoin(pts).filter($"t" >= $"s" && $"t" <= $"e")
+      .select($"iv_id", $"pt_id").as[(Long, Long)].collect().toSet
+    withRule(100L) {
+      val joined = ivs.join(pts, $"t" >= $"s" && $"t" <= $"e")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+        s"rule must remove the nested loop:\n$p")
+      val got = joined.select($"iv_id", $"pt_id").as[(Long, Long)].collect().toSet
+      assert(got == naive)
+    }
+    // control: without the width, Spark nested-loops the same join
+    val control = ivs.join(pts, $"t" >= $"s" && $"t" <= $"e")
+      .queryExecution.executedPlan.toString
+    assert(control.contains("BroadcastNestedLoop") || control.contains("CartesianProduct"))
+  }
+
+  test("instant on the LEFT side rewrites too; strict bounds re-verified") {
+    withRule(64L) {
+      val joined = pts.join(ivs, $"t" > $"s" && $"t" < $"e")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+      val got = joined.select($"iv_id", $"pt_id").as[(Long, Long)].collect().toSet
+      val naive = pts.crossJoin(ivs).filter($"t" > $"s" && $"t" < $"e")
+        .select($"iv_id", $"pt_id").as[(Long, Long)].collect().toSet
+      assert(got == naive)
+    }
+  }
+
+  test("joins that already have an equi key are left alone") {
+    withRule(100L) {
+      val a = Seq((1L, 5L)).toDF("k", "x")
+      val b = Seq((1L, 3L, 9L)).toDF("k2", "lo", "hi")
+      val joined = a.join(b, $"k" === $"k2" && $"x" >= $"lo" && $"x" <= $"hi")
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(!p.contains("__graft_bin"), s"equi join must not be rewritten:\n$p")
+      assert(joined.count() == 1)
+    }
+  }
+}
