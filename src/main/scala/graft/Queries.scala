@@ -607,6 +607,13 @@ object Queries {
     * hash join on the 30 min time bin. The oracle is DuckDB's native
     * inequality join — an independent execution of the same predicate. */
   def rangeJoinAttrib(s: SparkSession, dir: String): DataFrame = {
+    // written as the PLAIN inequality join a SQL user would type: with
+    // RangeJoinRewrite registered and no width conf, the rule derives the
+    // bin width from the interval side (p95 of p_end-p_ts) at rewrite
+    // time and rescues the plan off BroadcastNestedLoopJoin
+    val existing = s.experimental.extraOptimizations
+    if (!existing.contains(graft.plans.RangeJoinRewrite))
+      s.experimental.extraOptimizations = existing :+ graft.plans.RangeJoinRewrite
     val HalfHourNs = 30L * 60L * 1000000000L
     val ev = t(s, dir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -614,8 +621,8 @@ object Queries {
         (col("ts") + HalfHourNs).as("p_end"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("ts").as("c_ts"), col("user_id").as("click_user"))
-    graft.operators.RangeJoin.intervalJoin(purchases, clicks,
-      "p_ts", "p_end", "c_ts", binWidth = HalfHourNs)
+    purchases.join(clicks,
+        col("c_ts") >= col("p_ts") && col("c_ts") <= col("p_end"))
       .groupBy(col("purchase_id"))
       .agg(count(lit(1)).as("n_clicks"),
         countDistinct(col("click_user")).as("n_users"),

@@ -253,6 +253,20 @@ trait PqExpression extends UnaryExpression {
   protected def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  /** A vector whose length differs from m·sub is a dim/codebook mismatch;
+    * clamping would silently emit code 0 / zero dots and diverge from the
+    * oracle with no error, so fail loudly instead. */
+  protected def dimCheck(arr: ArrayData): Unit =
+    if (arr.numElements() != m * sub) throw new IllegalArgumentException(
+      s"$prettyName: vector has ${arr.numElements()} elements but codebooks " +
+        s"expect ${m * sub} (m=$m x sub=$sub)")
+
+  protected def dimCheckJava(a: String): String =
+    s"""if ($a.numElements() != ${m * sub}) {
+       |  throw new IllegalArgumentException("$prettyName: vector has " +
+       |    $a.numElements() + " elements but codebooks expect ${m * sub}");
+       |}""".stripMargin
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -269,12 +283,13 @@ case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
 
   override protected def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
+    dimCheck(arr)
     val f = isFloat
     val out = new Array[Int](m)
     var j = 0
     while (j < m) {
       val off = j * sub
-      val n = math.max(0, math.min(arr.numElements() - off, sub))
+      val n = sub
       var ss = 0.0
       var d = 0
       while (d < n) {
@@ -307,28 +322,28 @@ case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
     val ccRef = ctx.addReferenceObj("cc", cc, "double[][]")
     val get = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, a => {
-      val (j, d, ci, off, n, ss, s, d2, best, bc, out, cw) =
+      val (j, d, ci, off, ss, s, d2, best, bc, out, cw, x) =
         (ctx.freshName("j"), ctx.freshName("d"), ctx.freshName("ci"),
-          ctx.freshName("off"), ctx.freshName("n"), ctx.freshName("ss"),
+          ctx.freshName("off"), ctx.freshName("ss"),
           ctx.freshName("s"), ctx.freshName("d2"), ctx.freshName("best"),
-          ctx.freshName("bc"), ctx.freshName("out"), ctx.freshName("cw"))
+          ctx.freshName("bc"), ctx.freshName("out"), ctx.freshName("cw"),
+          ctx.freshName("x"))
       s"""
+         |${dimCheckJava(a)}
          |int[] $out = new int[$m];
          |for (int $j = 0; $j < $m; $j++) {
          |  int $off = $j * $sub;
-         |  int $n = java.lang.Math.max(0,
-         |    java.lang.Math.min($a.numElements() - $off, $sub));
          |  double $ss = 0.0;
-         |  for (int $d = 0; $d < $n; $d++) {
-         |    double x = (double) $a.$get($off + $d);
-         |    $ss += x * x;
+         |  for (int $d = 0; $d < $sub; $d++) {
+         |    double $x = (double) $a.$get($off + $d);
+         |    $ss += $x * $x;
          |  }
          |  double $best = Double.POSITIVE_INFINITY;
          |  int $bc = 0;
          |  for (int $ci = 0; $ci < $ks; $ci++) {
          |    double[] $cw = $cbRef[$j][$ci];
          |    double $s = 0.0;
-         |    for (int $d = 0; $d < $n; $d++) {
+         |    for (int $d = 0; $d < $sub; $d++) {
          |      $s += (double) $a.$get($off + $d) * $cw[$d];
          |    }
          |    double $d2 = $ss - $s * 2 + $ccRef[$j][$ci];
@@ -356,12 +371,13 @@ case class PqAdcTable(child: Expression, codebooks: Array[Array[Array[Double]]])
 
   override protected def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
+    dimCheck(arr)
     val f = isFloat
     val out = new Array[Any](m)
     var j = 0
     while (j < m) {
       val off = j * sub
-      val n = math.max(0, math.min(arr.numElements() - off, sub))
+      val n = sub
       val tbl = new Array[Long](ks)
       var ci = 0
       while (ci < ks) {
@@ -385,21 +401,20 @@ case class PqAdcTable(child: Expression, codebooks: Array[Array[Array[Double]]])
     val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
     val get = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, a => {
-      val (j, d, ci, off, n, s, out, tbl, cw) =
+      val (j, d, ci, off, s, out, tbl, cw) =
         (ctx.freshName("j"), ctx.freshName("d"), ctx.freshName("ci"),
-          ctx.freshName("off"), ctx.freshName("n"), ctx.freshName("s"),
+          ctx.freshName("off"), ctx.freshName("s"),
           ctx.freshName("out"), ctx.freshName("tbl"), ctx.freshName("cw"))
       s"""
+         |${dimCheckJava(a)}
          |Object[] $out = new Object[$m];
          |for (int $j = 0; $j < $m; $j++) {
          |  int $off = $j * $sub;
-         |  int $n = java.lang.Math.max(0,
-         |    java.lang.Math.min($a.numElements() - $off, $sub));
          |  long[] $tbl = new long[$ks];
          |  for (int $ci = 0; $ci < $ks; $ci++) {
          |    double[] $cw = $cbRef[$j][$ci];
          |    double $s = 0.0;
-         |    for (int $d = 0; $d < $n; $d++) {
+         |    for (int $d = 0; $d < $sub; $d++) {
          |      $s += (double) $a.$get($off + $d) * $cw[$d];
          |    }
          |    $tbl[$ci] = (long) java.lang.Math.floor($s * 1.0E4 + 0.5);

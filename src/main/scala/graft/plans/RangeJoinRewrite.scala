@@ -1,10 +1,13 @@
 package graft.plans
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, LongType}
+import org.apache.spark.sql.functions.{col, max, percentile_approx, lit}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.LongType
 
 /** Automatic bin-and-verify rewrite for inequality-only range joins —
   * the optimizer-rule twin of [[graft.operators.RangeJoin]].
@@ -13,24 +16,73 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * instant inside the other side's interval, long-typed — the engine's
   * ns-epoch discipline) has no equi key, so Spark plans
   * BroadcastNestedLoopJoin: quadratic work plus a full-side broadcast, a
-  * non-starter at 100 TB. When `spark.graft.rangeJoin.binWidth` is set
-  * (> 0, same units as the time columns), this rule quantizes the time
-  * axis: the interval side explodes to its covered bins (a `Generate` of
-  * the bin `Sequence`), the instant side projects its single bin, and
-  * the join becomes a hash equi-join on the bin with the ORIGINAL
-  * condition re-verified — identical semantics (a qualifying pair always
-  * meets in the instant's bin; strict bounds and reversed/empty
-  * intervals are handled by the re-check), hash shuffle instead of a
-  * nested loop.
+  * non-starter at 100 TB. This rule quantizes the time axis: the interval
+  * side explodes to its covered bins (a `Generate` of the bin
+  * `Sequence`), the instant side projects its single bin, and the join
+  * becomes a hash equi-join on the bin with the ORIGINAL condition
+  * re-verified — identical semantics (a qualifying pair always meets in
+  * the instant's bin; strict bounds and reversed/empty intervals are
+  * handled by the re-check), hash shuffle instead of a nested loop.
+  *
+  * Bin width: `spark.graft.rangeJoin.binWidth` accepts a positive long
+  * (time units of the join columns), `off` (or any value ≤ 0) to disable
+  * the rewrite, or `auto` — the default when unset. Auto derives the
+  * width at rewrite time from a bounded sample of the interval side
+  * (p95 of `hi − lo` over the first [[SampleRows]] rows: ≤2-row fanout
+  * for a typical interval), floored so the longest sampled interval
+  * explodes to at most [[MaxFanout]] bins — a session-global width can't
+  * fit every join, so each join derives its own. If the sample is empty
+  * or the probe fails, the join is left unrewritten.
   *
   * The rewrite only fires when no equi conjunct exists (Spark already
   * hash-joins those, with the range conjuncts as post-join filters) and
   * both range conjuncts bound the SAME instant expression. Registered
-  * via `GraftExtensions`; width choice is the operator's contract: pick
-  * the typical interval length (fanout ⌈len/W⌉+1 per interval row). */
+  * via `GraftExtensions`. */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
   private val WidthKey = "spark.graft.rangeJoin.binWidth"
+  private val SampleRows = 10000
+  private val MaxFanout = 4096L
+
+  /** None → auto-derive per join; Some(w>0) → fixed width; Some(0) → off. */
+  private def configuredWidth: Option[Long] =
+    conf.getConfString(WidthKey, "auto").trim.toLowerCase match {
+      case "auto" | "" => None
+      case "off" => Some(0L)
+      case s => try Some(math.max(s.toLong, 0L)) catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$WidthKey must be a positive long (bin width in the time " +
+            s"columns' units), 'auto', or 'off'; got '$s'")
+      }
+    }
+
+  /** Bounded statistics probe over the interval side: p95 and max of
+    * `hi − lo` on the first [[SampleRows]] rows. Runs as its own tiny
+    * job mid-optimization (the probe plan has no join, so the rule
+    * cannot re-enter itself through it). */
+  private def deriveWidth(ival: LogicalPlan, lo: Expression,
+      hi: Expression): Option[Long] = try {
+    val spark = SparkSession.active
+    val len = Alias(Subtract(hi, lo), "__graft_len")()
+    val probe = ColumnBridge.ofRows(spark,
+      Limit(Literal(SampleRows), Project(Seq(len), ival)))
+    val row = probe.agg(
+      percentile_approx(col("__graft_len"), lit(0.95), lit(SampleRows))
+        .cast("long").as("p95"),
+      max(col("__graft_len")).cast("long").as("mx")).head()
+    if (row.isNullAt(0)) None
+    else {
+      val p95 = math.max(row.getLong(0), 1L)
+      val mx = math.max(if (row.isNullAt(1)) p95 else row.getLong(1), p95)
+      val w = math.max(p95, (mx + MaxFanout - 1) / MaxFanout)
+      logInfo(s"derived $WidthKey=$w (sampled p95 len=$p95, max len=$mx)")
+      Some(w)
+    }
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      logWarning(s"auto bin-width probe failed; leaving join unrewritten", e)
+      None
+  }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
@@ -80,8 +132,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     IntegralDivide(Subtract(c, Pmod(c, Literal(w))), Literal(w))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = conf.getConfString(WidthKey, "0").toLong
-    if (w <= 0) return plan
+    val cw = configuredWidth
+    if (cw.contains(0L)) return plan
     plan transform {
       case j @ Join(l, r, Inner, Some(cond), hint) =>
         val conjuncts = splitConjuncts(cond)
@@ -99,25 +151,27 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
             hiSide <- sideOf(hi, l, r)
             if loSide == hiSide && loSide != tSide
           } yield (t1, lo, hi, tSide)).headOption
-          match_.map { case (t, lo, hi, tLeft) =>
+          match_.flatMap { case (t, lo, hi, tLeft) =>
             val (instSide, ivalSide) = if (tLeft) (l, r) else (r, l)
-            // interval side: explode covered bins
-            val binsAttr = AttributeReference("__graft_bin", LongType,
-              nullable = false)()
-            // TimeZoneAwareExpression: unresolved until a zone is bound,
-            // even for integral sequences
-            val seq = Sequence(bin(lo, w), bin(hi, w), None,
-              Some(conf.sessionLocalTimeZone))
-            val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
-              outer = false, qualifier = None,
-              generatorOutput = Seq(binsAttr), child = ivalSide)
-            // instant side: single bin projection
-            val tBin = Alias(bin(t, w), "__graft_tbin")()
-            val proj = Project(instSide.output :+ tBin, instSide)
-            val equi = EqualTo(binsAttr, tBin.toAttribute)
-            val (nl, nr) = if (tLeft) (proj, gen) else (gen, proj)
-            Project(j.output,
-              Join(nl, nr, Inner, Some(And(equi, cond)), hint))
+            cw.orElse(deriveWidth(ivalSide, lo, hi)).map { w =>
+              // interval side: explode covered bins
+              val binsAttr = AttributeReference("__graft_bin", LongType,
+                nullable = false)()
+              // TimeZoneAwareExpression: unresolved until a zone is bound,
+              // even for integral sequences
+              val seq = Sequence(bin(lo, w), bin(hi, w), None,
+                Some(conf.sessionLocalTimeZone))
+              val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
+                outer = false, qualifier = None,
+                generatorOutput = Seq(binsAttr), child = ivalSide)
+              // instant side: single bin projection
+              val tBin = Alias(bin(t, w), "__graft_tbin")()
+              val proj = Project(instSide.output :+ tBin, instSide)
+              val equi = EqualTo(binsAttr, tBin.toAttribute)
+              val (nl, nr) = if (tLeft) (proj, gen) else (gen, proj)
+              Project(j.output,
+                Join(nl, nr, Inner, Some(And(equi, cond)), hint))
+            }
           }
         }
         rewritten.getOrElse(j)

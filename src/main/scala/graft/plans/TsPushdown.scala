@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, LongType, TimestampNTZType, TimestampType}
 
 /** Restores parquet predicate pushdown through the ns-epoch view of a
   * microsecond timestamp column.
@@ -49,6 +49,14 @@ object TsPushdown extends Rule[LogicalPlan] {
   private def floorDiv(x: Long): Long = Math.floorDiv(x, 1000L)
   private def ceilDiv(x: Long): Long = -Math.floorDiv(-x, 1000L)
 
+  /** No ns value off the 1000-grid has a µs preimage, but the original
+    * comparison is three-valued: NULL when `t` is NULL, FALSE otherwise.
+    * A bare FALSE would flip NULL→FALSE under negation or in projection
+    * context, so preserve the null branch unless `t` is non-nullable. */
+  private def noPreimage(t: Expression): Expression =
+    if (t.nullable) If(IsNull(t), Literal(null, BooleanType), Literal.FalseLiteral)
+    else Literal.FalseLiteral
+
   /** Micros literal in the matched expression's own timestamp type (both
     * timestamp types store micros-since-epoch internally). */
   private def usLit(us: Long, like: Expression): Literal =
@@ -68,7 +76,7 @@ object TsPushdown extends Rule[LogicalPlan] {
         LessThan(t, usLit(ceilDiv(v), t))
       case EqualTo(NsView(t), Literal(v: Long, LongType)) =>
         if (v % 1000L == 0L) EqualTo(t, usLit(v / 1000L, t))
-        else Literal.FalseLiteral
+        else noPreimage(t)
       // v ⋈ t·1000 (mirrored)
       case GreaterThanOrEqual(Literal(v: Long, LongType), NsView(t)) =>
         GreaterThanOrEqual(usLit(floorDiv(v), t), t)
@@ -80,18 +88,18 @@ object TsPushdown extends Rule[LogicalPlan] {
         LessThan(usLit(floorDiv(v), t), t)
       case EqualTo(Literal(v: Long, LongType), NsView(t)) =>
         if (v % 1000L == 0L) EqualTo(usLit(v / 1000L, t), t)
-        else Literal.FalseLiteral
+        else noPreimage(t)
       // t·1000 IN (v…): non-multiples of 1000 have no preimage
       case In(NsView(t), vs) if vs.forall {
           case Literal(_: Long, LongType) => true; case _ => false } =>
         val us = vs.collect { case Literal(v: Long, LongType) if v % 1000L == 0L =>
           usLit(v / 1000L, t) }
-        if (us.isEmpty) Literal.FalseLiteral else In(t, us)
+        if (us.isEmpty) noPreimage(t) else In(t, us)
       // OptimizeIn rewrites long IN lists to InSet before this batch runs
       case InSet(NsView(t), hset) if hset.forall(_.isInstanceOf[java.lang.Long]) =>
         val us = hset.collect {
           case v: java.lang.Long if v.longValue % 1000L == 0L =>
             java.lang.Long.valueOf(v.longValue / 1000L): Any }
-        if (us.isEmpty) Literal.FalseLiteral else InSet(t, us)
+        if (us.isEmpty) noPreimage(t) else InSet(t, us)
     }
 }

@@ -54,6 +54,50 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  private def withRuleNoConf[A](conf: Option[String])(f: => A): A = {
+    val before = spark.experimental.extraOptimizations
+    if (!before.contains(graft.plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations = before :+ graft.plans.RangeJoinRewrite
+    conf.foreach(spark.conf.set("spark.graft.rangeJoin.binWidth", _))
+    try f finally {
+      spark.conf.unset("spark.graft.rangeJoin.binWidth")
+      spark.experimental.extraOptimizations = before
+    }
+  }
+
+  test("auto width: no conf set, the rewrite derives a width and fires") {
+    val naive = ivs.crossJoin(pts).filter($"t" >= $"s" && $"t" <= $"e")
+      .select($"iv_id", $"pt_id").as[(Long, Long)].collect().toSet
+    withRuleNoConf(None) {
+      val joined = ivs.join(pts, $"t" >= $"s" && $"t" <= $"e")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+        s"auto width must remove the nested loop without user tuning:\n$p")
+      assert(p.contains("__graft_bin"), p)
+      val got = joined.select($"iv_id", $"pt_id").as[(Long, Long)].collect().toSet
+      assert(got == naive)
+    }
+  }
+
+  test("'off' disables the rewrite even with the rule registered") {
+    withRuleNoConf(Some("off")) {
+      val p = ivs.join(pts, $"t" >= $"s" && $"t" <= $"e")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastNestedLoop") || p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("non-numeric width raises an error naming the conf key") {
+    withRuleNoConf(Some("banana")) {
+      val e = intercept[Throwable] {
+        ivs.join(pts, $"t" >= $"s" && $"t" <= $"e").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("spark.graft.rangeJoin.binWidth")), e.toString)
+    }
+  }
+
   test("joins that already have an equi key are left alone") {
     withRule(100L) {
       val a = Seq((1L, 5L)).toDF("k", "x")

@@ -70,6 +70,24 @@ class TablesSpec extends SparkSpec {
       l.contains("Filter") && l.contains("unix_micros")), ps)
   }
 
+  test("no-preimage equality keeps three-valued logic on nullable ts") {
+    // ns value 1 is off the 1000-grid: no µs preimage. The rewrite must
+    // still yield NULL (not FALSE) for a NULL timestamp — observable in
+    // projection context and under negation.
+    val df = writeAndLoad(
+      s"""SELECT * FROM VALUES
+         |  (1L, timestamp_micros(${sec}000000), 2L, 'click', 1.5D, 'p'),
+         |  (2L, CAST(NULL AS TIMESTAMP), 3L, 'click', 2.5D, 'p')
+         |  AS t(event_id, ts, user_id, event_type, value, props)""".stripMargin)
+    val proj = df.select(col("event_id"), (col("ts") === lit(1L)).as("eq"))
+      .orderBy("event_id").collect()
+    assert(!proj(0).isNullAt(1) && !proj(0).getBoolean(1)) // non-null ts → FALSE
+    assert(proj(1).isNullAt(1), proj(1).toString)          // null ts → NULL
+    // NOT(NULL) = NULL drops the null-ts row; a bare FALSE would keep it
+    assert(df.filter(!(col("ts") === lit(1L))).count() == 1L)
+    assert(df.filter(!col("ts").isin(1L, 3L)).count() == 1L)
+  }
+
   test("embeddings normalize to array<float> whatever the stored width") {
     val dir = java.nio.file.Files.createTempDirectory("graft_emb").toString
     spark.sql("SELECT 1L AS vec_id, array(CAST(0.5 AS DOUBLE), CAST(-1.25 AS DOUBLE)) AS embedding, 0 AS label")
