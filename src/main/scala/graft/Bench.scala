@@ -109,12 +109,20 @@ object Bench {
       val pts = graft.tsdb.Tables.eventsAsPoints(spark, sfDir).cache()
       val nRows = pts.count()
       // steady-state: warm the write path (codegen, parquet committer,
-      // log machinery) on a throwaway engine, then time the real load
+      // log machinery) on a throwaway engine, then time the real load as
+      // the MEDIAN of 3 fresh-engine loads (single-shot ingest was the
+      // highest-variance number across rounds: r4 73.3k vs r6 65.2k on
+      // identical code — the round-7 probe attributed the spread to
+      // JIT/GC phase, not the write path)
       new graft.tsdb.TsdbEngine(spark, s"$tmp/warm").putDF(pts.limit(1000))
-      val engine = new graft.tsdb.TsdbEngine(spark, s"$tmp/db")
-      val t0 = System.nanoTime()
-      engine.putDF(pts)
-      val ingestSec = (System.nanoTime() - t0) / 1e9
+      val ingestSecs = (0 until 3).map { k =>
+        val eng = new graft.tsdb.TsdbEngine(spark, s"$tmp/db$k")
+        val t0 = System.nanoTime()
+        eng.putDF(pts)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val ingestSec = ingestSecs(1)
+      val engine = new graft.tsdb.TsdbEngine(spark, s"$tmp/db0")
       pts.unpersist()
       val rnd = new scala.util.Random(42)
       def q(i: Int) = graft.tsdb.QueryParams("purchase",
@@ -122,17 +130,21 @@ object Bench {
         startNs = 1704067200000000000L + i * 3600000000000L,
         endNs = Some(1704067200000000000L + (i + 24) * 3600000000000L))
       // cold = uncached RESULT on the serving path (every query distinct →
-      // all result-cache misses): the per-metric merged view is built once
-      // per commit (warmed here, like the write path), each miss then
-      // replans only filter+shape over it and orders driver-side
-      val nCold = 20
-      engine.queryCached(q(-1))
+      // all result-cache misses). Warmup-then-measure like every other
+      // block: the round-7 probe showed the first ~100 calls sit in the
+      // JIT transient (444 qps warming → 600+ steady on identical code —
+      // the whole r4→r6 "regression" was where inside that transient the
+      // 20-query sample landed), so warm past it and measure 100.
+      val nCold = 100
+      (1000 until 1100).foreach(i => engine.queryCached(q(i)))
       val t1 = System.nanoTime()
       (0 until nCold).foreach(i => engine.queryCached(q(i)))
       val coldSec = (System.nanoTime() - t1) / 1e9
-      val nCached = 200
+      // cached = repeated identical query (result-cache hit path): ~1 µs
+      // steady-state, so 200 samples measured ONLY keyOf's JIT warmup
+      val nCached = 20000
       val cq = q(0)
-      engine.queryCached(cq)
+      (0 until 2000).foreach(_ => engine.queryCached(cq))
       val t2 = System.nanoTime()
       (0 until nCached).foreach(_ => engine.queryCached(cq))
       val cachedSec = (System.nanoTime() - t2) / 1e9
@@ -156,20 +168,24 @@ object Bench {
           graft.tsdb.AggSpec("sum", "value"), graft.tsdb.AggSpec("count", "*"),
           graft.tsdb.AggSpec("min", "value"), graft.tsdb.AggSpec("max", "value")))
       val nDs = 10
-      // warm indices chosen OUTSIDE both measured (i%3, i%2, i%5) triple
-      // sets — a colliding warm query would hit the result cache and the
-      // excluded build would land inside the measured pass instead
+      // warm indices chosen OUTSIDE the measured sets (params repeat only
+      // at stride 138) — a colliding warm query would hit the result
+      // cache and the excluded build would land inside the measured pass
       engine.queryCached(dq(55)) // warm the merged serving view
       val t3 = System.nanoTime()
       (0 until nDs).foreach(i => engine.queryCached(dq(i)))
       val rawDsSec = (System.nanoTime() - t3) / 1e9
       engine.registerRollup("purchase", DayNs, Seq("value"))
-      engine.queryCached(dq(56)) // materialize the rollup once (excluded)
+      // routed queries serve from the DRIVER-RESIDENT rollup tier
+      // (LocalRollup): materialize + collect once (excluded), warm the
+      // re-agg JIT, then measure more iterations — the path is sub-ms
+      val nDsR = 30
+      (56 until 60).foreach(i => engine.queryCached(dq(i)))
       val t4 = System.nanoTime()
-      (0 until nDs).foreach(i => engine.queryCached(dq(100 + i)))
+      (0 until nDsR).foreach(i => engine.queryCached(dq(100 + i)))
       val routedDsSec = (System.nanoTime() - t4) / 1e9
       (nRows / ingestSec, nCold / coldSec, nCached / cachedSec,
-        nDs / rawDsSec, nDs / routedDsSec)
+        nDs / rawDsSec, nDsR / routedDsSec)
     } catch { case e: Throwable =>
       errors.getOrElseUpdate("serving_tier",
         e.getClass.getSimpleName + ": " +

@@ -1,0 +1,223 @@
+package graft.tsdb
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Driver-resident rollup serving: answer a [[Rollup.supports]]-eligible
+  * downsample query by re-aggregating COLLECTED rollup partial rows in
+  * pure Scala — no Spark job, no plan, no codegen.
+  *
+  * Why it exists: a materialized rollup is small BY CONSTRUCTION
+  * (|series| × range/interval rows, independent of raw point count), so
+  * for dashboard-hot metrics the whole frame fits on the driver the same
+  * way [[TsdbEngine]]'s raw-scan local tier does. Re-aggregating a few
+  * thousand partial rows takes microseconds; the Spark path pays a
+  * ~100 ms+ fixed planning/codegen/scheduling floor per query REGARDLESS
+  * of data volume — which is exactly why the routed-vs-raw serving win
+  * was invisible at bench density. Serving rollups driver-side removes
+  * that floor entirely while raw queries keep paying it in proportion to
+  * their (at 100 TB: enormous) scan.
+  *
+  * Semantics are a row-for-row mirror of [[Rollup.run]] +
+  * [[QueryEngine.shapeDownsampled]] + [[QueryEngine.applyCursorLimit]]
+  * (spec-asserted identical): same window math, same NaN/empty-set
+  * conventions, same first/last stream-order merge, same empty-window
+  * fill, ordering, cursor keyset and limit. Percentile (`p<N>`) specs are
+  * NOT served here (t-digest merges stay on the Spark path); callers
+  * gate on [[eligible]].
+  */
+object LocalRollup {
+
+  /** Driver-side tier handles every decomposable agg except digests. */
+  def eligible(p: QueryParams): Boolean = p.aggs.forall(_.percentile.isEmpty)
+
+  /** Output schema of [[run]] — matches the Spark downsample path's
+    * column order and types (count → long, all else → double). */
+  def outputSchema(p: QueryParams): StructType = StructType(
+    Seq(StructField("metric", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("series_key", StringType),
+      StructField("window_start", LongType),
+      StructField("window_end", LongType)) ++
+      p.aggs.map(s => StructField(s.outputName,
+        if (s.func == "count") LongType else DoubleType)))
+
+  /** Column ordinals of one field's stored partials. */
+  private final case class FieldIdx(cntAny: Int, cnt: Int, sum: Int,
+      sumsq: Int, mn: Int, mx: Int, firstOrd: Int, first: Int,
+      lastOrd: Int, last: Int)
+
+  /** Merged partial state for one (series, target window) group. */
+  private final class FieldState {
+    var cntAny = 0L; var cnt = 0L
+    var sum = 0.0; var hasSum = false
+    var sumsq = 0.0; var hasSumsq = false
+    var mn = Double.MaxValue; var hasMin = false
+    var mx = Double.MinValue; var hasMax = false
+    var firstOrd: (Long, String, Long) = null; var first = 0.0
+    var lastOrd: (Long, String, Long) = null; var last = 0.0
+  }
+  private final class GroupState(val metric: String, val tags: Any) {
+    var cntStar = 0L
+    val fields = scala.collection.mutable.HashMap.empty[String, FieldState]
+  }
+
+  private val ordOrdering: Ordering[(Long, String, Long)] =
+    Ordering.Tuple3(Ordering.Long, Ordering.String, Ordering.Long)
+
+  private def ordOf(r: Row, i: Int): (Long, String, Long) =
+    if (r.isNullAt(i)) null
+    else { val s = r.getStruct(i); (s.getLong(0), s.getString(1), s.getLong(2)) }
+
+  /** Mirror of [[Rollup.run]] over collected rollup rows. `rows` is the
+    * full materialized rollup frame for the metric (any window range);
+    * `p` must pass [[Rollup.supports]] and [[eligible]]. */
+  def run(rows: Array[Row], schema: StructType, p: QueryParams,
+      rollupIntervalNs: Long): Array[Row] = {
+    val interval = p.downsampleNs.get
+    val endNs = p.endNs.get
+    val iSk = schema.fieldIndex("series_key")
+    val iWs = schema.fieldIndex("window_start")
+    val iMetric = schema.fieldIndex("metric")
+    val iTags = schema.fieldIndex("tags")
+    val iStar = schema.fieldIndex("__cnt_star")
+    val fieldIdx = p.aggs.map(_.field).distinct.filter(_ != "*").map { f =>
+      f -> FieldIdx(schema.fieldIndex(s"${f}__cnt_any"),
+        schema.fieldIndex(s"${f}__cnt"), schema.fieldIndex(s"${f}__sum"),
+        schema.fieldIndex(s"${f}__sumsq"), schema.fieldIndex(s"${f}__min"),
+        schema.fieldIndex(s"${f}__max"), schema.fieldIndex(s"${f}__first_ord"),
+        schema.fieldIndex(s"${f}__first"), schema.fieldIndex(s"${f}__last_ord"),
+        schema.fieldIndex(s"${f}__last"))
+    }.toMap
+
+    // windowBounds: aligned may precede startNs when interval > rollup's
+    val aligned = startAligned(p, interval)
+    val lastW = if (endNs <= aligned) aligned
+                else aligned + ((endNs - 1 - aligned) / interval) * interval
+
+    // filter (metric/tags/window range) + group on (series, target window)
+    val groups = scala.collection.mutable.HashMap.empty[(String, Long), GroupState]
+    var ri = 0
+    while (ri < rows.length) {
+      val r = rows(ri); ri += 1
+      if (r.getString(iMetric) == p.metric) {
+        val ws = r.getLong(iWs)
+        if (ws >= p.startNs && ws <= endNs) {
+          val target = ws - java.lang.Math.floorMod(ws, interval)
+          if (target <= lastW && tagsMatch(r, iTags, p)) {
+            val g = groups.getOrElseUpdate((r.getString(iSk), target),
+              new GroupState(r.getString(iMetric), r.get(iTags)))
+            g.cntStar += r.getLong(iStar)
+            fieldIdx.foreach { case (f, ix) =>
+              val st = g.fields.getOrElseUpdate(f, new FieldState)
+              st.cntAny += r.getLong(ix.cntAny)
+              st.cnt += r.getLong(ix.cnt)
+              if (!r.isNullAt(ix.sum)) { st.sum += r.getDouble(ix.sum); st.hasSum = true }
+              if (!r.isNullAt(ix.sumsq)) { st.sumsq += r.getDouble(ix.sumsq); st.hasSumsq = true }
+              if (!r.isNullAt(ix.mn)) {
+                val v = r.getDouble(ix.mn)
+                if (!st.hasMin || v < st.mn) st.mn = v
+                st.hasMin = true
+              }
+              if (!r.isNullAt(ix.mx)) {
+                val v = r.getDouble(ix.mx)
+                if (!st.hasMax || v > st.mx) st.mx = v
+                st.hasMax = true
+              }
+              val fo = ordOf(r, ix.firstOrd)
+              if (fo != null && (st.firstOrd == null || ordOrdering.lt(fo, st.firstOrd))) {
+                st.firstOrd = fo; st.first = r.getDouble(ix.first)
+              }
+              val lo = ordOf(r, ix.lastOrd)
+              if (lo != null && (st.lastOrd == null || ordOrdering.gt(lo, st.lastOrd))) {
+                st.lastOrd = lo; st.last = r.getDouble(ix.last)
+              }
+            }
+          }
+        }
+      }
+    }
+
+    // finalize each group to its agg values (reAgg mirror)
+    def finalized(g: GroupState): Seq[Any] = p.aggs.map { s =>
+      val st = if (s.field == "*") null else g.fields(s.field)
+      s.func match {
+        case "count" if s.field == "*" => g.cntStar
+        case "count" => st.cntAny
+        case "sum"   => if (st.hasSum) st.sum else 0.0
+        case "avg"   => if (st.cnt > 0) st.sum / st.cnt else Double.NaN
+        case "min"   => if (st.hasMin) st.mn else Double.NaN
+        case "max"   => if (st.hasMax) st.mx else Double.NaN
+        case "first" => if (st.firstOrd != null) st.first else Double.NaN
+        case "last"  => if (st.lastOrd != null) st.last else Double.NaN
+        case "frac" =>
+          if (st.cnt < 2) Double.NaN
+          else {
+            val fst = st.first; val lst = st.last
+            if (fst == 0.0 && lst == 0.0) 0.0
+            else if (fst == 0.0 && lst > 0.0) Double.PositiveInfinity
+            else if (fst == 0.0 && lst < 0.0) Double.NegativeInfinity
+            else (lst - fst) / fst
+          }
+        case "stddev" =>
+          if (st.cnt < 2) Double.NaN
+          else math.sqrt(math.max(
+            (st.sumsq - st.sum * st.sum / st.cnt) / (st.cnt - 1), 0.0))
+        case other =>
+          throw new IllegalArgumentException(
+            s"not decomposable from rollup partials: $other")
+      }
+    }
+
+    val emitted: Iterator[Row] =
+      if (!p.emitEmptyWindows)
+        groups.iterator.map { case ((sk, w), g) =>
+          Row.fromSeq(Seq(g.metric, g.tags, sk, w, w + interval) ++ finalized(g))
+        }
+      else {
+        // series drawn from the filled groups (shapeDownsampled passes the
+        // AGGREGATED frame as seriesSource on the rollup path)
+        val series = scala.collection.mutable.LinkedHashMap.empty[String, (String, Any)]
+        groups.foreach { case ((sk, _), g) =>
+          if (!series.contains(sk)) series.put(sk, (g.metric, g.tags))
+        }
+        val fillFor = p.aggs.map(s => s.func match {
+          case "count" => 0L
+          case "sum" => 0.0
+          case _ => Double.NaN
+        })
+        for {
+          (sk, (m, tg)) <- series.iterator
+          w <- (aligned to lastW by interval).iterator
+        } yield groups.get((sk, w)) match {
+          case Some(g) => Row.fromSeq(Seq(m, tg, sk, w, w + interval) ++ finalized(g))
+          case None => Row.fromSeq(Seq(m, tg, sk, w, w + interval) ++ fillFor)
+        }
+      }
+
+    // presentation order, cursor keyset, limit (applyCursorLimit mirror)
+    var out = emitted.toArray
+    val ord = Ordering.Tuple2(Ordering.Long, Ordering.String)
+      .on[Row](r => (r.getLong(3), r.getString(2)))
+    out = out.sorted(if (p.order == Descending) ord.reverse else ord)
+    p.afterKey.foreach { c =>
+      out = out.filter { r =>
+        val w = r.getLong(3); val sk = r.getString(2)
+        if (p.order == Ascending)
+          w > c.timestamp || (w == c.timestamp && sk > c.seriesKey)
+        else w < c.timestamp || (w == c.timestamp && sk < c.seriesKey)
+      }
+    }
+    p.limit.foreach(n => out = out.take(n.toInt))
+    out
+  }
+
+  private def startAligned(p: QueryParams, interval: Long): Long =
+    p.startNs - java.lang.Math.floorMod(p.startNs, interval)
+
+  private def tagsMatch(r: Row, iTags: Int, p: QueryParams): Boolean =
+    p.tags.isEmpty || {
+      val tg = r.getAs[scala.collection.Map[String, String]](iTags)
+      p.tags.forall { case (k, v) => tg != null && tg.get(k).contains(v) }
+    }
+}

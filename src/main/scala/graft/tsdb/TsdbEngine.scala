@@ -389,6 +389,11 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   /** metric → (epoch, merged rows sorted by (ts, series_key), schema). */
   private val localCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Row], org.apache.spark.sql.types.StructType)]()
+  /** metric → (epoch, spec, collected rollup partial rows, schema) for the
+    * driver-resident ROLLUP tier ([[LocalRollup]]); null rows memoize a
+    * "too big at this epoch" verdict like [[localCache]]. */
+  private val localRollupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, RollupReg, Array[Row], org.apache.spark.sql.types.StructType)]()
 
   /** Decode a `metric=<v>` path value the way Spark escaped it on write
     * (percent-encoding of filesystem-special chars). */
@@ -855,6 +860,52 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     }
   }
 
+  /** Collected rollup partials for the driver-resident rollup tier, or
+    * None above [[localServingMaxRows]] (verdict memoized per epoch like
+    * [[localRows]]). The collect inherits [[rollupView]]'s incremental
+    * maintenance: it re-runs only when a commit touches the metric. */
+  private def localRollupRows(metric: String, spec: RollupReg):
+      Option[(Array[Row], org.apache.spark.sql.types.StructType)] = {
+    val e = metricEpoch(metric)
+    localRollupCache.get(metric) match {
+      case (ep, s, rows, sch) if ep == e && s == spec =>
+        if (rows == null || rows.length > localServingMaxRows) None
+        else Some((rows, sch))
+      case _ =>
+        val view = rollupView(metric, spec)
+        if (view.count() > localServingMaxRows) {
+          localRollupCache.put(metric, (e, spec, null, null)); None
+        } else {
+          val rows = view.collect()
+          localRollupCache.put(metric, (e, spec, rows, view.schema))
+          Some((rows, view.schema))
+        }
+    }
+  }
+
+  /** Serve an eligible downsample from the driver-resident rollup tier:
+    * pure Scala re-aggregation over the collected partials
+    * ([[LocalRollup.run]], a row-for-row mirror of the Spark rollup
+    * path — spec-asserted). No job, no planning floor: this is where the
+    * materialized rollup's serving win actually cashes out (the Spark
+    * path pays ~100 ms+ of fixed planning/codegen per query, which at
+    * bench density dwarfed the scan it saved). Percentile specs and
+    * over-budget frames fall through to the Spark path. */
+  private def serveLocalRollup(p: QueryParams): Option[(Array[Row], String)] = {
+    val spec = rollupSpecs.get(p.metric)
+    if (spec == null || !LocalRollup.eligible(p) ||
+        !Rollup.supports(p, spec.intervalNs, spec.fields.toSet, spec.digests))
+      None
+    else localRollupRows(p.metric, spec).map { case (rows, sch) =>
+      (LocalRollup.run(rows, sch, p, spec.intervalNs),
+        LocalRollup.outputSchema(p).treeString)
+    }
+  }
+
+  /** Test/bench seam: which tier served the last [[queryCachedCapped]]
+    * call — "cache", "local", "local-rollup", or "spark". */
+  @volatile private[graft] var lastServePath: String = ""
+
   /** Row budget for driver-side collects on the cached serving path: an
     * un-LIMITed query whose result exceeds this many rows is served
     * TRUNCATED to the budget (in presentation order, so the cut is
@@ -883,7 +934,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     val cacheable = params.relativeNs.isEmpty || params.nowNs.isDefined
     val e = metricEpoch(params.metric)
     if (cacheable) resultCache.get(params, e) match {
-      case Some(rows) => return (rows, false)
+      case Some(rows) => lastServePath = "cache"; return (rows, false)
       case None => ()
     }
     val budget = servingRowBudget
@@ -894,7 +945,11 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     // the collected rows — same (ts, series_key) total order, one
     // driver-side sort instead of a cluster shuffle. LIMIT queries keep
     // Spark-side TakeOrdered.
-    val (rows, schemaStr) = serveLocal(params).getOrElse {
+    val (rows, schemaStr) = serveLocal(params)
+      .map { r => lastServePath = "local"; r }
+      .orElse(serveLocalRollup(params).map { r => lastServePath = "local-rollup"; r })
+      .getOrElse {
+      lastServePath = "spark"
       rollupRoute(params, ordered = false) match {
         case Some(df) =>
           if (params.limit.isDefined)
@@ -1159,6 +1214,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         .foreach(_._3.unpersist(blocking = false))
       rollupCache.clear()
       localCache.clear()
+      localRollupCache.clear()
     }
     Right(())
   }

@@ -96,6 +96,73 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  /** Exact for counts/min/max/first/last/window keys; 1e-9 relative for
+    * sum-derived doubles (cross-path summation ORDER is out of contract —
+    * the driver tier folds in collect order, Spark merges partials). */
+  private def assertSameRows(a: Seq[org.apache.spark.sql.Row],
+      b: Seq[org.apache.spark.sql.Row]): Unit = {
+    assert(a.length == b.length, s"${a.length} vs ${b.length} rows")
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.length == y.length)
+      (0 until x.length).foreach { i =>
+        (x.get(i), y.get(i)) match {
+          case (dx: Double, dy: Double) =>
+            assert((dx.isNaN && dy.isNaN) || dx == dy ||
+              math.abs(dx - dy) <= 1e-9 * math.max(1.0, math.abs(dx)),
+              s"col $i: $dx vs $dy in\n$x\n$y")
+          case (vx, vy) => assert(vx == vy, s"col $i: $vx vs $vy in\n$x\n$y")
+        }
+      }
+    }
+  }
+
+  test("driver-resident rollup tier mirrors the Spark rollup path row-for-row") {
+    val pts = fixture
+    val rollup = Rollup.build(QueryEngine.mergedView(pts, Nil), Min,
+      Seq("value", "load", "note"))
+    val collected = rollup.collect()
+    val aggs2 = Seq(AggSpec("count", "*"), AggSpec("avg", "value"),
+      AggSpec("sum", "value"))
+    for (query <- Seq(
+        q(fullAggs),
+        q(aggs2, emitEmpty = true),
+        q(aggs2, tags = Map("host" -> "h2")),
+        q(aggs2, limit = Some(3)),
+        q(aggs2, emitEmpty = true, afterKey = Some(Cursor(Hr, "")), limit = Some(2)),
+        q(aggs2, interval = 2 * Hr),
+        q(aggs2).copy(order = Descending),
+        q(aggs2, tags = Map("host" -> "nope")))) {
+      assert(LocalRollup.eligible(query))
+      val sparkRows = Rollup.run(rollup, Min, query).collect().toSeq
+      val localRows = LocalRollup.run(collected, rollup.schema, query, Min).toSeq
+      assertSameRows(sparkRows, localRows)
+    }
+  }
+
+  test("engine: eligible downsamples serve from the driver rollup tier") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_local").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    eng.putDF(fixture)
+    eng.registerRollup("cpu.usage", Min, Seq("value"))
+    val p = q(Seq(AggSpec("count", "*"), AggSpec("avg", "value"),
+      AggSpec("min", "value"), AggSpec("max", "value")))
+    val truth = eng.query(p).collect().toSeq
+    assertSameRows(truth, eng.queryCached(p).toSeq)
+    assert(eng.lastServePath == "local-rollup", eng.lastServePath)
+    // repeat hits the result cache, not the tier
+    eng.queryCached(p)
+    assert(eng.lastServePath == "cache")
+    // percentile spec is ineligible for the driver tier (falls to Spark)
+    val pp = p.copy(aggs = Seq(AggSpec("p50", "value")))
+    eng.queryCached(pp)
+    assert(eng.lastServePath == "spark", eng.lastServePath)
+    // a commit invalidates: fresh collect, same answers as raw
+    eng.putBatch(Seq(graft.model.DataPoint("cpu.usage", Map("host" -> "h1"),
+      100L * Min, Map("value" -> graft.model.FieldValue(d = Some(77.5))))))
+    assertSameRows(eng.query(p).collect().toSeq, eng.queryCached(p).toSeq)
+    assert(eng.lastServePath == "local-rollup")
+  }
+
   test("supports: rejects non-divisible, misaligned, relative, percentile") {
     val fields = Set("value")
     assert(Rollup.supports(q(Seq(AggSpec("sum", "value"))), Min, fields))
