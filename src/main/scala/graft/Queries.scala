@@ -716,4 +716,31 @@ object Queries {
       "doc_id", "payload")
       .withColumnRenamed("content_md5", "payload_md5")
       .orderBy("doc_id")
+
+  /** The COMPOSED `Curate.curate` lineage, hash-checked end to end: every
+    * stage is individually oracled elsewhere, but the stage-ordering /
+    * attribution seams (who gets `exact_dup` vs `quality`, `dup_of`
+    * through two dedup generations, survivors-only inputs to each later
+    * stage) only get covered by oracling the composition itself. The
+    * corpus has no exact duplicates and is all-English, so copies of docs
+    * 0–14 (at id+100000) and one German doc (200000) are PLANTED to make
+    * every drop reason appear in the output; dials are deterministic and
+    * mirrored literally in the oracle SQL. */
+  def curateLineage(s: SparkSession, dir: String): DataFrame = {
+    val docs0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs0.filter(col("doc_id") < 15)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val german = s.range(1).select(lit(200000L).as("doc_id"),
+      lit("der die und das der die und das der die und das").as("text"))
+    val docs = docs0.unionByName(planted).unionByName(german)
+    graft.pipeline.Curate.curate(docs, "doc_id", "text",
+        allowedLangs = Set("en"), minQualityE4 = 3400L,
+        jaccardThreshold = 0.8,
+        evalDocs = Some(docs.filter(col("doc_id") % 20 === 0)),
+        evalN = 5, evalMinHits = 3L)
+      .select(col("doc_id"),
+        coalesce(col("drop_reason"), lit("kept")).as("drop_reason"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .orderBy("doc_id")
+  }
 }

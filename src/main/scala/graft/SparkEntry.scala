@@ -66,6 +66,7 @@ object SparkEntry {
     "ann_ivf_topk" -> (Queries.annIvfTopK _),
     "ann_pq_topk" -> (Queries.annPqTopK _),
     "multimodal_meta" -> (Queries.multimodalMeta _),
+    "curate_lineage" -> (Queries.curateLineage _),
     // Extended operators (as-of join, sessionization, introspection)
     "asof_click_before_purchase" -> (Queries.asofClickBeforePurchase _),
     "range_join_attrib" -> (Queries.rangeJoinAttrib _),
@@ -178,6 +179,7 @@ object SparkEntry {
     "simhash_sketches" -> simhashOracle,
     "simhash_neardup" -> simhashNearDupOracle,
     "dedup_clusters" -> dedupClustersOracle,
+    "curate_lineage" -> curateLineageOracle,
     "dedup_canonical" -> dedupCanonicalOracle,
     "dedup_incremental" ->
       """WITH w AS (SELECT doc_id,
@@ -822,6 +824,112 @@ object SparkEntry {
     * → exact-cosine verification. Any pair the 8-bit LSH misses is
     * missed identically on both sides (same planes, same signs), so the
     * row set is pinned exactly, not just recall-tested. */
+  /** DuckDB oracle for the COMPOSED curation lineage: re-composes the
+    * already-oracled stage SQL (lang_id, doc_stats quality formula,
+    * dedup_exact fingerprint, dedup_minhash_lsh signatures/banding,
+    * dedup_clusters reachability, decontaminate gram hashing) in
+    * [[graft.pipeline.Curate]]'s sequential-survivor order, with the
+    * same planted rows as the Spark query. */
+  private def curateLineageOracle: String =
+    s"""WITH RECURSIVE d AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 15
+       |  UNION ALL SELECT 200000, 'der die und das der die und das der die und das'),
+       |w AS (SELECT doc_id, text,
+       |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws
+       |  FROM d),
+       |sig0 AS (SELECT doc_id,
+       |  CASE WHEN (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')))
+       |            > greatest(len(list_filter(ws, x -> x IN ('the','a','of','and'))),
+       |                       len(list_filter(ws, x -> x IN ('der','die','und','das'))),
+       |                       len(list_filter(ws, x -> x IN ('el','que','los','y'))),
+       |                       len(list_filter(ws, x -> x IN ('le','les','et','la')))) THEN 'zh'
+       |       WHEN len(list_filter(ws, x -> x IN ('the','a','of','and')))
+       |            >= greatest(len(list_filter(ws, x -> x IN ('der','die','und','das'))),
+       |                        len(list_filter(ws, x -> x IN ('el','que','los','y'))),
+       |                        len(list_filter(ws, x -> x IN ('le','les','et','la')))) THEN 'en'
+       |       WHEN len(list_filter(ws, x -> x IN ('der','die','und','das')))
+       |            >= greatest(len(list_filter(ws, x -> x IN ('el','que','los','y'))),
+       |                        len(list_filter(ws, x -> x IN ('le','les','et','la')))) THEN 'de'
+       |       WHEN len(list_filter(ws, x -> x IN ('el','que','los','y')))
+       |            >= len(list_filter(ws, x -> x IN ('le','les','et','la'))) THEN 'es'
+       |       ELSE 'fr' END AS lang,
+       |  CAST(floor((0.4 * least(len(ws) / 100.0, 1.0)
+       |      + 0.3 * (len(list_distinct(ws))::DOUBLE / len(ws))
+       |      + 0.3 * (len(list_filter(ws, x -> x IN ('the','a','of','and')))::DOUBLE / len(ws)))
+       |    * 10000 + 0.5) AS BIGINT) AS q
+       | FROM w),
+       |qualok AS (SELECT doc_id, q FROM sig0 WHERE lang IN ('en') AND q >= 3400),
+       |fp AS (SELECT w.doc_id, q.q,
+       |         md5(regexp_replace(lower(trim(w.text)), '\\s+', ' ', 'g')) AS f
+       |       FROM w JOIN qualok q ON q.doc_id = w.doc_id),
+       |fpg AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY 1),
+       |exact_drop AS (SELECT fp.doc_id, 'exact_dup' AS drop_reason, fpg.keep_id AS dup_of
+       |               FROM fp JOIN fpg USING (f) WHERE fp.doc_id <> fpg.keep_id),
+       |exactok AS (SELECT fp.doc_id, fp.q FROM fp JOIN fpg USING (f) WHERE fp.doc_id = fpg.keep_id),
+       |sh AS (SELECT w.doc_id,
+       |  list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]) AS s
+       |  FROM w JOIN exactok e ON e.doc_id = w.doc_id WHERE len(ws) >= 3),
+       |posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+       |msig AS (SELECT doc_id,
+       | min(substring(md5('0:' || sg), 1, 8)) AS m0,
+       | min(substring(md5('0:' || sg), 9, 8)) AS m1,
+       | min(substring(md5('0:' || sg), 17, 8)) AS m2,
+       | min(substring(md5('0:' || sg), 25, 8)) AS m3,
+       | min(substring(md5('1:' || sg), 1, 8)) AS m4,
+       | min(substring(md5('1:' || sg), 9, 8)) AS m5,
+       | min(substring(md5('1:' || sg), 17, 8)) AS m6,
+       | min(substring(md5('1:' || sg), 25, 8)) AS m7
+       | FROM posts GROUP BY 1),
+       |band AS (
+       | SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS h FROM msig
+       | UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM msig
+       | UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM msig
+       | UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM msig),
+       |cnd AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM band a JOIN band b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT c.doc_a, c.doc_b
+       | FROM cnd c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b
+       | WHERE len(list_intersect(x.s, y.s))::DOUBLE
+       |       / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.8),
+       |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(node, r) AS (
+       | SELECT doc_id, doc_id FROM exactok
+       | UNION
+       | SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r),
+       |lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |rkd AS (SELECT lab.doc_id, lab.cluster_id,
+       |    row_number() OVER (PARTITION BY lab.cluster_id
+       |                       ORDER BY e.q DESC, lab.doc_id ASC) AS rk
+       |  FROM lab JOIN exactok e USING (doc_id)),
+       |keepc AS (SELECT cluster_id, doc_id AS keep FROM rkd WHERE rk = 1),
+       |near_drop AS (SELECT rkd.doc_id, 'near_dup' AS drop_reason, keepc.keep AS dup_of
+       |              FROM rkd JOIN keepc USING (cluster_id) WHERE rk > 1),
+       |nearok AS (SELECT doc_id FROM rkd WHERE rk = 1),
+       |g5 AS (SELECT doc_id, list_distinct(
+       |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+       |   FOR i IN range(1, len(ws) - 3)]) AS sh5
+       |  FROM w WHERE len(ws) >= 5),
+       |p5 AS (SELECT doc_id, substring(md5(s), 1, 8) AS hx
+       |      FROM (SELECT doc_id, unnest(sh5) AS s FROM g5)),
+       |ph AS (SELECT doc_id, CAST(${hexToIntSql("hx")} AS BIGINT) AS gh FROM p5),
+       |tp AS (SELECT ph.doc_id, gh FROM ph JOIN nearok n ON n.doc_id = ph.doc_id),
+       |ep AS (SELECT doc_id AS eval_id, gh FROM ph WHERE doc_id % 20 = 0),
+       |contam AS (SELECT tp.doc_id FROM tp JOIN ep USING (gh)
+       |           GROUP BY 1 HAVING count(DISTINCT gh) >= 3),
+       |contam_drop AS (SELECT doc_id, 'contaminated' AS drop_reason, CAST(NULL AS BIGINT) AS dup_of FROM contam),
+       |filter_drop AS (SELECT doc_id,
+       |    CASE WHEN lang NOT IN ('en') THEN 'lang'
+       |         WHEN q < 3400 THEN 'quality' END AS drop_reason,
+       |    CAST(NULL AS BIGINT) AS dup_of
+       |  FROM sig0 WHERE lang NOT IN ('en') OR q < 3400),
+       |dropped AS (SELECT * FROM filter_drop UNION ALL SELECT * FROM exact_drop
+       |            UNION ALL SELECT * FROM near_drop UNION ALL SELECT * FROM contam_drop)
+       |SELECT d.doc_id, coalesce(dr.drop_reason, 'kept') AS drop_reason,
+       |       coalesce(dr.dup_of, -1) AS dup_of
+       |FROM d
+       |LEFT JOIN dropped dr USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   private def neardupHiOracle: String = {
     val planeRows = graft.pipeline.Similarity.tablePlanes(24, 8, 64, 42L)
       .map { case (t, planes) =>
