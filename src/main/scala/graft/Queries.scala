@@ -709,6 +709,28 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** The INDEXED ANN serving path, hash-checked: materialize the IVF-PQ
+    * index from two-thirds of the corpus, APPEND the rest under the
+    * frozen quantizer, COMPACT the accumulated per-append file sets,
+    * then serve the same query batch as `ann_pq_topk`. Because cell
+    * assignment and codes depend only on the frozen quantizer — never on
+    * corpus membership — the grown-then-compacted index must answer
+    * exactly like the in-memory operator over the full corpus, so the
+    * SAME oracle pins it; the plan carries the `cid` partition filter
+    * (PlanSpec-pinned). */
+  def annPqTopKIndexed(s: SparkSession, dir: String): DataFrame = {
+    val all = embVecs(s, dir)
+    val cb = Similarity.firstKsCodebooks(all, 8, 16)
+    val cents = Similarity.firstNCentroids(all, 16)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ann_idx").toString
+    Similarity.writeAnnIndex(all.filter(col("id") % 3 =!= 0), idx,
+      m = 8, ks = 16, nlist = 16, codebooks = Some(cb), centroids = Some(cents))
+    Similarity.appendAnnIndex(all.filter(col("id") % 3 === 0), idx)
+    Similarity.compactAnnIndex(s, idx)
+    Similarity.pqTopKIndexed(s, idx, all.filter(col("id") < 5), k = 10, nprobe = 6)
+      .orderBy("query_id", "rank")
+  }
+
   /** Multimodal byte-column metadata (binary plumbing, no decode). */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Multimodal.byteMeta(

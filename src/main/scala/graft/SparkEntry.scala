@@ -65,6 +65,7 @@ object SparkEntry {
     "ann_lsh_topk" -> (Queries.annLshTopK _),
     "ann_ivf_topk" -> (Queries.annIvfTopK _),
     "ann_pq_topk" -> (Queries.annPqTopK _),
+    "ann_pq_topk_indexed" -> (Queries.annPqTopKIndexed _),
     "multimodal_meta" -> (Queries.multimodalMeta _),
     "curate_lineage" -> (Queries.curateLineage _),
     // Extended operators (as-of join, sessionization, introspection)
@@ -406,6 +407,9 @@ object SparkEntry {
     "ann_lsh_topk" -> annLshOracle,
     "ann_ivf_topk" -> annIvfOracle,
     "ann_pq_topk" -> annPqOracle,
+    // frozen-quantizer contract: the grown+compacted index answers
+    // exactly like the in-memory operator, so the same oracle pins it
+    "ann_pq_topk_indexed" -> annPqOracle,
     "doc_stats" ->
       """WITH w AS (SELECT doc_id, text,
         |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws

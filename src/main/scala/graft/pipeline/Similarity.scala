@@ -485,10 +485,35 @@ object Similarity {
     pqCells(corpus, cb, cents, replicate)
       .repartition(col("cid"))
       .write.partitionBy("cid").mode("overwrite").parquet(s"$path/cells")
+    writeMarker(corpus.sparkSession, path,
+      AnnIndexMarker(m, ks, nlist, replicate, cents.map(_._2), cb))
+  }
+
+  /** Marker IO goes through the Hadoop FileSystem resolved from the
+    * session (NOT java.nio): an index root on hdfs:// or s3a:// — the
+    * deployment shape the cells writer already supports — must carry its
+    * `_index.json` on the same filesystem as the parquet it describes. */
+  private def markerPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_index.json")
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeMarker(spark: org.apache.spark.sql.SparkSession,
+      path: String, mk: AnnIndexMarker): Unit = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path, "_index.json"),
-      org.json4s.jackson.Serialization.write(AnnIndexMarker(
-        m, ks, nlist, replicate, cents.map(_._2), cb)))
+    val out = fsOf(spark, path).create(markerPath(path), true)
+    try out.write(org.json4s.jackson.Serialization.write(mk).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readMarker(spark: org.apache.spark.sql.SparkSession,
+      path: String): AnnIndexMarker = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val in = fsOf(spark, path).open(markerPath(path))
+    try org.json4s.jackson.Serialization.read[AnnIndexMarker](
+      new java.io.InputStreamReader(in, "UTF-8"))
+    finally in.close()
   }
 
   /** Append an increment to a materialized [[writeAnnIndex]]: encode the
@@ -499,13 +524,45 @@ object Similarity {
     * the 100 TB maintenance contract: daily increments cost one narrow
     * encode of the new data, the existing cells are never rewritten. */
   def appendAnnIndex(increment: DataFrame, path: String): Unit = {
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    val mk = org.json4s.jackson.Serialization.read[AnnIndexMarker](
-      java.nio.file.Files.readString(java.nio.file.Paths.get(path, "_index.json")))
+    val mk = readMarker(increment.sparkSession, path)
     pqCells(increment, mk.codebooks, mk.centroids.zipWithIndex.map(_.swap),
         mk.replicate)
       .repartition(col("cid"))
       .write.partitionBy("cid").mode("append").parquet(s"$path/cells")
+  }
+
+  /** Fold the per-append file sets of a materialized index: every
+    * [[appendAnnIndex]] leaves one more file set inside each touched
+    * `cid=` partition, and daily increments at 100 TB accumulate small
+    * files with nothing to merge them — the same pressure the engine's
+    * level compaction answers for data files
+    * (reference `engine2/compaction_manager.go:144-262`). One shuffled
+    * rewrite repartitioned on `cid` lands each cell in exactly one task →
+    * one file per partition; the rewrite stages to a sibling directory
+    * and swaps via two renames, so a crash leaves either the old or the
+    * new file set, never a mix (the marker — quantizer geometry — is
+    * untouched: compaction moves rows, it never re-encodes). Row content
+    * is exactly the pre-compaction index; [[pqTopKIndexed]] answers are
+    * spec-asserted identical, file counts collapse to one per cell. */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val cells = s"$path/cells"
+    val staged = s"$path/cells_compacting"
+    val retired = s"$path/cells_retired"
+    val fs = fsOf(spark, path)
+    fs.delete(new Path(staged), true)
+    fs.delete(new Path(retired), true)
+    spark.read.parquet(cells)
+      .repartition(col("cid"))
+      .write.partitionBy("cid").mode("overwrite").parquet(staged)
+    if (!fs.rename(new Path(cells), new Path(retired)))
+      throw new java.io.IOException(s"compactAnnIndex: cannot retire $cells")
+    if (!fs.rename(new Path(staged), new Path(cells))) {
+      fs.rename(new Path(retired), new Path(cells)) // roll back
+      throw new java.io.IOException(s"compactAnnIndex: cannot publish $staged")
+    }
+    fs.delete(new Path(retired), true)
   }
 
   /** Top-k against a materialized [[writeAnnIndex]] — identical ranks to
@@ -516,9 +573,7 @@ object Similarity {
     * read. */
   def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    val mk = org.json4s.jackson.Serialization.read[AnnIndexMarker](
-      java.nio.file.Files.readString(java.nio.file.Paths.get(path, "_index.json")))
+    val mk = readMarker(spark, path)
     require(nprobe <= mk.nlist, s"nprobe $nprobe > nlist ${mk.nlist}")
     val cents = mk.centroids.zipWithIndex.map(_.swap)
     val probed = queries

@@ -483,6 +483,42 @@ class PipelineSpec extends SparkSpec {
       "incrementally grown index must answer like a full rebuild")
   }
 
+  test("ANN index compaction: append files fold to one per cell, rows identical") {
+    val vecs = graft.tsdb.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cb = Similarity.firstKsCodebooks(vecs, m = 8, ks = 16)
+    val cents = Similarity.firstNCentroids(vecs, 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_c").toString
+    Similarity.writeAnnIndex(vecs.filter(col("id") % 3 === 0), dir, 8, 16, 16,
+      codebooks = Some(cb), centroids = Some(cents))
+    Similarity.appendAnnIndex(vecs.filter(col("id") % 3 === 1), dir)
+    Similarity.appendAnnIndex(vecs.filter(col("id") % 3 === 2), dir)
+    def filesPerCell: Map[String, Int] = {
+      val root = java.nio.file.Paths.get(dir, "cells")
+      import scala.collection.JavaConverters._
+      java.nio.file.Files.list(root).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("cid="))
+        .map(d => d.getFileName.toString ->
+          java.nio.file.Files.list(d).iterator().asScala
+            .count(_.getFileName.toString.endsWith(".parquet")))
+        .toMap
+    }
+    val q = vecs.filter(col("id") < 5)
+    def ranks = Similarity.pqTopKIndexed(spark, dir, q, 10, 6)
+      .select("query_id", "rank", "neighbor_id", "adc_e4")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val before = ranks
+    assert(filesPerCell.values.exists(_ > 1),
+      "appends must have accumulated multiple file sets (precondition)")
+    Similarity.compactAnnIndex(spark, dir)
+    assert(filesPerCell.values.forall(_ == 1), filesPerCell.toString)
+    assert(ranks == before, "compaction must not change any answer")
+    // marker untouched: appends under the frozen quantizer still work
+    Similarity.appendAnnIndex(vecs.filter(col("id") === 1L)
+      .select(col("id") + 100000L as "id", col("vec")), dir)
+    assert(Similarity.pqTopKIndexed(spark, dir, q, 10, 6).count() > 0)
+  }
+
   test("IVF near-dup: no invented pairs; planted duplicates found") {
     // testdata pairs at >=0.45 are coincidental (cosines 0.45-0.48, ~62°)
     // — no blocking scheme has locality there; verification correctness

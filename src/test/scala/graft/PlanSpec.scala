@@ -119,6 +119,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("pq_codes") && p.contains("pq_adc_table"), p)
   }
 
+  test("indexed ANN battery: probed cells prune as cid PARTITION filters") {
+    val p = plan("ann_pq_topk_indexed")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the corpus side is the materialized code scan, pruned to the probed
+    // cells at the PARTITION level (nprobe/nlist of the index read)
+    assert(p.contains("PartitionFilters") &&
+      p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("cid")),
+      s"cid partition pruning missing:\n$p")
+  }
+
   test("shard assign: data cumsum windows on bucket; offsets broadcast back") {
     val p = plan("shard_assign")
     // exactly two Windows: the tiny bucket-offset prefix (empty partition
