@@ -136,7 +136,7 @@ object Bench {
       // the whole r4→r6 "regression" was where inside that transient the
       // 20-query sample landed), so warm past it and measure 100.
       val nCold = 100
-      (1000 until 1100).foreach(i => engine.queryCached(q(i)))
+      (1000 until 1300).foreach(i => engine.queryCached(q(i)))
       val t1 = System.nanoTime()
       (0 until nCold).foreach(i => engine.queryCached(q(i)))
       val coldSec = (System.nanoTime() - t1) / 1e9
@@ -144,7 +144,7 @@ object Bench {
       // steady-state, so 200 samples measured ONLY keyOf's JIT warmup
       val nCached = 20000
       val cq = q(0)
-      (0 until 2000).foreach(_ => engine.queryCached(cq))
+      (0 until 5000).foreach(_ => engine.queryCached(cq))
       val t2 = System.nanoTime()
       (0 until nCached).foreach(_ => engine.queryCached(cq))
       val cachedSec = (System.nanoTime() - t2) / 1e9

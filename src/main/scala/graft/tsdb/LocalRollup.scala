@@ -22,14 +22,20 @@ import org.apache.spark.sql.types._
   * [[QueryEngine.shapeDownsampled]] + [[QueryEngine.applyCursorLimit]]
   * (spec-asserted identical): same window math, same NaN/empty-set
   * conventions, same first/last stream-order merge, same empty-window
-  * fill, ordering, cursor keyset and limit. Percentile (`p<N>`) specs are
-  * NOT served here (t-digest merges stay on the Spark path); callers
-  * gate on [[eligible]].
+  * fill, ordering, cursor keyset and limit. Percentile (`p<N>`) specs
+  * merge their t-digest sketches driver-side (see [[eligible]]).
   */
 object LocalRollup {
 
-  /** Driver-side tier handles every decomposable agg except digests. */
-  def eligible(p: QueryParams): Boolean = p.aggs.forall(_.percentile.isEmpty)
+  /** The driver tier serves every rollup-eligible shape, including
+    * `p<N>` percentile specs when the frame carries digest columns
+    * ([[Rollup.supports]] gates that): sketches merge driver-side with
+    * the same replace-empty/merge fold as `TDigestMergeQuantileAgg`.
+    * Like the Spark path, percentile answers follow the APPROXIMATE
+    * digest contract — and since [[graft.functions.TDigest.compress]]
+    * sorts centroids by mean, small-window sketches (singleton
+    * centroids) reproduce the Spark merge bit-for-bit. */
+  def eligible(p: QueryParams): Boolean = true
 
   /** Output schema of [[run]] — matches the Spark downsample path's
     * column order and types (count → long, all else → double). */
@@ -42,10 +48,11 @@ object LocalRollup {
       p.aggs.map(s => StructField(s.outputName,
         if (s.func == "count") LongType else DoubleType)))
 
-  /** Column ordinals of one field's stored partials. */
+  /** Column ordinals of one field's stored partials (`tdigest` = -1
+    * when the frame stores no sketches or no percentile spec needs it). */
   private final case class FieldIdx(cntAny: Int, cnt: Int, sum: Int,
       sumsq: Int, mn: Int, mx: Int, firstOrd: Int, first: Int,
-      lastOrd: Int, last: Int)
+      lastOrd: Int, last: Int, tdigest: Int)
 
   /** Merged partial state for one (series, target window) group. */
   private final class FieldState {
@@ -56,6 +63,7 @@ object LocalRollup {
     var mx = Double.MinValue; var hasMax = false
     var firstOrd: (Long, String, Long) = null; var first = 0.0
     var lastOrd: (Long, String, Long) = null; var last = 0.0
+    var digest: graft.functions.TDigest = null
   }
   private final class GroupState(val metric: String, val tags: Any) {
     var cntStar = 0L
@@ -81,13 +89,15 @@ object LocalRollup {
     val iMetric = schema.fieldIndex("metric")
     val iTags = schema.fieldIndex("tags")
     val iStar = schema.fieldIndex("__cnt_star")
+    val digestFields = p.aggs.filter(_.percentile.isDefined).map(_.field).toSet
     val fieldIdx = p.aggs.map(_.field).distinct.filter(_ != "*").map { f =>
       f -> FieldIdx(schema.fieldIndex(s"${f}__cnt_any"),
         schema.fieldIndex(s"${f}__cnt"), schema.fieldIndex(s"${f}__sum"),
         schema.fieldIndex(s"${f}__sumsq"), schema.fieldIndex(s"${f}__min"),
         schema.fieldIndex(s"${f}__max"), schema.fieldIndex(s"${f}__first_ord"),
         schema.fieldIndex(s"${f}__first"), schema.fieldIndex(s"${f}__last_ord"),
-        schema.fieldIndex(s"${f}__last"))
+        schema.fieldIndex(s"${f}__last"),
+        if (digestFields.contains(f)) schema.fieldIndex(s"${f}__tdigest") else -1)
     }.toMap
 
     // windowBounds: aligned may precede startNs when interval > rollup's
@@ -132,6 +142,11 @@ object LocalRollup {
               if (lo != null && (st.lastOrd == null || ordOrdering.gt(lo, st.lastOrd))) {
                 st.lastOrd = lo; st.last = r.getDouble(ix.last)
               }
+              if (ix.tdigest >= 0 && !r.isNullAt(ix.tdigest)) {
+                val in = graft.functions.TDigest.deserialize(
+                  r.getAs[Array[Byte]](ix.tdigest))
+                if (st.digest == null) st.digest = in else st.digest.merge(in)
+              }
             }
           }
         }
@@ -163,6 +178,9 @@ object LocalRollup {
           if (st.cnt < 2) Double.NaN
           else math.sqrt(math.max(
             (st.sumsq - st.sum * st.sum / st.cnt) / (st.cnt - 1), 0.0))
+        case _ if s.percentile.isDefined =>
+          if (st.digest == null) Double.NaN
+          else st.digest.quantile(s.percentile.get / 100.0)
         case other =>
           throw new IllegalArgumentException(
             s"not decomposable from rollup partials: $other")

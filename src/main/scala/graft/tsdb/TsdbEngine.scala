@@ -886,14 +886,15 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   /** Serve an eligible downsample from the driver-resident rollup tier:
     * pure Scala re-aggregation over the collected partials
     * ([[LocalRollup.run]], a row-for-row mirror of the Spark rollup
-    * path — spec-asserted). No job, no planning floor: this is where the
-    * materialized rollup's serving win actually cashes out (the Spark
-    * path pays ~100 ms+ of fixed planning/codegen per query, which at
-    * bench density dwarfed the scan it saved). Percentile specs and
-    * over-budget frames fall through to the Spark path. */
+    * path — spec-asserted; digest percentiles merge driver-side under
+    * the same approximate contract). No job, no planning floor: this is
+    * where the materialized rollup's serving win actually cashes out
+    * (the Spark path pays ~100 ms+ of fixed planning/codegen per query,
+    * which at bench density dwarfed the scan it saved). Over-budget
+    * frames fall through to the Spark path. */
   private def serveLocalRollup(p: QueryParams): Option[(Array[Row], String)] = {
     val spec = rollupSpecs.get(p.metric)
-    if (spec == null || !LocalRollup.eligible(p) ||
+    if (spec == null ||
         !Rollup.supports(p, spec.intervalNs, spec.fields.toSet, spec.digests))
       None
     else localRollupRows(p.metric, spec).map { case (rows, sch) =>

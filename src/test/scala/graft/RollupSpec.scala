@@ -152,7 +152,8 @@ class RollupSpec extends SparkSpec {
     // repeat hits the result cache, not the tier
     eng.queryCached(p)
     assert(eng.lastServePath == "cache")
-    // percentile spec is ineligible for the driver tier (falls to Spark)
+    // percentile needs digest partials: this rollup has none, so the
+    // shape is rollup-ineligible entirely and falls to the Spark path
     val pp = p.copy(aggs = Seq(AggSpec("p50", "value")))
     eng.queryCached(pp)
     assert(eng.lastServePath == "spark", eng.lastServePath)
@@ -161,6 +162,33 @@ class RollupSpec extends SparkSpec {
       100L * Min, Map("value" -> graft.model.FieldValue(d = Some(77.5))))))
     assertSameRows(eng.query(p).collect().toSeq, eng.queryCached(p).toSeq)
     assert(eng.lastServePath == "local-rollup")
+  }
+
+  test("driver tier digest percentiles: sketches merge driver-side") {
+    val pts = fixture
+    val rollup = Rollup.build(QueryEngine.mergedView(pts, Nil), Min,
+      Seq("value"), withDigests = true)
+    val collected = rollup.collect()
+    val aggs = Seq(AggSpec("count", "*"), AggSpec("p50", "value"),
+      AggSpec("p95", "value"), AggSpec("avg", "value"))
+    for (query <- Seq(q(aggs), q(aggs, interval = 2 * Hr),
+        q(aggs, tags = Map("host" -> "h2")))) {
+      assert(Rollup.supports(query, Min, Set("value"), digests = true))
+      // fixture windows keep singleton centroids, and compress() sorts by
+      // mean — the driver-side merge reproduces the Spark merge exactly
+      // (the general contract is approximate per the digest bounds)
+      assertSameRows(Rollup.run(rollup, Min, query).collect().toSeq,
+        LocalRollup.run(collected, rollup.schema, query, Min).toSeq)
+    }
+    // engine end-to-end: digest-registered rollup serves p<N> driver-side
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_dig").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    eng.putDF(pts)
+    eng.registerRollup("cpu.usage", Min, Seq("value"), withDigests = true)
+    val served = eng.queryCached(q(aggs)).toSeq
+    assert(eng.lastServePath == "local-rollup", eng.lastServePath)
+    assertSameRows(
+      Rollup.run(rollup, Min, q(aggs)).collect().toSeq, served)
   }
 
   test("supports: rejects non-divisible, misaligned, relative, percentile") {
