@@ -386,14 +386,33 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * single-node serving. Above it, queries fall back to the persisted
     * Spark view; the driver never holds an unbounded copy. */
   private[graft] var localServingMaxRows: Long = 1000000L
-  /** metric → (epoch, merged rows sorted by (ts, series_key), schema). */
+  /** metric → (epoch, merged rows sorted by (ts, series_key), the ts
+    * column as a primitive array for binary-searched range slicing,
+    * schema). */
   private val localCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Row], org.apache.spark.sql.types.StructType)]()
-  /** metric → (epoch, spec, collected rollup partial rows, schema) for the
-    * driver-resident ROLLUP tier ([[LocalRollup]]); null rows memoize a
-    * "too big at this epoch" verdict like [[localCache]]. */
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Row], Array[Long], org.apache.spark.sql.types.StructType)]()
+  /** metric → (epoch, spec, rollup partial rows sorted by window_start,
+    * the window_start column for binary-searched slicing, schema) for
+    * the driver-resident ROLLUP tier ([[LocalRollup]]); null rows
+    * memoize a "too big at this epoch" verdict like [[localCache]]. */
   private val localRollupCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, RollupReg, Array[Row], org.apache.spark.sql.types.StructType)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, RollupReg, Array[Row], Array[Long], org.apache.spark.sql.types.StructType)]()
+
+  /** First index with a(i) >= key over a sorted long array (array length
+    * when none) — the driver tiers' analog of row-group min/max pruning:
+    * a time-ranged query touches only its slice, not the metric's whole
+    * resident history. */
+  private def lowerBound(a: Array[Long], key: Long): Int = {
+    var lo = 0; var hi = a.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (a(mid) < key) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+  /** One past the last index with a(i) <= key. */
+  private def upperBound(a: Array[Long], key: Long): Int =
+    if (key == Long.MaxValue) a.length else lowerBound(a, key + 1)
 
   /** Decode a `metric=<v>` path value the way Spark escaped it on write
     * (percent-encoding of filesystem-special chars). */
@@ -796,23 +815,24 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * raw-scan projection sorted by (timestamp, series_key); a "too big at
     * this epoch" verdict is memoized with a null-rows marker so large
     * metrics pay the count once per commit, not per query. */
-  private def localRows(metric: String): Option[(Array[Row], org.apache.spark.sql.types.StructType)] = {
+  private def localRows(metric: String): Option[(Array[Row], Array[Long], org.apache.spark.sql.types.StructType)] = {
     val e = metricEpoch(metric)
     localCache.get(metric) match {
-      case (ep, rows, sch) if ep == e =>
+      case (ep, rows, ts, sch) if ep == e =>
         // re-check the threshold so lowering it takes effect immediately
         if (rows == null || rows.length > localServingMaxRows) None
-        else Some((rows, sch))
+        else Some((rows, ts, sch))
       case _ =>
         val view = servingView(metric)
         if (view.count() > localServingMaxRows) {
-          localCache.put(metric, (e, null, null)); None
+          localCache.put(metric, (e, null, null, null)); None
         } else {
           val proj = view.select("metric", "tags", "timestamp", "fields", "seq", "series_key")
           val rows = proj.collect().sortBy(r =>
             (r.getAs[Long]("timestamp"), r.getAs[String]("series_key")))
-          localCache.put(metric, (e, rows, proj.schema))
-          Some((rows, proj.schema))
+          val ts = rows.map(_.getLong(2))
+          localCache.put(metric, (e, rows, ts, proj.schema))
+          Some((rows, ts, proj.schema))
         }
     }
   }
@@ -825,25 +845,34 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * order, limit) and the spec asserts equality against [[query]]. */
   private def serveLocal(p: QueryParams): Option[(Array[Row], String)] = {
     if (p.aggs.nonEmpty || p.isDownsample) return None
-    localRows(p.metric).map { case (all, sch) =>
-      val tagged =
-        if (p.tags.isEmpty) all
-        else all.filter { r =>
+    localRows(p.metric).map { case (all, ts, sch) =>
+      def tagFilter(rs: Array[Row]): Array[Row] =
+        if (p.tags.isEmpty) rs
+        else rs.filter { r =>
           val tg = r.getAs[scala.collection.Map[String, String]]("tags")
           p.tags.forall { case (k, v) => tg.get(k).contains(v) }
         }
       val now = p.nowNs.getOrElse(System.currentTimeMillis() * 1000000L)
-      val (startNs, endNs) = p.relativeNs match {
+      var rows = p.relativeNs match {
         case Some(d) =>
+          // RELATIVE resolves against the tag-filtered max ts — needs the
+          // tagged view first, then the range filter
+          val tagged = tagFilter(all)
           val dataMax =
             if (tagged.isEmpty) now
             else tagged.iterator.map(_.getAs[Long]("timestamp")).max
           val end = math.min(now, dataMax)
-          (end - d, end)
-        case None => (p.startNs, p.endNs.filter(_ != 0L).getOrElse(now))
-      }
-      var rows = tagged.filter { r =>
-        val t = r.getAs[Long]("timestamp"); t >= startNs && t <= endNs
+          val start = end - d
+          tagged.filter { r =>
+            val t = r.getAs[Long]("timestamp"); t >= start && t <= end
+          }
+        case None =>
+          // absolute range: binary-search the slice, tag-filter only it
+          val (startNs, endNs) = (p.startNs, p.endNs.filter(_ != 0L).getOrElse(now))
+          tagFilter(java.util.Arrays.copyOfRange(
+            all.asInstanceOf[Array[AnyRef]],
+            lowerBound(ts, startNs), math.max(lowerBound(ts, startNs), upperBound(ts, endNs)))
+            .asInstanceOf[Array[Row]])
       }
       if (p.order == Descending) rows = rows.reverse
       p.afterKey.foreach { c =>
@@ -865,20 +894,22 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * [[localRows]]). The collect inherits [[rollupView]]'s incremental
     * maintenance: it re-runs only when a commit touches the metric. */
   private def localRollupRows(metric: String, spec: RollupReg):
-      Option[(Array[Row], org.apache.spark.sql.types.StructType)] = {
+      Option[(Array[Row], Array[Long], org.apache.spark.sql.types.StructType)] = {
     val e = metricEpoch(metric)
     localRollupCache.get(metric) match {
-      case (ep, s, rows, sch) if ep == e && s == spec =>
+      case (ep, s, rows, ws, sch) if ep == e && s == spec =>
         if (rows == null || rows.length > localServingMaxRows) None
-        else Some((rows, sch))
+        else Some((rows, ws, sch))
       case _ =>
         val view = rollupView(metric, spec)
         if (view.count() > localServingMaxRows) {
-          localRollupCache.put(metric, (e, spec, null, null)); None
+          localRollupCache.put(metric, (e, spec, null, null, null)); None
         } else {
-          val rows = view.collect()
-          localRollupCache.put(metric, (e, spec, rows, view.schema))
-          Some((rows, view.schema))
+          val iWs = view.schema.fieldIndex("window_start")
+          val rows = view.collect().sortBy(_.getLong(iWs))
+          val ws = rows.map(_.getLong(iWs))
+          localRollupCache.put(metric, (e, spec, rows, ws, view.schema))
+          Some((rows, ws, view.schema))
         }
     }
   }
@@ -897,8 +928,15 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     if (spec == null ||
         !Rollup.supports(p, spec.intervalNs, spec.fields.toSet, spec.digests))
       None
-    else localRollupRows(p.metric, spec).map { case (rows, sch) =>
-      (LocalRollup.run(rows, sch, p, spec.intervalNs),
+    else localRollupRows(p.metric, spec).map { case (rows, ws, sch) =>
+      // binary-searched [startNs, endNs] window slice (rows are sorted by
+      // window_start); LocalRollup re-applies the same bounds, so the
+      // slice is purely a scan reduction
+      val lo = lowerBound(ws, p.startNs)
+      val hi = math.max(lo, upperBound(ws, p.endNs.get))
+      val slice = java.util.Arrays.copyOfRange(
+        rows.asInstanceOf[Array[AnyRef]], lo, hi).asInstanceOf[Array[Row]]
+      (LocalRollup.run(slice, sch, p, spec.intervalNs),
         LocalRollup.outputSchema(p).treeString)
     }
   }
