@@ -79,6 +79,14 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("auto width: empty interval side leaves the join unrewritten, result empty") {
+    withRuleNoConf(None) {
+      val none = ivs.filter($"iv_id" < 0) // empty relation, schema intact
+      val joined = none.join(pts, $"t" >= $"s" && $"t" <= $"e")
+      assert(joined.count() == 0L)
+    }
+  }
+
   test("'off' disables the rewrite even with the rule registered") {
     withRuleNoConf(Some("off")) {
       val p = ivs.join(pts, $"t" >= $"s" && $"t" <= $"e")
