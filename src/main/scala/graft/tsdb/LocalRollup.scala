@@ -22,20 +22,15 @@ import org.apache.spark.sql.types._
   * [[QueryEngine.shapeDownsampled]] + [[QueryEngine.applyCursorLimit]]
   * (spec-asserted identical): same window math, same NaN/empty-set
   * conventions, same first/last stream-order merge, same empty-window
-  * fill, ordering, cursor keyset and limit. Percentile (`p<N>`) specs
-  * merge their t-digest sketches driver-side (see [[eligible]]).
+  * fill, ordering, cursor keyset and limit. Percentile (`p<N>`) specs on
+  * a WITH DIGESTS rollup merge their t-digest sketches driver-side with
+  * the same replace-empty/merge fold as `TDigestMergeQuantileAgg`; like
+  * the Spark path they follow the APPROXIMATE digest contract — and
+  * since [[graft.functions.TDigest.compress]] sorts centroids by mean,
+  * small-window sketches (singleton centroids) reproduce the Spark
+  * merge bit-for-bit.
   */
 object LocalRollup {
-
-  /** The driver tier serves every rollup-eligible shape, including
-    * `p<N>` percentile specs when the frame carries digest columns
-    * ([[Rollup.supports]] gates that): sketches merge driver-side with
-    * the same replace-empty/merge fold as `TDigestMergeQuantileAgg`.
-    * Like the Spark path, percentile answers follow the APPROXIMATE
-    * digest contract — and since [[graft.functions.TDigest.compress]]
-    * sorts centroids by mean, small-window sketches (singleton
-    * centroids) reproduce the Spark merge bit-for-bit. */
-  def eligible(p: QueryParams): Boolean = true
 
   /** Output schema of [[run]] — matches the Spark downsample path's
     * column order and types (count → long, all else → double). */
@@ -78,8 +73,9 @@ object LocalRollup {
     else { val s = r.getStruct(i); (s.getLong(0), s.getString(1), s.getLong(2)) }
 
   /** Mirror of [[Rollup.run]] over collected rollup rows. `rows` is the
-    * full materialized rollup frame for the metric (any window range);
-    * `p` must pass [[Rollup.supports]] and [[eligible]]. */
+    * materialized rollup frame for the metric (the full frame or any
+    * window-range slice covering [startNs, endNs]); `p` must pass
+    * [[Rollup.supports]] against the frame's spec. */
   def run(rows: Array[Row], schema: StructType, p: QueryParams,
       rollupIntervalNs: Long): Array[Row] = {
     val interval = p.downsampleNs.get

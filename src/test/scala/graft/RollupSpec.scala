@@ -132,7 +132,6 @@ class RollupSpec extends SparkSpec {
         q(aggs2, interval = 2 * Hr),
         q(aggs2).copy(order = Descending),
         q(aggs2, tags = Map("host" -> "nope")))) {
-      assert(LocalRollup.eligible(query))
       val sparkRows = Rollup.run(rollup, Min, query).collect().toSeq
       val localRows = LocalRollup.run(collected, rollup.schema, query, Min).toSeq
       assertSameRows(sparkRows, localRows)
