@@ -105,7 +105,10 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
               last.getAs[String]("series_key")).encode
           }
         }
-      Right(Rows(engine.queryRouted(params), cursorOf))
+      // serving-tier entry: result cache + driver-resident tiers front
+      // the protocol path (the reference's NBQL-layer cache position);
+      // budget-truncated results transparently stream the full plan
+      Right(Rows(engine.queryServingDF(params), cursorOf))
 
     case RemoveSeriesStatement(m, tg) =>
       engine.deleteSeries(m, tg).map(_ => Ack("OK"))

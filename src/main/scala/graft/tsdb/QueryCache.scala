@@ -1,6 +1,7 @@
 package graft.tsdb
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
 
 /** Query-result cache with the reference's canonical key semantics
   * (`api/nbql/cache_key.go:17-60`): tags sorted, RELATIVE ranges keyed by
@@ -16,7 +17,7 @@ import org.apache.spark.sql.Row
   * executor memory pressure at scale. */
 final class QueryCache(capacity: Int = 256, maxRowsPerEntry: Int = 100000) {
 
-  final case class Entry(epoch: Long, rows: Array[Row], schema: String)
+  final case class Entry(epoch: Long, rows: Array[Row], schema: StructType)
 
   private val lru = new java.util.LinkedHashMap[String, Entry](capacity, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, Entry]): Boolean =
@@ -40,15 +41,17 @@ final class QueryCache(capacity: Int = 256, maxRowsPerEntry: Int = 100000) {
       s"${p.afterKey.map(_.encode).getOrElse("")}"
   }
 
-  def get(p: QueryParams, currentEpoch: Long): Option[Array[Row]] = synchronized {
-    Option(lru.get(keyOf(p))) match {
-      case Some(e) if e.epoch == currentEpoch => hitCount += 1; Some(e.rows)
-      case Some(_) => lru.remove(keyOf(p)); missCount += 1; None // stale epoch
-      case None => missCount += 1; None
+  def get(p: QueryParams, currentEpoch: Long): Option[(Array[Row], StructType)] =
+    synchronized {
+      Option(lru.get(keyOf(p))) match {
+        case Some(e) if e.epoch == currentEpoch =>
+          hitCount += 1; Some((e.rows, e.schema))
+        case Some(_) => lru.remove(keyOf(p)); missCount += 1; None // stale epoch
+        case None => missCount += 1; None
+      }
     }
-  }
 
-  def put(p: QueryParams, epoch: Long, rows: Array[Row], schema: String): Unit =
+  def put(p: QueryParams, epoch: Long, rows: Array[Row], schema: StructType): Unit =
     synchronized {
       if (rows.length <= maxRowsPerEntry) lru.put(keyOf(p), Entry(epoch, rows, schema))
     }

@@ -313,13 +313,21 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       }
     }
     val t0 = System.nanoTime()
-    val out = (if (routed) rollupRoute(p) else None).getOrElse {
+    val out = if (routed) routedDF(p) else {
       val pts = loadPoints().getOrElse(emptyPoints(spark))
       QueryEngine.run(pts, p, loadTombstones())
     }
     firePost(EventType.PostQuery, Payloads.PostQuery(p, System.nanoTime() - t0))
     out
   }
+
+  /** Rollup-routed (or raw) plan for `p`, no hooks — shared by
+    * [[queryRouted]] and [[queryServingDF]]'s truncation fallback. */
+  private def routedDF(p: QueryParams): DataFrame =
+    rollupRoute(p).getOrElse {
+      val pts = loadPoints().getOrElse(emptyPoints(spark))
+      QueryEngine.run(pts, p, loadTombstones())
+    }
 
   /** One commit's observable changes, for polling subscriptions (S8/ST6
     * over the TCP transport): PUT rows come from PURE-APPEND commits only
@@ -843,7 +851,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * the Spark path. Semantics mirror `QueryEngine` exactly (inclusive
     * bounds, RELATIVE against the tag-filtered max ts, cursor keyset,
     * order, limit) and the spec asserts equality against [[query]]. */
-  private def serveLocal(p: QueryParams): Option[(Array[Row], String)] = {
+  private def serveLocal(p: QueryParams): Option[(Array[Row], org.apache.spark.sql.types.StructType)] = {
     if (p.aggs.nonEmpty || p.isDownsample) return None
     localRows(p.metric).map { case (all, ts, sch) =>
       def tagFilter(rs: Array[Row]): Array[Row] =
@@ -885,7 +893,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         }
       }
       p.limit.foreach(n => rows = rows.take(n.toInt))
-      (rows, sch.treeString)
+      (rows, sch)
     }
   }
 
@@ -923,7 +931,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * (the Spark path pays ~100 ms+ of fixed planning/codegen per query,
     * which at bench density dwarfed the scan it saved). Over-budget
     * frames fall through to the Spark path. */
-  private def serveLocalRollup(p: QueryParams): Option[(Array[Row], String)] = {
+  private def serveLocalRollup(p: QueryParams): Option[(Array[Row], org.apache.spark.sql.types.StructType)] = {
     val spec = rollupSpecs.get(p.metric)
     if (spec == null ||
         !Rollup.supports(p, spec.intervalNs, spec.fields.toSet, spec.digests))
@@ -937,7 +945,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       val slice = java.util.Arrays.copyOfRange(
         rows.asInstanceOf[Array[AnyRef]], lo, hi).asInstanceOf[Array[Row]]
       (LocalRollup.run(slice, sch, p, spec.intervalNs),
-        LocalRollup.outputSchema(p).treeString)
+        LocalRollup.outputSchema(p))
     }
   }
 
@@ -970,10 +978,43 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * page in presentation order (continue via the cursor, or switch to
     * the streaming path). Truncated results are never cached. */
   def queryCachedCapped(params: QueryParams): (Array[Row], Boolean) = {
+    val (rows, truncated, _) = queryCachedFull(params)
+    (rows, truncated)
+  }
+
+  /** The NBQL/HTTP/TCP protocol serving entry: the result cache and
+    * driver-resident tiers front the protocol path exactly like the
+    * reference's NBQL-layer cache (`api/nbql/cache_key.go` — its cache
+    * keys NBQL queries, not engine internals), with Pre/PostQuery hooks
+    * firing as on [[query]]. Bounded results come back as a
+    * LocalRelation frame (the servers' `toLocalIterator`/schema seams
+    * are unchanged); a budget-TRUNCATED result falls back to the
+    * streamed Spark plan so un-LIMITed protocol queries still deliver
+    * complete results. */
+  def queryServingDF(params: QueryParams): DataFrame = {
+    var p = params
+    if (hooks.hasListeners(EventType.PreQuery)) {
+      val pay = new Payloads.PreQuery(p)
+      hooks.trigger(HookEvent(EventType.PreQuery, pay)) match {
+        case Left(err) => throw new HookVetoException(err)
+        case Right(()) => p = pay.params
+      }
+    }
+    val t0 = System.nanoTime()
+    val (rows, truncated, schema) = queryCachedFull(p)
+    val out =
+      if (truncated) routedDF(p)
+      else spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    firePost(EventType.PostQuery, Payloads.PostQuery(p, System.nanoTime() - t0))
+    out
+  }
+
+  private def queryCachedFull(params: QueryParams):
+      (Array[Row], Boolean, org.apache.spark.sql.types.StructType) = {
     val cacheable = params.relativeNs.isEmpty || params.nowNs.isDefined
     val e = metricEpoch(params.metric)
     if (cacheable) resultCache.get(params, e) match {
-      case Some(rows) => lastServePath = "cache"; return (rows, false)
+      case Some((rows, sch)) => lastServePath = "cache"; return (rows, false, sch)
       case None => ()
     }
     val budget = servingRowBudget
@@ -984,7 +1025,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     // the collected rows — same (ts, series_key) total order, one
     // driver-side sort instead of a cluster shuffle. LIMIT queries keep
     // Spark-side TakeOrdered.
-    val (rows, schemaStr) = serveLocal(params)
+    val (rows, schema) = serveLocal(params)
       .map { r => lastServePath = "local"; r }
       .orElse(serveLocalRollup(params).map { r => lastServePath = "local-rollup"; r })
       .getOrElse {
@@ -993,29 +1034,29 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         case Some(df) =>
           if (params.limit.isDefined)
             // ordered = limit.isDefined inside Rollup.run → TakeOrdered
-            (df.collect(), df.schema.treeString)
+            (df.collect(), df.schema)
           else {
             // unordered probe + driver-side presentation sort (same shape
             // as the raw path); over budget → ordered first page
             val probe = df.limit(budget.toInt + 1).collect()
             if (probe.length <= budget)
-              (driverOrder(probe, params), df.schema.treeString)
+              (driverOrder(probe, params), df.schema)
             else {
               truncated = true
               val page = rollupRoute(params.copy(limit = Some(budget))).get
-              (page.collect(), page.schema.treeString)
+              (page.collect(), page.schema)
             }
           }
         case None =>
           val df = QueryEngine.runMerged(servingView(params.metric), params, ordered = false)
           if (params.limit.isDefined || params.isFinalAgg)
             // already bounded: TakeOrdered / single-row aggregate
-            (driverOrder(df.collect(), params), df.schema.treeString)
+            (driverOrder(df.collect(), params), df.schema)
           else {
             // bounded probe: complete iff the result fits the budget
             val probe = df.limit(budget.toInt + 1).collect()
             if (probe.length <= budget)
-              (driverOrder(probe, params), df.schema.treeString)
+              (driverOrder(probe, params), df.schema)
             else {
               // over budget: re-run WITH the budget as a LIMIT — plans as
               // TakeOrdered (per-partition top-K, bounded memory) and
@@ -1023,13 +1064,13 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
               truncated = true
               val page = QueryEngine.runMerged(servingView(params.metric),
                 params.copy(limit = Some(budget)))
-              (page.collect(), page.schema.treeString)
+              (page.collect(), page.schema)
             }
           }
       }
     }
-    if (cacheable && !truncated) resultCache.put(params, e, rows, schemaStr)
-    (rows, truncated)
+    if (cacheable && !truncated) resultCache.put(params, e, rows, schema)
+    (rows, truncated, schema)
   }
 
   /** Restore presentation order on collected rows for queries that ran

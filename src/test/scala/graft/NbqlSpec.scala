@@ -180,10 +180,13 @@ class NbqlExecutorSpec extends SparkSpec {
       assert(before.nonEmpty)
       assert(ex.execute("CREATE ROLLUP cpu.usage BY 1us (value)").isRight)
       assert(rows(ex, q).map(_.toString) == before)
-      // the NBQL path really routed: plan computes over rollup partials
+      // the NBQL path really routed: the registered rollup serves it from
+      // the driver-resident tier (LocalRelation result, no Spark re-agg)
       ex.execute(q).fold(e => fail(e), { case r: ex.Rows @unchecked =>
-        assert(r.df.queryExecution.executedPlan.toString.contains("value__sum"),
-          "expected the routed plan to read rollup partials")
+        assert(eng.lastServePath == "local-rollup" || eng.lastServePath == "cache",
+          eng.lastServePath)
+        assert(r.df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+          "expected a driver-resident result frame")
       })
       val listed = rows(ex, "SHOW ROLLUPS")
       assert(listed.map(r => (r.getAs[String]("metric"),
@@ -208,8 +211,10 @@ class NbqlExecutorSpec extends SparkSpec {
       val pq = """QUERY cpu.usage FROM 0 TO 11999
                   AGGREGATE BY 4us (p50(value), count(*))"""
       ex.execute(pq).fold(e => fail(e), { case r: ex.Rows @unchecked =>
-        assert(r.df.queryExecution.executedPlan.toString.contains("__tdigest"),
-          "expected the routed percentile plan to merge digest partials")
+        // digest percentiles are rollup-eligible AND driver-tier served:
+        // the sketches merged on the driver, no Spark re-agg in the plan
+        assert(r.df.collect().nonEmpty)
+        assert(eng.lastServePath == "local-rollup", eng.lastServePath)
       })
     }
   }
@@ -272,6 +277,26 @@ class NbqlExecutorSpec extends SparkSpec {
       assert(all.toSeq == (1 to 10).map(_ * 100L),
         "cursor walk must deliver every row exactly once, in order")
       assert(pages == 4, s"10 rows at LIMIT 3 = 4 pages, got $pages")
+    }
+  }
+
+  test("protocol queries ride the serving tier: cache hit on repeat") {
+    withEngine { (eng, ex) =>
+      for (i <- 0 until 5)
+        assert(ex.execute(
+          s"""PUSH m TAGGED (k="a") SET (v=${i}.0) AT ${i * 1000}""").isRight)
+      val q = """QUERY m FROM 0 TO 100000 TAGGED (k="a")"""
+      val first = rows(ex, q)
+      assert(first.size == 5)
+      assert(eng.lastServePath == "local", eng.lastServePath) // driver tier
+      val (h0, _) = eng.cacheStats
+      val second = rows(ex, q)
+      assert(second.map(_.toString) == first.map(_.toString))
+      assert(eng.lastServePath == "cache", eng.lastServePath)
+      assert(eng.cacheStats._1 == h0 + 1, "repeat must be a result-cache hit")
+      // a write invalidates: fresh rows, not the stale entry
+      assert(ex.execute("""PUSH m TAGGED (k="a") SET (v=9.0) AT 9000""").isRight)
+      assert(rows(ex, q).size == 6)
     }
   }
 
