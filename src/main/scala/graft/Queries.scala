@@ -562,6 +562,21 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** SemDeDup semantic deduplication over the embeddings: IVF-blocked
+    * cosine pairs at 0.45 (same pinned first-16 centroids and
+    * replicate-2 assignment as `embedding_neardup_ivf`) resolved to
+    * connected components, one keep-representative (component-min id)
+    * per cluster. The oracle re-derives pairs with the identical
+    * assignment SQL and closes them with a recursive reachability CTE,
+    * so the full cluster/keep attribution is hash-checked, not just the
+    * pair set. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val vecs = embVecs(s, dir)
+    Similarity.semanticDedup(vecs, threshold = 0.45, nlist = 16,
+        replicate = 2, centroids = Some(Similarity.firstNCentroids(vecs, 16)))
+      .orderBy("vec_id")
+  }
+
   /** Vector statistics (L2 norm, mean component). */
   def embeddingNorms(s: SparkSession, dir: String): DataFrame =
     embVecs(s, dir).select(col("id").as("vec_id"),

@@ -61,6 +61,7 @@ object SparkEntry {
     "embedding_neardup" -> (Queries.embeddingNearDup _),
     "embedding_neardup_hi" -> (Queries.embeddingNearDupHi _),
     "embedding_neardup_ivf" -> (Queries.embeddingNearDupIvf _),
+    "semantic_dedup" -> (Queries.semanticDedup _),
     "embedding_norms" -> (Queries.embeddingNorms _),
     "ann_lsh_topk" -> (Queries.annLshTopK _),
     "ann_ivf_topk" -> (Queries.annIvfTopK _),
@@ -558,6 +559,32 @@ object SparkEntry {
         |FROM cand JOIN v a ON a.id = cand.id_a JOIN v b ON b.id = cand.id_b
         |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.45
         |ORDER BY 1, 2""".stripMargin,
+    "semantic_dedup" ->
+      """WITH RECURSIVE v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        |            embedding::DOUBLE[] AS cv
+        |          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |asg AS (SELECT id, cid FROM (
+        |  SELECT id, cid,
+        |    row_number() OVER (PARTITION BY id
+        |                       ORDER BY list_dot_product(vec, cv) DESC, cid ASC) AS rn
+        |  FROM v CROSS JOIN cents) t WHERE rn <= 2),
+        |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        |         FROM asg x JOIN asg y ON x.cid = y.cid AND x.id < y.id),
+        |pairs AS (SELECT id_a, id_b
+        |  FROM cand JOIN v a ON a.id = cand.id_a JOIN v b ON b.id = cand.id_b
+        |  WHERE list_cosine_similarity(a.vec, b.vec) >= 0.45),
+        |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |        UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT id, id FROM v
+        |  UNION
+        |  SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r),
+        |lab AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+        |SELECT lab.vec_id, lab.cluster_id, sz.cluster_size,
+        |  CAST(lab.vec_id = lab.cluster_id AS BIGINT) AS keep
+        |FROM lab JOIN sz USING (cluster_id) ORDER BY 1""".stripMargin,
     "kmeans_assign" ->
       """WITH v AS (SELECT vec_id AS id,
         |  list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS qv

@@ -675,6 +675,46 @@ object Similarity {
       cosinePairsBucketed(vecs, threshold, dim, tables = 24, bits = 8)
     else cosinePairsIvf(vecs, threshold, nlist, replicate, centroids)
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): embeddings are coarse-clustered, near-duplicate
+    * pairs are found ONLY within shared cells (the paper's
+    * within-cluster pairwise pass — here [[cosinePairsIvf]], so the
+    * candidate volume is n²·replicate²/nlist, linear when nlist ∝ n),
+    * duplicate groups are resolved to connected components, and one
+    * representative per component is kept. Representative policy:
+    * component-minimum id — deterministic and engine-independent (the
+    * paper keeps the copy farthest from the cluster centroid; plug a
+    * score into [[graft.pipeline.Dedup.canonicalDocs]] for a
+    * quality-ranked policy).
+    *
+    * Returns one row per input vector: (vec_id, cluster_id,
+    * cluster_size, keep) — `keep = 1` marks the retained representative
+    * (every singleton keeps itself). Dropping `keep = 0` rows applies
+    * the dedup.
+    *
+    * Scale shape: pair generation is the IVF bucketed join (ids-only
+    * shuffle), component resolution is label propagation over (long,
+    * long) edges ([[graft.pipeline.Dedup.connectedComponents]] —
+    * localCheckpoint'ed rounds, O(diameter) ≈ O(log n) for dup
+    * clusters), and the final keep flag is one hash join of labels
+    * against component sizes. Vectors never ride any shuffle past the
+    * candidate verify. */
+  def semanticDedup(vecs: DataFrame, threshold: Double, nlist: Int,
+      replicate: Int = 2,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val pairs = cosinePairsIvf(vecs, threshold, nlist, replicate, centroids)
+    val nodes = vecs.select(col("id").as("node"))
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+    val labeled = Dedup.connectedComponents(nodes, edges)
+      .select(col("node").as("vec_id"), col("label").as("cluster_id"))
+    val sizes = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        (col("vec_id") === col("cluster_id")).cast("long").as("keep"))
+  }
+
   def cosinePairsIvf(vecs: DataFrame, threshold: Double, nlist: Int,
       replicate: Int = 2,
       centroids: Option[Array[Array[Double]]] = None): DataFrame = {

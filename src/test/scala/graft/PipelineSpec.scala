@@ -812,4 +812,48 @@ class PipelineSpec extends SparkSpec {
     // overall volume lands at or under the keep target (caps can undershoot)
     assert(out.count() <= (docs.count() * 0.5 * 1.02).toLong + 1)
   }
+
+  test("semantic dedup: one keeper per component, dropped rows have a kept sibling") {
+    // hand-built geometry: 1≈2≈3 (chained), 4≈5, 6 isolated
+    val mk = (s: Double, t: Double) => Array(s.toFloat, t.toFloat, 0f, 0f)
+    val df = Seq(
+      (1L, mk(1.0, 0.00)), (2L, mk(1.0, 0.05)), (3L, mk(1.0, 0.10)),
+      (4L, mk(-1.0, 1.0)), (5L, mk(-1.0, 1.02)), (6L, mk(0.0, -1.0)))
+      .toDF("id", "vec")
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(-1.0, 1.0, 0.0, 0.0),
+      Array(0.0, -1.0, 0.0, 0.0))
+    val out = Similarity.semanticDedup(df, threshold = 0.99, nlist = 3,
+      replicate = 1, centroids = Some(cents))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L) == ((1L, 1L, 3L, 1L)))
+    assert(byId(2L) == ((2L, 1L, 3L, 0L)))
+    assert(byId(3L) == ((3L, 1L, 3L, 0L))) // reaches 1 only transitively via 2
+    assert(byId(4L) == ((4L, 4L, 2L, 1L)))
+    assert(byId(5L) == ((5L, 4L, 2L, 0L)))
+    assert(byId(6L) == ((6L, 6L, 1L, 1L))) // singleton keeps itself
+    // every dropped row's cluster representative is kept
+    val kept = out.filter(_._4 == 1L).map(_._2).toSet
+    assert(out.filter(_._4 == 0L).forall(r => kept.contains(r._2)))
+  }
+
+  test("semantic dedup over the corpus: partition of all ids, keepers = clusters") {
+    val vecs = graft.tsdb.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val n = vecs.count()
+    val out = Similarity.semanticDedup(vecs, threshold = 0.45, nlist = 16,
+      replicate = 2, centroids = Some(Similarity.firstNCentroids(vecs, 16)))
+    out.cache()
+    try {
+      assert(out.count() == n, "exactly one row per input vector")
+      val keepers = out.filter(col("keep") === 1L).count()
+      val clusters = out.select("cluster_id").distinct().count()
+      assert(keepers == clusters, "exactly one keeper per cluster")
+      // sizes are consistent: sum of one size per cluster == n
+      val sizeSum = out.filter(col("keep") === 1L)
+        .agg(sum(col("cluster_size"))).as[Long].head()
+      assert(sizeSum == n)
+    } finally out.unpersist()
+  }
 }
