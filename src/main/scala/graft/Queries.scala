@@ -724,6 +724,21 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Two-stage ANN: the ADC shortlist of `ann_pq_topk` widened to 4·k,
+    * then exact-cosine re-ranked on full-precision vectors
+    * ([[Similarity.pqTopKRefined]]). The oracle re-derives the
+    * shortlist with the `ann_pq_topk` SQL and rescores it with the
+    * `embedding_topk` cosine formula, so BOTH stages (compressed
+    * recall and exact refinement order) are hash-checked. */
+  def annPqRefine(s: SparkSession, dir: String): DataFrame = {
+    val all = embVecs(s, dir)
+    Similarity.pqTopKRefined(all.filter(col("id") < 5), all, k = 10,
+      refine = 4, m = 8, ks = 16, nlist = 16, nprobe = 6,
+      codebooks = Some(Similarity.firstKsCodebooks(all, 8, 16)),
+      centroids = Some(Similarity.firstNCentroids(all, 16)), replicate = 1)
+      .orderBy("query_id", "rank")
+  }
+
   /** The INDEXED ANN serving path, hash-checked: materialize the IVF-PQ
     * index from two-thirds of the corpus, APPEND the rest under the
     * frozen quantizer, COMPACT the accumulated per-append file sets,

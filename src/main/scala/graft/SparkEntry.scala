@@ -67,6 +67,7 @@ object SparkEntry {
     "ann_ivf_topk" -> (Queries.annIvfTopK _),
     "ann_pq_topk" -> (Queries.annPqTopK _),
     "ann_pq_topk_indexed" -> (Queries.annPqTopKIndexed _),
+    "ann_pq_refine" -> (Queries.annPqRefine _),
     "multimodal_meta" -> (Queries.multimodalMeta _),
     "curate_lineage" -> (Queries.curateLineage _),
     // Extended operators (as-of join, sessionization, introspection)
@@ -411,6 +412,7 @@ object SparkEntry {
     // frozen-quantizer contract: the grown+compacted index answers
     // exactly like the in-memory operator, so the same oracle pins it
     "ann_pq_topk_indexed" -> annPqOracle,
+    "ann_pq_refine" -> annPqRefineOracle,
     "doc_stats" ->
       """WITH w AS (SELECT doc_id, text,
         |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
@@ -1059,6 +1061,36 @@ object SparkEntry {
     * integer sum is summation-order-free in both engines. m=8 subspaces
     * × 8 dims, ks=16 codes, nlist=16, nprobe=6, k=10. */
   private def annPqOracle: String =
+    s"""$annPqCte
+       |SELECT query_id, rank, neighbor_id, adc_e4 FROM (
+       |  SELECT query_id, neighbor_id, adc_e4,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY adc_e4 DESC, neighbor_id ASC) AS rank
+       |  FROM sc) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Two-stage oracle: the ADC shortlist widened to 4·k = 40, then
+    * exact-cosine rescored and re-ranked (the `embedding_topk` cosine
+    * formula over the shortlist rows only). */
+  private def annPqRefineOracle: String =
+    s"""$annPqCte,
+       |sl AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY adc_e4 DESC, neighbor_id ASC) AS rk
+       |  FROM sc) t WHERE rk <= 40),
+       |rs AS (SELECT sl.query_id, sl.neighbor_id,
+       |         round(list_cosine_similarity(q.qv, c.nv), 4) AS cosine
+       |       FROM sl JOIN q USING (query_id)
+       |       JOIN c ON c.neighbor_id = sl.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM rs) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Shared IVF-PQ CTE chain ending at `sc(query_id, neighbor_id,
+    * adc_e4)` — the full ADC candidate scoring both PQ oracles rank. */
+  private def annPqCte: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
       |           FROM embeddings WHERE vec_id < 5),
       |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings),
@@ -1096,10 +1128,5 @@ object SparkEntry {
       |  JOIN enc e ON e.neighbor_id = cand.neighbor_id
       |  JOIN cb ON cb.j = e.j AND cb.code = e.code),
       |sc AS (SELECT query_id, neighbor_id, CAST(sum(pe4) AS BIGINT) AS adc_e4
-      |       FROM parts GROUP BY 1, 2)
-      |SELECT query_id, rank, neighbor_id, adc_e4 FROM (
-      |  SELECT query_id, neighbor_id, adc_e4,
-      |    row_number() OVER (PARTITION BY query_id
-      |                       ORDER BY adc_e4 DESC, neighbor_id ASC) AS rank
-      |  FROM sc) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      |       FROM parts GROUP BY 1, 2)""".stripMargin
 }

@@ -421,6 +421,37 @@ object Similarity {
     pqAdcRank(queries, enc, cb, cents, k, nprobe)
   }
 
+  /** Two-stage retrieval with exact refinement (the FAISS
+    * `IndexRefineFlat` pattern): the compressed IVF-PQ index shortlists
+    * `refine`·k candidates per query by ADC, then ONLY the shortlist
+    * joins back to the full-precision vectors for an exact cosine
+    * re-rank. This removes PQ quantization error from the FINAL
+    * ordering while keeping the scan economics of the compressed index:
+    * the exact pass touches |queries|·refine·k rows — never the corpus
+    * — so at 100 TB the full-precision vectors are read through an
+    * id-equality join (broadcast of shortlist ids against the vector
+    * table), not a scan of every embedding. Ranking uses the same
+    * 4-dp-rounded cosine + neighbor-id tie-break as [[bruteTopK]], so
+    * an independent engine reproduces ranks exactly. */
+  def pqTopKRefined(queries: DataFrame, corpus: DataFrame, k: Int,
+      refine: Int, m: Int, ks: Int, nlist: Int, nprobe: Int,
+      codebooks: Option[Array[Array[Array[Double]]]] = None,
+      centroids: Option[Array[Array[Double]]] = None,
+      replicate: Int = 1): DataFrame = {
+    require(refine >= 1, s"refine factor $refine must be >= 1")
+    val shortlist = pqTopK(queries, corpus, k * refine, m, ks, nlist, nprobe,
+        codebooks, centroids, replicate)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = shortlist
+      .join(queries.select(col("id").as("query_id"), col("vec").as("qv")),
+        "query_id")
+      .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("nv")),
+        "neighbor_id")
+      .withColumn("cosine", cosine4(col("qv"), col("nv")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    rankTopK(rescored, k)
+  }
+
   /** (neighbor_id, cid, codes): the corpus side of the IVF-PQ index —
     * one narrow pass over the vectors. */
   private def pqCells(corpus: DataFrame, cb: Array[Array[Array[Double]]],

@@ -813,6 +813,38 @@ class PipelineSpec extends SparkSpec {
     assert(out.count() <= (docs.count() * 0.5 * 1.02).toLong + 1)
   }
 
+  test("PQ refine: exact re-rank of the ADC shortlist, recall >= plain ADC") {
+    val vecs = graft.tsdb.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = vecs.filter(col("id") < 5)
+    val cb = Similarity.firstKsCodebooks(vecs, 8, 16)
+    val cents = Similarity.firstNCentroids(vecs, 16)
+    val adc = Similarity.pqTopK(q, vecs, 10, 8, 16, 16, 6,
+      Some(cb), Some(cents)).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val shortlist = Similarity.pqTopK(q, vecs, 40, 8, 16, 16, 6,
+      Some(cb), Some(cents)).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val refined = Similarity.pqTopKRefined(q, vecs, 10, refine = 4,
+      m = 8, ks = 16, nlist = 16, nprobe = 6, Some(cb), Some(cents))
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect()
+    // k rows per query, ranks 1..k, cosine non-increasing within a query
+    refined.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._4 >= p(1)._4))
+    }
+    // refined picks only from the widened shortlist
+    assert(refined.map(r => (r._1, r._3)).toSet.subsetOf(shortlist))
+    // exact re-ranking can only improve recall vs the exact brute order
+    val brute = Similarity.bruteTopK(q, vecs, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val refinedSet = refined.map(r => (r._1, r._3)).toSet
+    assert((refinedSet & brute).size >= (adc & brute).size,
+      s"refined recall ${(refinedSet & brute).size} < adc ${(adc & brute).size}")
+  }
+
   test("semantic dedup: one keeper per component, dropped rows have a kept sibling") {
     // hand-built geometry: 1≈2≈3 (chained), 4≈5, 6 isolated
     val mk = (s: Double, t: Double) => Array(s.toFloat, t.toFloat, 0f, 0f)
