@@ -769,6 +769,29 @@ object Queries {
       .withColumnRenamed("content_md5", "payload_md5")
       .orderBy("doc_id")
 
+  /** Video frame sampling over a binary media column
+    * ([[graft.pipeline.Multimodal.frameSample]]): document text bytes
+    * stand in as raw 8×4 grayscale video (pure-ASCII corpus, so the
+    * DuckDB oracle reproduces every frame slice character-for-byte);
+    * every 2nd frame at 10 fps is emitted with its pts, integer-e4
+    * brightness, and content digest. The typed flatMap plumbing (seek
+    * to sampled offsets, per-partition digest init) is exactly what a
+    * real demuxer drops into. */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit("video/x-raw").as("mime"), lit(8).as("width"), lit(4).as("height"))
+      .as[graft.pipeline.Multimodal.MediaRow]
+    graft.pipeline.Multimodal.frameSample(media, width = 8, height = 4,
+        everyNth = 2, fps = 10)
+      .toDF()
+      .select(col("media_id"), col("frame_idx"), col("pts_ms"),
+        col("brightness_e4"), col("frame_md5"))
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** The COMPOSED `Curate.curate` lineage, hash-checked end to end: every
     * stage is individually oracled elsewhere, but the stage-ordering /
     * attribution seams (who gets `exact_dup` vs `quality`, `dup_of`

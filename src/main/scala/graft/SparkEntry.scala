@@ -69,6 +69,7 @@ object SparkEntry {
     "ann_pq_topk_indexed" -> (Queries.annPqTopKIndexed _),
     "ann_pq_refine" -> (Queries.annPqRefine _),
     "multimodal_meta" -> (Queries.multimodalMeta _),
+    "frame_sample" -> (Queries.frameSample _),
     "curate_lineage" -> (Queries.curateLineage _),
     // Extended operators (as-of join, sessionization, introspection)
     "asof_click_before_purchase" -> (Queries.asofClickBeforePurchase _),
@@ -636,6 +637,19 @@ object SparkEntry {
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // raw 8x4 grayscale frames over the pure-ASCII corpus: a frame is a
+    // 32-char slice, so substring == the byte slice Spark digests
+    "frame_sample" ->
+      """WITH d AS (SELECT doc_id AS media_id, text FROM documents),
+        |f AS (SELECT media_id, CAST(t.i AS INT) AS frame_idx,
+        |        substring(text, CAST(t.i AS INT) * 32 + 1, 32) AS fr
+        |      FROM d, unnest(range(length(text) // 32)) AS t(i)
+        |      WHERE t.i % 2 = 0)
+        |SELECT media_id, frame_idx, CAST(frame_idx AS BIGINT) * 100 AS pts_ms,
+        |  CAST(list_sum([ord(substring(fr, j, 1)) FOR j IN range(1, 33)]) * 10000 // 8160
+        |       AS BIGINT) AS brightness_e4,
+        |  md5(fr) AS frame_md5
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     "asof_click_before_purchase" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |             (epoch_ns(ts) // 1000) * 1000 AS t FROM events),

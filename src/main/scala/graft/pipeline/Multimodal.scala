@@ -175,6 +175,57 @@ object Multimodal {
     }
   }
 
+  /** One sampled video frame: geometry, presentation timestamp, and the
+    * per-frame features (integer-e4 brightness + content digest — both
+    * engine-independent). */
+  final case class SampledFrame(media_id: Long, frame_idx: Int,
+      pts_ms: Long, width: Int, height: Int, brightness_e4: Long,
+      frame_md5: String)
+
+  /** Frame-sample a video binary column: emit every `everyNth` frame
+    * with its features, never touching the frames in between.
+    *
+    * The "demuxer" is the deterministic stand-in the JDK forces (no
+    * video codec ships with it): the payload is raw grayscale video —
+    * frames of `width·height` bytes back to back, a trailing partial
+    * frame dropped (ffmpeg's `rawvideo` shape, geometry supplied
+    * out-of-band). A real container parser swaps into the offset
+    * computation and the signature, schema, and partitioning stay put.
+    *
+    * The property that matters at 100 TB is that sampling SEEKS:
+    * unsampled frames are skipped by offset arithmetic, not decoded and
+    * discarded — an hour of video sampled at one frame per minute costs
+    * 60 frame reads, not 108 000 decodes. Narrow flatMap (no shuffle);
+    * digest state initialized once per partition; one output row per
+    * SAMPLED frame, so the operator's output is frames/everyNth rows
+    * regardless of payload size. */
+  def frameSample(media: Dataset[MediaRow], width: Int, height: Int,
+      everyNth: Int, fps: Int): Dataset[SampledFrame] = {
+    require(width > 0 && height > 0, s"bad geometry ${width}x$height")
+    require(everyNth >= 1, s"everyNth $everyNth must be >= 1")
+    require(fps > 0, s"fps $fps must be > 0")
+    import media.sparkSession.implicits._
+    val frameBytes = width * height
+    media.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5") // per partition
+      it.flatMap { r =>
+        val p = if (r.payload == null) Array.emptyByteArray else r.payload
+        val nFrames = p.length / frameBytes
+        Iterator.range(0, nFrames, everyNth).map { i =>
+          val off = i * frameBytes // seek: untouched frames are never read
+          var s = 0L
+          var j = off
+          while (j < off + frameBytes) { s += (p(j) & 0xff); j += 1 }
+          digest.reset()
+          val h = digest.digest(java.util.Arrays.copyOfRange(p, off, off + frameBytes))
+          SampledFrame(r.media_id, i, i.toLong * 1000 / fps, width, height,
+            s * 10000 / (frameBytes.toLong * 255),
+            h.map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
   /** The real decode pipeline: per-partition codec setup once (ImageIO
     * cache off — no temp files on executors), then rows stream through
     * image → audio → opaque fallback. Narrow transformation, no shuffle;

@@ -813,6 +813,34 @@ class PipelineSpec extends SparkSpec {
     assert(out.count() <= (docs.count() * 0.5 * 1.02).toLong + 1)
   }
 
+  test("frame sample: every Nth frame, seek offsets, partial tail dropped") {
+    import graft.pipeline.Multimodal
+    // 2x2 frames = 4 bytes each; payload of 11 bytes = 2 full frames + tail
+    val p1 = Array.tabulate[Byte](11)(i => (i * 10).toByte)
+    val p2 = Array.tabulate[Byte](16)(_ => 0xff.toByte) // 4 uniform frames
+    val media = Seq(
+      Multimodal.MediaRow(1L, p1, "video/x-raw", 2, 2),
+      Multimodal.MediaRow(2L, p2, "video/x-raw", 2, 2),
+      Multimodal.MediaRow(3L, Array.emptyByteArray, "video/x-raw", 2, 2),
+      Multimodal.MediaRow(4L, null, "video/x-raw", 2, 2)).toDS()
+    val out = Multimodal.frameSample(media, width = 2, height = 2,
+      everyNth = 3, fps = 5).collect().sortBy(r => (r.media_id, r.frame_idx))
+    // media 1: frames 0,1 exist; sampled = {0}. media 2: frames 0..3; sampled = {0,3}
+    assert(out.map(r => (r.media_id, r.frame_idx)).toSeq ==
+      Seq((1L, 0), (2L, 0), (2L, 3)))
+    val f10 = out.head
+    assert(f10.pts_ms == 0L && f10.width == 2 && f10.height == 2)
+    // bytes 0,10,20,30 -> sum 60 -> 60*10000/(4*255) = 588
+    assert(f10.brightness_e4 == 588L)
+    val f23 = out.last
+    assert(f23.pts_ms == 3L * 1000 / 5) // 600 ms at 5 fps
+    assert(f23.brightness_e4 == 10000L) // saturated frame
+    // digest matches an independent computation of the same slice
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest(p2.slice(12, 16)).map("%02x".format(_)).mkString
+    assert(f23.frame_md5 == want)
+  }
+
   test("PQ refine: exact re-rank of the ADC shortlist, recall >= plain ADC") {
     val vecs = graft.tsdb.Tables.load(spark, sf, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
