@@ -551,15 +551,39 @@ object Dedup {
     * After an increment is admitted, append ITS rows to the same three
     * tables — the index grows with the corpus, never rebuilt. */
   def writeDedupIndex(df: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int, path: String): Unit = {
+      n: Int, k: Int, bands: Int, path: String): Unit =
+    writeDedupIndexBatch(df, idCol, textCol, n, k, bands, path, "base")
+
+  /** Append one increment's ADMITTED (verdict `new`) rows to a
+    * materialized [[writeDedupIndex]]. Each increment lands under its
+    * own `batch=<label>` partition directory and the write OVERWRITES
+    * that directory, so replaying the same increment — a restarted
+    * streaming micro-batch — is idempotent rather than duplicating
+    * index rows. Only pass novel rows: a doc whose fingerprint already
+    * exists in the index is an `exact_dup`, and admitting it would
+    * break the fps table's one-row-per-fingerprint invariant that keeps
+    * [[incrementalDedupIndexed]]'s exact join 1:1. */
+  def appendDedupIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, path: String, batchLabel: String): Unit = {
+    require(batchLabel.nonEmpty && batchLabel.forall(c => c.isLetterOrDigit || c == '_'),
+      s"batch label '$batchLabel' must be alphanumeric")
+    writeDedupIndexBatch(df, idCol, textCol, n, k, bands, path, batchLabel)
+  }
+
+  /** The three index tables of one increment, written under
+    * `<table>/batch=<label>` (partition-discovery layout: readers see a
+    * `batch` string column they never select). */
+  private def writeDedupIndexBatch(df: DataFrame, idCol: String,
+      textCol: String, n: Int, k: Int, bands: Int, path: String,
+      label: String): Unit = {
     df.select(col(idCol).as("doc"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .groupBy("fp").agg(min("doc").as("exact_of"))
-      .write.mode("overwrite").parquet(s"$path/fps")
+      .write.mode("overwrite").parquet(s"$path/fps/batch=$label")
     bandKeys(df, idCol, textCol, n, k, bands)
       .select(col("doc"), col("bh.band").as("band"), col("bh.h").as("h"))
-      .write.mode("overwrite").parquet(s"$path/bands")
+      .write.mode("overwrite").parquet(s"$path/bands/batch=$label")
     shingled(df, idCol, textCol, n)
-      .write.mode("overwrite").parquet(s"$path/shingles")
+      .write.mode("overwrite").parquet(s"$path/shingles/batch=$label")
   }
 
   /** [[incrementalDedup]] against a materialized [[writeDedupIndex]] —

@@ -30,6 +30,94 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("fp")
 }
 
+/** Streaming NEAR-dedup for a continuously-arriving document feed — the
+  * streaming twin of [[graft.pipeline.Dedup.incrementalDedup]].
+  *
+  * Near-dup state cannot be watermark-bounded the way exact-dedup state
+  * is ([[StreamingDedup]]): "have I seen a similar document" has to
+  * look over the whole admitted corpus, so the state IS the materialized
+  * dedup index ([[graft.pipeline.Dedup.writeDedupIndex]] — fps, band
+  * keys, candidate shingles; it grows with DISTINCT content, never with
+  * the raw feed). Each micro-batch:
+  *
+  *  1. judge the batch against the index
+  *     ([[graft.pipeline.Dedup.incrementalDedupIndexed]] — cross-side
+  *     band join only, never index ⋈ index);
+  *  2. resolve WITHIN-batch duplicates (exact fingerprint groups + LSH
+  *     pairs inside the batch — two docs first seen in the same
+  *     micro-batch must not both be admitted);
+  *  3. append the admitted `new` rows to the index under a
+  *     per-batch partition (OVERWRITE of that partition, so micro-batch
+  *     replays after failure are idempotent);
+  *  4. hand the verdict frame to the caller's sink.
+  *
+  * Verdict policy (first match wins, deterministic): exact-dup against
+  * the index, exact-dup within the batch (min-id representative),
+  * near-dup against the index, near-dup within the batch (min doc_a of
+  * a verified pair), else `new`. Chains (b near-dups a, a exact-dups an
+  * index doc) resolve one hop, like the batch operator; full transitive
+  * resolution is the downstream connected-components pass. */
+object StreamingNearDedup {
+
+  import graft.pipeline.Dedup
+
+  /** One micro-batch's verdicts: (doc_id, verdict, dup_of). Pure batch
+    * plan — also the unit the spec pins against the batch operator. */
+  def verdictsForBatch(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, batch: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val vsIndex = Dedup.incrementalDedupIndexed(spark, indexPath, batch,
+      idCol, textCol, n, k, bands, threshold)
+    val eg = Dedup.exactGroups(batch, idCol, textCol)
+    val wbExact = batch
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .join(eg, "fp").filter(col("keep_id") < col("doc_id"))
+      .select(col("doc_id"), col("keep_id").as("wb_exact_of"))
+    val wbNear = Dedup.minhashLshPairs(batch, idCol, textCol, n, k, bands, threshold)
+      .groupBy(col("doc_b").as("doc_id")).agg(min(col("doc_a")).as("wb_near_of"))
+    vsIndex
+      .join(wbExact, Seq("doc_id"), "left")
+      .join(wbNear, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("verdict") === "exact_dup", "exact_dup")
+          .when(col("wb_exact_of").isNotNull, "exact_dup")
+          .when(col("verdict") === "near_dup", "near_dup")
+          .when(col("wb_near_of").isNotNull, "near_dup")
+          .otherwise("new").as("verdict"),
+        when(col("verdict") === "exact_dup", col("dup_of"))
+          .when(col("wb_exact_of").isNotNull, col("wb_exact_of"))
+          .when(col("verdict") === "near_dup", col("dup_of"))
+          .otherwise(col("wb_near_of")).as("dup_of"))
+  }
+
+  /** Start the stream: verdicts per micro-batch to `sink`, novel rows
+    * appended to the index. The index must exist
+    * ([[graft.pipeline.Dedup.writeDedupIndex]], possibly of an empty
+    * frame, runs once before the stream starts). */
+  def run(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, checkpoint: String,
+      n: Int = 3, k: Int = 8, bands: Int = 4, threshold: Double = 0.8)
+      (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val pinned = batch.persist()
+        val v = verdictsForBatch(spark, indexPath, pinned, idCol, textCol,
+          n, k, bands, threshold).persist()
+        try {
+          val novel = pinned.join(
+            v.filter(col("verdict") === "new").select(col("doc_id").as(idCol)),
+            Seq(idCol), "leftsemi")
+          Dedup.appendDedupIndex(novel, idCol, textCol, n, k, bands,
+            indexPath, s"b$batchId")
+          sink(v, batchId)
+        } finally { v.unpersist(); pinned.unpersist() }
+      }
+      .start()
+}
+
 /** Streaming gap sessionization — the Structured Streaming twin of
   * [[graft.operators.Sessionize]]: Spark's native `session_window`
   * merges events of a key into sessions that close when no event

@@ -334,4 +334,51 @@ class StreamingSpec extends SparkSpec {
       spark.streams.removeListener(listener)
     }
   }
+
+  test("streaming near-dedup: index + within-batch verdicts, idempotent appends") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    val idx = tmp(); val ckpt = tmp()
+    val base1 = (1 to 11).map(i => s"a$i").mkString(" ")
+    val near1 = base1 + " a12" // 9 of 10 shingles shared -> jaccard 0.9
+    val base4 = (1 to 11).map(i => s"b$i").mkString(" ")
+    val near4 = base4 + " b12"
+    val base7 = (1 to 11).map(i => s"c$i").mkString(" ")
+    val near7 = base7 + " c12"
+    Dedup.writeDedupIndex(Seq((1L, base1)).toDF("doc_id", "text"),
+      "doc_id", "text", n = 3, k = 8, bands = 4, idx)
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val got = scala.collection.mutable.Map[Long, Map[Long, (String, Option[Long])]]()
+    val q = StreamingNearDedup.run(docs, "doc_id", "text", idx, ckpt) { (v, id) =>
+      got(id) = v.collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    }
+    try {
+      mem.addData((2L, base1), (3L, near1), (4L, base4), (5L, base4),
+        (6L, near4), (7L, base7))
+      q.processAllAvailable()
+      mem.addData((8L, base4), (9L, near7), (10L, "fresh words entirely new thing here today"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got(0L) == Map(
+      2L -> ("exact_dup", Some(1L)), // against the index
+      3L -> ("near_dup", Some(1L)),  // index wins over the (2,3) batch pair
+      4L -> ("new", None),
+      5L -> ("exact_dup", Some(4L)), // within-batch, min-id representative
+      6L -> ("near_dup", Some(4L)),  // within-batch verified pair
+      7L -> ("new", None)), s"batch 0: ${got(0L)}")
+    assert(got(1L) == Map(
+      8L -> ("exact_dup", Some(4L)), // doc 4 was admitted to the index
+      9L -> ("near_dup", Some(7L)),
+      10L -> ("new", None)), s"batch 1: ${got(1L)}")
+    // the index grew ONLY with admitted content: base1 + {4, 7} + {10}
+    def fpCount = spark.read.parquet(s"$idx/fps").count()
+    assert(fpCount == 4L, s"fps rows $fpCount")
+    // replaying an increment overwrites its partition - no duplicate rows
+    Dedup.appendDedupIndex(
+      Seq((10L, "fresh words entirely new thing here today")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 3, k = 8, bands = 4, idx, "b1")
+    assert(fpCount == 4L, s"fps rows after replay $fpCount")
+  }
 }
