@@ -119,6 +119,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("pq_codes") && p.contains("pq_adc_table"), p)
   }
 
+  test("PQ refine battery: shortlist re-rank joins by id, no cross join") {
+    val p = plan("ann_pq_refine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // stage 1 is the fused ADC plan; stage 2's exact rescore is the
+    // fused cosine over id-equality joins — never a corpus scan per query
+    assert(p.contains("pq_adc_table") && p.contains("vec_cosine"), p)
+  }
+
+  test("frame sample is a narrow map: no shuffle before the output sort") {
+    val df = SparkEntry.queries("frame_sample")(spark, sf)
+    // drop the battery's presentation orderBy: the operator itself is
+    // flatMap over the scan — zero exchanges
+    val inner = df.queryExecution.optimizedPlan.collectFirst {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.child
+    }.get
+    val p = org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, inner)
+      .queryExecution.executedPlan.toString
+    assert(countIn(p, "Exchange") == 0, s"frame sampling must not shuffle:\n$p")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"), p)
+  }
+
+  test("semantic dedup battery: bucketed candidate joins, no cross join") {
+    val p = plan("semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "pair generation must stay IVF-bucketed:\n" + p)
+  }
+
   test("indexed ANN battery: probed cells prune as cid PARTITION filters") {
     val p = plan("ann_pq_topk_indexed")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
