@@ -769,6 +769,20 @@ object Queries {
       .withColumnRenamed("content_md5", "payload_md5")
       .orderBy("doc_id")
 
+  /** Temperature-weighted mixture sampling over the documents' lang
+    * distribution ([[graft.pipeline.Sampling.mixtureSample]], T=2
+    * √-share rebalance at keepPpm 500k): the skewed corpus (en ≈ 3×
+    * any other lang) downsamples its dominant source and upweights the
+    * tail. Every rate is computed in-plan with engine-exact arithmetic
+    * (integer counts, IEEE sqrt/floor, md5-ppm membership), so the
+    * oracle re-derives rates AND membership bit-for-bit. */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.mixtureSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", keepPpm = 500000L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   /** Video frame sampling over a binary media column
     * ([[graft.pipeline.Multimodal.frameSample]]): document text bytes
     * stand in as raw 8×4 grayscale video (pure-ASCII corpus, so the

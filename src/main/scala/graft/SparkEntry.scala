@@ -48,6 +48,7 @@ object SparkEntry {
     "ngram_topk" -> (Queries.ngramTopK _),
     "dataset_split" -> (Queries.datasetSplit _),
     "sample_stratified" -> (Queries.sampleStratified _),
+    "mixture_sample" -> (Queries.mixtureSample _),
     "winnow_fingerprints" -> (Queries.winnowFingerprints _),
     "winnow_overlap_pairs" -> (Queries.winnowOverlapPairs _),
     "repeated_spans" -> (Queries.repeatedSpans _),
@@ -271,6 +272,7 @@ object SparkEntry {
          |  CASE WHEN bucket < 80 THEN 'train'
          |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+    "mixture_sample" -> mixtureSampleOracle,
     "sample_stratified" ->
       s"""WITH h AS (SELECT doc_id, lang,
          |  substring(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
@@ -857,11 +859,36 @@ object SparkEntry {
 
   /** SQL parsing an 8-hex-char column to its integer value (DuckDB lacks
     * a hex→int conv; both engines then agree on md5-bucket arithmetic). */
-  private def hexToIntSql(col: String): String =
-    (1 to 8).map { i =>
-      val mult = math.pow(16, 8 - i).toLong
+  private def hexToIntSql(col: String): String = hexToIntSqlN(col, 8)
+
+  /** General n-hex-char variant (n ≤ 15 stays in BIGINT). */
+  private def hexToIntSqlN(col: String, n: Int): String =
+    (1 to n).map { i =>
+      val mult = java.math.BigInteger.valueOf(16L).pow(n - i)
       s"(strpos('0123456789abcdef', $col[$i]) - 1) * ${mult}"
     }.mkString(" + ")
+
+  /** Oracle for the T=2 mixture-sampling battery entry: re-derives the
+    * √-share rates with the SAME arithmetic shape as
+    * [[graft.pipeline.Sampling.mixtureSample]] (integer counts, IEEE
+    * sqrt/floor in the same association order, 12-hex-char md5 ppm) —
+    * membership is bit-for-bit, not statistical. */
+  private def mixtureSampleOracle: String =
+    s"""WITH c AS (SELECT lang AS src, count(*) AS src_n FROM documents GROUP BY 1),
+       |cq AS (SELECT src, src_n,
+       |         CAST(floor(sqrt(src_n * 1000000)) AS BIGINT) AS sq FROM c),
+       |t AS (SELECT sum(src_n) AS tot_n, sum(sq) AS tot_s FROM cq),
+       |r AS (SELECT src,
+       |        least(1000000, CAST(floor(
+       |          ((CAST(floor((tot_n * 500000.0) / 1000000.0) AS BIGINT) * 1000000.0) * sq)
+       |          / (CAST(tot_s AS DOUBLE) * src_n)) AS BIGINT)) AS rate_ppm
+       |      FROM cq CROSS JOIN t),
+       |h AS (SELECT doc_id, lang,
+       |        substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 12) AS hx
+       |      FROM documents),
+       |p AS (SELECT doc_id, lang, (${hexToIntSqlN("hx", 12)}) % 1000000 AS ppm FROM h)
+       |SELECT p.doc_id, p.lang FROM p JOIN r ON p.lang = r.src
+       |WHERE ppm < rate_ppm ORDER BY doc_id""".stripMargin
 
   /** DuckDB oracle for the HIGH-threshold (sign-LSH-routed) near-dup
     * battery entry: plants near-duplicate copies of the first 50 vectors
