@@ -551,8 +551,17 @@ object Dedup {
     * After an increment is admitted, append ITS rows to the same three
     * tables — the index grows with the corpus, never rebuilt. */
   def writeDedupIndex(df: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int, path: String): Unit =
+      n: Int, k: Int, bands: Int, path: String): Unit = {
+    // a REBUILD replaces the whole index: clear any prior base AND
+    // append batches, or a stale increment's fingerprints would ride
+    // alongside the new base (duplicate fp rows fan out the exact join)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    Seq("fps", "bands", "shingles").foreach { t =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$t"), true)
+    }
     writeDedupIndexBatch(df, idCol, textCol, n, k, bands, path, "base")
+  }
 
   /** Append one increment's ADMITTED (verdict `new`) rows to a
     * materialized [[writeDedupIndex]]. Each increment lands under its
@@ -589,17 +598,29 @@ object Dedup {
   /** [[incrementalDedup]] against a materialized [[writeDedupIndex]] —
     * identical verdicts, but the corpus side costs three parquet scans
     * (fps for the exact join, bands for candidates, shingles for
-    * verification of candidate docs only) instead of a full text pass. */
+    * verification of candidate docs only) instead of a full text pass.
+    *
+    * `excludeBatch`: ignore that `batch=<label>` partition on every
+    * index read — the replay seam for [[graft.streaming.StreamingNearDedup]]:
+    * a restarted micro-batch re-judges against the index AS IF its own
+    * (possibly already-written) rows were absent, so recomputed
+    * verdicts match the first attempt instead of marking every admitted
+    * doc a duplicate of itself. */
   def incrementalDedupIndexed(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, incoming: DataFrame,
       idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
-    val exFp = spark.read.parquet(s"$indexPath/fps")
+      n: Int, k: Int, bands: Int, threshold: Double,
+      excludeBatch: Option[String] = None): DataFrame = {
+    def readIdx(table: String): DataFrame = {
+      val raw = spark.read.parquet(s"$indexPath/$table")
+      excludeBatch.fold(raw)(l => raw.filter(col("batch") =!= lit(l)))
+    }
+    val exFp = readIdx("fps")
     val inFp = incoming
       .select(col(idCol).as("doc_id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
     val exact = inFp.join(exFp, Seq("fp"), "left")
       .select(col("doc_id"), col("exact_of"))
-    val exBands = spark.read.parquet(s"$indexPath/bands")
+    val exBands = readIdx("bands")
       .select(col("doc"), struct(col("band"), col("h")).as("bh"))
     val candidates = bandKeys(incoming, idCol, textCol, n, k, bands).as("x")
       .join(exBands.as("y"), col("x.bh") === col("y.bh"))
@@ -607,7 +628,7 @@ object Dedup {
     val near = candidates
       .join(shingled(incoming, idCol, textCol, n)
         .select(col("doc").as("doc_id"), col("sh").as("sh_a"), col("nsh").as("nsh_a")), "doc_id")
-      .join(spark.read.parquet(s"$indexPath/shingles")
+      .join(readIdx("shingles")
         .select(col("doc").as("ex_id"), col("sh").as("sh_b"), col("nsh").as("nsh_b")), "ex_id")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .filter(col("common").cast("double") /

@@ -27,12 +27,12 @@ import org.apache.spark.sql.types.LongType
   * Bin width: `spark.graft.rangeJoin.binWidth` accepts a positive long
   * (time units of the join columns), `off` (or any value ≤ 0) to disable
   * the rewrite, or `auto` — the default when unset. Auto derives the
-  * width at rewrite time from a bounded sample of the interval side
-  * (p95 of `hi − lo` over the first [[SampleRows]] rows: ≤2-row fanout
-  * for a typical interval), floored so the longest sampled interval
-  * explodes to at most [[MaxFanout]] bins — a session-global width can't
-  * fit every join, so each join derives its own. If the sample is empty
-  * or the probe fails, the join is left unrewritten.
+  * width at rewrite time from one narrow aggregation over the interval
+  * side (approximate p95 of `hi − lo`: ≤2-row fanout for a typical
+  * interval; exact max: the width is floored so the longest interval IN
+  * THE DATA explodes to at most [[MaxFanout]] bins) — a session-global
+  * width can't fit every join, so each join derives its own. If the
+  * side is empty or the probe fails, the join is left unrewritten.
   *
   * The rewrite only fires when no equi conjunct exists (Spark already
   * hash-joins those, with the range conjuncts as post-join filters) and
@@ -56,16 +56,23 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       }
     }
 
-  /** Bounded statistics probe over the interval side: p95 and max of
-    * `hi − lo` on the first [[SampleRows]] rows. Runs as its own tiny
-    * job mid-optimization (the probe plan has no join, so the rule
-    * cannot re-enter itself through it). */
+  /** Statistics probe over the interval side: approximate p95 (sets the
+    * typical ≤2-bin fanout) and EXACT max (the safety floor: the width
+    * is raised until the longest interval in the data — not just the
+    * longest sampled one — explodes to at most [[MaxFanout]] bins) of
+    * `hi − lo`. One narrow aggregation pass over a single derived
+    * column, run as its own job mid-optimization (the probe plan has no
+    * join, so the rule cannot re-enter itself through it). The max must
+    * be exact: with a row-limited sample, one unsampled outlier
+    * interval (bad data, a years-long span in an ns-unit column) would
+    * explode its `Sequence` past the array limit and fail a query that
+    * used to run — the full-pass max trades one planning-time column
+    * scan for that never happening. */
   private def deriveWidth(ival: LogicalPlan, lo: Expression,
       hi: Expression): Option[Long] = try {
     val spark = SparkSession.active
     val len = Alias(Subtract(hi, lo), "__graft_len")()
-    val probe = ColumnBridge.ofRows(spark,
-      Limit(Literal(SampleRows), Project(Seq(len), ival)))
+    val probe = ColumnBridge.ofRows(spark, Project(Seq(len), ival))
     val row = probe.agg(
       percentile_approx(col("__graft_len"), lit(0.95), lit(SampleRows))
         .cast("long").as("p95"),
@@ -75,7 +82,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       val p95 = math.max(row.getLong(0), 1L)
       val mx = math.max(if (row.isNullAt(1)) p95 else row.getLong(1), p95)
       val w = math.max(p95, (mx + MaxFanout - 1) / MaxFanout)
-      logInfo(s"derived $WidthKey=$w (sampled p95 len=$p95, max len=$mx)")
+      logInfo(s"derived $WidthKey=$w (p95 len=$p95, exact max len=$mx)")
       Some(w)
     }
   } catch {
@@ -158,8 +165,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
               val binsAttr = AttributeReference("__graft_bin", LongType,
                 nullable = false)()
               // TimeZoneAwareExpression: unresolved until a zone is bound,
-              // even for integral sequences
-              val seq = Sequence(bin(lo, w), bin(hi, w), None,
+              // even for integral sequences. The stop is clamped to
+              // >= start: a REVERSED interval (hi < lo — it matches
+              // nothing, the re-verify guarantees that) would otherwise
+              // make Sequence count DOWNWARD through every bin between,
+              // an unbounded explode for wide reversals
+              val binLo = bin(lo, w)
+              val seq = Sequence(binLo,
+                Greatest(Seq(binLo, bin(hi, w))), None,
                 Some(conf.sessionLocalTimeZone))
               val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
                 outer = false, qualifier = None,

@@ -62,12 +62,16 @@ object StreamingNearDedup {
   import graft.pipeline.Dedup
 
   /** One micro-batch's verdicts: (doc_id, verdict, dup_of). Pure batch
-    * plan — also the unit the spec pins against the batch operator. */
+    * plan — also the unit the spec pins against the batch operator.
+    * `excludeBatch` masks this batch's OWN index partition so a
+    * replayed micro-batch (whose append may already be on disk) judges
+    * against the same index state the first attempt saw. */
   def verdictsForBatch(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, batch: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+      n: Int, k: Int, bands: Int, threshold: Double,
+      excludeBatch: Option[String] = None): DataFrame = {
     val vsIndex = Dedup.incrementalDedupIndexed(spark, indexPath, batch,
-      idCol, textCol, n, k, bands, threshold)
+      idCol, textCol, n, k, bands, threshold, excludeBatch)
     val eg = Dedup.exactGroups(batch, idCol, textCol)
     val wbExact = batch
       .select(col(idCol).as("doc_id"),
@@ -105,7 +109,7 @@ object StreamingNearDedup {
         val spark = batch.sparkSession
         val pinned = batch.persist()
         val v = verdictsForBatch(spark, indexPath, pinned, idCol, textCol,
-          n, k, bands, threshold).persist()
+          n, k, bands, threshold, excludeBatch = Some(s"b$batchId")).persist()
         try {
           val novel = pinned.join(
             v.filter(col("verdict") === "new").select(col("doc_id").as(idCol)),

@@ -65,8 +65,10 @@ object LocalRollup {
     val fields = scala.collection.mutable.HashMap.empty[String, FieldState]
   }
 
+  // string components compare as UTF-8 bytes ([[Utf8Order]]) — the
+  // Spark path's ordering for the same first/last and sort semantics
   private val ordOrdering: Ordering[(Long, String, Long)] =
-    Ordering.Tuple3(Ordering.Long, Ordering.String, Ordering.Long)
+    Ordering.Tuple3(Ordering.Long, Utf8Order, Ordering.Long)
 
   private def ordOf(r: Row, i: Int): (Long, String, Long) =
     if (r.isNullAt(i)) null
@@ -211,15 +213,16 @@ object LocalRollup {
 
     // presentation order, cursor keyset, limit (applyCursorLimit mirror)
     var out = emitted.toArray
-    val ord = Ordering.Tuple2(Ordering.Long, Ordering.String)
+    val ord = Ordering.Tuple2(Ordering.Long, Utf8Order)
       .on[Row](r => (r.getLong(3), r.getString(2)))
     out = out.sorted(if (p.order == Descending) ord.reverse else ord)
     p.afterKey.foreach { c =>
       out = out.filter { r =>
         val w = r.getLong(3); val sk = r.getString(2)
+        val skc = Utf8Order.compare(sk, c.seriesKey)
         if (p.order == Ascending)
-          w > c.timestamp || (w == c.timestamp && sk > c.seriesKey)
-        else w < c.timestamp || (w == c.timestamp && sk < c.seriesKey)
+          w > c.timestamp || (w == c.timestamp && skc > 0)
+        else w < c.timestamp || (w == c.timestamp && skc < 0)
       }
     }
     p.limit.foreach(n => out = out.take(n.toInt))

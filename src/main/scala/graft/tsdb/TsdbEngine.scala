@@ -837,7 +837,8 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         } else {
           val proj = view.select("metric", "tags", "timestamp", "fields", "seq", "series_key")
           val rows = proj.collect().sortBy(r =>
-            (r.getAs[Long]("timestamp"), r.getAs[String]("series_key")))
+            (r.getAs[Long]("timestamp"), r.getAs[String]("series_key")))(
+            Ordering.Tuple2(Ordering.Long, Utf8Order))
           val ts = rows.map(_.getLong(2))
           localCache.put(metric, (e, rows, ts, proj.schema))
           Some((rows, ts, proj.schema))
@@ -886,10 +887,10 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       p.afterKey.foreach { c =>
         rows = rows.filter { r =>
           val t = r.getAs[Long]("timestamp")
-          val sk = r.getAs[String]("series_key")
+          val skc = Utf8Order.compare(r.getAs[String]("series_key"), c.seriesKey)
           if (p.order == Ascending)
-            t > c.timestamp || (t == c.timestamp && sk > c.seriesKey)
-          else t < c.timestamp || (t == c.timestamp && sk < c.seriesKey)
+            t > c.timestamp || (t == c.timestamp && skc > 0)
+          else t < c.timestamp || (t == c.timestamp && skc < 0)
         }
       }
       p.limit.foreach(n => rows = rows.take(n.toInt))
@@ -1001,7 +1002,10 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       }
     }
     val t0 = System.nanoTime()
-    val (rows, truncated, schema) = queryCachedFull(p)
+    // pageOnTruncation = false: an over-budget result falls back to the
+    // streamed full plan below, so collecting the budget-sized first
+    // page would be a discarded third execution of the query shape
+    val (rows, truncated, schema) = queryCachedFull(p, pageOnTruncation = false)
     val out =
       if (truncated) routedDF(p)
       else spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
@@ -1009,7 +1013,12 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     out
   }
 
-  private def queryCachedFull(params: QueryParams):
+  /** `pageOnTruncation = false` skips materializing the budget-limited
+    * first page when the probe detects truncation (the rows element
+    * comes back EMPTY with the flag set) — for callers that answer
+    * truncation with a different plan instead of the page. */
+  private def queryCachedFull(params: QueryParams,
+      pageOnTruncation: Boolean = true):
       (Array[Row], Boolean, org.apache.spark.sql.types.StructType) = {
     val cacheable = params.relativeNs.isEmpty || params.nowNs.isDefined
     val e = metricEpoch(params.metric)
@@ -1043,8 +1052,11 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
               (driverOrder(probe, params), df.schema)
             else {
               truncated = true
-              val page = rollupRoute(params.copy(limit = Some(budget))).get
-              (page.collect(), page.schema)
+              if (!pageOnTruncation) (Array.empty[Row], df.schema)
+              else {
+                val page = rollupRoute(params.copy(limit = Some(budget))).get
+                (page.collect(), page.schema)
+              }
             }
           }
         case None =>
@@ -1062,9 +1074,12 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
               // TakeOrdered (per-partition top-K, bounded memory) and
               // yields exactly the first page of the full ordering
               truncated = true
-              val page = QueryEngine.runMerged(servingView(params.metric),
-                params.copy(limit = Some(budget)))
-              (page.collect(), page.schema)
+              if (!pageOnTruncation) (Array.empty[Row], df.schema)
+              else {
+                val page = QueryEngine.runMerged(servingView(params.metric),
+                  params.copy(limit = Some(budget)))
+                (page.collect(), page.schema)
+              }
             }
           }
       }
@@ -1080,7 +1095,8 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     if (p.limit.isDefined || p.isFinalAgg) return rows
     val tsField = if (p.isDownsample) "window_start" else "timestamp"
     val sorted = rows.sortBy(r =>
-      (r.getAs[Long](tsField), r.getAs[String]("series_key")))
+      (r.getAs[Long](tsField), r.getAs[String]("series_key")))(
+      Ordering.Tuple2(Ordering.Long, Utf8Order))
     if (p.order == Descending) sorted.reverse else sorted
   }
 

@@ -106,6 +106,26 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("reversed and outlier intervals: rewrite stays correct and bounded") {
+    // one REVERSED interval (e < s: a descending Sequence would explode
+    // through every bin between) and one outlier far longer than the
+    // rest (the exact-max floor must widen bins for it — a sampled max
+    // could miss it and explode its Generate)
+    val dirty = ivs.union(Seq(
+      (90L, 5000000L, -5000000L), // reversed, 10M bins wide if unguarded
+      (91L, 0L, 40960000L)        // 10000x the typical length
+    ).toDF("iv_id", "s", "e"))
+    val naive = dirty.crossJoin(pts).filter($"t" >= $"s" && $"t" <= $"e")
+      .select($"iv_id", $"pt_id").as[(Long, Long)].collect().toSet
+    withRuleNoConf(None) {
+      val joined = dirty.join(pts, $"t" >= $"s" && $"t" <= $"e")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+      val got = joined.select($"iv_id", $"pt_id").as[(Long, Long)].collect().toSet
+      assert(got == naive, "dirty intervals must not change results")
+    }
+  }
+
   test("joins that already have an equi key are left alone") {
     withRule(100L) {
       val a = Seq((1L, 5L)).toDF("k", "x")

@@ -380,5 +380,24 @@ class StreamingSpec extends SparkSpec {
       Seq((10L, "fresh words entirely new thing here today")).toDF("doc_id", "text"),
       "doc_id", "text", n = 3, k = 8, bands = 4, idx, "b1")
     assert(fpCount == 4L, s"fps rows after replay $fpCount")
+    // a REPLAYED micro-batch re-judges with its own partition masked, so
+    // verdicts match the first attempt even though batch=b1 is on disk
+    val batch1 = Seq((8L, base4), (9L, near7),
+      (10L, "fresh words entirely new thing here today")).toDF("doc_id", "text")
+    val replayed = StreamingNearDedup.verdictsForBatch(spark, idx, batch1,
+      "doc_id", "text", 3, 8, 4, 0.8, excludeBatch = Some("b1"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(replayed == got(1L), s"replayed verdicts drifted: $replayed")
+    // without the mask the admitted doc judges as a duplicate of itself
+    // (the failure mode the seam exists for)
+    val unmasked = StreamingNearDedup.verdictsForBatch(spark, idx, batch1,
+      "doc_id", "text", 3, 8, 4, 0.8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(unmasked(10L) == "exact_dup")
+    // an index REBUILD clears stale append partitions with it
+    Dedup.writeDedupIndex(Seq((1L, base1)).toDF("doc_id", "text"),
+      "doc_id", "text", n = 3, k = 8, bands = 4, idx)
+    assert(fpCount == 1L, s"rebuild must clear appends, fps rows $fpCount")
   }
 }

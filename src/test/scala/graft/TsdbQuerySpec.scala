@@ -371,4 +371,37 @@ class TsdbQuerySpec extends SparkSpec {
       aggs = Seq(AggSpec("count", "*"), AggSpec("sum", "value"))))
     assert(!t4 && agg.length == 1)
   }
+
+  test("driver tier orders supplementary-plane series keys like Spark") {
+    // U+1F600 (surrogate pair) vs U+FA00: Scala String order puts the
+    // emoji key FIRST, UTF-8 binary order puts it LAST — the tiers must
+    // agree with the Spark path, or cursor pages drift between them
+    assert("😀" < "切") // UTF-16 order (the wrong one)
+    assert(Utf8Order.compare("😀", "切") > 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_utf8").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    // same timestamp for every row: ordering is decided by series_key
+    val rows = Seq("😀", "切", "ascii").zipWithIndex.map {
+      case (h, i) => TP("cpu.usage", Map("host" -> h), 100 * M,
+        Map("value" -> FV.dv(i.toDouble)), i.toLong)
+    }
+    eng.putDF(mkDf(rows))
+    val p = QueryParams("cpu.usage", endNs = Some(1000 * M))
+    def keys(rs: Seq[Row]): Seq[String] =
+      rs.map(_.getAs[String]("series_key"))
+    val sparkOrder = keys(eng.query(p).collect().toSeq)
+    val localOrder = keys(eng.queryCached(p).toSeq)
+    assert(localOrder == sparkOrder,
+      s"local tier order $localOrder != spark order $sparkOrder")
+    // keyset pagination agrees across the seam too: page 1 from the
+    // local tier, page 2 computed by BOTH paths from its cursor
+    val first = eng.queryCached(p.copy(limit = Some(1))).head
+    val cur = Cursor(first.getAs[Long]("timestamp"),
+      first.getAs[String]("series_key"))
+    val localPage = keys(eng.queryCached(p.copy(afterKey = Some(cur))).toSeq)
+    eng.localServingMaxRows = 0 // force the Spark serving path
+    val sparkPage = keys(eng.queryCached(p.copy(afterKey = Some(cur))).toSeq)
+    assert(localPage == sparkPage, s"$localPage != $sparkPage")
+    assert(localPage.size == 2 && !localPage.contains(cur.seriesKey))
+  }
 }
