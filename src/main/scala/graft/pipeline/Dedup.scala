@@ -322,6 +322,13 @@ object Dedup {
     * per-round cache only). The checkpoint is ~free here because the
     * convergence count materializes each round anyway and rows are two
     * longs. */
+  /** Edge budget for the driver union-find fast path of
+    * [[connectedComponents]]: a pair of longs per edge, so 4M edges ≈
+    * 64 MB of driver heap — the same bounded-driver-state discipline as
+    * the engine's serving tiers. `@volatile var` so tests can force
+    * either path. */
+  @volatile var driverCcMaxEdges: Long = 4000000L
+
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
     // Persist the undirected edge set ONCE: every round joins it —
@@ -332,6 +339,48 @@ object Dedup {
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .cache()
     try {
+      // Driver union-find fast path: label propagation pays per ROUND
+      // (two shuffles + a count + a checkpoint each), a fixed multi-job
+      // cost that dwarfs the actual work whenever the EDGE set is small
+      // — which it usually is: dup pairs grow with duplicate content,
+      // not corpus size. When the (cached, already-materialized) edges
+      // fit [[driverCcMaxEdges]], collect them, union-find in
+      // milliseconds, and broadcast-join the endpoint labels back onto
+      // the nodes — the NODE side (corpus-sized) never leaves the
+      // cluster, mirroring the serving tiers' bounded-driver contract.
+      // Labels are component minima either way, bit-identical output.
+      val eCount = und.count() // materializes the cache for both paths
+      if (eCount / 2 <= driverCcMaxEdges) {
+        val spark = nodes.sparkSession
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        // collect the CACHED undirected frame (collecting `edges` would
+        // re-execute the whole upstream pair-generation lineage); the
+        // mirrored duplicates are harmless to union-find
+        und.collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // union under the MIN root → labels = minima
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        val lab = Seq.newBuilder[(Long, Long)]
+        parent.forEach((k, _) => lab += ((k, find(k))))
+        import spark.implicits._
+        val labDf = lab.result().toDF("node", "__cc_label")
+        return nodes.select(col("node"))
+          .join(broadcast(labDf), Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__cc_label"), col("node")).as("label"))
+      }
       var labels = nodes.select(col("node"), col("node").as("label"))
         .localCheckpoint(true)
       var it = 0

@@ -172,6 +172,26 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("driver union-find CC == distributed label propagation, bit-identical") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 0 until 3) {
+      val edges = List.fill(12 + trial * 10)(
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      val nodes = ((edges.flatMap(t => Seq(t._1, t._2)) ++ Seq(3L, 77L)).distinct).toDF("node")
+      val e = edges.toDF("a", "b")
+      val fast = graft.pipeline.Dedup.connectedComponents(nodes, e)
+        .as[(Long, Long)].collect().toMap
+      val before = graft.pipeline.Dedup.driverCcMaxEdges
+      graft.pipeline.Dedup.driverCcMaxEdges = 0L // force the distributed path
+      try {
+        val slow = graft.pipeline.Dedup.connectedComponents(nodes, e)
+          .as[(Long, Long)].collect().toMap
+        assert(fast == slow, s"trial $trial: paths disagree for $edges")
+      } finally graft.pipeline.Dedup.driverCcMaxEdges = before
+    }
+  }
+
   test("star CC == label propagation on random graphs; log rounds on a path") {
     // seeded random graphs instead of scalacheck: every star-CC run is
     // ~2 Spark jobs PER ROUND, so 12 shrinking cases would dominate the
