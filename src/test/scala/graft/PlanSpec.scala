@@ -140,6 +140,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"), p)
   }
 
+  test("mixture sample: rates broadcast back, corpus side never shuffles") {
+    val df = SparkEntry.queries("mixture_sample")(spark, sf)
+    val inner = df.queryExecution.optimizedPlan.collectFirst {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.child
+    }.get
+    val p = org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, inner)
+      .queryExecution.executedPlan.toString
+    assert(countIn(p, "BroadcastHashJoin") >= 1, p)
+    assert(countIn(p, "SortMergeJoin") == 0,
+      s"the corpus side must meet the tiny rate frame via broadcast:\n$p")
+  }
+
   test("semantic dedup battery: bucketed candidate joins, no cross join") {
     val p = plan("semantic_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
