@@ -679,6 +679,44 @@ object Queries {
       .orderBy("window_start", "user")
   }
 
+  /** A2 + FILL(PREVIOUS): the [[tsdbEmptyWindows]] grid, but gaps carry
+    * the series' last observed window value forward (LOCF). count stays
+    * 0 on gaps — fill replaces only the undefined (NaN) aggregates. FILL
+    * alone materializes the slot grid (no EMIT EMPTY WINDOWS needed). */
+  def tsdbFillPrevious(s: SparkSession, dir: String): DataFrame = {
+    val sixH = 6L * HourNs
+    val jan8 = Jan1 + 7L * 24L * HourNs
+    val q = QueryParams("purchase", startNs = Jan1, endNs = Some(jan8),
+      downsampleNs = Some(sixH), fill = FillPrevious,
+      aggs = Seq(AggSpec("count", "*"), AggSpec("avg", "value")))
+    QueryEngine.run(pts(s, dir), q)
+      .select(userCol, col("window_start"), col("count_star"),
+        round(col("avg_value"), 4).as("avg_value"))
+      .orderBy("window_start", "user")
+  }
+
+  /** A2 + FILL(LINEAR): interior gaps interpolate between the two
+    * surrounding observed windows on window_start; leading/trailing gaps
+    * stay NaN (InfluxQL fill(linear) semantics). min/max are the hashed
+    * fields deliberately: they select STORED doubles (bit-identical
+    * across engines), so the interpolation arithmetic — same IEEE ops,
+    * same association order on both sides — is bit-exact with no
+    * rounding insurance needed. (avg would interpolate over
+    * summation-order-divergent inputs; its fill contract is covered by
+    * the LOCF entry, which copies values instead of recombining them.) */
+  def tsdbFillLinear(s: SparkSession, dir: String): DataFrame = {
+    val sixH = 6L * HourNs
+    val jan8 = Jan1 + 7L * 24L * HourNs
+    val q = QueryParams("purchase", startNs = Jan1, endNs = Some(jan8),
+      downsampleNs = Some(sixH), fill = FillLinear,
+      aggs = Seq(AggSpec("count", "*"), AggSpec("min", "value"),
+        AggSpec("max", "value")))
+    QueryEngine.run(pts(s, dir), q)
+      .select(userCol, col("window_start"), col("count_star"),
+        col("min_value"), col("max_value"))
+      .orderBy("window_start", "user")
+  }
+
   /** A2 multi-field, mixed-type aggregation (FIXTURES A3 shape): numeric
     * avg/max on one field + any-type count on a string field, daily. */
   def tsdbMultifieldAgg(s: SparkSession, dir: String): DataFrame = {

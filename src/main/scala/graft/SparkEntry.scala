@@ -78,6 +78,8 @@ object SparkEntry {
     "sessionize_users" -> (Queries.sessionizeUsers _),
     "show_tag_keys" -> (Queries.showTagKeys _),
     "tsdb_empty_windows" -> (Queries.tsdbEmptyWindows _),
+    "tsdb_fill_previous" -> (Queries.tsdbFillPrevious _),
+    "tsdb_fill_linear" -> (Queries.tsdbFillLinear _),
     "tsdb_multifield_agg" -> (Queries.tsdbMultifieldAgg _),
     "distinct_users_per_type" -> (Queries.distinctUsersPerType _),
   )
@@ -703,6 +705,78 @@ object SparkEntry {
         |FROM series CROSS JOIN wins
         |LEFT JOIN b ON b.u = series.u AND b.w = wins.w
         |ORDER BY 2, 1""".stripMargin,
+    "tsdb_fill_previous" ->
+      """WITH b AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u,
+        |    (epoch_ns(ts) // 21600000000000) * 21600000000000 AS w,
+        |    count(*) AS n, avg(value) AS a
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND epoch_ns(ts) BETWEEN 1704067200000000000 AND 1704672000000000000
+        |  GROUP BY 1, 2),
+        |series AS (SELECT DISTINCT u FROM b),
+        |wins AS (SELECT w FROM range(1704067200000000000, 1704672000000000000,
+        |                             21600000000000) t(w)),
+        |grid AS (
+        |  SELECT series.u, wins.w, b.n, b.a, b.n IS NOT NULL AS hit
+        |  FROM series CROSS JOIN wins
+        |  LEFT JOIN b ON b.u = series.u AND b.w = wins.w)
+        |SELECT u AS "user", w AS window_start,
+        |  coalesce(n, 0) AS count_star,
+        |  round(CASE WHEN hit THEN a ELSE coalesce(
+        |    last_value(CASE WHEN hit THEN a END IGNORE NULLS) OVER (
+        |      PARTITION BY u ORDER BY w
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    'NaN'::DOUBLE) END, 4) AS avg_value
+        |FROM grid ORDER BY 2, 1""".stripMargin,
+    "tsdb_fill_linear" ->
+      """WITH b AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u,
+        |    (epoch_ns(ts) // 21600000000000) * 21600000000000 AS w,
+        |    count(*) AS n, min(value) AS mn, max(value) AS mx
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND epoch_ns(ts) BETWEEN 1704067200000000000 AND 1704672000000000000
+        |  GROUP BY 1, 2),
+        |series AS (SELECT DISTINCT u FROM b),
+        |wins AS (SELECT w FROM range(1704067200000000000, 1704672000000000000,
+        |                             21600000000000) t(w)),
+        |grid AS (
+        |  SELECT series.u, wins.w, b.n, b.mn, b.mx, b.n IS NOT NULL AS hit
+        |  FROM series CROSS JOIN wins
+        |  LEFT JOIN b ON b.u = series.u AND b.w = wins.w),
+        |nb AS (
+        |  SELECT u, w, n, mn, mx, hit,
+        |    last_value(CASE WHEN hit THEN w END IGNORE NULLS) OVER (
+        |      PARTITION BY u ORDER BY w
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pw,
+        |    last_value(CASE WHEN hit THEN mn END IGNORE NULLS) OVER (
+        |      PARTITION BY u ORDER BY w
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm,
+        |    last_value(CASE WHEN hit THEN mx END IGNORE NULLS) OVER (
+        |      PARTITION BY u ORDER BY w
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+        |    first_value(CASE WHEN hit THEN w END IGNORE NULLS) OVER (
+        |      PARTITION BY u ORDER BY w
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nw,
+        |    first_value(CASE WHEN hit THEN mn END IGNORE NULLS) OVER (
+        |      PARTITION BY u ORDER BY w
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nm,
+        |    first_value(CASE WHEN hit THEN mx END IGNORE NULLS) OVER (
+        |      PARTITION BY u ORDER BY w
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+        |  FROM grid)
+        |SELECT u AS "user", w AS window_start,
+        |  coalesce(n, 0) AS count_star,
+        |  CASE WHEN hit THEN mn
+        |    WHEN pw IS NOT NULL AND nw IS NOT NULL
+        |      THEN pm + (nm - pm) * (CAST(w - pw AS DOUBLE) / CAST(nw - pw AS DOUBLE))
+        |    ELSE 'NaN'::DOUBLE END AS min_value,
+        |  CASE WHEN hit THEN mx
+        |    WHEN pw IS NOT NULL AND nw IS NOT NULL
+        |      THEN px + (nx - px) * (CAST(w - pw AS DOUBLE) / CAST(nw - pw AS DOUBLE))
+        |    ELSE 'NaN'::DOUBLE END AS max_value
+        |FROM nb ORDER BY 2, 1""".stripMargin,
     "tsdb_multifield_agg" ->
       """SELECT CAST(user_id AS VARCHAR) AS "user",
         |  (epoch_ns(ts) // 86400000000000) * 86400000000000 AS window_start,

@@ -26,7 +26,7 @@ final case class PushsStatement(items: Seq[PushStatement]) extends Statement
 
 /** `QUERY m [FROM a TO b | FROM RELATIVE(d)] [TAGGED(…)]
   *  [AGGREGATE [BY iv] (f(x) [AS a],…)] [EMIT EMPTY WINDOWS]
-  *  [ASC|DESC] [LIMIT n] [AFTER cursor]` */
+  *  [FILL(NONE|PREVIOUS|LINEAR)] [ASC|DESC] [LIMIT n] [AFTER cursor]` */
 final case class QueryStatement(
     metric: String,
     fromNs: Option[Long] = None,
@@ -36,6 +36,7 @@ final case class QueryStatement(
     aggs: Seq[AggSpec] = Seq.empty,
     byIntervalNs: Option[Long] = None,
     emitEmptyWindows: Boolean = false,
+    fill: graft.tsdb.FillMode = graft.tsdb.FillNone,
     order: SortOrder = Ascending,
     limit: Option[Long] = None,
     after: Option[String] = None) extends Statement

@@ -81,6 +81,8 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
         return Left("downsample interval must be positive")
       if (q.byIntervalNs.isDefined && q.aggs.isEmpty)
         return Left("AGGREGATE BY requires at least one aggregation function")
+      if (q.fill != FillNone && q.byIntervalNs.isEmpty)
+        return Left("FILL requires a downsample (AGGREGATE BY <interval>)")
       val params = QueryParams(
         metric = q.metric,
         tags = q.tags,
@@ -90,6 +92,7 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
         aggs = q.aggs,
         downsampleNs = q.byIntervalNs,
         emitEmptyWindows = q.emitEmptyWindows,
+        fill = q.fill,
         order = q.order,
         limit = q.limit,
         afterKey = q.after.map(Cursor.decode),

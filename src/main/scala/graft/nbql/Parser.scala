@@ -1,7 +1,7 @@
 package graft.nbql
 
 import graft.model.FieldValue
-import graft.tsdb.{AggSpec, Ascending, Descending}
+import graft.tsdb.{AggSpec, Ascending, Descending, FillLinear, FillNone, FillPrevious}
 import scala.util.parsing.combinator.RegexParsers
 
 /** NBQL text parser (grammar per SURVEY §3.4, reconstructed from the
@@ -99,6 +99,10 @@ object NbqlParser extends RegexParsers {
     aggregateClause |
     kw("EMIT") ~ kw("EMPTY") ~ kw("WINDOWS") ^^^ {
       (q: QueryStatement) => q.copy(emitEmptyWindows = true) } |
+    kw("FILL") ~> "(" ~> (
+      kw("NONE") ^^^ FillNone | kw("PREVIOUS") ^^^ FillPrevious |
+      kw("LINEAR") ^^^ FillLinear) <~ ")" ^^ {
+      f => (q: QueryStatement) => q.copy(fill = f) } |
     kw("ASC") ^^^ { (q: QueryStatement) => q.copy(order = Ascending) } |
     kw("DESC") ^^^ { (q: QueryStatement) => q.copy(order = Descending) } |
     kw("LIMIT") ~> longNum ^^ { n => (q: QueryStatement) => q.copy(limit = Some(n)) } |

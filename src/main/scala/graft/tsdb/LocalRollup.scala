@@ -186,7 +186,7 @@ object LocalRollup {
     }
 
     val emitted: Iterator[Row] =
-      if (!p.emitEmptyWindows)
+      if (!p.emitsWindows)
         groups.iterator.map { case ((sk, w), g) =>
           Row.fromSeq(Seq(g.metric, g.tags, sk, w, w + interval) ++ finalized(g))
         }
@@ -197,17 +197,50 @@ object LocalRollup {
         groups.foreach { case ((sk, _), g) =>
           if (!series.contains(sk)) series.put(sk, (g.metric, g.tags))
         }
-        val fillFor = p.aggs.map(s => s.func match {
+        val windows = (aligned to lastW by interval).toArray
+        val n = windows.length
+        // fill replaces only aggregates undefined over an empty set —
+        // count/sum of an empty window are 0 by definition
+        // (shapeDownsampled mirror, same formula and association order)
+        val fillable = p.aggs.map(s => s.func != "count" && s.func != "sum").toArray
+        val defaults: IndexedSeq[Any] = p.aggs.toIndexedSeq.map(_.func match {
           case "count" => 0L
           case "sum" => 0.0
           case _ => Double.NaN
         })
-        for {
-          (sk, (m, tg)) <- series.iterator
-          w <- (aligned to lastW by interval).iterator
-        } yield groups.get((sk, w)) match {
-          case Some(g) => Row.fromSeq(Seq(m, tg, sk, w, w + interval) ++ finalized(g))
-          case None => Row.fromSeq(Seq(m, tg, sk, w, w + interval) ++ fillFor)
+        series.iterator.flatMap { case (sk, (m, tg)) =>
+          val present: Array[Option[IndexedSeq[Any]]] =
+            windows.map(w => groups.get((sk, w)).map(g => finalized(g).toIndexedSeq))
+          // nearest present slot at-or-before / at-or-after each window
+          val prevIdx = new Array[Int](n); val nextIdx = new Array[Int](n)
+          var seen = -1
+          var i = 0
+          while (i < n) { if (present(i).isDefined) seen = i; prevIdx(i) = seen; i += 1 }
+          seen = n
+          i = n - 1
+          while (i >= 0) { if (present(i).isDefined) seen = i; nextIdx(i) = seen; i -= 1 }
+          windows.indices.iterator.map { wi =>
+            val w = windows(wi)
+            val vals: IndexedSeq[Any] = present(wi) match {
+              case Some(v) => v
+              case None => p.aggs.indices.map { ai =>
+                if (!fillable(ai)) defaults(ai)
+                else p.fill match {
+                  case FillNone => Double.NaN
+                  case FillPrevious =>
+                    if (prevIdx(wi) >= 0) present(prevIdx(wi)).get(ai) else Double.NaN
+                  case FillLinear =>
+                    if (prevIdx(wi) >= 0 && nextIdx(wi) < n) {
+                      val pv = present(prevIdx(wi)).get(ai).asInstanceOf[Double]
+                      val nv = present(nextIdx(wi)).get(ai).asInstanceOf[Double]
+                      val pw = windows(prevIdx(wi)); val nw = windows(nextIdx(wi))
+                      pv + (nv - pv) * ((w - pw).toDouble / (nw - pw).toDouble)
+                    } else Double.NaN
+                }
+              }
+            }
+            Row.fromSeq(Seq(m, tg, sk, w, w + interval) ++ vals)
+          }
         }
       }
 

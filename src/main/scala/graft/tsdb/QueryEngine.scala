@@ -330,13 +330,20 @@ object QueryEngine {
   }
 
   /** Post-aggregation downsample shaping — empty-window fill (series drawn
-    * from `seriesSource`), window_end, column order, sort. Shared with
-    * [[Rollup]], whose re-aggregated partials arrive pre-grouped. */
+    * from `seriesSource`), gap-fill policy ([[FillMode]]), window_end,
+    * column order, sort. Shared with [[Rollup]], whose re-aggregated
+    * partials arrive pre-grouped.
+    *
+    * FILL(PREVIOUS|LINEAR) adds per-series window passes over the slot
+    * grid. The grid is OUTPUT-sized (|series| × windows, independent of
+    * raw point count), so the extra exchange to series_key-only
+    * partitioning is over the already-aggregated frame — at 100 TB the
+    * scan/aggregate stages dominate and are unchanged. */
   private[tsdb] def shapeDownsampled(aggd: DataFrame, seriesSource: DataFrame,
       p: QueryParams, aligned: Long, lastW: Long, ordered: Boolean): DataFrame = {
     val interval = p.downsampleNs.get
     val out =
-      if (!p.emitEmptyWindows) aggd
+      if (!p.emitsWindows) aggd
       else {
         // all (series × window) slots, then left-join the filled buckets in
         // (distinct via groupBy on the string key — MapType tags are not
@@ -345,17 +352,54 @@ object QueryEngine {
           .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"))
         val slots = series.withColumn("window_start",
           explode(sequence(lit(aligned), lit(lastW), lit(interval))))
+        // `__hit` marks slots that matched a real aggregated bucket — the
+        // gap indicator for fill (an agg column can't stand in: a present
+        // window's avg over all-null values is legitimately NaN, not a gap)
+        val joined = slots.join(
+          aggd.drop("metric", "tags").withColumn("__hit", lit(1)),
+          Seq("series_key", "window_start"), "left")
+        val gap = col("__hit").isNull
+        val wAsc = Window.partitionBy(col("series_key"))
+          .orderBy(col("window_start"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wDesc = Window.partitionBy(col("series_key"))
+          .orderBy(col("window_start").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        def prevOf(c: Column): Column =
+          last(when(!gap, c), ignoreNulls = true).over(wAsc)
+        def nextOf(c: Column): Column =
+          last(when(!gap, c), ignoreNulls = true).over(wDesc)
         val fills = p.aggs.map { s =>
           val c = col(s.outputName)
           val filled = s.func match {
+            // count/sum of an empty window are 0 by definition, not
+            // missing — they keep their values under every fill mode
             case "count" => coalesce(c, lit(0L))
             case "sum"   => coalesce(c, lit(0.0))
-            case _       => coalesce(c, AggFunctions.nan)
+            case _ => p.fill match {
+              case FillNone => coalesce(c, AggFunctions.nan)
+              case FillPrevious =>
+                // LOCF: gaps take the series' most recent present window's
+                // value (NaN included — fill carries what was emitted);
+                // leading gaps keep the default
+                when(gap, coalesce(prevOf(c), AggFunctions.nan))
+                  .otherwise(coalesce(c, AggFunctions.nan))
+              case FillLinear =>
+                val pv = prevOf(c); val pw = prevOf(col("window_start"))
+                val nv = nextOf(c); val nw = nextOf(col("window_start"))
+                val frac = (col("window_start") - pw).cast("double") /
+                  (nw - pw).cast("double")
+                val interp = pv + (nv - pv) * frac
+                // only gaps strictly between two present windows
+                // interpolate; leading/trailing gaps keep the default
+                when(gap, coalesce(when(pw.isNotNull && nw.isNotNull, interp),
+                    AggFunctions.nan))
+                  .otherwise(coalesce(c, AggFunctions.nan))
+            }
           }
           filled.as(s.outputName)
         }
-        slots.join(aggd.drop("metric", "tags"), Seq("series_key", "window_start"), "left")
-          .select(col("series_key") +: col("window_start") +: col("metric") +:
+        joined.select(col("series_key") +: col("window_start") +: col("metric") +:
             col("tags") +: fills: _*)
       }
 

@@ -21,6 +21,30 @@ sealed trait SortOrder
 case object Ascending extends SortOrder
 case object Descending extends SortOrder
 
+/** Gap-fill policy for downsample windows that contain no points
+  * (InfluxQL's `FILL(...)`; the reference has no equivalent — extension).
+  *
+  * Fill replaces only the UNDEFINED window values — the aggregates that
+  * are NaN over an empty set (avg/min/max/first/last/frac/stddev/p⟨N⟩).
+  * `count` and `sum` of an empty window are legitimately 0, not missing,
+  * so they keep their values under every mode.
+  *
+  *  - [[FillNone]]     — empty windows keep the default fill values.
+  *  - [[FillPrevious]] — LOCF: each gap takes its series' most recent
+  *    non-empty window's value; gaps before the first data window keep
+  *    the defaults.
+  *  - [[FillLinear]]   — each gap interior to two non-empty windows
+  *    interpolates linearly on window_start; leading/trailing gaps keep
+  *    the defaults.
+  *
+  * A non-none fill implies empty-window emission (there is nothing to
+  * fill otherwise), matching InfluxQL where `fill()` alone materializes
+  * the slots. */
+sealed trait FillMode
+case object FillNone extends FillMode
+case object FillPrevious extends FillMode
+case object FillLinear extends FillMode
+
 /** Cursor for `AFTER` keyset pagination (`api/nbql/executor.go:159-165`):
   * the last-delivered row's (timestamp, series key). */
 final case class Cursor(timestamp: Long, seriesKey: String) {
@@ -49,10 +73,13 @@ final case class QueryParams(
     aggs: Seq[AggSpec] = Seq.empty,
     downsampleNs: Option[Long] = None,
     emitEmptyWindows: Boolean = false,
+    fill: FillMode = FillNone,
     order: SortOrder = Ascending,
     limit: Option[Long] = None,
     afterKey: Option[Cursor] = None,
     nowNs: Option[Long] = None) {
   def isFinalAgg: Boolean = aggs.nonEmpty && downsampleNs.isEmpty
   def isDownsample: Boolean = downsampleNs.isDefined
+  /** FILL materializes the slot grid even without EMIT EMPTY WINDOWS. */
+  def emitsWindows: Boolean = emitEmptyWindows || fill != FillNone
 }

@@ -40,6 +40,19 @@ class NbqlParserSpec extends SparkSpec {
     assert(q.emitEmptyWindows && q.order == Descending && q.limit.contains(50L))
   }
 
+  test("QUERY FILL modes parse; FILL defaults to NONE") {
+    val q = p("QUERY cpu FROM 0 TO 10 AGGREGATE BY 1m (avg(v)) FILL(LINEAR)")
+      .asInstanceOf[QueryStatement]
+    assert(q.fill == graft.tsdb.FillLinear)
+    assert(p("QUERY cpu AGGREGATE BY 1m (avg(v)) FILL(PREVIOUS)")
+      .asInstanceOf[QueryStatement].fill == graft.tsdb.FillPrevious)
+    assert(p("QUERY cpu AGGREGATE BY 1m (avg(v)) FILL(NONE)")
+      .asInstanceOf[QueryStatement].fill == graft.tsdb.FillNone)
+    assert(p("QUERY cpu AGGREGATE BY 1m (avg(v))")
+      .asInstanceOf[QueryStatement].fill == graft.tsdb.FillNone)
+    assert(NbqlParser.parse("QUERY cpu AGGREGATE BY 1m (avg(v)) FILL(ZERO)").isLeft)
+  }
+
   test("QUERY FROM RELATIVE and final aggregate (no BY)") {
     val q = p("QUERY mem FROM RELATIVE(2h) AGGREGATE (sum(used), stddev(used))")
       .asInstanceOf[QueryStatement]
@@ -102,6 +115,23 @@ class NbqlExecutorSpec extends SparkSpec {
   def rows(ex: NbqlExecutor, q: String): Seq[org.apache.spark.sql.Row] =
     ex.execute(q).fold(e => fail(e), { case r: ex.Rows @unchecked => r.df.collect().toSeq
                                         case other => fail(s"expected rows, got $other") })
+
+  test("FILL end-to-end over NBQL; FILL without AGGREGATE BY is rejected") {
+    withEngine { (_, ex) =>
+      assert(ex.execute("""PUSH g SET (v=2.0) AT 1000""").isRight)
+      assert(ex.execute("""PUSH g SET (v=8.0) AT 4500""").isRight)
+      val filled = rows(ex,
+        """QUERY g FROM 1000 TO 4999 AGGREGATE BY 1us (avg(v)) FILL(LINEAR)""")
+      assert(filled.map(_.getAs[Long]("window_start")) ==
+        Seq(1000L, 2000L, 3000L, 4000L))
+      assert(filled.map(_.getAs[Double]("avg_v")) == Seq(2.0, 4.0, 6.0, 8.0))
+      // LOCF variant through the same statement surface
+      val locf = rows(ex,
+        """QUERY g FROM 1000 TO 4999 AGGREGATE BY 1us (avg(v)) FILL(PREVIOUS)""")
+      assert(locf.map(_.getAs[Double]("avg_v")) == Seq(2.0, 2.0, 2.0, 8.0))
+      assert(ex.execute("QUERY g FROM 0 TO 10 FILL(LINEAR)").isLeft)
+    }
+  }
 
   test("push → query → aggregate → remove → flush → snapshot/restore") {
     withEngine { (eng, ex) =>

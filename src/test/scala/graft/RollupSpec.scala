@@ -131,7 +131,13 @@ class RollupSpec extends SparkSpec {
         q(aggs2, emitEmpty = true, afterKey = Some(Cursor(Hr, "")), limit = Some(2)),
         q(aggs2, interval = 2 * Hr),
         q(aggs2).copy(order = Descending),
-        q(aggs2, tags = Map("host" -> "nope")))) {
+        q(aggs2, tags = Map("host" -> "nope")),
+        // FILL mirrors: LOCF / linear, grid implied without emitEmpty,
+        // and fill composed with desc order + cursor/limit
+        q(aggs2).copy(fill = FillPrevious),
+        q(aggs2, emitEmpty = true).copy(fill = FillLinear),
+        q(aggs2, interval = 2 * Hr).copy(fill = FillLinear, order = Descending),
+        q(aggs2, limit = Some(4)).copy(fill = FillPrevious))) {
       val sparkRows = Rollup.run(rollup, Min, query).collect().toSeq
       val localRows = LocalRollup.run(collected, rollup.schema, query, Min).toSeq
       assertSameRows(sparkRows, localRows)

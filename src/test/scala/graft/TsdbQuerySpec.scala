@@ -170,6 +170,57 @@ class TsdbQuerySpec extends SparkSpec {
     assert(got(2) == ((200L, 1L, 5.0, 5.0)))
   }
 
+  test("downsample FILL(PREVIOUS): gaps carry last observed value; count stays 0; leading gap default") {
+    val pts = mkDf(Seq(
+      TP("m", Map("h" -> "1"), 100, Map("v" -> FV.dv(3.0)), 1),
+      TP("m", Map("h" -> "1"), 350, Map("v" -> FV.dv(7.0)), 2)))
+    // FILL alone materializes the slot grid — no emitEmptyWindows set
+    val out = QueryEngine.run(pts, QueryParams("m", startNs = 0, endNs = Some(399),
+      downsampleNs = Some(100), fill = FillPrevious,
+      aggs = Seq(AggSpec("count", "*"), AggSpec("sum", "v"), AggSpec("avg", "v"))))
+    val got = out.select($"window_start", $"count_star", $"sum_v", $"avg_v")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.length == 4)
+    assert(got(0)._2 == 0L && got(0)._3 == 0.0 && got(0)._4.isNaN) // leading gap: default
+    assert(got(1) == ((100L, 1L, 3.0, 3.0)))
+    assert(got(2) == ((200L, 0L, 0.0, 3.0))) // LOCF on avg; count/sum stay 0
+    assert(got(3) == ((300L, 1L, 7.0, 7.0)))
+  }
+
+  test("downsample FILL(LINEAR): interior gaps interpolate; edge gaps stay NaN") {
+    val pts = mkDf(Seq(
+      TP("m", Map("h" -> "1"), 100, Map("v" -> FV.dv(1.0)), 1),
+      TP("m", Map("h" -> "1"), 450, Map("v" -> FV.dv(7.0)), 2)))
+    val out = QueryEngine.run(pts, QueryParams("m", startNs = 0, endNs = Some(599),
+      downsampleNs = Some(100), fill = FillLinear,
+      aggs = Seq(AggSpec("count", "*"), AggSpec("avg", "v"))))
+    val got = out.select($"window_start", $"count_star", $"avg_v")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.length == 6)
+    assert(got(0)._3.isNaN)                  // leading gap: no previous neighbor
+    assert(got(1) == ((100L, 1L, 1.0)))
+    assert(got(2) == ((200L, 0L, 3.0)))      // 1 + (7-1)*(100/300)
+    assert(got(3) == ((300L, 0L, 5.0)))      // 1 + (7-1)*(200/300)
+    assert(got(4) == ((400L, 1L, 7.0)))
+    assert(got(5)._3.isNaN)                  // trailing gap: no next neighbor
+  }
+
+  test("downsample FILL(PREVIOUS): fill is per-series, never crosses series") {
+    val pts = mkDf(Seq(
+      TP("m", Map("h" -> "1"), 50, Map("v" -> FV.dv(2.0)), 1),
+      TP("m", Map("h" -> "2"), 150, Map("v" -> FV.dv(9.0)), 2)))
+    val out = QueryEngine.run(pts, QueryParams("m", startNs = 0, endNs = Some(199),
+      downsampleNs = Some(100), fill = FillPrevious,
+      aggs = Seq(AggSpec("avg", "v"))))
+    val got = out.select($"tags"("h"), $"window_start", $"avg_v")
+      .as[(String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(got.length == 4)
+    assert(got(0) == (("1", 0L, 2.0)))
+    assert(got(1) == (("1", 100L, 2.0))) // h1 carries its own value forward
+    assert(got(2)._3.isNaN)              // h2's leading gap untouched by h1
+    assert(got(3) == (("2", 100L, 9.0)))
+  }
+
   test("downsample: window starting at exactly queryEnd is not emitted") {
     val pts = mkDf(Seq(
       TP("m", Map(), 100, Map("v" -> FV.dv(1.0)), 1),
