@@ -717,6 +717,33 @@ object Queries {
       .orderBy("window_start", "user")
   }
 
+  /** Per-series counter-reset-aware rate (PromQL `rate` contract over
+    * consecutive points): delta clamps to the new value on decrease, rate
+    * is delta/second over the ns gap. value/delta/rate are arithmetic
+    * over STORED doubles and bit-identical longs, so the battery hashes
+    * them unrounded — both engines run the same IEEE ops in the same
+    * order. */
+  def tsRate(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture))
+    TsAnalytics.rate(pts(s, dir), q)
+      .select(userCol, tsUs, col("value"), col("delta"), col("rate_per_sec"))
+      .orderBy("user", "timestamp")
+  }
+
+  /** Per-series rolling z-score anomaly scoring: each point against the
+    * mean/stddev of its trailing 20 points (itself excluded), scored only
+    * once 5 predecessors exist. The battery hashes the rounded score for
+    * every scored point rather than filtering by threshold — membership
+    * by an unrounded-score cutoff could flip on cross-engine window-
+    * aggregation ulps, while the rounded score itself is stable. */
+  def tsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("click", startNs = 0L, endNs = Some(FarFuture))
+    TsAnalytics.rollingZScore(pts(s, dir), q, lookback = 20, minPoints = 5)
+      .filter(col("z").isNotNull)
+      .select(userCol, tsUs, col("value"), round(col("z"), 4).as("z"))
+      .orderBy("user", "timestamp")
+  }
+
   /** A2 multi-field, mixed-type aggregation (FIXTURES A3 shape): numeric
     * avg/max on one field + any-type count on a string field, daily. */
   def tsdbMultifieldAgg(s: SparkSession, dir: String): DataFrame = {

@@ -80,6 +80,8 @@ object SparkEntry {
     "tsdb_empty_windows" -> (Queries.tsdbEmptyWindows _),
     "tsdb_fill_previous" -> (Queries.tsdbFillPrevious _),
     "tsdb_fill_linear" -> (Queries.tsdbFillLinear _),
+    "ts_rate" -> (Queries.tsRate _),
+    "ts_anomaly" -> (Queries.tsAnomaly _),
     "tsdb_multifield_agg" -> (Queries.tsdbMultifieldAgg _),
     "distinct_users_per_type" -> (Queries.distinctUsersPerType _),
   )
@@ -777,6 +779,37 @@ object SparkEntry {
         |      THEN px + (nx - px) * (CAST(w - pw AS DOUBLE) / CAST(nw - pw AS DOUBLE))
         |    ELSE 'NaN'::DOUBLE END AS max_value
         |FROM nb ORDER BY 2, 1""".stripMargin,
+    "ts_rate" ->
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |l AS (
+        |  SELECT u, t, value,
+        |    lag(value) OVER (PARTITION BY u ORDER BY t) AS pv,
+        |    lag(t) OVER (PARTITION BY u ORDER BY t) AS pt
+        |  FROM s)
+        |SELECT u AS "user", t AS "timestamp", value,
+        |  CASE WHEN value < pv THEN value ELSE value - pv END AS delta,
+        |  (CASE WHEN value < pv THEN value ELSE value - pv END) * 1e9
+        |    / CAST(t - pt AS DOUBLE) AS rate_per_sec
+        |FROM l WHERE pv IS NOT NULL AND pt IS NOT NULL
+        |ORDER BY 1, 2""".stripMargin,
+    "ts_anomaly" ->
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT u, t, value,
+        |    avg(value) OVER win AS m,
+        |    stddev_samp(value) OVER win AS sd,
+        |    count(value) OVER win AS n
+        |  FROM s
+        |  WINDOW win AS (PARTITION BY u ORDER BY t
+        |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT u AS "user", t AS "timestamp", value,
+        |  round((value - m) / sd, 4) AS z
+        |FROM w WHERE n >= 5 AND sd > 1e-12
+        |ORDER BY 1, 2""".stripMargin,
     "tsdb_multifield_agg" ->
       """SELECT CAST(user_id AS VARCHAR) AS "user",
         |  (epoch_ns(ts) // 86400000000000) * 86400000000000 AS window_start,

@@ -221,6 +221,67 @@ class TsdbQuerySpec extends SparkSpec {
     assert(got(3) == (("2", 100L, 9.0)))
   }
 
+  test("rate: counter resets clamp to the new value; first point emits no row") {
+    val pts = mkDf(Seq(
+      TP("ctr", Map("h" -> "1"), 1000, Map("value" -> FV.dv(10.0)), 1),
+      TP("ctr", Map("h" -> "1"), 3000, Map("value" -> FV.dv(16.0)), 2),
+      TP("ctr", Map("h" -> "1"), 4000, Map("value" -> FV.dv(2.0)), 3), // reset
+      TP("ctr", Map("h" -> "2"), 2000, Map("value" -> FV.dv(5.0)), 4)))
+    val out = TsAnalytics.rate(pts, QueryParams("ctr", endNs = Some(10000)))
+      .select($"tags"("h"), $"timestamp", $"delta", $"rate_per_sec")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    // h2 has a single point → no rate row; h1's first point drops
+    assert(out == Seq(
+      ("1", 3000L, 6.0, 6.0 * 1e9 / 2000.0),
+      ("1", 4000L, 2.0, 2.0 * 1e9 / 1000.0))) // reset: delta = new value
+    // gauge semantics: decreases stay negative
+    val gauge = TsAnalytics.rate(pts, QueryParams("ctr", endNs = Some(10000)),
+      counterReset = false)
+      .filter($"timestamp" === 4000).select($"delta").as[Double].head()
+    assert(gauge == -14.0)
+  }
+
+  test("rate: respects the time range and latest-version merge") {
+    val pts = mkDf(Seq(
+      TP("m", Map(), 100, Map("value" -> FV.dv(1.0)), 1),
+      TP("m", Map(), 200, Map("value" -> FV.dv(2.0)), 2),
+      TP("m", Map(), 200, Map("value" -> FV.dv(4.0)), 5), // re-push wins
+      TP("m", Map(), 300, Map("value" -> FV.dv(9.0)), 3)))
+    val out = TsAnalytics.rate(pts, QueryParams("m", startNs = 200, endNs = Some(300)))
+      .select($"timestamp", $"delta").as[(Long, Double)].collect().toSeq
+    // the point before startNs is not consulted: only 200→300 pairs up,
+    // and ts=200 carries the latest version (4.0), so delta = 5.0
+    assert(out == Seq((300L, 5.0)))
+  }
+
+  test("rolling z-score: trailing window excludes self, gates on minPoints and variance") {
+    val base = (0 until 6).map { i =>
+      TP("m", Map("h" -> "1"), 100L * (i + 1), Map("value" -> FV.dv(2.0)), i.toLong)
+    }
+    // 7th point jumps; constant baseline → zero variance → null score
+    val jump = TP("m", Map("h" -> "1"), 700, Map("value" -> FV.dv(50.0)), 10)
+    val varied = (0 until 6).map { i =>
+      TP("m", Map("h" -> "2"), 100L * (i + 1), Map("value" -> FV.dv(i.toDouble)), i.toLong)
+    } :+ TP("m", Map("h" -> "2"), 700, Map("value" -> FV.dv(100.0)), 11)
+    val out = TsAnalytics.rollingZScore(mkDf(base ++ Seq(jump) ++ varied),
+      QueryParams("m", endNs = Some(10000)), lookback = 20, minPoints = 5,
+      threshold = 3.0)
+    val rows = out.select($"tags"("h"), $"timestamp", $"z", $"is_anomaly")
+      .as[(String, Long, Option[Double], Boolean)].collect()
+    val h1 = rows.filter(_._1 == "1"); val h2 = rows.filter(_._1 == "2")
+    // h1: first 5 points below minPoints → null; 6th has 5 constant
+    // predecessors → zero variance → null; the jump likewise (variance 0)
+    assert(h1.forall(_._3.isEmpty) && h1.forall(!_._4))
+    // h2: varied baseline scores the jump as anomalous
+    val scored = h2.filter(_._2 == 700L).head
+    // mean of 0..5 = 2.5, stddev_samp ≈ 1.8708 → z ≈ 52.1
+    assert(scored._3.exists(z => math.abs(z - (100.0 - 2.5) /
+      math.sqrt((0 until 6).map(v => (v - 2.5) * (v - 2.5)).sum / 5.0)) < 1e-9))
+    assert(scored._4)
+    // points below minPoints stay unscored and unflagged
+    assert(h2.filter(_._2 <= 500L).forall(r => r._3.isEmpty && !r._4))
+  }
+
   test("downsample: window starting at exactly queryEnd is not emitted") {
     val pts = mkDf(Seq(
       TP("m", Map(), 100, Map("v" -> FV.dv(1.0)), 1),
