@@ -717,6 +717,27 @@ object Queries {
       .orderBy("window_start", "user")
   }
 
+  /** Z-order relayout round trip: rewrite events clustered on
+    * (user_id, ts), then answer a two-dimensional box query FROM THE
+    * REWRITTEN COPY against the raw-table oracle — green proves the
+    * relayout is content-preserving under the exact scan path a user
+    * would run. The pruning benefit itself (files touched per dimension)
+    * is asserted by PipelineSpec's intersection counts. */
+  def zorderScan(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val path = new java.io.File(new java.io.File(
+      System.getProperty("java.io.tmpdir")),
+      s"graft_zorder_${math.abs(dir.hashCode)}").getAbsolutePath
+    graft.pipeline.ZOrder.writeZOrdered(ev, Seq("user_id", "ts"), path, 16)
+    s.read.parquet(path)
+      .filter(col("user_id").between(0L, 12L) &&
+        col("ts").between(Jan1, Jan5))
+      .select(col("event_id"), col("user_id"),
+        (col("ts") - pmod(col("ts"), lit(1000L))).as("timestamp"), col("value"))
+      .orderBy("event_id")
+  }
+
   /** Per-series counter-reset-aware rate (PromQL `rate` contract over
     * consecutive points): delta clamps to the new value on decrease, rate
     * is delta/second over the ns gap. value/delta/rate are arithmetic

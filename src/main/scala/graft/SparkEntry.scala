@@ -82,6 +82,7 @@ object SparkEntry {
     "tsdb_fill_linear" -> (Queries.tsdbFillLinear _),
     "ts_rate" -> (Queries.tsRate _),
     "ts_anomaly" -> (Queries.tsAnomaly _),
+    "zorder_scan" -> (Queries.zorderScan _),
     "tsdb_multifield_agg" -> (Queries.tsdbMultifieldAgg _),
     "distinct_users_per_type" -> (Queries.distinctUsersPerType _),
   )
@@ -779,6 +780,12 @@ object SparkEntry {
         |      THEN px + (nx - px) * (CAST(w - pw AS DOUBLE) / CAST(nw - pw AS DOUBLE))
         |    ELSE 'NaN'::DOUBLE END AS max_value
         |FROM nb ORDER BY 2, 1""".stripMargin,
+    "zorder_scan" ->
+      """SELECT event_id, user_id, epoch_ns(ts) AS "timestamp", value
+        |FROM events
+        |WHERE user_id BETWEEN 0 AND 12
+        |  AND epoch_ns(ts) BETWEEN 1704067200000000000 AND 1704412800000000000
+        |ORDER BY event_id""".stripMargin,
     "ts_rate" ->
       """WITH s AS (
         |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value
