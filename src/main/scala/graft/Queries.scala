@@ -765,6 +765,65 @@ object Queries {
       .orderBy("user", "timestamp")
   }
 
+  /** Per-series time-weighted hourly average (LOCF weighting): each value
+    * weighted by how long it stayed current within its window. Weights
+    * are exact ns longs on both engines; only the weighted mean is
+    * rounded. */
+  def tsTwa(s: SparkSession, dir: String): DataFrame = {
+    // 7-day windows: the view stream is ~13 points/user/month, so weekly
+    // windows hold several points each and the LOCF weighting is exercised
+    val q = QueryParams("view", startNs = 0L, endNs = Some(FarFuture),
+      downsampleNs = Some(7L * 24L * HourNs))
+    TsAnalytics.timeWeightedAvg(pts(s, dir), q)
+      .select(userCol, col("window_start"),
+        round(col("twa"), 4).as("twa"), col("n_points"))
+      .orderBy("user", "window_start")
+  }
+
+  /** Per-series running aggregates in time order: cumulative sum, running
+    * max, 1-based point index. cum_max/point_index are exact; cum_sum is
+    * sequential in the same order on both engines but rounded 2dp in case
+    * an engine batches its running-frame additions differently. */
+  def tsCumsum(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("error", startNs = 0L, endNs = Some(FarFuture))
+    TsAnalytics.runningAggregates(pts(s, dir), q)
+      .select(userCol, tsUs, col("value"),
+        round(col("cum_sum"), 2).as("cum_sum"), col("cum_max"), col("point_index"))
+      .orderBy("user", "timestamp")
+  }
+
+  /** Per-series EWMA (α=0.25, seeded with the first value) via the native
+    * running-frame window aggregate. α and 1−α are exact binary doubles
+    * and the oracle replays the identical left fold with `list_reduce`,
+    * so the battery hashes UNROUNDED doubles — bit-exact across engines. */
+  def tsEwma(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture))
+    TsAnalytics.ewmaSmooth(pts(s, dir), q, alpha = 0.25)
+      .select(userCol, tsUs, col("value"), col("ewma"))
+      .orderBy("user", "timestamp")
+  }
+
+  /** Cross-metric correlation: click vs view behaviour per user on daily
+    * buckets — one scan of both metrics, conditional-aggregation pivot,
+    * Pearson r over paired buckets (≥5 pairs; hourly buckets would pair
+    * almost never at this density). */
+  def tsCorrelate(s: SparkSession, dir: String): DataFrame = {
+    TsAnalytics.correlate(pts(s, dir), "click", "view", "user",
+        bucketNs = 24L * HourNs, startNs = 0L, endNs = FarFuture, minBuckets = 5)
+      .select(col("tag_value").as("user"), round(col("r"), 4).as("r"),
+        col("n_buckets"))
+      .orderBy("user")
+  }
+
+  /** Series cardinality per (metric, day): distinct active series +
+    * point volume — exact two-level distinct aggregation. */
+  def tsCardinality(s: SparkSession, dir: String): DataFrame = {
+    TsAnalytics.seriesCardinality(pts(s, dir), windowNs = 24L * HourNs,
+        startNs = 0L, endNs = FarFuture)
+      .select(col("metric"), col("window_start"), col("n_series"), col("n_points"))
+      .orderBy("metric", "window_start")
+  }
+
   /** A2 multi-field, mixed-type aggregation (FIXTURES A3 shape): numeric
     * avg/max on one field + any-type count on a string field, daily. */
   def tsdbMultifieldAgg(s: SparkSession, dir: String): DataFrame = {

@@ -82,6 +82,11 @@ object SparkEntry {
     "tsdb_fill_linear" -> (Queries.tsdbFillLinear _),
     "ts_rate" -> (Queries.tsRate _),
     "ts_anomaly" -> (Queries.tsAnomaly _),
+    "ts_twa" -> (Queries.tsTwa _),
+    "ts_cumsum" -> (Queries.tsCumsum _),
+    "ts_ewma" -> (Queries.tsEwma _),
+    "ts_correlate" -> (Queries.tsCorrelate _),
+    "ts_cardinality" -> (Queries.tsCardinality _),
     "zorder_scan" -> (Queries.zorderScan _),
     "tsdb_multifield_agg" -> (Queries.tsdbMultifieldAgg _),
     "distinct_users_per_type" -> (Queries.distinctUsersPerType _),
@@ -817,6 +822,64 @@ object SparkEntry {
         |  round((value - m) / sd, 4) AS z
         |FROM w WHERE n >= 5 AND sd > 1e-12
         |ORDER BY 1, 2""".stripMargin,
+    "ts_twa" ->
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value
+        |  FROM events WHERE event_type = 'view'),
+        |l AS (
+        |  SELECT u, t, value, t - (t % 604800000000000) AS ws,
+        |    lead(t) OVER (PARTITION BY u ORDER BY t) AS nt
+        |  FROM s),
+        |w AS (
+        |  SELECT u, ws, value,
+        |    CAST(least(coalesce(nt, ws + 604800000000000), ws + 604800000000000) - t
+        |         AS DOUBLE) AS wt
+        |  FROM l)
+        |SELECT u AS "user", ws AS window_start,
+        |  round(sum(value * wt) / sum(wt), 4) AS twa, count(*) AS n_points
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ts_cumsum" ->
+      """SELECT CAST(user_id AS VARCHAR) AS "user", epoch_ns(ts) AS "timestamp",
+        |  value,
+        |  round(sum(value) OVER w, 2) AS cum_sum,
+        |  max(value) OVER w AS cum_max,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts) AS point_index
+        |FROM events WHERE event_type = 'error'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY 1, 2""".stripMargin,
+    "ts_ewma" ->
+      // list_reduce replays the engine's exact left fold (seed = first
+      // value; acc' = 0.25*x + 0.75*acc) in the same IEEE order, so the
+      // hash compares UNROUNDED doubles — a closed-form oracle differs in
+      // ulps, and cent-valued inputs with dyadic alpha land ewma values
+      // exactly on 5-decimal rounding boundaries, so rounding can't save it
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT u, list(value ORDER BY t) AS vs FROM s GROUP BY u)
+        |SELECT s.u AS "user", s.t AS "timestamp", s.value,
+        |  list_reduce(g.vs[1:s.rn], (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
+        |FROM s JOIN g ON s.u = g.u
+        |ORDER BY 1, 2""".stripMargin,
+    "ts_correlate" ->
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u,
+        |    epoch_ns(ts) - (epoch_ns(ts) % 86400000000000) AS bucket,
+        |    avg(CASE WHEN event_type = 'click' THEN value END) AS va,
+        |    avg(CASE WHEN event_type = 'view' THEN value END) AS vb
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1, 2)
+        |SELECT u AS "user", round(corr(va, vb), 4) AS r, count(*) AS n_buckets
+        |FROM s WHERE va IS NOT NULL AND vb IS NOT NULL
+        |GROUP BY 1 HAVING count(*) >= 5 AND corr(va, vb) IS NOT NULL
+        |ORDER BY 1""".stripMargin,
+    "ts_cardinality" ->
+      """SELECT event_type AS metric,
+        |  epoch_ns(ts) - (epoch_ns(ts) % 86400000000000) AS window_start,
+        |  count(DISTINCT user_id) AS n_series, count(*) AS n_points
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "tsdb_multifield_agg" ->
       """SELECT CAST(user_id AS VARCHAR) AS "user",
         |  (epoch_ns(ts) // 86400000000000) * 86400000000000 AS window_start,

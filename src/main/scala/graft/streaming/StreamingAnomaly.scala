@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming rolling z-score anomaly scoring — the streaming twin of
+  * [[graft.tsdb.TsAnalytics.rollingZScore]], and the continuous version
+  * of the reference's threshold outlier-detector hook
+  * (`hooks/listeners/outlier_detector.go` scores each PUT as it lands;
+  * here the baseline is a trailing window instead of a fixed band).
+  *
+  * State per live series is ONE ring of the trailing `lookback` values —
+  * bounded by (live series × lookback), independent of feed volume or
+  * history length. Series idle past `idleExpiry` (event time) drop their
+  * state entirely and re-warm on return, the same bounded-state contract
+  * as [[StreamingDedup]]: a monitoring fleet churning hosts never
+  * accumulates dead series.
+  *
+  * Contract parity with the batch operator, for in-order feeds: each
+  * point is scored against the `lookback` points BEFORE it (self
+  * excluded), only once `minPoints` predecessors exist and the trailing
+  * sample stddev is non-degenerate. Rows inside one micro-batch are
+  * processed in event-time order; a late row that crosses micro-batches
+  * is scored against the state at arrival (at-arrival semantics — the
+  * batch twin, re-run over the settled table, is the source of truth,
+  * the standard lambda split this library uses for streaming twins). */
+object StreamingAnomaly {
+
+  case class Scored(series_key: String, ts: Timestamp, value: Double,
+      mean: Option[Double], stddev: Option[Double], z: Option[Double],
+      is_anomaly: Boolean)
+
+  /** Trailing ring, oldest first, capped at lookback. */
+  case class Ring(vals: Vector[Double])
+
+  /** `points` must carry (`keyCol`: string, `tsCol`: TimestampType event
+    * time, `valueCol`: numeric). Emits one [[Scored]] row per input
+    * point in Append mode. */
+  def score(points: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, lookback: Int = 20, minPoints: Int = 5,
+      threshold: Double = 3.0, lateness: String = "10 minutes",
+      idleExpiry: String = "1 hour"): DataFrame = {
+    require(lookback >= 2 && minPoints >= 2 && minPoints <= lookback,
+      s"need 2 <= minPoints <= lookback, got lookback=$lookback minPoints=$minPoints")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val ds = points
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("t"),
+        col(valueCol).cast("double").as("v"))
+      .withWatermark("t", lateness)
+      .as[(String, Timestamp, Double)]
+
+    implicit val ringEnc = Encoders.product[Ring]
+    implicit val scoredEnc = Encoders.product[Scored]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Ring, Scored](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, Timestamp, Double)],
+            state: GroupState[Ring]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var ring = state.getOption.getOrElse(Ring(Vector.empty))
+            val batch = rows.toIndexedSeq.sortBy(_._2.getTime)
+            val out = batch.map { case (_, t, v) =>
+              val win = ring.vals
+              val n = win.size
+              val scored =
+                if (n >= minPoints) {
+                  val mean = win.sum / n
+                  val sd = math.sqrt(
+                    win.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+                  if (sd > 1e-12) Some((mean, sd, (v - mean) / sd)) else None
+                } else None
+              ring = Ring((ring.vals :+ v).takeRight(lookback))
+              Scored(key, t, v, scored.map(_._1), scored.map(_._2),
+                scored.map(_._3),
+                scored.exists(s => math.abs(s._3) > threshold))
+            }
+            state.update(ring)
+            // expire state once the series has been silent past the
+            // idle horizon (event time; clamped to >= watermark by Spark)
+            state.setTimeoutTimestamp(batch.last._2.getTime, idleExpiry)
+            out.iterator
+          }
+      }.toDF()
+  }
+}

@@ -67,6 +67,180 @@ object TsAnalytics {
       .orderBy(col("series_key"), col("timestamp"))
   }
 
+  /** Per-series TIME-weighted average over epoch-aligned tumbling windows
+    * (Influx `integral`/Timescale `time_weight('LOCF')` family). Plain
+    * `avg` over-counts burst samples: a sensor that reports 100× faster
+    * during an incident dominates the hourly mean. Here each point's
+    * value is weighted by how long it REMAINED current — until the next
+    * point of the same series or the window edge, whichever first
+    * (last-observation-carried-forward; nothing is carried INTO a window
+    * from before its first point, the same range-internal contract as
+    * [[rate]]).
+    *
+    * twa = Σ vᵢ·wᵢ / Σ wᵢ with wᵢ = min(tᵢ₊₁, window_end) − tᵢ, all in
+    * ns. Weights are positive because window membership means
+    * tᵢ < window_end.
+    *
+    * Plan: lead() over one series_key exchange, then a partial-agg
+    * groupBy whose final shuffle carries only |series|×windows rows.
+    *
+    * Output: metric, tags, series_key, window_start, twa, n_points. */
+  def timeWeightedAvg(points: DataFrame, p: QueryParams,
+      field: String = "value",
+      tombstones: Seq[Tombstone] = Nil): DataFrame = {
+    val interval = p.downsampleNs.getOrElse(
+      throw new IllegalArgumentException("timeWeightedAvg needs downsampleNs"))
+    val df = slice(points, p, field, tombstones).filter(col("__v").isNotNull)
+    val w = Window.partitionBy(col("series_key")).orderBy(col("timestamp"))
+    val wStart = col("timestamp") - pmod(col("timestamp"), lit(interval))
+    val wEnd = col("window_start") + lit(interval)
+    df.withColumn("window_start", wStart)
+      .withColumn("__nt", lead(col("timestamp"), 1).over(w))
+      .withColumn("__w",
+        (least(coalesce(col("__nt"), wEnd), wEnd) - col("timestamp")).cast("double"))
+      .groupBy(col("metric"), col("tags"), col("series_key"), col("window_start"))
+      .agg((sum(col("__v") * col("__w")) / sum(col("__w"))).as("twa"),
+        count(lit(1)).as("n_points"))
+      .orderBy(col("series_key"), col("window_start"))
+  }
+
+  /** Per-series running aggregates in timestamp order: cumulative sum,
+    * running max, and the 1-based point index. One exchange + sort on
+    * series_key; Spark evaluates the growing frame incrementally (one
+    * buffer update per row), so the scan is O(n) per series. */
+  def runningAggregates(points: DataFrame, p: QueryParams,
+      field: String = "value",
+      tombstones: Seq[Tombstone] = Nil): DataFrame = {
+    val df = slice(points, p, field, tombstones).filter(col("__v").isNotNull)
+    val w = Window.partitionBy(col("series_key")).orderBy(col("timestamp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ord = Window.partitionBy(col("series_key")).orderBy(col("timestamp"))
+    df.withColumn("cum_sum", sum(col("__v")).over(w))
+      .withColumn("cum_max", max(col("__v")).over(w))
+      .withColumn("point_index", row_number().over(ord))
+      .select(col("metric"), col("tags"), col("series_key"), col("timestamp"),
+        col("__v").as("value"), col("cum_sum"), col("cum_max"), col("point_index"))
+      .orderBy(col("series_key"), col("timestamp"))
+  }
+
+  /** Per-series exponentially-weighted moving average via the native
+    * [[graft.functions.Ewma]] window aggregate (seeded with the first
+    * value; `ewma_t = α·v_t + (1−α)·ewma_{t−1}`). Same single-exchange
+    * plan shape as [[runningAggregates]] — the recurrence runs inside
+    * Spark's incremental window-frame evaluation, O(n) per series. */
+  def ewmaSmooth(points: DataFrame, p: QueryParams, alpha: Double,
+      field: String = "value",
+      tombstones: Seq[Tombstone] = Nil): DataFrame = {
+    val df = slice(points, p, field, tombstones).filter(col("__v").isNotNull)
+    df.withColumn("ewma", graft.functions.WindowFunctions.ewma(col("__v"), alpha,
+        partitionBy = Seq(col("series_key")), orderBy = Seq(col("timestamp"))))
+      .select(col("metric"), col("tags"), col("series_key"), col("timestamp"),
+        col("__v").as("value"), col("ewma"))
+      .orderBy(col("series_key"), col("timestamp"))
+  }
+
+  /** Cross-metric Pearson correlation: align metric A and B per tag value
+    * on tumbling buckets (per-bucket avg), then correlate the paired
+    * bucket series. ONE scan reads both metrics (`metric IN (a, b)`) —
+    * no self-join; the pivot is conditional aggregation, so the plan is
+    * two partial-agg groupBys and nothing wider than
+    * |tags|×buckets rows after the first.
+    *
+    * Only buckets where BOTH metrics observed points pair up; groups
+    * with fewer than `minBuckets` pairs are dropped (a 2-point
+    * correlation is always ±1 — noise, not signal).
+    *
+    * Output: tag_value, r (Pearson), n_buckets. */
+  def correlate(points: DataFrame, metricA: String, metricB: String,
+      tagKey: String, bucketNs: Long, startNs: Long, endNs: Long,
+      field: String = "value", minBuckets: Int = 8,
+      tombstones: Seq[Tombstone] = Nil): DataFrame = {
+    require(metricA != metricB, "correlate needs two distinct metrics")
+    val df = QueryEngine.mergedView(
+        points.filter(col("metric").isin(metricA, metricB) &&
+          col("timestamp").between(startNs, endNs)), tombstones)
+      .withColumn("__v", QueryEngine.numericOf(field))
+      .filter(col("__v").isNotNull)
+    val bucket = col("timestamp") - pmod(col("timestamp"), lit(bucketNs))
+    df.withColumn("bucket", bucket)
+      .withColumn("tag_value", col("tags").getItem(tagKey))
+      .groupBy(col("tag_value"), col("bucket"))
+      .agg(avg(when(col("metric") === metricA, col("__v"))).as("va"),
+        avg(when(col("metric") === metricB, col("__v"))).as("vb"))
+      .filter(col("va").isNotNull && col("vb").isNotNull)
+      .groupBy(col("tag_value"))
+      // Pearson r from co-moments rather than corr(): Spark's corr
+      // divides unconditionally inside the aggregate, which throws under
+      // ANSI mode when one side has zero variance; here the division is
+      // a guarded projection, and zero-variance groups drop (matching
+      // SQL corr's NULL)
+      .agg(covar_samp(col("va"), col("vb")).as("__cov"),
+        stddev_samp(col("va")).as("__sa"), stddev_samp(col("vb")).as("__sb"),
+        count(lit(1)).as("n_buckets"))
+      .withColumn("r", when(col("__sa") > 0.0 && col("__sb") > 0.0,
+        col("__cov") / (col("__sa") * col("__sb"))))
+      .filter(col("n_buckets") >= minBuckets && col("r").isNotNull && !isnan(col("r")))
+      .select(col("tag_value"), col("r"), col("n_buckets"))
+      .orderBy(col("tag_value"))
+  }
+
+  /** Series cardinality over time: distinct active series and point
+    * volume per (metric, window) — the capacity-planning query every
+    * TSDB operator runs (the reference's cardinality alerter hook,
+    * `hooks/listeners/cardinality_alerter.go`, watches the same signal
+    * point-by-point). `count_distinct` expands to Spark's two-level
+    * exact distinct aggregation: partial distinct map-side, so the
+    * shuffle carries (metric, window, series) triples — |active series|
+    * rows per window, not points. */
+  def seriesCardinality(points: DataFrame, windowNs: Long,
+      startNs: Long, endNs: Long,
+      tombstones: Seq[Tombstone] = Nil): DataFrame = {
+    val df = QueryEngine.mergedView(
+      points.filter(col("timestamp").between(startNs, endNs)), tombstones)
+    df.withColumn("window_start",
+        col("timestamp") - pmod(col("timestamp"), lit(windowNs)))
+      .groupBy(col("metric"), col("window_start"))
+      .agg(count_distinct(col("series_key")).as("n_series"),
+        count(lit(1)).as("n_points"))
+      .orderBy(col("metric"), col("window_start"))
+  }
+
+  /** Mergeable cardinality summary: one Datasketches HLL sketch of
+    * `series_key` per (metric, base window), plus the point count. This
+    * is the 100 TB companion to [[seriesCardinality]] — the exact
+    * count_distinct reads every point for every query, while the summary
+    * is built ONCE (|metrics|×windows tiny rows) and any coarser-window
+    * cardinality question is answered from sketch unions alone
+    * (Datasketches HLL union is associative and deterministic, the same
+    * contract the rollup partials rely on for sums). ~0.8%·√(2¹²/2^lgK)
+    * standard error at the default lgK=12; exact while a window's series
+    * set still fits the sketch's sparse mode. */
+  def cardinalitySummary(points: DataFrame, baseWindowNs: Long,
+      lgK: Int = 12, tombstones: Seq[Tombstone] = Nil): DataFrame = {
+    val df = QueryEngine.mergedView(points, tombstones)
+    df.withColumn("window_start",
+        col("timestamp") - pmod(col("timestamp"), lit(baseWindowNs)))
+      .groupBy(col("metric"), col("window_start"))
+      .agg(hll_sketch_agg(col("series_key"), lit(lgK)).as("hll"),
+        count(lit(1)).as("n_points"))
+  }
+
+  /** Serve distinct-series estimates over any window that is a multiple
+    * of the summary's base window — reads ONLY the summary. */
+  def cardinalityServe(summary: DataFrame, baseWindowNs: Long,
+      windowNs: Long): DataFrame = {
+    require(windowNs >= baseWindowNs && windowNs % baseWindowNs == 0,
+      s"serve window $windowNs must be a multiple of base $baseWindowNs")
+    summary
+      .withColumn("w", col("window_start") - pmod(col("window_start"), lit(windowNs)))
+      .groupBy(col("metric"), col("w"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("n_series_est"),
+        sum(col("n_points")).as("n_points"))
+      .select(col("metric"), col("w").as("window_start"),
+        col("n_series_est"), col("n_points"))
+      .orderBy(col("metric"), col("window_start"))
+  }
+
   /** Per-series rolling z-score: each point scored against the mean and
     * sample stddev of its own TRAILING `lookback` points (the point
     * itself excluded — the score tests the point against its past, so a

@@ -400,4 +400,82 @@ class StreamingSpec extends SparkSpec {
       "doc_id", "text", n = 3, k = 8, bands = 4, idx)
     assert(fpCount == 1L, s"rebuild must clear appends, fps rows $fpCount")
   }
+
+  test("streaming z-score: parity with the batch operator on an in-order feed") {
+    implicit val sqlCtx = spark.sqlContext
+    val S = 1000L // ms per second for Timestamp literals
+    // series a: varied warm-up then a spike; series b: below minPoints
+    val feed = (0 until 8).map(i => ("a", (i + 1) * S, i * 1.5)) ++
+      Seq(("a", 9 * S, 50.0), ("b", 2 * S, 1.0), ("b", 3 * S, 2.0))
+    val mem = MemoryStream[(String, Long, Double)]
+    val pts = mem.toDF().toDF("k", "ms", "v")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = StreamingAnomaly.score(pts, "k", "ts", "v",
+      lookback = 5, minPoints = 3, threshold = 3.0)
+    val q = out.writeStream.format("memory").queryName("zstream")
+      .outputMode("append").start()
+    try {
+      // split mid-series across micro-batches: ring state must carry over
+      mem.addData(feed.take(5): _*)
+      q.processAllAvailable()
+      mem.addData(feed.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("zstream")
+      .select(col("series_key"), col("ts").cast("long") * 1000, col("value"),
+        col("z"), col("is_anomaly"))
+      .as[(String, Long, Double, Option[Double], Boolean)]
+      .collect().map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+
+    // batch twin over the same rows (ns timestamps)
+    val batchPts = feed.map { case (k, ms, v) =>
+      TP("m", Map("h" -> k), ms * 1000000L, Map("value" -> FV.dv(v)), ms)
+    }
+    val want = TsAnalytics.rollingZScore(batchPts.toDF(),
+        QueryParams("m", endNs = Some(Long.MaxValue / 2)),
+        lookback = 5, minPoints = 3, threshold = 3.0)
+      .select(col("tags")("h"), col("timestamp") / 1000000L cast "long",
+        col("value"), col("z"), col("is_anomaly"))
+      .as[(String, Long, Double, Option[Double], Boolean)]
+      .collect().map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+
+    assert(got.keySet == want.keySet)
+    for ((k, (v, z, a)) <- want) {
+      val (gv, gz, ga) = got(k)
+      assert(gv == v, s"$k value")
+      assert(z.isDefined == gz.isDefined, s"$k scored-ness: want $z got $gz")
+      for (zw <- z; zg <- gz)
+        assert(math.abs(zw - zg) < 1e-9, s"$k z: want $zw got $zg")
+      assert(ga == a, s"$k anomaly flag")
+    }
+    // the spike actually scored anomalous through the streaming path
+    assert(got(("a", 9000L))._3, "spike must flag")
+  }
+
+  test("cardinality summary: sketch serve matches exact counts; unions merge") {
+    val pts = (0 until 40).flatMap { i =>
+      Seq(TP("m", Map("h" -> s"h$i"), i * 100L, Map("value" -> FV.dv(1.0)), i.toLong),
+        TP("m", Map("h" -> s"h${i % 7}"), 4000L + i * 100L, Map("value" -> FV.dv(1.0)), 100L + i))
+    } :+ TP("n", Map("h" -> "solo"), 50L, Map("value" -> FV.dv(1.0)), 999L)
+    val df = pts.toDF()
+    val summary = TsAnalytics.cardinalitySummary(df, baseWindowNs = 1000L)
+    // serve at the base grain and a 4× coarser grain; exact twin alongside
+    for (win <- Seq(1000L, 4000L)) {
+      val est = TsAnalytics.cardinalityServe(summary, 1000L, win)
+        .select(col("metric"), col("window_start"), col("n_series_est"), col("n_points"))
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      val exact = TsAnalytics.seriesCardinality(df, win, 0L, Long.MaxValue / 2)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      assert(est.keySet == exact.keySet, s"win=$win windows")
+      // small cardinalities sit in HLL sparse mode → estimates are exact,
+      // and point counts are exact sums by construction
+      assert(est == exact, s"win=$win: est $est vs exact $exact")
+    }
+    // serve window must divide into the base grid
+    intercept[IllegalArgumentException] {
+      TsAnalytics.cardinalityServe(summary, 1000L, 1500L)
+    }
+  }
 }

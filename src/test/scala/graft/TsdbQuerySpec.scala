@@ -282,6 +282,100 @@ class TsdbQuerySpec extends SparkSpec {
     assert(h2.filter(_._2 <= 500L).forall(r => r._3.isEmpty && !r._4))
   }
 
+  test("time-weighted avg: LOCF weights, clamped at window edge, per series") {
+    // series h1 in window [0,1000): points at t=0 (v=10, holds 400ns),
+    // t=400 (v=20, holds 600ns to window edge — next point is in the NEXT
+    // window, so the weight clamps at 1000); window [1000,2000): one point
+    // at t=1500 (v=40, holds 500ns)
+    val pts = mkDf(Seq(
+      TP("m", Map("h" -> "1"), 0, Map("value" -> FV.dv(10.0)), 1),
+      TP("m", Map("h" -> "1"), 400, Map("value" -> FV.dv(20.0)), 2),
+      TP("m", Map("h" -> "1"), 1500, Map("value" -> FV.dv(40.0)), 3),
+      // h2: single point mid-window → twa = its value regardless of weight
+      TP("m", Map("h" -> "2"), 700, Map("value" -> FV.dv(7.0)), 4)))
+    val out = TsAnalytics.timeWeightedAvg(pts,
+      QueryParams("m", startNs = 0, endNs = Some(10000), downsampleNs = Some(1000)))
+    val got = out.select($"tags"("h"), $"window_start", $"twa", $"n_points")
+      .as[(String, Long, Double, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.length == 3)
+    assert(got(0)._1 == "1" && got(0)._2 == 0L)
+    assert(math.abs(got(0)._3 - (10.0 * 400 + 20.0 * 600) / 1000.0) < 1e-12)
+    assert(got(0)._4 == 2)
+    assert(got(1) == (("1", 1000L, 40.0, 1L)))   // weight cancels: twa = v
+    assert(got(2) == (("2", 0L, 7.0, 1L)))       // one point → its value
+  }
+
+  test("running aggregates: cumulative sum/max and point index per series") {
+    val pts = mkDf(Seq(
+      TP("m", Map("h" -> "1"), 100, Map("value" -> FV.dv(3.0)), 1),
+      TP("m", Map("h" -> "1"), 200, Map("value" -> FV.dv(-1.0)), 2),
+      TP("m", Map("h" -> "1"), 300, Map("value" -> FV.dv(5.0)), 3),
+      TP("m", Map("h" -> "2"), 150, Map("value" -> FV.dv(8.0)), 4)))
+    val out = TsAnalytics.runningAggregates(pts, QueryParams("m", endNs = Some(10000)))
+    val got = out.select($"tags"("h"), $"timestamp", $"cum_sum", $"cum_max", $"point_index")
+      .as[(String, Long, Double, Double, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(got(0) == (("1", 100L, 3.0, 3.0, 1)))
+    assert(got(1) == (("1", 200L, 2.0, 3.0, 2)))
+    assert(got(2) == (("1", 300L, 7.0, 5.0, 3)))
+    assert(got(3) == (("2", 150L, 8.0, 8.0, 1))) // h2 unaffected by h1
+  }
+
+  test("ewma: seeded with first value, exact recurrence, per series") {
+    val pts = mkDf(Seq(
+      TP("m", Map("h" -> "1"), 100, Map("value" -> FV.dv(4.0)), 1),
+      TP("m", Map("h" -> "1"), 200, Map("value" -> FV.dv(8.0)), 2),
+      TP("m", Map("h" -> "1"), 300, Map("value" -> FV.dv(0.0)), 3),
+      TP("m", Map("h" -> "2"), 150, Map("value" -> FV.dv(9.0)), 4)))
+    val out = TsAnalytics.ewmaSmooth(pts, QueryParams("m", endNs = Some(10000)),
+      alpha = 0.5)
+    val got = out.select($"tags"("h"), $"timestamp", $"ewma")
+      .as[(String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // 4; 0.5*8+0.5*4 = 6; 0.5*0+0.5*6 = 3 — exact dyadic arithmetic
+    assert(got(0) == (("1", 100L, 4.0)))
+    assert(got(1) == (("1", 200L, 6.0)))
+    assert(got(2) == (("1", 300L, 3.0)))
+    assert(got(3) == (("2", 150L, 9.0))) // fresh seed per series
+  }
+
+  test("correlate: pairs only co-observed buckets, gates on minBuckets and variance") {
+    // user A: y = 2x across 4 buckets → r = 1; user B: constant second
+    // metric → zero variance → NaN corr → dropped; user C: only 2 paired
+    // buckets < minBuckets → dropped
+    def p(m: String, u: String, t: Long, v: Double, seq: Long) =
+      TP(m, Map("user" -> u), t, Map("value" -> FV.dv(v)), seq)
+    val rows = Seq.tabulate(4) { i =>
+      Seq(p("a", "A", i * 100L, i + 1.0, i * 10L),
+        p("b", "A", i * 100L + 5, 2 * (i + 1.0), i * 10L + 1))
+    }.flatten ++ Seq.tabulate(4) { i =>
+      Seq(p("a", "B", i * 100L, i + 1.0, 100L + i * 10),
+        p("b", "B", i * 100L + 5, 42.0, 101L + i * 10))
+    }.flatten ++ Seq.tabulate(2) { i =>
+      Seq(p("a", "C", i * 100L, i + 1.0, 200L + i * 10),
+        p("b", "C", i * 100L + 5, 3 - i.toDouble, 201L + i * 10))
+    }.flatten
+    val out = TsAnalytics.correlate(mkDf(rows), "a", "b", "user",
+      bucketNs = 100L, startNs = 0L, endNs = 10000L, minBuckets = 3)
+    val got = out.select($"tag_value", $"r", $"n_buckets")
+      .as[(String, Double, Long)].collect()
+    assert(got.length == 1)
+    assert(got(0)._1 == "A" && math.abs(got(0)._2 - 1.0) < 1e-12 && got(0)._3 == 4)
+  }
+
+  test("series cardinality: distinct series per metric window after merge") {
+    val pts = mkDf(Seq(
+      TP("m", Map("h" -> "1"), 100, Map("value" -> FV.dv(1.0)), 1),
+      // same series, same ts, higher seq — latest-version merge keeps ONE
+      TP("m", Map("h" -> "1"), 100, Map("value" -> FV.dv(2.0)), 2),
+      TP("m", Map("h" -> "2"), 150, Map("value" -> FV.dv(3.0)), 3),
+      TP("m", Map("h" -> "1"), 1100, Map("value" -> FV.dv(4.0)), 4),
+      TP("n", Map("h" -> "1"), 120, Map("value" -> FV.dv(5.0)), 5)))
+    val out = TsAnalytics.seriesCardinality(pts, windowNs = 1000L,
+      startNs = 0L, endNs = 10000L)
+    val got = out.select($"metric", $"window_start", $"n_series", $"n_points")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(("m", 0L, 2L, 2L), ("m", 1000L, 1L, 1L), ("n", 0L, 1L, 1L)))
+  }
+
   test("downsample: window starting at exactly queryEnd is not emitted") {
     val pts = mkDf(Seq(
       TP("m", Map(), 100, Map("v" -> FV.dv(1.0)), 1),
