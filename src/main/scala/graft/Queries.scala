@@ -815,6 +815,29 @@ object Queries {
       .orderBy("user")
   }
 
+  /** Cross-series aggregation: GROUP BY TAGS () collapses every series of
+    * the metric into one group per hourly window (PromQL `sum(metric)`),
+    * with the engine's own aggregation kernel (count-star, NaN defaults,
+    * exact percentiles). No avg in the hashed output: merged windows hit
+    * power-of-two counts (n=8), where avg of cent values terminates
+    * EXACTLY on the 4dp half boundary and cross-engine summation ulps
+    * pick different sides — sum+count carry the same information with
+    * stable hashes (avg semantics are spec-pinned on dyadic fixtures).
+    * p50 is safe: quantile midpoints of 2dp values terminate at 3dp, so
+    * 4dp rounding is the identity. */
+  def tsdbGroupByTag(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("click", startNs = 0L, endNs = Some(FarFuture),
+      downsampleNs = Some(HourNs),
+      aggs = Seq(AggSpec("sum", "value"), AggSpec("count", "*"),
+        AggSpec("min", "value"), AggSpec("max", "value"), AggSpec("p50", "value")))
+    TsAnalytics.aggregateByTags(pts(s, dir), q, tagKeys = Nil)
+      .select(col("metric"), col("window_start"),
+        round(col("sum_value"), 2).as("sum_value"),
+        col("count_star"), col("min_value"), col("max_value"),
+        round(col("p50_value"), 4).as("p50_value"))
+      .orderBy("window_start")
+  }
+
   /** Series cardinality per (metric, day): distinct active series +
     * point volume — exact two-level distinct aggregation. */
   def tsCardinality(s: SparkSession, dir: String): DataFrame = {

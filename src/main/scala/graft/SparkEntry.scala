@@ -87,6 +87,7 @@ object SparkEntry {
     "ts_ewma" -> (Queries.tsEwma _),
     "ts_correlate" -> (Queries.tsCorrelate _),
     "ts_cardinality" -> (Queries.tsCardinality _),
+    "tsdb_groupby_tag" -> (Queries.tsdbGroupByTag _),
     "zorder_scan" -> (Queries.zorderScan _),
     "tsdb_multifield_agg" -> (Queries.tsdbMultifieldAgg _),
     "distinct_users_per_type" -> (Queries.distinctUsersPerType _),
@@ -875,6 +876,14 @@ object SparkEntry {
         |FROM s WHERE va IS NOT NULL AND vb IS NOT NULL
         |GROUP BY 1 HAVING count(*) >= 5 AND corr(va, vb) IS NOT NULL
         |ORDER BY 1""".stripMargin,
+    "tsdb_groupby_tag" ->
+      """SELECT 'click' AS metric,
+        |  epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS window_start,
+        |  round(sum(value), 2) AS sum_value,
+        |  count(*) AS count_star, min(value) AS min_value, max(value) AS max_value,
+        |  round(quantile_cont(value, 0.5), 4) AS p50_value
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 2 ORDER BY 2""".stripMargin,
     "ts_cardinality" ->
       """SELECT event_type AS metric,
         |  epoch_ns(ts) - (epoch_ns(ts) % 86400000000000) AS window_start,

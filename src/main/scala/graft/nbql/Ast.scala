@@ -25,8 +25,9 @@ final case class PushStatement(
 final case class PushsStatement(items: Seq[PushStatement]) extends Statement
 
 /** `QUERY m [FROM a TO b | FROM RELATIVE(d)] [TAGGED(…)]
-  *  [AGGREGATE [BY iv] (f(x) [AS a],…)] [EMIT EMPTY WINDOWS]
-  *  [FILL(NONE|PREVIOUS|LINEAR)] [ASC|DESC] [LIMIT n] [AFTER cursor]` */
+  *  [AGGREGATE [BY iv] (f(x) [AS a],…)] [GROUP BY TAGS (k,…)]
+  *  [EMIT EMPTY WINDOWS] [FILL(NONE|PREVIOUS|LINEAR)]
+  *  [ASC|DESC] [LIMIT n] [AFTER cursor]` */
 final case class QueryStatement(
     metric: String,
     fromNs: Option[Long] = None,
@@ -39,7 +40,10 @@ final case class QueryStatement(
     fill: graft.tsdb.FillMode = graft.tsdb.FillNone,
     order: SortOrder = Ascending,
     limit: Option[Long] = None,
-    after: Option[String] = None) extends Statement
+    after: Option[String] = None,
+    /** `GROUP BY TAGS (k, …)` — aggregate ACROSS series sharing the named
+      * tag values (extension; `Some(Nil)` collapses every series). */
+    groupByTags: Option[Seq[String]] = None) extends Statement
 
 /** `REMOVE SERIES m TAGGED (…)` */
 final case class RemoveSeriesStatement(metric: String, tags: Map[String, String])

@@ -83,6 +83,14 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
         return Left("AGGREGATE BY requires at least one aggregation function")
       if (q.fill != FillNone && q.byIntervalNs.isEmpty)
         return Left("FILL requires a downsample (AGGREGATE BY <interval>)")
+      if (q.groupByTags.isDefined) {
+        if (q.aggs.isEmpty)
+          return Left("GROUP BY TAGS requires AGGREGATE functions")
+        if (q.fill != FillNone || q.emitEmptyWindows)
+          return Left("FILL/EMIT EMPTY WINDOWS are per-series shapes — not valid with GROUP BY TAGS")
+        if (q.after.isDefined)
+          return Left("AFTER cursors don't apply to GROUP BY TAGS results")
+      }
       val params = QueryParams(
         metric = q.metric,
         tags = q.tags,
@@ -110,8 +118,12 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
         }
       // serving-tier entry: result cache + driver-resident tiers front
       // the protocol path (the reference's NBQL-layer cache position);
-      // budget-truncated results transparently stream the full plan
-      Right(Rows(engine.queryServingDF(params), cursorOf))
+      // budget-truncated results transparently stream the full plan.
+      // Tag-grouped queries bypass the per-series serving tiers entirely.
+      q.groupByTags match {
+        case Some(keys) => Right(Rows(engine.queryByTags(params, keys), noCursor))
+        case None => Right(Rows(engine.queryServingDF(params), cursorOf))
+      }
 
     case RemoveSeriesStatement(m, tg) =>
       engine.deleteSeries(m, tg).map(_ => Ack("OK"))

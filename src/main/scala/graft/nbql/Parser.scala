@@ -103,6 +103,8 @@ object NbqlParser extends RegexParsers {
       kw("NONE") ^^^ FillNone | kw("PREVIOUS") ^^^ FillPrevious |
       kw("LINEAR") ^^^ FillLinear) <~ ")" ^^ {
       f => (q: QueryStatement) => q.copy(fill = f) } |
+    kw("GROUP") ~> kw("BY") ~> kw("TAGS") ~> "(" ~> repsep(name, ",") <~ ")" ^^ {
+      ks => (q: QueryStatement) => q.copy(groupByTags = Some(ks)) } |
     kw("ASC") ^^^ { (q: QueryStatement) => q.copy(order = Ascending) } |
     kw("DESC") ^^^ { (q: QueryStatement) => q.copy(order = Descending) } |
     kw("LIMIT") ~> longNum ^^ { n => (q: QueryStatement) => q.copy(limit = Some(n)) } |

@@ -72,7 +72,7 @@ object QueryEngine {
 
   /** survive-filter for tombstones: drop a point iff some tombstone covers
     * its series/time AND has seq >= the point's seq. */
-  private def applyTombstones(df: DataFrame, tombs: Seq[Tombstone]): DataFrame = {
+  private[tsdb] def applyTombstones(df: DataFrame, tombs: Seq[Tombstone]): DataFrame = {
     if (tombs.isEmpty) df
     else if (tombs.size <= antiJoinThreshold) {
       val dead = tombs.map {
@@ -277,7 +277,7 @@ object QueryEngine {
       v.getField("s").isNotNull || v.getField("b").isNotNull), lit(1))
   }
 
-  private def aggColumns(p: QueryParams): Seq[Column] = {
+  private[tsdb] def aggColumns(p: QueryParams): Seq[Column] = {
     // stream order for first/last: (ts asc, series_key asc, seq desc) —
     // the k-way merge emission order, `iterator/iterator.go:35-63`.
     val ord = struct(col("timestamp"), col("series_key"), (col("seq") * -1).as("negseq"))

@@ -205,6 +205,68 @@ object TsAnalytics {
       .orderBy(col("metric"), col("window_start"))
   }
 
+  /** Aggregation ACROSS series, grouped by a subset of tag keys — PromQL
+    * `sum by (k)(metric)` / InfluxQL `GROUP BY tag`. The reference (and
+    * this engine's A1/A2) always groups by the FULL series; here series
+    * sharing the named tag values merge into one group per (tag-tuple,
+    * window). `tagKeys = Nil` collapses every series of the metric into a
+    * single group — the `sum(metric)` shape. The aggregation kernel is
+    * the engine's own ([[QueryEngine.aggColumns]]): count-star vs
+    * non-null counts, NaN empty defaults, first/last in k-way-merge
+    * stream order, exact percentiles — identical semantics, wider groups.
+    *
+    * Plan: the engine's partitioned input + latest-version dedup ride
+    * the usual (series_key, time) exchange; the tag-group aggregation
+    * then shuffles only partial-agg rows on (tag values, window) —
+    * |groups|×windows rows, not points. Missing tag keys group under
+    * null, like SQL GROUP BY.
+    *
+    * FILL / EMIT EMPTY WINDOWS / cursors are per-series shapes and are
+    * rejected here; LIMIT applies to the ordered grouped output. */
+  def aggregateByTags(points: DataFrame, p: QueryParams, tagKeys: Seq[String],
+      tombstones: Seq[Tombstone] = Nil): DataFrame = {
+    require(p.aggs.nonEmpty, "GROUP BY TAGS requires aggregation functions")
+    require(p.fill == FillNone && !p.emitEmptyWindows,
+      "FILL/EMIT EMPTY WINDOWS are per-series shapes — not valid with GROUP BY TAGS")
+    require(p.afterKey.isEmpty, "cursors don't apply to tag-grouped results")
+    val (input, startNs, endNs) = QueryEngine.partitionedInput(points, p)
+    // latest-version dedup + tombstones, same as the per-series pipeline
+    val dedupKeys =
+      if (p.isDownsample) Seq(col("series_key"), col("window_start"), col("timestamp"))
+      else Seq(col("series_key"), col("timestamp"))
+    val w = Window.partitionBy(dedupKeys: _*).orderBy(col("seq").desc)
+    val merged = QueryEngine.applyTombstones(
+      input.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn"), tombstones)
+
+    val tagCols = tagKeys.map(k => col("tags").getItem(k).as(s"tag_$k"))
+    val keyRefs = tagKeys.map(k => col(s"tag_$k"))
+    val withKeys = merged.select(col("*") +: tagCols: _*)
+    val aggCols = QueryEngine.aggColumns(p)
+    val outAggs = p.aggs.map(s => col(s.outputName))
+    val asc = p.order == Ascending
+
+    val shaped = p.downsampleNs match {
+      case Some(interval) =>
+        val (_, lastW) = QueryEngine.windowBounds(p, startNs, endNs)
+        val grouped = withKeys.filter(col("window_start") <= lastW)
+          .groupBy(keyRefs :+ col("window_start"): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+          .withColumn("window_end", col("window_start") + lit(interval))
+        val ordering = (if (asc) col("window_start").asc else col("window_start").desc) +:
+          keyRefs.map(_.asc)
+        grouped.select(lit(p.metric).as("metric") +: keyRefs ++:
+            col("window_start") +: col("window_end") +: outAggs: _*)
+          .orderBy(ordering: _*)
+      case None =>
+        withKeys.groupBy(keyRefs: _*).agg(aggCols.head, aggCols.tail: _*)
+          .select(lit(p.metric).as("metric") +: keyRefs ++:
+            lit(startNs).as("timestamp") +: outAggs: _*)
+          .orderBy(keyRefs.map(_.asc): _*)
+    }
+    p.limit.fold(shaped)(n => shaped.limit(n.toInt))
+  }
+
   /** Mergeable cardinality summary: one Datasketches HLL sketch of
     * `series_key` per (metric, base window), plus the point count. This
     * is the 100 TB companion to [[seriesCardinality]] — the exact

@@ -303,6 +303,16 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * remains the ground-truth path specs compare against. */
   def queryRouted(params: QueryParams): DataFrame = queryImpl(params, routed = true)
 
+  /** Aggregation across series grouped by tag keys
+    * ([[TsAnalytics.aggregateByTags]]) over this engine's storage.
+    * Deliberately NOT a [[QueryParams]] field: the serving tiers, result
+    * cache, and rollup router are all per-series shapes and must never
+    * see a tag-grouped query — this path always plans fresh. */
+  def queryByTags(params: QueryParams, tagKeys: Seq[String]): DataFrame = {
+    val pts = loadPoints().getOrElse(TsdbEngine.emptyPoints(spark))
+    TsAnalytics.aggregateByTags(pts, params, tagKeys, loadTombstones())
+  }
+
   private def queryImpl(params: QueryParams, routed: Boolean): DataFrame = {
     var p = params
     if (hooks.hasListeners(EventType.PreQuery)) {

@@ -53,6 +53,16 @@ class NbqlParserSpec extends SparkSpec {
     assert(NbqlParser.parse("QUERY cpu AGGREGATE BY 1m (avg(v)) FILL(ZERO)").isLeft)
   }
 
+  test("QUERY GROUP BY TAGS parses: keys, empty collapse, default absent") {
+    val q = p("""QUERY cpu FROM 0 TO 10 AGGREGATE BY 1m (sum(v))
+                 GROUP BY TAGS (dc, rack)""").asInstanceOf[QueryStatement]
+    assert(q.groupByTags.contains(Seq("dc", "rack")))
+    assert(p("QUERY cpu AGGREGATE (sum(v)) GROUP BY TAGS ()")
+      .asInstanceOf[QueryStatement].groupByTags.contains(Seq.empty))
+    assert(p("QUERY cpu AGGREGATE (sum(v))")
+      .asInstanceOf[QueryStatement].groupByTags.isEmpty)
+  }
+
   test("QUERY FROM RELATIVE and final aggregate (no BY)") {
     val q = p("QUERY mem FROM RELATIVE(2h) AGGREGATE (sum(used), stddev(used))")
       .asInstanceOf[QueryStatement]
@@ -130,6 +140,39 @@ class NbqlExecutorSpec extends SparkSpec {
         """QUERY g FROM 1000 TO 4999 AGGREGATE BY 1us (avg(v)) FILL(PREVIOUS)""")
       assert(locf.map(_.getAs[Double]("avg_v")) == Seq(2.0, 2.0, 2.0, 8.0))
       assert(ex.execute("QUERY g FROM 0 TO 10 FILL(LINEAR)").isLeft)
+    }
+  }
+
+  test("GROUP BY TAGS end-to-end: cross-series windows, collapse, validations") {
+    withEngine { (_, ex) =>
+      for ((dc, host, v) <- Seq(("east", "h1", 1.0), ("east", "h2", 3.0),
+          ("west", "h3", 10.0)))
+        assert(ex.execute(
+          s"""PUSH req TAGGED (dc="$dc", host="$host") SET (value=$v) AT 1500""").isRight)
+      assert(ex.execute(
+        """PUSH req TAGGED (dc="east", host="h1") SET (value=5.0) AT 2500""").isRight)
+
+      val byDc = rows(ex, """QUERY req FROM 1000 TO 2999 AGGREGATE BY 1us
+                             (sum(value), count(*)) GROUP BY TAGS (dc)""")
+        .map(r => (r.getAs[String]("tag_dc"), r.getAs[Long]("window_start")) ->
+          (r.getAs[Double]("sum_value"), r.getAs[Long]("count_star"))).toMap
+      assert(byDc(("east", 1000L)) == ((4.0, 2L))) // h1+h2 merged
+      assert(byDc(("east", 2000L)) == ((5.0, 1L)))
+      assert(byDc(("west", 1000L)) == ((10.0, 1L)))
+      assert(byDc.size == 3)
+
+      // collapse-all + final-agg shape
+      val all = rows(ex, """QUERY req FROM 0 TO 9999 AGGREGATE (sum(value))
+                            GROUP BY TAGS ()""").head
+      assert(all.getAs[Double]("sum_value") == 19.0)
+
+      // invalid combinations surface as errors, not wrong results
+      assert(ex.execute("QUERY req GROUP BY TAGS (dc)").isLeft)
+      assert(ex.execute(
+        """QUERY req AGGREGATE BY 1us (sum(value)) FILL(PREVIOUS)
+           GROUP BY TAGS (dc)""").isLeft)
+      assert(ex.execute(
+        "QUERY req AGGREGATE (sum(value)) GROUP BY TAGS (dc) AFTER MXw=").isLeft)
     }
   }
 

@@ -376,6 +376,66 @@ class TsdbQuerySpec extends SparkSpec {
     assert(got.toSeq == Seq(("m", 0L, 2L, 2L), ("m", 1000L, 1L, 1L), ("n", 0L, 1L, 1L)))
   }
 
+  test("group by tags: aggregates across series; missing key → null group; collapse") {
+    def p2(h: String, dc: Option[String], t: Long, v: Double, seq: Long) =
+      TP("m", Map("host" -> h) ++ dc.map("dc" -> _), t,
+        Map("value" -> FV.dv(v)), seq)
+    val pts = mkDf(Seq(
+      p2("h1", Some("east"), 50, 1.0, 1), p2("h2", Some("east"), 60, 3.0, 2),
+      p2("h3", Some("west"), 70, 10.0, 3),
+      p2("h1", Some("east"), 150, 5.0, 4),
+      p2("h4", None, 55, 100.0, 5))) // no dc tag → null group
+    val q = QueryParams("m", startNs = 0, endNs = Some(199),
+      downsampleNs = Some(100),
+      aggs = Seq(AggSpec("sum", "value"), AggSpec("count", "*")))
+    val got = TsAnalytics.aggregateByTags(pts, q, Seq("dc"))
+      .select($"tag_dc", $"window_start", $"window_end", $"sum_value", $"count_star")
+      .as[(Option[String], Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // east window 0 merges h1+h2 across series; west separate; h4 → null
+    assert(got((Some("east"), 0L)) == ((100L, 4.0, 2L)))
+    assert(got((Some("east"), 100L)) == ((200L, 5.0, 1L)))
+    assert(got((Some("west"), 0L)) == ((100L, 10.0, 1L)))
+    assert(got((None, 0L)) == ((100L, 100.0, 1L)))
+    assert(got.size == 4)
+
+    // final-agg shape: one row per group at query start
+    val fin = TsAnalytics.aggregateByTags(pts,
+        q.copy(downsampleNs = None, startNs = 10), Seq("dc"))
+      .select($"tag_dc", $"timestamp", $"sum_value")
+      .as[(Option[String], Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fin(Some("east")) == ((10L, 9.0)))
+    assert(fin(Some("west")) == ((10L, 10.0)))
+
+    // GROUP BY TAGS (): every series collapses into one group per window
+    val all = TsAnalytics.aggregateByTags(pts, q, Nil)
+      .select($"window_start", $"sum_value", $"count_star")
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    assert(all.toSeq == Seq((0L, 114.0, 4L), (100L, 5.0, 1L)))
+
+    // per-series shapes are rejected
+    intercept[IllegalArgumentException] {
+      TsAnalytics.aggregateByTags(pts, q.copy(fill = FillPrevious), Nil)
+    }
+    intercept[IllegalArgumentException] {
+      TsAnalytics.aggregateByTags(pts, q.copy(aggs = Nil), Nil)
+    }
+  }
+
+  test("group by tags: latest-version dedup applies before the cross-series merge") {
+    val pts = mkDf(Seq(
+      TP("m", Map("host" -> "h1", "dc" -> "east"), 50, Map("value" -> FV.dv(1.0)), 1),
+      // same (series, ts), higher seq — only 7.0 may reach the group sum
+      TP("m", Map("host" -> "h1", "dc" -> "east"), 50, Map("value" -> FV.dv(7.0)), 2),
+      TP("m", Map("host" -> "h2", "dc" -> "east"), 60, Map("value" -> FV.dv(2.0)), 3)))
+    val q = QueryParams("m", startNs = 0, endNs = Some(99),
+      downsampleNs = Some(100), aggs = Seq(AggSpec("sum", "value")))
+    val got = TsAnalytics.aggregateByTags(pts, q, Seq("dc"))
+      .select($"sum_value").as[Double].collect()
+    assert(got.toSeq == Seq(9.0))
+  }
+
   test("downsample: window starting at exactly queryEnd is not emitted") {
     val pts = mkDf(Seq(
       TP("m", Map(), 100, Map("v" -> FV.dv(1.0)), 1),
