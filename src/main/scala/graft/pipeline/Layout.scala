@@ -95,3 +95,40 @@ object ZOrder {
       }.reduce(_ && _))
       .count()
 }
+
+/** Hash-bucketed table layout — the co-location tool for the tables a
+  * training pipeline joins REPEATEDLY on the same key (documents ⋈
+  * embeddings ⋈ quality scores ⋈ dedup verdicts, always on doc_id).
+  *
+  * A plain parquet directory forces every such join to shuffle both
+  * sides; a bucketed table records `hash(key) % n` in the catalog, so
+  * Spark plans bucket-wise joins and aggregations with ZERO exchanges —
+  * each task reads bucket i of both sides (spec-pinned in PlanSpec).
+  * With `sortBy` the per-bucket files are also key-sorted, eliding the
+  * join's sort as well. At 100 TB this converts the pipeline's dominant
+  * repeated cost (all-to-all shuffles of the widest tables) into
+  * embarrassingly-parallel co-located reads; the write-side cost is one
+  * shuffle paid ONCE at layout time.
+  *
+  * The engine's storage solves the same problem differently (one
+  * explicit repartition reused by every downstream clustering,
+  * `QueryEngine.partitionedInput`); bucketing is the CATALOG-visible
+  * variant for tables shared across many independent jobs, which can't
+  * assume each other's in-plan partitioning. */
+object Bucketing {
+
+  /** Write `df` as a bucketed external parquet table (`buckets` buckets
+    * on `bucketCol`, per-bucket files sorted by `sortCols`, catalog name
+    * `table`, data under `path`). Overwrites both. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      buckets: Int, bucketCol: String, sortCols: Seq[String] = Nil): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val w = df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+}

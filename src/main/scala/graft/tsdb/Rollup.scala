@@ -212,4 +212,54 @@ object Rollup {
       ordered = ordered || p.limit.isDefined)
     QueryEngine.applyCursorLimit(shaped, p)
   }
+
+  /** Tag-grouped twin of [[run]]: answer a GROUP BY TAGS downsample
+    * ([[TsAnalytics.aggregateByTags]]) from the rollup partials. A
+    * cross-SERIES merge is the same fold as the cross-WINDOW merge —
+    * sums of sums, min of mins, stream-order first/last via the stored
+    * ord keys, digest unions for percentiles — so the partials decompose
+    * identically; only the grouping key changes (tag-tuple × window
+    * instead of series × window). Row-identical to the raw operator
+    * (spec-asserted; percentiles approximate per the digest contract).
+    *
+    * This is the acceleration that matters most for tag grouping at
+    * scale: the raw operator reads every point of the metric, while this
+    * reads |series|×windows partial rows — a month-long
+    * `sum by (dc)(requests)` becomes a scan of the rollup frame. */
+  def runByTags(rollup: DataFrame, rollupIntervalNs: Long, p: QueryParams,
+      tagKeys: Seq[String]): DataFrame = {
+    require(supports(p, rollupIntervalNs, coveredFields(rollup), hasDigests(rollup)),
+      s"query not answerable from a $rollupIntervalNs ns rollup over " +
+        s"fields ${coveredFields(rollup).mkString("{", ",", "}")}")
+    require(p.fill == FillNone && !p.emitEmptyWindows && p.afterKey.isEmpty,
+      "per-series shapes (FILL/EMIT EMPTY WINDOWS/AFTER) don't apply to GROUP BY TAGS")
+    val interval = p.downsampleNs.get
+    val endNs = p.endNs.get
+    var df = rollup.filter(col("metric") === p.metric)
+    p.tags.foreach { case (k, v) => df = df.filter(col("tags").getItem(k) === v) }
+    df = df.filter(col("window_start").between(p.startNs, endNs))
+    if (rollup.columns.contains("date"))
+      df = df.filter(col("date").between(
+        TsdbEngine.dayStr(p.startNs), TsdbEngine.dayStr(endNs)))
+    val (_, lastW) = QueryEngine.windowBounds(p, p.startNs, endNs)
+    val tagCols = tagKeys.map(k => col("tags").getItem(k).as(s"tag_$k"))
+    val keyRefs = tagKeys.map(k => col(s"tag_$k"))
+    val grouped = df
+      .withColumn("target_window",
+        col("window_start") - pmod(col("window_start"), lit(interval)))
+      .filter(col("target_window") <= lastW)
+      .select(col("*") +: tagCols: _*)
+      .groupBy(keyRefs :+ col("target_window"): _*)
+      .agg(p.aggs.map(reAgg).head, p.aggs.map(reAgg).tail: _*)
+      .withColumnRenamed("target_window", "window_start")
+      .withColumn("window_end", col("window_start") + lit(interval))
+    val ordering = (if (p.order == Ascending) col("window_start").asc
+                    else col("window_start").desc) +: keyRefs.map(_.asc)
+    val shaped = grouped
+      .select(lit(p.metric).as("metric") +: keyRefs ++:
+        col("window_start") +: col("window_end") +:
+        p.aggs.map(s => col(s.outputName)): _*)
+      .orderBy(ordering: _*)
+    p.limit.fold(shaped)(n => shaped.limit(n.toInt))
+  }
 }

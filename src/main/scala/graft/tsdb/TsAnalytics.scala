@@ -23,14 +23,32 @@ import org.apache.spark.sql.functions._
 object TsAnalytics {
 
   /** Series-resolved, time-ranged, latest-version-merged slice with a
-    * numeric `__v` column for `field` — the shared front half. */
+    * numeric `__v` column for `field` — the shared front half.
+    *
+    * One explicit repartition on series_key ALONE, and both windows ride
+    * it: the dedup window's ClusteredDistribution(series_key, timestamp)
+    * is satisfied because the partitioning expressions are a subset of
+    * its clustering, and every downstream per-series analytics window
+    * partitions by series_key exactly — so the whole family
+    * (rate/z-score/running/ewma/twa) runs off a SINGLE hash exchange
+    * (plan-pinned). The trade vs the engine's time-salted key: a
+    * pathologically hot series lands in one task — but an ordered
+    * per-series scan serializes that series anyway (header note), so the
+    * salt would only move the cost, not remove it. */
   private def slice(points: DataFrame, p: QueryParams, field: String,
       tombstones: Seq[Tombstone]): DataFrame = {
     var df = points.filter(col("metric") === p.metric)
     p.tags.foreach { case (k, v) => df = df.filter(col("tags").getItem(k) === v) }
     val (startNs, endNs) = QueryEngine.resolveRange(df, p)
     df = df.filter(col("timestamp").between(startNs, endNs))
-    QueryEngine.mergedView(df, tombstones)
+      .withColumn("series_key",
+        QueryEngine.seriesKeyCol(col("metric"), col("tags")))
+      .repartition(col("series_key"))
+    val w = Window.partitionBy(col("series_key"), col("timestamp"))
+      .orderBy(col("seq").desc)
+    df = df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    QueryEngine.applyTombstones(df, tombstones)
       .withColumn("__v", QueryEngine.numericOf(field))
   }
 

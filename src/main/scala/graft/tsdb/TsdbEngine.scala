@@ -305,12 +305,23 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
 
   /** Aggregation across series grouped by tag keys
     * ([[TsAnalytics.aggregateByTags]]) over this engine's storage.
-    * Deliberately NOT a [[QueryParams]] field: the serving tiers, result
-    * cache, and rollup router are all per-series shapes and must never
-    * see a tag-grouped query — this path always plans fresh. */
+    * Deliberately NOT a [[QueryParams]] field: the serving tiers and
+    * result cache are per-series shapes and must never see a tag-grouped
+    * query. A registered rollup covering the shape DOES accelerate it —
+    * [[Rollup.runByTags]] merges the same partials by tag-tuple instead
+    * of series, reading |series|×windows rows instead of points
+    * (row-identical, spec-asserted). */
   def queryByTags(params: QueryParams, tagKeys: Seq[String]): DataFrame = {
-    val pts = loadPoints().getOrElse(TsdbEngine.emptyPoints(spark))
-    TsAnalytics.aggregateByTags(pts, params, tagKeys, loadTombstones())
+    val spec = rollupSpecs.get(params.metric)
+    if (spec != null &&
+        Rollup.supports(params, spec.intervalNs, spec.fields.toSet, spec.digests) &&
+        params.fill == FillNone && !params.emitEmptyWindows && params.afterKey.isEmpty)
+      Rollup.runByTags(rollupView(params.metric, spec), spec.intervalNs,
+        params, tagKeys)
+    else {
+      val pts = loadPoints().getOrElse(TsdbEngine.emptyPoints(spark))
+      TsAnalytics.aggregateByTags(pts, params, tagKeys, loadTombstones())
+    }
   }
 
   private def queryImpl(params: QueryParams, routed: Boolean): DataFrame = {

@@ -300,4 +300,74 @@ class PlanSpec extends SparkSpec {
           df.queryExecution.executedPlan)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("ts analytics plans: single-scan pivots, bounded exchanges, no joins") {
+    // correlate reads BOTH metrics in one scan and pivots by conditional
+    // aggregation — a join-based alignment would double the scan and add
+    // a shuffle pair
+    val corr = plan("ts_correlate")
+    assert(countIn(corr, "Join") == 0, s"correlate must not join:\n$corr")
+    assert(countIn(corr, "FileScan") == 1, "one scan for both metrics")
+
+    // the per-series family rides ONE series_key exchange end-to-end:
+    // dedup window, analytics window, and (for twa) the grouped
+    // aggregation all cluster on supersets of the partitioning key
+    val twa = plan("ts_twa")
+    assert(countIn(twa, "Exchange hashpartitioning") == 1, twa)
+    assert(countIn(twa, "Join") == 0)
+
+    val ewma = plan("ts_ewma")
+    assert(countIn(ewma, "Exchange hashpartitioning") == 1, ewma)
+    assert(ewma.contains("ewma"), "native window function in the plan")
+
+    val rate = plan("ts_rate")
+    assert(countIn(rate, "Exchange hashpartitioning") == 1, rate)
+
+    // group-by-tags: engine exchange + partial-agg regroup, nothing more
+    val gbt = plan("tsdb_groupby_tag")
+    assert(countIn(gbt, "Exchange hashpartitioning") <= 2, gbt)
+    assert(countIn(gbt, "Join") == 0)
+
+    // cardinality: merge exchange + the two-level exact distinct's pair —
+    // no join, and nothing shuffles raw points twice
+    val card = plan("ts_cardinality")
+    assert(countIn(card, "Join") == 0)
+    assert(countIn(card, "Exchange hashpartitioning") <= 3, card)
+  }
+
+  test("bucketed layout: co-located join and aggregation plan ZERO exchanges") {
+    import graft.pipeline.Bucketing
+    import graft.tsdb.Tables
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    val embs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("label"))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Bucketing.writeBucketed(docs, "b_docs", s"$dir/docs", 8, "doc_id", Seq("doc_id"))
+      Bucketing.writeBucketed(embs, "b_embs", s"$dir/embs", 8, "doc_id", Seq("doc_id"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+      val j = spark.table("b_docs").join(spark.table("b_embs"), "doc_id")
+      val jp = j.queryExecution.executedPlan.toString
+      assert(countIn(jp, "Exchange") == 0,
+        s"bucket-wise join must not shuffle:\n$jp")
+      assert(countIn(jp, "SortMergeJoin") == 1, jp)
+      // same rows as the plain (shuffling) join
+      assert(j.count() == docs.join(embs, "doc_id").count())
+
+      // aggregation on the bucket key is exchange-free too
+      val g = spark.table("b_docs").groupBy("doc_id")
+        .agg(sum("n_chars").as("s"))
+      assert(countIn(g.queryExecution.executedPlan.toString, "Exchange") == 0,
+        "bucket-key aggregation must not shuffle")
+      assert(g.count() == docs.select("doc_id").distinct().count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS b_docs")
+      spark.sql("DROP TABLE IF EXISTS b_embs")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

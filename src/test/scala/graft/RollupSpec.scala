@@ -254,6 +254,62 @@ class RollupSpec extends SparkSpec {
     assert(rows(eng.queryServing(p)) == updated)
   }
 
+  test("tag-grouped downsample from partials is row-identical to the raw operator") {
+    def p(host: String, dc: String, tMin: Long, v: Double, seq: Long) =
+      TP("req", Map("host" -> host, "dc" -> dc), tMin * Min,
+        Map("value" -> FV.dv(v)), seq)
+    val rows = (0 until 150 by 7).map(i => p("h1", "east", i, i + 0.5, i)) ++
+      (0 until 150 by 11).map(i => p("h2", "east", i, 100.0 - i, 1000 + i)) ++
+      (0 until 150 by 13).map(i => p("h3", "west", i, i * 2.0, 2000 + i)) ++
+      Seq(p("h1", "east", 7, -6.0, 3001)) // duplicate version: seq 3001 wins
+    val pts = rows.toDF()
+    val aggs = Seq(AggSpec("count", "*"), AggSpec("sum", "value"),
+      AggSpec("avg", "value"), AggSpec("min", "value"), AggSpec("max", "value"),
+      AggSpec("first", "value"), AggSpec("last", "value"),
+      AggSpec("frac", "value"), AggSpec("stddev", "value"))
+    val query = QueryParams("req", startNs = 0L, endNs = Some(3 * Hr - 1),
+      aggs = aggs, downsampleNs = Some(Hr))
+    val rollup = Rollup.build(QueryEngine.mergedView(pts, Nil), Min, Seq("value"))
+    // grouped by dc (series h1+h2 merge per window) and collapse-all
+    assertSame(TsAnalytics.aggregateByTags(pts, query, Seq("dc")),
+      Rollup.runByTags(rollup, Min, query, Seq("dc")))
+    assertSame(TsAnalytics.aggregateByTags(pts, query, Nil),
+      Rollup.runByTags(rollup, Min, query, Nil))
+    // per-series shapes still rejected on the rollup path
+    intercept[IllegalArgumentException] {
+      Rollup.runByTags(rollup, Min, query.copy(fill = FillPrevious), Nil)
+    }
+  }
+
+  test("engine: GROUP BY TAGS routes through a registered rollup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_gbt").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    try {
+      def dp(host: String, dc: String, tMin: Long, v: Double) =
+        graft.model.DataPoint("req", Map("host" -> host, "dc" -> dc), tMin * Min,
+          Map("value" -> graft.model.FieldValue(d = Some(v))))
+      eng.putBatch((0 until 120 by 10).flatMap(i => Seq(
+        dp("h1", "east", i, i + 1.0), dp("h2", "west", i, 2.0 * i))))
+      val query = QueryParams("req", startNs = 0L, endNs = Some(2 * Hr - 1),
+        aggs = Seq(AggSpec("sum", "value"), AggSpec("count", "*")),
+        downsampleNs = Some(Hr))
+      def rows(df: DataFrame): Seq[String] = df.collect().map(_.toString).toSeq
+      val truth = rows(eng.queryByTags(query, Seq("dc")))
+      assert(truth.nonEmpty)
+
+      eng.registerRollup("req", Min, Seq("value"))
+      val routed = eng.queryByTags(query, Seq("dc"))
+      assert(rows(routed) == truth, "rollup-routed GROUP BY TAGS must match raw")
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("value__sum") || plan.contains("__cnt_star"),
+        s"expected rollup partial columns in plan:\n$plan")
+
+      // new data invalidates: routed answer refreshes
+      eng.putBatch(Seq(dp("h3", "east", 30, 999.0)))
+      assert(rows(eng.queryByTags(query, Seq("dc"))) != truth)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("incremental maintenance: a one-day commit rebuilds ONLY that date partition") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup_inc").toString
     val eng = new TsdbEngine(spark, s"$dir/db")
