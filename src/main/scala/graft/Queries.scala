@@ -838,6 +838,31 @@ object Queries {
       .orderBy("window_start")
   }
 
+  /** Aligned binary series algebra: click/view ratio per user per day —
+    * PromQL `a / b` with LOCF-free bucket alignment (both sides must
+    * observe the bucket). Only the ratio is hashed (4dp): the per-bucket
+    * averages themselves can land exactly on rounding boundaries under
+    * power-of-two counts (see tsdb_groupby_tag note). */
+  def tsRatio(s: SparkSession, dir: String): DataFrame = {
+    TsAnalytics.ratio(pts(s, dir), "click", "view", "user",
+        bucketNs = 24L * HourNs, startNs = 0L, endNs = FarFuture)
+      .select(col("tag_value").as("user"), col("bucket"),
+        col("n_a"), col("n_b"), round(col("ratio"), 4).as("ratio"))
+      .orderBy("user", "bucket")
+  }
+
+  /** PromQL `topk(5, sum by (user)(purchase))`: top groups by the
+    * whole-range aggregate, ranked descending with deterministic
+    * tie-break, planned as TakeOrdered. */
+  def tsTopkSeries(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture),
+      aggs = Seq(AggSpec("sum", "value"), AggSpec("count", "*")))
+    TsAnalytics.topKGroups(pts(s, dir), q, Seq("user"), k = 5, by = "sum_value")
+      .select(col("tag_user").as("user"), col("rank"),
+        round(col("sum_value"), 2).as("sum_value"), col("count_star"))
+      .orderBy("rank")
+  }
+
   /** Series cardinality per (metric, day): distinct active series +
     * point volume — exact two-level distinct aggregation. */
   def tsCardinality(s: SparkSession, dir: String): DataFrame = {

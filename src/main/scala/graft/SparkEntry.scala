@@ -87,6 +87,8 @@ object SparkEntry {
     "ts_ewma" -> (Queries.tsEwma _),
     "ts_correlate" -> (Queries.tsCorrelate _),
     "ts_cardinality" -> (Queries.tsCardinality _),
+    "ts_ratio" -> (Queries.tsRatio _),
+    "ts_topk_series" -> (Queries.tsTopkSeries _),
     "tsdb_groupby_tag" -> (Queries.tsdbGroupByTag _),
     "zorder_scan" -> (Queries.zorderScan _),
     "tsdb_multifield_agg" -> (Queries.tsdbMultifieldAgg _),
@@ -876,6 +878,27 @@ object SparkEntry {
         |FROM s WHERE va IS NOT NULL AND vb IS NOT NULL
         |GROUP BY 1 HAVING count(*) >= 5 AND corr(va, vb) IS NOT NULL
         |ORDER BY 1""".stripMargin,
+    "ts_ratio" ->
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u,
+        |    epoch_ns(ts) - (epoch_ns(ts) % 86400000000000) AS bucket,
+        |    avg(CASE WHEN event_type = 'click' THEN value END) AS va,
+        |    avg(CASE WHEN event_type = 'view' THEN value END) AS vb,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS n_a,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS n_b
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1, 2)
+        |SELECT u AS "user", bucket, n_a, n_b, round(va / vb, 4) AS ratio
+        |FROM s WHERE va IS NOT NULL AND vb IS NOT NULL AND vb <> 0
+        |ORDER BY 1, 2""".stripMargin,
+    "ts_topk_series" ->
+      """WITH g AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, sum(value) AS s, count(*) AS n
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT u AS "user",
+        |  row_number() OVER (ORDER BY s DESC, u ASC) AS rank,
+        |  round(s, 2) AS sum_value, n AS count_star
+        |FROM g ORDER BY s DESC, u ASC LIMIT 5""".stripMargin,
     "tsdb_groupby_tag" ->
       """SELECT 'click' AS metric,
         |  epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS window_start,

@@ -631,6 +631,48 @@ object Dedup {
   /** The three index tables of one increment, written under
     * `<table>/batch=<label>` (partition-discovery layout: readers see a
     * `batch` string column they never select). */
+  /** Fold the accumulated `batch=<label>` partitions of a materialized
+    * dedup index back into a single `batch=base` per table — the analog
+    * of [[graft.pipeline.Similarity.compactAnnIndex]] for the OTHER
+    * on-disk index: daily [[appendDedupIndex]] increments at 100 TB
+    * accumulate one file set per batch, and every incremental-dedup read
+    * pays the per-file open cost for all of them. Exact-dup provenance
+    * is preserved: base fingerprints fold with `min(exact_of)` — the
+    * same first-writer-wins the append path enforces batch-by-batch —
+    * and band/shingle rows pass through unchanged. Readers see either
+    * the old layout or the new one (staged write, two-rename swap with
+    * rollback), never a half-compacted table. */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (table <- Seq("fps", "bands", "shingles")) {
+      val live = s"$path/$table"
+      val staged = s"$path/${table}_compacting"
+      val retired = s"$path/${table}_retired"
+      fs.delete(new Path(staged), true)
+      fs.delete(new Path(retired), true)
+      val df = spark.read.parquet(live)
+      val folded = table match {
+        // duplicate fps across batches: keep the earliest-batch owner —
+        // appendDedupIndex only admits NEW content, so a duplicate fp can
+        // only be a replayed batch; min(exact_of) is its deterministic owner
+        case "fps" => df.groupBy("fp").agg(min("exact_of").as("exact_of"))
+        case _ => df.drop("batch").distinct()
+      }
+      folded.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+        .write.mode("overwrite").parquet(s"$staged/batch=base")
+      if (!fs.rename(new Path(live), new Path(retired)))
+        throw new java.io.IOException(s"compactDedupIndex: cannot retire $live")
+      if (!fs.rename(new Path(staged), new Path(live))) {
+        fs.rename(new Path(retired), new Path(live)) // roll back
+        throw new java.io.IOException(s"compactDedupIndex: cannot publish $staged")
+      }
+      fs.delete(new Path(retired), true)
+    }
+  }
+
   private def writeDedupIndexBatch(df: DataFrame, idCol: String,
       textCol: String, n: Int, k: Int, bands: Int, path: String,
       label: String): Unit = {

@@ -285,6 +285,57 @@ object TsAnalytics {
     p.limit.fold(shaped)(n => shaped.limit(n.toInt))
   }
 
+  /** Aligned binary series algebra (PromQL `a / b`): metric A and B
+    * pivot onto a common (tag value, bucket) grid per-bucket-averaged,
+    * and the elementwise ratio is emitted where BOTH sides observed
+    * points and the divisor is non-zero. Same single-scan
+    * conditional-aggregation pivot as [[correlate]] — no join, one scan
+    * reads both metrics. The guarded division keeps ANSI mode safe and
+    * matches SQL NULL semantics for missing/zero divisors. */
+  def ratio(points: DataFrame, metricA: String, metricB: String,
+      tagKey: String, bucketNs: Long, startNs: Long, endNs: Long,
+      field: String = "value",
+      tombstones: Seq[Tombstone] = Nil): DataFrame = {
+    require(metricA != metricB, "ratio needs two distinct metrics")
+    val df = QueryEngine.mergedView(
+        points.filter(col("metric").isin(metricA, metricB) &&
+          col("timestamp").between(startNs, endNs)), tombstones)
+      .withColumn("__v", QueryEngine.numericOf(field))
+      .filter(col("__v").isNotNull)
+    df.withColumn("bucket", col("timestamp") - pmod(col("timestamp"), lit(bucketNs)))
+      .withColumn("tag_value", col("tags").getItem(tagKey))
+      .groupBy(col("tag_value"), col("bucket"))
+      .agg(avg(when(col("metric") === metricA, col("__v"))).as("va"),
+        avg(when(col("metric") === metricB, col("__v"))).as("vb"),
+        count(when(col("metric") === metricA, 1)).as("n_a"),
+        count(when(col("metric") === metricB, 1)).as("n_b"))
+      .filter(col("va").isNotNull && col("vb").isNotNull && col("vb") =!= 0.0)
+      .withColumn("ratio", col("va") / when(col("vb") =!= 0.0, col("vb")))
+      .select(col("tag_value"), col("bucket"), col("n_a"), col("n_b"), col("ratio"))
+      .orderBy(col("tag_value"), col("bucket"))
+  }
+
+  /** Top-K groups by a whole-range aggregate (PromQL `topk(k, sum by
+    * (tag)(metric))`): the tag-grouped final aggregation ranked on the
+    * `by` output column, descending, ties broken by tag values for
+    * determinism. The ranking is orderBy+limit — Spark plans it as
+    * TakeOrdered (per-partition top-K, no global sort exchange) — and
+    * the rank column is a window over the K survivors only. */
+  def topKGroups(points: DataFrame, p: QueryParams, tagKeys: Seq[String],
+      k: Int, by: String,
+      tombstones: Seq[Tombstone] = Nil): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(p.downsampleNs.isEmpty, "topKGroups ranks the whole-range aggregation")
+    require(p.aggs.exists(_.outputName == by),
+      s"ranking column $by must be one of the aggregation outputs")
+    val keyRefs = tagKeys.map(kk => col(s"tag_$kk"))
+    val ordering = col(by).desc +: keyRefs.map(_.asc)
+    val top = aggregateByTags(points, p, tagKeys, tombstones)
+      .orderBy(ordering: _*).limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(ordering: _*)))
+  }
+
   /** Mergeable cardinality summary: one Datasketches HLL sketch of
     * `series_key` per (metric, base window), plus the point count. This
     * is the 100 TB companion to [[seriesCardinality]] — the exact

@@ -185,6 +185,43 @@ class PipelineSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
   }
 
+  test("dedup index compaction: appends fold to one base batch, verdicts identical") {
+    val docs = graft.tsdb.Tables.load(spark, sf, "documents")
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val inc1 = docs.filter(col("doc_id") % 3 === 1)
+    val inc2 = docs.filter(col("doc_id") % 3 === 2 && col("doc_id") < 300)
+    val probe = docs.filter(col("doc_id") % 3 === 2 && col("doc_id") >= 300)
+    val idx = java.nio.file.Files.createTempDirectory("graft_dedupcmp").toString
+    def batchDirs(t: String): Seq[String] =
+      new java.io.File(s"$idx/$t").listFiles().toSeq
+        .filter(_.getName.startsWith("batch=")).map(_.getName)
+    def fileCount(t: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$idx/$t"))
+    }
+    try {
+      Dedup.writeDedupIndex(base, "doc_id", "text", n = 3, k = 8, bands = 4, idx)
+      Dedup.appendDedupIndex(inc1, "doc_id", "text", 3, 8, 4, idx, "b1")
+      Dedup.appendDedupIndex(inc2, "doc_id", "text", 3, 8, 4, idx, "b2")
+      assert(batchDirs("fps").toSet == Set("batch=base", "batch=b1", "batch=b2"))
+      val before = Dedup.incrementalDedupIndexed(spark, idx, probe,
+        "doc_id", "text", 3, 8, 4, 0.8).orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+      val filesBefore = fileCount("bands")
+
+      Dedup.compactDedupIndex(spark, idx)
+      for (t <- Seq("fps", "bands", "shingles"))
+        assert(batchDirs(t) == Seq("batch=base"), s"$t must fold to one batch")
+      assert(fileCount("bands") < filesBefore, "compaction must reduce file count")
+      val after = Dedup.incrementalDedupIndexed(spark, idx, probe,
+        "doc_id", "text", 3, 8, 4, 0.8).orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+      assert(after == before, "verdicts must not change across compaction")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+  }
+
   test("shard writer: partitioned dirs, budget respected, content round-trips") {
     val df = (0 until 40).map(i => (i.toLong, s"doc $i " + ("tok " * (i % 7 + 1)).trim))
       .toDF("doc_id", "text")

@@ -122,6 +122,32 @@ class ServerSpec extends SparkSpec {
     }
   }
 
+  test("POST /api/nbql: GROUP BY TAGS rides the protocol end to end") {
+    withServer() { (_, port) =>
+      assert(post(port,
+        """PUSHS req TAGGED (dc="east", host="h1") SET (value=1.0) AT 1500,
+           req TAGGED (dc="east", host="h2") SET (value=3.0) AT 1800,
+           req TAGGED (dc="west", host="h3") SET (value=10.0) AT 1600""")
+        .statusCode() == 200)
+      val q = post(port,
+        """QUERY req FROM 1000 TO 1999 AGGREGATE BY 1us (sum(value), count(*))
+           GROUP BY TAGS (dc)""")
+      assert(q.statusCode() == 200)
+      val j = json(q)
+      assert((j \ "status") == JString("ok"))
+      assert((j \ "row_count") == JInt(2))
+      val rows = (j \ "results").asInstanceOf[JArray].arr
+        .map(r => (r \ "tag_dc", r \ "sum_value", r \ "count_star")).toSet
+      assert(rows == Set((JString("east"), JDouble(4.0), JInt(2)),
+        (JString("west"), JDouble(10.0), JInt(1))))
+      // invalid combination surfaces as an executor error (500 per the
+      // server's contract: 400 is parse-level), not a wrong result
+      val bad = post(port, "QUERY req GROUP BY TAGS (dc)")
+      assert(bad.statusCode() == 500)
+      assert(bad.body().contains("GROUP BY TAGS requires AGGREGATE"))
+    }
+  }
+
   test("errors: bad JSON 400, parse error 400, wrong method 405") {
     withServer() { (_, port) =>
       val bad = client.send(HttpRequest.newBuilder(

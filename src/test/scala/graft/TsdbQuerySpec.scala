@@ -361,6 +361,39 @@ class TsdbQuerySpec extends SparkSpec {
     assert(got(0)._1 == "A" && math.abs(got(0)._2 - 1.0) < 1e-12 && got(0)._3 == 4)
   }
 
+  test("ratio: aligned buckets only, zero/missing divisor dropped, guarded division") {
+    def p(m: String, u: String, t: Long, v: Double, seq: Long) =
+      TP(m, Map("user" -> u), t, Map("value" -> FV.dv(v)), seq)
+    val rows = Seq(
+      p("a", "A", 100, 6.0, 1), p("b", "A", 150, 2.0, 2),  // bucket 0: 3.0
+      p("a", "A", 1100, 5.0, 3),                            // bucket 1: no b → drop
+      p("b", "A", 2100, 4.0, 4),                            // bucket 2: no a → drop
+      p("a", "B", 100, 9.0, 5), p("b", "B", 120, 0.0, 6))   // zero divisor → drop
+    val out = TsAnalytics.ratio(mkDf(rows), "a", "b", "user",
+      bucketNs = 1000L, startNs = 0L, endNs = 10000L)
+    val got = out.select($"tag_value", $"bucket", $"n_a", $"n_b", $"ratio")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(("A", 0L, 1L, 1L, 3.0)))
+  }
+
+  test("top-k groups: ranked by aggregate desc, deterministic ties, k-bounded") {
+    def p(u: String, t: Long, v: Double, seq: Long) =
+      TP("m", Map("user" -> u), t, Map("value" -> FV.dv(v)), seq)
+    val rows = Seq(p("A", 100, 5.0, 1), p("A", 200, 5.0, 2), // A: 10
+      p("B", 100, 12.0, 3),                                   // B: 12
+      p("C", 100, 10.0, 4),                                   // C: 10 (ties A → A first)
+      p("D", 100, 1.0, 5))                                    // D: 1, cut by k=3
+    val q = QueryParams("m", startNs = 0, endNs = Some(10000),
+      aggs = Seq(AggSpec("sum", "value")))
+    val got = TsAnalytics.topKGroups(mkDf(rows), q, Seq("user"), k = 3, by = "sum_value")
+      .select($"rank", $"tag_user", $"sum_value")
+      .as[(Int, String, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1, "B", 12.0), (2, "A", 10.0), (3, "C", 10.0)))
+    intercept[IllegalArgumentException] {
+      TsAnalytics.topKGroups(mkDf(rows), q, Seq("user"), k = 3, by = "nope")
+    }
+  }
+
   test("series cardinality: distinct series per metric window after merge") {
     val pts = mkDf(Seq(
       TP("m", Map("h" -> "1"), 100, Map("value" -> FV.dv(1.0)), 1),
