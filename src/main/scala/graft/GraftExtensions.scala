@@ -13,7 +13,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *
   * Functions: `vec_dot(a, b)`, `vec_cosine(a, b)`, `word_shingles(ws, n)`,
   * `winnow_hashes(ws, n, w)`, `compress_ratio(text)`,
-  * `tdigest_percentile(x, q[, compression])`, `heavy_hitters(x, k)`.
+  * `tdigest_percentile(x, q[, compression])`, `heavy_hitters(x, k)`,
+  * `ewma(x, alpha) OVER (…)` (running-frame window aggregate).
   */
 object GraftFunctions {
 
@@ -41,7 +42,11 @@ object GraftFunctions {
       val compression =
         if (es.length > 2) litDouble(es(2), "compression") else 100.0
       TDigestPercentileAgg(es(0), q, compression).toAggregateExpression()
-    }))
+    }),
+    // window function: `ewma(x, alpha) OVER (PARTITION BY … ORDER BY …
+    // ROWS UNBOUNDED PRECEDING)` — the analyzer adopts the function's
+    // running row frame when the OVER clause leaves it unspecified
+    "ewma" -> ((es: Seq[Expression]) => Ewma(es(0), es(1))))
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

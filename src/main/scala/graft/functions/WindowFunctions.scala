@@ -36,16 +36,20 @@ case class Ewma(child: Expression, alpha: Expression)
     if (!child.dataType.isInstanceOf[NumericType])
       TypeCheckResult.TypeCheckFailure(
         s"ewma input must be numeric, got ${child.dataType.catalogString}")
-    else if (!alpha.foldable || alpha.dataType != DoubleType)
-      TypeCheckResult.TypeCheckFailure("ewma alpha must be a foldable double")
+    else if (!alpha.foldable || !alpha.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckFailure(
+        "ewma alpha must be a foldable numeric literal")
     else {
-      val a = alpha.eval()
+      // SQL literals arrive as DECIMAL — validate through the same cast
+      // the update expressions use
+      val a = Cast(alpha, DoubleType).eval()
       if (a == null || a.asInstanceOf[Double] <= 0.0 || a.asInstanceOf[Double] > 1.0)
         TypeCheckResult.TypeCheckFailure(s"ewma alpha must be in (0, 1], got $a")
       else TypeCheckResult.TypeCheckSuccess
     }
   }
 
+  private lazy val alphaD: Expression = Cast(alpha, DoubleType)
   private lazy val v: Expression = Cast(child, DoubleType)
   private lazy val acc = AttributeReference("ewma_acc", DoubleType)()
 
@@ -54,8 +58,8 @@ case class Ewma(child: Expression, alpha: Expression)
   override lazy val updateExpressions: Seq[Expression] = Seq(
     If(IsNull(v), acc,
       If(IsNull(acc), v,
-        Add(Multiply(alpha, v),
-          Multiply(Subtract(Literal(1.0), alpha), acc)))))
+        Add(Multiply(alphaD, v),
+          Multiply(Subtract(Literal(1.0), alphaD), acc)))))
   override lazy val evaluateExpression: Expression = acc
 
   override def prettyName: String = "ewma"

@@ -123,6 +123,9 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, path: String,
       buckets: Int, bucketCol: String, sortCols: Seq[String] = Nil): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // the name is spliced into DROP TABLE SQL — keep it identifier-shaped
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"table name must be a plain identifier, got '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val w = df.write.mode("overwrite").format("parquet")

@@ -40,6 +40,25 @@ class ExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(e) // must not throw; builders validated above
   }
 
+  test("ewma as a SQL window function: recurrence over the running frame") {
+    import spark.implicits._
+    GraftFunctions.registerAll(spark)
+    Seq((0, 0L, 4.0), (0, 1L, 8.0), (0, 2L, 0.0), (1, 0L, 9.0))
+      .toDF("g", "t", "v").createOrReplaceTempView("ewma_in")
+    val got = spark.sql(
+      """SELECT g, t, ewma(v, 0.5) OVER (PARTITION BY g ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+        |FROM ewma_in ORDER BY g, t""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0, 0L, 4.0), (0, 1L, 6.0), (0, 2L, 3.0), (1, 0L, 9.0)))
+    // out-of-range alpha fails analysis, not silently
+    val err = intercept[Exception] {
+      spark.sql("""SELECT ewma(v, 1.5) OVER (PARTITION BY g ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM ewma_in""").head()
+    }
+    assert(err.getMessage.contains("alpha"))
+  }
+
   test("non-literal quantile is rejected with a clear error") {
     GraftFunctions.registerAll(spark)
     val err = intercept[Exception] {
