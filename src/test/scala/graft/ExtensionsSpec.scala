@@ -57,6 +57,18 @@ class ExtensionsSpec extends SparkSpec {
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM ewma_in""").head()
     }
     assert(err.getMessage.contains("alpha"))
+
+    // null inputs carry the previous smoothed value (LOCF of the line);
+    // a leading null stays null until the first observation seeds
+    Seq((0L, Some(4.0)), (1L, None), (2L, Some(8.0)), (3L, None))
+      .toDF("t", "v").createOrReplaceTempView("ewma_nulls")
+    val withNulls = spark.sql(
+      """SELECT t, ewma(v, 0.5) OVER (ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+        |FROM ewma_nulls ORDER BY t""".stripMargin)
+      .collect().map(r => (r.getLong(0), Option(r.get(1))))
+    assert(withNulls.toSeq == Seq(
+      (0L, Some(4.0)), (1L, Some(4.0)), (2L, Some(6.0)), (3L, Some(6.0))))
   }
 
   test("non-literal quantile is rejected with a clear error") {

@@ -149,6 +149,39 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("group-by-tags == reference model merge across hosts, any grouping") {
+    // the tag-grouped operator against the same in-memory model the
+    // per-series paths are checked with: collapse-all (Nil) and by-host
+    // grouping, random duplicate versions included
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(genPoint), Gen.choose(1L, 5L),
+        Gen.oneOf(true, false)) {
+      (rawPts: List[MPoint], interval: Long, byHost: Boolean) =>
+      val pts = rawPts.zipWithIndex.map { case (p, i) => p.copy(seq = i.toLong) }
+      val latest = pts.groupBy(p => (p.metric, p.host, p.ts))
+        .map { case (_, vs) => vs.maxBy(_.seq) }.toSeq
+      val lo = 0L; val hi = 16L
+      val lastW = ((hi - 1) / interval) * interval
+      val keyOf: MPoint => String = if (byHost) _.host else _ => "*"
+      val expected = latest
+        .filter(p => p.metric == "m1" && p.ts >= lo && p.ts <= hi)
+        .groupBy(p => (keyOf(p), p.ts - p.ts % interval))
+        .collect { case ((g, w), vs) if w <= lastW =>
+          (g, w, vs.map(_.v).sum, vs.size.toLong) }
+        .toSeq.sorted
+      val q = QueryParams("m1", startNs = lo, endNs = Some(hi),
+        downsampleNs = Some(interval),
+        aggs = Seq(AggSpec("sum", "v"), AggSpec("count", "*")))
+      val keys = if (byHost) Seq("host") else Nil
+      val out = TsAnalytics.aggregateByTags(toDf(pts), q, keys)
+      val got =
+        (if (byHost) out.select($"tag_host", $"window_start", $"sum_v", $"count_star")
+         else out.select(org.apache.spark.sql.functions.lit("*"),
+           $"window_start", $"sum_v", $"count_star"))
+        .as[(String, Long, Double, Long)].collect().toSeq.sorted
+      got == expected
+    })
+  }
+
   test("shard assign == naive global cumsum for any ids/weights/width") {
     import org.apache.spark.sql.functions.col
     val genRows: Gen[List[(Long, Long)]] = Gen.listOfN(30,
