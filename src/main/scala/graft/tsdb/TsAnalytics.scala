@@ -116,9 +116,16 @@ object TsAnalytics {
       .withColumn("__nt", lead(col("timestamp"), 1).over(w))
       .withColumn("__w",
         (least(coalesce(col("__nt"), wEnd), wEnd) - col("timestamp")).cast("double"))
-      .groupBy(col("metric"), col("tags"), col("series_key"), col("window_start"))
-      .agg((sum(col("__v") * col("__w")) / sum(col("__w"))).as("twa"),
+      // series_key determines (metric, tags): group on it and carry the
+      // others with first() — grouping on a map-typed key would force the
+      // aggregate off hash-based evaluation (same pattern as the engine's
+      // downsample)
+      .groupBy(col("series_key"), col("window_start"))
+      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"),
+        (sum(col("__v") * col("__w")) / sum(col("__w"))).as("twa"),
         count(lit(1)).as("n_points"))
+      .select(col("metric"), col("tags"), col("series_key"), col("window_start"),
+        col("twa"), col("n_points"))
       .orderBy(col("series_key"), col("window_start"))
   }
 
