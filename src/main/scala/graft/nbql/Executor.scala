@@ -121,7 +121,8 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
       // budget-truncated results transparently stream the full plan.
       // Tag-grouped queries bypass the per-series serving tiers entirely.
       q.groupByTags match {
-        case Some(keys) => Right(Rows(engine.queryByTags(params, keys), noCursor))
+        case Some(keys) =>
+          Right(Rows(engine.queryByTagsServingDF(params, keys), noCursor))
         case None => Right(Rows(engine.queryServingDF(params), cursorOf))
       }
 

@@ -83,6 +83,24 @@ object LocalRollup {
     val interval = p.downsampleNs.get
     val endNs = p.endNs.get
     val iSk = schema.fieldIndex("series_key")
+    // windowBounds: aligned may precede startNs when interval > rollup's
+    val aligned = startAligned(p, interval)
+    val lastW = if (endNs <= aligned) aligned
+                else aligned + ((endNs - 1 - aligned) / interval) * interval
+    val groups = accumulate(rows, schema, p, interval, lastW,
+      r => r.getString(iSk))
+    runShaped(groups, p, interval, aligned, lastW)
+  }
+
+  /** Shared accumulation: filter (metric/tags/window range) and fold
+    * partial rows into per-(key, target window) [[GroupState]]s. The key
+    * extractor is the only difference between per-series serving
+    * ([[run]] — series_key) and tag-grouped serving ([[runByTags]] —
+    * the tag-value tuple). */
+  private def accumulate(rows: Array[Row], schema: StructType,
+      p: QueryParams, interval: Long, lastW: Long, keyOf: Row => AnyRef):
+      scala.collection.mutable.HashMap[(AnyRef, Long), GroupState] = {
+    val endNs = p.endNs.get
     val iWs = schema.fieldIndex("window_start")
     val iMetric = schema.fieldIndex("metric")
     val iTags = schema.fieldIndex("tags")
@@ -98,13 +116,7 @@ object LocalRollup {
         if (digestFields.contains(f)) schema.fieldIndex(s"${f}__tdigest") else -1)
     }.toMap
 
-    // windowBounds: aligned may precede startNs when interval > rollup's
-    val aligned = startAligned(p, interval)
-    val lastW = if (endNs <= aligned) aligned
-                else aligned + ((endNs - 1 - aligned) / interval) * interval
-
-    // filter (metric/tags/window range) + group on (series, target window)
-    val groups = scala.collection.mutable.HashMap.empty[(String, Long), GroupState]
+    val groups = scala.collection.mutable.HashMap.empty[(AnyRef, Long), GroupState]
     var ri = 0
     while (ri < rows.length) {
       val r = rows(ri); ri += 1
@@ -113,7 +125,7 @@ object LocalRollup {
         if (ws >= p.startNs && ws <= endNs) {
           val target = ws - java.lang.Math.floorMod(ws, interval)
           if (target <= lastW && tagsMatch(r, iTags, p)) {
-            val g = groups.getOrElseUpdate((r.getString(iSk), target),
+            val g = groups.getOrElseUpdate((keyOf(r), target),
               new GroupState(r.getString(iMetric), r.get(iTags)))
             g.cntStar += r.getLong(iStar)
             fieldIdx.foreach { case (f, ix) =>
@@ -151,8 +163,21 @@ object LocalRollup {
       }
     }
 
-    // finalize each group to its agg values (reAgg mirror)
-    def finalized(g: GroupState): Seq[Any] = p.aggs.map { s =>
+    groups
+  }
+
+  /** Finalize + shape (fill / order / cursor / limit) — the back half of
+    * the per-series serving path. */
+  private def runShaped(
+      groups: scala.collection.mutable.HashMap[(AnyRef, Long), GroupState],
+      p: QueryParams, interval: Long, aligned: Long, lastW: Long): Array[Row] = {
+    def finalized(g: GroupState): Seq[Any] = finalizeGroup(g, p)
+    shapeEmitted(groups, finalized, p, interval, aligned, lastW)
+  }
+
+  /** reAgg mirror shared by the per-series and tag-grouped paths. */
+  private def finalizeGroup(g: GroupState, p: QueryParams): Seq[Any] =
+    p.aggs.map { s =>
       val st = if (s.field == "*") null else g.fields(s.field)
       s.func match {
         case "count" if s.field == "*" => g.cntStar
@@ -185,6 +210,12 @@ object LocalRollup {
       }
     }
 
+  /** Emission + empty-window fill + presentation order + cursor + limit
+    * (the per-series serving shapes). */
+  private def shapeEmitted(
+      groups: scala.collection.mutable.HashMap[(AnyRef, Long), GroupState],
+      finalized: GroupState => Seq[Any], p: QueryParams,
+      interval: Long, aligned: Long, lastW: Long): Array[Row] = {
     val emitted: Iterator[Row] =
       if (!p.emitsWindows)
         groups.iterator.map { case ((sk, w), g) =>
@@ -193,7 +224,7 @@ object LocalRollup {
       else {
         // series drawn from the filled groups (shapeDownsampled passes the
         // AGGREGATED frame as seriesSource on the rollup path)
-        val series = scala.collection.mutable.LinkedHashMap.empty[String, (String, Any)]
+        val series = scala.collection.mutable.LinkedHashMap.empty[AnyRef, (String, Any)]
         groups.foreach { case ((sk, _), g) =>
           if (!series.contains(sk)) series.put(sk, (g.metric, g.tags))
         }
@@ -260,6 +291,71 @@ object LocalRollup {
     }
     p.limit.foreach(n => out = out.take(n.toInt))
     out
+  }
+
+  /** Output schema of [[runByTags]] — matches [[Rollup.runByTags]]. */
+  def outputSchemaByTags(p: QueryParams, tagKeys: Seq[String]): StructType =
+    StructType(
+      (StructField("metric", StringType) +:
+        tagKeys.map(k => StructField(s"tag_$k", StringType))) ++
+      Seq(StructField("window_start", LongType),
+        StructField("window_end", LongType)) ++
+      p.aggs.map(s => StructField(s.outputName,
+        if (s.func == "count") LongType else DoubleType)))
+
+  /** Driver-resident mirror of [[Rollup.runByTags]]: tag-grouped
+    * downsample re-aggregated from collected partials in pure Scala —
+    * same group key (tag-value tuple × target window), same reAgg
+    * semantics via the shared [[accumulate]]/finalize fold, same
+    * (window ±, tag values asc nulls-first) presentation order and
+    * LIMIT. The per-series fill/cursor shapes don't exist on this path
+    * (rejected upstream). */
+  def runByTags(rows: Array[Row], schema: StructType, p: QueryParams,
+      rollupIntervalNs: Long, tagKeys: Seq[String]): Array[Row] = {
+    require(p.fill == FillNone && !p.emitEmptyWindows && p.afterKey.isEmpty,
+      "per-series shapes don't apply to GROUP BY TAGS")
+    val interval = p.downsampleNs.get
+    val endNs = p.endNs.get
+    val iTags = schema.fieldIndex("tags")
+    val aligned = startAligned(p, interval)
+    val lastW = if (endNs <= aligned) aligned
+                else aligned + ((endNs - 1 - aligned) / interval) * interval
+    def tagTuple(r: Row): AnyRef = {
+      val tg =
+        if (r.isNullAt(iTags)) null
+        else r.getAs[scala.collection.Map[String, String]](iTags)
+      tagKeys.map(k => if (tg == null) null else tg.get(k).orNull).toVector
+    }
+    val groups = accumulate(rows, schema, p, interval, lastW, tagTuple)
+
+    val out = groups.iterator.map { case ((key, w), g) =>
+      val tags = key.asInstanceOf[Vector[String]]
+      Row.fromSeq((p.metric +: tags) ++ Seq(w, w + interval) ++
+        finalizeGroup(g, p))
+    }.toArray
+
+    // window (query order) then tag values asc, nulls first, UTF-8 bytes
+    // — the Spark path's orderBy on the same columns
+    val nullFirst: Ordering[String] = (a: String, b: String) =>
+      if (a == null && b == null) 0
+      else if (a == null) -1
+      else if (b == null) 1
+      else Utf8Order.compare(a, b)
+    val rowOrd: Ordering[Row] = (x: Row, y: Row) => {
+      val wc = java.lang.Long.compare(x.getLong(1 + tagKeys.length),
+        y.getLong(1 + tagKeys.length))
+      val wd = if (p.order == Descending) -wc else wc
+      if (wd != 0) wd
+      else {
+        var i = 0; var c = 0
+        while (i < tagKeys.length && c == 0) {
+          c = nullFirst.compare(x.getString(1 + i), y.getString(1 + i)); i += 1
+        }
+        c
+      }
+    }
+    val sorted = out.sorted(rowOrd)
+    p.limit.fold(sorted)(n => sorted.take(n.toInt))
   }
 
   private def startAligned(p: QueryParams, interval: Long): Long =

@@ -313,15 +313,43 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * (row-identical, spec-asserted). */
   def queryByTags(params: QueryParams, tagKeys: Seq[String]): DataFrame = {
     val spec = rollupSpecs.get(params.metric)
-    if (spec != null &&
-        Rollup.supports(params, spec.intervalNs, spec.fields.toSet, spec.digests) &&
-        params.fill == FillNone && !params.emitEmptyWindows && params.afterKey.isEmpty)
+    if (spec != null && byTagsRollupEligible(params, spec))
       Rollup.runByTags(rollupView(params.metric, spec), spec.intervalNs,
         params, tagKeys)
     else {
       val pts = loadPoints().getOrElse(TsdbEngine.emptyPoints(spark))
       TsAnalytics.aggregateByTags(pts, params, tagKeys, loadTombstones())
     }
+  }
+
+  private def byTagsRollupEligible(params: QueryParams, spec: RollupReg): Boolean =
+    Rollup.supports(params, spec.intervalNs, spec.fields.toSet, spec.digests) &&
+      params.fill == FillNone && !params.emitEmptyWindows && params.afterKey.isEmpty
+
+  /** Serving-tier [[queryByTags]]: when a registered rollup covers the
+    * shape AND its partial frame is driver-resident, the tag-grouped
+    * re-aggregation runs in pure Scala ([[LocalRollup.runByTags]] — no
+    * Spark job, no per-query planning floor; a repeated `sum by (dc)`
+    * dashboard query costs microseconds) and the result is returned as a
+    * LocalRelation so the protocol servers keep their streaming seams.
+    * Anything else falls to the Spark path. */
+  def queryByTagsServingDF(params: QueryParams, tagKeys: Seq[String]): DataFrame = {
+    val spec = rollupSpecs.get(params.metric)
+    val local =
+      if (spec != null && byTagsRollupEligible(params, spec))
+        localRollupRows(params.metric, spec).map { case (rows, ws, sch) =>
+          val lo = lowerBound(ws, params.startNs)
+          val hi = math.max(lo, upperBound(ws, params.endNs.get))
+          val slice = java.util.Arrays.copyOfRange(
+            rows.asInstanceOf[Array[AnyRef]], lo, hi).asInstanceOf[Array[Row]]
+          lastServePath = "local-rollup-tags"
+          spark.createDataFrame(
+            java.util.Arrays.asList(
+              LocalRollup.runByTags(slice, sch, params, spec.intervalNs, tagKeys): _*),
+            LocalRollup.outputSchemaByTags(params, tagKeys))
+        }
+      else None
+    local.getOrElse { lastServePath = "spark"; queryByTags(params, tagKeys) }
   }
 
   private def queryImpl(params: QueryParams, routed: Boolean): DataFrame = {

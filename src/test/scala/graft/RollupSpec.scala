@@ -307,6 +307,22 @@ class RollupSpec extends SparkSpec {
       // new data invalidates: routed answer refreshes
       eng.putBatch(Seq(dp("h3", "east", 30, 999.0)))
       assert(rows(eng.queryByTags(query, Seq("dc"))) != truth)
+
+      // DRIVER tier: resident partials re-aggregate in pure Scala,
+      // row-identical to the Spark rollup path, no scan in the plan
+      val sparkPath = rows(eng.queryByTags(query, Seq("dc")))
+      val served = eng.queryByTagsServingDF(query, Seq("dc"))
+      assert(eng.lastServePath == "local-rollup-tags", eng.lastServePath)
+      assert(rows(served) == sparkPath)
+      assert(!served.queryExecution.executedPlan.toString.contains("FileScan"),
+        "driver tier must serve from a LocalRelation")
+      // collapse-all through the same tier
+      val allServed = eng.queryByTagsServingDF(query, Nil)
+      assert(eng.lastServePath == "local-rollup-tags")
+      assert(rows(allServed) == rows(eng.queryByTags(query, Nil)))
+      // ineligible shape (misaligned end) falls to Spark
+      eng.queryByTagsServingDF(query.copy(endNs = Some(2 * Hr)), Seq("dc")).collect()
+      assert(eng.lastServePath == "spark")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
