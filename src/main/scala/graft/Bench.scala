@@ -104,8 +104,9 @@ object Bench {
     // A serving-tier failure must degrade to zeros + an `errors` entry —
     // never abort the run: the battery numbers above are already paid
     // for, and the driver's JSON line is the round's only bench record.
-    val (ingestRps, qpsCold, qpsCached, qpsDsRaw, qpsDsRollup) =
-      if (skipServing) (0.0, 0.0, 0.0, 0.0, 0.0) else try {
+    val (ingestRps, qpsCold, qpsCached, qpsDsRaw, qpsDsRollup,
+      qpsGbtRaw, qpsGbtRouted) =
+      if (skipServing) (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0) else try {
       val pts = graft.tsdb.Tables.eventsAsPoints(spark, sfDir).cache()
       val nRows = pts.count()
       // steady-state: warm the write path (codegen, parquet committer,
@@ -184,13 +185,33 @@ object Bench {
       val t4 = System.nanoTime()
       (0 until nDsR).foreach(i => engine.queryCached(dq(100 + i)))
       val routedDsSec = (System.nanoTime() - t4) / 1e9
+      // tag-grouped serving: the same downsample shapes collapsed across
+      // series (GROUP BY TAGS ()) through the driver partial tier vs the
+      // raw Spark operator
+      def gq(i: Int) = dq(i)
+      val pts0 = engine.loadPoints().get
+      graft.tsdb.TsAnalytics.aggregateByTags(pts0, gq(200), Nil).count() // warm raw path
+      val nGbtRaw = 5
+      val t5 = System.nanoTime()
+      (0 until nGbtRaw).foreach { i =>
+        val pts = engine.loadPoints().get
+        graft.tsdb.TsAnalytics.aggregateByTags(pts, gq(200 + i), Nil).count()
+      }
+      val gbtRawSec = (System.nanoTime() - t5) / 1e9
+      (250 until 254).foreach(i => engine.queryByTagsServingDF(gq(i), Nil).count())
+      val nGbtR = 30
+      val t6 = System.nanoTime()
+      (0 until nGbtR).foreach(i =>
+        engine.queryByTagsServingDF(gq(300 + i), Nil).count())
+      val gbtRoutedSec = (System.nanoTime() - t6) / 1e9
       (nRows / ingestSec, nCold / coldSec, nCached / cachedSec,
-        nDs / rawDsSec, nDsR / routedDsSec)
+        nDs / rawDsSec, nDsR / routedDsSec,
+        nGbtRaw / gbtRawSec, nGbtR / gbtRoutedSec)
     } catch { case e: Throwable =>
       errors.getOrElseUpdate("serving_tier",
         e.getClass.getSimpleName + ": " +
           String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
-      (0.0, 0.0, 0.0, 0.0, 0.0)
+      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp)); ()
     }
@@ -206,6 +227,7 @@ object Bench {
       s""""ingest_rows_per_sec":$ingestRps,"query_qps_cold":$qpsCold,""" +
       s""""query_qps_cached":$qpsCached,""" +
       s""""qps_downsample_raw":$qpsDsRaw,"qps_downsample_rollup":$qpsDsRollup,""" +
+      s""""qps_groupby_raw":$qpsGbtRaw,"qps_groupby_rollup":$qpsGbtRouted,""" +
       s""""n_errors":${errors.size},"errors":$errJson,""" +
       s""""n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
