@@ -46,7 +46,9 @@ object GraftFunctions {
     // window function: `ewma(x, alpha) OVER (PARTITION BY … ORDER BY …
     // ROWS UNBOUNDED PRECEDING)` — the analyzer adopts the function's
     // running row frame when the OVER clause leaves it unspecified
-    "ewma" -> ((es: Seq[Expression]) => Ewma(es(0), es(1))))
+    "ewma" -> ((es: Seq[Expression]) => Ewma(es(0), es(1))),
+    // `holt_trend(x, alpha, beta) OVER (…)` → struct(level, trend)
+    "holt_trend" -> ((es: Seq[Expression]) => HoltTrend(es(0), es(1), es(2))))
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -803,6 +803,18 @@ object Queries {
       .orderBy("user", "timestamp")
   }
 
+  /** Per-series Holt linear-trend smoothing (α=0.5, β=0.25 — exact
+    * dyadic doubles). Like ts_ewma, the oracle replays the IDENTICAL
+    * two-term fold with list_reduce over [level, trend] pairs, so the
+    * battery hashes UNROUNDED doubles. */
+  def tsHolt(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("error", startNs = 0L, endNs = Some(FarFuture))
+    TsAnalytics.holtSmooth(pts(s, dir), q, alpha = 0.5, beta = 0.25)
+      .select(userCol, tsUs, col("value"), col("level"), col("trend"),
+        col("forecast"))
+      .orderBy("user", "timestamp")
+  }
+
   /** Cross-metric correlation: click vs view behaviour per user on daily
     * buckets — one scan of both metrics, conditional-aggregation pivot,
     * Pearson r over paired buckets (≥5 pairs; hourly buckets would pair

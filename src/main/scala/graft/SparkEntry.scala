@@ -85,6 +85,7 @@ object SparkEntry {
     "ts_twa" -> (Queries.tsTwa _),
     "ts_cumsum" -> (Queries.tsCumsum _),
     "ts_ewma" -> (Queries.tsEwma _),
+    "ts_holt" -> (Queries.tsHolt _),
     "ts_correlate" -> (Queries.tsCorrelate _),
     "ts_cardinality" -> (Queries.tsCardinality _),
     "ts_ratio" -> (Queries.tsRatio _),
@@ -865,6 +866,26 @@ object SparkEntry {
         |SELECT s.u AS "user", s.t AS "timestamp", s.value,
         |  list_reduce(g.vs[1:s.rn], (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
         |FROM s JOIN g ON s.u = g.u
+        |ORDER BY 1, 2""".stripMargin,
+    "ts_holt" ->
+      // same replay-the-fold technique as ts_ewma, with a two-term
+      // accumulator: [level, trend] pairs fold left in the identical IEEE
+      // order (dyadic alpha/beta), so all three doubles hash UNROUNDED
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events WHERE event_type = 'error'),
+        |g AS (SELECT u, list([value, CAST(0 AS DOUBLE)] ORDER BY t) AS vs
+        |      FROM s GROUP BY u)
+        |SELECT q.u AS "user", q.t AS "timestamp", q.value,
+        |  q.h[1] AS level, q.h[2] AS trend, q.h[1] + q.h[2] AS forecast
+        |FROM (
+        |  SELECT s.u, s.t, s.value,
+        |    list_reduce(g.vs[1:s.rn], (acc, e) ->
+        |      [0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+        |       0.25 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+        |         + 0.75 * acc[2]]) AS h
+        |  FROM s JOIN g ON s.u = g.u) q
         |ORDER BY 1, 2""".stripMargin,
     "ts_correlate" ->
       """WITH s AS (

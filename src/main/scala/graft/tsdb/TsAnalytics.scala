@@ -164,6 +164,24 @@ object TsAnalytics {
       .orderBy(col("series_key"), col("timestamp"))
   }
 
+  /** Per-series Holt linear-trend smoothing via the native
+    * [[graft.functions.HoltTrend]] window aggregate: level + trend per
+    * point, one-step forecast = level + trend. Same single-exchange plan
+    * as [[ewmaSmooth]]. */
+  def holtSmooth(points: DataFrame, p: QueryParams, alpha: Double,
+      beta: Double, field: String = "value",
+      tombstones: Seq[Tombstone] = Nil): DataFrame = {
+    val df = slice(points, p, field, tombstones).filter(col("__v").isNotNull)
+    df.withColumn("__h", graft.functions.WindowFunctions.holtTrend(col("__v"),
+        alpha, beta, partitionBy = Seq(col("series_key")),
+        orderBy = Seq(col("timestamp"))))
+      .select(col("metric"), col("tags"), col("series_key"), col("timestamp"),
+        col("__v").as("value"), col("__h.level").as("level"),
+        col("__h.trend").as("trend"),
+        (col("__h.level") + col("__h.trend")).as("forecast"))
+      .orderBy(col("series_key"), col("timestamp"))
+  }
+
   /** Cross-metric Pearson correlation: align metric A and B per tag value
     * on tumbling buckets (per-bucket avg), then correlate the paired
     * bucket series. ONE scan reads both metrics (`metric IN (a, b)`) —

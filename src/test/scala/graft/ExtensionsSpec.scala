@@ -71,6 +71,20 @@ class ExtensionsSpec extends SparkSpec {
       (0L, Some(4.0)), (1L, Some(4.0)), (2L, Some(6.0)), (3L, Some(6.0))))
   }
 
+  test("holt_trend as a SQL window function: struct(level, trend) per row") {
+    import spark.implicits._
+    GraftFunctions.registerAll(spark)
+    Seq((0L, 4.0), (1L, 8.0), (2L, 12.0)).toDF("t", "v")
+      .createOrReplaceTempView("holt_in")
+    val got = spark.sql(
+      """SELECT t, h.level AS l, h.trend AS b FROM (
+        |  SELECT t, holt_trend(v, 0.5, 0.5) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+        |  FROM holt_in) ORDER BY t""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0L, 4.0, 0.0), (1L, 6.0, 1.0), (2L, 9.5, 2.25)))
+  }
+
   test("non-literal quantile is rejected with a clear error") {
     GraftFunctions.registerAll(spark)
     val err = intercept[Exception] {

@@ -337,6 +337,24 @@ class TsdbQuerySpec extends SparkSpec {
     assert(got(3) == (("2", 150L, 9.0))) // fresh seed per series
   }
 
+  test("holt trend: seeded level, zero initial trend, exact dyadic recurrence") {
+    val pts = mkDf(Seq(
+      TP("m", Map("h" -> "1"), 100, Map("value" -> FV.dv(4.0)), 1),
+      TP("m", Map("h" -> "1"), 200, Map("value" -> FV.dv(8.0)), 2),
+      TP("m", Map("h" -> "1"), 300, Map("value" -> FV.dv(12.0)), 3),
+      TP("m", Map("h" -> "2"), 150, Map("value" -> FV.dv(5.0)), 4)))
+    val out = TsAnalytics.holtSmooth(pts, QueryParams("m", endNs = Some(10000)),
+      alpha = 0.5, beta = 0.5)
+    val got = out.select($"tags"("h"), $"timestamp", $"level", $"trend", $"forecast")
+      .as[(String, Long, Double, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    // t1: l=4, b=0; t2: l=.5*8+.5*4=6, b=.5*2+0=1; t3: l=.5*12+.5*7=9.5,
+    // b=.5*3.5+.5*1=2.25 — all exact dyadic
+    assert(got(0) == (("1", 100L, 4.0, 0.0, 4.0)))
+    assert(got(1) == (("1", 200L, 6.0, 1.0, 7.0)))
+    assert(got(2) == (("1", 300L, 9.5, 2.25, 11.75)))
+    assert(got(3) == (("2", 150L, 5.0, 0.0, 5.0))) // fresh seed per series
+  }
+
   test("correlate: pairs only co-observed buckets, gates on minBuckets and variance") {
     // user A: y = 2x across 4 buckets → r = 1; user B: constant second
     // metric → zero variance → NaN corr → dropped; user C: only 2 paired
