@@ -14,7 +14,8 @@ object ProbeTs {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = Seq("ts_rate", "ts_anomaly", "ts_twa", "ts_cumsum", "ts_ewma",
-      "ts_correlate", "ts_cardinality", "tsdb_groupby_tag",
+      "ts_holt", "ts_ratio", "ts_topk_series", "ts_correlate",
+      "ts_cardinality", "tsdb_groupby_tag",
       "tsdb_fill_previous", "tsdb_fill_linear", "zorder_scan")
     for (name <- names) {
       val ts = (0 until 3).map { _ =>

@@ -60,6 +60,11 @@ case object ShowMetricsStatement extends ShowStatement
 final case class ShowTagKeysStatement(metric: String) extends ShowStatement
 final case class ShowTagValuesStatement(metric: Option[String], key: String)
   extends ShowStatement
+/** `SHOW CARDINALITY [FROM m] [BY dur]` — distinct active series (and
+  * point volume) per metric, windowed when `BY` is given (extension;
+  * the tabular view of the reference's cardinality-alerter signal). */
+final case class ShowCardinalityStatement(metric: Option[String],
+    byNs: Option[Long]) extends ShowStatement
 
 /** `CREATE ROLLUP <metric> BY <interval> (field, ...) [WITH DIGESTS]` —
   * engine extension with no reference analog: registers materialized

@@ -136,6 +136,9 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
     case ShowMetricsStatement => Right(Rows(engine.showMetrics(), noCursor))
     case ShowTagKeysStatement(m) => Right(Rows(engine.showTagKeys(m), noCursor))
     case ShowTagValuesStatement(m, k) => Right(Rows(engine.showTagValues(m, k), noCursor))
+    case ShowCardinalityStatement(m, by) =>
+      if (by.exists(_ <= 0)) Left("cardinality window must be positive")
+      else Right(Rows(engine.showCardinality(m, by), noCursor))
 
     case CreateRollupStatement(m, i, fs, dig) =>
       if (i <= 0) Left("rollup interval must be positive")

@@ -131,6 +131,10 @@ object NbqlParser extends RegexParsers {
 
   private val show: Parser[Statement] =
     kw("SHOW") ~> kw("METRICS") ^^^ ShowMetricsStatement |
+    kw("SHOW") ~> kw("CARDINALITY") ~> opt(kw("FROM") ~> name) ~
+      opt(kw("BY") ~> duration) ^^ {
+      case m ~ d => ShowCardinalityStatement(m, d)
+    } |
     kw("SHOW") ~> kw("TAG") ~> kw("KEYS") ~> kw("FROM") ~> name ^^ ShowTagKeysStatement |
     kw("SHOW") ~> kw("TAG") ~> kw("VALUES") ~> opt(kw("FROM") ~> name) ~
       (kw("WITH") ~> kw("KEY") ~> "=" ~> name) ^^ {

@@ -1169,6 +1169,19 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       .distinct().orderBy("tag_value")
   }
 
+  /** `SHOW CARDINALITY [FROM m] [BY dur]` (I-series extension): distinct
+    * active series + point volume per metric, windowed when `windowNs`
+    * is given — [[TsAnalytics.seriesCardinality]] over this engine's
+    * merged storage. Without a window every point folds into the single
+    * epoch-anchored window 0. */
+  def showCardinality(metric: Option[String],
+      windowNs: Option[Long]): DataFrame = {
+    val pts0 = loadPoints().getOrElse(TsdbEngine.emptyPoints(spark))
+    val pts = metric.fold(pts0)(m => pts0.filter(col("metric") === m))
+    TsAnalytics.seriesCardinality(pts, windowNs.getOrElse(Long.MaxValue / 4),
+      startNs = 0L, endNs = Long.MaxValue / 2, tombstones = loadTombstones())
+  }
+
   def getSeriesByTags(metric: String, tags: Map[String, String]): DataFrame = {
     var df = loadPoints().getOrElse(emptyPoints(spark))
       .filter(col("metric") === metric)

@@ -143,6 +143,26 @@ class NbqlExecutorSpec extends SparkSpec {
     }
   }
 
+  test("SHOW CARDINALITY: per-metric distinct series, windowed and whole-range") {
+    withEngine { (_, ex) =>
+      for ((m, h, t) <- Seq(("cpu", "a", 100L), ("cpu", "b", 150L),
+          ("cpu", "a", 1100L), ("mem", "a", 120L)))
+        assert(ex.execute(
+          s"""PUSH $m TAGGED (host="$h") SET (value=1.0) AT $t""").isRight)
+      // whole-range: one row per metric
+      val all = rows(ex, "SHOW CARDINALITY")
+        .map(r => r.getAs[String]("metric") ->
+          (r.getAs[Long]("n_series"), r.getAs[Long]("n_points"))).toMap
+      assert(all == Map("cpu" -> ((2L, 3L)), "mem" -> ((1L, 1L))))
+      // windowed + metric-scoped
+      val win = rows(ex, "SHOW CARDINALITY FROM cpu BY 1us")
+        .map(r => r.getAs[Long]("window_start") ->
+          (r.getAs[Long]("n_series"), r.getAs[Long]("n_points"))).toMap
+      assert(win == Map(0L -> ((2L, 2L)), 1000L -> ((1L, 1L))))
+      assert(ex.execute("SHOW CARDINALITY BY 0ns").isLeft)
+    }
+  }
+
   test("GROUP BY TAGS end-to-end: cross-series windows, collapse, validations") {
     withEngine { (_, ex) =>
       for ((dc, host, v) <- Seq(("east", "h1", 1.0), ("east", "h2", 3.0),
