@@ -36,6 +36,60 @@ object StreamingAnomaly {
   /** Trailing ring, oldest first, capped at lookback. */
   case class Ring(vals: Vector[Double])
 
+  case class Smoothed(series_key: String, ts: Timestamp, value: Double,
+      level: Double, trend: Double, forecast: Double)
+
+  /** Holt level/trend state per live series. */
+  case class LT(level: Double, trend: Double)
+
+  /** Streaming Holt linear-trend smoothing — the streaming twin of
+    * [[graft.tsdb.TsAnalytics.holtSmooth]]. State per live series is TWO
+    * doubles (level, trend) — the smallest possible stateful-stream
+    * footprint, bounded by live series alone — with the same event-time
+    * idle expiry as [[score]]. Contract parity with the batch operator
+    * for in-order feeds: identical recurrence
+    * (`l' = α·v + (1−α)(l+b)`, `b' = β(l'−l) + (1−β)b`, seeded l=v, b=0),
+    * identical IEEE order, so values match bit-for-bit. */
+  def smooth(points: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, alpha: Double, beta: Double,
+      lateness: String = "10 minutes",
+      idleExpiry: String = "1 hour"): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta > 0 && beta <= 1,
+      s"alpha/beta must be in (0, 1], got $alpha/$beta")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val ds = points
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("t"),
+        col(valueCol).cast("double").as("v"))
+      .withWatermark("t", lateness)
+      .as[(String, Timestamp, Double)]
+    implicit val ltEnc = Encoders.product[LT]
+    implicit val outEnc = Encoders.product[Smoothed]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[LT, Smoothed](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, Timestamp, Double)],
+            state: GroupState[LT]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.orNull
+            val batch = rows.toIndexedSeq.sortBy(_._2.getTime)
+            val out = batch.map { case (_, t, v) =>
+              st =
+                if (st == null) LT(v, 0.0)
+                else {
+                  val nl = alpha * v + (1 - alpha) * (st.level + st.trend)
+                  LT(nl, beta * (nl - st.level) + (1 - beta) * st.trend)
+                }
+              Smoothed(key, t, v, st.level, st.trend, st.level + st.trend)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(batch.last._2.getTime, idleExpiry)
+            out.iterator
+          }
+      }.toDF()
+  }
+
   /** `points` must carry (`keyCol`: string, `tsCol`: TimestampType event
     * time, `valueCol`: numeric). Emits one [[Scored]] row per input
     * point in Append mode. */

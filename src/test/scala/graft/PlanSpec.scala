@@ -323,6 +323,10 @@ class PlanSpec extends SparkSpec {
     val rate = plan("ts_rate")
     assert(countIn(rate, "Exchange hashpartitioning") == 1, rate)
 
+    val holt = plan("ts_holt")
+    assert(countIn(holt, "Exchange hashpartitioning") == 1, holt)
+    assert(holt.contains("holt_trend"), "native window function in the plan")
+
     // group-by-tags: engine exchange + partial-agg regroup, nothing more
     val gbt = plan("tsdb_groupby_tag")
     assert(countIn(gbt, "Exchange hashpartitioning") <= 2, gbt)

@@ -452,6 +452,45 @@ class StreamingSpec extends SparkSpec {
     assert(got(("a", 9000L))._3, "spike must flag")
   }
 
+  test("streaming holt smoothing: bit-for-bit parity with the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val S = 1000L
+    val feed = (0 until 9).map(i => ("a", (i + 1) * S, math.sin(i) * 10 + i)) ++
+      Seq(("b", 2 * S, 5.0), ("b", 3 * S, 7.5))
+    val mem = MemoryStream[(String, Long, Double)]
+    val pts = mem.toDF().toDF("k", "ms", "v")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = StreamingAnomaly.smooth(pts, "k", "ts", "v",
+      alpha = 0.5, beta = 0.25)
+    val q = out.writeStream.format("memory").queryName("holtstream")
+      .outputMode("append").start()
+    try {
+      // level/trend state must carry across the micro-batch split
+      mem.addData(feed.take(6): _*)
+      q.processAllAvailable()
+      mem.addData(feed.drop(6): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("holtstream")
+      .select(col("series_key"), col("ts").cast("long") * 1000,
+        col("level"), col("trend"), col("forecast"))
+      .as[(String, Long, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+
+    val batchPts = feed.map { case (k, ms, v) =>
+      TP("m", Map("h" -> k), ms * 1000000L, Map("value" -> FV.dv(v)), ms)
+    }
+    val want = TsAnalytics.holtSmooth(batchPts.toDF(),
+        QueryParams("m", endNs = Some(Long.MaxValue / 2)),
+        alpha = 0.5, beta = 0.25)
+      .select(col("tags")("h"), col("timestamp") / 1000000L cast "long",
+        col("level"), col("trend"), col("forecast"))
+      .as[(String, Long, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+
+    assert(got == want, "streaming fold must match the batch window bit-for-bit")
+  }
+
   test("cardinality summary: sketch serve matches exact counts; unions merge") {
     val pts = (0 until 40).flatMap { i =>
       Seq(TP("m", Map("h" -> s"h$i"), i * 100L, Map("value" -> FV.dv(1.0)), i.toLong),
