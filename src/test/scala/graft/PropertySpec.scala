@@ -182,6 +182,46 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("native ewma/holt window aggregates == in-memory folds, bit-exact") {
+    // the declarative update expressions must run the exact IEEE
+    // sequence of the reference fold for ANY inputs — no tolerance
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(genPoint),
+        Gen.oneOf(0.25, 0.5, 0.3), Gen.oneOf(0.25, 0.5)) {
+      (rawPts: List[MPoint], alpha: Double, beta: Double) =>
+      val pts = rawPts.zipWithIndex.map { case (p, i) => p.copy(seq = i.toLong) }
+      val latest = pts.groupBy(p => (p.metric, p.host, p.ts))
+        .map { case (_, vs) => vs.maxBy(_.seq) }.toSeq
+        .filter(p => p.metric == "m1" && p.ts >= 0L && p.ts <= 16L)
+        .sortBy(p => (p.host, p.ts))
+      var ew = Map.empty[String, Double]
+      var ho = Map.empty[String, (Double, Double)]
+      val expected = latest.map { p =>
+        val e = ew.get(p.host) match {
+          case None => p.v
+          case Some(prev) => alpha * p.v + (1 - alpha) * prev
+        }
+        ew += (p.host -> e)
+        val (l, b) = ho.get(p.host) match {
+          case None => (p.v, 0.0)
+          case Some((pl, pb)) =>
+            val nl = alpha * p.v + (1 - alpha) * (pl + pb)
+            (nl, beta * (nl - pl) + (1 - beta) * pb)
+        }
+        ho += (p.host -> (l, b))
+        (p.host, p.ts, e, l, b)
+      }.sortBy(r => (r._1, r._2))
+      val q = QueryParams("m1", startNs = 0L, endNs = Some(16L))
+      val gotE = TsAnalytics.ewmaSmooth(toDf(pts), q, alpha, field = "v")
+        .select($"tags"("host"), $"timestamp", $"ewma")
+        .as[(String, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+      val gotH = TsAnalytics.holtSmooth(toDf(pts), q, alpha, beta, field = "v")
+        .select($"tags"("host"), $"timestamp", $"level", $"trend")
+        .as[(String, Long, Double, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+      gotE == expected.map(r => (r._1, r._2, r._3)) &&
+        gotH == expected.map(r => (r._1, r._2, r._4, r._5))
+    })
+  }
+
   test("shard assign == naive global cumsum for any ids/weights/width") {
     import org.apache.spark.sql.functions.col
     val genRows: Gen[List[(Long, Long)]] = Gen.listOfN(30,
