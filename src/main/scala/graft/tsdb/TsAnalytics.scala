@@ -381,6 +381,64 @@ object TsAnalytics {
         count(lit(1)).as("n_points"))
   }
 
+  /** Materialize a cardinality summary under `path`, partitioned by the
+    * UTC date of the base window (the engine's storage partition
+    * grammar). Maintenance is APPEND-ONLY by construction: HLL sketches
+    * are mergeable, and [[cardinalityServe]] already unions every row of
+    * a (metric, window) group — so an increment just writes MORE rows
+    * ([[appendCardinalitySummary]]) without reading, rewriting, or even
+    * listing the existing ones. [[compactCardinalitySummary]] folds the
+    * accumulated rows back to one per (metric, window) when file counts
+    * warrant, with the staged two-rename swap the other on-disk indexes
+    * use. */
+  def writeCardinalitySummary(points: DataFrame, baseWindowNs: Long,
+      path: String, lgK: Int = 12,
+      tombstones: Seq[Tombstone] = Nil): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      points.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    appendCardinalitySummary(points, baseWindowNs, path, lgK, tombstones)
+  }
+
+  /** Add an increment's sketch rows — touches NO existing file. */
+  def appendCardinalitySummary(points: DataFrame, baseWindowNs: Long,
+      path: String, lgK: Int = 12,
+      tombstones: Seq[Tombstone] = Nil): Unit =
+    cardinalitySummary(points, baseWindowNs, lgK, tombstones)
+      .withColumn("date", to_date(timestamp_micros((col("window_start") / lit(1000L)).cast("long"))))
+      .write.partitionBy("date").mode("append").parquet(path)
+
+  def readCardinalitySummary(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Fold accumulated append rows to ONE per (metric, window) — sketch
+    * unions + point-count sums, estimates unchanged (HLL union is
+    * associative). Staged write + two-rename swap, readers never see a
+    * half-compacted table. */
+  def compactCardinalitySummary(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val staged = s"${path}_compacting"
+    val retired = s"${path}_retired"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(staged), true)
+    fs.delete(new Path(retired), true)
+    spark.read.parquet(path)
+      .groupBy(col("metric"), col("window_start"))
+      .agg(hll_union_agg(col("hll")).as("hll"), sum(col("n_points")).as("n_points"))
+      .withColumn("date", to_date(timestamp_micros((col("window_start") / lit(1000L)).cast("long"))))
+      .repartition(col("date"))
+      .write.partitionBy("date").mode("overwrite").parquet(staged)
+    if (!fs.rename(new Path(path), new Path(retired)))
+      throw new java.io.IOException(s"compactCardinalitySummary: cannot retire $path")
+    if (!fs.rename(new Path(staged), new Path(path))) {
+      fs.rename(new Path(retired), new Path(path))
+      throw new java.io.IOException(s"compactCardinalitySummary: cannot publish $staged")
+    }
+    fs.delete(new Path(retired), true)
+  }
+
   /** Serve distinct-series estimates over any window that is a multiple
     * of the summary's base window — reads ONLY the summary. */
   def cardinalityServe(summary: DataFrame, baseWindowNs: Long,

@@ -452,6 +452,47 @@ class StreamingSpec extends SparkSpec {
     assert(got(("a", 9000L))._3, "spike must flag")
   }
 
+  test("cardinality summary persistence: append-only increments, compaction folds") {
+    val day = 86400000000000L
+    def pt(i: Int, off: Int) =
+      TP("m", Map("h" -> s"h${i % 9}"), (i % 3) * day + i * 1000L + off,
+        Map("value" -> FV.dv(1.0)), (i + off).toLong)
+    val half1 = (0 until 30).map(pt(_, 0))
+    val half2 = (0 until 30).map(pt(_, 500))
+    val all = (half1 ++ half2).toDF()
+    val path = tmp() + "/cardsum"
+    def files(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).toSet
+    }
+    TsAnalytics.writeCardinalitySummary(half1.toDF(), day, path)
+    val baseFiles = files()
+    TsAnalytics.appendCardinalitySummary(half2.toDF(), day, path)
+    assert(baseFiles.subsetOf(files()), "append must not rewrite base files")
+
+    def served(win: Long): Map[(String, Long), (Long, Long)] =
+      TsAnalytics.cardinalityServe(
+          TsAnalytics.readCardinalitySummary(spark, path), day, win)
+        .select($"metric", $"window_start", $"n_series_est", $"n_points")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    def exact(win: Long): Map[(String, Long), (Long, Long)] =
+      TsAnalytics.seriesCardinality(all, win, 0L, Long.MaxValue / 2)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(served(day) == exact(day), "base-grain serve == exact after append")
+    assert(served(3 * day) == exact(3 * day), "coarse serve == exact")
+
+    TsAnalytics.compactCardinalitySummary(spark, path)
+    val frame = TsAnalytics.readCardinalitySummary(spark, path)
+    assert(frame.count() ==
+      frame.select("metric", "window_start").distinct().count(),
+      "compaction must fold to one row per (metric, window)")
+    assert(served(day) == exact(day), "serve unchanged across compaction")
+  }
+
   test("streaming holt smoothing: bit-for-bit parity with the batch operator") {
     implicit val sqlCtx = spark.sqlContext
     val S = 1000L
