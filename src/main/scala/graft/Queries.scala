@@ -765,6 +765,22 @@ object Queries {
       .orderBy("user", "timestamp")
   }
 
+  /** Value-predicate query (`FILTER (value > 50)`): post-merge point
+    * filter feeding a daily downsample — the query surface of the
+    * reference's `filter.Filter` extension point. */
+  def tsdbValueFilter(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("view", startNs = 0L, endNs = Some(FarFuture),
+      downsampleNs = Some(24L * HourNs),
+      aggs = Seq(AggSpec("sum", "value"), AggSpec("count", "*"),
+        AggSpec("min", "value"), AggSpec("max", "value")),
+      valueFilter = Some(ValueFilter("value", ">", 50.0)))
+    QueryEngine.run(pts(s, dir), q)
+      .select(userCol, col("window_start"),
+        round(col("sum_value"), 2).as("sum_value"),
+        col("count_star"), col("min_value"), col("max_value"))
+      .orderBy("window_start", "user")
+  }
+
   /** Per-series time-weighted hourly average (LOCF weighting): each value
     * weighted by how long it stayed current within its window. Weights
     * are exact ns longs on both engines; only the weighted mean is

@@ -91,6 +91,7 @@ object SparkEntry {
     "ts_ratio" -> (Queries.tsRatio _),
     "ts_topk_series" -> (Queries.tsTopkSeries _),
     "tsdb_groupby_tag" -> (Queries.tsdbGroupByTag _),
+    "tsdb_value_filter" -> (Queries.tsdbValueFilter _),
     "zorder_scan" -> (Queries.zorderScan _),
     "tsdb_multifield_agg" -> (Queries.tsdbMultifieldAgg _),
     "distinct_users_per_type" -> (Queries.distinctUsersPerType _),
@@ -928,6 +929,13 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.5), 4) AS p50_value
         |FROM events WHERE event_type = 'click'
         |GROUP BY 2 ORDER BY 2""".stripMargin,
+    "tsdb_value_filter" ->
+      """SELECT CAST(user_id AS VARCHAR) AS "user",
+        |  (epoch_ns(ts) // 86400000000000) * 86400000000000 AS window_start,
+        |  round(sum(value), 2) AS sum_value, count(*) AS count_star,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events WHERE event_type = 'view' AND value > 50
+        |GROUP BY 1, 2 ORDER BY 2, 1""".stripMargin,
     "ts_cardinality" ->
       """SELECT event_type AS metric,
         |  epoch_ns(ts) - (epoch_ns(ts) % 86400000000000) AS window_start,

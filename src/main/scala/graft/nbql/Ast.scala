@@ -26,8 +26,8 @@ final case class PushsStatement(items: Seq[PushStatement]) extends Statement
 
 /** `QUERY m [FROM a TO b | FROM RELATIVE(d)] [TAGGED(…)]
   *  [AGGREGATE [BY iv] (f(x) [AS a],…)] [GROUP BY TAGS (k,…)]
-  *  [EMIT EMPTY WINDOWS] [FILL(NONE|PREVIOUS|LINEAR)]
-  *  [ASC|DESC] [LIMIT n] [AFTER cursor]` */
+  *  [FILTER (field <op> v)] [EMIT EMPTY WINDOWS]
+  *  [FILL(NONE|PREVIOUS|LINEAR)] [ASC|DESC] [LIMIT n] [AFTER cursor]` */
 final case class QueryStatement(
     metric: String,
     fromNs: Option[Long] = None,
@@ -43,7 +43,10 @@ final case class QueryStatement(
     after: Option[String] = None,
     /** `GROUP BY TAGS (k, …)` — aggregate ACROSS series sharing the named
       * tag values (extension; `Some(Nil)` collapses every series). */
-    groupByTags: Option[Seq[String]] = None) extends Statement
+    groupByTags: Option[Seq[String]] = None,
+    /** `FILTER (field <op> v)` — post-merge value predicate (extension;
+      * the query surface of the reference's `filter.Filter`). */
+    valueFilter: Option[graft.tsdb.ValueFilter] = None) extends Statement
 
 /** `REMOVE SERIES m TAGGED (…)` */
 final case class RemoveSeriesStatement(metric: String, tags: Map[String, String])

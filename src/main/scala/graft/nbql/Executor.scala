@@ -104,7 +104,8 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
         order = q.order,
         limit = q.limit,
         afterKey = q.after.map(Cursor.decode),
-        nowNs = nowNs)
+        nowNs = nowNs,
+        valueFilter = q.valueFilter)
       val cursorOf: (Long, Option[Row]) => Option[String] =
         if (params.isFinalAgg || params.limit.isEmpty) noCursor
         else { (delivered, lastRow) =>

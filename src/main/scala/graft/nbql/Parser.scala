@@ -105,6 +105,10 @@ object NbqlParser extends RegexParsers {
       f => (q: QueryStatement) => q.copy(fill = f) } |
     kw("GROUP") ~> kw("BY") ~> kw("TAGS") ~> "(" ~> repsep(name, ",") <~ ")" ^^ {
       ks => (q: QueryStatement) => q.copy(groupByTags = Some(ks)) } |
+    kw("FILTER") ~> "(" ~> name ~ ("""(>=|<=|!=|>|<|=)""".r) ~
+      (doubleNum | longNum ^^ (_.toDouble)) <~ ")" ^^ {
+      case f ~ op ~ v => (q: QueryStatement) =>
+        q.copy(valueFilter = Some(graft.tsdb.ValueFilter(f, op, v))) } |
     kw("ASC") ^^^ { (q: QueryStatement) => q.copy(order = Ascending) } |
     kw("DESC") ^^^ { (q: QueryStatement) => q.copy(order = Descending) } |
     kw("LIMIT") ~> longNum ^^ { n => (q: QueryStatement) => q.copy(limit = Some(n)) } |

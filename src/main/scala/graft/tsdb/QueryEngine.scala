@@ -199,9 +199,29 @@ object QueryEngine {
     // 4. tombstone elision (M2-M4)
     df = applyTombstones(df, tombstones)
 
+    // 4b. value predicate — after merge+tombstones (a shadowed version
+    // must never satisfy a filter its replacement fails), before shaping
+    df = applyValueFilter(df, p)
+
     // 5-6. shape + cursor + limit
     finish(df, p, startNs, endNs)
   }
+
+  /** [[ValueFilter]] on the field's cleaned numeric view; null and
+    * non-numeric values never match (SQL comparison semantics). */
+  private[tsdb] def applyValueFilter(df: DataFrame, p: QueryParams): DataFrame =
+    p.valueFilter.fold(df) { f =>
+      val v = numericOf(f.field)
+      val pred = f.op match {
+        case ">"  => v > f.value
+        case ">=" => v >= f.value
+        case "<"  => v < f.value
+        case "<=" => v <= f.value
+        case "="  => v === f.value
+        case "!=" => v =!= f.value
+      }
+      df.filter(pred)
+    }
 
   /** Serving-path pipeline over a PRE-MERGED frame (latest-version dedup +
     * tombstones already applied — the engine's per-metric serving view).
@@ -216,6 +236,7 @@ object QueryEngine {
     p.tags.foreach { case (k, v) => df = df.filter(col("tags").getItem(k) === v) }
     val (startNs, endNs) = resolveRange(df, p)
     df = df.filter(col("timestamp").between(startNs, endNs))
+    df = applyValueFilter(df, p) // merged input: post-merge by construction
     if (p.isDownsample) {
       val interval = p.downsampleNs.get
       require(interval > 0, "downsample interval must be > 0")

@@ -64,6 +64,20 @@ object Cursor {
   * `endNs = None` means "now" (`engine2/adapter.go:1117-1120`); relative
   * queries resolve end = min(now, max data ts) then start = end − duration
   * (`engine2/adapter.go:1236-1276`). `nowNs` is injectable for determinism. */
+/** Value predicate on a field's numeric view, applied AFTER the
+  * latest-version merge and tombstones (a shadowed version must never
+  * satisfy a filter its replacement fails) and BEFORE any
+  * aggregation/shaping — the query-surface analog of the reference's
+  * `filter.Filter` extension point (`filter/filter.go:4-12`, applied
+  * per-point in its iterator chain). Null/non-numeric values never
+  * match, like SQL comparison semantics. */
+final case class ValueFilter(field: String, op: String, value: Double) {
+  require(ValueFilter.Ops.contains(op), s"unsupported filter op: $op")
+}
+object ValueFilter {
+  val Ops: Set[String] = Set(">", ">=", "<", "<=", "=", "!=")
+}
+
 final case class QueryParams(
     metric: String,
     tags: Map[String, String] = Map.empty,
@@ -77,7 +91,8 @@ final case class QueryParams(
     order: SortOrder = Ascending,
     limit: Option[Long] = None,
     afterKey: Option[Cursor] = None,
-    nowNs: Option[Long] = None) {
+    nowNs: Option[Long] = None,
+    valueFilter: Option[ValueFilter] = None) {
   def isFinalAgg: Boolean = aggs.nonEmpty && downsampleNs.isEmpty
   def isDownsample: Boolean = downsampleNs.isDefined
   /** FILL materializes the slot grid even without EMIT EMPTY WINDOWS. */

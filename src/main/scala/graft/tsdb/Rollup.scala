@@ -120,6 +120,9 @@ object Rollup {
   def supports(p: QueryParams, rollupIntervalNs: Long,
       fields: Set[String], digests: Boolean = false): Boolean = {
     val r = rollupIntervalNs
+    // a value predicate filters individual points — partials can't
+    // re-filter, so filtered queries always take the raw path
+    p.valueFilter.isEmpty &&
     p.isDownsample &&
       p.downsampleNs.exists(i => i > 0 && i % r == 0) &&
       p.relativeNs.isEmpty &&

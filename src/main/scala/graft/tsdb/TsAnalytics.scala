@@ -48,7 +48,8 @@ object TsAnalytics {
       .orderBy(col("seq").desc)
     df = df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    QueryEngine.applyTombstones(df, tombstones)
+    QueryEngine.applyValueFilter(
+        QueryEngine.applyTombstones(df, tombstones), p)
       .withColumn("__v", QueryEngine.numericOf(field))
   }
 
@@ -278,9 +279,10 @@ object TsAnalytics {
       if (p.isDownsample) Seq(col("series_key"), col("window_start"), col("timestamp"))
       else Seq(col("series_key"), col("timestamp"))
     val w = Window.partitionBy(dedupKeys: _*).orderBy(col("seq").desc)
-    val merged = QueryEngine.applyTombstones(
-      input.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn"), tombstones)
+    val merged = QueryEngine.applyValueFilter(
+      QueryEngine.applyTombstones(
+        input.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn"), tombstones), p)
 
     val tagCols = tagKeys.map(k => col("tags").getItem(k).as(s"tag_$k"))
     val keyRefs = tagKeys.map(k => col(s"tag_$k"))

@@ -902,7 +902,10 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * bounds, RELATIVE against the tag-filtered max ts, cursor keyset,
     * order, limit) and the spec asserts equality against [[query]]. */
   private def serveLocal(p: QueryParams): Option[(Array[Row], org.apache.spark.sql.types.StructType)] = {
-    if (p.aggs.nonEmpty || p.isDownsample) return None
+    // value-filtered queries take the Spark path (the driver mirror
+    // would need the numericOf cleaning duplicated; the filter is rare
+    // enough that one plan's cost is the honest trade)
+    if (p.aggs.nonEmpty || p.isDownsample || p.valueFilter.isDefined) return None
     localRows(p.metric).map { case (all, ts, sch) =>
       def tagFilter(rs: Array[Row]): Array[Row] =
         if (p.tags.isEmpty) rs

@@ -143,6 +143,27 @@ class NbqlExecutorSpec extends SparkSpec {
     }
   }
 
+  test("FILTER end-to-end: predicate applies, distinct filters never share cache rows") {
+    withEngine { (_, ex) =>
+      for ((v, t) <- Seq((10.0, 1000L), (60.0, 2000L), (90.0, 3000L)))
+        assert(ex.execute(
+          s"""PUSH m TAGGED (h="a") SET (value=$v) AT $t""").isRight)
+      def vals(q: String): Seq[Double] =
+        rows(ex, q).map(_.getAs[scala.collection.Map[String, org.apache.spark.sql.Row]](
+          "fields")("value").getAs[Double]("d"))
+      assert(vals("QUERY m FROM 0 TO 9999 FILTER (value > 50)") == Seq(60.0, 90.0))
+      // a second, different threshold must MISS the cache, not collide
+      assert(vals("QUERY m FROM 0 TO 9999 FILTER (value > 75.5)") == Seq(90.0))
+      assert(vals("QUERY m FROM 0 TO 9999 FILTER (value > 50)") == Seq(60.0, 90.0))
+      // filtered aggregate through the protocol
+      val agg = rows(ex, """QUERY m FROM 0 TO 9999 FILTER (value >= 60)
+                            AGGREGATE (sum(value), count(*))""").head
+      assert(agg.getAs[Double]("sum_value") == 150.0)
+      assert(agg.getAs[Long]("count_star") == 2L)
+      assert(NbqlParser.parse("QUERY m FILTER (value ~ 5)").isLeft)
+    }
+  }
+
   test("SHOW CARDINALITY: per-metric distinct series, windowed and whole-range") {
     withEngine { (_, ex) =>
       for ((m, h, t) <- Seq(("cpu", "a", 100L), ("cpu", "b", 150L),

@@ -214,6 +214,9 @@ class RollupSpec extends SparkSpec {
     // percentile is not decomposable; unknown field is not covered
     assert(!Rollup.supports(q(Seq(AggSpec("p95", "value"))), Min, fields))
     assert(!Rollup.supports(q(Seq(AggSpec("sum", "other"))), Min, fields))
+    // value predicates filter points — partials can't re-filter
+    assert(!Rollup.supports(q(Seq(AggSpec("sum", "value")))
+      .copy(valueFilter = Some(ValueFilter("value", ">", 1.0))), Min, fields))
   }
 
   test("engine routing: registered rollup serves eligible shapes, epoch-invalidated") {

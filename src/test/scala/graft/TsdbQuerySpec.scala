@@ -427,6 +427,35 @@ class TsdbQuerySpec extends SparkSpec {
     assert(got.toSeq == Seq(("m", 0L, 2L, 2L), ("m", 1000L, 1L, 1L), ("n", 0L, 1L, 1L)))
   }
 
+  test("value filter: post-merge semantics — shadowed versions can't leak through") {
+    val pts = mkDf(Seq(
+      // latest version (seq 2) fails the filter: the point must vanish
+      // even though its SHADOWED version would pass
+      TP("m", Map("h" -> "1"), 100, Map("value" -> FV.dv(100.0)), 1),
+      TP("m", Map("h" -> "1"), 100, Map("value" -> FV.dv(10.0)), 2),
+      TP("m", Map("h" -> "1"), 200, Map("value" -> FV.dv(60.0)), 3),
+      TP("m", Map("h" -> "1"), 300, Map("value" -> FV.dv(Double.NaN)), 4),
+      TP("m", Map("h" -> "2"), 150, Map("value" -> FV.dv(75.0)), 5)))
+    def got(q: QueryParams): Seq[(String, Long)] =
+      QueryEngine.run(pts, q).select($"tags"("h"), $"timestamp")
+        .as[(String, Long)].collect().toSeq.sorted
+    val base = QueryParams("m", startNs = 0, endNs = Some(10000))
+    assert(got(base.copy(valueFilter = Some(ValueFilter("value", ">", 50.0)))) ==
+      Seq(("1", 200L), ("2", 150L))) // 10.0 out, NaN never matches
+    assert(got(base.copy(valueFilter = Some(ValueFilter("value", "<=", 60.0)))) ==
+      Seq(("1", 100L), ("1", 200L)))
+    assert(got(base.copy(valueFilter = Some(ValueFilter("value", "!=", 75.0)))) ==
+      Seq(("1", 100L), ("1", 200L)))
+    // filtered downsample: aggregates see only surviving points
+    val agg = QueryEngine.run(pts, base.copy(downsampleNs = Some(1000),
+        valueFilter = Some(ValueFilter("value", ">", 50.0)),
+        aggs = Seq(AggSpec("sum", "value"), AggSpec("count", "*"))))
+      .select($"tags"("h"), $"sum_value", $"count_star")
+      .as[(String, Double, Long)].collect().toSeq.sorted
+    assert(agg == Seq(("1", 60.0, 1L), ("2", 75.0, 1L)))
+    intercept[IllegalArgumentException] { ValueFilter("value", "~", 1.0) }
+  }
+
   test("group by tags: aggregates across series; missing key → null group; collapse") {
     def p2(h: String, dc: Option[String], t: Long, v: Double, seq: Long) =
       TP("m", Map("host" -> h) ++ dc.map("dc" -> _), t,
