@@ -773,7 +773,7 @@ object Queries {
       downsampleNs = Some(24L * HourNs),
       aggs = Seq(AggSpec("sum", "value"), AggSpec("count", "*"),
         AggSpec("min", "value"), AggSpec("max", "value")),
-      valueFilter = Some(ValueFilter("value", ">", 50.0)))
+      valueFilters = Seq(ValueFilter("value", ">", 50.0)))
     QueryEngine.run(pts(s, dir), q)
       .select(userCol, col("window_start"),
         round(col("sum_value"), 2).as("sum_value"),

@@ -44,9 +44,10 @@ final case class QueryStatement(
     /** `GROUP BY TAGS (k, …)` — aggregate ACROSS series sharing the named
       * tag values (extension; `Some(Nil)` collapses every series). */
     groupByTags: Option[Seq[String]] = None,
-    /** `FILTER (field <op> v)` — post-merge value predicate (extension;
-      * the query surface of the reference's `filter.Filter`). */
-    valueFilter: Option[graft.tsdb.ValueFilter] = None) extends Statement
+    /** `FILTER (field <op> v)` clauses, ANDed — post-merge value
+      * predicates (extension; the query surface of the reference's
+      * `filter.Filter`). */
+    valueFilters: Seq[graft.tsdb.ValueFilter] = Nil) extends Statement
 
 /** `REMOVE SERIES m TAGGED (…)` */
 final case class RemoveSeriesStatement(metric: String, tags: Map[String, String])

@@ -105,7 +105,7 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
         limit = q.limit,
         afterKey = q.after.map(Cursor.decode),
         nowNs = nowNs,
-        valueFilter = q.valueFilter)
+        valueFilters = q.valueFilters)
       val cursorOf: (Long, Option[Row]) => Option[String] =
         if (params.isFinalAgg || params.limit.isEmpty) noCursor
         else { (delivered, lastRow) =>

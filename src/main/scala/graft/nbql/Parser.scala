@@ -108,7 +108,7 @@ object NbqlParser extends RegexParsers {
     kw("FILTER") ~> "(" ~> name ~ ("""(>=|<=|!=|>|<|=)""".r) ~
       (doubleNum | longNum ^^ (_.toDouble)) <~ ")" ^^ {
       case f ~ op ~ v => (q: QueryStatement) =>
-        q.copy(valueFilter = Some(graft.tsdb.ValueFilter(f, op, v))) } |
+        q.copy(valueFilters = q.valueFilters :+ graft.tsdb.ValueFilter(f, op, v)) } |
     kw("ASC") ^^^ { (q: QueryStatement) => q.copy(order = Ascending) } |
     kw("DESC") ^^^ { (q: QueryStatement) => q.copy(order = Descending) } |
     kw("LIMIT") ~> longNum ^^ { n => (q: QueryStatement) => q.copy(limit = Some(n)) } |

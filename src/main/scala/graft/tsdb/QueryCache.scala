@@ -39,7 +39,7 @@ final class QueryCache(capacity: Int = 256, maxRowsPerEntry: Int = 100000) {
     s"${p.metric}|$tags|$range|$aggs|${p.downsampleNs.getOrElse(0L)}|" +
       s"${p.emitEmptyWindows}|${p.fill}|${p.order}|${p.limit.getOrElse(-1L)}|" +
       s"${p.afterKey.map(_.encode).getOrElse("")}|" +
-      p.valueFilter.map(f => s"${f.field}${f.op}${f.value}").getOrElse("")
+      p.valueFilters.map(f => s"${f.field}${f.op}${f.value}").mkString(",")
   }
 
   def get(p: QueryParams, currentEpoch: Long): Option[(Array[Row], StructType)] =

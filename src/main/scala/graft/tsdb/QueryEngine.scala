@@ -210,7 +210,7 @@ object QueryEngine {
   /** [[ValueFilter]] on the field's cleaned numeric view; null and
     * non-numeric values never match (SQL comparison semantics). */
   private[tsdb] def applyValueFilter(df: DataFrame, p: QueryParams): DataFrame =
-    p.valueFilter.fold(df) { f =>
+    p.valueFilters.foldLeft(df) { (acc, f) =>
       val v = numericOf(f.field)
       val pred = f.op match {
         case ">"  => v > f.value
@@ -220,7 +220,7 @@ object QueryEngine {
         case "="  => v === f.value
         case "!=" => v =!= f.value
       }
-      df.filter(pred)
+      acc.filter(pred)
     }
 
   /** Serving-path pipeline over a PRE-MERGED frame (latest-version dedup +

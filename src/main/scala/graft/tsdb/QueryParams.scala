@@ -92,7 +92,8 @@ final case class QueryParams(
     limit: Option[Long] = None,
     afterKey: Option[Cursor] = None,
     nowNs: Option[Long] = None,
-    valueFilter: Option[ValueFilter] = None) {
+    /** Conjunction: every filter must pass (ANDed). */
+    valueFilters: Seq[ValueFilter] = Nil) {
   def isFinalAgg: Boolean = aggs.nonEmpty && downsampleNs.isEmpty
   def isDownsample: Boolean = downsampleNs.isDefined
   /** FILL materializes the slot grid even without EMIT EMPTY WINDOWS. */

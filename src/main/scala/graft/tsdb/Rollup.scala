@@ -122,7 +122,7 @@ object Rollup {
     val r = rollupIntervalNs
     // a value predicate filters individual points — partials can't
     // re-filter, so filtered queries always take the raw path
-    p.valueFilter.isEmpty &&
+    p.valueFilters.isEmpty &&
     p.isDownsample &&
       p.downsampleNs.exists(i => i > 0 && i % r == 0) &&
       p.relativeNs.isEmpty &&

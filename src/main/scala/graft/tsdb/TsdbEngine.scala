@@ -905,7 +905,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     // value-filtered queries take the Spark path (the driver mirror
     // would need the numericOf cleaning duplicated; the filter is rare
     // enough that one plan's cost is the honest trade)
-    if (p.aggs.nonEmpty || p.isDownsample || p.valueFilter.isDefined) return None
+    if (p.aggs.nonEmpty || p.isDownsample || p.valueFilters.nonEmpty) return None
     localRows(p.metric).map { case (all, ts, sch) =>
       def tagFilter(rs: Array[Row]): Array[Row] =
         if (p.tags.isEmpty) rs

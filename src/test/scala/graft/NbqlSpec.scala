@@ -155,6 +155,9 @@ class NbqlExecutorSpec extends SparkSpec {
       // a second, different threshold must MISS the cache, not collide
       assert(vals("QUERY m FROM 0 TO 9999 FILTER (value > 75.5)") == Seq(90.0))
       assert(vals("QUERY m FROM 0 TO 9999 FILTER (value > 50)") == Seq(60.0, 90.0))
+      // multiple FILTER clauses AND together
+      assert(vals("QUERY m FROM 0 TO 9999 FILTER (value > 50) FILTER (value < 80)")
+        == Seq(60.0))
       // filtered aggregate through the protocol
       val agg = rows(ex, """QUERY m FROM 0 TO 9999 FILTER (value >= 60)
                             AGGREGATE (sum(value), count(*))""").head

@@ -216,7 +216,7 @@ class RollupSpec extends SparkSpec {
     assert(!Rollup.supports(q(Seq(AggSpec("sum", "other"))), Min, fields))
     // value predicates filter points — partials can't re-filter
     assert(!Rollup.supports(q(Seq(AggSpec("sum", "value")))
-      .copy(valueFilter = Some(ValueFilter("value", ">", 1.0))), Min, fields))
+      .copy(valueFilters = Seq(ValueFilter("value", ">", 1.0))), Min, fields))
   }
 
   test("engine routing: registered rollup serves eligible shapes, epoch-invalidated") {

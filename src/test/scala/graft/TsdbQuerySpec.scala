@@ -440,15 +440,15 @@ class TsdbQuerySpec extends SparkSpec {
       QueryEngine.run(pts, q).select($"tags"("h"), $"timestamp")
         .as[(String, Long)].collect().toSeq.sorted
     val base = QueryParams("m", startNs = 0, endNs = Some(10000))
-    assert(got(base.copy(valueFilter = Some(ValueFilter("value", ">", 50.0)))) ==
+    assert(got(base.copy(valueFilters = Seq(ValueFilter("value", ">", 50.0)))) ==
       Seq(("1", 200L), ("2", 150L))) // 10.0 out, NaN never matches
-    assert(got(base.copy(valueFilter = Some(ValueFilter("value", "<=", 60.0)))) ==
+    assert(got(base.copy(valueFilters = Seq(ValueFilter("value", "<=", 60.0)))) ==
       Seq(("1", 100L), ("1", 200L)))
-    assert(got(base.copy(valueFilter = Some(ValueFilter("value", "!=", 75.0)))) ==
+    assert(got(base.copy(valueFilters = Seq(ValueFilter("value", "!=", 75.0)))) ==
       Seq(("1", 100L), ("1", 200L)))
     // filtered downsample: aggregates see only surviving points
     val agg = QueryEngine.run(pts, base.copy(downsampleNs = Some(1000),
-        valueFilter = Some(ValueFilter("value", ">", 50.0)),
+        valueFilters = Seq(ValueFilter("value", ">", 50.0)),
         aggs = Seq(AggSpec("sum", "value"), AggSpec("count", "*"))))
       .select($"tags"("h"), $"sum_value", $"count_star")
       .as[(String, Double, Long)].collect().toSeq.sorted
