@@ -164,6 +164,13 @@ class NbqlExecutorSpec extends SparkSpec {
       assert(agg.getAs[Double]("sum_value") == 150.0)
       assert(agg.getAs[Long]("count_star") == 2L)
       assert(NbqlParser.parse("QUERY m FILTER (value ~ 5)").isLeft)
+      // FILTER composes with GROUP BY TAGS: the predicate applies before
+      // the cross-series merge
+      assert(ex.execute("""PUSH m TAGGED (h="b") SET (value=70.0) AT 2500""").isRight)
+      val g = rows(ex, """QUERY m FROM 0 TO 9999 FILTER (value > 50)
+                          AGGREGATE (sum(value), count(*)) GROUP BY TAGS ()""").head
+      assert(g.getAs[Double]("sum_value") == 220.0) // 60 + 90 + 70
+      assert(g.getAs[Long]("count_star") == 3L)
     }
   }
 
