@@ -765,6 +765,18 @@ object Queries {
       .orderBy("user", "timestamp")
   }
 
+  /** Tag-prefix selector (`TAGGED (user="1*")`): trailing-`*` prefix
+    * matching in QUERY — the reference's subscription-wildcard
+    * convention (`engine2/pubsub.go:34-60`) lifted to the query path. */
+  def tsdbTagPrefix(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("purchase", Map("user" -> "11*"),
+      startNs = 0L, endNs = Some(FarFuture))
+    QueryEngine.run(pts(s, dir), q)
+      .select(userCol, tsUs,
+        col("fields").getItem("value").getField("d").as("value"))
+      .orderBy("user", "timestamp")
+  }
+
   /** Value-predicate query (`FILTER (value > 50)`): post-merge point
     * filter feeding a daily downsample — the query surface of the
     * reference's `filter.Filter` extension point. */

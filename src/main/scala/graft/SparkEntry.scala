@@ -92,6 +92,7 @@ object SparkEntry {
     "ts_topk_series" -> (Queries.tsTopkSeries _),
     "tsdb_groupby_tag" -> (Queries.tsdbGroupByTag _),
     "tsdb_value_filter" -> (Queries.tsdbValueFilter _),
+    "tsdb_tag_prefix" -> (Queries.tsdbTagPrefix _),
     "zorder_scan" -> (Queries.zorderScan _),
     "tsdb_multifield_agg" -> (Queries.tsdbMultifieldAgg _),
     "distinct_users_per_type" -> (Queries.distinctUsersPerType _),
@@ -929,6 +930,12 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.5), 4) AS p50_value
         |FROM events WHERE event_type = 'click'
         |GROUP BY 2 ORDER BY 2""".stripMargin,
+    "tsdb_tag_prefix" ->
+      """SELECT CAST(user_id AS VARCHAR) AS "user", epoch_ns(ts) AS "timestamp",
+        |  value
+        |FROM events
+        |WHERE event_type = 'purchase' AND CAST(user_id AS VARCHAR) LIKE '11%'
+        |ORDER BY 1, 2""".stripMargin,
     "tsdb_value_filter" ->
       """SELECT CAST(user_id AS VARCHAR) AS "user",
         |  (epoch_ns(ts) // 86400000000000) * 86400000000000 AS window_start,

@@ -364,6 +364,7 @@ object LocalRollup {
   private def tagsMatch(r: Row, iTags: Int, p: QueryParams): Boolean =
     p.tags.isEmpty || {
       val tg = r.getAs[scala.collection.Map[String, String]](iTags)
-      p.tags.forall { case (k, v) => tg != null && tg.get(k).contains(v) }
+      p.tags.forall { case (k, v) =>
+        tg != null && TagMatch.matches(v, tg.get(k).orNull) }
     }
 }

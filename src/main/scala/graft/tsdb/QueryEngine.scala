@@ -141,7 +141,7 @@ object QueryEngine {
     // 1. series resolution: metric + tag equality (AND of equalities — the
     //    reference's bitmap intersection, `indexer/tag_index_manager2.go:247-280`)
     var df = points.filter(col("metric") === p.metric)
-    p.tags.foreach { case (k, v) => df = df.filter(col("tags").getItem(k) === v) }
+    p.tags.foreach { case (k, v) => df = df.filter(TagMatch.pred(k, v)) }
 
     // 2. time range (inclusive both ends). When the frame carries the
     //    storage layer's `date` partition column, the same bounds are
@@ -233,7 +233,7 @@ object QueryEngine {
     * query. */
   def runMerged(merged: DataFrame, p: QueryParams, ordered: Boolean = true): DataFrame = {
     var df = merged.filter(col("metric") === p.metric)
-    p.tags.foreach { case (k, v) => df = df.filter(col("tags").getItem(k) === v) }
+    p.tags.foreach { case (k, v) => df = df.filter(TagMatch.pred(k, v)) }
     val (startNs, endNs) = resolveRange(df, p)
     df = df.filter(col("timestamp").between(startNs, endNs))
     df = applyValueFilter(df, p) // merged input: post-merge by construction

@@ -64,6 +64,25 @@ object Cursor {
   * `endNs = None` means "now" (`engine2/adapter.go:1117-1120`); relative
   * queries resolve end = min(now, max data ts) then start = end − duration
   * (`engine2/adapter.go:1236-1276`). `nowNs` is injectable for determinism. */
+/** Tag-value matching for query selectors: a TRAILING `*` makes the
+  * value a prefix wildcard — the same convention the reference's
+  * subscription filters use (`engine2/pubsub.go:34-60`, metric and
+  * tag-value `prefix*`); anything else matches exactly. No escape,
+  * like the reference. Every tier (Spark plans, driver-resident rows)
+  * matches through this one object so the semantics can't drift. */
+object TagMatch {
+  def isPrefix(v: String): Boolean = v != null && v.nonEmpty && v.endsWith("*")
+  /** Spark predicate for `tags[k] <match> v`. */
+  def pred(k: String, v: String): org.apache.spark.sql.Column = {
+    val c = org.apache.spark.sql.functions.col("tags").getItem(k)
+    if (isPrefix(v)) c.startsWith(v.dropRight(1)) else c === v
+  }
+  /** Driver-side mirror of [[pred]]. */
+  def matches(v: String, actual: String): Boolean =
+    actual != null &&
+      (if (isPrefix(v)) actual.startsWith(v.dropRight(1)) else actual == v)
+}
+
 /** Value predicate on a field's numeric view, applied AFTER the
   * latest-version merge and tombstones (a shadowed version must never
   * satisfy a filter its replacement fails) and BEFORE any

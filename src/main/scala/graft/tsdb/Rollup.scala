@@ -192,7 +192,7 @@ object Rollup {
     val interval = p.downsampleNs.get
     val endNs = p.endNs.get
     var df = rollup.filter(col("metric") === p.metric)
-    p.tags.foreach { case (k, v) => df = df.filter(col("tags").getItem(k) === v) }
+    p.tags.foreach { case (k, v) => df = df.filter(TagMatch.pred(k, v)) }
     // [startNs, endNs] is a union of whole rollup windows (checked above),
     // so window containment == the raw path's inclusive timestamp range
     df = df.filter(col("window_start").between(p.startNs, endNs))
@@ -239,7 +239,7 @@ object Rollup {
     val interval = p.downsampleNs.get
     val endNs = p.endNs.get
     var df = rollup.filter(col("metric") === p.metric)
-    p.tags.foreach { case (k, v) => df = df.filter(col("tags").getItem(k) === v) }
+    p.tags.foreach { case (k, v) => df = df.filter(TagMatch.pred(k, v)) }
     df = df.filter(col("window_start").between(p.startNs, endNs))
     if (rollup.columns.contains("date"))
       df = df.filter(col("date").between(

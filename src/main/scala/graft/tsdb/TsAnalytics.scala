@@ -38,7 +38,7 @@ object TsAnalytics {
   private def slice(points: DataFrame, p: QueryParams, field: String,
       tombstones: Seq[Tombstone]): DataFrame = {
     var df = points.filter(col("metric") === p.metric)
-    p.tags.foreach { case (k, v) => df = df.filter(col("tags").getItem(k) === v) }
+    p.tags.foreach { case (k, v) => df = df.filter(TagMatch.pred(k, v)) }
     val (startNs, endNs) = QueryEngine.resolveRange(df, p)
     df = df.filter(col("timestamp").between(startNs, endNs))
       .withColumn("series_key",

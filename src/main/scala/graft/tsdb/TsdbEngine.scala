@@ -911,7 +911,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         if (p.tags.isEmpty) rs
         else rs.filter { r =>
           val tg = r.getAs[scala.collection.Map[String, String]]("tags")
-          p.tags.forall { case (k, v) => tg.get(k).contains(v) }
+          p.tags.forall { case (k, v) => TagMatch.matches(v, tg.get(k).orNull) }
         }
       val now = p.nowNs.getOrElse(System.currentTimeMillis() * 1000000L)
       var rows = p.relativeNs match {

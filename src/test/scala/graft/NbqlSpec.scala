@@ -174,6 +174,26 @@ class NbqlExecutorSpec extends SparkSpec {
     }
   }
 
+  test("TAGGED prefix selector end-to-end through the serving path") {
+    withEngine { (eng, ex) =>
+      for ((h, t, v) <- Seq(("web1", 100L, 1.0), ("web2", 200L, 2.0),
+          ("db1", 300L, 3.0)))
+        assert(ex.execute(
+          s"""PUSH m TAGGED (host="$h") SET (value=$v) AT $t""").isRight)
+      val got = rows(ex, """QUERY m FROM 0 TO 9999 TAGGED (host="web*")""")
+        .map(_.getAs[Long]("timestamp"))
+      assert(got == Seq(100L, 200L))
+      // serving tier (cached path) agrees with the ground-truth plan
+      val p = QueryParams("m", Map("host" -> "web*"),
+        startNs = 0L, endNs = Some(9999L))
+      assert(eng.queryCached(p).map(_.toString).toSeq ==
+        eng.query(p).collect().map(_.toString).toSeq)
+      // distinct selectors never share cache entries
+      val pAll = p.copy(tags = Map("host" -> "*"))
+      assert(eng.queryCached(pAll).length == 3)
+    }
+  }
+
   test("SHOW CARDINALITY: per-metric distinct series, windowed and whole-range") {
     withEngine { (_, ex) =>
       for ((m, h, t) <- Seq(("cpu", "a", 100L), ("cpu", "b", 150L),

@@ -90,6 +90,7 @@ class RollupSpec extends SparkSpec {
     for (query <- Seq(
         q(aggs, emitEmpty = true),
         q(aggs, tags = Map("host" -> "h2")),
+        q(aggs, tags = Map("host" -> "h*")), // prefix selector on partials
         q(aggs, limit = Some(3)),
         q(aggs, emitEmpty = true, afterKey = Some(Cursor(Hr, "")), limit = Some(2)))) {
       assertSame(QueryEngine.run(pts, query), Rollup.run(rollup, Min, query))

@@ -427,6 +427,23 @@ class TsdbQuerySpec extends SparkSpec {
     assert(got.toSeq == Seq(("m", 0L, 2L, 2L), ("m", 1000L, 1L, 1L), ("n", 0L, 1L, 1L)))
   }
 
+  test("tag prefix: trailing-* matches prefixes; mid-string * stays literal") {
+    val pts = mkDf(Seq(
+      TP("m", Map("host" -> "web1"), 10, Map("value" -> FV.dv(1.0)), 1),
+      TP("m", Map("host" -> "web2"), 20, Map("value" -> FV.dv(2.0)), 2),
+      TP("m", Map("host" -> "db1"), 30, Map("value" -> FV.dv(3.0)), 3),
+      TP("m", Map("host" -> "we*b"), 40, Map("value" -> FV.dv(4.0)), 4),
+      TP("m", Map("other" -> "x"), 50, Map("value" -> FV.dv(5.0)), 5)))
+    def hosts(tags: Map[String, String]): Seq[Long] =
+      QueryEngine.run(pts, QueryParams("m", tags, endNs = Some(100)))
+        .select("timestamp").as[Long].collect().toSeq.sorted
+    assert(hosts(Map("host" -> "web*")) == Seq(10L, 20L))
+    assert(hosts(Map("host" -> "web1")) == Seq(10L))     // exact still exact
+    assert(hosts(Map("host" -> "we*b")) == Seq(40L))     // mid-string * literal
+    // bare * = any value for the key (rows WITHOUT the key don't match)
+    assert(hosts(Map("host" -> "*")) == Seq(10L, 20L, 30L, 40L))
+  }
+
   test("value filter: post-merge semantics — shadowed versions can't leak through") {
     val pts = mkDf(Seq(
       // latest version (seq 2) fails the filter: the point must vanish
