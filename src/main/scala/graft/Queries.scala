@@ -777,6 +777,18 @@ object Queries {
       .orderBy("user", "timestamp")
   }
 
+  /** Metric-prefix selector (`QUERY sig*`): the subscription metric
+    * wildcard on the query path — fans out over every matching metric
+    * (single match on this corpus; the multi-match shape is spec-pinned
+    * over a custom fixture). */
+  def tsdbMetricPrefix(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("sig*", startNs = 0L, endNs = Some(FarFuture))
+    QueryEngine.run(pts(s, dir), q)
+      .select(col("metric"), userCol, tsUs,
+        col("fields").getItem("value").getField("d").as("value"))
+      .orderBy("user", "timestamp")
+  }
+
   /** Value-predicate query (`FILTER (value > 50)`): post-merge point
     * filter feeding a daily downsample — the query surface of the
     * reference's `filter.Filter` extension point. */

@@ -93,6 +93,7 @@ object SparkEntry {
     "tsdb_groupby_tag" -> (Queries.tsdbGroupByTag _),
     "tsdb_value_filter" -> (Queries.tsdbValueFilter _),
     "tsdb_tag_prefix" -> (Queries.tsdbTagPrefix _),
+    "tsdb_metric_prefix" -> (Queries.tsdbMetricPrefix _),
     "zorder_scan" -> (Queries.zorderScan _),
     "tsdb_multifield_agg" -> (Queries.tsdbMultifieldAgg _),
     "distinct_users_per_type" -> (Queries.distinctUsersPerType _),
@@ -930,6 +931,11 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.5), 4) AS p50_value
         |FROM events WHERE event_type = 'click'
         |GROUP BY 2 ORDER BY 2""".stripMargin,
+    "tsdb_metric_prefix" ->
+      """SELECT event_type AS metric, CAST(user_id AS VARCHAR) AS "user",
+        |  epoch_ns(ts) AS "timestamp", value
+        |FROM events WHERE event_type LIKE 'sig%'
+        |ORDER BY 2, 3""".stripMargin,
     "tsdb_tag_prefix" ->
       """SELECT CAST(user_id AS VARCHAR) AS "user", epoch_ns(ts) AS "timestamp",
         |  value

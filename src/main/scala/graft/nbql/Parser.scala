@@ -23,6 +23,10 @@ object NbqlParser extends RegexParsers {
     "\"" ~> """(?:[^"]|"")*""".r <~ "\"" ^^ (_.replace("\"\"", "\"")) |
       "'" ~> """(?:[^']|'')*""".r <~ "'" ^^ (_.replace("''", "'"))
   private val name: Parser[String] = quoted | identifier
+  /** Metric SELECTOR: a metric name optionally ending in `*` (prefix
+    * fan-out — read paths only; writes keep exact [[name]]). */
+  private val metricSel: Parser[String] =
+    quoted | """[A-Za-z_][A-Za-z0-9_.\-]*\*?""".r
 
   private val longNum: Parser[Long] = """-?\d+""".r ^^ (_.toLong)
   private val doubleNum: Parser[Double] = """-?\d+\.\d+([eE][+-]?\d+)?""".r ^^ (_.toDouble)
@@ -117,7 +121,7 @@ object NbqlParser extends RegexParsers {
     timeRange
 
   private val query: Parser[QueryStatement] =
-    kw("QUERY") ~> name ~ rep(queryTail) ^^ {
+    kw("QUERY") ~> metricSel ~ rep(queryTail) ^^ {
       case m ~ mods => mods.foldLeft(QueryStatement(m))((q, f) => f(q))
     }
 
@@ -135,7 +139,7 @@ object NbqlParser extends RegexParsers {
 
   private val show: Parser[Statement] =
     kw("SHOW") ~> kw("METRICS") ^^^ ShowMetricsStatement |
-    kw("SHOW") ~> kw("CARDINALITY") ~> opt(kw("FROM") ~> name) ~
+    kw("SHOW") ~> kw("CARDINALITY") ~> opt(kw("FROM") ~> metricSel) ~
       opt(kw("BY") ~> duration) ^^ {
       case m ~ d => ShowCardinalityStatement(m, d)
     } |

@@ -140,7 +140,7 @@ object QueryEngine {
   private[graft] def partitionedInput(points: DataFrame, p: QueryParams): (DataFrame, Long, Long) = {
     // 1. series resolution: metric + tag equality (AND of equalities — the
     //    reference's bitmap intersection, `indexer/tag_index_manager2.go:247-280`)
-    var df = points.filter(col("metric") === p.metric)
+    var df = points.filter(TagMatch.metricPred(p.metric))
     p.tags.foreach { case (k, v) => df = df.filter(TagMatch.pred(k, v)) }
 
     // 2. time range (inclusive both ends). When the frame carries the
@@ -232,7 +232,7 @@ object QueryEngine {
     * the parquet scan are paid once per (metric, commit) instead of per
     * query. */
   def runMerged(merged: DataFrame, p: QueryParams, ordered: Boolean = true): DataFrame = {
-    var df = merged.filter(col("metric") === p.metric)
+    var df = merged.filter(TagMatch.metricPred(p.metric))
     p.tags.foreach { case (k, v) => df = df.filter(TagMatch.pred(k, v)) }
     val (startNs, endNs) = resolveRange(df, p)
     df = df.filter(col("timestamp").between(startNs, endNs))

@@ -81,6 +81,14 @@ object TagMatch {
   def matches(v: String, actual: String): Boolean =
     actual != null &&
       (if (isPrefix(v)) actual.startsWith(v.dropRight(1)) else actual == v)
+
+  /** Spark predicate for the METRIC column — `QUERY web.*` fans out
+    * over every matching metric (subscriptions' metric wildcard,
+    * same source). */
+  def metricPred(m: String): org.apache.spark.sql.Column = {
+    val c = org.apache.spark.sql.functions.col("metric")
+    if (isPrefix(m)) c.startsWith(m.dropRight(1)) else c === m
+  }
 }
 
 /** Value predicate on a field's numeric view, applied AFTER the

@@ -121,8 +121,10 @@ object Rollup {
       fields: Set[String], digests: Boolean = false): Boolean = {
     val r = rollupIntervalNs
     // a value predicate filters individual points — partials can't
-    // re-filter, so filtered queries always take the raw path
+    // re-filter, so filtered queries always take the raw path; a
+    // prefix METRIC fans out past the per-metric rollup registration
     p.valueFilters.isEmpty &&
+    !TagMatch.isPrefix(p.metric) &&
     p.isDownsample &&
       p.downsampleNs.exists(i => i > 0 && i % r == 0) &&
       p.relativeNs.isEmpty &&

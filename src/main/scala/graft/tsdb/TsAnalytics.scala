@@ -37,7 +37,7 @@ object TsAnalytics {
     * salt would only move the cost, not remove it. */
   private def slice(points: DataFrame, p: QueryParams, field: String,
       tombstones: Seq[Tombstone]): DataFrame = {
-    var df = points.filter(col("metric") === p.metric)
+    var df = points.filter(TagMatch.metricPred(p.metric))
     p.tags.foreach { case (k, v) => df = df.filter(TagMatch.pred(k, v)) }
     val (startNs, endNs) = QueryEngine.resolveRange(df, p)
     df = df.filter(col("timestamp").between(startNs, endNs))

@@ -326,6 +326,18 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     Rollup.supports(params, spec.intervalNs, spec.fields.toSet, spec.digests) &&
       params.fill == FillNone && !params.emitEmptyWindows && params.afterKey.isEmpty
 
+
+  /** Serving base frame for `p`: the per-metric incremental serving view
+    * normally; for a PREFIX metric (`web.*` fan-out) the per-metric view
+    * machinery doesn't apply, so the base is the full merged view — a
+    * fresh plan, correct by construction, never a stale or empty
+    * per-metric frame. */
+  private def servingBase(p: QueryParams): org.apache.spark.sql.DataFrame =
+    if (TagMatch.isPrefix(p.metric))
+      QueryEngine.mergedView(
+        loadPoints().getOrElse(TsdbEngine.emptyPoints(spark)), loadTombstones())
+    else servingView(p.metric)
+
   /** Serving-tier [[queryByTags]]: when a registered rollup covers the
     * shape AND its partial frame is driver-resident, the tag-grouped
     * re-aggregation runs in pure Scala ([[LocalRollup.runByTags]] — no
@@ -599,7 +611,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * |series| × windows rows read instead of every point). */
   def queryServing(params: QueryParams): DataFrame =
     rollupRoute(params).getOrElse(
-      QueryEngine.runMerged(servingView(params.metric), params))
+      QueryEngine.runMerged(servingBase(params), params))
 
   // ---- rollup acceleration: materialized (metric, date) partials --------
 
@@ -905,7 +917,8 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     // value-filtered queries take the Spark path (the driver mirror
     // would need the numericOf cleaning duplicated; the filter is rare
     // enough that one plan's cost is the honest trade)
-    if (p.aggs.nonEmpty || p.isDownsample || p.valueFilters.nonEmpty) return None
+    if (p.aggs.nonEmpty || p.isDownsample || p.valueFilters.nonEmpty ||
+        TagMatch.isPrefix(p.metric)) return None
     localRows(p.metric).map { case (all, ts, sch) =>
       def tagFilter(rs: Array[Row]): Array[Row] =
         if (p.tags.isEmpty) rs
@@ -1072,7 +1085,10 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   private def queryCachedFull(params: QueryParams,
       pageOnTruncation: Boolean = true):
       (Array[Row], Boolean, org.apache.spark.sql.types.StructType) = {
-    val cacheable = params.relativeNs.isEmpty || params.nowNs.isDefined
+    // prefix-metric results can't be epoch-invalidated per metric — skip
+    // the cache rather than risk staleness
+    val cacheable = (params.relativeNs.isEmpty || params.nowNs.isDefined) &&
+      !TagMatch.isPrefix(params.metric)
     val e = metricEpoch(params.metric)
     if (cacheable) resultCache.get(params, e) match {
       case Some((rows, sch)) => lastServePath = "cache"; return (rows, false, sch)
@@ -1112,7 +1128,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
             }
           }
         case None =>
-          val df = QueryEngine.runMerged(servingView(params.metric), params, ordered = false)
+          val df = QueryEngine.runMerged(servingBase(params), params, ordered = false)
           if (params.limit.isDefined || params.isFinalAgg)
             // already bounded: TakeOrdered / single-row aggregate
             (driverOrder(df.collect(), params), df.schema)
@@ -1128,7 +1144,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
               truncated = true
               if (!pageOnTruncation) (Array.empty[Row], df.schema)
               else {
-                val page = QueryEngine.runMerged(servingView(params.metric),
+                val page = QueryEngine.runMerged(servingBase(params),
                   params.copy(limit = Some(budget)))
                 (page.collect(), page.schema)
               }
@@ -1180,7 +1196,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   def showCardinality(metric: Option[String],
       windowNs: Option[Long]): DataFrame = {
     val pts0 = loadPoints().getOrElse(TsdbEngine.emptyPoints(spark))
-    val pts = metric.fold(pts0)(m => pts0.filter(col("metric") === m))
+    val pts = metric.fold(pts0)(m => pts0.filter(TagMatch.metricPred(m)))
     TsAnalytics.seriesCardinality(pts, windowNs.getOrElse(Long.MaxValue / 4),
       startNs = 0L, endNs = Long.MaxValue / 2, tombstones = loadTombstones())
   }

@@ -174,6 +174,25 @@ class NbqlExecutorSpec extends SparkSpec {
     }
   }
 
+  test("metric prefix selector: parses for reads, rejected for writes, fans out e2e") {
+    assert(NbqlParser.parse("QUERY web.* FROM 0 TO 10")
+      .exists(_.asInstanceOf[QueryStatement].metric == "web.*"))
+    // writes keep exact names: PUSH to a starred metric is a parse error
+    assert(NbqlParser.parse("""PUSH web.* SET (v=1.0)""").isLeft)
+    withEngine { (_, ex) =>
+      assert(ex.execute("""PUSH web.hits SET (value=1.0) AT 100""").isRight)
+      assert(ex.execute("""PUSH web.errs SET (value=2.0) AT 200""").isRight)
+      assert(ex.execute("""PUSH db.conns SET (value=9.0) AT 300""").isRight)
+      val got = rows(ex, "QUERY web.* FROM 0 TO 9999")
+        .map(r => (r.getAs[String]("metric"), r.getAs[Long]("timestamp")))
+      assert(got.toSet == Set(("web.hits", 100L), ("web.errs", 200L)))
+      // cross-metric aggregate through GROUP BY TAGS collapse
+      val agg = rows(ex,
+        """QUERY web.* FROM 0 TO 9999 AGGREGATE (sum(value)) GROUP BY TAGS ()""").head
+      assert(agg.getAs[Double]("sum_value") == 3.0)
+    }
+  }
+
   test("TAGGED prefix selector end-to-end through the serving path") {
     withEngine { (eng, ex) =>
       for ((h, t, v) <- Seq(("web1", 100L, 1.0), ("web2", 200L, 2.0),

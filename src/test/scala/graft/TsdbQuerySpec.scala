@@ -444,6 +444,41 @@ class TsdbQuerySpec extends SparkSpec {
     assert(hosts(Map("host" -> "*")) == Seq(10L, 20L, 30L, 40L))
   }
 
+  test("metric prefix: fans out across matching metrics, per-series semantics intact") {
+    val pts = mkDf(Seq(
+      TP("web.hits", Map("h" -> "1"), 10, Map("value" -> FV.dv(1.0)), 1),
+      TP("web.errs", Map("h" -> "1"), 20, Map("value" -> FV.dv(2.0)), 2),
+      TP("web.hits", Map("h" -> "1"), 110, Map("value" -> FV.dv(3.0)), 3),
+      TP("db.conns", Map("h" -> "1"), 30, Map("value" -> FV.dv(9.0)), 4),
+      // dup version within one matched metric: latest still wins
+      TP("web.errs", Map("h" -> "1"), 20, Map("value" -> FV.dv(5.0)), 10)))
+    val raw = QueryEngine.run(pts, QueryParams("web.*", endNs = Some(1000)))
+      .select($"metric", $"timestamp", $"fields"("value")("d"))
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    assert(raw == Seq(("web.errs", 20L, 5.0), ("web.hits", 10L, 1.0),
+      ("web.hits", 110L, 3.0)))
+    // downsample groups per (metric, series): no cross-metric merging
+    val ds = QueryEngine.run(pts, QueryParams("web.*", endNs = Some(1000),
+        downsampleNs = Some(100), aggs = Seq(AggSpec("sum", "value"))))
+      .select($"metric", $"window_start", $"sum_value")
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    assert(ds == Seq(("web.errs", 0L, 5.0), ("web.hits", 0L, 1.0),
+      ("web.hits", 100L, 3.0)))
+    // serving entry: prefix metrics skip cache/tiers but answer correctly
+    val dir = java.nio.file.Files.createTempDirectory("graft_mprefix").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    try {
+      eng.putDF(pts)
+      val p = QueryParams("web.*", endNs = Some(1000))
+      assert(eng.queryCached(p).map(_.toString).toSeq ==
+        eng.query(p).collect().map(_.toString).toSeq)
+      assert(eng.lastServePath == "spark", eng.lastServePath)
+      // and twice: never a cache hit (no per-metric epoch to invalidate it)
+      eng.queryCached(p)
+      assert(eng.lastServePath == "spark")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("value filter: post-merge semantics — shadowed versions can't leak through") {
     val pts = mkDf(Seq(
       // latest version (seq 2) fails the filter: the point must vanish
