@@ -27,17 +27,32 @@ object GraftFunctions {
   private def litInt(e: Expression, what: String): Int =
     litDouble(e, what).toInt
 
+  /** Wrong-argument-count fails ANALYSIS with the expected signature
+    * rather than surfacing a raw IndexOutOfBoundsException from an
+    * es(n) access. */
+  private def arity(n: Int, sig: String)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != n) throw new IllegalArgumentException(
+        s"expected $sig ($n arguments), got ${es.length}")
+      b(es)
+    }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vec_dot" -> ((es: Seq[Expression]) => DotProduct(es(0), es(1))),
-    "vec_cosine" -> ((es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
-    "word_shingles" -> ((es: Seq[Expression]) =>
+    "vec_dot" -> arity(2, "vec_dot(a, b)")(es => DotProduct(es(0), es(1))),
+    "vec_cosine" -> arity(2, "vec_cosine(a, b)")(es =>
+      CosineSimilarity(es(0), es(1))),
+    "word_shingles" -> arity(2, "word_shingles(ws, n)")(es =>
       WordShingles(es(0), litInt(es(1), "shingle size"))),
-    "winnow_hashes" -> ((es: Seq[Expression]) =>
+    "winnow_hashes" -> arity(3, "winnow_hashes(ws, n, w)")(es =>
       WinnowHashes(es(0), litInt(es(1), "shingle size"), litInt(es(2), "window"))),
-    "compress_ratio" -> ((es: Seq[Expression]) => CompressRatio(es(0))),
-    "heavy_hitters" -> ((es: Seq[Expression]) =>
+    "compress_ratio" -> arity(1, "compress_ratio(text)")(es =>
+      CompressRatio(es(0))),
+    "heavy_hitters" -> arity(2, "heavy_hitters(x, k)")(es =>
       HeavyHittersAgg(es(0), litInt(es(1), "k")).toAggregateExpression()),
     "tdigest_percentile" -> ((es: Seq[Expression]) => {
+      if (es.length < 2 || es.length > 3) throw new IllegalArgumentException(
+        s"expected tdigest_percentile(x, q[, compression]), got ${es.length} arguments")
       val q = litDouble(es(1), "quantile")
       val compression =
         if (es.length > 2) litDouble(es(2), "compression") else 100.0
@@ -46,9 +61,10 @@ object GraftFunctions {
     // window function: `ewma(x, alpha) OVER (PARTITION BY … ORDER BY …
     // ROWS UNBOUNDED PRECEDING)` — the analyzer adopts the function's
     // running row frame when the OVER clause leaves it unspecified
-    "ewma" -> ((es: Seq[Expression]) => Ewma(es(0), es(1))),
+    "ewma" -> arity(2, "ewma(x, alpha)")(es => Ewma(es(0), es(1))),
     // `holt_trend(x, alpha, beta) OVER (…)` → struct(level, trend)
-    "holt_trend" -> ((es: Seq[Expression]) => HoltTrend(es(0), es(1), es(2))))
+    "holt_trend" -> arity(3, "holt_trend(x, alpha, beta)")(es =>
+      HoltTrend(es(0), es(1), es(2))))
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

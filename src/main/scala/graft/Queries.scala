@@ -1085,4 +1085,51 @@ object Queries {
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
       .orderBy("doc_id")
   }
+
+  // ---- NBQL protocol-path battery ---------------------------------------
+
+  /** One executor per sf dir: a REAL [[TsdbEngine]] in a temp dir,
+    * bulk-loaded once with the events point stream, then driven through
+    * [[graft.nbql.NbqlExecutor.execute]] — so the battery hashes the
+    * parse → validate → serve path the wire protocol runs, not just the
+    * query engine underneath it. */
+  private val nbqlExecs =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.nbql.NbqlExecutor]()
+  private def nbqlExec(s: SparkSession, dir: String): graft.nbql.NbqlExecutor =
+    nbqlExecs.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_nbql_battery").toString
+      val eng = new TsdbEngine(s, root)
+      eng.putDF(pts(s, dir))
+      new graft.nbql.NbqlExecutor(eng)
+    })
+
+  private def nbqlRows(s: SparkSession, dir: String, stmt: String): DataFrame = {
+    val ex = nbqlExec(s, dir)
+    ex.execute(stmt) match {
+      case Right(r: ex.Rows) => r.df
+      case Right(other) => throw new IllegalStateException(
+        s"NBQL statement returned a non-row result: $other")
+      case Left(err) => throw new IllegalStateException(s"NBQL failed: $err")
+    }
+  }
+
+  /** S10/W-series e2e: a downsampling QUERY travels the NBQL executor
+    * (text grammar → validation → serving tiers) and must hash-match the
+    * SAME oracle as the engine-direct `tsdb_downsample_1h` entry. */
+  def nbqlQueryE2e(s: SparkSession, dir: String): DataFrame =
+    nbqlRows(s, dir,
+      s"QUERY purchase FROM 0 TO $FarFuture " +
+        "AGGREGATE BY 1h (avg(value), sum(value), count(*))")
+      .select(col("metric"), userCol, col("window_start"),
+        round(col("avg_value"), 4).as("avg_value"),
+        round(col("sum_value"), 2).as("sum_value"), col("count_star"))
+      .orderBy("window_start", "user")
+
+  /** The TS analytics pack on the wire: `ANALYZE RATE` through the full
+    * NBQL path, hash-matching the `ts_rate` oracle. */
+  def nbqlRate(s: SparkSession, dir: String): DataFrame =
+    nbqlRows(s, dir, s"QUERY purchase FROM 0 TO $FarFuture ANALYZE RATE(value)")
+      .select(userCol, tsUs, col("value"), col("delta"), col("rate_per_sec"))
+      .orderBy("user", "timestamp")
 }

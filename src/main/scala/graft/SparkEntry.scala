@@ -23,6 +23,8 @@ object SparkEntry {
     "tsdb_latest_version" -> (Queries.tsdbLatestVersion _),
     "tsdb_tombstones" -> (Queries.tsdbTombstones _),
     "tsdb_desc_scan" -> (Queries.tsdbDescScan _),
+    "nbql_query_e2e" -> (Queries.nbqlQueryE2e _),
+    "nbql_rate" -> (Queries.nbqlRate _),
     "show_metrics" -> (Queries.showMetrics _),
     "show_tag_values" -> (Queries.showTagValues _),
     "series_by_tags" -> (Queries.seriesByTags _),
@@ -109,6 +111,31 @@ object SparkEntry {
         | count(*) AS count_star
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1, 2, 3 ORDER BY window_start, "user"""".stripMargin,
+    // NBQL protocol path: same oracle as tsdb_downsample_1h — a green row
+    // proves parse→validate→serve equals the engine-direct plan
+    "nbql_query_e2e" ->
+      """SELECT event_type AS metric, CAST(user_id AS VARCHAR) AS "user",
+        | (epoch_ns(ts) // 3600000000000) * 3600000000000 AS window_start,
+        | round(avg(value), 4) AS avg_value, round(sum(value), 2) AS sum_value,
+        | count(*) AS count_star
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1, 2, 3 ORDER BY window_start, "user"""".stripMargin,
+    // ANALYZE RATE on the wire: the ts_rate oracle verbatim
+    "nbql_rate" ->
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |l AS (
+        |  SELECT u, t, value,
+        |    lag(value) OVER (PARTITION BY u ORDER BY t) AS pv,
+        |    lag(t) OVER (PARTITION BY u ORDER BY t) AS pt
+        |  FROM s)
+        |SELECT u AS "user", t AS "timestamp", value,
+        |  CASE WHEN value < pv THEN value ELSE value - pv END AS delta,
+        |  (CASE WHEN value < pv THEN value ELSE value - pv END) * 1e9
+        |    / CAST(t - pt AS DOUBLE) AS rate_per_sec
+        |FROM l WHERE pv IS NOT NULL AND pt IS NOT NULL
+        |ORDER BY 1, 2""".stripMargin,
     "tsdb_rollup_downsample" ->
       """SELECT event_type AS metric, CAST(user_id AS VARCHAR) AS "user",
         | (epoch_ns(ts) // 3600000000000) * 3600000000000 AS window_start,

@@ -47,7 +47,11 @@ final case class QueryStatement(
     /** `FILTER (field <op> v)` clauses, ANDed — post-merge value
       * predicates (extension; the query surface of the reference's
       * `filter.Filter`). */
-    valueFilters: Seq[graft.tsdb.ValueFilter] = Nil) extends Statement
+    valueFilters: Seq[graft.tsdb.ValueFilter] = Nil,
+    /** `ANALYZE RATE(f)|EWMA(f,α)|HOLT(f,α,β)|TWA(f) BY d|CUMSUM(f)|
+      * ZSCORE(f,n,t)` — the time-series analytics pack on the wire
+      * (extension; [[graft.tsdb.AnalyzeSpec]]). */
+    analyze: Option[graft.tsdb.AnalyzeSpec] = None) extends Statement
 
 /** `REMOVE SERIES m TAGGED (…)` */
 final case class RemoveSeriesStatement(metric: String, tags: Map[String, String])

@@ -91,6 +91,32 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
         if (q.after.isDefined)
           return Left("AFTER cursors don't apply to GROUP BY TAGS results")
       }
+      if (q.analyze.isDefined) {
+        // the analytics define their own output shape: point-shaping
+        // clauses don't compose (TAGGED/range/FILTER/LIMIT do)
+        if (q.aggs.nonEmpty || q.byIntervalNs.isDefined)
+          return Left("ANALYZE and AGGREGATE don't compose — pick one")
+        if (q.groupByTags.isDefined)
+          return Left("ANALYZE and GROUP BY TAGS don't compose")
+        if (q.fill != FillNone || q.emitEmptyWindows)
+          return Left("FILL/EMIT EMPTY WINDOWS don't apply to ANALYZE results")
+        if (q.after.isDefined)
+          return Left("AFTER cursors don't apply to ANALYZE results")
+        if (q.order == Descending)
+          return Left("ANALYZE results are ordered (series, time) ascending — DESC is not supported")
+        q.analyze.get match {
+          case graft.tsdb.AnalyzeEwma(_, a) if a <= 0.0 || a > 1.0 =>
+            return Left("EWMA alpha must be in (0, 1]")
+          case graft.tsdb.AnalyzeHolt(_, a, b)
+              if a <= 0.0 || a > 1.0 || b <= 0.0 || b > 1.0 =>
+            return Left("HOLT alpha and beta must be in (0, 1]")
+          case graft.tsdb.AnalyzeTwa(_, iv) if iv <= 0 =>
+            return Left("TWA interval must be positive")
+          case graft.tsdb.AnalyzeZScore(_, lb, _) if lb < 2 =>
+            return Left("ZSCORE lookback must be at least 2")
+          case _ => ()
+        }
+      }
       val params = QueryParams(
         metric = q.metric,
         tags = q.tags,
@@ -121,10 +147,12 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
       // the protocol path (the reference's NBQL-layer cache position);
       // budget-truncated results transparently stream the full plan.
       // Tag-grouped queries bypass the per-series serving tiers entirely.
-      q.groupByTags match {
-        case Some(keys) =>
+      (q.analyze, q.groupByTags) match {
+        case (Some(spec), _) =>
+          Right(Rows(engine.analyze(params, spec), noCursor))
+        case (None, Some(keys)) =>
           Right(Rows(engine.queryByTagsServingDF(params, keys), noCursor))
-        case None => Right(Rows(engine.queryServingDF(params), cursorOf))
+        case (None, None) => Right(Rows(engine.queryServingDF(params), cursorOf))
       }
 
     case RemoveSeriesStatement(m, tg) =>

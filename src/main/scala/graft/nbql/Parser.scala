@@ -1,7 +1,9 @@
 package graft.nbql
 
 import graft.model.FieldValue
-import graft.tsdb.{AggSpec, Ascending, Descending, FillLinear, FillNone, FillPrevious}
+import graft.tsdb.{AggSpec, AnalyzeCumsum, AnalyzeEwma, AnalyzeHolt,
+  AnalyzeRate, AnalyzeSpec, AnalyzeTwa, AnalyzeZScore, Ascending, Descending,
+  FillLinear, FillNone, FillPrevious}
 import scala.util.parsing.combinator.RegexParsers
 
 /** NBQL text parser (grammar per SURVEY §3.4, reconstructed from the
@@ -98,8 +100,28 @@ object NbqlParser extends RegexParsers {
       case by ~ specs => (q: QueryStatement) => q.copy(aggs = specs, byIntervalNs = by)
     }
 
+  /** `ANALYZE RATE(f) | EWMA(f, α) | HOLT(f, α, β) | TWA(f) BY <dur> |
+    * CUMSUM(f) | ZSCORE(f, lookback, threshold)` — the TS analytics pack
+    * ([[graft.tsdb.AnalyzeSpec]]). The field is explicit, like the
+    * AGGREGATE grammar's `avg(load1)`; numeric parameters accept int or
+    * decimal literals; TWA reuses the AGGREGATE BY duration grammar. */
+  private val numLit: Parser[Double] = doubleNum | longNum ^^ (_.toDouble)
+  private val analyzeSpec: Parser[AnalyzeSpec] =
+    kw("RATE") ~> "(" ~> name <~ ")" ^^ AnalyzeRate |
+    kw("EWMA") ~> "(" ~> (name <~ ",") ~ numLit <~ ")" ^^ {
+      case f ~ a => AnalyzeEwma(f, a) } |
+    kw("HOLT") ~> "(" ~> (name <~ ",") ~ (numLit <~ ",") ~ numLit <~ ")" ^^ {
+      case f ~ a ~ b => AnalyzeHolt(f, a, b) } |
+    kw("TWA") ~> ("(" ~> name <~ ")") ~ (kw("BY") ~> duration) ^^ {
+      case f ~ d => AnalyzeTwa(f, d) } |
+    kw("CUMSUM") ~> "(" ~> name <~ ")" ^^ AnalyzeCumsum |
+    kw("ZSCORE") ~> "(" ~> (name <~ ",") ~ (longNum <~ ",") ~ numLit <~ ")" ^^ {
+      case f ~ n ~ t => AnalyzeZScore(f, n.toInt, t) }
+
   private val queryTail: Parser[QueryStatement => QueryStatement] =
     tagged ^^ { tg => (q: QueryStatement) => q.copy(tags = tg) } |
+    kw("ANALYZE") ~> analyzeSpec ^^ {
+      sp => (q: QueryStatement) => q.copy(analyze = Some(sp)) } |
     aggregateClause |
     kw("EMIT") ~ kw("EMPTY") ~ kw("WINDOWS") ^^^ {
       (q: QueryStatement) => q.copy(emitEmptyWindows = true) } |

@@ -301,27 +301,20 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Connected components by iterative min-label propagation: every node
-    * starts labeled with its own id; each round a node takes the minimum
-    * of its own and its neighbors' labels; fixpoint = component minima.
+  /** Connected components — the single entry point every dedup family
+    * resolves clusters through. Two tiers, labels = component minima
+    * either way:
     *
-    * Each round is one shuffle join + aggregation over (id, label) pairs
-    * — payloads are two longs regardless of document size — and rounds
-    * needed = component DIAMETER. Dedup clusters are often near-cliques
-    * (the driver testdata converges in 2 rounds), but replica CHAINS
-    * produce path-shaped components (the local sf1 corpus needs ~9);
-    * for adversarially deep graphs [[connectedComponentsStar]] is the
-    * O(log n)-rounds alternative.
-    *
-    * Every round is eagerly localCheckpoint'ed — truncating the plan,
-    * not just the execution, is load-bearing: each step embeds the
-    * previous round's frame TWICE (via nbrMin and as the join's left
-    * side), so without truncation the logical tree DOUBLES per round;
-    * at ~9 rounds the analyzer/UI chew multi-GB plan strings and
-    * dominate runtime (measured 392 s for dedup_canonical at sf1 with
-    * per-round cache only). The checkpoint is ~free here because the
-    * convergence count materializes each round anyway and rows are two
-    * longs. */
+    *  - edge set within [[driverCcMaxEdges]]: driver union-find over the
+    *    collected (long, long) edges, labels broadcast-joined back — the
+    *    corpus-sized NODE side never leaves the cluster;
+    *  - above the budget: [[connectedComponentsStar]], the
+    *    large-star/small-star scheme whose round count is O(log n)
+    *    regardless of component shape. (Min-label propagation —
+    *    [[connectedComponentsLabelProp]] — pays DIAMETER rounds: fine
+    *    for near-clique dup clusters, pathological for replica chains,
+    *    which is exactly the shape a 100 TB crawl's propagated-copy
+    *    chains produce. Property-tested label-equal; not the default.) */
   /** Edge budget for the driver union-find fast path of
     * [[connectedComponents]]: a pair of longs per edge, so 4M edges ≈
     * 64 MB of driver heap — the same bounded-driver-state discipline as
@@ -349,6 +342,12 @@ object Dedup {
       // the nodes — the NODE side (corpus-sized) never leaves the
       // cluster, mirroring the serving tiers' bounded-driver contract.
       // Labels are component minima either way, bit-identical output.
+      // Past the budget the distributed default is the large-star/
+      // small-star variant ([[connectedComponentsStar]]): label
+      // propagation pays DIAMETER rounds (a replica chain of depth d is
+      // d shuffles), star pays O(log n) — the property suite pins both
+      // the label equality and the round bound, and the label-prop loop
+      // stays available as [[connectedComponentsLabelProp]].
       val eCount = und.count() // materializes the cache for both paths
       if (eCount / 2 <= driverCcMaxEdges) {
         val spark = nodes.sparkSession
@@ -381,6 +380,37 @@ object Dedup {
           .select(col("node"),
             coalesce(col("__cc_label"), col("node")).as("label"))
       }
+      // `und` is cached and already materialized by the count, so star's
+      // initial canonicalize+checkpoint reads the cache, not the upstream
+      // pair-generation lineage
+      connectedComponentsStar(nodes, und, maxIter)._1
+    } finally und.unpersist()
+  }
+
+  /** The iterative min-label-propagation variant of
+    * [[connectedComponents]] — kept as the simplest reference
+    * implementation the property suite checks the driver and star paths
+    * against; not the distributed default since r8. Every node starts
+    * labeled with its own id; each round takes the min of its own and
+    * its neighbors' labels; fixpoint = component minima, rounds =
+    * component DIAMETER (near-clique dup clusters converge in ~2, the
+    * sf1 replica chains need ~9).
+    *
+    * Every round is eagerly localCheckpoint'ed — truncating the plan,
+    * not just the execution, is load-bearing: each step embeds the
+    * previous round's frame TWICE (via nbrMin and as the join's left
+    * side), so without truncation the logical tree DOUBLES per round;
+    * at ~9 rounds the analyzer/UI chew multi-GB plan strings and
+    * dominate runtime (measured 392 s for dedup_canonical at sf1 with
+    * per-round cache only). The checkpoint is ~free here because the
+    * convergence count materializes each round anyway and rows are two
+    * longs. */
+  def connectedComponentsLabelProp(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .cache()
+    try {
       var labels = nodes.select(col("node"), col("node").as("label"))
         .localCheckpoint(true)
       var it = 0
@@ -639,9 +669,14 @@ object Dedup {
     * pays the per-file open cost for all of them. Exact-dup provenance
     * is preserved: base fingerprints fold with `min(exact_of)` — the
     * same first-writer-wins the append path enforces batch-by-batch —
-    * and band/shingle rows pass through unchanged. Readers see either
-    * the old layout or the new one (staged write, two-rename swap with
-    * rollback), never a half-compacted table. */
+    * and band/shingle rows pass through unchanged. Staged write +
+    * two-rename swap with rollback: a reader sees the old layout or the
+    * new one, EXCEPT during the instant between the two renames — run
+    * compaction without concurrent readers (the maintenance-window
+    * contract of every on-disk index here). A crash in that window
+    * strands the table under `<table>_retired`; [[recoverStagedSwap]]
+    * restores it on the next open, so nothing is lost and the
+    * compaction is simply redone. */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -651,6 +686,9 @@ object Dedup {
       val live = s"$path/$table"
       val staged = s"$path/${table}_compacting"
       val retired = s"$path/${table}_retired"
+      // restore a crash-stranded retire BEFORE clearing leftovers — the
+      // retired copy may be the only complete one
+      recoverStagedSwap(fs, new Path(live))
       fs.delete(new Path(staged), true)
       fs.delete(new Path(retired), true)
       val df = spark.read.parquet(live)
@@ -672,6 +710,23 @@ object Dedup {
       fs.delete(new Path(retired), true)
     }
   }
+
+  /** Startup recovery for the staged two-rename swap used by every
+    * on-disk index compactor here (dedup index, cardinality summary,
+    * ANN cells): a crash between retire and publish leaves the data
+    * complete but stranded under `<live>_retired` with no live
+    * directory. Restoring the retired copy when the live path is
+    * missing makes the swap crash-safe end-to-end; the interrupted
+    * compaction is simply redone later. Idempotent and cheap (two
+    * metadata calls on the happy path). */
+  def recoverStagedSwap(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.exists(live)) {
+      val retired = new org.apache.hadoop.fs.Path(live.toString + "_retired")
+      if (fs.exists(retired) && !fs.rename(retired, live))
+        throw new java.io.IOException(
+          s"recoverStagedSwap: cannot restore $retired to $live")
+    }
 
   private def writeDedupIndexBatch(df: DataFrame, idCol: String,
       textCol: String, n: Int, k: Int, bands: Int, path: String,
@@ -703,6 +758,9 @@ object Dedup {
       n: Int, k: Int, bands: Int, threshold: Double,
       excludeBatch: Option[String] = None): DataFrame = {
     def readIdx(table: String): DataFrame = {
+      val live = new org.apache.hadoop.fs.Path(s"$indexPath/$table")
+      recoverStagedSwap(
+        live.getFileSystem(spark.sparkContext.hadoopConfiguration), live)
       val raw = spark.read.parquet(s"$indexPath/$table")
       excludeBatch.fold(raw)(l => raw.filter(col("batch") =!= lit(l)))
     }

@@ -582,6 +582,9 @@ object Similarity {
     val staged = s"$path/cells_compacting"
     val retired = s"$path/cells_retired"
     val fs = fsOf(spark, path)
+    // a crash between the two renames strands the cells under _retired;
+    // restore before clearing leftovers (same recovery as the dedup index)
+    graft.pipeline.Dedup.recoverStagedSwap(fs, new Path(cells))
     fs.delete(new Path(staged), true)
     fs.delete(new Path(retired), true)
     spark.read.parquet(cells)
@@ -604,6 +607,8 @@ object Similarity {
     * read. */
   def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    graft.pipeline.Dedup.recoverStagedSwap(fsOf(spark, path),
+      new org.apache.hadoop.fs.Path(s"$path/cells"))
     val mk = readMarker(spark, path)
     require(nprobe <= mk.nlist, s"nprobe $nprobe > nlist ${mk.nlist}")
     val cents = mk.centroids.zipWithIndex.map(_.swap)
@@ -725,12 +730,12 @@ object Similarity {
     * the dedup.
     *
     * Scale shape: pair generation is the IVF bucketed join (ids-only
-    * shuffle), component resolution is label propagation over (long,
-    * long) edges ([[graft.pipeline.Dedup.connectedComponents]] —
-    * localCheckpoint'ed rounds, O(diameter) ≈ O(log n) for dup
-    * clusters), and the final keep flag is one hash join of labels
-    * against component sizes. Vectors never ride any shuffle past the
-    * candidate verify. */
+    * shuffle), component resolution is
+    * [[graft.pipeline.Dedup.connectedComponents]] over (long, long)
+    * edges (driver union-find within budget, O(log n)-round
+    * large/small-star beyond it), and the final keep flag is one hash
+    * join of labels against component sizes. Vectors never ride any
+    * shuffle past the candidate verify. */
   def semanticDedup(vecs: DataFrame, threshold: Double, nlist: Int,
       replicate: Int = 2,
       centroids: Option[Array[Array[Double]]] = None): DataFrame = {

@@ -27,19 +27,35 @@ final class QueryCache(capacity: Int = 256, maxRowsPerEntry: Int = 100000) {
   private var hitCount = 0L
   private var missCount = 0L
 
+  /** Percent-escape a user-controlled name so the structural separators
+    * below ('|', ',', '=', parens, the filter ops) can never be forged
+    * by a quoted metric/tag/field name — two distinct param sets must
+    * never collide into one cache key (a collision SERVES WRONG ROWS). */
+  private def esc(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case c @ ('%' | '|' | ',' | '=' | '(' | ')' | '<' | '>' | '!') =>
+        sb.append(f"%%${c.toInt}%02X")
+      case c => sb.append(c)
+    }
+    sb.result()
+  }
+
   /** Canonical key: metric, sorted tags, range (REL:duration vs ABS:a-b),
-    * aggs in declaration order, downsample/order/limit/cursor. */
+    * aggs in declaration order, downsample/order/limit/cursor. All
+    * user-chosen names ride through [[esc]]. */
   def keyOf(p: QueryParams): String = {
-    val tags = p.tags.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+    val tags = p.tags.toSeq.sorted.map { case (k, v) => s"${esc(k)}=${esc(v)}" }.mkString(",")
     val range = p.relativeNs match {
       case Some(d) => s"REL:$d"
       case None => s"ABS:${p.startNs}-${p.endNs.getOrElse(0L)}"
     }
-    val aggs = p.aggs.map(a => s"${a.func}(${a.field})${a.alias.getOrElse("")}").mkString(",")
-    s"${p.metric}|$tags|$range|$aggs|${p.downsampleNs.getOrElse(0L)}|" +
+    val aggs = p.aggs.map(a =>
+      s"${esc(a.func)}(${esc(a.field)})${a.alias.fold("")(esc)}").mkString(",")
+    s"${esc(p.metric)}|$tags|$range|$aggs|${p.downsampleNs.getOrElse(0L)}|" +
       s"${p.emitEmptyWindows}|${p.fill}|${p.order}|${p.limit.getOrElse(-1L)}|" +
       s"${p.afterKey.map(_.encode).getOrElse("")}|" +
-      p.valueFilters.map(f => s"${f.field}${f.op}${f.value}").mkString(",")
+      p.valueFilters.map(f => s"${esc(f.field)}${f.op}${f.value}").mkString(",")
   }
 
   def get(p: QueryParams, currentEpoch: Long): Option[(Array[Row], StructType)] =

@@ -105,6 +105,33 @@ object ValueFilter {
   val Ops: Set[String] = Set(">", ">=", "<", "<=", "=", "!=")
 }
 
+/** `QUERY m … ANALYZE <op>` — the NBQL projection of the
+  * [[TsAnalytics]] pack (extension; the reference's query surface stops
+  * at whole-window aggregation, `api/nbql/executor.go:131-172`, while a
+  * dashboard user needs rate/smoothing/anomaly reachable FROM THE WIRE).
+  * Composes with TAGGED / time range / FILTER / LIMIT; the per-series
+  * shaping clauses (AGGREGATE, GROUP BY TAGS, FILL, EMIT EMPTY WINDOWS,
+  * DESC, AFTER) are rejected by the executor — the analytics define
+  * their own output shape, ordered (series_key, timestamp) ascending. */
+sealed trait AnalyzeSpec { def field: String }
+/** `ANALYZE RATE(field)` — counter-reset-aware per-second rate
+  * ([[TsAnalytics.rate]]). */
+final case class AnalyzeRate(field: String) extends AnalyzeSpec
+/** `ANALYZE EWMA(field, alpha)` ([[TsAnalytics.ewmaSmooth]]). */
+final case class AnalyzeEwma(field: String, alpha: Double) extends AnalyzeSpec
+/** `ANALYZE HOLT(field, alpha, beta)` ([[TsAnalytics.holtSmooth]]). */
+final case class AnalyzeHolt(field: String, alpha: Double, beta: Double)
+  extends AnalyzeSpec
+/** `ANALYZE TWA(field) BY <dur>` — time-weighted average over tumbling
+  * windows ([[TsAnalytics.timeWeightedAvg]]). */
+final case class AnalyzeTwa(field: String, intervalNs: Long) extends AnalyzeSpec
+/** `ANALYZE CUMSUM(field)` — running sum/max/index
+  * ([[TsAnalytics.runningAggregates]]). */
+final case class AnalyzeCumsum(field: String) extends AnalyzeSpec
+/** `ANALYZE ZSCORE(field, lookback, threshold)` ([[TsAnalytics.rollingZScore]]). */
+final case class AnalyzeZScore(field: String, lookback: Int, threshold: Double)
+  extends AnalyzeSpec
+
 final case class QueryParams(
     metric: String,
     tags: Map[String, String] = Map.empty,

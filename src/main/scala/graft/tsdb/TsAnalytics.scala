@@ -411,19 +411,26 @@ object TsAnalytics {
       .write.partitionBy("date").mode("append").parquet(path)
 
   def readCardinalitySummary(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame =
+      path: String): DataFrame = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    graft.pipeline.Dedup.recoverStagedSwap(
+      live.getFileSystem(spark.sparkContext.hadoopConfiguration), live)
     spark.read.parquet(path)
+  }
 
   /** Fold accumulated append rows to ONE per (metric, window) — sketch
     * unions + point-count sums, estimates unchanged (HLL union is
-    * associative). Staged write + two-rename swap, readers never see a
-    * half-compacted table. */
+    * associative). Staged write + two-rename swap with rollback; run
+    * without concurrent readers (the instant between the two renames
+    * has no live directory), and a crash in that window is recovered on
+    * the next open by [[graft.pipeline.Dedup.recoverStagedSwap]]. */
   def compactCardinalitySummary(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val staged = s"${path}_compacting"
     val retired = s"${path}_retired"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.pipeline.Dedup.recoverStagedSwap(fs, new Path(path))
     fs.delete(new Path(staged), true)
     fs.delete(new Path(retired), true)
     spark.read.parquet(path)

@@ -326,6 +326,35 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     Rollup.supports(params, spec.intervalNs, spec.fields.toSet, spec.digests) &&
       params.fill == FillNone && !params.emitEmptyWindows && params.afterKey.isEmpty
 
+  /** `QUERY m … ANALYZE <op>` — the [[TsAnalytics]] pack over this
+    * engine's storage (NBQL extension). Deliberately NOT routed through
+    * the per-series serving tiers or the result cache: the analytics
+    * define their own output shapes and the cache key is per-series
+    * query grammar — a shared key would collide an ANALYZE with its
+    * plain QUERY twin and serve wrong rows. LIMIT applies to the
+    * ordered analytic output. */
+  def analyze(params: QueryParams, spec: AnalyzeSpec): DataFrame = {
+    val pts = loadPoints().getOrElse(TsdbEngine.emptyPoints(spark))
+    val tombs = loadTombstones()
+    val df = spec match {
+      case AnalyzeRate(f) =>
+        TsAnalytics.rate(pts, params, field = f, tombstones = tombs)
+      case AnalyzeEwma(f, a) =>
+        TsAnalytics.ewmaSmooth(pts, params, a, field = f, tombstones = tombs)
+      case AnalyzeHolt(f, a, b) =>
+        TsAnalytics.holtSmooth(pts, params, a, b, field = f, tombstones = tombs)
+      case AnalyzeTwa(f, iv) =>
+        TsAnalytics.timeWeightedAvg(pts,
+          params.copy(downsampleNs = Some(iv)), field = f, tombstones = tombs)
+      case AnalyzeCumsum(f) =>
+        TsAnalytics.runningAggregates(pts, params, field = f, tombstones = tombs)
+      case AnalyzeZScore(f, lb, th) =>
+        TsAnalytics.rollingZScore(pts, params, field = f, lookback = lb,
+          threshold = th, tombstones = tombs)
+    }
+    params.limit.fold(df)(n => df.limit(n.toInt))
+  }
+
 
   /** Serving base frame for `p`: the per-metric incremental serving view
     * normally; for a PREFIX metric (`web.*` fan-out) the per-metric view
@@ -1191,14 +1220,27 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   /** `SHOW CARDINALITY [FROM m] [BY dur]` (I-series extension): distinct
     * active series + point volume per metric, windowed when `windowNs`
     * is given — [[TsAnalytics.seriesCardinality]] over this engine's
-    * merged storage. Without a window every point folds into the single
-    * epoch-anchored window 0. */
+    * merged storage. Without a window the grouping is by metric alone —
+    * emitted as window_start 0 for schema parity with the windowed form,
+    * with NO window arithmetic involved (a sentinel interval would split
+    * or drop timestamps near Long.MaxValue). */
   def showCardinality(metric: Option[String],
       windowNs: Option[Long]): DataFrame = {
     val pts0 = loadPoints().getOrElse(TsdbEngine.emptyPoints(spark))
     val pts = metric.fold(pts0)(m => pts0.filter(TagMatch.metricPred(m)))
-    TsAnalytics.seriesCardinality(pts, windowNs.getOrElse(Long.MaxValue / 4),
-      startNs = 0L, endNs = Long.MaxValue / 2, tombstones = loadTombstones())
+    windowNs match {
+      case Some(w) =>
+        TsAnalytics.seriesCardinality(pts, w,
+          startNs = 0L, endNs = Long.MaxValue, tombstones = loadTombstones())
+      case None =>
+        QueryEngine.mergedView(pts, loadTombstones())
+          .groupBy(col("metric"))
+          .agg(count_distinct(col("series_key")).as("n_series"),
+            count(lit(1)).as("n_points"))
+          .select(col("metric"), lit(0L).as("window_start"),
+            col("n_series"), col("n_points"))
+          .orderBy("metric")
+    }
   }
 
   def getSeriesByTags(metric: String, tags: Map[String, String]): DataFrame = {

@@ -90,6 +90,32 @@ class NbqlParserSpec extends SparkSpec {
       RestoreStatement("/tmp/snap", overwrite = true))
   }
 
+  test("QUERY ANALYZE forms parse; bad forms are errors") {
+    assert(p("QUERY cpu FROM 0 TO 10 ANALYZE RATE(v)")
+      .asInstanceOf[QueryStatement].analyze.contains(AnalyzeRate("v")))
+    assert(p("QUERY cpu ANALYZE EWMA(v, 0.25)")
+      .asInstanceOf[QueryStatement].analyze.contains(AnalyzeEwma("v", 0.25)))
+    assert(p("QUERY cpu ANALYZE HOLT(v, 0.5, 0.25)")
+      .asInstanceOf[QueryStatement].analyze.contains(AnalyzeHolt("v", 0.5, 0.25)))
+    assert(p("QUERY cpu ANALYZE TWA(v) BY 1h")
+      .asInstanceOf[QueryStatement].analyze
+      .contains(AnalyzeTwa("v", 3600L * 1000000000L)))
+    assert(p("QUERY cpu ANALYZE CUMSUM(v)")
+      .asInstanceOf[QueryStatement].analyze.contains(AnalyzeCumsum("v")))
+    assert(p("QUERY cpu ANALYZE ZSCORE(v, 20, 3.0)")
+      .asInstanceOf[QueryStatement].analyze.contains(AnalyzeZScore("v", 20, 3.0)))
+    // composes with TAGGED/range/FILTER in any order
+    val q = p("""QUERY cpu TAGGED (dc="eu") FROM 0 TO 99 FILTER (v > 1) ANALYZE RATE(v)""")
+      .asInstanceOf[QueryStatement]
+    assert(q.analyze.contains(AnalyzeRate("v")) && q.tags == Map("dc" -> "eu") &&
+      q.valueFilters.nonEmpty)
+    assert(NbqlParser.parse("QUERY cpu ANALYZE").isLeft)
+    assert(NbqlParser.parse("QUERY cpu ANALYZE RATE").isLeft) // field is mandatory
+    assert(NbqlParser.parse("QUERY cpu ANALYZE EWMA(0.25)").isLeft)
+    assert(NbqlParser.parse("QUERY cpu ANALYZE HOLT(v, 0.5)").isLeft)
+    assert(NbqlParser.parse("QUERY cpu ANALYZE TWA(v)").isLeft)
+  }
+
   test("parse errors are reported, not thrown") {
     assert(NbqlParser.parse("QUERY").isLeft)
     assert(NbqlParser.parse("PUSH m").isLeft) // SET is mandatory
@@ -263,6 +289,66 @@ class NbqlExecutorSpec extends SparkSpec {
            GROUP BY TAGS (dc)""").isLeft)
       assert(ex.execute(
         "QUERY req AGGREGATE (sum(value)) GROUP BY TAGS (dc) AFTER MXw=").isLeft)
+    }
+  }
+
+  test("ANALYZE end-to-end: rate/ewma/cumsum values, serving parity, validations") {
+    withEngine { (eng, ex) =>
+      // h=a: 1 → 2 → 4 (rising); h=b: 10 → 5 (counter reset)
+      assert(ex.execute(
+        """PUSHS cpu TAGGED (h="a") SET (v=1.0) AT 1000,
+           cpu TAGGED (h="a") SET (v=2.0) AT 2000,
+           cpu TAGGED (h="a") SET (v=4.0) AT 3000,
+           cpu TAGGED (h="b") SET (v=10.0) AT 1500,
+           cpu TAGGED (h="b") SET (v=5.0) AT 2500""").isRight)
+
+      val rate = rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE RATE(v)")
+      assert(rate.size == 3) // first point of each series emits no rate
+      val byKey = rate.map(r => (r.getAs[Map[String, String]]("tags")("h"),
+        r.getAs[Long]("timestamp")) -> (r.getAs[Double]("delta"),
+        r.getAs[Double]("rate_per_sec"))).toMap
+      assert(byKey(("a", 2000L)) == ((1.0, 1e6)))
+      assert(byKey(("a", 3000L)) == ((2.0, 2e6)))
+      assert(byKey(("b", 2500L)) == ((5.0, 5e6))) // reset: delta = new value
+
+      val ewma = rows(ex, """QUERY cpu TAGGED (h="a") FROM 0 TO 9999 ANALYZE EWMA(v, 0.5)""")
+      assert(ewma.map(_.getAs[Double]("ewma")) == Seq(1.0, 1.5, 2.75))
+
+      val cum = rows(ex, """QUERY cpu TAGGED (h="a") FROM 0 TO 9999 ANALYZE CUMSUM(v)""")
+      assert(cum.map(_.getAs[Double]("cum_sum")) == Seq(1.0, 3.0, 7.0))
+      assert(cum.map(_.getAs[Double]("cum_max")) == Seq(1.0, 2.0, 4.0))
+      assert(cum.map(_.getAs[Int]("point_index")) == Seq(1, 2, 3))
+
+      // FILTER composes: only values > 1 survive BEFORE the recurrence
+      val filtered = rows(ex,
+        """QUERY cpu TAGGED (h="a") FROM 0 TO 9999 FILTER (v > 1) ANALYZE CUMSUM(v)""")
+      assert(filtered.map(_.getAs[Double]("cum_sum")) == Seq(2.0, 6.0))
+
+      // serving parity: the NBQL path returns exactly the API path's rows
+      val params = QueryParams("cpu", startNs = 0L, endNs = Some(9999L))
+      val direct = TsAnalytics.holtSmooth(
+        eng.loadPoints().get, params, alpha = 0.5, beta = 0.25,
+        field = "v", tombstones = eng.loadTombstones()).collect().toSeq
+      val wire = rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE HOLT(v, 0.5, 0.25)")
+      assert(wire == direct)
+
+      // TWA over 1us windows: each window holds one point here
+      val twa = rows(ex, """QUERY cpu TAGGED (h="a") FROM 0 TO 9999 ANALYZE TWA(v) BY 1us""")
+      assert(twa.map(r => (r.getAs[Long]("window_start"), r.getAs[Double]("twa"))) ==
+        Seq((1000L, 1.0), (2000L, 2.0), (3000L, 4.0)))
+
+      // validations reject non-composing shapes with clear messages
+      assert(ex.execute("QUERY cpu AGGREGATE (sum(v)) ANALYZE RATE(v)").isLeft)
+      assert(ex.execute("QUERY cpu AGGREGATE BY 1m (sum(v)) ANALYZE RATE(v)").isLeft)
+      assert(ex.execute("QUERY cpu AGGREGATE (sum(v)) GROUP BY TAGS (h) ANALYZE RATE(v)").isLeft)
+      assert(ex.execute("QUERY cpu ANALYZE RATE(v) DESC").isLeft)
+      assert(ex.execute("QUERY cpu ANALYZE EWMA(v, 1.5)").isLeft)
+      assert(ex.execute("QUERY cpu ANALYZE HOLT(v, 0.5, 0.0)").isLeft)
+      assert(ex.execute("QUERY cpu ANALYZE ZSCORE(v, 1, 3.0)").isLeft)
+
+      // LIMIT applies to the ordered analytic output
+      val lim = rows(ex, """QUERY cpu TAGGED (h="a") FROM 0 TO 9999 ANALYZE CUMSUM(v) LIMIT 2""")
+      assert(lim.size == 2)
     }
   }
 

@@ -245,7 +245,7 @@ class PropertySpec extends SparkSpec {
     })
   }
 
-  test("driver union-find CC == distributed label propagation, bit-identical") {
+  test("driver union-find CC == distributed star default == label prop, bit-identical") {
     val rnd = new scala.util.Random(29)
     for (trial <- 0 until 3) {
       val edges = List.fill(12 + trial * 10)(
@@ -256,12 +256,15 @@ class PropertySpec extends SparkSpec {
       val fast = graft.pipeline.Dedup.connectedComponents(nodes, e)
         .as[(Long, Long)].collect().toMap
       val before = graft.pipeline.Dedup.driverCcMaxEdges
-      graft.pipeline.Dedup.driverCcMaxEdges = 0L // force the distributed path
+      graft.pipeline.Dedup.driverCcMaxEdges = 0L // force the distributed (star) path
       try {
         val slow = graft.pipeline.Dedup.connectedComponents(nodes, e)
           .as[(Long, Long)].collect().toMap
-        assert(fast == slow, s"trial $trial: paths disagree for $edges")
+        assert(fast == slow, s"trial $trial: driver vs star disagree for $edges")
       } finally graft.pipeline.Dedup.driverCcMaxEdges = before
+      val lp = graft.pipeline.Dedup.connectedComponentsLabelProp(nodes, e)
+        .as[(Long, Long)].collect().toMap
+      assert(fast == lp, s"trial $trial: driver vs label prop disagree for $edges")
     }
   }
 
@@ -277,7 +280,7 @@ class PropertySpec extends SparkSpec {
       val nodeIds = (edges.flatMap(t => Seq(t._1, t._2)) ++ Seq(7L, 99L)).distinct
       val nodes = nodeIds.toDF("node")
       val e = edges.toDF("a", "b")
-      val lp = graft.pipeline.Dedup.connectedComponents(nodes, e)
+      val lp = graft.pipeline.Dedup.connectedComponentsLabelProp(nodes, e)
         .as[(Long, Long)].collect().toMap
       val (starDf, _) = graft.pipeline.Dedup.connectedComponentsStar(nodes, e)
       val star = starDf.as[(Long, Long)].collect().toMap
