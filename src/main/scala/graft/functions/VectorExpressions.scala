@@ -430,6 +430,106 @@ case class PqAdcTable(child: Expression, codebooks: Array[Array[Array[Double]]])
   override def prettyName: String = "pq_adc_table"
 }
 
+/** The `n` nearest centroid ids by max dot product (ties → lowest cid),
+  * ordered (dot desc, cid asc) — IVF coarse assignment as ONE fused
+  * expression over a reference-object centroid matrix.
+  *
+  * This is the scale enabler for `nlist ∝ √n`: the compositional Column
+  * form (an `array_sort` over nlist literal structs, each a dot over dim
+  * `lit()` elements) costs nlist×dim expression NODES to plan and
+  * codegen — fine at nlist 16, pathological past ~10² (the generated
+  * method blows the JVM's 64 KB limit and falls off whole-stage
+  * codegen). Here the centroids ride as one `double[][]` reference and
+  * the generated code is a fixed triple loop, so nlist in the thousands
+  * costs only FLOPs. Dot accumulation is the same sequential
+  * left-to-right order as [[DotProduct]] (which backed the literal
+  * form), and the (dot desc, cid asc) selection reproduces
+  * `array_sort((negSim, cid))` exactly — so cell assignments are
+  * bit-identical to the literal-centroid form the battery oracles pin. */
+case class IvfAssign(child: Expression, centroids: Array[Array[Double]], n: Int)
+    extends UnaryExpression {
+  require(n >= 1 && n <= centroids.length && centroids.nonEmpty,
+    s"need 1 <= n=$n <= nlist=${centroids.length}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ivf_assign requires array<float|double>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val fl = isFloat
+    val bd = new Array[Double](n) // best dots, descending
+    val bc = new Array[Int](n)    // their cids
+    var filled = 0
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val len = math.min(arr.numElements(), cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < len) {
+        s += (if (fl) arr.getFloat(i).toDouble else arr.getDouble(i)) * cent(i)
+        i += 1
+      }
+      // insertion keeping (dot desc, cid asc); equal dots keep earlier
+      // (lower) cid first because candidates arrive in cid order
+      if (filled < n || s > bd(filled - 1)) {
+        var p = math.min(filled, n - 1)
+        while (p > 0 && bd(p - 1) < s) { bd(p) = bd(p - 1); bc(p) = bc(p - 1); p -= 1 }
+        bd(p) = s; bc(p) = c
+        if (filled < n) filled += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bc, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val (c, i, s, p, bd, bc, filled, cent, len) = (ctx.freshName("c"),
+        ctx.freshName("i"), ctx.freshName("s"), ctx.freshName("p"),
+        ctx.freshName("bd"), ctx.freshName("bc"), ctx.freshName("filled"),
+        ctx.freshName("cent"), ctx.freshName("len"))
+      s"""
+         |double[] $bd = new double[$n];
+         |int[] $bc = new int[$n];
+         |int $filled = 0;
+         |for (int $c = 0; $c < $centsRef.length; $c++) {
+         |  double[] $cent = $centsRef[$c];
+         |  int $len = java.lang.Math.min($a.numElements(), $cent.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $len; $i++) {
+         |    $s += (double) $a.$get($i) * $cent[$i];
+         |  }
+         |  if ($filled < $n || $s > $bd[$filled - 1]) {
+         |    int $p = java.lang.Math.min($filled, $n - 1);
+         |    while ($p > 0 && $bd[$p - 1] < $s) {
+         |      $bd[$p] = $bd[$p - 1]; $bc[$p] = $bc[$p - 1]; $p--;
+         |    }
+         |    $bd[$p] = $s; $bc[$p] = $c;
+         |    if ($filled < $n) $filled++;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($bc, $filled));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "ivf_assign"
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graft.ColumnBridge
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
@@ -443,6 +543,8 @@ object VectorFunctions {
     ColumnBridge.column(PqCodes(ex(vec), codebooks))
   def pq_adc_table(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqAdcTable(ex(vec), codebooks))
+  def ivf_assign(vec: Column, centroids: Array[Array[Double]], n: Int): Column =
+    ColumnBridge.column(IvfAssign(ex(vec), centroids, n))
 
   /** Register `vec_dot` / `vec_cosine` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -226,6 +226,61 @@ object Similarity {
     cents.toArray
   }
 
+  /** The enforced 100 TB contract for IVF blocking: when a caller
+    * leaves `nlist = 0` (the new default on every IVF entry point), it
+    * is derived from the corpus as ≈√n, clamped to [16, 65536]. √n
+    * balances the two costs that bound an IVF pass — brute-force coarse
+    * assignment (n·nlist·dim flops) against same-cell candidate volume
+    * (Σ|cell|² ≈ n²·r²/nlist) — at n^1.5 each; a PINNED nlist leaves
+    * candidates quadratic the moment the corpus outgrows the config,
+    * which is how a 16-cell default would melt at 10⁹ vectors. Callers
+    * may still pin nlist (the oracle batteries do, with literal
+    * centroids); the contract is that leaving it unset is SAFE at any
+    * scale, the same stance as [[graft.plans.RangeJoinRewrite]]'s auto
+    * bin width and the reference LSM sizing its levels from data
+    * (`levels/levels.go`), not config. */
+  def autoNlist(n: Long): Int =
+    math.max(16L, math.min(65536L, math.round(math.sqrt(n.toDouble)))).toInt
+
+  /** `nlist` deterministic unit-norm centroids sampled by hash order:
+    * rows ranked by xxhash64(id) (uniform in hash space ⇒ a uniform,
+    * reproducible corpus sample — no RNG, no collect of the corpus),
+    * then normalized. The auto-nlist coarse quantizer past the k-means
+    * budget: cell BLOCKING needs cells that partition direction space
+    * roughly evenly, not optimal ones, and a sampled coarse quantizer
+    * is the standard large-nlist fallback — while the driver k-means
+    * fit's farthest-point init is O(sample·nlist²·dim), unaffordable
+    * past ~10² cells. TakeOrdered collects exactly nlist vectors. */
+  def sampledCentroids(corpus: DataFrame, nlist: Int): Array[Array[Double]] = {
+    val rows = corpus.orderBy(xxhash64(col("id")), col("id")).limit(nlist)
+      .select(col("vec")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(rows.nonEmpty, "sampledCentroids: empty corpus")
+    rows.map { a =>
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) a else a.map(_ / n)
+    }
+  }
+
+  /** Centroids for an auto-resolved `nlist`: spherical k-means while the
+    * quadratic init is affordable, sampled coarse quantizer beyond. */
+  def autoCentroids(corpus: DataFrame, nlist: Int): Array[Array[Double]] =
+    if (nlist <= 64) kmeansCentroids(corpus, nlist)
+    else sampledCentroids(corpus, nlist)
+
+  /** Resolve an entry point's `nlist`/`centroids` pair: explicit
+    * centroids win; an explicit positive nlist keeps the k-means quality
+    * default; `nlist = 0` derives [[autoNlist]] from one bounded count
+    * and fits [[autoCentroids]]. */
+  private def resolveCentroids(vecs: DataFrame, nlist: Int,
+      centroids: Option[Array[Array[Double]]]): Array[Array[Double]] =
+    centroids.getOrElse {
+      if (nlist > 0) kmeansCentroids(vecs, nlist)
+      else autoCentroids(vecs, autoNlist(vecs.count()))
+    }
+
   /** The first `nlist` corpus vectors by id — a deterministic,
     * data-dependent-but-order-insensitive centroid choice that an
     * independent SQL engine can reproduce exactly (used by the oracled
@@ -248,33 +303,33 @@ object Similarity {
     * broadcast literal centroids; the candidate join is hash-partitioned
     * by centroid id, scanning ~(replicate·nprobe/nlist) of the corpus per
     * query, and only ids travel through the candidate dedup. */
-  /** Per-row array of the `n` nearest centroid cells as (negSim, cid)
-    * structs — a narrow map against literal (broadcast-by-value)
-    * centroids, deterministic tie-break on cid. */
+  /** Per-row array of the `n` nearest centroid cell ids (max dot,
+    * ties → lowest cid) — the fused [[graft.functions.IvfAssign]]
+    * native: centroids ride as ONE reference object, so nlist in the
+    * thousands costs FLOPs, not expression nodes (the earlier
+    * literal-struct `array_sort` form cost nlist×dim `lit()` nodes to
+    * plan and codegen, capping practical nlist near 10² — exactly the
+    * wall the auto-nlist contract has to climb past). Assignment is
+    * bit-identical to the literal form: same sequential dot
+    * accumulation, same (dot desc, cid asc) order. */
   private def nearestCells(cents: Array[(Int, Array[Double])])(
-      vec: Column, n: Int): Column = {
-    def centArr(c: Array[Double]) = array(c.map(lit): _*)
-    val scored = array(cents.map { case (cid, c) =>
-      struct((dot(vec, centArr(c)) * -1).as("negSim"), lit(cid).as("cid"))
-    }: _*)
-    slice(array_sort(scored), 1, n)
-  }
+      vec: Column, n: Int): Column =
+    graft.functions.VectorFunctions.ivf_assign(vec,
+      cents.sortBy(_._1).map(_._2), n) // row i == cid i, IvfAssign returns indices
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int, nprobe: Int,
       centroids: Option[Array[Array[Double]]] = None,
       replicate: Int = 2): DataFrame = {
-    require(nprobe <= nlist && replicate >= 1 && replicate <= nlist)
     val cents: Array[(Int, Array[Double])] =
-      centroids.getOrElse(kmeansCentroids(corpus, nlist)).zipWithIndex.map(_.swap)
+      resolveCentroids(corpus, nlist, centroids).zipWithIndex.map(_.swap)
+    require(nprobe <= cents.length && replicate >= 1 && replicate <= cents.length)
     val nearest = nearestCells(cents) _
     val cb = corpus.select(col("id").as("neighbor_id"),
-      explode(nearest(col("vec"), replicate)).as("a"))
-      .select(col("neighbor_id"), col("a").getField("cid").as("cid"))
+      explode(nearest(col("vec"), replicate)).as("cid"))
       .repartition(fanoutParallelism(corpus), col("cid")) // parallel fan-out off any layout
     val qb = queries.select(col("id").as("query_id"),
-      explode(nearest(col("vec"), nprobe)).as("probe"))
-      .select(col("query_id"), col("probe").getField("cid").as("cid"))
+      explode(nearest(col("vec"), nprobe)).as("cid"))
     // a pair can meet in several probed cells once replicate > 1 — dedup
     // on ids, then fetch vectors exactly once for scoring
     val cand = qb.join(cb, "cid")
@@ -457,9 +512,8 @@ object Similarity {
   private def pqCells(corpus: DataFrame, cb: Array[Array[Array[Double]]],
       cents: Array[(Int, Array[Double])], replicate: Int): DataFrame =
     corpus.select(col("id").as("neighbor_id"),
-      explode(nearestCells(cents)(col("vec"), replicate)).as("a"),
+      explode(nearestCells(cents)(col("vec"), replicate)).as("cid"),
       pqCodes(col("vec"), cb).as("codes"))
-      .select(col("neighbor_id"), col("a").getField("cid").as("cid"), col("codes"))
 
   /** Probe + ADC-score + rank queries against an encoded cell frame. */
   private def pqAdcRank(queries: DataFrame, enc: DataFrame,
@@ -469,8 +523,7 @@ object Similarity {
     // one fused native expression per row
     val adcTable = graft.functions.VectorFunctions.pq_adc_table(col("vec"), cb)
     val qb = queries.select(col("id").as("query_id"),
-      explode(nearestCells(cents)(col("vec"), nprobe)).as("probe"), adcTable.as("adc"))
-      .select(col("query_id"), col("probe").getField("cid").as("cid"), col("adc"))
+      explode(nearestCells(cents)(col("vec"), nprobe)).as("cid"), adcTable.as("adc"))
     val scored = qb.join(enc, "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
       // replicate>1 can surface a pair in several probed cells; the
@@ -613,9 +666,8 @@ object Similarity {
     require(nprobe <= mk.nlist, s"nprobe $nprobe > nlist ${mk.nlist}")
     val cents = mk.centroids.zipWithIndex.map(_.swap)
     val probed = queries
-      .select(explode(nearestCells(cents)(col("vec"), nprobe)).as("p"))
-      .select(col("p").getField("cid")).distinct()
-      .collect().map(_.getInt(0)).sorted
+      .select(explode(nearestCells(cents)(col("vec"), nprobe)).as("cid"))
+      .distinct().collect().map(_.getInt(0)).sorted
     val enc = spark.read.parquet(s"$path/cells")
       .filter(col("cid").isin(probed.map(Integer.valueOf).toSeq: _*))
     pqAdcRank(queries, enc, mk.codebooks, cents, k, nprobe)
@@ -704,7 +756,7 @@ object Similarity {
     * passes through to the IVF branch (literal first-N for an
     * oracle-pinned result, k-means default for recall). */
   def cosinePairsAuto(vecs: DataFrame, threshold: Double, dim: Int,
-      nlist: Int, replicate: Int = 2,
+      nlist: Int = 0, replicate: Int = 2,
       centroids: Option[Array[Array[Double]]] = None,
       routeAt: Double = 0.85): DataFrame =
     if (threshold >= routeAt)
@@ -736,7 +788,7 @@ object Similarity {
     * large/small-star beyond it), and the final keep flag is one hash
     * join of labels against component sizes. Vectors never ride any
     * shuffle past the candidate verify. */
-  def semanticDedup(vecs: DataFrame, threshold: Double, nlist: Int,
+  def semanticDedup(vecs: DataFrame, threshold: Double, nlist: Int = 0,
       replicate: Int = 2,
       centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val pairs = cosinePairsIvf(vecs, threshold, nlist, replicate, centroids)
@@ -751,15 +803,14 @@ object Similarity {
         (col("vec_id") === col("cluster_id")).cast("long").as("keep"))
   }
 
-  def cosinePairsIvf(vecs: DataFrame, threshold: Double, nlist: Int,
+  def cosinePairsIvf(vecs: DataFrame, threshold: Double, nlist: Int = 0,
       replicate: Int = 2,
       centroids: Option[Array[Array[Double]]] = None): DataFrame = {
-    require(replicate >= 1 && replicate <= nlist)
     val cents: Array[(Int, Array[Double])] =
-      centroids.getOrElse(kmeansCentroids(vecs, nlist)).zipWithIndex.map(_.swap)
+      resolveCentroids(vecs, nlist, centroids).zipWithIndex.map(_.swap)
+    require(replicate >= 1 && replicate <= cents.length)
     val assigned = vecs
-      .select(col("id"), explode(nearestCells(cents)(col("vec"), replicate)).as("a"))
-      .select(col("id"), col("a").getField("cid").as("cid"))
+      .select(col("id"), explode(nearestCells(cents)(col("vec"), replicate)).as("cid"))
       .repartition(fanoutParallelism(vecs), col("cid"))
     val cand = assigned.as("x").join(assigned.as("y"),
         col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))

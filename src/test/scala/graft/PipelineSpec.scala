@@ -381,6 +381,57 @@ class PipelineSpec extends SparkSpec {
     assert(ivf.size <= brute.size) // never more than k per query
   }
 
+  test("auto-nlist: tracks corpus size with clamps; auto IVF paths hold recall") {
+    // the enforced contract: nlist ≈ √n in [16, 65536]
+    assert(Similarity.autoNlist(1) == 16 && Similarity.autoNlist(256) == 16)
+    assert(Similarity.autoNlist(10000) == 100)
+    assert(Similarity.autoNlist(1000000) == 1000)
+    assert(Similarity.autoNlist(Long.MaxValue) == 65536)
+    assert(Similarity.autoNlist(100000) > Similarity.autoNlist(10000))
+
+    val vecs = graft.tsdb.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+    // sampled coarse quantizer (the large-nlist fit): deterministic,
+    // unit-norm, exactly nlist rows
+    val sc = Similarity.sampledCentroids(vecs, 96)
+    assert(sc.length == 96)
+    assert(sc.forall(c => math.abs(c.map(x => x * x).sum - 1.0) < 1e-9))
+    val sc2 = Similarity.sampledCentroids(vecs, 96)
+    assert(sc.map(_.toSeq).toSeq == sc2.map(_.toSeq).toSeq)
+
+    // near-dup pairs with NO nlist given, on a corpus big enough that the
+    // auto fit crosses into the SAMPLED coarse quantizer (n ≈ 4580 →
+    // nlist ≈ 68 > the k-means budget): planted high-similarity dups
+    // among noise — the workload the blocking exists for (testdata's own
+    // ≥0.45 pairs are coincidental ~62° pairs with no locality, per the
+    // pinned-nlist test below)
+    val rnd = new scala.util.Random(11)
+    def unit(dim: Int) = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def perturb(v: Array[Float]) = v.map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+    val planted = (0 until 40).map(i => (i.toLong, unit(64)))
+    val dups = planted.map { case (i, v) => (i + 10000L, perturb(v)) }
+    val noise = (0 until 4500).map(i => (i + 20000L, unit(64)))
+    val df = (planted ++ dups ++ noise).toDF("id", "vec")
+    val truth = Similarity.cosinePairs(df, 0.85)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.size >= 30, s"perturbation too strong: ${truth.size}")
+    val auto = Similarity.cosinePairsIvf(df, 0.85) // nlist unset → auto
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto.subsetOf(truth), "IVF must never invent pairs")
+    val pairRecall = (auto & truth).size.toDouble / truth.size
+    assert(pairRecall >= 0.85, s"auto-nlist planted-dup recall $pairRecall")
+
+    // top-k with NO nlist given: recall vs brute force
+    val q = vecs.filter(col("id") < 10)
+    val brute = Similarity.bruteTopK(q, vecs, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, vecs, 10, nlist = 0, nprobe = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.7, s"auto-nlist top-k recall $recall")
+  }
+
   test("IVF-PQ: codebook vectors encode to themselves; ADC recall holds") {
     val vecs = graft.tsdb.Tables.load(spark, sf, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
