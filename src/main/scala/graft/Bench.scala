@@ -216,20 +216,66 @@ object Bench {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp)); ()
     }
 
+    // Streaming ingest scale point: rows/s through the REAL structured-
+    // streaming path (json parse → validate → seq-stamp → foreachBatch →
+    // exactly-once commit), several micro-batches via maxFilesPerTrigger.
+    // Measured wall-clock from stream start to processAllAvailable — the
+    // checkpoint + txn-watermark overhead is part of the number; that is
+    // the point (regressions in the commit path must move this metric).
+    val ingestStreamRps: Double =
+      if (skipServing) 0.0 else try {
+        val stmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+        try {
+          val pts = graft.tsdb.Tables.eventsAsPoints(spark, sfDir)
+          val nRows = pts.count()
+          pts.drop("seq").toJSON.toDF("value")
+            .repartition(8).write.text(s"$stmp/in")
+          val engine = new graft.tsdb.TsdbEngine(spark, s"$stmp/db")
+          val src = spark.readStream
+            .option("maxFilesPerTrigger", "2") // ≥4 micro-batches
+            .text(s"$stmp/in")
+          val t0 = System.nanoTime()
+          val q = graft.streaming.Ingest.start(engine, src, s"$stmp/ckpt")
+          q.processAllAvailable()
+          q.stop()
+          nRows / ((System.nanoTime() - t0) / 1e9)
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stmp)); ()
+        }
+      } catch { case e: Throwable =>
+        errors.getOrElseUpdate("ingest_stream",
+          e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
+        0.0
+      }
+
     val totalCount = resultsCount.map(_._2).sum
 
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""runs":$runsJson,"passes":$nPasses,""" +
       s""""total_count_mode":$totalCount,""" +
       s""""p50":${pct(0.5)},"p90":${pct(0.9)},"p99":${pct(0.99)},""" +
-      s""""ingest_rows_per_sec":$ingestRps,"query_qps_cold":$qpsCold,""" +
+      s""""ingest_rows_per_sec":$ingestRps,""" +
+      s""""ingest_stream_rows_per_sec":$ingestStreamRps,""" +
+      s""""query_qps_cold":$qpsCold,""" +
       s""""query_qps_cached":$qpsCached,""" +
       s""""qps_downsample_raw":$qpsDsRaw,"qps_downsample_rollup":$qpsDsRollup,""" +
       s""""qps_groupby_raw":$qpsGbtRaw,"qps_groupby_rollup":$qpsGbtRouted,""" +
       s""""n_errors":${errors.size},"errors":$errJson,""" +
-      s""""n_queries":${results.size},"sf":"$sfDir"}""")
+      s""""n_queries":${results.size},"sf":"$sfDir"}"""
+    println(line)
+    // The driver archives only a short tail of stdout per round, which
+    // loses the per-query arrays for large batteries — persist the FULL
+    // record as a repo artifact too (committed per round as
+    // bench_r<N>_full.json).
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full_latest.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // stdout line already carries the record
     spark.stop()
   }
 }

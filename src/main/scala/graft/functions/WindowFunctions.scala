@@ -132,6 +132,147 @@ case class HoltTrend(child: Expression, alpha: Expression, beta: Expression)
     copy(child = newChildren(0), alpha = newChildren(1), beta = newChildren(2))
 }
 
+/** Running variable-coefficient linear recurrence over ordered rows:
+  * `acc = isnull(acc) ? bFirst : a·acc + bCont` — the carry chain of a
+  * chunked linear smoother. [[graft.tsdb.TsAnalytics.ewmaSmooth]]'s
+  * hot-series split computes per-chunk transit coefficients in parallel
+  * and composes them per series with THIS fold over the tiny
+  * |series|×|chunks| summary frame (rows are a handful of doubles, so
+  * the per-series ordering that is pathological for point rows is free
+  * here). Same incremental running-frame machinery as [[Ewma]]. */
+case class ChainFold(a: Expression, bFirst: Expression, bCont: Expression)
+    extends AggregateWindowFunction {
+
+  override def children: Seq[Expression] = Seq(a, bFirst, bCont)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType.isInstanceOf[NumericType]))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("chain_fold arguments must be numeric")
+
+  private lazy val aD: Expression = Cast(a, DoubleType)
+  private lazy val bFirstD: Expression = Cast(bFirst, DoubleType)
+  private lazy val bContD: Expression = Cast(bCont, DoubleType)
+  private lazy val acc = AttributeReference("chain_acc", DoubleType)()
+
+  override def aggBufferAttributes: Seq[AttributeReference] = Seq(acc)
+  override lazy val initialValues: Seq[Expression] = Seq(Literal(null, DoubleType))
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(acc), bFirstD, Add(Multiply(aD, acc), bContD)))
+  override lazy val evaluateExpression: Expression = acc
+
+  override def prettyName: String = "chain_fold"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ChainFold =
+    copy(a = newChildren(0), bFirst = newChildren(1), bCont = newChildren(2))
+}
+
+/** Running 2×2 matrix power over ordered rows: each non-skip row
+  * multiplies the accumulator (initialised to the identity) by the
+  * CONSTANT matrix `[[m00, m01], [m10, m11]]`, so the j-th non-skip row
+  * of a frame evaluates to `M^j` as a `struct(p00, p01, p10, p11)`.
+  * Rows with `skip = true` (the virtual seed-zero rows of
+  * [[graft.tsdb.TsAnalytics]]'s hot-series splits) leave the
+  * accumulator untouched.
+  *
+  * Powers of one matrix commute, so left- vs right-multiplication is
+  * immaterial. Used by the chunked Holt smoother: Holt's level/trend
+  * recurrence is affine with a constant transition matrix M, and
+  * reconstructing row j's state from a chunk seed s needs
+  * `M^j·s + Q_j` — this native delivers `M^j` in the SAME running
+  * window pass that delivers `Q_j`, O(1) per row. */
+case class Mat2CumProd(skip: Expression, m00: Expression, m01: Expression,
+    m10: Expression, m11: Expression) extends AggregateWindowFunction {
+
+  override def children: Seq[Expression] = Seq(skip, m00, m01, m10, m11)
+  override def dataType: DataType = StructType(Seq(
+    StructField("p00", DoubleType), StructField("p01", DoubleType),
+    StructField("p10", DoubleType), StructField("p11", DoubleType)))
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (skip.dataType != BooleanType)
+      TypeCheckResult.TypeCheckFailure("mat2_cumprod skip flag must be boolean")
+    else if (!children.tail.forall(_.dataType.isInstanceOf[NumericType]))
+      TypeCheckResult.TypeCheckFailure("mat2_cumprod matrix entries must be numeric")
+    else TypeCheckResult.TypeCheckSuccess
+
+  private lazy val Seq(a00, a01, a10, a11) =
+    Seq(m00, m01, m10, m11).map(Cast(_, DoubleType): Expression)
+  private lazy val p00 = AttributeReference("mat_p00", DoubleType)()
+  private lazy val p01 = AttributeReference("mat_p01", DoubleType)()
+  private lazy val p10 = AttributeReference("mat_p10", DoubleType)()
+  private lazy val p11 = AttributeReference("mat_p11", DoubleType)()
+
+  override def aggBufferAttributes: Seq[AttributeReference] =
+    Seq(p00, p01, p10, p11)
+  override lazy val initialValues: Seq[Expression] = Seq(
+    Literal(1.0), Literal(0.0), Literal(0.0), Literal(1.0))
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(skip, p00, Add(Multiply(a00, p00), Multiply(a01, p10))),
+    If(skip, p01, Add(Multiply(a00, p01), Multiply(a01, p11))),
+    If(skip, p10, Add(Multiply(a10, p00), Multiply(a11, p10))),
+    If(skip, p11, Add(Multiply(a10, p01), Multiply(a11, p11))))
+  override lazy val evaluateExpression: Expression = CreateNamedStruct(Seq(
+    Literal("p00"), p00, Literal("p01"), p01,
+    Literal("p10"), p10, Literal("p11"), p11))
+
+  override def prettyName: String = "mat2_cumprod"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Mat2CumProd =
+    copy(skip = newChildren(0), m00 = newChildren(1), m01 = newChildren(2),
+      m10 = newChildren(3), m11 = newChildren(4))
+}
+
+/** 2-d analog of [[ChainFold]]: a running AFFINE recurrence over ordered
+  * rows, `acc = isnull(acc) ? bFirst : A·acc + bCont` with a 2×2 matrix
+  * `A = [[a00, a01], [a10, a11]]` per row and 2-vectors bFirst/bCont.
+  * The carry chain of the chunked Holt smoother — composes per-chunk
+  * transit maps `(M^m, Q_m)` into each chunk's outgoing (level, trend)
+  * over the tiny |series|×|chunks| summary frame. Returns
+  * `struct(l, t)`. */
+case class ChainFold2(a00: Expression, a01: Expression, a10: Expression,
+    a11: Expression, bFirstL: Expression, bFirstT: Expression,
+    bContL: Expression, bContT: Expression) extends AggregateWindowFunction {
+
+  override def children: Seq[Expression] =
+    Seq(a00, a01, a10, a11, bFirstL, bFirstT, bContL, bContT)
+  override def dataType: DataType = StructType(Seq(
+    StructField("l", DoubleType), StructField("t", DoubleType)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType.isInstanceOf[NumericType]))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("chain_fold2 arguments must be numeric")
+
+  private lazy val Seq(c00, c01, c10, c11, bfL, bfT, bcL, bcT) =
+    children.map(Cast(_, DoubleType): Expression)
+  private lazy val accL = AttributeReference("chain2_l", DoubleType)()
+  private lazy val accT = AttributeReference("chain2_t", DoubleType)()
+
+  override def aggBufferAttributes: Seq[AttributeReference] = Seq(accL, accT)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(null, DoubleType), Literal(null, DoubleType))
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(accL), bfL,
+      Add(Add(Multiply(c00, accL), Multiply(c01, accT)), bcL)),
+    If(IsNull(accL), bfT,
+      Add(Add(Multiply(c10, accL), Multiply(c11, accT)), bcT)))
+  override lazy val evaluateExpression: Expression =
+    If(IsNull(accL), Literal(null, dataType),
+      CreateNamedStruct(Seq(Literal("l"), accL, Literal("t"), accT)))
+
+  override def prettyName: String = "chain_fold2"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ChainFold2 =
+    copy(a00 = newChildren(0), a01 = newChildren(1), a10 = newChildren(2),
+      a11 = newChildren(3), bFirstL = newChildren(4), bFirstT = newChildren(5),
+      bContL = newChildren(6), bContT = newChildren(7))
+}
+
 object WindowFunctions {
   /** `ewma(value, alpha) OVER (PARTITION BY part ORDER BY ord ROWS
     * UNBOUNDED PRECEDING)` as a Column.
@@ -147,6 +288,53 @@ object WindowFunctions {
   def ewma(value: Column, alpha: Double, partitionBy: Seq[Column],
       orderBy: Seq[Column]): Column = {
     val fn = Ewma(ColumnBridge.expression(value), Literal(alpha, DoubleType))
+    val spec = WindowSpecDefinition(
+      partitionBy.map(ColumnBridge.expression),
+      orderBy.map(c => SortOrder(ColumnBridge.expression(c), Ascending)),
+      fn.frame)
+    ColumnBridge.column(WindowExpression(fn, spec))
+  }
+
+  /** `chain_fold(a, bFirst, bCont) OVER (…)` as a Column — see
+    * [[ChainFold]]; same complete-WindowExpression construction as
+    * [[ewma]]. */
+  def chainFold(a: Column, bFirst: Column, bCont: Column,
+      partitionBy: Seq[Column], orderBy: Seq[Column]): Column = {
+    val fn = ChainFold(ColumnBridge.expression(a),
+      ColumnBridge.expression(bFirst), ColumnBridge.expression(bCont))
+    val spec = WindowSpecDefinition(
+      partitionBy.map(ColumnBridge.expression),
+      orderBy.map(c => SortOrder(ColumnBridge.expression(c), Ascending)),
+      fn.frame)
+    ColumnBridge.column(WindowExpression(fn, spec))
+  }
+
+  /** `mat2_cumprod(skip, m00, m01, m10, m11) OVER (…)` as a Column — see
+    * [[Mat2CumProd]]; same complete-WindowExpression construction as
+    * [[ewma]]. */
+  def mat2CumProd(skip: Column, m00: Column, m01: Column, m10: Column,
+      m11: Column, partitionBy: Seq[Column], orderBy: Seq[Column]): Column = {
+    val fn = Mat2CumProd(ColumnBridge.expression(skip),
+      ColumnBridge.expression(m00), ColumnBridge.expression(m01),
+      ColumnBridge.expression(m10), ColumnBridge.expression(m11))
+    val spec = WindowSpecDefinition(
+      partitionBy.map(ColumnBridge.expression),
+      orderBy.map(c => SortOrder(ColumnBridge.expression(c), Ascending)),
+      fn.frame)
+    ColumnBridge.column(WindowExpression(fn, spec))
+  }
+
+  /** `chain_fold2(a00, a01, a10, a11, bFirstL, bFirstT, bContL, bContT)
+    * OVER (…)` as a Column — see [[ChainFold2]]; same
+    * complete-WindowExpression construction as [[ewma]]. */
+  def chainFold2(a00: Column, a01: Column, a10: Column, a11: Column,
+      bFirstL: Column, bFirstT: Column, bContL: Column, bContT: Column,
+      partitionBy: Seq[Column], orderBy: Seq[Column]): Column = {
+    val fn = ChainFold2(ColumnBridge.expression(a00),
+      ColumnBridge.expression(a01), ColumnBridge.expression(a10),
+      ColumnBridge.expression(a11), ColumnBridge.expression(bFirstL),
+      ColumnBridge.expression(bFirstT), ColumnBridge.expression(bContL),
+      ColumnBridge.expression(bContT))
     val spec = WindowSpecDefinition(
       partitionBy.map(ColumnBridge.expression),
       orderBy.map(c => SortOrder(ColumnBridge.expression(c), Ascending)),

@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   * partition), sort within partitions by timestamp, narrow lag/rolling
   * computations — no joins, no driver collection. Like any ordered
   * per-series scan (sessionize included) a single pathologically hot
-  * series serializes into one task; the fix at scale is range-splitting
-  * that series by time and recomputing the boundary rows, which these
-  * operators don't need at battery scales.
+  * series serializes into one task BY DEFAULT; `rate`, `timeWeightedAvg`,
+  * `ewmaSmooth` and `holtSmooth` take `splitNs` to escape it — time-range
+  * splitting via [[sliceChunked]] with O(1)-per-chunk boundary recompute
+  * (lag/lead patched from a per-chunk summary; the linear smoothers
+  * compose per-chunk transit maps with [[graft.functions.ChainFold]] /
+  * [[graft.functions.ChainFold2]]). The lag/lead family is bit-identical
+  * under the split; the smoothers agree to 1e-9 relative (FP
+  * re-association) — all spec-pinned in `TsSplitSpec`.
   */
 object TsAnalytics {
 
@@ -35,7 +40,7 @@ object TsAnalytics {
     * pathologically hot series lands in one task — but an ordered
     * per-series scan serializes that series anyway (header note), so the
     * salt would only move the cost, not remove it. */
-  private def slice(points: DataFrame, p: QueryParams, field: String,
+  private[graft] def slice(points: DataFrame, p: QueryParams, field: String,
       tombstones: Seq[Tombstone]): DataFrame = {
     var df = points.filter(TagMatch.metricPred(p.metric))
     p.tags.foreach { case (k, v) => df = df.filter(TagMatch.pred(k, v)) }
@@ -53,6 +58,41 @@ object TsAnalytics {
       .withColumn("__v", QueryEngine.numericOf(field))
   }
 
+  /** [[slice]] with HOT-SERIES TIME-SPLITTING: rows additionally carry
+    * `__chunk` (timestamp − timestamp % splitNs) and the exchange keys
+    * on (series_key, __chunk) — one pathological series spreads over
+    * ⌈span/splitNs⌉ tasks instead of serializing into one (the same
+    * skew move as the engine's time-salted query path,
+    * `QueryEngine.partitionedInput`). The latest-version dedup window
+    * adds __chunk to its partition keys — a pure function of timestamp,
+    * so semantics are unchanged and the window rides the SAME exchange
+    * (partitioning (series_key, __chunk) ⊆ its clustering). Operators
+    * downstream window per (series_key, __chunk) and recompute the O(1)
+    * chunk-boundary rows from a tiny per-chunk summary frame — see
+    * [[rate]]/[[timeWeightedAvg]], whose split results are
+    * BIT-IDENTICAL to the unsplit plan (spec-pinned): same rows, same
+    * per-row operands, same arithmetic — only the task layout differs. */
+  private[graft] def sliceChunked(points: DataFrame, p: QueryParams,
+      field: String, tombstones: Seq[Tombstone], splitNs: Long): DataFrame = {
+    require(splitNs > 0, s"splitNs must be positive, got $splitNs")
+    var df = points.filter(TagMatch.metricPred(p.metric))
+    p.tags.foreach { case (k, v) => df = df.filter(TagMatch.pred(k, v)) }
+    val (startNs, endNs) = QueryEngine.resolveRange(df, p)
+    df = df.filter(col("timestamp").between(startNs, endNs))
+      .withColumn("series_key",
+        QueryEngine.seriesKeyCol(col("metric"), col("tags")))
+      .withColumn("__chunk",
+        col("timestamp") - pmod(col("timestamp"), lit(splitNs)))
+      .repartition(col("series_key"), col("__chunk"))
+    val w = Window.partitionBy(col("series_key"), col("__chunk"), col("timestamp"))
+      .orderBy(col("seq").desc)
+    df = df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    QueryEngine.applyValueFilter(
+        QueryEngine.applyTombstones(df, tombstones), p)
+      .withColumn("__v", QueryEngine.numericOf(field))
+  }
+
   /** Per-series instantaneous rate of change in units/second between
     * consecutive points (PromQL `rate`-style). With `counterReset = true`
     * a decrease is treated as a counter reset: the delta is the new value
@@ -61,20 +101,58 @@ object TsAnalytics {
     * computed only WITHIN the scanned range (the point before `startNs`
     * is deliberately not consulted — same contract as PromQL's window).
     *
+    * `splitNs`: hot-series time-splitting ([[sliceChunked]]). The lag
+    * runs per (series, chunk) and each chunk's FIRST row takes its
+    * predecessor from a per-chunk summary (the previous non-empty
+    * chunk's last (ts, value), one tiny window over |series|×|chunks|
+    * rows) — bit-identical output to the unsplit plan, multi-task even
+    * for a single series. Pick splitNs ≫ the typical point interval so
+    * chunks hold many rows (e.g. 1h–1d).
+    *
     * Output: metric, tags, series_key, timestamp, value, delta,
     * rate_per_sec, ordered by (series_key, timestamp). */
   def rate(points: DataFrame, p: QueryParams, field: String = "value",
       counterReset: Boolean = true,
-      tombstones: Seq[Tombstone] = Nil): DataFrame = {
-    val df = slice(points, p, field, tombstones)
-    val w = Window.partitionBy(col("series_key")).orderBy(col("timestamp"))
+      tombstones: Seq[Tombstone] = Nil,
+      splitNs: Option[Long] = None): DataFrame = {
     val rawDelta = col("__v") - col("__pv")
     val delta =
       if (counterReset) when(col("__v") < col("__pv"), col("__v")).otherwise(rawDelta)
       else rawDelta
     val dt = col("timestamp") - col("__pt")
-    df.withColumn("__pv", lag(col("__v"), 1).over(w))
-      .withColumn("__pt", lag(col("timestamp"), 1).over(w))
+    val withPrev = splitNs match {
+      case None =>
+        val df = slice(points, p, field, tombstones)
+        val w = Window.partitionBy(col("series_key")).orderBy(col("timestamp"))
+        df.withColumn("__pv", lag(col("__v"), 1).over(w))
+          .withColumn("__pt", lag(col("timestamp"), 1).over(w))
+      case Some(sw) =>
+        val df = sliceChunked(points, p, field, tombstones, sw)
+        val wc = Window.partitionBy(col("series_key"), col("__chunk"))
+          .orderBy(col("timestamp"))
+        // per-(series, chunk) LAST row — the predecessor of the next
+        // non-empty chunk's first row (summary frame: |series|×|chunks|
+        // rows; lag(1) over the summary IS the nearest non-empty chunk,
+        // empty chunks simply have no summary row)
+        val bounds = df.groupBy(col("series_key"), col("__chunk"))
+          .agg(max_by(struct(col("timestamp").as("t"), col("__v").as("v")),
+            col("timestamp")).as("__last"))
+          .withColumn("__prev", lag(col("__last"), 1).over(
+            Window.partitionBy(col("series_key")).orderBy(col("__chunk"))))
+          .select(col("series_key"), col("__chunk"),
+            col("__prev").getField("t").as("__bpt"),
+            col("__prev").getField("v").as("__bpv"))
+        // only a chunk's FIRST row patches from the boundary: a null
+        // in-chunk lag value on later rows means a null-valued
+        // predecessor ROW, which must stay null (unsplit semantics)
+        df.withColumn("__pv0", lag(col("__v"), 1).over(wc))
+          .withColumn("__pt0", lag(col("timestamp"), 1).over(wc))
+          .withColumn("__rn1", row_number().over(wc))
+          .join(bounds, Seq("series_key", "__chunk"), "left")
+          .withColumn("__pv", when(col("__rn1") === 1, col("__bpv")).otherwise(col("__pv0")))
+          .withColumn("__pt", when(col("__rn1") === 1, col("__bpt")).otherwise(col("__pt0")))
+    }
+    withPrev
       .filter(col("__pt").isNotNull && col("__pv").isNotNull)
       .withColumn("delta", delta)
       // merged view guarantees distinct timestamps per series, so dt > 0;
@@ -106,15 +184,37 @@ object TsAnalytics {
     * Output: metric, tags, series_key, window_start, twa, n_points. */
   def timeWeightedAvg(points: DataFrame, p: QueryParams,
       field: String = "value",
-      tombstones: Seq[Tombstone] = Nil): DataFrame = {
+      tombstones: Seq[Tombstone] = Nil,
+      splitNs: Option[Long] = None): DataFrame = {
     val interval = p.downsampleNs.getOrElse(
       throw new IllegalArgumentException("timeWeightedAvg needs downsampleNs"))
-    val df = slice(points, p, field, tombstones).filter(col("__v").isNotNull)
-    val w = Window.partitionBy(col("series_key")).orderBy(col("timestamp"))
     val wStart = col("timestamp") - pmod(col("timestamp"), lit(interval))
     val wEnd = col("window_start") + lit(interval)
-    df.withColumn("window_start", wStart)
-      .withColumn("__nt", lead(col("timestamp"), 1).over(w))
+    // `splitNs`: hot-series time-splitting, the lead()-mirrored analog of
+    // [[rate]]'s split — a chunk's LAST row takes its successor timestamp
+    // from the next non-empty chunk's per-chunk minimum. Timestamps are
+    // never null, so coalesce patches exactly the one lead-null row per
+    // chunk; bit-identical weights to the unsplit plan (spec-pinned).
+    val withNext = splitNs match {
+      case None =>
+        val df = slice(points, p, field, tombstones).filter(col("__v").isNotNull)
+        val w = Window.partitionBy(col("series_key")).orderBy(col("timestamp"))
+        df.withColumn("__nt", lead(col("timestamp"), 1).over(w))
+      case Some(sw) =>
+        val df = sliceChunked(points, p, field, tombstones, sw)
+          .filter(col("__v").isNotNull)
+        val wc = Window.partitionBy(col("series_key"), col("__chunk"))
+          .orderBy(col("timestamp"))
+        val bounds = df.groupBy(col("series_key"), col("__chunk"))
+          .agg(min(col("timestamp")).as("__first"))
+          .withColumn("__bnt", lead(col("__first"), 1).over(
+            Window.partitionBy(col("series_key")).orderBy(col("__chunk"))))
+          .select(col("series_key"), col("__chunk"), col("__bnt"))
+        df.join(bounds, Seq("series_key", "__chunk"), "left")
+          .withColumn("__nt",
+            coalesce(lead(col("timestamp"), 1).over(wc), col("__bnt")))
+    }
+    withNext.withColumn("window_start", wStart)
       .withColumn("__w",
         (least(coalesce(col("__nt"), wEnd), wEnd) - col("timestamp")).cast("double"))
       // series_key determines (metric, tags): group on it and carry the
@@ -156,13 +256,82 @@ object TsAnalytics {
     * Spark's incremental window-frame evaluation, O(n) per series. */
   def ewmaSmooth(points: DataFrame, p: QueryParams, alpha: Double,
       field: String = "value",
-      tombstones: Seq[Tombstone] = Nil): DataFrame = {
-    val df = slice(points, p, field, tombstones).filter(col("__v").isNotNull)
-    df.withColumn("ewma", graft.functions.WindowFunctions.ewma(col("__v"), alpha,
-        partitionBy = Seq(col("series_key")), orderBy = Seq(col("timestamp"))))
-      .select(col("metric"), col("tags"), col("series_key"), col("timestamp"),
+      tombstones: Seq[Tombstone] = Nil,
+      splitNs: Option[Long] = None): DataFrame = {
+    val out = splitNs match {
+      case None =>
+        val df = slice(points, p, field, tombstones).filter(col("__v").isNotNull)
+        df.withColumn("ewma", graft.functions.WindowFunctions.ewma(col("__v"), alpha,
+          partitionBy = Seq(col("series_key")), orderBy = Seq(col("timestamp"))))
+      case Some(sw) => ewmaSmoothSplit(points, p, alpha, field, tombstones, sw)
+    }
+    out.select(col("metric"), col("tags"), col("series_key"), col("timestamp"),
         col("__v").as("value"), col("ewma"))
       .orderBy(col("series_key"), col("timestamp"))
+  }
+
+  /** Hot-series time-split EWMA. The recurrence is a LINEAR left fold, so
+    * a chunk's effect on the running state is affine: with seed s and
+    * chunk values v₁..vₘ, state-out = (1−α)^m·s + Q_m, where Q is the
+    * SEED-ZERO in-chunk fold (Qⱼ = α·vⱼ + (1−α)·Qⱼ₋₁, Q₀ = 0) — and
+    * per-row, ewmaⱼ = Qⱼ + (1−α)^j·s (for the series' first chunk the
+    * seeded-first convention makes s = v₁ exactly). So the plan is:
+    * in-chunk Q in parallel per (series, chunk) — the native [[
+    * graft.functions.Ewma]] fold over each chunk prefixed with one
+    * VIRTUAL zero row, which turns its seeded-first semantics into the
+    * seed-zero fold — then the carry chain composed per series over the
+    * tiny |series|×|chunks| summary with [[graft.functions.ChainFold]],
+    * then one projection. A single hot series runs in ⌈span/splitNs⌉
+    * tasks.
+    *
+    * NOT bit-identical to the unsplit fold, and cannot be: splitting a
+    * floating-point left fold re-associates it (fl(Q + A·s) vs the
+    * sequential update chain), which is exactly why the EXACT-split
+    * family stops at lag/lead operators ([[rate]]/[[timeWeightedAvg]]).
+    * Agreement is within a few ulps per chunk boundary (spec-pinned at
+    * 1e-9 relative); the oracle battery keeps the unsplit path. */
+  private def ewmaSmoothSplit(points: DataFrame, p: QueryParams, alpha: Double,
+      field: String, tombstones: Seq[Tombstone], splitNs: Long): DataFrame = {
+    val base = sliceChunked(points, p, field, tombstones, splitNs)
+      .filter(col("__v").isNotNull)
+      .select(col("metric"), col("tags"), col("series_key"), col("__chunk"),
+        col("timestamp"), col("__v"), lit(false).as("__virtual"))
+    // one zero-valued virtual row per (series, chunk), ordered FIRST
+    // (__chunk − 1 < every real timestamp of the chunk): the seeded-first
+    // native then seeds at 0 and computes the seed-zero fold Q on the
+    // real rows. groupBy rides the (series_key, __chunk) partitioning.
+    val virtualRows = base.groupBy(col("series_key"), col("__chunk"))
+      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"))
+      .select(col("metric"), col("tags"), col("series_key"), col("__chunk"),
+        (col("__chunk") - 1).as("timestamp"), lit(0.0).as("__v"),
+        lit(true).as("__virtual"))
+    val wc = Window.partitionBy(col("series_key"), col("__chunk"))
+      .orderBy(col("timestamp"))
+    val oneMinusA = lit(1.0 - alpha)
+    val withQ = base.unionByName(virtualRows)
+      .withColumn("__q", graft.functions.WindowFunctions.ewma(col("__v"), alpha,
+        partitionBy = Seq(col("series_key"), col("__chunk")),
+        orderBy = Seq(col("timestamp"))))
+      .withColumn("__j", row_number().over(wc) - 1) // virtual row is j = 0
+      .filter(!col("__virtual"))
+    // per-chunk transit: A_m = (1−α)^m, Q_m, and the first value (the
+    // seed of the series' first chunk); carry chain + lag give each
+    // chunk its incoming state
+    val bounds = withQ.groupBy(col("series_key"), col("__chunk"))
+      .agg(max_by(col("__q"), col("timestamp")).as("__qm"),
+        count(lit(1)).as("__m"),
+        min_by(col("__v"), col("timestamp")).as("__vfirst"))
+      .withColumn("__am", pow(oneMinusA, col("__m")))
+      .withColumn("__carry", graft.functions.WindowFunctions.chainFold(
+        col("__am"), col("__qm") + col("__am") * col("__vfirst"), col("__qm"),
+        partitionBy = Seq(col("series_key")), orderBy = Seq(col("__chunk"))))
+      .withColumn("__seed", lag(col("__carry"), 1).over(
+        Window.partitionBy(col("series_key")).orderBy(col("__chunk"))))
+      .select(col("series_key"), col("__chunk"),
+        coalesce(col("__seed"), col("__vfirst")).as("__s"))
+    withQ.join(bounds, Seq("series_key", "__chunk"), "left")
+      .withColumn("ewma",
+        col("__q") + pow(oneMinusA, col("__j")) * col("__s"))
   }
 
   /** Per-series Holt linear-trend smoothing via the native
@@ -171,16 +340,89 @@ object TsAnalytics {
     * as [[ewmaSmooth]]. */
   def holtSmooth(points: DataFrame, p: QueryParams, alpha: Double,
       beta: Double, field: String = "value",
-      tombstones: Seq[Tombstone] = Nil): DataFrame = {
-    val df = slice(points, p, field, tombstones).filter(col("__v").isNotNull)
-    df.withColumn("__h", graft.functions.WindowFunctions.holtTrend(col("__v"),
-        alpha, beta, partitionBy = Seq(col("series_key")),
-        orderBy = Seq(col("timestamp"))))
+      tombstones: Seq[Tombstone] = Nil,
+      splitNs: Option[Long] = None): DataFrame = {
+    val smoothed = splitNs match {
+      case None =>
+        val df = slice(points, p, field, tombstones).filter(col("__v").isNotNull)
+        df.withColumn("__h", graft.functions.WindowFunctions.holtTrend(col("__v"),
+          alpha, beta, partitionBy = Seq(col("series_key")),
+          orderBy = Seq(col("timestamp"))))
+          .withColumn("__lvl", col("__h.level"))
+          .withColumn("__trd", col("__h.trend"))
+      case Some(sw) => holtSmoothSplit(points, p, alpha, beta, field, tombstones, sw)
+    }
+    smoothed
       .select(col("metric"), col("tags"), col("series_key"), col("timestamp"),
-        col("__v").as("value"), col("__h.level").as("level"),
-        col("__h.trend").as("trend"),
-        (col("__h.level") + col("__h.trend")).as("forecast"))
+        col("__v").as("value"), col("__lvl").as("level"),
+        col("__trd").as("trend"),
+        (col("__lvl") + col("__trd")).as("forecast"))
       .orderBy(col("series_key"), col("timestamp"))
+  }
+
+  /** Hot-series time-split Holt smoothing — the 2-d sibling of
+    * [[ewmaSmoothSplit]]. Holt's recurrence is AFFINE with a constant
+    * transition matrix: stateₜ = M·stateₜ₋₁ + cₜ with
+    * M = [[1−α, 1−α], [−βα, 1−βα]], cₜ = (α·vₜ, βα·vₜ) (substitute the
+    * level update into the trend update to see the second row). So a
+    * chunk's effect on the (level, trend) state is state-out =
+    * M^m·s + Q_m with Q the seed-zero in-chunk fold, and per-row
+    * stateⱼ = Qⱼ + M^j·s. The plan mirrors the EWMA split exactly:
+    * one virtual zero row per (series, chunk) turns the seeded-first
+    * native [[graft.functions.HoltTrend]] into the seed-zero fold Qⱼ,
+    * [[graft.functions.Mat2CumProd]] delivers M^j in the SAME window
+    * pass, the per-chunk transit pairs (M^m, Q_m) compose per series
+    * with [[graft.functions.ChainFold2]] over the tiny summary frame,
+    * and a final projection applies stateⱼ = Qⱼ + M^j·s. The seed of a
+    * series' FIRST chunk is (v₁, 0) — the fixed point of the native's
+    * seeding convention (M·(v₁,0) + c₁ = (v₁, 0) when v = v₁).
+    *
+    * Like the EWMA split, NOT bit-identical (FP re-association);
+    * spec-pinned at 1e-9 relative. */
+  private def holtSmoothSplit(points: DataFrame, p: QueryParams, alpha: Double,
+      beta: Double, field: String, tombstones: Seq[Tombstone],
+      splitNs: Long): DataFrame = {
+    import graft.functions.WindowFunctions.{holtTrend, mat2CumProd, chainFold2}
+    val (m00, m01, m10, m11) =
+      (1.0 - alpha, 1.0 - alpha, -beta * alpha, 1.0 - beta * alpha)
+    val base = sliceChunked(points, p, field, tombstones, splitNs)
+      .filter(col("__v").isNotNull)
+      .select(col("metric"), col("tags"), col("series_key"), col("__chunk"),
+        col("timestamp"), col("__v"), lit(false).as("__virtual"))
+    val virtualRows = base.groupBy(col("series_key"), col("__chunk"))
+      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"))
+      .select(col("metric"), col("tags"), col("series_key"), col("__chunk"),
+        (col("__chunk") - 1).as("timestamp"), lit(0.0).as("__v"),
+        lit(true).as("__virtual"))
+    val chunkKeys = Seq(col("series_key"), col("__chunk"))
+    val tsOrd = Seq(col("timestamp"))
+    val withQ = base.unionByName(virtualRows)
+      .withColumn("__q", holtTrend(col("__v"), alpha, beta,
+        partitionBy = chunkKeys, orderBy = tsOrd))
+      .withColumn("__p", mat2CumProd(col("__virtual"),
+        lit(m00), lit(m01), lit(m10), lit(m11),
+        partitionBy = chunkKeys, orderBy = tsOrd))
+      .filter(!col("__virtual"))
+    val wSeries = Window.partitionBy(col("series_key")).orderBy(col("__chunk"))
+    val bounds = withQ.groupBy(col("series_key"), col("__chunk"))
+      .agg(max_by(col("__q"), col("timestamp")).as("__qm"),
+        max_by(col("__p"), col("timestamp")).as("__pm"),
+        min_by(col("__v"), col("timestamp")).as("__vfirst"))
+      .withColumn("__carry", chainFold2(
+        col("__pm.p00"), col("__pm.p01"), col("__pm.p10"), col("__pm.p11"),
+        col("__pm.p00") * col("__vfirst") + col("__qm.level"),
+        col("__pm.p10") * col("__vfirst") + col("__qm.trend"),
+        col("__qm.level"), col("__qm.trend"),
+        partitionBy = Seq(col("series_key")), orderBy = Seq(col("__chunk"))))
+      .withColumn("__seed", lag(col("__carry"), 1).over(wSeries))
+      .select(col("series_key"), col("__chunk"),
+        coalesce(col("__seed.l"), col("__vfirst")).as("__sl"),
+        coalesce(col("__seed.t"), lit(0.0)).as("__st"))
+    withQ.join(bounds, Seq("series_key", "__chunk"), "left")
+      .withColumn("__lvl",
+        col("__q.level") + col("__p.p00") * col("__sl") + col("__p.p01") * col("__st"))
+      .withColumn("__trd",
+        col("__q.trend") + col("__p.p10") * col("__sl") + col("__p.p11") * col("__st"))
   }
 
   /** Cross-metric Pearson correlation: align metric A and B per tag value
