@@ -751,6 +751,17 @@ object Queries {
       .orderBy("user", "timestamp")
   }
 
+  /** `ts_rate` through the hot-series split path (1-day chunks): the lag
+    * family's split is BIT-IDENTICAL to the unsplit plan (`TsSplitSpec`),
+    * so this battery entry shares ts_rate's oracle verbatim — the driver
+    * hash-gates that identity every round. */
+  def tsRateSplit(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture))
+    TsAnalytics.rate(pts(s, dir), q, splitNs = Some(24L * HourNs))
+      .select(userCol, tsUs, col("value"), col("delta"), col("rate_per_sec"))
+      .orderBy("user", "timestamp")
+  }
+
   /** Per-series rolling z-score anomaly scoring: each point against the
     * mean/stddev of its trailing 20 points (itself excluded), scored only
     * once 5 predecessors exist. The battery hashes the rounded score for
@@ -815,6 +826,19 @@ object Queries {
     val q = QueryParams("view", startNs = 0L, endNs = Some(FarFuture),
       downsampleNs = Some(7L * 24L * HourNs))
     TsAnalytics.timeWeightedAvg(pts(s, dir), q)
+      .select(userCol, col("window_start"),
+        round(col("twa"), 4).as("twa"), col("n_points"))
+      .orderBy("user", "window_start")
+  }
+
+  /** `ts_twa` through the hot-series split path (2-day chunks inside the
+    * 7-day TWA windows — chunk and window boundaries interleave, the
+    * awkward alignment): lead-family split is bit-identical
+    * (`TsSplitSpec`), so it shares ts_twa's oracle verbatim. */
+  def tsTwaSplit(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("view", startNs = 0L, endNs = Some(FarFuture),
+      downsampleNs = Some(7L * 24L * HourNs))
+    TsAnalytics.timeWeightedAvg(pts(s, dir), q, splitNs = Some(48L * HourNs))
       .select(userCol, col("window_start"),
         round(col("twa"), 4).as("twa"), col("n_points"))
       .orderBy("user", "window_start")

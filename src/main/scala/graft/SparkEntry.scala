@@ -83,8 +83,10 @@ object SparkEntry {
     "tsdb_fill_previous" -> (Queries.tsdbFillPrevious _),
     "tsdb_fill_linear" -> (Queries.tsdbFillLinear _),
     "ts_rate" -> (Queries.tsRate _),
+    "ts_rate_split" -> (Queries.tsRateSplit _),
     "ts_anomaly" -> (Queries.tsAnomaly _),
     "ts_twa" -> (Queries.tsTwa _),
+    "ts_twa_split" -> (Queries.tsTwaSplit _),
     "ts_cumsum" -> (Queries.tsCumsum _),
     "ts_ewma" -> (Queries.tsEwma _),
     "ts_holt" -> (Queries.tsHolt _),
@@ -103,6 +105,42 @@ object SparkEntry {
 
   /** DuckDB-runnable oracle per query (same column names as the Spark side —
     * the driver sorts columns by name before hashing). */
+  /** Shared by `ts_rate`/`ts_rate_split` — the split path is
+    * bit-identical to the unsplit plan, so both hash against ONE oracle. */
+  private val TsRateSql =
+    """WITH s AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |l AS (
+      |  SELECT u, t, value,
+      |    lag(value) OVER (PARTITION BY u ORDER BY t) AS pv,
+      |    lag(t) OVER (PARTITION BY u ORDER BY t) AS pt
+      |  FROM s)
+      |SELECT u AS "user", t AS "timestamp", value,
+      |  CASE WHEN value < pv THEN value ELSE value - pv END AS delta,
+      |  (CASE WHEN value < pv THEN value ELSE value - pv END) * 1e9
+      |    / CAST(t - pt AS DOUBLE) AS rate_per_sec
+      |FROM l WHERE pv IS NOT NULL AND pt IS NOT NULL
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Shared by `ts_twa`/`ts_twa_split` — same bit-identical contract. */
+  private val TsTwaSql =
+    """WITH s AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value
+      |  FROM events WHERE event_type = 'view'),
+      |l AS (
+      |  SELECT u, t, value, t - (t % 604800000000000) AS ws,
+      |    lead(t) OVER (PARTITION BY u ORDER BY t) AS nt
+      |  FROM s),
+      |w AS (
+      |  SELECT u, ws, value,
+      |    CAST(least(coalesce(nt, ws + 604800000000000), ws + 604800000000000) - t
+      |         AS DOUBLE) AS wt
+      |  FROM l)
+      |SELECT u AS "user", ws AS window_start,
+      |  round(sum(value * wt) / sum(wt), 4) AS twa, count(*) AS n_points
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "tsdb_downsample_1h" ->
       """SELECT event_type AS metric, CAST(user_id AS VARCHAR) AS "user",
@@ -825,21 +863,10 @@ object SparkEntry {
         |WHERE user_id BETWEEN 0 AND 12
         |  AND epoch_ns(ts) BETWEEN 1704067200000000000 AND 1704412800000000000
         |ORDER BY event_id""".stripMargin,
-    "ts_rate" ->
-      """WITH s AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value
-        |  FROM events WHERE event_type = 'purchase'),
-        |l AS (
-        |  SELECT u, t, value,
-        |    lag(value) OVER (PARTITION BY u ORDER BY t) AS pv,
-        |    lag(t) OVER (PARTITION BY u ORDER BY t) AS pt
-        |  FROM s)
-        |SELECT u AS "user", t AS "timestamp", value,
-        |  CASE WHEN value < pv THEN value ELSE value - pv END AS delta,
-        |  (CASE WHEN value < pv THEN value ELSE value - pv END) * 1e9
-        |    / CAST(t - pt AS DOUBLE) AS rate_per_sec
-        |FROM l WHERE pv IS NOT NULL AND pt IS NOT NULL
-        |ORDER BY 1, 2""".stripMargin,
+    // ts_rate_split runs the SAME query through the hot-series split
+    // path (bit-identical contract) — identical oracle by construction
+    "ts_rate" -> TsRateSql,
+    "ts_rate_split" -> TsRateSql,
     "ts_anomaly" ->
       """WITH s AS (
         |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value
@@ -856,22 +883,9 @@ object SparkEntry {
         |  round((value - m) / sd, 4) AS z
         |FROM w WHERE n >= 5 AND sd > 1e-12
         |ORDER BY 1, 2""".stripMargin,
-    "ts_twa" ->
-      """WITH s AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value
-        |  FROM events WHERE event_type = 'view'),
-        |l AS (
-        |  SELECT u, t, value, t - (t % 604800000000000) AS ws,
-        |    lead(t) OVER (PARTITION BY u ORDER BY t) AS nt
-        |  FROM s),
-        |w AS (
-        |  SELECT u, ws, value,
-        |    CAST(least(coalesce(nt, ws + 604800000000000), ws + 604800000000000) - t
-        |         AS DOUBLE) AS wt
-        |  FROM l)
-        |SELECT u AS "user", ws AS window_start,
-        |  round(sum(value * wt) / sum(wt), 4) AS twa, count(*) AS n_points
-        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // ts_twa_split: same bit-identical-split contract as ts_rate_split
+    "ts_twa" -> TsTwaSql,
+    "ts_twa_split" -> TsTwaSql,
     "ts_cumsum" ->
       """SELECT CAST(user_id AS VARCHAR) AS "user", epoch_ns(ts) AS "timestamp",
         |  value,

@@ -51,7 +51,14 @@ final case class QueryStatement(
     /** `ANALYZE RATE(f)|EWMA(f,α)|HOLT(f,α,β)|TWA(f) BY d|CUMSUM(f)|
       * ZSCORE(f,n,t)` — the time-series analytics pack on the wire
       * (extension; [[graft.tsdb.AnalyzeSpec]]). */
-    analyze: Option[graft.tsdb.AnalyzeSpec] = None) extends Statement
+    analyze: Option[graft.tsdb.AnalyzeSpec] = None,
+    /** `… SPLIT <dur>` after an ANALYZE clause — hot-series time-
+      * splitting for the ordered analytics (extension;
+      * [[graft.tsdb.TsAnalytics]] `splitNs`): chunk the series on
+      * duration boundaries so one pathological series runs multi-task.
+      * Valid with RATE/TWA (bit-identical) and EWMA/HOLT (1e-9
+      * relative — see `ewmaSmoothSplit`'s re-association note). */
+    analyzeSplitNs: Option[Long] = None) extends Statement
 
 /** `REMOVE SERIES m TAGGED (…)` */
 final case class RemoveSeriesStatement(metric: String, tags: Map[String, String])

@@ -117,6 +117,17 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
           case _ => ()
         }
       }
+      if (q.analyzeSplitNs.isDefined) {
+        if (q.analyze.isEmpty)
+          return Left("SPLIT applies to ANALYZE queries only")
+        if (q.analyzeSplitNs.exists(_ <= 0))
+          return Left("SPLIT duration must be positive")
+        q.analyze.get match {
+          case _: graft.tsdb.AnalyzeCumsum | _: graft.tsdb.AnalyzeZScore =>
+            return Left("SPLIT supports RATE/EWMA/HOLT/TWA (CUMSUM/ZSCORE windows aren't splittable)")
+          case _ => ()
+        }
+      }
       val params = QueryParams(
         metric = q.metric,
         tags = q.tags,
@@ -149,7 +160,7 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
       // Tag-grouped queries bypass the per-series serving tiers entirely.
       (q.analyze, q.groupByTags) match {
         case (Some(spec), _) =>
-          Right(Rows(engine.analyze(params, spec), noCursor))
+          Right(Rows(engine.analyze(params, spec, q.analyzeSplitNs), noCursor))
         case (None, Some(keys)) =>
           Right(Rows(engine.queryByTagsServingDF(params, keys), noCursor))
         case (None, None) => Right(Rows(engine.queryServingDF(params), cursorOf))

@@ -104,7 +104,10 @@ object NbqlParser extends RegexParsers {
     * CUMSUM(f) | ZSCORE(f, lookback, threshold)` — the TS analytics pack
     * ([[graft.tsdb.AnalyzeSpec]]). The field is explicit, like the
     * AGGREGATE grammar's `avg(load1)`; numeric parameters accept int or
-    * decimal literals; TWA reuses the AGGREGATE BY duration grammar. */
+    * decimal literals; TWA reuses the AGGREGATE BY duration grammar.
+    * An optional `SPLIT <dur>` anywhere in the query tail turns on
+    * hot-series time-splitting for RATE/EWMA/HOLT/TWA
+    * ([[graft.tsdb.TsAnalytics]] `splitNs`). */
   private val numLit: Parser[Double] = doubleNum | longNum ^^ (_.toDouble)
   private val analyzeSpec: Parser[AnalyzeSpec] =
     kw("RATE") ~> "(" ~> name <~ ")" ^^ AnalyzeRate |
@@ -122,6 +125,8 @@ object NbqlParser extends RegexParsers {
     tagged ^^ { tg => (q: QueryStatement) => q.copy(tags = tg) } |
     kw("ANALYZE") ~> analyzeSpec ^^ {
       sp => (q: QueryStatement) => q.copy(analyze = Some(sp)) } |
+    kw("SPLIT") ~> duration ^^ {
+      d => (q: QueryStatement) => q.copy(analyzeSplitNs = Some(d)) } |
     aggregateClause |
     kw("EMIT") ~ kw("EMPTY") ~ kw("WINDOWS") ^^^ {
       (q: QueryStatement) => q.copy(emitEmptyWindows = true) } |

@@ -333,19 +333,24 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * query grammar — a shared key would collide an ANALYZE with its
     * plain QUERY twin and serve wrong rows. LIMIT applies to the
     * ordered analytic output. */
-  def analyze(params: QueryParams, spec: AnalyzeSpec): DataFrame = {
+  def analyze(params: QueryParams, spec: AnalyzeSpec,
+      splitNs: Option[Long] = None): DataFrame = {
     val pts = loadPoints().getOrElse(TsdbEngine.emptyPoints(spark))
     val tombs = loadTombstones()
     val df = spec match {
       case AnalyzeRate(f) =>
-        TsAnalytics.rate(pts, params, field = f, tombstones = tombs)
+        TsAnalytics.rate(pts, params, field = f, tombstones = tombs,
+          splitNs = splitNs)
       case AnalyzeEwma(f, a) =>
-        TsAnalytics.ewmaSmooth(pts, params, a, field = f, tombstones = tombs)
+        TsAnalytics.ewmaSmooth(pts, params, a, field = f, tombstones = tombs,
+          splitNs = splitNs)
       case AnalyzeHolt(f, a, b) =>
-        TsAnalytics.holtSmooth(pts, params, a, b, field = f, tombstones = tombs)
+        TsAnalytics.holtSmooth(pts, params, a, b, field = f,
+          tombstones = tombs, splitNs = splitNs)
       case AnalyzeTwa(f, iv) =>
         TsAnalytics.timeWeightedAvg(pts,
-          params.copy(downsampleNs = Some(iv)), field = f, tombstones = tombs)
+          params.copy(downsampleNs = Some(iv)), field = f, tombstones = tombs,
+          splitNs = splitNs)
       case AnalyzeCumsum(f) =>
         TsAnalytics.runningAggregates(pts, params, field = f, tombstones = tombs)
       case AnalyzeZScore(f, lb, th) =>

@@ -110,6 +110,12 @@ class NbqlParserSpec extends SparkSpec {
     assert(q.analyze.contains(AnalyzeRate("v")) && q.tags == Map("dc" -> "eu") &&
       q.valueFilters.nonEmpty)
     assert(NbqlParser.parse("QUERY cpu ANALYZE").isLeft)
+    // SPLIT <dur> rides the order-free query tail
+    assert(p("QUERY cpu ANALYZE RATE(v) SPLIT 1h")
+      .asInstanceOf[QueryStatement].analyzeSplitNs.contains(3600L * 1000000000L))
+    assert(p("QUERY cpu SPLIT 30m ANALYZE EWMA(v, 0.3)")
+      .asInstanceOf[QueryStatement].analyzeSplitNs.contains(1800L * 1000000000L))
+    assert(NbqlParser.parse("QUERY cpu ANALYZE RATE(v) SPLIT").isLeft)
     assert(NbqlParser.parse("QUERY cpu ANALYZE RATE").isLeft) // field is mandatory
     assert(NbqlParser.parse("QUERY cpu ANALYZE EWMA(0.25)").isLeft)
     assert(NbqlParser.parse("QUERY cpu ANALYZE HOLT(v, 0.5)").isLeft)
@@ -349,6 +355,19 @@ class NbqlExecutorSpec extends SparkSpec {
       // LIMIT applies to the ordered analytic output
       val lim = rows(ex, """QUERY cpu TAGGED (h="a") FROM 0 TO 9999 ANALYZE CUMSUM(v) LIMIT 2""")
       assert(lim.size == 2)
+
+      // SPLIT: hot-series time-splitting on the wire — the lag family is
+      // bit-identical to the unsplit plan (1us chunks put every point in
+      // its own chunk, the maximally-split case)
+      assert(rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE RATE(v) SPLIT 1us") == rate)
+      assert(rows(ex,
+        """QUERY cpu TAGGED (h="a") FROM 0 TO 9999 ANALYZE TWA(v) BY 1us SPLIT 2us""") == twa)
+      assert(rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE HOLT(v, 0.5, 0.25) SPLIT 1us")
+        .map(_.getAs[String]("series_key")) == wire.map(_.getAs[String]("series_key")))
+      // SPLIT validations
+      assert(ex.execute("QUERY cpu FROM 0 TO 9 SPLIT 1h").isLeft) // needs ANALYZE
+      assert(ex.execute("QUERY cpu ANALYZE CUMSUM(v) SPLIT 1h").isLeft)
+      assert(ex.execute("QUERY cpu ANALYZE ZSCORE(v, 20, 3.0) SPLIT 1h").isLeft)
     }
   }
 
