@@ -32,15 +32,30 @@ final class GraftTcpServer(executor: NbqlExecutor, port: Int = 0,
   private val pool = Executors.newCachedThreadPool()
   @volatile private var running = false
 
-  /** Commit-log poll interval for live subscriptions (S8 over TCP). The
-    * 100 ms default matches interactive latency; a bulk-ingest follower
-    * can raise it to amortize the `sync()` log scan. */
+  /** Liveness fallback for live subscriptions (S8 over TCP): the push
+    * loop normally wakes on [[commitSignal]] the instant a commit lands,
+    * so this bounds only how long a MISSED signal (e.g. an engine shared
+    * with another process) can delay delivery. Raising it costs nothing
+    * on the happy path. */
   @volatile var subscriptionPollMs: Long = 100L
+
+  /** Per-commit push signal: a `PostManifestWrite` listener (registered
+    * at [[start]]) notifies this monitor the moment any commit lands, so
+    * subscription delivery latency tracks the reference's per-Put
+    * publish (`engine2/pubsub.go:105-126`) instead of a poll interval.
+    * The waiter re-checks the log tip UNDER the monitor before waiting,
+    * which closes the missed-notify race (commit between drain and
+    * wait). */
+  private val commitSignal = new Object
 
   def boundPort: Int = server.getLocalPort
 
   def start(): Unit = {
     running = true
+    executor.engine.hooks.register(graft.hooks.EventType.PostManifestWrite,
+      graft.hooks.HookListener({ _ =>
+        commitSignal.synchronized { commitSignal.notifyAll() }; Right(())
+      }))
     pool.submit(new Runnable {
       def run(): Unit = while (running) {
         try {
@@ -218,7 +233,11 @@ final class GraftTcpServer(executor: NbqlExecutor, port: Int = 0,
           since = v
           v += 1
         }
-        Thread.sleep(subscriptionPollMs)
+        // wake instantly on the next commit; poll interval is only the
+        // missed-signal liveness bound (see commitSignal)
+        commitSignal.synchronized {
+          if (engine.sync() == since) commitSignal.wait(subscriptionPollMs)
+        }
       }
     } catch {
       case _: java.io.IOException => ()      // client went away

@@ -595,6 +595,34 @@ class ServerSpec extends SparkSpec {
     }
   }
 
+  test("client: TCP SUBSCRIBE delivery is commit-signal-driven, not poll-bound") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_subsig").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    val ex = new NbqlExecutor(eng)
+    val srv = new GraftTcpServer(ex, port = 0)
+    // poll interval set far beyond the assertion window: a delivery can
+    // only arrive in time if the PostManifestWrite signal wakes the loop
+    srv.subscriptionPollMs = 120000L
+    srv.start()
+    val sub = NbqlClient.connect("127.0.0.1", srv.boundPort)
+    try {
+      val s = sub.subscribe("sig.*", Map.empty)
+      val t0 = System.nanoTime()
+      assert(eng.put(graft.model.DataPoint("sig.m", Map("h" -> "a"), 1000L,
+        Map("v" -> FieldValue.ofDouble(1.0)))).isRight)
+      val u = s.next() // blocks on the socket; poll alone would take 120 s
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(u.item.metric == "sig.m" && u.item.timestamp == 1000L)
+      assert(elapsedMs < 30000.0,
+        f"commit-signal push took $elapsedMs%.0f ms — poll-bound, not signal-driven")
+      s.close()
+    } finally {
+      try sub.close() catch { case _: Exception => () }
+      srv.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("client: auth handshake accepts good creds; role denial is an APIError") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cliauth").toString
     val userFile = s"$dir/users.db"
