@@ -1128,6 +1128,27 @@ object Queries {
       new graft.nbql.NbqlExecutor(eng)
     })
 
+  /** `ts_correlate` through the NBQL wire surface (`ANALYZE CORRELATE`):
+    * same metrics/bucket/minBuckets as the API-path battery entry, so it
+    * hashes against the SAME oracle. */
+  def nbqlCorrelate(s: SparkSession, dir: String): DataFrame =
+    nbqlRows(s, dir,
+      s"QUERY click FROM 0 TO $FarFuture ANALYZE CORRELATE(value, view, user, 5) BY 1d")
+      .select(col("tag_value").as("user"), round(col("r"), 4).as("r"),
+        col("n_buckets"))
+      .orderBy("user")
+
+  /** `ts_topk_series` through NBQL (`AGGREGATE … ANALYZE TOPK … GROUP BY
+    * TAGS`): the one ANALYZE form that composes with AGGREGATE. Same
+    * oracle as the API-path entry. */
+  def nbqlTopk(s: SparkSession, dir: String): DataFrame =
+    nbqlRows(s, dir,
+      s"QUERY purchase FROM 0 TO $FarFuture AGGREGATE (sum(value), count(*)) " +
+        "ANALYZE TOPK(5, sum_value) GROUP BY TAGS (user)")
+      .select(col("tag_user").as("user"), col("rank"),
+        round(col("sum_value"), 2).as("sum_value"), col("count_star"))
+      .orderBy("rank")
+
   private def nbqlRows(s: SparkSession, dir: String, stmt: String): DataFrame = {
     val ex = nbqlExec(s, dir)
     ex.execute(stmt) match {

@@ -25,6 +25,8 @@ object SparkEntry {
     "tsdb_desc_scan" -> (Queries.tsdbDescScan _),
     "nbql_query_e2e" -> (Queries.nbqlQueryE2e _),
     "nbql_rate" -> (Queries.nbqlRate _),
+    "nbql_correlate" -> (Queries.nbqlCorrelate _),
+    "nbql_topk" -> (Queries.nbqlTopk _),
     "show_metrics" -> (Queries.showMetrics _),
     "show_tag_values" -> (Queries.showTagValues _),
     "series_by_tags" -> (Queries.seriesByTags _),
@@ -140,6 +142,31 @@ object SparkEntry {
       |SELECT u AS "user", ws AS window_start,
       |  round(sum(value * wt) / sum(wt), 4) AS twa, count(*) AS n_points
       |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Shared by `ts_correlate`/`nbql_correlate` (same analytic, API vs
+    * wire path). */
+  private val TsCorrelateSql =
+    """WITH s AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS u,
+      |    epoch_ns(ts) - (epoch_ns(ts) % 86400000000000) AS bucket,
+      |    avg(CASE WHEN event_type = 'click' THEN value END) AS va,
+      |    avg(CASE WHEN event_type = 'view' THEN value END) AS vb
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |  GROUP BY 1, 2)
+      |SELECT u AS "user", round(corr(va, vb), 4) AS r, count(*) AS n_buckets
+      |FROM s WHERE va IS NOT NULL AND vb IS NOT NULL
+      |GROUP BY 1 HAVING count(*) >= 5 AND corr(va, vb) IS NOT NULL
+      |ORDER BY 1""".stripMargin
+
+  /** Shared by `ts_topk_series`/`nbql_topk`. */
+  private val TsTopkSql =
+    """WITH g AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS u, sum(value) AS s, count(*) AS n
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT u AS "user",
+      |  row_number() OVER (ORDER BY s DESC, u ASC) AS rank,
+      |  round(s, 2) AS sum_value, n AS count_star
+      |FROM g ORDER BY s DESC, u ASC LIMIT 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "tsdb_downsample_1h" ->
@@ -931,18 +958,9 @@ object SparkEntry {
         |         + 0.75 * acc[2]]) AS h
         |  FROM s JOIN g ON s.u = g.u) q
         |ORDER BY 1, 2""".stripMargin,
-    "ts_correlate" ->
-      """WITH s AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS u,
-        |    epoch_ns(ts) - (epoch_ns(ts) % 86400000000000) AS bucket,
-        |    avg(CASE WHEN event_type = 'click' THEN value END) AS va,
-        |    avg(CASE WHEN event_type = 'view' THEN value END) AS vb
-        |  FROM events WHERE event_type IN ('click', 'view')
-        |  GROUP BY 1, 2)
-        |SELECT u AS "user", round(corr(va, vb), 4) AS r, count(*) AS n_buckets
-        |FROM s WHERE va IS NOT NULL AND vb IS NOT NULL
-        |GROUP BY 1 HAVING count(*) >= 5 AND corr(va, vb) IS NOT NULL
-        |ORDER BY 1""".stripMargin,
+    // nbql_correlate runs the same analytic through ANALYZE CORRELATE
+    "ts_correlate" -> TsCorrelateSql,
+    "nbql_correlate" -> TsCorrelateSql,
     "ts_ratio" ->
       """WITH s AS (
         |  SELECT CAST(user_id AS VARCHAR) AS u,
@@ -956,14 +974,9 @@ object SparkEntry {
         |SELECT u AS "user", bucket, n_a, n_b, round(va / vb, 4) AS ratio
         |FROM s WHERE va IS NOT NULL AND vb IS NOT NULL AND vb <> 0
         |ORDER BY 1, 2""".stripMargin,
-    "ts_topk_series" ->
-      """WITH g AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS u, sum(value) AS s, count(*) AS n
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
-        |SELECT u AS "user",
-        |  row_number() OVER (ORDER BY s DESC, u ASC) AS rank,
-        |  round(s, 2) AS sum_value, n AS count_star
-        |FROM g ORDER BY s DESC, u ASC LIMIT 5""".stripMargin,
+    // nbql_topk runs the same ranking through AGGREGATE … ANALYZE TOPK
+    "ts_topk_series" -> TsTopkSql,
+    "nbql_topk" -> TsTopkSql,
     "tsdb_groupby_tag" ->
       """SELECT 'click' AS metric,
         |  epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS window_start,

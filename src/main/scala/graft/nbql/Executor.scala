@@ -93,11 +93,14 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
       }
       if (q.analyze.isDefined) {
         // the analytics define their own output shape: point-shaping
-        // clauses don't compose (TAGGED/range/FILTER/LIMIT do)
-        if (q.aggs.nonEmpty || q.byIntervalNs.isDefined)
-          return Left("ANALYZE and AGGREGATE don't compose — pick one")
-        if (q.groupByTags.isDefined)
-          return Left("ANALYZE and GROUP BY TAGS don't compose")
+        // clauses don't compose (TAGGED/range/FILTER/LIMIT do) — except
+        // TOPK, which by definition RANKS the AGGREGATE outputs grouped
+        // by the GROUP BY TAGS keys
+        val isTopK = q.analyze.get.isInstanceOf[graft.tsdb.AnalyzeTopK]
+        if (!isTopK && (q.aggs.nonEmpty || q.byIntervalNs.isDefined))
+          return Left("ANALYZE and AGGREGATE don't compose — pick one (TOPK is the exception)")
+        if (!isTopK && q.groupByTags.isDefined)
+          return Left("ANALYZE and GROUP BY TAGS don't compose (TOPK is the exception)")
         if (q.fill != FillNone || q.emitEmptyWindows)
           return Left("FILL/EMIT EMPTY WINDOWS don't apply to ANALYZE results")
         if (q.after.isDefined)
@@ -114,6 +117,34 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
             return Left("TWA interval must be positive")
           case graft.tsdb.AnalyzeZScore(_, lb, _) if lb < 2 =>
             return Left("ZSCORE lookback must be at least 2")
+          case graft.tsdb.AnalyzeCorrelate(_, b, _, _, mb) =>
+            if (b == q.metric)
+              return Left("CORRELATE needs two distinct metrics")
+            if (mb < 2)
+              return Left("CORRELATE minBuckets must be at least 2")
+            if (graft.tsdb.TagMatch.isPrefix(q.metric) ||
+                graft.tsdb.TagMatch.isPrefix(b))
+              return Left("CORRELATE/RATIO need exact metric names, not prefixes")
+            if (q.tags.nonEmpty || q.valueFilters.nonEmpty)
+              return Left("CORRELATE aligns per tag key — TAGGED/FILTER don't compose")
+          case graft.tsdb.AnalyzeRatio(_, b, _, _) =>
+            if (b == q.metric)
+              return Left("RATIO needs two distinct metrics")
+            if (graft.tsdb.TagMatch.isPrefix(q.metric) ||
+                graft.tsdb.TagMatch.isPrefix(b))
+              return Left("CORRELATE/RATIO need exact metric names, not prefixes")
+            if (q.tags.nonEmpty || q.valueFilters.nonEmpty)
+              return Left("RATIO aligns per tag key — TAGGED/FILTER don't compose")
+          case t: graft.tsdb.AnalyzeTopK =>
+            if (t.k <= 0) return Left("TOPK k must be positive")
+            if (q.aggs.isEmpty)
+              return Left("TOPK ranks AGGREGATE outputs — add AGGREGATE (…)")
+            if (q.byIntervalNs.isDefined)
+              return Left("TOPK ranks the whole-range aggregation — drop AGGREGATE BY")
+            if (q.groupByTags.isEmpty)
+              return Left("TOPK needs GROUP BY TAGS (key, …) grouping keys")
+            if (!q.aggs.exists(_.outputName == t.by))
+              return Left(s"TOPK ranking column '${t.by}' must be one of the AGGREGATE outputs")
           case _ => ()
         }
       }
@@ -123,9 +154,10 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
         if (q.analyzeSplitNs.exists(_ <= 0))
           return Left("SPLIT duration must be positive")
         q.analyze.get match {
-          case _: graft.tsdb.AnalyzeCumsum | _: graft.tsdb.AnalyzeZScore =>
-            return Left("SPLIT supports RATE/EWMA/HOLT/TWA (CUMSUM/ZSCORE windows aren't splittable)")
-          case _ => ()
+          case _: graft.tsdb.AnalyzeRate | _: graft.tsdb.AnalyzeEwma |
+               _: graft.tsdb.AnalyzeHolt | _: graft.tsdb.AnalyzeTwa => ()
+          case _ =>
+            return Left("SPLIT supports RATE/EWMA/HOLT/TWA only")
         }
       }
       val params = QueryParams(
@@ -159,7 +191,13 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
       // budget-truncated results transparently stream the full plan.
       // Tag-grouped queries bypass the per-series serving tiers entirely.
       (q.analyze, q.groupByTags) match {
-        case (Some(spec), _) =>
+        case (Some(spec0), _) =>
+          // TOPK carries its grouping keys in the spec (validated above)
+          val spec = spec0 match {
+            case t: graft.tsdb.AnalyzeTopK =>
+              t.copy(tagKeys = q.groupByTags.getOrElse(Nil))
+            case s => s
+          }
           Right(Rows(engine.analyze(params, spec, q.analyzeSplitNs), noCursor))
         case (None, Some(keys)) =>
           Right(Rows(engine.queryByTagsServingDF(params, keys), noCursor))

@@ -1,8 +1,9 @@
 package graft.nbql
 
 import graft.model.FieldValue
-import graft.tsdb.{AggSpec, AnalyzeCumsum, AnalyzeEwma, AnalyzeHolt,
-  AnalyzeRate, AnalyzeSpec, AnalyzeTwa, AnalyzeZScore, Ascending, Descending,
+import graft.tsdb.{AggSpec, AnalyzeCorrelate, AnalyzeCumsum, AnalyzeEwma,
+  AnalyzeHolt, AnalyzeRate, AnalyzeRatio, AnalyzeSpec, AnalyzeTopK,
+  AnalyzeTwa, AnalyzeZScore, Ascending, Descending,
   FillLinear, FillNone, FillPrevious}
 import scala.util.parsing.combinator.RegexParsers
 
@@ -119,7 +120,16 @@ object NbqlParser extends RegexParsers {
       case f ~ d => AnalyzeTwa(f, d) } |
     kw("CUMSUM") ~> "(" ~> name <~ ")" ^^ AnalyzeCumsum |
     kw("ZSCORE") ~> "(" ~> (name <~ ",") ~ (longNum <~ ",") ~ numLit <~ ")" ^^ {
-      case f ~ n ~ t => AnalyzeZScore(f, n.toInt, t) }
+      case f ~ n ~ t => AnalyzeZScore(f, n.toInt, t) } |
+    kw("CORRELATE") ~> ("(" ~> (name <~ ",") ~ (name <~ ",") ~ name ~
+        opt("," ~> longNum) <~ ")") ~ (kw("BY") ~> duration) ^^ {
+      case f ~ b ~ k ~ mb ~ d =>
+        AnalyzeCorrelate(f, b, k, d, mb.map(_.toInt).getOrElse(8)) } |
+    kw("RATIO") ~> ("(" ~> (name <~ ",") ~ (name <~ ",") ~ name <~ ")") ~
+        (kw("BY") ~> duration) ^^ {
+      case f ~ b ~ k ~ d => AnalyzeRatio(f, b, k, d) } |
+    kw("TOPK") ~> "(" ~> (longNum <~ ",") ~ name <~ ")" ^^ {
+      case k ~ by => AnalyzeTopK(k.toInt, by) }
 
   private val queryTail: Parser[QueryStatement => QueryStatement] =
     tagged ^^ { tg => (q: QueryStatement) => q.copy(tags = tg) } |

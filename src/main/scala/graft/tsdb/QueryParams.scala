@@ -131,6 +131,26 @@ final case class AnalyzeCumsum(field: String) extends AnalyzeSpec
 /** `ANALYZE ZSCORE(field, lookback, threshold)` ([[TsAnalytics.rollingZScore]]). */
 final case class AnalyzeZScore(field: String, lookback: Int, threshold: Double)
   extends AnalyzeSpec
+/** `QUERY a … ANALYZE CORRELATE(field, b, tagKey[, minBuckets]) BY <dur>`
+  * — bucket-aligned Pearson correlation of the queried metric against
+  * `metricB`, paired per `tagKey` value ([[TsAnalytics.correlate]]).
+  * TAGGED/FILTER don't compose (alignment is BY the key tag). */
+final case class AnalyzeCorrelate(field: String, metricB: String,
+    tagKey: String, bucketNs: Long, minBuckets: Int = 8) extends AnalyzeSpec
+/** `QUERY a … ANALYZE RATIO(field, b, tagKey) BY <dur>` — aligned series
+  * algebra a/b on co-observed buckets ([[TsAnalytics.ratio]]). */
+final case class AnalyzeRatio(field: String, metricB: String,
+    tagKey: String, bucketNs: Long) extends AnalyzeSpec
+/** `QUERY m AGGREGATE (aggs) ANALYZE TOPK(k, byColumn) GROUP BY TAGS
+  * (keys)` — top-K tag groups by a whole-range aggregate output
+  * ([[TsAnalytics.topKGroups]]); the ONE analytic that composes with
+  * AGGREGATE (it ranks those aggregates) and GROUP BY TAGS (the
+  * grouping keys). `tagKeys` is copied from the GROUP BY TAGS clause by
+  * the executor after validation. */
+final case class AnalyzeTopK(k: Int, by: String,
+    tagKeys: Seq[String] = Nil) extends AnalyzeSpec {
+  def field: String = by
+}
 
 final case class QueryParams(
     metric: String,

@@ -356,9 +356,28 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       case AnalyzeZScore(f, lb, th) =>
         TsAnalytics.rollingZScore(pts, params, field = f, lookback = lb,
           threshold = th, tombstones = tombs)
+      case AnalyzeCorrelate(f, b, key, iv, mb) =>
+        val (s0, e0) = analyzeCrossRange(pts, params, b)
+        TsAnalytics.correlate(pts, params.metric, b, key, iv, s0, e0,
+          field = f, minBuckets = mb, tombstones = tombs)
+      case AnalyzeRatio(f, b, key, iv) =>
+        val (s0, e0) = analyzeCrossRange(pts, params, b)
+        TsAnalytics.ratio(pts, params.metric, b, key, iv, s0, e0,
+          field = f, tombstones = tombs)
+      case AnalyzeTopK(k, by, keys) =>
+        TsAnalytics.topKGroups(pts, params, keys, k, by, tombstones = tombs)
     }
     params.limit.fold(df)(n => df.limit(n.toInt))
   }
+
+  /** Range resolution for the cross-metric analytics (CORRELATE/RATIO),
+    * which take raw bounds rather than `QueryParams`: the F6 default/
+    * RELATIVE contract applied over BOTH metrics' points (the pair is
+    * one logical scan — `metric IN (a, b)`). */
+  private def analyzeCrossRange(pts: org.apache.spark.sql.DataFrame,
+      params: QueryParams, metricB: String): (Long, Long) =
+    QueryEngine.resolveRange(
+      pts.filter(col("metric").isin(params.metric, metricB)), params)
 
 
   /** Serving base frame for `p`: the per-metric incremental serving view

@@ -110,6 +110,21 @@ class NbqlParserSpec extends SparkSpec {
     assert(q.analyze.contains(AnalyzeRate("v")) && q.tags == Map("dc" -> "eu") &&
       q.valueFilters.nonEmpty)
     assert(NbqlParser.parse("QUERY cpu ANALYZE").isLeft)
+    // cross-metric + ranking forms
+    assert(p("QUERY reqs ANALYZE CORRELATE(v, errs, host) BY 1h")
+      .asInstanceOf[QueryStatement].analyze
+      .contains(AnalyzeCorrelate("v", "errs", "host", 3600L * 1000000000L, 8)))
+    assert(p("QUERY reqs ANALYZE CORRELATE(v, errs, host, 3) BY 1m")
+      .asInstanceOf[QueryStatement].analyze
+      .contains(AnalyzeCorrelate("v", "errs", "host", 60L * 1000000000L, 3)))
+    assert(p("QUERY a ANALYZE RATIO(v, b, host) BY 1s")
+      .asInstanceOf[QueryStatement].analyze
+      .contains(AnalyzeRatio("v", "b", "host", 1000000000L)))
+    assert(p("QUERY m AGGREGATE (sum(v)) ANALYZE TOPK(5, sum_v) GROUP BY TAGS (host)")
+      .asInstanceOf[QueryStatement].analyze.contains(AnalyzeTopK(5, "sum_v")))
+    assert(NbqlParser.parse("QUERY a ANALYZE CORRELATE(v, b, host)").isLeft) // BY mandatory
+    assert(NbqlParser.parse("QUERY a ANALYZE RATIO(v, b) BY 1s").isLeft)
+    assert(NbqlParser.parse("QUERY m ANALYZE TOPK(sum_v)").isLeft)
     // SPLIT <dur> rides the order-free query tail
     assert(p("QUERY cpu ANALYZE RATE(v) SPLIT 1h")
       .asInstanceOf[QueryStatement].analyzeSplitNs.contains(3600L * 1000000000L))
@@ -368,6 +383,64 @@ class NbqlExecutorSpec extends SparkSpec {
       assert(ex.execute("QUERY cpu FROM 0 TO 9 SPLIT 1h").isLeft) // needs ANALYZE
       assert(ex.execute("QUERY cpu ANALYZE CUMSUM(v) SPLIT 1h").isLeft)
       assert(ex.execute("QUERY cpu ANALYZE ZSCORE(v, 20, 3.0) SPLIT 1h").isLeft)
+    }
+  }
+
+  test("ANALYZE CORRELATE/RATIO/TOPK end-to-end with validations") {
+    withEngine { (eng, ex) =>
+      // two metrics, two users; u=x perfectly correlated (b = 2a),
+      // u=y anti-correlated; 1us buckets at 1000-ns cadence
+      assert(ex.execute(
+        """PUSHS a TAGGED (u="x") SET (v=1.0) AT 100,
+           a TAGGED (u="x") SET (v=2.0) AT 1100,
+           a TAGGED (u="x") SET (v=3.0) AT 2100,
+           b TAGGED (u="x") SET (v=2.0) AT 200,
+           b TAGGED (u="x") SET (v=4.0) AT 1200,
+           b TAGGED (u="x") SET (v=6.0) AT 2200,
+           a TAGGED (u="y") SET (v=1.0) AT 100,
+           a TAGGED (u="y") SET (v=2.0) AT 1100,
+           a TAGGED (u="y") SET (v=3.0) AT 2100,
+           b TAGGED (u="y") SET (v=9.0) AT 200,
+           b TAGGED (u="y") SET (v=6.0) AT 1200,
+           b TAGGED (u="y") SET (v=3.0) AT 2200""").isRight)
+
+      val corr = rows(ex,
+        "QUERY a FROM 0 TO 9999 ANALYZE CORRELATE(v, b, u, 3) BY 1us")
+      val rByTag = corr.map(r =>
+        r.getAs[String]("tag_value") -> r.getAs[Double]("r")).toMap
+      assert(math.abs(rByTag("x") - 1.0) < 1e-9)
+      assert(math.abs(rByTag("y") + 1.0) < 1e-9)
+
+      val ratio = rows(ex, "QUERY a FROM 0 TO 9999 ANALYZE RATIO(v, b, u) BY 1us")
+      val xRatios = ratio.filter(_.getAs[String]("tag_value") == "x")
+        .map(_.getAs[Double]("ratio"))
+      assert(xRatios == Seq(0.5, 0.5, 0.5))
+
+      val topk = rows(ex,
+        "QUERY a AGGREGATE (sum(v), count(*)) ANALYZE TOPK(1, sum_v) GROUP BY TAGS (u)")
+      assert(topk.size == 1) // x and y tie on sum 6 → deterministic tie-break
+      assert(topk.head.getAs[Int]("rank") == 1)
+      assert(topk.head.getAs[Double]("sum_v") == 6.0)
+
+      // parity with the API path
+      val apiCorr = TsAnalytics.correlate(eng.loadPoints().get, "a", "b", "u",
+        bucketNs = 1000L, startNs = 0L, endNs = 9999L, field = "v",
+        minBuckets = 3, tombstones = eng.loadTombstones()).collect().toSeq
+      assert(corr == apiCorr)
+
+      // validations
+      assert(ex.execute("QUERY a ANALYZE CORRELATE(v, a, u) BY 1us").isLeft) // same metric
+      assert(ex.execute("QUERY a ANALYZE CORRELATE(v, b, u, 1) BY 1us").isLeft) // minBuckets
+      assert(ex.execute("""QUERY a TAGGED (u="x") ANALYZE RATIO(v, b, u) BY 1us""").isLeft)
+      assert(ex.execute("QUERY a ANALYZE RATIO(v, b, u) BY 1us SPLIT 1h").isLeft)
+      assert(ex.execute("QUERY a.* ANALYZE RATIO(v, b, u) BY 1us").isLeft) // prefix
+      assert(ex.execute("QUERY a ANALYZE TOPK(1, sum_v) GROUP BY TAGS (u)").isLeft) // no aggs
+      assert(ex.execute(
+        "QUERY a AGGREGATE (sum(v)) ANALYZE TOPK(1, sum_v)").isLeft) // no keys
+      assert(ex.execute(
+        "QUERY a AGGREGATE BY 1us (sum(v)) ANALYZE TOPK(1, sum_v) GROUP BY TAGS (u)").isLeft)
+      assert(ex.execute(
+        "QUERY a AGGREGATE (sum(v)) ANALYZE TOPK(1, nope) GROUP BY TAGS (u)").isLeft)
     }
   }
 
