@@ -151,8 +151,9 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
       if (q.analyzeSplitNs.isDefined) {
         if (q.analyze.isEmpty)
           return Left("SPLIT applies to ANALYZE queries only")
-        if (q.analyzeSplitNs.exists(_ <= 0))
-          return Left("SPLIT duration must be positive")
+        if (q.analyzeSplitNs.exists(d =>
+            d <= 0 && d != graft.tsdb.TsAnalytics.SplitAuto))
+          return Left("SPLIT duration must be positive (or AUTO)")
         q.analyze.get match {
           case _: graft.tsdb.AnalyzeRate | _: graft.tsdb.AnalyzeEwma |
                _: graft.tsdb.AnalyzeHolt | _: graft.tsdb.AnalyzeTwa => ()

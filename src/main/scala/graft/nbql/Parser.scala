@@ -135,7 +135,7 @@ object NbqlParser extends RegexParsers {
     tagged ^^ { tg => (q: QueryStatement) => q.copy(tags = tg) } |
     kw("ANALYZE") ~> analyzeSpec ^^ {
       sp => (q: QueryStatement) => q.copy(analyze = Some(sp)) } |
-    kw("SPLIT") ~> duration ^^ {
+    kw("SPLIT") ~> (kw("AUTO") ^^^ graft.tsdb.TsAnalytics.SplitAuto | duration) ^^ {
       d => (q: QueryStatement) => q.copy(analyzeSplitNs = Some(d)) } |
     aggregateClause |
     kw("EMIT") ~ kw("EMPTY") ~ kw("WINDOWS") ^^^ {

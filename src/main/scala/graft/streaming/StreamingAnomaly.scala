@@ -90,6 +90,67 @@ object StreamingAnomaly {
       }.toDF()
   }
 
+  case class Rated(series_key: String, ts: Timestamp, value: Double,
+      delta: Double, rate_per_sec: Double)
+
+  /** Last observed (event-time ms, value) per live series. */
+  case class LastPt(tMs: Long, v: Double)
+
+  /** Streaming per-second rate — the streaming twin of
+    * [[graft.tsdb.TsAnalytics.rate]] (PromQL `rate` contract, counter
+    * resets clamped to the new value). State per live series is ONE
+    * (timestamp, value) pair — bounded by live series alone — with the
+    * same event-time idle expiry as [[score]]/[[smooth]]. The first
+    * point of a series (or after idle expiry) emits nothing, matching
+    * the batch contract's range-internal-predecessor rule; duplicate
+    * timestamps emit nothing (the batch twin's merged view can't produce
+    * dt = 0). Arithmetic mirrors the batch operator in ns
+    * (`delta · 1e9 / dtNs`), so for ms-aligned event times the values
+    * match bit-for-bit. */
+  def rate(points: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, counterReset: Boolean = true,
+      lateness: String = "10 minutes",
+      idleExpiry: String = "1 hour"): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val ds = points
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("t"),
+        col(valueCol).cast("double").as("v"))
+      .withWatermark("t", lateness)
+      .as[(String, Timestamp, Double)]
+    implicit val lastEnc = Encoders.product[LastPt]
+    implicit val ratedEnc = Encoders.product[Rated]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[LastPt, Rated](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, Timestamp, Double)],
+            state: GroupState[LastPt]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var prev = state.getOption.orNull
+            val batch = rows.toIndexedSeq.sortBy(_._2.getTime)
+            val out = batch.flatMap { case (_, t, v) =>
+              val tMs = t.getTime
+              val emitted =
+                if (prev == null || tMs <= prev.tMs) None
+                else {
+                  val delta =
+                    if (counterReset && v < prev.v) v else v - prev.v
+                  val dtNs = (tMs - prev.tMs) * 1000000L
+                  Some(Rated(key, t, v, delta, delta * 1e9 / dtNs.toDouble))
+                }
+              if (prev == null || tMs >= prev.tMs) prev = LastPt(tMs, v)
+              emitted
+            }
+            if (prev != null) {
+              state.update(prev)
+              state.setTimeoutTimestamp(batch.last._2.getTime, idleExpiry)
+            }
+            out.iterator
+          }
+      }.toDF()
+  }
+
   /** `points` must carry (`keyCol`: string, `tsCol`: TimestampType event
     * time, `valueCol`: numeric). Emits one [[Scored]] row per input
     * point in Append mode. */

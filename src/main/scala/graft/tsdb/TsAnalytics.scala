@@ -27,6 +27,24 @@ import org.apache.spark.sql.functions._
   */
 object TsAnalytics {
 
+  /** Sentinel for `SPLIT AUTO` on the NBQL surface: the engine resolves
+    * it to [[autoSplitNs]] over the query's actual time range before any
+    * analytic sees it (`TsdbEngine.analyze`) — the same
+    * derive-from-data-not-config contract as IVF's auto `nlist` and the
+    * range-join rewrite's AUTO bin width. */
+  val SplitAuto: Long = -1L
+
+  /** `SPLIT AUTO` width: span / (4 × parallelism), floored at 1 s.
+    * ~4 chunks per core bounds straggler skew while keeping the
+    * |series|×|chunks| summary frame tiny; the floor keeps chunks ≫
+    * point cadence so the boundary recompute stays O(chunks). Scale
+    * shape: width grows WITH the queried span, so chunk count — and the
+    * summary frame — stays constant as ranges grow 100×. */
+  def autoSplitNs(startNs: Long, endNs: Long, parallelism: Int): Long = {
+    val span = math.max(1L, endNs - startNs)
+    math.max(1000000000L, span / math.max(1L, 4L * parallelism.toLong))
+  }
+
   /** Series-resolved, time-ranged, latest-version-merged slice with a
     * numeric `__v` column for `field` — the shared front half.
     *

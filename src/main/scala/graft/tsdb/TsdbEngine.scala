@@ -334,9 +334,18 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * plain QUERY twin and serve wrong rows. LIMIT applies to the
     * ordered analytic output. */
   def analyze(params: QueryParams, spec: AnalyzeSpec,
-      splitNs: Option[Long] = None): DataFrame = {
+      splitNs0: Option[Long] = None): DataFrame = {
     val pts = loadPoints().getOrElse(TsdbEngine.emptyPoints(spark))
     val tombs = loadTombstones()
+    // SPLIT AUTO resolves against the query's ACTUAL range here, before
+    // any analytic sees a width (TsAnalytics.SplitAuto scaladoc)
+    val splitNs = splitNs0.map {
+      case TsAnalytics.SplitAuto =>
+        val (s0, e0) = QueryEngine.resolveRange(
+          pts.filter(TagMatch.metricPred(params.metric)), params)
+        TsAnalytics.autoSplitNs(s0, e0, spark.sparkContext.defaultParallelism)
+      case v => v
+    }
     val df = spec match {
       case AnalyzeRate(f) =>
         TsAnalytics.rate(pts, params, field = f, tombstones = tombs,

@@ -130,6 +130,9 @@ class NbqlParserSpec extends SparkSpec {
       .asInstanceOf[QueryStatement].analyzeSplitNs.contains(3600L * 1000000000L))
     assert(p("QUERY cpu SPLIT 30m ANALYZE EWMA(v, 0.3)")
       .asInstanceOf[QueryStatement].analyzeSplitNs.contains(1800L * 1000000000L))
+    assert(p("QUERY cpu ANALYZE RATE(v) SPLIT AUTO")
+      .asInstanceOf[QueryStatement].analyzeSplitNs
+      .contains(graft.tsdb.TsAnalytics.SplitAuto))
     assert(NbqlParser.parse("QUERY cpu ANALYZE RATE(v) SPLIT").isLeft)
     assert(NbqlParser.parse("QUERY cpu ANALYZE RATE").isLeft) // field is mandatory
     assert(NbqlParser.parse("QUERY cpu ANALYZE EWMA(0.25)").isLeft)
@@ -375,6 +378,9 @@ class NbqlExecutorSpec extends SparkSpec {
       // bit-identical to the unsplit plan (1us chunks put every point in
       // its own chunk, the maximally-split case)
       assert(rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE RATE(v) SPLIT 1us") == rate)
+      // AUTO resolves a width from the actual range; bit-identity holds
+      // regardless of the width the engine picks
+      assert(rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE RATE(v) SPLIT AUTO") == rate)
       assert(rows(ex,
         """QUERY cpu TAGGED (h="a") FROM 0 TO 9999 ANALYZE TWA(v) BY 1us SPLIT 2us""") == twa)
       assert(rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE HOLT(v, 0.5, 0.25) SPLIT 1us")

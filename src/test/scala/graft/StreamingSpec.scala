@@ -532,6 +532,50 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "streaming fold must match the batch window bit-for-bit")
   }
 
+  test("streaming rate: bit-for-bit parity with the batch operator, resets included") {
+    implicit val sqlCtx = spark.sqlContext
+    val S = 1000L
+    // a: rising with one counter reset at i=5; b: two points (one rate row)
+    val feed = (0 until 9).map(i =>
+      ("a", (i + 1) * S, if (i == 5) 2.0 else i * 3.0 + 1)) ++
+      Seq(("b", 2 * S, 5.0), ("b", 3 * S, 7.5))
+    val mem = MemoryStream[(String, Long, Double)]
+    val pts = mem.toDF().toDF("k", "ms", "v")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = StreamingAnomaly.rate(pts, "k", "ts", "v")
+    val q = out.writeStream.format("memory").queryName("ratestream")
+      .outputMode("append").start()
+    try {
+      // the last-point state must carry across the micro-batch split
+      mem.addData(feed.take(6): _*)
+      q.processAllAvailable()
+      mem.addData(feed.drop(6): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ratestream")
+      .select(col("series_key"), col("ts").cast("long") * 1000,
+        col("value"), col("delta"), col("rate_per_sec"))
+      .as[(String, Long, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+
+    val batchPts = feed.map { case (k, ms, v) =>
+      TP("m", Map("h" -> k), ms * 1000000L, Map("value" -> FV.dv(v)), ms)
+    }
+    val want = TsAnalytics.rate(batchPts.toDF(),
+        QueryParams("m", endNs = Some(Long.MaxValue / 2)))
+      .select(col("tags")("h"), col("timestamp") / 1000000L cast "long",
+        col("value"), col("delta"), col("rate_per_sec"))
+      .as[(String, Long, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+
+    assert(got.nonEmpty && got == want,
+      "streaming rate must match the batch operator bit-for-bit")
+    // first point per series emits nothing (keys are event-time ms)
+    assert(!got.contains(("a", S)) && !got.contains(("b", 2 * S)))
+    // the reset row clamps delta to the new value
+    assert(got(("a", 6 * S))._2 == 2.0)
+  }
+
   test("cardinality summary: sketch serve matches exact counts; unions merge") {
     val pts = (0 until 40).flatMap { i =>
       Seq(TP("m", Map("h" -> s"h$i"), i * 100L, Map("value" -> FV.dv(1.0)), i.toLong),

@@ -164,6 +164,18 @@ class TsSplitSpec extends SparkSpec {
     assert(math.abs(got(105L) - 14.0) < 1e-12) // carry crossed a chunk boundary
   }
 
+  test("autoSplitNs: ~4 chunks per core, floored at 1s, scales with span") {
+    val HourNs = 3600L * 1000000000L
+    // 32-core, 1-month span → width = span/128 ≈ 5.6h: chunk count fixed
+    val w1 = TsAnalytics.autoSplitNs(0L, 30L * 24L * HourNs, 32)
+    assert(30L * 24L * HourNs / w1 <= 128 && 30L * 24L * HourNs / w1 >= 64)
+    // 100× the span → same chunk count, 100× the width
+    val w2 = TsAnalytics.autoSplitNs(0L, 3000L * 24L * HourNs, 32)
+    assert(w2 == w1 * 100)
+    // tiny span → the 1 s floor wins (chunks never smaller than cadence scale)
+    assert(TsAnalytics.autoSplitNs(0L, 1000L, 32) == 1000000000L)
+  }
+
   test("a single hot series spreads across tasks under splitNs") {
     // AQE's size-based coalescing folds a tiny test shuffle back to one
     // partition; disable it to observe the KEY spread (same caveat as
