@@ -105,8 +105,8 @@ object Bench {
     // never abort the run: the battery numbers above are already paid
     // for, and the driver's JSON line is the round's only bench record.
     val (ingestRps, qpsCold, qpsCached, qpsDsRaw, qpsDsRollup,
-      qpsGbtRaw, qpsGbtRouted) =
-      if (skipServing) (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0) else try {
+      qpsGbtRaw, qpsGbtRouted, qpsAnalyzeCold, qpsAnalyzeCached) =
+      if (skipServing) (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0) else try {
       val pts = graft.tsdb.Tables.eventsAsPoints(spark, sfDir).cache()
       val nRows = pts.count()
       // steady-state: warm the write path (codegen, parquet committer,
@@ -204,14 +204,33 @@ object Bench {
       (0 until nGbtR).foreach(i =>
         engine.queryByTagsServingDF(gq(300 + i), Nil).count())
       val gbtRoutedSec = (System.nanoTime() - t6) / 1e9
+      // ANALYZE serving tier: cold = distinct rate queries (full Spark
+      // plan each, namespaced-cache misses), cached = one repeated query
+      // (the dashboard-refresh path the analyze cache exists for)
+      def aq(i: Int) = graft.tsdb.QueryParams("purchase",
+        startNs = 1704067200000000000L + (i % 5).toLong * DayNs,
+        endNs = Some(1704067200000000000L + (25 + (i % 7)).toLong * DayNs))
+      val rateSpec = graft.tsdb.AnalyzeRate("value")
+      engine.analyzeServingDF(aq(100), rateSpec).count() // warm codegen
+      val nAnCold = 5
+      val t7 = System.nanoTime()
+      (0 until nAnCold).foreach(i => engine.analyzeServingDF(aq(i), rateSpec).count())
+      val anColdSec = (System.nanoTime() - t7) / 1e9
+      val caq = aq(0)
+      (0 until 50).foreach(_ => engine.analyzeServingDF(caq, rateSpec).count())
+      val nAnCached = 200
+      val t8 = System.nanoTime()
+      (0 until nAnCached).foreach(_ => engine.analyzeServingDF(caq, rateSpec).count())
+      val anCachedSec = (System.nanoTime() - t8) / 1e9
       (nRows / ingestSec, nCold / coldSec, nCached / cachedSec,
         nDs / rawDsSec, nDsR / routedDsSec,
-        nGbtRaw / gbtRawSec, nGbtR / gbtRoutedSec)
+        nGbtRaw / gbtRawSec, nGbtR / gbtRoutedSec,
+        nAnCold / anColdSec, nAnCached / anCachedSec)
     } catch { case e: Throwable =>
       errors.getOrElseUpdate("serving_tier",
         e.getClass.getSimpleName + ": " +
           String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
-      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp)); ()
     }
@@ -264,6 +283,7 @@ object Bench {
       s""""query_qps_cached":$qpsCached,""" +
       s""""qps_downsample_raw":$qpsDsRaw,"qps_downsample_rollup":$qpsDsRollup,""" +
       s""""qps_groupby_raw":$qpsGbtRaw,"qps_groupby_rollup":$qpsGbtRouted,""" +
+      s""""qps_analyze_cold":$qpsAnalyzeCold,"qps_analyze_cached":$qpsAnalyzeCached,""" +
       s""""n_errors":${errors.size},"errors":$errJson,""" +
       s""""n_queries":${results.size},"sf":"$sfDir"}"""
     println(line)

@@ -199,7 +199,8 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
               t.copy(tagKeys = q.groupByTags.getOrElse(Nil))
             case s => s
           }
-          Right(Rows(engine.analyze(params, spec, q.analyzeSplitNs), noCursor))
+          Right(Rows(engine.analyzeServingDF(params, spec, q.analyzeSplitNs),
+            noCursor))
         case (None, Some(keys)) =>
           Right(Rows(engine.queryByTagsServingDF(params, keys), noCursor))
         case (None, None) => Right(Rows(engine.queryServingDF(params), cursorOf))

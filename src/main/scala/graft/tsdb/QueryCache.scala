@@ -58,19 +58,53 @@ final class QueryCache(capacity: Int = 256, maxRowsPerEntry: Int = 100000) {
       p.valueFilters.map(f => s"${esc(f.field)}${f.op}${f.value}").mkString(",")
   }
 
+  /** Canonical key for an ANALYZE query: the point-query key (TAGGED/
+    * range/FILTER/LIMIT compose with ANALYZE and must distinguish
+    * entries) extended with the analytic's own parameters and the split
+    * width. Every user-chosen name rides [[esc]] — an ANALYZE entry may
+    * never collide with its plain-QUERY twin (the `|ANALYZE|` segment
+    * separates the namespaces) or with a differently-parameterized
+    * analytic. */
+  def analyzeKeyOf(p: QueryParams, spec: AnalyzeSpec,
+      splitNs: Option[Long]): String = {
+    val specKey = spec match {
+      case AnalyzeRate(f) => s"rate(${esc(f)})"
+      case AnalyzeEwma(f, a) => s"ewma(${esc(f)},$a)"
+      case AnalyzeHolt(f, a, b) => s"holt(${esc(f)},$a,$b)"
+      case AnalyzeTwa(f, iv) => s"twa(${esc(f)},$iv)"
+      case AnalyzeCumsum(f) => s"cumsum(${esc(f)})"
+      case AnalyzeZScore(f, lb, th) => s"zscore(${esc(f)},$lb,$th)"
+      case AnalyzeCorrelate(f, b, k, iv, mb) =>
+        s"corr(${esc(f)},${esc(b)},${esc(k)},$iv,$mb)"
+      case AnalyzeRatio(f, b, k, iv) =>
+        s"ratio(${esc(f)},${esc(b)},${esc(k)},$iv)"
+      case AnalyzeTopK(k, by, keys) =>
+        s"topk($k,${esc(by)},${keys.map(esc).mkString(",")})"
+    }
+    s"${keyOf(p)}|ANALYZE|$specKey|${splitNs.getOrElse(0L)}"
+  }
+
   def get(p: QueryParams, currentEpoch: Long): Option[(Array[Row], StructType)] =
+    getByKey(keyOf(p), currentEpoch)
+
+  /** Raw-key variant backing both the point-query and ANALYZE entries. */
+  def getByKey(key: String, currentEpoch: Long): Option[(Array[Row], StructType)] =
     synchronized {
-      Option(lru.get(keyOf(p))) match {
+      Option(lru.get(key)) match {
         case Some(e) if e.epoch == currentEpoch =>
           hitCount += 1; Some((e.rows, e.schema))
-        case Some(_) => lru.remove(keyOf(p)); missCount += 1; None // stale epoch
+        case Some(_) => lru.remove(key); missCount += 1; None // stale epoch
         case None => missCount += 1; None
       }
     }
 
   def put(p: QueryParams, epoch: Long, rows: Array[Row], schema: StructType): Unit =
+    putByKey(keyOf(p), epoch, rows, schema)
+
+  def putByKey(key: String, epoch: Long, rows: Array[Row],
+      schema: StructType): Unit =
     synchronized {
-      if (rows.length <= maxRowsPerEntry) lru.put(keyOf(p), Entry(epoch, rows, schema))
+      if (rows.length <= maxRowsPerEntry) lru.put(key, Entry(epoch, rows, schema))
     }
 
   def stats: (Long, Long) = synchronized((hitCount, missCount))

@@ -327,12 +327,12 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       params.fill == FillNone && !params.emitEmptyWindows && params.afterKey.isEmpty
 
   /** `QUERY m … ANALYZE <op>` — the [[TsAnalytics]] pack over this
-    * engine's storage (NBQL extension). Deliberately NOT routed through
-    * the per-series serving tiers or the result cache: the analytics
-    * define their own output shapes and the cache key is per-series
-    * query grammar — a shared key would collide an ANALYZE with its
-    * plain QUERY twin and serve wrong rows. LIMIT applies to the
-    * ordered analytic output. */
+    * engine's storage (NBQL extension), as the raw Spark plan. The
+    * protocol path serves through [[analyzeServingDF]], which fronts
+    * THIS with the result cache under a namespaced key
+    * ([[QueryCache.analyzeKeyOf]] — an ANALYZE can never collide with
+    * its plain-QUERY twin). LIMIT applies to the ordered analytic
+    * output. */
   def analyze(params: QueryParams, spec: AnalyzeSpec,
       splitNs0: Option[Long] = None): DataFrame = {
     val pts = loadPoints().getOrElse(TsdbEngine.emptyPoints(spark))
@@ -377,6 +377,58 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         TsAnalytics.topKGroups(pts, params, keys, k, by, tombstones = tombs)
     }
     params.limit.fold(df)(n => df.limit(n.toInt))
+  }
+
+  /** ANALYZE through the serving tier: the protocol entry for the
+    * analytics pack (the reference's NBQL-layer cache position, same as
+    * [[queryServingDF]]). The cache key extends the point-query key with
+    * the analytic's parameters and split width
+    * ([[QueryCache.analyzeKeyOf]] — distinct namespaces, an ANALYZE can
+    * never serve its plain-QUERY twin's rows or vice versa), and the
+    * epoch for the cross-metric analytics (CORRELATE/RATIO) is the SUM
+    * of both metrics' epochs — epochs only move forward, so the sum is
+    * strictly monotone and a write to EITHER side invalidates. Results
+    * over [[servingRowBudget]] serve the streamed full plan, uncached —
+    * the same bounded-driver contract as the point path. Pre/PostQuery
+    * hooks fire as on [[queryServingDF]]. */
+  def analyzeServingDF(params: QueryParams, spec: AnalyzeSpec,
+      splitNs: Option[Long] = None): DataFrame = {
+    var p = params
+    if (hooks.hasListeners(EventType.PreQuery)) {
+      val pay = new Payloads.PreQuery(p)
+      hooks.trigger(HookEvent(EventType.PreQuery, pay)) match {
+        case Left(err) => throw new HookVetoException(err)
+        case Right(()) => p = pay.params
+      }
+    }
+    val t0 = System.nanoTime()
+    val epoch = spec match {
+      case AnalyzeCorrelate(_, b, _, _, _) => metricEpoch(p.metric) + metricEpoch(b)
+      case AnalyzeRatio(_, b, _, _) => metricEpoch(p.metric) + metricEpoch(b)
+      case _ => metricEpoch(p.metric)
+    }
+    val cacheable = (p.relativeNs.isEmpty || p.nowNs.isDefined) &&
+      !TagMatch.isPrefix(p.metric)
+    val key = resultCache.analyzeKeyOf(p, spec, splitNs)
+    val cached = if (cacheable) resultCache.getByKey(key, epoch) else None
+    val out = cached match {
+      case Some((rows, schema)) =>
+        lastServePath = "analyze-cache"
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      case None =>
+        val df = analyze(p, spec, splitNs)
+        val budget = servingRowBudget
+        val probe = df.limit(
+          math.min(budget + 1, Int.MaxValue.toLong).toInt).collect()
+        if (probe.length > budget) { lastServePath = "analyze-stream"; df }
+        else {
+          lastServePath = "analyze-spark"
+          if (cacheable) resultCache.putByKey(key, epoch, probe, df.schema)
+          spark.createDataFrame(java.util.Arrays.asList(probe: _*), df.schema)
+        }
+    }
+    firePost(EventType.PostQuery, Payloads.PostQuery(p, System.nanoTime() - t0))
+    out
   }
 
   /** Range resolution for the cross-metric analytics (CORRELATE/RATIO),

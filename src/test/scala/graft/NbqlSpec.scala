@@ -450,6 +450,45 @@ class NbqlExecutorSpec extends SparkSpec {
     }
   }
 
+  test("ANALYZE rides the serving tier: namespaced cache, epoch invalidation") {
+    withEngine { (eng, ex) =>
+      assert(ex.execute(
+        """PUSHS cpu TAGGED (h="a") SET (v=1.0) AT 1000,
+           cpu TAGGED (h="a") SET (v=2.0) AT 2000,
+           mem TAGGED (h="a") SET (v=8.0) AT 1000,
+           mem TAGGED (h="a") SET (v=4.0) AT 2000""").isRight)
+      val q = "QUERY cpu FROM 0 TO 9999 ANALYZE RATE(v)"
+      val first = rows(ex, q)
+      assert(eng.lastServePath == "analyze-spark")
+      val (h0, _) = eng.cacheStats
+      assert(rows(ex, q) == first)
+      assert(eng.lastServePath == "analyze-cache", "repeat must hit the cache")
+      assert(eng.cacheStats._1 == h0 + 1)
+
+      // the plain-QUERY twin of the same params must NOT cross-serve
+      val plain = rows(ex, "QUERY cpu FROM 0 TO 9999")
+      assert(plain.size == 2 && first.size == 1) // namespaces are distinct
+
+      // a write to the metric orphans the entry
+      assert(ex.execute("""PUSH cpu TAGGED (h="a") SET (v=9.0) AT 3000""").isRight)
+      val after = rows(ex, q)
+      assert(eng.lastServePath == "analyze-spark", "write must invalidate")
+      assert(after.size == 2)
+
+      // cross-metric epoch: a write to metric B invalidates CORRELATE(a, b)
+      assert(ex.execute(
+        """PUSHS cpu TAGGED (h="a") SET (v=3.0) AT 4000,
+           mem TAGGED (h="a") SET (v=2.0) AT 4000""").isRight)
+      val cq = "QUERY cpu FROM 0 TO 9999 ANALYZE CORRELATE(v, mem, h, 2) BY 1us"
+      val c1 = rows(ex, cq)
+      assert(rows(ex, cq) == c1 && eng.lastServePath == "analyze-cache")
+      assert(ex.execute("""PUSH mem TAGGED (h="a") SET (v=7.0) AT 5000""").isRight)
+      rows(ex, cq)
+      assert(eng.lastServePath == "analyze-spark",
+        "a write to the OTHER metric must invalidate the cross-metric entry")
+    }
+  }
+
   test("push → query → aggregate → remove → flush → snapshot/restore") {
     withEngine { (eng, ex) =>
       // ingest two series
