@@ -402,6 +402,25 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       }
     }
     val t0 = System.nanoTime()
+    val (rows, truncated, schema) = analyzeCachedFull(p, spec, splitNs)
+    val out =
+      if (truncated) { lastServePath = "analyze-stream"; analyze(p, spec, splitNs) }
+      else spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    firePost(EventType.PostQuery, Payloads.PostQuery(p, System.nanoTime() - t0))
+    out
+  }
+
+  /** Driver-side ANALYZE rows — the [[queryCached]] analog for the
+    * analytics pack (no DataFrame wrap on the hit path; over-budget
+    * results come back as the budget-sized prefix of the ordered
+    * output). */
+  def analyzeCached(params: QueryParams, spec: AnalyzeSpec,
+      splitNs: Option[Long] = None): Array[Row] =
+    analyzeCachedFull(params, spec, splitNs)._1
+
+  private def analyzeCachedFull(p: QueryParams, spec: AnalyzeSpec,
+      splitNs: Option[Long]): (Array[Row], Boolean,
+      org.apache.spark.sql.types.StructType) = {
     val epoch = spec match {
       case AnalyzeCorrelate(_, b, _, _, _) => metricEpoch(p.metric) + metricEpoch(b)
       case AnalyzeRatio(_, b, _, _) => metricEpoch(p.metric) + metricEpoch(b)
@@ -411,24 +430,22 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       !TagMatch.isPrefix(p.metric)
     val key = resultCache.analyzeKeyOf(p, spec, splitNs)
     val cached = if (cacheable) resultCache.getByKey(key, epoch) else None
-    val out = cached match {
+    cached match {
       case Some((rows, schema)) =>
         lastServePath = "analyze-cache"
-        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        (rows, false, schema)
       case None =>
         val df = analyze(p, spec, splitNs)
         val budget = servingRowBudget
         val probe = df.limit(
           math.min(budget + 1, Int.MaxValue.toLong).toInt).collect()
-        if (probe.length > budget) { lastServePath = "analyze-stream"; df }
+        lastServePath = "analyze-spark"
+        if (probe.length > budget) (probe.take(budget.toInt), true, df.schema)
         else {
-          lastServePath = "analyze-spark"
           if (cacheable) resultCache.putByKey(key, epoch, probe, df.schema)
-          spark.createDataFrame(java.util.Arrays.asList(probe: _*), df.schema)
+          (probe, false, df.schema)
         }
     }
-    firePost(EventType.PostQuery, Payloads.PostQuery(p, System.nanoTime() - t0))
-    out
   }
 
   /** Range resolution for the cross-metric analytics (CORRELATE/RATIO),
