@@ -156,9 +156,10 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
           return Left("SPLIT duration must be positive (or AUTO)")
         q.analyze.get match {
           case _: graft.tsdb.AnalyzeRate | _: graft.tsdb.AnalyzeEwma |
-               _: graft.tsdb.AnalyzeHolt | _: graft.tsdb.AnalyzeTwa => ()
+               _: graft.tsdb.AnalyzeHolt | _: graft.tsdb.AnalyzeTwa |
+               _: graft.tsdb.AnalyzeZScore => ()
           case _ =>
-            return Left("SPLIT supports RATE/EWMA/HOLT/TWA only")
+            return Left("SPLIT supports RATE/EWMA/HOLT/TWA/ZSCORE only")
         }
       }
       val params = QueryParams(

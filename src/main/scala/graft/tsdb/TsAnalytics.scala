@@ -736,9 +736,14 @@ object TsAnalytics {
     * is_anomaly, ordered by (series_key, timestamp). */
   def rollingZScore(points: DataFrame, p: QueryParams, field: String = "value",
       lookback: Int = 20, minPoints: Int = 5, threshold: Double = 3.0,
-      tombstones: Seq[Tombstone] = Nil): DataFrame = {
+      tombstones: Seq[Tombstone] = Nil,
+      splitNs: Option[Long] = None): DataFrame = {
     require(lookback >= 2 && minPoints >= 2 && minPoints <= lookback,
       s"need 2 <= minPoints <= lookback, got lookback=$lookback minPoints=$minPoints")
+    splitNs.foreach { sw =>
+      return rollingZScoreSplit(points, p, field, lookback, minPoints,
+        threshold, tombstones, sw)
+    }
     val df = slice(points, p, field, tombstones)
     val w = Window.partitionBy(col("series_key")).orderBy(col("timestamp"))
       .rowsBetween(-lookback, -1)
@@ -751,6 +756,64 @@ object TsAnalytics {
       (col("__v") - mean) / when(sd =!= 0.0, sd))
     df.withColumn("mean", mean).withColumn("stddev", sd).withColumn("z", z)
       .withColumn("is_anomaly", coalesce(abs(col("z")) > threshold, lit(false)))
+      .select(col("metric"), col("tags"), col("series_key"), col("timestamp"),
+        col("__v").as("value"), col("mean"), col("stddev"), col("z"),
+        col("is_anomaly"))
+      .orderBy(col("series_key"), col("timestamp"))
+  }
+
+  /** Hot-series time-split rolling z-score — the CONTEXT-REPLICATION
+    * member of the split family: a trailing ROWS window needs its
+    * `lookback` predecessor rows, so each chunk imports them as tagged
+    * context rows and drops them after the window runs. Exactness
+    * argument: each non-empty chunk keeps its last `lookback` rows as
+    * candidates; the series' true last-k rows before any chunk start are
+    * contiguous in time and span AT MOST the previous k non-empty chunks
+    * (each contributes ≥ 1 row), so replicating every candidate to the
+    * next k per-series chunk INDICES makes every target chunk's imported
+    * prefix a time-contiguous suffix of the series — the trailing window
+    * over (context ∪ chunk rows) therefore sees EXACTLY the operands the
+    * unsplit window sees, in the same order, and the result is
+    * BIT-IDENTICAL (spec-pinned). Replica volume is bounded by
+    * |series|×|chunks|×lookback², independent of rows per chunk.
+    * Null-valued rows occupy window POSITIONS (rows frame) and ride the
+    * candidate selection like any row, exactly as unsplit. */
+  private def rollingZScoreSplit(points: DataFrame, p: QueryParams,
+      field: String, lookback: Int, minPoints: Int, threshold: Double,
+      tombstones: Seq[Tombstone], splitNs: Long): DataFrame = {
+    val cols = Seq(col("metric"), col("tags"), col("series_key"),
+      col("__chunk"), col("timestamp"), col("__v"))
+    val base = sliceChunked(points, p, field, tombstones, splitNs)
+      .select(cols: _*)
+    // dense per-series chunk index over the tiny chunk summary
+    val chunks = base.select(col("series_key"), col("__chunk")).distinct()
+      .withColumn("__cidx", row_number().over(
+        Window.partitionBy(col("series_key")).orderBy(col("__chunk"))))
+    val wcDesc = Window.partitionBy(col("series_key"), col("__chunk"))
+      .orderBy(col("timestamp").desc)
+    val replicas = base
+      .withColumn("__rnd", row_number().over(wcDesc))
+      .filter(col("__rnd") <= lookback).drop("__rnd")
+      .join(chunks, Seq("series_key", "__chunk"))
+      .withColumn("__off", explode(sequence(lit(1), lit(lookback))))
+      .withColumn("__tidx", col("__cidx") + col("__off"))
+      .drop("__chunk", "__cidx", "__off")
+      // target restricted to EXISTING chunks: empty ranges import nothing
+      .join(chunks.withColumnRenamed("__cidx", "__tidx"),
+        Seq("series_key", "__tidx"))
+      .drop("__tidx")
+      .select(cols: _*).withColumn("__ctx", lit(true))
+    val all = base.withColumn("__ctx", lit(false)).unionByName(replicas)
+    val w = Window.partitionBy(col("series_key"), col("__chunk"))
+      .orderBy(col("timestamp")).rowsBetween(-lookback, -1)
+    val mean = avg(col("__v")).over(w)
+    val sd = stddev_samp(col("__v")).over(w)
+    val n = count(col("__v")).over(w)
+    val z = when(n >= minPoints && sd > 1e-12,
+      (col("__v") - mean) / when(sd =!= 0.0, sd))
+    all.withColumn("mean", mean).withColumn("stddev", sd).withColumn("z", z)
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > threshold, lit(false)))
+      .filter(!col("__ctx"))
       .select(col("metric"), col("tags"), col("series_key"), col("timestamp"),
         col("__v").as("value"), col("mean"), col("stddev"), col("z"),
         col("is_anomaly"))

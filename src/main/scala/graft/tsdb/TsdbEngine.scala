@@ -363,8 +363,12 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       case AnalyzeCumsum(f) =>
         TsAnalytics.runningAggregates(pts, params, field = f, tombstones = tombs)
       case AnalyzeZScore(f, lb, th) =>
+        // minPoints clamps to the lookback so small NBQL lookbacks are
+        // legal (the grammar doesn't carry minPoints; 5 is the default
+        // warm-up, `TsAnalytics.rollingZScore`)
         TsAnalytics.rollingZScore(pts, params, field = f, lookback = lb,
-          threshold = th, tombstones = tombs)
+          minPoints = math.min(5, lb), threshold = th, tombstones = tombs,
+          splitNs = splitNs)
       case AnalyzeCorrelate(f, b, key, iv, mb) =>
         val (s0, e0) = analyzeCrossRange(pts, params, b)
         TsAnalytics.correlate(pts, params.metric, b, key, iv, s0, e0,

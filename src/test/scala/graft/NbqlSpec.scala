@@ -385,10 +385,12 @@ class NbqlExecutorSpec extends SparkSpec {
         """QUERY cpu TAGGED (h="a") FROM 0 TO 9999 ANALYZE TWA(v) BY 1us SPLIT 2us""") == twa)
       assert(rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE HOLT(v, 0.5, 0.25) SPLIT 1us")
         .map(_.getAs[String]("series_key")) == wire.map(_.getAs[String]("series_key")))
+      // ZSCORE splits via context replication — bit-identical on the wire
+      assert(rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE ZSCORE(v, 3, 2.0) SPLIT 1us") ==
+        rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE ZSCORE(v, 3, 2.0)"))
       // SPLIT validations
       assert(ex.execute("QUERY cpu FROM 0 TO 9 SPLIT 1h").isLeft) // needs ANALYZE
       assert(ex.execute("QUERY cpu ANALYZE CUMSUM(v) SPLIT 1h").isLeft)
-      assert(ex.execute("QUERY cpu ANALYZE ZSCORE(v, 20, 3.0) SPLIT 1h").isLeft)
     }
   }
 

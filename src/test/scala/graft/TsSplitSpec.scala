@@ -164,6 +164,21 @@ class TsSplitSpec extends SparkSpec {
     assert(math.abs(got(105L) - 14.0) < 1e-12) // carry crossed a chunk boundary
   }
 
+  test("rollingZScore: split is bit-identical (context replication)") {
+    val pts = fixture
+    // lookback 7 > typical chunk population (3-5 rows): trailing windows
+    // routinely cross MULTIPLE chunk boundaries — the hard case the
+    // candidate-to-next-k-chunks replication exists for
+    for ((lb, mp) <- Seq((7, 3), (20, 5))) {
+      val unsplit = rows(TsAnalytics.rollingZScore(pts, P,
+        lookback = lb, minPoints = mp))
+      val split = rows(TsAnalytics.rollingZScore(pts, P,
+        lookback = lb, minPoints = mp, splitNs = Split))
+      assert(unsplit.nonEmpty && split == unsplit,
+        s"lookback=$lb: split zscore != unsplit")
+    }
+  }
+
   test("autoSplitNs: ~4 chunks per core, floored at 1s, scales with span") {
     val HourNs = 3600L * 1000000000L
     // 32-core, 1-month span → width = span/128 ≈ 5.6h: chunk count fixed
@@ -192,6 +207,20 @@ class TsSplitSpec extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     }
+  }
+
+  test("rate split plan: point rows cross ONE exchange, keyed (series_key, __chunk)") {
+    val plan = TsAnalytics.rate(fixture, P, splitNs = Split)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    // chunk-keyed exchange present: that's what spreads one hot series
+    assert(exchanges.exists(e => e.contains("series_key") && e.contains("__chunk")),
+      exchanges.mkString("\n"))
+    // the per-chunk window and the bounds groupBy must RIDE the explicit
+    // repartition: at most 3 hash exchanges total (points; the tiny
+    // summary's per-series window; its join side), never one per stage
+    assert(exchanges.size <= 3, plan)
   }
 
   test("sliceChunked preserves latest-version merge and value filters") {
