@@ -157,9 +157,9 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
         q.analyze.get match {
           case _: graft.tsdb.AnalyzeRate | _: graft.tsdb.AnalyzeEwma |
                _: graft.tsdb.AnalyzeHolt | _: graft.tsdb.AnalyzeTwa |
-               _: graft.tsdb.AnalyzeZScore => ()
+               _: graft.tsdb.AnalyzeZScore | _: graft.tsdb.AnalyzeCumsum => ()
           case _ =>
-            return Left("SPLIT supports RATE/EWMA/HOLT/TWA/ZSCORE only")
+            return Left("SPLIT applies to the per-series ordered analytics (RATE/EWMA/HOLT/TWA/ZSCORE/CUMSUM)")
         }
       }
       val params = QueryParams(

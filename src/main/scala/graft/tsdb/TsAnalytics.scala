@@ -254,15 +254,57 @@ object TsAnalytics {
     * buffer update per row), so the scan is O(n) per series. */
   def runningAggregates(points: DataFrame, p: QueryParams,
       field: String = "value",
-      tombstones: Seq[Tombstone] = Nil): DataFrame = {
-    val df = slice(points, p, field, tombstones).filter(col("__v").isNotNull)
-    val w = Window.partitionBy(col("series_key")).orderBy(col("timestamp"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ord = Window.partitionBy(col("series_key")).orderBy(col("timestamp"))
-    df.withColumn("cum_sum", sum(col("__v")).over(w))
-      .withColumn("cum_max", max(col("__v")).over(w))
-      .withColumn("point_index", row_number().over(ord))
-      .select(col("metric"), col("tags"), col("series_key"), col("timestamp"),
+      tombstones: Seq[Tombstone] = Nil,
+      splitNs: Option[Long] = None): DataFrame = {
+    val out = splitNs match {
+      case None =>
+        val df = slice(points, p, field, tombstones).filter(col("__v").isNotNull)
+        val w = Window.partitionBy(col("series_key")).orderBy(col("timestamp"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ord = Window.partitionBy(col("series_key")).orderBy(col("timestamp"))
+        df.withColumn("cum_sum", sum(col("__v")).over(w))
+          .withColumn("cum_max", max(col("__v")).over(w))
+          .withColumn("point_index", row_number().over(ord))
+      // Hot-series split: running sum/max/count are all chunk-composable
+      // folds — in-chunk prefixes per (series, chunk), then a per-series
+      // carry over the tiny chunk summary ([[graft.functions.ChainFold]]
+      // with a = 1 for the sum, greatest() for the max, a plain count
+      // carry for the index). cum_max and point_index are BIT-IDENTICAL
+      // (max/count are associative); cum_sum re-associates the FP fold
+      // like [[ewmaSmoothSplit]] — 1e-9 relative, spec-pinned.
+      case Some(sw) =>
+        val df = sliceChunked(points, p, field, tombstones, sw)
+          .filter(col("__v").isNotNull)
+        val wc = Window.partitionBy(col("series_key"), col("__chunk"))
+          .orderBy(col("timestamp"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wcOrd = Window.partitionBy(col("series_key"), col("__chunk"))
+          .orderBy(col("timestamp"))
+        val wSeries = Window.partitionBy(col("series_key")).orderBy(col("__chunk"))
+        val bounds = df.groupBy(col("series_key"), col("__chunk"))
+          .agg(sum(col("__v")).as("__cs"), max(col("__v")).as("__cm"),
+            count(lit(1)).as("__cn"))
+          .withColumn("__sumCarry", graft.functions.WindowFunctions.chainFold(
+            lit(1.0), col("__cs"), col("__cs"),
+            partitionBy = Seq(col("series_key")), orderBy = Seq(col("__chunk"))))
+          .withColumn("__maxCarry", max(col("__cm")).over(
+            wSeries.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("__cntCarry", sum(col("__cn")).over(
+            wSeries.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("series_key"), col("__chunk"),
+            lag(col("__sumCarry"), 1).over(wSeries).as("__psum"),
+            lag(col("__maxCarry"), 1).over(wSeries).as("__pmax"),
+            coalesce(lag(col("__cntCarry"), 1).over(wSeries), lit(0L)).as("__pcnt"))
+        df.join(bounds, Seq("series_key", "__chunk"), "left")
+          .withColumn("cum_sum",
+            sum(col("__v")).over(wc) + coalesce(col("__psum"), lit(0.0)))
+          .withColumn("cum_max",
+            greatest(max(col("__v")).over(wc), coalesce(col("__pmax"),
+              max(col("__v")).over(wc))))
+          .withColumn("point_index",
+            (row_number().over(wcOrd) + col("__pcnt")).cast("int"))
+    }
+    out.select(col("metric"), col("tags"), col("series_key"), col("timestamp"),
         col("__v").as("value"), col("cum_sum"), col("cum_max"), col("point_index"))
       .orderBy(col("series_key"), col("timestamp"))
   }

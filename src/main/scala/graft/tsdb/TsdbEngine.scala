@@ -361,7 +361,8 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
           params.copy(downsampleNs = Some(iv)), field = f, tombstones = tombs,
           splitNs = splitNs)
       case AnalyzeCumsum(f) =>
-        TsAnalytics.runningAggregates(pts, params, field = f, tombstones = tombs)
+        TsAnalytics.runningAggregates(pts, params, field = f,
+          tombstones = tombs, splitNs = splitNs)
       case AnalyzeZScore(f, lb, th) =>
         // minPoints clamps to the lookback so small NBQL lookbacks are
         // legal (the grammar doesn't carry minPoints; 5 is the default

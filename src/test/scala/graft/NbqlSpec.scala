@@ -388,9 +388,14 @@ class NbqlExecutorSpec extends SparkSpec {
       // ZSCORE splits via context replication — bit-identical on the wire
       assert(rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE ZSCORE(v, 3, 2.0) SPLIT 1us") ==
         rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE ZSCORE(v, 3, 2.0)"))
+      // CUMSUM splits too (sum carry; max/index exact)
+      assert(rows(ex,
+        """QUERY cpu TAGGED (h="a") FROM 0 TO 9999 ANALYZE CUMSUM(v) SPLIT 1us""")
+        .map(r => (r.getAs[Double]("cum_max"), r.getAs[Int]("point_index"))) ==
+        cum.map(r => (r.getAs[Double]("cum_max"), r.getAs[Int]("point_index"))))
       // SPLIT validations
       assert(ex.execute("QUERY cpu FROM 0 TO 9 SPLIT 1h").isLeft) // needs ANALYZE
-      assert(ex.execute("QUERY cpu ANALYZE CUMSUM(v) SPLIT 1h").isLeft)
+      assert(ex.execute("QUERY cpu ANALYZE CORRELATE(v, mem, h, 2) BY 1us SPLIT 1h").isLeft)
     }
   }
 

@@ -179,6 +179,23 @@ class TsSplitSpec extends SparkSpec {
     }
   }
 
+  test("runningAggregates: split max/index bit-identical, sum within 1e-9") {
+    val pts = fixture
+    val unsplit = TsAnalytics.runningAggregates(pts, P)
+      .select($"series_key", $"timestamp", $"cum_sum", $"cum_max", $"point_index")
+      .as[(String, Long, Double, Double, Int)].collect().toSeq
+    val split = TsAnalytics.runningAggregates(pts, P, splitNs = Split)
+      .select($"series_key", $"timestamp", $"cum_sum", $"cum_max", $"point_index")
+      .as[(String, Long, Double, Double, Int)].collect().toSeq
+    assert(unsplit.nonEmpty && split.size == unsplit.size)
+    unsplit.zip(split).foreach { case ((k1, t1, s1, m1, i1), (k2, t2, s2, m2, i2)) =>
+      assert(k1 == k2 && t1 == t2, "row alignment")
+      assert(m1 == m2 && i1 == i2, s"max/index must be exact at $k1/$t1")
+      val tol = 1e-9 * math.max(1.0, math.abs(s1))
+      assert(math.abs(s1 - s2) <= tol, s"cum_sum $k1/$t1: $s1 vs $s2")
+    }
+  }
+
   test("autoSplitNs: ~4 chunks per core, floored at 1s, scales with span") {
     val HourNs = 3600L * 1000000000L
     // 32-core, 1-month span → width = span/128 ≈ 5.6h: chunk count fixed
