@@ -776,6 +776,20 @@ object Queries {
       .orderBy("user", "timestamp")
   }
 
+  /** `ts_anomaly` through the context-replication split path (1-day
+    * chunks, lookback 20 spanning multiple chunk boundaries): trailing
+    * ROWS windows see identical operands, so it shares ts_anomaly's
+    * oracle verbatim — the driver hash-gates the bit-identical-split
+    * contract for the context-replication member every round. */
+  def tsAnomalySplit(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("click", startNs = 0L, endNs = Some(FarFuture))
+    TsAnalytics.rollingZScore(pts(s, dir), q, lookback = 20, minPoints = 5,
+        splitNs = Some(24L * HourNs))
+      .filter(col("z").isNotNull)
+      .select(userCol, tsUs, col("value"), round(col("z"), 4).as("z"))
+      .orderBy("user", "timestamp")
+  }
+
   /** Tag-prefix selector (`TAGGED (user="1*")`): trailing-`*` prefix
     * matching in QUERY — the reference's subscription-wildcard
     * convention (`engine2/pubsub.go:34-60`) lifted to the query path. */

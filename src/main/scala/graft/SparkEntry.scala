@@ -87,6 +87,7 @@ object SparkEntry {
     "ts_rate" -> (Queries.tsRate _),
     "ts_rate_split" -> (Queries.tsRateSplit _),
     "ts_anomaly" -> (Queries.tsAnomaly _),
+    "ts_anomaly_split" -> (Queries.tsAnomalySplit _),
     "ts_twa" -> (Queries.tsTwa _),
     "ts_twa_split" -> (Queries.tsTwaSplit _),
     "ts_cumsum" -> (Queries.tsCumsum _),
@@ -142,6 +143,25 @@ object SparkEntry {
       |SELECT u AS "user", ws AS window_start,
       |  round(sum(value * wt) / sum(wt), 4) AS twa, count(*) AS n_points
       |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Shared by `ts_anomaly`/`ts_anomaly_split` (trailing ROWS windows
+    * are bit-identical under context-replication splitting). */
+  private val TsAnomalySql =
+    """WITH s AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value
+      |  FROM events WHERE event_type = 'click'),
+      |w AS (
+      |  SELECT u, t, value,
+      |    avg(value) OVER win AS m,
+      |    stddev_samp(value) OVER win AS sd,
+      |    count(value) OVER win AS n
+      |  FROM s
+      |  WINDOW win AS (PARTITION BY u ORDER BY t
+      |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+      |SELECT u AS "user", t AS "timestamp", value,
+      |  round((value - m) / sd, 4) AS z
+      |FROM w WHERE n >= 5 AND sd > 1e-12
+      |ORDER BY 1, 2""".stripMargin
 
   /** Shared by `ts_correlate`/`nbql_correlate` (same analytic, API vs
     * wire path). */
@@ -894,22 +914,9 @@ object SparkEntry {
     // path (bit-identical contract) — identical oracle by construction
     "ts_rate" -> TsRateSql,
     "ts_rate_split" -> TsRateSql,
-    "ts_anomaly" ->
-      """WITH s AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value
-        |  FROM events WHERE event_type = 'click'),
-        |w AS (
-        |  SELECT u, t, value,
-        |    avg(value) OVER win AS m,
-        |    stddev_samp(value) OVER win AS sd,
-        |    count(value) OVER win AS n
-        |  FROM s
-        |  WINDOW win AS (PARTITION BY u ORDER BY t
-        |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
-        |SELECT u AS "user", t AS "timestamp", value,
-        |  round((value - m) / sd, 4) AS z
-        |FROM w WHERE n >= 5 AND sd > 1e-12
-        |ORDER BY 1, 2""".stripMargin,
+    "ts_anomaly" -> TsAnomalySql,
+    "ts_anomaly_split" -> TsAnomalySql,
+
     // ts_twa_split: same bit-identical-split contract as ts_rate_split
     "ts_twa" -> TsTwaSql,
     "ts_twa_split" -> TsTwaSql,
