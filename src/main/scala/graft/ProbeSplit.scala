@@ -54,6 +54,12 @@ object ProbeSplit {
       time("holt unsplit")(TsAnalytics.holtSmooth(pts, p, alpha = 0.2, beta = 0.1))
       time("holt split 1h")(TsAnalytics.holtSmooth(pts, p, alpha = 0.2, beta = 0.1,
         splitNs = Some(HourNs)))
+      time("zscore unsplit")(TsAnalytics.rollingZScore(pts, p, lookback = 20))
+      time("zscore split 1h")(TsAnalytics.rollingZScore(pts, p, lookback = 20,
+        splitNs = Some(HourNs)))
+      time("cumsum unsplit")(TsAnalytics.runningAggregates(pts, p))
+      time("cumsum split 1h")(TsAnalytics.runningAggregates(pts, p,
+        splitNs = Some(HourNs)))
     }
     spark.stop()
   }
