@@ -790,6 +790,18 @@ object Queries {
       .orderBy("user", "timestamp")
   }
 
+  /** RATE over the bare-`*` metric selector: one call fans out across
+    * every metric, per (metric, user) series — the ANALYZE × prefix
+    * composition (PromQL's implicit multi-series rate). The series_key
+    * embeds the metric, so per-series isolation is free. */
+  def tsRatePrefix(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("*", startNs = 0L, endNs = Some(FarFuture))
+    TsAnalytics.rate(pts(s, dir), q)
+      .select(col("metric"), userCol, tsUs, col("value"), col("delta"),
+        col("rate_per_sec"))
+      .orderBy("metric", "user", "timestamp")
+  }
+
   /** Tag-prefix selector (`TAGGED (user="1*")`): trailing-`*` prefix
     * matching in QUERY — the reference's subscription-wildcard
     * convention (`engine2/pubsub.go:34-60`) lifted to the query path. */

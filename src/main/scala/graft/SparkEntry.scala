@@ -86,6 +86,7 @@ object SparkEntry {
     "tsdb_fill_linear" -> (Queries.tsdbFillLinear _),
     "ts_rate" -> (Queries.tsRate _),
     "ts_rate_split" -> (Queries.tsRateSplit _),
+    "ts_rate_prefix" -> (Queries.tsRatePrefix _),
     "ts_anomaly" -> (Queries.tsAnomaly _),
     "ts_anomaly_split" -> (Queries.tsAnomalySplit _),
     "ts_twa" -> (Queries.tsTwa _),
@@ -914,6 +915,21 @@ object SparkEntry {
     // path (bit-identical contract) — identical oracle by construction
     "ts_rate" -> TsRateSql,
     "ts_rate_split" -> TsRateSql,
+    "ts_rate_prefix" ->
+      """WITH s AS (
+        |  SELECT event_type AS metric, CAST(user_id AS VARCHAR) AS u,
+        |    epoch_ns(ts) AS t, value
+        |  FROM events),
+        |l AS (
+        |  SELECT metric, u, t, value,
+        |    lag(value) OVER w AS pv, lag(t) OVER w AS pt
+        |  FROM s WINDOW w AS (PARTITION BY metric, u ORDER BY t))
+        |SELECT metric, u AS "user", t AS "timestamp", value,
+        |  CASE WHEN value < pv THEN value ELSE value - pv END AS delta,
+        |  (CASE WHEN value < pv THEN value ELSE value - pv END) * 1e9
+        |    / CAST(t - pt AS DOUBLE) AS rate_per_sec
+        |FROM l WHERE pv IS NOT NULL AND pt IS NOT NULL
+        |ORDER BY 1, 2, 3""".stripMargin,
     "ts_anomaly" -> TsAnomalySql,
     "ts_anomaly_split" -> TsAnomalySql,
 
