@@ -60,6 +60,12 @@ final case class QueryStatement(
       * relative — see `ewmaSmoothSplit`'s re-association note). */
     analyzeSplitNs: Option[Long] = None) extends Statement
 
+/** `EXPLAIN QUERY …` (extension): the formatted physical plan of the
+  * RAW engine query — one `plan` line per row. Serving-tier shortcuts
+  * (result cache, driver-resident tiers) are execution paths, not
+  * plans, so the explained plan is the full Spark one. */
+final case class ExplainStatement(query: QueryStatement) extends Statement
+
 /** `REMOVE SERIES m TAGGED (…)` */
 final case class RemoveSeriesStatement(metric: String, tags: Map[String, String])
   extends Statement

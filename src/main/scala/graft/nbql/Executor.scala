@@ -73,6 +73,68 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
       engine.putBatch(items.map(toPoint)).map(n => Ack(s"OK $n"))
 
     case q: QueryStatement =>
+      prepareQuery(q).map { params =>
+        val cursorOf: (Long, Option[Row]) => Option[String] =
+          if (params.isFinalAgg || params.limit.isEmpty) noCursor
+          else { (delivered, lastRow) =>
+            // a full page means more may follow — resume after its last row
+            // (`executor.go:349-351` emits the cursor alongside the rows)
+            lastRow.filter(_ => params.limit.contains(delivered)).map { last =>
+              val tsField = if (params.isDownsample) "window_start" else "timestamp"
+              Cursor(last.getAs[Long](tsField),
+                last.getAs[String]("series_key")).encode
+            }
+          }
+        // serving-tier entry: result cache + driver-resident tiers front
+        // the protocol path (the reference's NBQL-layer cache position);
+        // budget-truncated results transparently stream the full plan.
+        // Tag-grouped queries bypass the per-series serving tiers entirely.
+        (q.analyze, q.groupByTags) match {
+          case (Some(spec), _) =>
+            Rows(engine.analyzeServingDF(params, withTopKKeys(spec, q),
+              q.analyzeSplitNs), noCursor)
+          case (None, Some(keys)) =>
+            Rows(engine.queryByTagsServingDF(params, keys), noCursor)
+          case (None, None) => Rows(engine.queryServingDF(params), cursorOf)
+        }
+      }
+
+    /** `EXPLAIN QUERY …` (extension): the physical plan Spark would run
+      * for the RAW query — the engine plan BEFORE the serving tiers
+      * (cache/driver-resident paths are execution shortcuts, not plans).
+      * One `plan` column, one row per line of `explain("formatted")`. */
+    case ExplainStatement(q) =>
+      prepareQuery(q).map { params =>
+        val df = (q.analyze, q.groupByTags) match {
+          case (Some(spec), _) =>
+            engine.analyze(params, withTopKKeys(spec, q), q.analyzeSplitNs)
+          case (None, Some(keys)) => engine.queryByTags(params, keys)
+          case (None, None) => engine.query(params)
+        }
+        val lines = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          .linesIterator.toSeq
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("plan",
+            org.apache.spark.sql.types.StringType)))
+        Rows(engine.spark.createDataFrame(
+          java.util.Arrays.asList(lines.map(Row(_)): _*), schema), noCursor)
+      }
+
+    case other => runRest(other)
+  }
+
+  /** TOPK carries its grouping keys in the spec (validated upstream). */
+  private def withTopKKeys(spec: graft.tsdb.AnalyzeSpec,
+      q: QueryStatement): graft.tsdb.AnalyzeSpec = spec match {
+    case t: graft.tsdb.AnalyzeTopK => t.copy(tagKeys = q.groupByTags.getOrElse(Nil))
+    case s => s
+  }
+
+  /** Shared validation + params construction for QUERY-shaped statements
+    * (QUERY itself and EXPLAIN QUERY). Mirrors the reference executor's
+    * up-front statement validation (`api/nbql/executor.go:131-172`). */
+  private def prepareQuery(q: QueryStatement): Either[String, QueryParams] = {
       val unknown = q.aggs.find(s =>
         !AggFunctions.named.contains(s.func) && s.percentile.isEmpty)
       if (unknown.isDefined)
@@ -162,7 +224,7 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
             return Left("SPLIT applies to the per-series ordered analytics (RATE/EWMA/HOLT/TWA/ZSCORE/CUMSUM)")
         }
       }
-      val params = QueryParams(
+      Right(QueryParams(
         metric = q.metric,
         tags = q.tags,
         startNs = q.fromNs.getOrElse(0L),
@@ -176,37 +238,11 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
         limit = q.limit,
         afterKey = q.after.map(Cursor.decode),
         nowNs = nowNs,
-        valueFilters = q.valueFilters)
-      val cursorOf: (Long, Option[Row]) => Option[String] =
-        if (params.isFinalAgg || params.limit.isEmpty) noCursor
-        else { (delivered, lastRow) =>
-          // a full page means more may follow — resume after its last row
-          // (`executor.go:349-351` emits the cursor alongside the rows)
-          lastRow.filter(_ => params.limit.contains(delivered)).map { last =>
-            val tsField = if (params.isDownsample) "window_start" else "timestamp"
-            Cursor(last.getAs[Long](tsField),
-              last.getAs[String]("series_key")).encode
-          }
-        }
-      // serving-tier entry: result cache + driver-resident tiers front
-      // the protocol path (the reference's NBQL-layer cache position);
-      // budget-truncated results transparently stream the full plan.
-      // Tag-grouped queries bypass the per-series serving tiers entirely.
-      (q.analyze, q.groupByTags) match {
-        case (Some(spec0), _) =>
-          // TOPK carries its grouping keys in the spec (validated above)
-          val spec = spec0 match {
-            case t: graft.tsdb.AnalyzeTopK =>
-              t.copy(tagKeys = q.groupByTags.getOrElse(Nil))
-            case s => s
-          }
-          Right(Rows(engine.analyzeServingDF(params, spec, q.analyzeSplitNs),
-            noCursor))
-        case (None, Some(keys)) =>
-          Right(Rows(engine.queryByTagsServingDF(params, keys), noCursor))
-        case (None, None) => Right(Rows(engine.queryServingDF(params), cursorOf))
-      }
+        valueFilters = q.valueFilters))
+  }
 
+  /** Second half of `run` — statements after QUERY/EXPLAIN. */
+  private def runRest(st: Statement): Either[String, ExecResult] = st match {
     case RemoveSeriesStatement(m, tg) =>
       engine.deleteSeries(m, tg).map(_ => Ack("OK"))
     case RemovePointStatement(m, tg, ts) =>

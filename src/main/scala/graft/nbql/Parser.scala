@@ -206,8 +206,12 @@ object NbqlParser extends RegexParsers {
       case p ~ ow => RestoreStatement(p, ow.isDefined)
     }
 
+  private val explain: Parser[Statement] =
+    kw("EXPLAIN") ~> query ^^ ExplainStatement
+
   private val statement: Parser[Statement] =
-    (pushs | push | query | remove | rollup | show | flush | snapshotRestore) <~ opt(";")
+    (pushs | push | explain | query | remove | rollup | show | flush |
+      snapshotRestore) <~ opt(";")
 
   def parse(input: String): Either[String, Statement] =
     parseAll(statement, input) match {

@@ -140,6 +140,14 @@ class NbqlParserSpec extends SparkSpec {
     assert(NbqlParser.parse("QUERY cpu ANALYZE TWA(v)").isLeft)
   }
 
+  test("EXPLAIN QUERY parses and wraps the inner statement") {
+    val e = p("EXPLAIN QUERY cpu FROM 0 TO 10 ANALYZE RATE(v)")
+      .asInstanceOf[ExplainStatement]
+    assert(e.query.metric == "cpu" && e.query.analyze.contains(AnalyzeRate("v")))
+    assert(NbqlParser.parse("EXPLAIN").isLeft)
+    assert(NbqlParser.parse("EXPLAIN PUSH m SET (v=1)").isLeft) // QUERY only
+  }
+
   test("parse errors are reported, not thrown") {
     assert(NbqlParser.parse("QUERY").isLeft)
     assert(NbqlParser.parse("PUSH m").isLeft) // SET is mandatory
@@ -493,6 +501,23 @@ class NbqlExecutorSpec extends SparkSpec {
       rows(ex, cq)
       assert(eng.lastServePath == "analyze-spark",
         "a write to the OTHER metric must invalidate the cross-metric entry")
+    }
+  }
+
+  test("EXPLAIN QUERY returns the physical plan; invalid inner queries error") {
+    withEngine { (eng, ex) =>
+      assert(ex.execute(
+        """PUSH cpu TAGGED (h="a") SET (v=1.0) AT 1000""").isRight)
+      val plan = rows(ex, "EXPLAIN QUERY cpu FROM 0 TO 9999")
+        .map(_.getAs[String]("plan"))
+      assert(plan.nonEmpty && plan.exists(_.contains("Physical Plan")))
+      assert(plan.exists(l => l.contains("Scan") || l.contains("LocalTableScan")))
+      val aplan = rows(ex, "EXPLAIN QUERY cpu FROM 0 TO 9999 ANALYZE RATE(v) SPLIT 1h")
+        .map(_.getAs[String]("plan"))
+      assert(aplan.exists(_.contains("Window")), "rate plan must show the window op")
+      // inner validation applies to EXPLAIN too
+      assert(ex.execute("EXPLAIN QUERY cpu ANALYZE EWMA(v, 1.5)").isLeft)
+      assert(ex.execute("EXPLAIN QUERY cpu AGGREGATE (nope(v))").isLeft)
     }
   }
 
