@@ -280,6 +280,10 @@ object GraftHttpServer {
       |<h3>graft NBQL console</h3>
       |<textarea id="q">SHOW METRICS;</textarea><br>
       |<button onclick="run()">Run</button> <span id="err"></span>
+      |<p style="color:#666">e.g. QUERY cpu FROM RELATIVE(1h) AGGREGATE BY 1m (avg(v)) ·
+      | QUERY cpu ANALYZE RATE(v) SPLIT AUTO ·
+      | QUERY a ANALYZE CORRELATE(v, b, host) BY 1h ·
+      | EXPLAIN QUERY cpu FROM 0 TO 9 · SHOW CARDINALITY BY 1h</p>
       |<div id="out"></div>
       |<script>
       |async function run(){
