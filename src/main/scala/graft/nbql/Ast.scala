@@ -52,12 +52,15 @@ final case class QueryStatement(
       * ZSCORE(f,n,t)` — the time-series analytics pack on the wire
       * (extension; [[graft.tsdb.AnalyzeSpec]]). */
     analyze: Option[graft.tsdb.AnalyzeSpec] = None,
-    /** `… SPLIT <dur>` after an ANALYZE clause — hot-series time-
-      * splitting for the ordered analytics (extension;
-      * [[graft.tsdb.TsAnalytics]] `splitNs`): chunk the series on
-      * duration boundaries so one pathological series runs multi-task.
-      * Valid with RATE/TWA (bit-identical) and EWMA/HOLT (1e-9
-      * relative — see `ewmaSmoothSplit`'s re-association note). */
+    /** `… SPLIT <dur>` or `… SPLIT AUTO` after an ANALYZE clause —
+      * hot-series time-splitting for the per-series ordered analytics
+      * (extension; [[graft.tsdb.TsAnalytics]] `splitNs`): chunk the
+      * series on duration boundaries so one pathological series runs
+      * multi-task. RATE/TWA/ZSCORE are bit-identical under the split;
+      * EWMA/HOLT/CUMSUM's running sums agree to 1e-9 relative (FP
+      * re-association — see `ewmaSmoothSplit`'s note). AUTO derives
+      * the width from the query's actual range
+      * ([[graft.tsdb.TsAnalytics.autoSplitNs]]). */
     analyzeSplitNs: Option[Long] = None) extends Statement
 
 /** `EXPLAIN QUERY …` (extension): the formatted physical plan of the

@@ -323,4 +323,44 @@ class PropertySpec extends SparkSpec {
           c <= n / k || merged.counts.containsKey(w) }
     })
   }
+
+  test("hot-series splitting: exact family identical, fold family within 1e-9") {
+    // random point sets (duplicate timestamps, multiple series) × random
+    // chunk widths: the three split mechanisms against their unsplit
+    // twins. rate/twa/zscore must be ROW-IDENTICAL (boundary patches and
+    // context replication reproduce the exact operand sequences);
+    // ewma/cumsum re-associate an FP fold — 1e-9 relative.
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(genPoint),
+      Gen.choose(1L, 7L), Gen.choose(2, 5)) {
+      (rawPts: List[MPoint], width: Long, lookback: Int) =>
+      val pts = rawPts.zipWithIndex.map { case (p, i) => p.copy(seq = i.toLong) }
+      val df = toDf(pts)
+      val q = QueryParams("m1", startNs = 0L, endNs = Some(16L))
+      def same(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame): Boolean =
+        a.collect().toSeq == b.collect().toSeq
+      def close(a: Seq[Double], b: Seq[Double]): Boolean =
+        a.size == b.size && a.zip(b).forall { case (x, y) =>
+          math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)) }
+      val w = Some(width)
+      same(TsAnalytics.rate(df, q, field = "v"),
+        TsAnalytics.rate(df, q, field = "v", splitNs = w)) &&
+      same(TsAnalytics.timeWeightedAvg(df, q.copy(downsampleNs = Some(4L)),
+          field = "v"),
+        TsAnalytics.timeWeightedAvg(df, q.copy(downsampleNs = Some(4L)),
+          field = "v", splitNs = w)) &&
+      same(TsAnalytics.rollingZScore(df, q, field = "v",
+          lookback = lookback, minPoints = 2),
+        TsAnalytics.rollingZScore(df, q, field = "v",
+          lookback = lookback, minPoints = 2, splitNs = w)) &&
+      close(TsAnalytics.ewmaSmooth(df, q, 0.3, field = "v")
+          .select($"ewma").as[Double].collect().toSeq,
+        TsAnalytics.ewmaSmooth(df, q, 0.3, field = "v", splitNs = w)
+          .select($"ewma").as[Double].collect().toSeq) &&
+      close(TsAnalytics.runningAggregates(df, q, field = "v")
+          .select($"cum_sum").as[Double].collect().toSeq,
+        TsAnalytics.runningAggregates(df, q, field = "v", splitNs = w)
+          .select($"cum_sum").as[Double].collect().toSeq)
+    })
+  }
 }
