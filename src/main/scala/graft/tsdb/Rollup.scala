@@ -231,6 +231,39 @@ object Rollup {
     * scale: the raw operator reads every point of the metric, while this
     * reads |series|×windows partial rows — a month-long
     * `sum by (dc)(requests)` becomes a scan of the rollup frame. */
+  /** True when per-bucket field AVERAGES over `[startNs, endNs]` can be
+    * recomposed from a rollup at `intervalNs` covering `field`: aligned
+    * buckets, whole-window range, field partials present — the
+    * cross-metric analytics' (CORRELATE/RATIO) eligibility test. */
+  def supportsBucketAvg(bucketNs: Long, startNs: Long, endNs: Long,
+      intervalNs: Long, covered: Set[String], field: String): Boolean =
+    bucketNs > 0 && bucketNs % intervalNs == 0 &&
+      startNs % intervalNs == 0 && (endNs + 1) % intervalNs == 0 &&
+      covered.contains(field)
+
+  /** Per-(tagKey value, bucket) decomposed average + count of `field`
+    * for ONE metric from its rollup partials: Σ window sums / Σ window
+    * counts over the |series|×windows partial rows — the cross-metric
+    * analytics' input frame, POINTS NEVER SCANNED. Output:
+    * (tag_value, bucket, v, n). */
+  def bucketStats(rollup: DataFrame, metric: String, tagKey: String,
+      bucketNs: Long, startNs: Long, endNs: Long, field: String): DataFrame = {
+    var df = rollup.filter(col("metric") === metric &&
+      col("window_start").between(startNs, endNs))
+    if (rollup.columns.contains("date"))
+      df = df.filter(col("date").between(
+        TsdbEngine.dayStr(startNs), TsdbEngine.dayStr(endNs)))
+    df.withColumn("bucket",
+        col("window_start") - pmod(col("window_start"), lit(bucketNs)))
+      .withColumn("tag_value", col("tags").getItem(tagKey))
+      .groupBy(col("tag_value"), col("bucket"))
+      .agg(sum(col(s"${field}__sum")).as("__s"), sum(col(s"${field}__cnt")).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col("tag_value"), col("bucket"),
+        (col("__s") / when(col("__n") =!= 0, col("__n"))).as("v"),
+        col("__n").as("n"))
+  }
+
   def runByTags(rollup: DataFrame, rollupIntervalNs: Long, p: QueryParams,
       tagKeys: Seq[String]): DataFrame = {
     require(supports(p, rollupIntervalNs, coveredFields(rollup), hasDigests(rollup)),

@@ -508,18 +508,26 @@ object TsAnalytics {
       .withColumn("__v", QueryEngine.numericOf(field))
       .filter(col("__v").isNotNull)
     val bucket = col("timestamp") - pmod(col("timestamp"), lit(bucketNs))
-    df.withColumn("bucket", bucket)
+    correlateFinish(df.withColumn("bucket", bucket)
       .withColumn("tag_value", col("tags").getItem(tagKey))
       .groupBy(col("tag_value"), col("bucket"))
       .agg(avg(when(col("metric") === metricA, col("__v"))).as("va"),
-        avg(when(col("metric") === metricB, col("__v"))).as("vb"))
+        avg(when(col("metric") === metricB, col("__v"))).as("vb")), minBuckets)
+  }
+
+  /** Final Pearson stage over a paired (tag_value, bucket, va, vb) frame —
+    * shared by the point path and the rollup-partial route
+    * ([[graft.tsdb.Rollup.bucketStats]]); the routing can therefore never
+    * drift from the scan semantics. Pearson r from co-moments rather
+    * than corr(): Spark's corr divides unconditionally inside the
+    * aggregate, which throws under ANSI mode when one side has zero
+    * variance; here the division is a guarded projection, and
+    * zero-variance groups drop (matching SQL corr's NULL). */
+  private[graft] def correlateFinish(paired: DataFrame,
+      minBuckets: Int): DataFrame = {
+    paired
       .filter(col("va").isNotNull && col("vb").isNotNull)
       .groupBy(col("tag_value"))
-      // Pearson r from co-moments rather than corr(): Spark's corr
-      // divides unconditionally inside the aggregate, which throws under
-      // ANSI mode when one side has zero variance; here the division is
-      // a guarded projection, and zero-variance groups drop (matching
-      // SQL corr's NULL)
       .agg(covar_samp(col("va"), col("vb")).as("__cov"),
         stddev_samp(col("va")).as("__sa"), stddev_samp(col("vb")).as("__sb"),
         count(lit(1)).as("n_buckets"))
@@ -631,13 +639,21 @@ object TsAnalytics {
           col("timestamp").between(startNs, endNs)), tombstones)
       .withColumn("__v", QueryEngine.numericOf(field))
       .filter(col("__v").isNotNull)
-    df.withColumn("bucket", col("timestamp") - pmod(col("timestamp"), lit(bucketNs)))
+    ratioFinish(df.withColumn("bucket",
+        col("timestamp") - pmod(col("timestamp"), lit(bucketNs)))
       .withColumn("tag_value", col("tags").getItem(tagKey))
       .groupBy(col("tag_value"), col("bucket"))
       .agg(avg(when(col("metric") === metricA, col("__v"))).as("va"),
         avg(when(col("metric") === metricB, col("__v"))).as("vb"),
         count(when(col("metric") === metricA, 1)).as("n_a"),
-        count(when(col("metric") === metricB, 1)).as("n_b"))
+        count(when(col("metric") === metricB, 1)).as("n_b")))
+  }
+
+  /** Final stage over a paired (tag_value, bucket, va, vb, n_a, n_b)
+    * frame — shared by the point path and the rollup-partial route, like
+    * [[correlateFinish]]. */
+  private[graft] def ratioFinish(paired: DataFrame): DataFrame = {
+    paired
       .filter(col("va").isNotNull && col("vb").isNotNull && col("vb") =!= 0.0)
       .withColumn("ratio", col("va") / when(col("vb") =!= 0.0, col("vb")))
       .select(col("tag_value"), col("bucket"), col("n_a"), col("n_b"), col("ratio"))

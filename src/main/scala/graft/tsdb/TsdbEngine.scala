@@ -372,12 +372,24 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
           splitNs = splitNs)
       case AnalyzeCorrelate(f, b, key, iv, mb) =>
         val (s0, e0) = analyzeCrossRange(pts, params, b)
-        TsAnalytics.correlate(pts, params.metric, b, key, iv, s0, e0,
-          field = f, minBuckets = mb, tombstones = tombs)
+        pairedFromRollups(params.metric, b, key, iv, s0, e0, f) match {
+          case Some(paired) =>
+            lastServePath = "rollup-correlate"
+            TsAnalytics.correlateFinish(paired, mb)
+          case None =>
+            TsAnalytics.correlate(pts, params.metric, b, key, iv, s0, e0,
+              field = f, minBuckets = mb, tombstones = tombs)
+        }
       case AnalyzeRatio(f, b, key, iv) =>
         val (s0, e0) = analyzeCrossRange(pts, params, b)
-        TsAnalytics.ratio(pts, params.metric, b, key, iv, s0, e0,
-          field = f, tombstones = tombs)
+        pairedFromRollups(params.metric, b, key, iv, s0, e0, f) match {
+          case Some(paired) =>
+            lastServePath = "rollup-ratio"
+            TsAnalytics.ratioFinish(paired)
+          case None =>
+            TsAnalytics.ratio(pts, params.metric, b, key, iv, s0, e0,
+              field = f, tombstones = tombs)
+        }
       case AnalyzeTopK(k, by, keys) =>
         TsAnalytics.topKGroups(pts, params, keys, k, by, tombstones = tombs)
     }
@@ -451,6 +463,40 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
           (probe, false, df.schema)
         }
     }
+  }
+
+  /** Paired (tag_value, bucket, va, vb, n_a, n_b) frame for the
+    * cross-metric analytics from ROLLUP PARTIALS — Σ window sums /
+    * Σ window counts per (tag value, bucket), points never scanned —
+    * when BOTH metrics have registered rollups whose grain divides the
+    * bucket and covers the field over a whole-window range
+    * ([[Rollup.supportsBucketAvg]]). The join is null-safe on tag_value
+    * (untagged series group under null, like the point path's GROUP BY),
+    * inner on bucket (only co-observed buckets pair — the same filter
+    * the point path applies). The decomposed average re-associates the
+    * FP sum vs the single-aggregation point path: same approximate-free
+    * contract as the downsample rollup route (sums of the same operands,
+    * different association — ulp-level), spec-pinned at 1e-9. */
+  private def pairedFromRollups(metricA: String, metricB: String,
+      tagKey: String, bucketNs: Long, startNs: Long, endNs: Long,
+      field: String): Option[org.apache.spark.sql.DataFrame] = {
+    val (sa, sb) = (rollupSpecs.get(metricA), rollupSpecs.get(metricB))
+    if (sa == null || sb == null ||
+        !Rollup.supportsBucketAvg(bucketNs, startNs, endNs, sa.intervalNs,
+          sa.fields.toSet, field) ||
+        !Rollup.supportsBucketAvg(bucketNs, startNs, endNs, sb.intervalNs,
+          sb.fields.toSet, field)) return None
+    val fa = Rollup.bucketStats(rollupView(metricA, sa), metricA, tagKey,
+      bucketNs, startNs, endNs, field)
+      .select(col("tag_value"), col("bucket"),
+        col("v").as("va"), col("n").as("n_a"))
+    val fb = Rollup.bucketStats(rollupView(metricB, sb), metricB, tagKey,
+      bucketNs, startNs, endNs, field)
+      .select(col("tag_value").as("__tvb"), col("bucket").as("__bb"),
+        col("v").as("vb"), col("n").as("n_b"))
+    Some(fa.join(fb,
+        fa("tag_value") <=> fb("__tvb") && fa("bucket") === fb("__bb"))
+      .drop("__tvb", "__bb"))
   }
 
   /** Range resolution for the cross-metric analytics (CORRELATE/RATIO),

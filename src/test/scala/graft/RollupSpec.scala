@@ -330,6 +330,77 @@ class RollupSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("engine: CORRELATE/RATIO route through rollup partials when both metrics covered") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_corr").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    try {
+      def dp(metric: String, u: String, tMin: Long, v: Double) =
+        graft.model.DataPoint(metric, Map("user" -> u), tMin * Min,
+          Map("value" -> graft.model.FieldValue(d = Some(v))))
+      // u1: b = 2a (r=1); u2: anti-correlated; several points per hour
+      // bucket so the decomposed average is a REAL multi-window fold
+      eng.putBatch((0 until 360 by 10).flatMap { i =>
+        Seq(dp("a", "u1", i, i + 1.0), dp("b", "u1", i + 3, 2 * i + 2.0),
+          dp("a", "u2", i, i + 1.0), dp("b", "u2", i + 3, 720.0 - 2 * i))
+      })
+      val (s0, e0) = (0L, 6 * Hr - 1)
+      def corr() = eng.analyze(
+        QueryParams("a", startNs = s0, endNs = Some(e0)),
+        AnalyzeCorrelate("value", "b", "user", Hr, 3))
+      def ratio() = eng.analyze(
+        QueryParams("a", startNs = s0, endNs = Some(e0)),
+        AnalyzeRatio("value", "b", "user", Hr))
+      val truthC = corr().collect().toSeq
+      val truthR = ratio().collect().toSeq
+      assert(truthC.nonEmpty && truthR.nonEmpty)
+      assert(eng.lastServePath != "rollup-correlate")
+
+      eng.registerRollup("a", Min, Seq("value"))
+      // only ONE side covered → still the point path
+      corr().collect()
+      assert(eng.lastServePath != "rollup-correlate")
+      eng.registerRollup("b", Min, Seq("value"))
+
+      val routedC = corr()
+      assert(eng.lastServePath == "rollup-correlate")
+      val planC = routedC.queryExecution.executedPlan.toString
+      assert(planC.contains("value__sum"),
+        s"expected rollup partial columns in plan:\n$planC")
+      val gotC = routedC.collect().toSeq
+      assert(gotC.size == truthC.size)
+      truthC.zip(gotC).foreach { case (t, g) =>
+        assert(t.getAs[String]("tag_value") == g.getAs[String]("tag_value"))
+        assert(t.getAs[Long]("n_buckets") == g.getAs[Long]("n_buckets"))
+        val (r1, r2) = (t.getAs[Double]("r"), g.getAs[Double]("r"))
+        assert(math.abs(r1 - r2) <= 1e-9 * math.max(1.0, math.abs(r1)),
+          s"r mismatch: $r1 vs $r2") // decomposed avg re-associates the sum
+      }
+
+      val routedR = ratio()
+      assert(eng.lastServePath == "rollup-ratio")
+      val gotR = routedR.collect().toSeq
+      assert(gotR.size == truthR.size)
+      truthR.zip(gotR).foreach { case (t, g) =>
+        assert(t.getAs[String]("tag_value") == g.getAs[String]("tag_value") &&
+          t.getAs[Long]("bucket") == g.getAs[Long]("bucket") &&
+          t.getAs[Long]("n_a") == g.getAs[Long]("n_a") &&
+          t.getAs[Long]("n_b") == g.getAs[Long]("n_b"))
+        val (r1, r2) = (t.getAs[Double]("ratio"), g.getAs[Double]("ratio"))
+        assert(math.abs(r1 - r2) <= 1e-9 * math.max(1.0, math.abs(r1)))
+      }
+
+      // misaligned bucket (not a multiple of the rollup grain) → point path
+      eng.analyze(QueryParams("a", startNs = s0, endNs = Some(e0)),
+        AnalyzeCorrelate("value", "b", "user", Min + 1, 3)).collect()
+      assert(eng.lastServePath != "rollup-correlate")
+      // new data on metric B invalidates the routed answer
+      val before = corr().collect().toSeq
+      eng.putBatch(Seq(dp("b", "u1", 30, 1e6)))
+      assert(corr().collect().toSeq != before)
+      assert(eng.lastServePath == "rollup-correlate")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("incremental maintenance: a one-day commit rebuilds ONLY that date partition") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup_inc").toString
     val eng = new TsdbEngine(spark, s"$dir/db")
