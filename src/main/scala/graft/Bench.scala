@@ -105,8 +105,10 @@ object Bench {
     // never abort the run: the battery numbers above are already paid
     // for, and the driver's JSON line is the round's only bench record.
     val (ingestRps, qpsCold, qpsCached, qpsDsRaw, qpsDsRollup,
-      qpsGbtRaw, qpsGbtRouted, qpsAnalyzeCold, qpsAnalyzeCached) =
-      if (skipServing) (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0) else try {
+      qpsGbtRaw, qpsGbtRouted, qpsAnalyzeCold, qpsAnalyzeCached,
+      qpsCorrRaw, qpsCorrRouted) =
+      if (skipServing) (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      else try {
       val pts = graft.tsdb.Tables.eventsAsPoints(spark, sfDir).cache()
       val nRows = pts.count()
       // steady-state: warm the write path (codegen, parquet committer,
@@ -224,15 +226,39 @@ object Bench {
       val t8 = System.nanoTime()
       (0 until nAnCached).foreach(_ => engine.analyzeCached(caq, rateSpec))
       val anCachedSec = (System.nanoTime() - t8) / 1e9
+      // cross-metric analytics: CORRELATE from the raw point scan vs the
+      // rollup-partial route (points never scanned). engine.analyze is
+      // the raw plan entry (no result cache), so each call measures the
+      // PLAN path being compared; the downsample block above already
+      // registered purchase@1d, view stays unregistered until the routed
+      // pass so the first measurement is genuinely the point path.
+      def corq(i: Int) = graft.tsdb.AnalyzeCorrelate("value", "view", "user",
+        DayNs, 2 + (i % 5))
+      val cp = graft.tsdb.QueryParams("purchase",
+        startNs = 1704067200000000000L,
+        endNs = Some(1704067200000000000L + 30L * DayNs - 1))
+      engine.analyze(cp, corq(0)).count() // warm
+      val nCorrRaw = 3
+      val t9 = System.nanoTime()
+      (0 until nCorrRaw).foreach(i => engine.analyze(cp, corq(i)).count())
+      val corrRawSec = (System.nanoTime() - t9) / 1e9
+      engine.registerRollup("purchase", DayNs, Seq("value"))
+      engine.registerRollup("view", DayNs, Seq("value"))
+      engine.analyze(cp, corq(0)).count() // materialize both rollup views
+      val nCorrR = 10
+      val t10 = System.nanoTime()
+      (0 until nCorrR).foreach(i => engine.analyze(cp, corq(i)).count())
+      val corrRoutedSec = (System.nanoTime() - t10) / 1e9
       (nRows / ingestSec, nCold / coldSec, nCached / cachedSec,
         nDs / rawDsSec, nDsR / routedDsSec,
         nGbtRaw / gbtRawSec, nGbtR / gbtRoutedSec,
-        nAnCold / anColdSec, nAnCached / anCachedSec)
+        nAnCold / anColdSec, nAnCached / anCachedSec,
+        nCorrRaw / corrRawSec, nCorrR / corrRoutedSec)
     } catch { case e: Throwable =>
       errors.getOrElseUpdate("serving_tier",
         e.getClass.getSimpleName + ": " +
           String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
-      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp)); ()
     }
@@ -286,6 +312,7 @@ object Bench {
       s""""qps_downsample_raw":$qpsDsRaw,"qps_downsample_rollup":$qpsDsRollup,""" +
       s""""qps_groupby_raw":$qpsGbtRaw,"qps_groupby_rollup":$qpsGbtRouted,""" +
       s""""qps_analyze_cold":$qpsAnalyzeCold,"qps_analyze_cached":$qpsAnalyzeCached,""" +
+      s""""qps_correlate_raw":$qpsCorrRaw,"qps_correlate_rollup":$qpsCorrRouted,""" +
       s""""n_errors":${errors.size},"errors":$errJson,""" +
       s""""n_queries":${results.size},"sf":"$sfDir"}"""
     println(line)
