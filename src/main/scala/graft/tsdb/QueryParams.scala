@@ -109,10 +109,16 @@ object ValueFilter {
   * [[TsAnalytics]] pack (extension; the reference's query surface stops
   * at whole-window aggregation, `api/nbql/executor.go:131-172`, while a
   * dashboard user needs rate/smoothing/anomaly reachable FROM THE WIRE).
-  * Composes with TAGGED / time range / FILTER / LIMIT; the per-series
-  * shaping clauses (AGGREGATE, GROUP BY TAGS, FILL, EMIT EMPTY WINDOWS,
-  * DESC, AFTER) are rejected by the executor — the analytics define
-  * their own output shape, ordered (series_key, timestamp) ascending. */
+  * Composes with TAGGED / time range / FILTER / LIMIT and `SPLIT
+  * <dur>|AUTO` (per-series forms); the per-series shaping clauses
+  * (AGGREGATE, GROUP BY TAGS, FILL, EMIT EMPTY WINDOWS, DESC, AFTER)
+  * are rejected by the executor — the analytics define their own output
+  * shape, ordered (series_key, timestamp) ascending. Exceptions:
+  * [[AnalyzeTopK]] REQUIRES AGGREGATE + GROUP BY TAGS (it ranks those
+  * outputs); the cross-metric forms ([[AnalyzeCorrelate]],
+  * [[AnalyzeRatio]]) reject TAGGED/FILTER (alignment is BY the key
+  * tag) and route through rollup partials when both metrics carry
+  * covering rollups. */
 sealed trait AnalyzeSpec { def field: String }
 /** `ANALYZE RATE(field)` — counter-reset-aware per-second rate
   * ([[TsAnalytics.rate]]). */
