@@ -33,7 +33,8 @@ private[cli] object CliArgs {
   * (`cmd/user-admin/main.go`): add prompts for the password unless
   * `-password` is given (the reference reads it from the terminal),
   * list prints username/role/hash-type, delete removes one user.
-  * Bcrypt is rejected up front like [[Auth.hashPassword]] documents. */
+  * `-hash-type` defaults to bcrypt like the reference
+  * (`cmd/user-admin/main.go:21`). */
 object UserAdmin {
   def main(args: Array[String]): Unit = { val c = run(args); if (c != 0) sys.exit(c) }
 
@@ -49,11 +50,12 @@ object UserAdmin {
           Console.err.println(s"Error: -role must be '${Auth.RoleReader}' or '${Auth.RoleWriter}'.")
           return 1
         }
-        val hashType = flags.getOrElse("hash-type", "sha256") match {
+        val hashType = flags.getOrElse("hash-type", "bcrypt") match {
+          case "bcrypt" => Auth.HashBcrypt
           case "sha256" => Auth.HashSha256
           case "sha512" => Auth.HashSha512
           case other =>
-            Console.err.println(s"Error: unsupported -hash-type '$other' (sha256, sha512).")
+            Console.err.println(s"Error: unsupported -hash-type '$other' (bcrypt, sha256, sha512).")
             return 1
         }
         val password = flags.getOrElse("password", passwordInput())
@@ -76,6 +78,7 @@ object UserAdmin {
           println(f"${"USERNAME"}%-24s ${"ROLE"}%-8s HASH")
           users.values.toSeq.sortBy(_.username).foreach { u =>
             val ht = hashType match {
+              case Auth.HashBcrypt => "bcrypt"
               case Auth.HashSha256 => "sha256"
               case Auth.HashSha512 => "sha512"
               case other => s"type$other"
@@ -96,7 +99,7 @@ object UserAdmin {
         0
       case other =>
         Console.err.println(
-          s"""Usage: user-admin <add|list|delete> [-file F] [-username U] [-role reader|writer] [-hash-type sha256|sha512] [-password P]
+          s"""Usage: user-admin <add|list|delete> [-file F] [-username U] [-role reader|writer] [-hash-type bcrypt|sha256|sha512] [-password P]
              |${other.map(c => s"Unknown command: $c").getOrElse("Missing command.")}""".stripMargin)
         1
     }

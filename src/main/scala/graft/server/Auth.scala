@@ -9,11 +9,11 @@ import java.security.MessageDigest
   * `magic u32 | version u8 | hashType u8 | userCount u32` then per user
   * three `u16`-length-prefixed strings (username, passwordHash, role).
   *
-  * Hash types follow `auth/user_file.go:26-36`: 1=bcrypt, 2=SHA-256,
-  * 3=SHA-512 (hex digests, unsalted — the reference's own documented
-  * simplification). bcrypt has no JDK implementation and this library
-  * adds no dependencies, so bcrypt files are rejected at load with a
-  * clear error; new files default to SHA-256.
+  * Hash types follow `auth/user_file.go:26-36`: 1=bcrypt ([[BCrypt]],
+  * pure-Scala, Go-compatible `$2a$` strings), 2=SHA-256, 3=SHA-512 (hex
+  * digests, unsalted — the reference's own documented simplification).
+  * Like the reference, a missing file defaults to bcrypt
+  * (`auth/user_file.go:86`).
   *
   * Roles and the authorization rule mirror `auth/authenticator.go:35-38,
   * 142-155`: `writer` may do everything, `reader` only read operations.
@@ -31,16 +31,15 @@ object Auth {
 
   final case class UserRecord(username: String, passwordHash: String, role: String)
 
-  /** hex digest for the given hash type (`auth/user_file.go:125-145`). */
-  def hashPassword(password: String, hashType: Byte): String = {
-    val algo = hashType match {
-      case HashSha256 => "SHA-256"
-      case HashSha512 => "SHA-512"
-      case other => throw new IllegalArgumentException(
-        s"unsupported hash type $other (bcrypt needs a lib the JDK lacks)")
-    }
-    MessageDigest.getInstance(algo).digest(password.getBytes(UTF_8))
-      .map("%02x".format(_)).mkString
+  /** Password hash for the given hash type (`auth/user_file.go:125-145`):
+    * salted `$2a$` bcrypt string, or unsalted hex digest for SHA. */
+  def hashPassword(password: String, hashType: Byte): String = hashType match {
+    case HashBcrypt => BCrypt.hash(password)
+    case HashSha256 | HashSha512 =>
+      val algo = if (hashType == HashSha256) "SHA-256" else "SHA-512"
+      MessageDigest.getInstance(algo).digest(password.getBytes(UTF_8))
+        .map("%02x".format(_)).mkString
+    case other => throw new IllegalArgumentException(s"unsupported hash type $other")
   }
 
   // little-endian primitives (JDK Data*Streams are big-endian)
@@ -69,7 +68,7 @@ object Auth {
 
   /** Write the binary user file (`auth/user_file.go:53-79`). */
   def writeUserFile(path: String, users: Seq[UserRecord],
-      hashType: Byte = HashSha256): Unit = {
+      hashType: Byte = HashBcrypt): Unit = {
     val o = new DataOutputStream(new FileOutputStream(path))
     try {
       writeU32LE(o, Magic); o.write(Version); o.write(hashType)
@@ -85,20 +84,18 @@ object Auth {
     * (`auth/user_file.go:81-98`). */
   def readUserFile(path: String): (Map[String, UserRecord], Byte) = {
     val f = new java.io.File(path)
-    if (!f.exists()) return (Map.empty, HashSha256)
+    if (!f.exists()) return (Map.empty, HashBcrypt)
     val i = new DataInputStream(new FileInputStream(f))
     try {
       val magic =
         try readU32LE(i)
-        catch { case _: EOFException => return (Map.empty, HashSha256) }
+        catch { case _: EOFException => return (Map.empty, HashBcrypt) }
       require(magic == Magic, f"invalid user file magic: got $magic%x")
       val version = i.readByte()
       require(version <= Version, s"unsupported user file version $version")
       val hashType = i.readByte()
-      require(hashType == HashSha256 || hashType == HashSha512,
-        if (hashType == HashBcrypt)
-          "bcrypt user files are not supported (no JDK bcrypt; regenerate with SHA-256)"
-        else s"unsupported hash type $hashType")
+      require(hashType == HashBcrypt || hashType == HashSha256 || hashType == HashSha512,
+        s"unsupported hash type $hashType")
       val n = readU32LE(i)
       val users = (0 until n).map { _ =>
         val u = UserRecord(readString(i), readString(i), readString(i))
@@ -117,8 +114,11 @@ final class Authenticator(users: Map[String, Auth.UserRecord], hashType: Byte) {
 
   def authenticate(username: String, password: String): Option[UserRecord] =
     users.get(username).filter { u =>
-      val presented = hashPassword(password, hashType)
-      MessageDigest.isEqual(presented.getBytes(UTF_8), u.passwordHash.getBytes(UTF_8))
+      if (hashType == HashBcrypt) BCrypt.check(password, u.passwordHash)
+      else {
+        val presented = hashPassword(password, hashType)
+        MessageDigest.isEqual(presented.getBytes(UTF_8), u.passwordHash.getBytes(UTF_8))
+      }
     }
 
   /** `writer` ⊇ `reader`; anything else is denied (`authenticator.go:150-154`). */

@@ -198,7 +198,7 @@ class ServerSpec extends SparkSpec {
     val userFile = s"$dir/users.db"
     Auth.writeUserFile(userFile, Seq(
       Auth.UserRecord("admin", Auth.hashPassword("s3cret", Auth.HashSha256), Auth.RoleWriter),
-      Auth.UserRecord("viewer", Auth.hashPassword("viewpass", Auth.HashSha256), Auth.RoleReader)))
+      Auth.UserRecord("viewer", Auth.hashPassword("viewpass", Auth.HashSha256), Auth.RoleReader)), Auth.HashSha256)
     // file round-trips through the reference's binary layout
     val (users, hashType) = Auth.readUserFile(userFile)
     assert(users.keySet == Set("admin", "viewer") && hashType == Auth.HashSha256)
@@ -333,7 +333,7 @@ class ServerSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_tcpauth").toString
     val userFile = s"$dir/users.db"
     Auth.writeUserFile(userFile, Seq(
-      Auth.UserRecord("viewer", Auth.hashPassword("pw", Auth.HashSha256), Auth.RoleReader)))
+      Auth.UserRecord("viewer", Auth.hashPassword("pw", Auth.HashSha256), Auth.RoleReader)), Auth.HashSha256)
     val auth = Some(Authenticator.fromFile(userFile))
 
     // bad credentials: handshake answers error and the server closes
@@ -627,7 +627,7 @@ class ServerSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_cliauth").toString
     val userFile = s"$dir/users.db"
     Auth.writeUserFile(userFile, Seq(
-      Auth.UserRecord("viewer", Auth.hashPassword("pw", Auth.HashSha256), Auth.RoleReader)))
+      Auth.UserRecord("viewer", Auth.hashPassword("pw", Auth.HashSha256), Auth.RoleReader)), Auth.HashSha256)
     val auth = Some(Authenticator.fromFile(userFile))
     withClientServer(auth) { port =>
       intercept[NbqlApiError] {
