@@ -790,6 +790,45 @@ object Queries {
       .orderBy("user", "timestamp")
   }
 
+  /** Whole-range per-series change (PromQL delta + increase without
+    * range-edge extrapolation): delta = last − first value; increase =
+    * Σ counter-reset-aware consecutive deltas. One row per series;
+    * increase is a parallel FP sum so the battery hashes it rounded. */
+  def tsDelta(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture))
+    TsAnalytics.rangeDelta(pts(s, dir), q)
+      .select(userCol, col("n_points"),
+        (col("first_ts") - pmod(col("first_ts"), lit(1000L))).as("first_ts"),
+        (col("last_ts") - pmod(col("last_ts"), lit(1000L))).as("last_ts"),
+        round(col("delta"), 4).as("delta"),
+        round(col("increase"), 4).as("increase"))
+      .orderBy("user")
+  }
+
+  /** Instantaneous rate (PromQL irate): the rate over each series' LAST
+    * two samples — one row per series. */
+  def tsIrate(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture))
+    TsAnalytics.irate(pts(s, dir), q)
+      .select(userCol, tsUs, col("value"), col("delta"),
+        round(col("rate_per_sec"), 6).as("rate_per_sec"))
+      .orderBy("user")
+  }
+
+  /** Least-squares trend + 7-day forecast (PromQL predict_linear): the
+    * oracle mirrors the SAME moment formulas (avg-of-products over
+    * epoch-second t), so both engines share the conditioning; slope is
+    * hashed per-hour (≫ rounding granularity) and predictions to 4dp. */
+  def tsPredict(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("view", startNs = 0L, endNs = Some(FarFuture))
+    TsAnalytics.predictLinear(pts(s, dir), q, horizonNs = 7L * 24 * HourNs)
+      .select(userCol, col("n_points"),
+        (col("last_ts") - pmod(col("last_ts"), lit(1000L))).as("last_ts"),
+        round(col("slope_per_sec") * lit(3600.0), 6).as("slope_per_hour"),
+        round(col("predicted"), 4).as("predicted"))
+      .orderBy("user")
+  }
+
   /** RATE over the bare-`*` metric selector: one call fans out across
     * every metric, per (metric, user) series — the ANALYZE × prefix
     * composition (PromQL's implicit multi-series rate). The series_key

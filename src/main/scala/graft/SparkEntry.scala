@@ -87,6 +87,9 @@ object SparkEntry {
     "ts_rate" -> (Queries.tsRate _),
     "ts_rate_split" -> (Queries.tsRateSplit _),
     "ts_rate_prefix" -> (Queries.tsRatePrefix _),
+    "ts_delta" -> (Queries.tsDelta _),
+    "ts_irate" -> (Queries.tsIrate _),
+    "ts_predict" -> (Queries.tsPredict _),
     "ts_anomaly" -> (Queries.tsAnomaly _),
     "ts_anomaly_split" -> (Queries.tsAnomalySplit _),
     "ts_twa" -> (Queries.tsTwa _),
@@ -932,6 +935,57 @@ object SparkEntry {
         |ORDER BY 1, 2, 3""".stripMargin,
     "ts_anomaly" -> TsAnomalySql,
     "ts_anomaly_split" -> TsAnomalySql,
+    "ts_delta" ->
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |l AS (
+        |  SELECT u, t, value,
+        |    lag(value) OVER (PARTITION BY u ORDER BY t) AS pv
+        |  FROM s)
+        |SELECT u AS "user", count(*) AS n_points,
+        |  min(t) AS first_ts, max(t) AS last_ts,
+        |  round(max_by(value, t) - min_by(value, t), 4) AS delta,
+        |  round(coalesce(sum(CASE WHEN pv IS NULL THEN NULL
+        |    WHEN value < pv THEN value ELSE value - pv END), 0), 4) AS increase
+        |FROM l GROUP BY u ORDER BY 1""".stripMargin,
+    "ts_irate" ->
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |l AS (
+        |  SELECT u, t, value,
+        |    lag(value) OVER w AS pv, lag(t) OVER w AS pt,
+        |    row_number() OVER (PARTITION BY u ORDER BY t DESC) AS rn
+        |  FROM s WINDOW w AS (PARTITION BY u ORDER BY t))
+        |SELECT u AS "user", t AS "timestamp", value,
+        |  CASE WHEN value < pv THEN value ELSE value - pv END AS delta,
+        |  round((CASE WHEN value < pv THEN value ELSE value - pv END) * 1e9
+        |    / CAST(t - pt AS DOUBLE), 6) AS rate_per_sec
+        |FROM l WHERE rn = 1 AND pv IS NOT NULL AND pt IS NOT NULL
+        |ORDER BY 1""".stripMargin,
+    // mirrors predictLinear's moment formulas term-for-term (same
+    // conditioning in both engines; only summation order differs)
+    "ts_predict" ->
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t_ns, value
+        |  FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT u, count(*) AS n_points, max(t_ns) AS last_ts,
+        |    avg(CAST(t_ns AS DOUBLE) / 1e9) AS mt, avg(value) AS mv,
+        |    avg((CAST(t_ns AS DOUBLE) / 1e9) * value) AS mtv,
+        |    avg((CAST(t_ns AS DOUBLE) / 1e9) * (CAST(t_ns AS DOUBLE) / 1e9)) AS mtt
+        |  FROM s GROUP BY u),
+        |d AS (
+        |  SELECT u, n_points, last_ts, mt, mv,
+        |    CASE WHEN n_points >= 2 AND mtt - mt * mt > 0
+        |      THEN (mtv - mt * mv) / (mtt - mt * mt) END AS slope
+        |  FROM m)
+        |SELECT u AS "user", n_points, last_ts,
+        |  round(slope * 3600, 6) AS slope_per_hour,
+        |  round(mv + slope * ((CAST(last_ts AS DOUBLE) + 604800000000000)
+        |    / 1e9 - mt), 4) AS predicted
+        |FROM d ORDER BY 1""".stripMargin,
 
     // ts_twa_split: same bit-identical-split contract as ts_rate_split
     "ts_twa" -> TsTwaSql,

@@ -179,6 +179,8 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
             return Left("TWA interval must be positive")
           case graft.tsdb.AnalyzeZScore(_, lb, _) if lb < 2 =>
             return Left("ZSCORE lookback must be at least 2")
+          case graft.tsdb.AnalyzePredict(_, h) if h <= 0 =>
+            return Left("PREDICT horizon must be positive")
           case graft.tsdb.AnalyzeCorrelate(_, b, _, _, mb) =>
             if (b == q.metric)
               return Left("CORRELATE needs two distinct metrics")
@@ -219,9 +221,10 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
         q.analyze.get match {
           case _: graft.tsdb.AnalyzeRate | _: graft.tsdb.AnalyzeEwma |
                _: graft.tsdb.AnalyzeHolt | _: graft.tsdb.AnalyzeTwa |
-               _: graft.tsdb.AnalyzeZScore | _: graft.tsdb.AnalyzeCumsum => ()
+               _: graft.tsdb.AnalyzeZScore | _: graft.tsdb.AnalyzeCumsum |
+               _: graft.tsdb.AnalyzeDelta | _: graft.tsdb.AnalyzeIrate => ()
           case _ =>
-            return Left("SPLIT applies to the per-series ordered analytics (RATE/EWMA/HOLT/TWA/ZSCORE/CUMSUM)")
+            return Left("SPLIT applies to the per-series ordered analytics (RATE/DELTA/IRATE/EWMA/HOLT/TWA/ZSCORE/CUMSUM)")
         }
       }
       Right(QueryParams(

@@ -1,8 +1,9 @@
 package graft.nbql
 
 import graft.model.FieldValue
-import graft.tsdb.{AggSpec, AnalyzeCorrelate, AnalyzeCumsum, AnalyzeEwma,
-  AnalyzeHolt, AnalyzeRate, AnalyzeRatio, AnalyzeSpec, AnalyzeTopK,
+import graft.tsdb.{AggSpec, AnalyzeCorrelate, AnalyzeCumsum, AnalyzeDelta,
+  AnalyzeEwma, AnalyzeHolt, AnalyzeIrate, AnalyzePredict, AnalyzeRate,
+  AnalyzeRatio, AnalyzeSpec, AnalyzeTopK,
   AnalyzeTwa, AnalyzeZScore, Ascending, Descending,
   FillLinear, FillNone, FillPrevious}
 import scala.util.parsing.combinator.RegexParsers
@@ -101,7 +102,8 @@ object NbqlParser extends RegexParsers {
       case by ~ specs => (q: QueryStatement) => q.copy(aggs = specs, byIntervalNs = by)
     }
 
-  /** `ANALYZE RATE(f) | EWMA(f, α) | HOLT(f, α, β) | TWA(f) BY <dur> |
+  /** `ANALYZE RATE(f) | DELTA(f) | IRATE(f) | PREDICT(f, <dur>) |
+    * EWMA(f, α) | HOLT(f, α, β) | TWA(f) BY <dur> |
     * CUMSUM(f) | ZSCORE(f, lookback, threshold)` — the TS analytics pack
     * ([[graft.tsdb.AnalyzeSpec]]). The field is explicit, like the
     * AGGREGATE grammar's `avg(load1)`; numeric parameters accept int or
@@ -112,6 +114,10 @@ object NbqlParser extends RegexParsers {
   private val numLit: Parser[Double] = doubleNum | longNum ^^ (_.toDouble)
   private val analyzeSpec: Parser[AnalyzeSpec] =
     kw("RATE") ~> "(" ~> name <~ ")" ^^ AnalyzeRate |
+    kw("DELTA") ~> "(" ~> name <~ ")" ^^ AnalyzeDelta |
+    kw("IRATE") ~> "(" ~> name <~ ")" ^^ AnalyzeIrate |
+    kw("PREDICT") ~> "(" ~> (name <~ ",") ~ duration <~ ")" ^^ {
+      case f ~ h => AnalyzePredict(f, h) } |
     kw("EWMA") ~> "(" ~> (name <~ ",") ~ numLit <~ ")" ^^ {
       case f ~ a => AnalyzeEwma(f, a) } |
     kw("HOLT") ~> "(" ~> (name <~ ",") ~ (numLit <~ ",") ~ numLit <~ ")" ^^ {

@@ -69,6 +69,9 @@ final class QueryCache(capacity: Int = 256, maxRowsPerEntry: Int = 100000) {
       splitNs: Option[Long]): String = {
     val specKey = spec match {
       case AnalyzeRate(f) => s"rate(${esc(f)})"
+      case AnalyzeDelta(f) => s"delta(${esc(f)})"
+      case AnalyzeIrate(f) => s"irate(${esc(f)})"
+      case AnalyzePredict(f, h) => s"predict(${esc(f)},$h)"
       case AnalyzeEwma(f, a) => s"ewma(${esc(f)},$a)"
       case AnalyzeHolt(f, a, b) => s"holt(${esc(f)},$a,$b)"
       case AnalyzeTwa(f, iv) => s"twa(${esc(f)},$iv)"

@@ -123,6 +123,17 @@ sealed trait AnalyzeSpec { def field: String }
 /** `ANALYZE RATE(field)` — counter-reset-aware per-second rate
   * ([[TsAnalytics.rate]]). */
 final case class AnalyzeRate(field: String) extends AnalyzeSpec
+/** `ANALYZE DELTA(field)` — whole-range last−first change plus
+  * counter-reset-aware increase, one row per series
+  * ([[TsAnalytics.rangeDelta]]). */
+final case class AnalyzeDelta(field: String) extends AnalyzeSpec
+/** `ANALYZE IRATE(field)` — instantaneous rate over each series' last
+  * two samples ([[TsAnalytics.irate]]). */
+final case class AnalyzeIrate(field: String) extends AnalyzeSpec
+/** `ANALYZE PREDICT(field, <horizon dur>)` — least-squares trend and
+  * horizon forecast past each series' last sample
+  * ([[TsAnalytics.predictLinear]]). */
+final case class AnalyzePredict(field: String, horizonNs: Long) extends AnalyzeSpec
 /** `ANALYZE EWMA(field, alpha)` ([[TsAnalytics.ewmaSmooth]]). */
 final case class AnalyzeEwma(field: String, alpha: Double) extends AnalyzeSpec
 /** `ANALYZE HOLT(field, alpha, beta)` ([[TsAnalytics.holtSmooth]]). */

@@ -138,14 +138,40 @@ object TsAnalytics {
       if (counterReset) when(col("__v") < col("__pv"), col("__v")).otherwise(rawDelta)
       else rawDelta
     val dt = col("timestamp") - col("__pt")
-    val withPrev = splitNs match {
+    val withPrev = laggedSlice(points, p, field, tombstones, splitNs,
+      dropNullValues = false)
+    withPrev
+      .filter(col("__pt").isNotNull && col("__pv").isNotNull)
+      .withColumn("delta", delta)
+      // merged view guarantees distinct timestamps per series, so dt > 0;
+      // the guard keeps ANSI mode unconditionally safe
+      .withColumn("rate_per_sec",
+        col("delta") * lit(1e9) / when(dt =!= 0L, dt.cast("double")))
+      .select(col("metric"), col("tags"), col("series_key"), col("timestamp"),
+        col("__v").as("value"), col("delta"), col("rate_per_sec"))
+      .orderBy(col("series_key"), col("timestamp"))
+  }
+
+  /** Slice (plain or hot-series-chunked) with each row's per-series
+    * predecessor `(__pt, __pv)` attached — the lag machinery behind
+    * [[rate]], [[rangeDelta]] and [[irate]]. With `dropNullValues` rows
+    * whose numeric value is null are removed BEFORE the lag, so the
+    * predecessor is the previous numeric sample (PromQL sample
+    * semantics); without it, null-valued rows flow through as ordinary
+    * predecessors ([[rate]]'s contract). */
+  private def laggedSlice(points: DataFrame, p: QueryParams, field: String,
+      tombstones: Seq[Tombstone], splitNs: Option[Long],
+      dropNullValues: Boolean): DataFrame = {
+    def prep(df: DataFrame): DataFrame =
+      if (dropNullValues) df.filter(col("__v").isNotNull) else df
+    splitNs match {
       case None =>
-        val df = slice(points, p, field, tombstones)
+        val df = prep(slice(points, p, field, tombstones))
         val w = Window.partitionBy(col("series_key")).orderBy(col("timestamp"))
         df.withColumn("__pv", lag(col("__v"), 1).over(w))
           .withColumn("__pt", lag(col("timestamp"), 1).over(w))
       case Some(sw) =>
-        val df = sliceChunked(points, p, field, tombstones, sw)
+        val df = prep(sliceChunked(points, p, field, tombstones, sw))
         val wc = Window.partitionBy(col("series_key"), col("__chunk"))
           .orderBy(col("timestamp"))
         // per-(series, chunk) LAST row — the predecessor of the next
@@ -170,16 +196,118 @@ object TsAnalytics {
           .withColumn("__pv", when(col("__rn1") === 1, col("__bpv")).otherwise(col("__pv0")))
           .withColumn("__pt", when(col("__rn1") === 1, col("__bpt")).otherwise(col("__pt0")))
     }
-    withPrev
+  }
+
+  /** Counter-reset-aware consecutive delta ([[rate]]'s core). */
+  private def pairDelta(counterReset: Boolean): Column = {
+    val rawDelta = col("__v") - col("__pv")
+    if (counterReset) when(col("__v") < col("__pv"), col("__v")).otherwise(rawDelta)
+    else rawDelta
+  }
+
+  /** Per-series whole-range change (PromQL `delta` + `increase`, without
+    * range-edge extrapolation): `delta` = last − first numeric value in
+    * the scanned range (gauge semantics, may be negative); `increase` =
+    * Σ counter-reset-aware consecutive deltas (counter semantics — a
+    * decrease means the counter restarted, so that pair contributes the
+    * new value; never negative). A single-sample series has delta 0 and
+    * increase 0. Null-valued rows are not samples and are skipped
+    * entirely (unlike [[rate]], which surfaces them as null-rate gaps).
+    *
+    * Plan: one lag exchange on series_key (hot-series-splittable via
+    * `splitNs`, the same boundary-patched machinery as [[rate]]) feeding
+    * a partially-aggregated groupBy whose shuffle carries one row per
+    * series.
+    *
+    * Output: metric, tags, series_key, n_points, first_ts, last_ts,
+    * delta, increase — one row per series, ordered by series_key. */
+  def rangeDelta(points: DataFrame, p: QueryParams, field: String = "value",
+      tombstones: Seq[Tombstone] = Nil,
+      splitNs: Option[Long] = None): DataFrame = {
+    laggedSlice(points, p, field, tombstones, splitNs, dropNullValues = true)
+      .groupBy(col("series_key"))
+      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"),
+        count(lit(1)).as("n_points"),
+        min(col("timestamp")).as("first_ts"), max(col("timestamp")).as("last_ts"),
+        min_by(col("__v"), col("timestamp")).as("__fv"),
+        max_by(col("__v"), col("timestamp")).as("__lv"),
+        sum(when(col("__pv").isNotNull, pairDelta(counterReset = true)))
+          .as("__inc"))
+      .select(col("metric"), col("tags"), col("series_key"), col("n_points"),
+        col("first_ts"), col("last_ts"),
+        (col("__lv") - col("__fv")).as("delta"),
+        coalesce(col("__inc"), lit(0.0)).as("increase"))
+      .orderBy(col("series_key"))
+  }
+
+  /** Per-series instantaneous rate (PromQL `irate`): the [[rate]] of the
+    * LAST two numeric samples of each series in range — the right shape
+    * for "current speed" dashboards where [[rate]] over the window is
+    * too smooth. Series with fewer than two samples emit no row.
+    *
+    * Output: metric, tags, series_key, timestamp (of the last sample),
+    * value, delta, rate_per_sec — one row per series. */
+  def irate(points: DataFrame, p: QueryParams, field: String = "value",
+      counterReset: Boolean = true,
+      tombstones: Seq[Tombstone] = Nil,
+      splitNs: Option[Long] = None): DataFrame = {
+    val dt = col("timestamp") - col("__pt")
+    laggedSlice(points, p, field, tombstones, splitNs, dropNullValues = true)
       .filter(col("__pt").isNotNull && col("__pv").isNotNull)
-      .withColumn("delta", delta)
-      // merged view guarantees distinct timestamps per series, so dt > 0;
-      // the guard keeps ANSI mode unconditionally safe
-      .withColumn("rate_per_sec",
-        col("delta") * lit(1e9) / when(dt =!= 0L, dt.cast("double")))
-      .select(col("metric"), col("tags"), col("series_key"), col("timestamp"),
-        col("__v").as("value"), col("delta"), col("rate_per_sec"))
-      .orderBy(col("series_key"), col("timestamp"))
+      .withColumn("__delta", pairDelta(counterReset))
+      .withColumn("__rate",
+        col("__delta") * lit(1e9) / when(dt =!= 0L, dt.cast("double")))
+      .groupBy(col("series_key"))
+      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"),
+        max_by(struct(col("timestamp").as("t"), col("__v").as("v"),
+          col("__delta").as("d"), col("__rate").as("r")), col("timestamp"))
+          .as("__l"))
+      .select(col("metric"), col("tags"), col("series_key"),
+        col("__l").getField("t").as("timestamp"),
+        col("__l").getField("v").as("value"),
+        col("__l").getField("d").as("delta"),
+        col("__l").getField("r").as("rate_per_sec"))
+      .orderBy(col("series_key"))
+  }
+
+  /** Per-series least-squares trend + horizon forecast (PromQL
+    * `predict_linear`): fit `v ≈ intercept + slope·t` over the scanned
+    * range and evaluate it `horizonNs` past the series' LAST sample.
+    * `t` is seconds relative to `p.startNs` so the moment sums stay
+    * well-conditioned in double. Series with < 2 samples, or with zero
+    * time variance, have null slope/prediction.
+    *
+    * Needs NO ordered window at all — the moments are plain commutative
+    * aggregates, so the plan is one map-side-combined groupBy (a hot
+    * series parallelizes across its input partitions by itself; there is
+    * deliberately no `splitNs` here).
+    *
+    * Output: metric, tags, series_key, n_points, last_ts, slope_per_sec,
+    * predicted — one row per series, ordered by series_key. */
+  def predictLinear(points: DataFrame, p: QueryParams, horizonNs: Long,
+      field: String = "value",
+      tombstones: Seq[Tombstone] = Nil): DataFrame = {
+    require(horizonNs >= 0, "predictLinear horizon must be non-negative")
+    val df = slice(points, p, field, tombstones).filter(col("__v").isNotNull)
+    val tSec = (col("timestamp") - lit(p.startNs)).cast("double") / lit(1e9)
+    val g = df.withColumn("__t", tSec)
+      .groupBy(col("series_key"))
+      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"),
+        count(lit(1)).as("n_points"), max(col("timestamp")).as("last_ts"),
+        avg(col("__t")).as("__mt"), avg(col("__v")).as("__mv"),
+        avg(col("__t") * col("__v")).as("__mtv"),
+        avg(col("__t") * col("__t")).as("__mtt"))
+    val varT = col("__mtt") - col("__mt") * col("__mt")
+    val slope = when(col("n_points") >= 2 && varT > 0,
+      (col("__mtv") - col("__mt") * col("__mv")) / varT)
+    val targetT =
+      (col("last_ts") - lit(p.startNs) + lit(horizonNs)).cast("double") / lit(1e9)
+    g.withColumn("slope_per_sec", slope)
+      .withColumn("predicted",
+        col("__mv") + col("slope_per_sec") * (targetT - col("__mt")))
+      .select(col("metric"), col("tags"), col("series_key"), col("n_points"),
+        col("last_ts"), col("slope_per_sec"), col("predicted"))
+      .orderBy(col("series_key"))
   }
 
   /** Per-series TIME-weighted average over epoch-aligned tumbling windows

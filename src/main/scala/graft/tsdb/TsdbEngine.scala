@@ -350,6 +350,15 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       case AnalyzeRate(f) =>
         TsAnalytics.rate(pts, params, field = f, tombstones = tombs,
           splitNs = splitNs)
+      case AnalyzeDelta(f) =>
+        TsAnalytics.rangeDelta(pts, params, field = f, tombstones = tombs,
+          splitNs = splitNs)
+      case AnalyzeIrate(f) =>
+        TsAnalytics.irate(pts, params, field = f, tombstones = tombs,
+          splitNs = splitNs)
+      case AnalyzePredict(f, h) =>
+        TsAnalytics.predictLinear(pts, params, h, field = f,
+          tombstones = tombs)
       case AnalyzeEwma(f, a) =>
         TsAnalytics.ewmaSmooth(pts, params, a, field = f, tombstones = tombs,
           splitNs = splitNs)

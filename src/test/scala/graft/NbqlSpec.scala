@@ -102,6 +102,15 @@ class NbqlParserSpec extends SparkSpec {
       .contains(AnalyzeTwa("v", 3600L * 1000000000L)))
     assert(p("QUERY cpu ANALYZE CUMSUM(v)")
       .asInstanceOf[QueryStatement].analyze.contains(AnalyzeCumsum("v")))
+    assert(p("QUERY cpu ANALYZE DELTA(v)")
+      .asInstanceOf[QueryStatement].analyze.contains(graft.tsdb.AnalyzeDelta("v")))
+    assert(p("QUERY cpu ANALYZE IRATE(v)")
+      .asInstanceOf[QueryStatement].analyze.contains(graft.tsdb.AnalyzeIrate("v")))
+    assert(p("QUERY cpu ANALYZE PREDICT(v, 1h)")
+      .asInstanceOf[QueryStatement].analyze
+      .contains(graft.tsdb.AnalyzePredict("v", 3600L * 1000000000L)))
+    assert(NbqlParser.parse("QUERY cpu ANALYZE PREDICT(v)").isLeft) // horizon mandatory
+    assert(NbqlParser.parse("QUERY cpu ANALYZE DELTA()").isLeft)
     assert(p("QUERY cpu ANALYZE ZSCORE(v, 20, 3.0)")
       .asInstanceOf[QueryStatement].analyze.contains(AnalyzeZScore("v", 20, 3.0)))
     // composes with TAGGED/range/FILTER in any order
@@ -404,6 +413,74 @@ class NbqlExecutorSpec extends SparkSpec {
       // SPLIT validations
       assert(ex.execute("QUERY cpu FROM 0 TO 9 SPLIT 1h").isLeft) // needs ANALYZE
       assert(ex.execute("QUERY cpu ANALYZE CORRELATE(v, mem, h, 2) BY 1us SPLIT 1h").isLeft)
+    }
+  }
+
+  test("ANALYZE DELTA/IRATE/PREDICT end-to-end with validations") {
+    withEngine { (_, ex) =>
+      // h=a: 1 → 2 → 4 (rising); h=b: 10 → 5 (counter reset)
+      assert(ex.execute(
+        """PUSHS cpu TAGGED (h="a") SET (v=1.0) AT 1000,
+           cpu TAGGED (h="a") SET (v=2.0) AT 2000,
+           cpu TAGGED (h="a") SET (v=4.0) AT 3000,
+           cpu TAGGED (h="b") SET (v=10.0) AT 1500,
+           cpu TAGGED (h="b") SET (v=5.0) AT 2500""").isRight)
+
+      // DELTA: one row per series; gauge delta vs counter increase
+      val del = rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE DELTA(v)")
+      assert(del.size == 2)
+      val dByH = del.map(r => r.getAs[Map[String, String]]("tags")("h") ->
+        (r.getAs[Long]("n_points"), r.getAs[Long]("first_ts"),
+          r.getAs[Long]("last_ts"), r.getAs[Double]("delta"),
+          r.getAs[Double]("increase"))).toMap
+      assert(dByH("a") == ((3L, 1000L, 3000L, 3.0, 3.0)))
+      // reset pair contributes the NEW value to increase; delta is signed
+      assert(dByH("b") == ((2L, 1500L, 2500L, -5.0, 5.0)))
+
+      // IRATE: the last pair only
+      val ir = rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE IRATE(v)")
+      assert(ir.size == 2)
+      val iByH = ir.map(r => r.getAs[Map[String, String]]("tags")("h") ->
+        (r.getAs[Long]("timestamp"), r.getAs[Double]("value"),
+          r.getAs[Double]("delta"), r.getAs[Double]("rate_per_sec"))).toMap
+      assert(iByH("a") == ((3000L, 4.0, 2.0, 2e6)))
+      assert(iByH("b") == ((2500L, 5.0, 5.0, 5e6)))
+
+      // PREDICT: least-squares trend, forecast 1us past the last sample
+      val pr = rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE PREDICT(v, 1us)")
+      assert(pr.size == 2)
+      val pByH = pr.map(r => r.getAs[Map[String, String]]("tags")("h") ->
+        (r.getAs[Long]("n_points"), r.getAs[Double]("slope_per_sec"),
+          r.getAs[Double]("predicted"))).toMap
+      // a: equidistant (1,2,4) → slope 1.5e6/s, v(4000ns) = 16/3
+      assert(pByH("a")._1 == 3L)
+      assert(math.abs(pByH("a")._2 - 1.5e6) < 1.0)
+      assert(math.abs(pByH("a")._3 - 16.0 / 3) < 1e-9)
+      // b: two points, slope −5e6/s, hits 0 one gap later
+      assert(math.abs(pByH("b")._2 - (-5e6)) < 1.0)
+      assert(math.abs(pByH("b")._3) < 1e-9)
+
+      // a single-sample series: delta/increase 0, no irate row, null slope
+      assert(ex.execute(
+        """PUSH one TAGGED (h="x") SET (v=7.0) AT 5000""").isRight)
+      val d1 = rows(ex, "QUERY one FROM 0 TO 9999 ANALYZE DELTA(v)")
+      assert(d1.size == 1 &&
+        d1.head.getAs[Double]("delta") == 0.0 &&
+        d1.head.getAs[Double]("increase") == 0.0)
+      assert(rows(ex, "QUERY one FROM 0 TO 9999 ANALYZE IRATE(v)").isEmpty)
+      val p1 = rows(ex, "QUERY one FROM 0 TO 9999 ANALYZE PREDICT(v, 1us)")
+      assert(p1.size == 1 && p1.head.isNullAt(p1.head.fieldIndex("slope_per_sec")))
+
+      // SPLIT: DELTA/IRATE ride the lag machinery bit-identically;
+      // PREDICT needs no ordered scan, so SPLIT is rejected
+      assert(rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE DELTA(v) SPLIT 1us") == del)
+      assert(rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE IRATE(v) SPLIT AUTO") == ir)
+      assert(ex.execute("QUERY cpu FROM 0 TO 9999 ANALYZE PREDICT(v, 1us) SPLIT 1h").isLeft)
+      // horizon must be positive
+      assert(ex.execute("QUERY cpu ANALYZE PREDICT(v, 0s)").isLeft)
+      // TAGGED composes; AGGREGATE does not
+      assert(rows(ex, """QUERY cpu TAGGED (h="a") FROM 0 TO 9999 ANALYZE DELTA(v)""").size == 1)
+      assert(ex.execute("QUERY cpu AGGREGATE (sum(v)) ANALYZE DELTA(v)").isLeft)
     }
   }
 
