@@ -60,6 +60,27 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   private val wafListener = new Listeners.WriteAmplificationListener
   hooks.register(EventType.PostCompaction, wafListener)
 
+  /** Data-file compression codec — the engine-level analog of the
+    * reference's `engine.sstable.compression` option
+    * (`configs/config-docker-leader.yaml:21`, `compressors/`: none,
+    * snappy, lz4, zstd). Applied to every parquet data/rollup write;
+    * files already on disk keep the codec they were written with until
+    * compaction rewrites them (exactly the reference's block-level
+    * contract — readers detect the codec per file/block). At 100 TB the
+    * snappy→zstd choice is the classic scan-speed-vs-footprint knob;
+    * snappy is the default like the reference's. */
+  @volatile private var compressionCodec: String = "snappy"
+  def compression: String = compressionCodec
+  def setCompression(codec: String): Unit = {
+    val norm = codec.toLowerCase match {
+      case "none" => "uncompressed"
+      case c => c
+    }
+    require(TsdbEngine.Codecs.contains(norm),
+      s"unsupported compression '$codec' (none, snappy, lz4, zstd, gzip)")
+    compressionCodec = norm
+  }
+
   /** Series keys first-seen by this instance's driver-mediated puts —
     * feeds `OnSeriesCreate` (tracked only while a listener is registered;
     * the reference's in-memory series index gives its hook the same
@@ -185,7 +206,8 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     val staging = s"$rootDir/_staging/$stamp"
     df.withColumn("date", dateOfTs(col("timestamp")))
       .repartition(col("metric"), col("date"))
-      .write.partitionBy("metric", "date").parquet(staging)
+      .write.option("compression", compressionCodec)
+      .partitionBy("metric", "date").parquet(staging)
     val added = moveStaged(Paths.get(staging), stamp)
     deleteDir(Paths.get(staging))
     val hwm = seqCounter.get()
@@ -1035,7 +1057,8 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     val stamp = java.util.UUID.randomUUID().toString.take(12)
     val staging = Paths.get(s"$rootDir/_staging/rollup-$stamp")
     rolled.repartition(col("date"))
-      .write.partitionBy("date").parquet(staging.toString)
+      .write.option("compression", compressionCodec)
+      .partitionBy("date").parquet(staging.toString)
     replaceDates match {
       case Some(ds) => ds.foreach(d => deleteDir(dirM.resolve(s"date=$d")))
       case None =>
@@ -1464,7 +1487,8 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     val staging = s"$rootDir/_staging/$stamp"
     survivors.withColumn("date", dateOfTs(col("timestamp")))
       .repartition(col("metric"), col("date"))
-      .write.partitionBy("metric", "date").parquet(staging)
+      .write.option("compression", compressionCodec)
+      .partitionBy("metric", "date").parquet(staging)
     val added = moveStaged(Paths.get(staging), stamp)
     deleteDir(Paths.get(staging))
     // byte accounting while both file sets exist (pre-vacuum) — handed to
@@ -1620,6 +1644,11 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
 }
 
 object TsdbEngine {
+  /** Parquet codecs accepted by [[TsdbEngine.setCompression]] — the
+    * reference's compressor set (`compressors/`: none/snappy/lz4/zstd)
+    * plus gzip, all codec jars shipped with Spark. */
+  val Codecs: Set[String] = Set("uncompressed", "snappy", "lz4", "zstd", "gzip")
+
   /** A registered rollup: interval, covered fields, and whether per-window
     * t-digest sketches are stored (percentile eligibility). */
   final case class RollupReg(intervalNs: Long, fields: Seq[String],

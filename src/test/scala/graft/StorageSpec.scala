@@ -177,6 +177,39 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("compression codec: every reference codec round-trips; compaction rewrites") {
+    withDir { dir =>
+      val e = new TsdbEngine(spark, s"$dir/db")
+      assert(e.compression == "snappy") // the reference's default
+      // every supported codec writes and reads back through the engine
+      Seq("zstd", "lz4", "gzip", "none", "snappy").zipWithIndex.foreach {
+        case (c, i) =>
+          e.setCompression(c)
+          assert(e.putBatch(Seq(pt("m", s"h$c", 1000L + i, i.toDouble))).isRight)
+      }
+      assert(count(e, "m") == 5)
+      import scala.collection.JavaConverters._
+      def codecsOnDisk(): Set[String] =
+        Files.walk(Paths.get(s"$dir/db/data")).iterator().asScala
+          .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+          .map { n => n.split('.').toSeq match {
+            case parts if parts.length >= 3 => parts(parts.length - 2)
+            case _ => "unknown"
+          } }.toSet
+      // mixed codecs coexist (files keep the codec they were written
+      // with; parquet-mr names lz4 "lz4hadoop")
+      assert(Set("zstd", "lz4hadoop", "gz", "snappy").subsetOf(codecsOnDisk()))
+      // compaction rewrites everything under the CURRENT codec
+      e.setCompression("zstd")
+      assert(e.compact().isRight)
+      e.vacuum()
+      assert(codecsOnDisk() == Set("zstd") && count(e, "m") == 5)
+      // invalid codec is rejected up front, engine state untouched
+      intercept[IllegalArgumentException](e.setCompression("lzma"))
+      assert(e.compression == "zstd")
+    }
+  }
+
   test("commit log race: two writers never drop a commit") {
     withDir { dir =>
       val log = new TxLog(s"$dir/_log")
