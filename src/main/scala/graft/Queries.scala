@@ -256,7 +256,7 @@ object Queries {
 
   // ---- Training-data pipeline battery (dedup/similarity/text/multimodal) --
 
-  import graft.pipeline.{Clustering, Decontaminate, Dedup, Sampling, Sharding, Similarity, TextAnalysis => TA}
+  import graft.pipeline.{Clustering, Decontaminate, Dedup, Probe, Sampling, Sharding, Similarity, TextAnalysis => TA}
 
   /** Text quality statistics + heuristic quality score per document. */
   def docStats(s: SparkSession, dir: String): DataFrame = {
@@ -272,6 +272,42 @@ object Queries {
       // engines there (BigDecimal HALF_UP vs double math). floor(x*1e4+0.5)
       // is pure IEEE arithmetic, identical in any engine.
       floor(TA.qualityScore(col("text")) * 10000 + 0.5).cast("long").as("quality_e4"))
+      .orderBy("doc_id")
+  }
+
+  /** Trainable quality probe, sufficient-statistics scan: the corpus
+    * reduced to ONE row of Gram/moment sums over the intercept-extended
+    * feature vector (the entire training input — a 100 TB corpus trains
+    * in one aggregation scan). Label = a known linear target so the fit
+    * is verifiable end-to-end ([[qualityProbeScore]]). */
+  def qualityProbeGram(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val fts = Probe.docFeatures(col("text"))
+    val label = lit(1.0) + fts(0) * 2.0 + fts(1) * 3.0 - fts(2)
+    val g = Probe.gramMoments(docs, fts, label)
+    g.select(col("n") +: g.columns.filter(_ != "n").map(c =>
+      round(col(c), 4).as(c)): _*)
+  }
+
+  /** Trainable quality probe, END-TO-END: fit ridge weights over the
+    * documents corpus against a KNOWN linear target (the one-scan Gram
+    * reduction + driver solve), then score every document with the
+    * learned weights. The oracle computes the target directly — so the
+    * hash gate proves the whole distributed train→solve→score loop
+    * reproduces the generating function, not just that scoring
+    * multiplies correctly. */
+  def qualityProbeScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val fts = Probe.docFeatures(col("text"))
+    val label = lit(1.0) + fts(0) * 2.0 + fts(1) * 3.0 - fts(2)
+    // quantize the learned weights to 6dp: the exact fit recovers the
+    // generating coefficients to ≪5e-7, so quantization lands EXACTLY on
+    // [1, 2, 3, -1] and the score becomes the identical IEEE arithmetic
+    // the oracle computes — hashable UNROUNDED (no half-boundary risk; a
+    // fit degradation past 5e-7 flips a weight and trips the gate)
+    val w = Probe.fitRidge(docs, fts, label, lambda = 0.0)
+      .map(x => math.rint(x * 1e6) / 1e6)
+    docs.select(col("doc_id"), Probe.score(fts, w).as("probe_score"))
       .orderBy("doc_id")
   }
 

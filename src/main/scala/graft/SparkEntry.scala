@@ -37,6 +37,8 @@ object SparkEntry {
     "pushdown_scan" -> (Queries.pushdownScan _),
     // Training-data pipeline (dedup / similarity / text / multimodal)
     "doc_stats" -> (Queries.docStats _),
+    "quality_probe_gram" -> (Queries.qualityProbeGram _),
+    "quality_probe_score" -> (Queries.qualityProbeScore _),
     "lang_id" -> (Queries.langId _),
     "dedup_exact" -> (Queries.dedupExact _),
     "dedup_jaccard_pairs" -> (Queries.dedupJaccardPairs _),
@@ -562,6 +564,48 @@ object SparkEntry {
         |      + 0.3 * (len(list_filter(ws, x -> x IN ('the','a','of','and')))::DOUBLE / len(ws)))
         |    * 10000 + 0.5) AS BIGINT) AS quality_e4
         |FROM w ORDER BY doc_id""".stripMargin,
+    // the probe's training scan: corpus → one row of Gram/moment sums
+    "quality_probe_gram" ->
+      """WITH w AS (SELECT
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |f AS (SELECT
+        |  least(len(ws) / 100.0, 1.0) AS f1,
+        |  CASE WHEN len(ws) = 0 THEN 0.0
+        |       ELSE len(list_distinct(ws))::DOUBLE / len(ws) END AS f2,
+        |  CASE WHEN len(ws) = 0 THEN 0.0
+        |       ELSE len(list_filter(ws, x -> x IN ('the','a','of','and')))::DOUBLE
+        |            / len(ws) END AS f3
+        |  FROM w),
+        |x AS (SELECT 1.0 AS x0, f1 AS x1, f2 AS x2, f3 AS x3,
+        |        1.0 + f1 * 2.0 + f2 * 3.0 - f3 AS y FROM f)
+        |SELECT count(*) AS n,
+        |  round(sum(x0*x0), 4) AS g00, round(sum(x0*x1), 4) AS g01,
+        |  round(sum(x0*x2), 4) AS g02, round(sum(x0*x3), 4) AS g03,
+        |  round(sum(x1*x1), 4) AS g11, round(sum(x1*x2), 4) AS g12,
+        |  round(sum(x1*x3), 4) AS g13, round(sum(x2*x2), 4) AS g22,
+        |  round(sum(x2*x3), 4) AS g23, round(sum(x3*x3), 4) AS g33,
+        |  round(sum(x0*y), 4) AS b0, round(sum(x1*y), 4) AS b1,
+        |  round(sum(x2*y), 4) AS b2, round(sum(x3*y), 4) AS b3
+        |FROM x""".stripMargin,
+    // end-to-end: the oracle computes the GENERATING function directly —
+    // matching hashes prove the distributed fit recovered its
+    // coefficients (quantized weights make the scoring arithmetic
+    // identical IEEE ops, hashed unrounded)
+    "quality_probe_score" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |  least(len(ws) / 100.0, 1.0) AS f1,
+        |  CASE WHEN len(ws) = 0 THEN 0.0
+        |       ELSE len(list_distinct(ws))::DOUBLE / len(ws) END AS f2,
+        |  CASE WHEN len(ws) = 0 THEN 0.0
+        |       ELSE len(list_filter(ws, x -> x IN ('the','a','of','and')))::DOUBLE
+        |            / len(ws) END AS f3
+        |  FROM w)
+        |SELECT doc_id, 1.0 + f1 * 2.0 + f2 * 3.0 - f3 AS probe_score
+        |FROM f ORDER BY doc_id""".stripMargin,
     "lang_id" ->
       """WITH w AS (SELECT doc_id, lang, text,
         |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws

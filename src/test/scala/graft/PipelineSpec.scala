@@ -82,6 +82,40 @@ class PipelineSpec extends SparkSpec {
     assert(kept(1).getAs[Long]("cluster_size") == 1L)
   }
 
+  test("ridge probe: one-pass fit recovers a linear target; lambda regularizes") {
+    // y = 5 + 2·a − 3·b, noiseless → exact least squares recovers it
+    val rows = (0 until 64).map { i =>
+      val a = (i % 8).toDouble / 7.0
+      val b = (i / 8).toDouble / 7.0
+      (a, b, 5.0 + 2.0 * a - 3.0 * b)
+    }
+    val df = rows.toDF("a", "b", "y")
+    val fts = Seq(col("a"), col("b"))
+    val w = Probe.fitRidge(df, fts, col("y"), lambda = 0.0)
+    assert(math.abs(w(0) - 5.0) < 1e-9 && math.abs(w(1) - 2.0) < 1e-9 &&
+      math.abs(w(2) + 3.0) < 1e-9)
+    // scoring reproduces the target
+    val scored = df.select((Probe.score(fts, w) - col("y")).as("r"))
+      .agg(max(abs(col("r")))).head.getDouble(0)
+    assert(scored < 1e-9)
+    // ridge shrinks the slope coefficients toward zero
+    val wr = Probe.fitRidge(df, fts, col("y"), lambda = 100.0)
+    assert(math.abs(wr(1)) < math.abs(w(1)) && math.abs(wr(2)) < math.abs(w(2)))
+    // collinear features: exact LS is singular, any positive lambda rescues
+    val dfc = rows.map { case (a, _, y) => (a, 2 * a, y) }.toDF("a", "b", "y")
+    intercept[IllegalArgumentException](
+      Probe.fitRidge(dfc, fts, col("y"), lambda = 0.0))
+    assert(Probe.fitRidge(dfc, fts, col("y"), lambda = 1e-3).length == 3)
+    // weight arity is validated
+    intercept[IllegalArgumentException](Probe.score(fts, Array(1.0, 2.0)))
+    // gram moments: one row, n + 6 gram + 3 moment columns for k=2
+    val g = Probe.gramMoments(df, fts, col("y"))
+    assert(g.columns.toSeq ==
+      Seq("n", "g00", "g01", "g02", "g11", "g12", "g22", "b0", "b1", "b2"))
+    val r0 = g.head
+    assert(r0.getLong(0) == 64 && math.abs(r0.getDouble(1) - 64.0) < 1e-9)
+  }
+
   test("quality filter: rule provenance in reasons, clean docs keep") {
     val df = Seq(
       (1L, "a solid natural sentence with plenty of distinct meaningful words here"),
