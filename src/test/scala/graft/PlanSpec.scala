@@ -337,6 +337,44 @@ class PlanSpec extends SparkSpec {
     val card = plan("ts_cardinality")
     assert(countIn(card, "Join") == 0)
     assert(countIn(card, "Exchange hashpartitioning") <= 3, card)
+
+    // delta/irate ride the same single series_key exchange as rate, plus
+    // the per-series partial-agg regroup (a superset key — Spark reuses
+    // the clustering, so ≤2 hash exchanges and never a join)
+    val del = plan("ts_delta")
+    assert(countIn(del, "Join") == 0)
+    assert(countIn(del, "Exchange hashpartitioning") <= 2, del)
+    val ir = plan("ts_irate")
+    assert(countIn(ir, "Join") == 0)
+    assert(countIn(ir, "Exchange hashpartitioning") <= 2, ir)
+
+    // predict_linear's ANALYTIC needs no ordered window: plain
+    // commutative moments with map-side partials. The only Window in the
+    // plan is the engine's latest-version merge (row_number dedup, with
+    // its WindowGroupLimit pre-filter) — the analytic itself adds none.
+    val pred = plan("ts_predict")
+    assert(countIn(pred, "Window [row_number") == 1 &&
+      countIn(pred, "Window [") == 1,
+      s"only the merge dedup may window:\n$pred")
+    assert(countIn(pred, "Join") == 0)
+    assert(countIn(pred, "Exchange hashpartitioning") <= 2, pred)
+    assert(pred.contains("partial_"), "moments must combine map-side")
+  }
+
+  test("probe training: corpus reduces to ONE aggregate row, no window/join") {
+    // the entire training scan is a single global aggregation with
+    // map-side partials — no Window, no Join, no per-row driver work
+    val p = plan("quality_probe_gram")
+    assert(countIn(p, "Window") == 0, p)
+    assert(countIn(p, "Join") == 0, p)
+    assert(countIn(p, "FileScan") == 1)
+    assert(p.contains("partial_"), "Gram sums must combine map-side")
+    // scoring is a pure narrow map: scan → project, zero exchanges beyond
+    // the presentation sort
+    val sc = plan("quality_probe_score")
+    assert(countIn(sc, "Window") == 0 && countIn(sc, "Join") == 0, sc)
+    assert(countIn(sc, "Exchange hashpartitioning") == 0,
+      s"scoring must not shuffle:\n$sc")
   }
 
   test("bucketed layout: co-located join and aggregation plan ZERO exchanges") {
