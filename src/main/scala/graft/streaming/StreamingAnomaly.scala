@@ -96,6 +96,67 @@ object StreamingAnomaly {
   /** Last observed (event-time ms, value) per live series. */
   case class LastPt(tMs: Long, v: Double)
 
+  case class DeltaRow(series_key: String, ts: Timestamp, value: Double,
+      n_points: Long, delta: Double, increase: Double)
+
+  /** Running whole-range-change state: first value, last (ts, value),
+    * reset-aware increase, point count — O(1) per live series. */
+  case class DeltaSt(firstV: Double, tMs: Long, v: Double,
+      increase: Double, n: Long)
+
+  /** Running whole-range change per live series — the streaming twin of
+    * [[graft.tsdb.TsAnalytics.rangeDelta]]: each arriving point emits the
+    * series' running `n_points`, gauge `delta` (value − first value) and
+    * counter-reset-aware `increase`, so a dashboard watches counters
+    * grow live instead of re-scanning. After any in-order prefix the
+    * LAST emitted row per series equals the batch operator's row over
+    * that prefix (spec-pinned parity). A series' first point emits
+    * (n=1, 0, 0) like the batch single-sample contract; late rows (at or
+    * before the last seen event time) are dropped, like [[rate]]. State
+    * expires after `idleExpiry` beyond the watermark. */
+  def runningDelta(points: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, counterReset: Boolean = true,
+      lateness: String = "10 minutes",
+      idleExpiry: String = "1 hour"): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val ds = points
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("t"),
+        col(valueCol).cast("double").as("v"))
+      .withWatermark("t", lateness)
+      .as[(String, Timestamp, Double)]
+    implicit val stEnc = Encoders.product[DeltaSt]
+    implicit val rowEnc = Encoders.product[DeltaRow]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[DeltaSt, DeltaRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, Timestamp, Double)],
+            state: GroupState[DeltaSt]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.orNull
+            val batch = rows.toIndexedSeq.sortBy(_._2.getTime)
+            val out = batch.flatMap { case (_, t, v) =>
+              val tMs = t.getTime
+              if (st == null) {
+                st = DeltaSt(v, tMs, v, 0.0, 1L)
+                Some(DeltaRow(key, t, v, 1L, 0.0, 0.0))
+              } else if (tMs <= st.tMs) None // late/dup: dropped like rate
+              else {
+                val d = if (counterReset && v < st.v) v else v - st.v
+                st = DeltaSt(st.firstV, tMs, v, st.increase + d, st.n + 1)
+                Some(DeltaRow(key, t, v, st.n, v - st.firstV, st.increase))
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(batch.last._2.getTime, idleExpiry)
+            }
+            out.iterator
+          }
+      }.toDF()
+  }
+
   /** Streaming per-second rate — the streaming twin of
     * [[graft.tsdb.TsAnalytics.rate]] (PromQL `rate` contract, counter
     * resets clamped to the new value). State per live series is ONE

@@ -576,6 +576,56 @@ class StreamingSpec extends SparkSpec {
     assert(got(("a", 6 * S))._2 == 2.0)
   }
 
+  test("streaming running delta: last row per series matches batch rangeDelta") {
+    implicit val sqlCtx = spark.sqlContext
+    val S = 1000L
+    // a: rising with one counter reset at i=5; b: two points
+    val feed = (0 until 9).map(i =>
+      ("a", (i + 1) * S, if (i == 5) 2.0 else i * 3.0 + 1)) ++
+      Seq(("b", 2 * S, 5.0), ("b", 3 * S, 7.5))
+    val mem = MemoryStream[(String, Long, Double)]
+    val pts = mem.toDF().toDF("k", "ms", "v")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = StreamingAnomaly.runningDelta(pts, "k", "ts", "v")
+    val q = out.writeStream.format("memory").queryName("deltastream")
+      .outputMode("append").start()
+    try {
+      mem.addData(feed.take(6): _*) // state must carry across the split
+      q.processAllAvailable()
+      mem.addData(feed.drop(6): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("deltastream")
+      .select(col("series_key"), col("ts").cast("long") * 1000,
+        col("n_points"), col("delta"), col("increase"))
+      .as[(String, Long, Long, Double, Double)].collect()
+    // one emitted row per input point (first points emit n=1,0,0)
+    assert(rows.length == feed.length)
+    assert(rows.filter(_._3 == 1L).map(r => (r._1, r._4, r._5)).toSet ==
+      Set(("a", 0.0, 0.0), ("b", 0.0, 0.0)))
+    val lastBySeries = rows.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.maxBy(_._2) }
+    val batchPts = feed.map { case (k, ms, v) =>
+      TP("m", Map("h" -> k), ms * 1000000L, Map("value" -> FV.dv(v)), ms)
+    }
+    val want = TsAnalytics.rangeDelta(batchPts.toDF(),
+        QueryParams("m", endNs = Some(Long.MaxValue / 2)))
+      .select(col("tags")("h"), col("n_points"), col("delta"), col("increase"))
+      .as[(String, Long, Double, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    lastBySeries.foreach { case (k, (_, _, n, d, inc)) =>
+      assert(want(k) == ((n, d, inc)),
+        s"series $k: streaming final ($n,$d,$inc) vs batch ${want(k)}")
+    }
+    // exact values: a = 1,4,7,10,13,2(reset),19,22,25 → delta 24,
+    // increase 3·6 + 2(reset) + 17 = 37; b = 5 → 7.5
+    assert(want("a") == ((9L, 24.0, 37.0)) && want("b") == ((2L, 2.5, 2.5)))
+    // mid-stream row after the reset: n=6, delta = 2−1, increase includes
+    // the reset's new-value contribution (12 + 2)
+    val aReset = rows.find(r => r._1 == "a" && r._3 == 6L).get
+    assert(aReset._4 == 1.0 && aReset._5 == 14.0)
+  }
+
   test("cardinality summary: sketch serve matches exact counts; unions merge") {
     val pts = (0 until 40).flatMap { i =>
       Seq(TP("m", Map("h" -> s"h$i"), i * 100L, Map("value" -> FV.dv(1.0)), i.toLong),
