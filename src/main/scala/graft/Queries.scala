@@ -1278,4 +1278,16 @@ object Queries {
     nbqlRows(s, dir, s"QUERY purchase FROM 0 TO $FarFuture ANALYZE RATE(value)")
       .select(userCol, tsUs, col("value"), col("delta"), col("rate_per_sec"))
       .orderBy("user", "timestamp")
+
+  /** `ANALYZE DELTA` through the full NBQL protocol path (parse →
+    * validate → serving tier) — hashes against ts_delta's oracle
+    * verbatim, wire-gating the whole-range-change analytic. */
+  def nbqlDelta(s: SparkSession, dir: String): DataFrame =
+    nbqlRows(s, dir, s"QUERY purchase FROM 0 TO $FarFuture ANALYZE DELTA(value)")
+      .select(userCol, col("n_points"),
+        (col("first_ts") - pmod(col("first_ts"), lit(1000L))).as("first_ts"),
+        (col("last_ts") - pmod(col("last_ts"), lit(1000L))).as("last_ts"),
+        round(col("delta"), 4).as("delta"),
+        round(col("increase"), 4).as("increase"))
+      .orderBy("user")
 }

@@ -25,6 +25,7 @@ object SparkEntry {
     "tsdb_desc_scan" -> (Queries.tsdbDescScan _),
     "nbql_query_e2e" -> (Queries.nbqlQueryE2e _),
     "nbql_rate" -> (Queries.nbqlRate _),
+    "nbql_delta" -> (Queries.nbqlDelta _),
     "nbql_correlate" -> (Queries.nbqlCorrelate _),
     "nbql_topk" -> (Queries.nbqlTopk _),
     "show_metrics" -> (Queries.showMetrics _),
@@ -131,6 +132,23 @@ object SparkEntry {
       |    / CAST(t - pt AS DOUBLE) AS rate_per_sec
       |FROM l WHERE pv IS NOT NULL AND pt IS NOT NULL
       |ORDER BY 1, 2""".stripMargin
+
+  /** Shared by `ts_delta`/`nbql_delta` (same analytic, API vs wire
+    * path). */
+  private val TsDeltaSql =
+    """WITH s AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |l AS (
+      |  SELECT u, t, value,
+      |    lag(value) OVER (PARTITION BY u ORDER BY t) AS pv
+      |  FROM s)
+      |SELECT u AS "user", count(*) AS n_points,
+      |  min(t) AS first_ts, max(t) AS last_ts,
+      |  round(max_by(value, t) - min_by(value, t), 4) AS delta,
+      |  round(coalesce(sum(CASE WHEN pv IS NULL THEN NULL
+      |    WHEN value < pv THEN value ELSE value - pv END), 0), 4) AS increase
+      |FROM l GROUP BY u ORDER BY 1""".stripMargin
 
   /** Shared by `ts_twa`/`ts_twa_split` — same bit-identical contract. */
   private val TsTwaSql =
@@ -979,20 +997,10 @@ object SparkEntry {
         |ORDER BY 1, 2, 3""".stripMargin,
     "ts_anomaly" -> TsAnomalySql,
     "ts_anomaly_split" -> TsAnomalySql,
-    "ts_delta" ->
-      """WITH s AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value
-        |  FROM events WHERE event_type = 'purchase'),
-        |l AS (
-        |  SELECT u, t, value,
-        |    lag(value) OVER (PARTITION BY u ORDER BY t) AS pv
-        |  FROM s)
-        |SELECT u AS "user", count(*) AS n_points,
-        |  min(t) AS first_ts, max(t) AS last_ts,
-        |  round(max_by(value, t) - min_by(value, t), 4) AS delta,
-        |  round(coalesce(sum(CASE WHEN pv IS NULL THEN NULL
-        |    WHEN value < pv THEN value ELSE value - pv END), 0), 4) AS increase
-        |FROM l GROUP BY u ORDER BY 1""".stripMargin,
+    // nbql_delta runs the SAME analytic through the protocol path —
+    // identical oracle by construction
+    "ts_delta" -> TsDeltaSql,
+    "nbql_delta" -> TsDeltaSql,
     "ts_irate" ->
       """WITH s AS (
         |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value

@@ -222,9 +222,10 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
           case _: graft.tsdb.AnalyzeRate | _: graft.tsdb.AnalyzeEwma |
                _: graft.tsdb.AnalyzeHolt | _: graft.tsdb.AnalyzeTwa |
                _: graft.tsdb.AnalyzeZScore | _: graft.tsdb.AnalyzeCumsum |
-               _: graft.tsdb.AnalyzeDelta | _: graft.tsdb.AnalyzeIrate => ()
+               _: graft.tsdb.AnalyzeDelta | _: graft.tsdb.AnalyzeIrate |
+               _: graft.tsdb.AnalyzePredict => ()
           case _ =>
-            return Left("SPLIT applies to the per-series ordered analytics (RATE/DELTA/IRATE/EWMA/HOLT/TWA/ZSCORE/CUMSUM)")
+            return Left("SPLIT applies to the per-series analytics (RATE/DELTA/IRATE/PREDICT/EWMA/HOLT/TWA/ZSCORE/CUMSUM)")
         }
       }
       Right(QueryParams(

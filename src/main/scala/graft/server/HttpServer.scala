@@ -282,6 +282,7 @@ object GraftHttpServer {
       |<button onclick="run()">Run</button> <span id="err"></span>
       |<p style="color:#666">e.g. QUERY cpu FROM RELATIVE(1h) AGGREGATE BY 1m (avg(v)) ·
       | QUERY cpu ANALYZE RATE(v) SPLIT AUTO ·
+      | QUERY cpu ANALYZE DELTA(v) · QUERY cpu ANALYZE PREDICT(v, 7d) ·
       | QUERY a ANALYZE CORRELATE(v, b, host) BY 1h ·
       | EXPLAIN QUERY cpu FROM 0 TO 9 · SHOW CARDINALITY BY 1h</p>
       |<div id="out"></div>

@@ -277,18 +277,26 @@ object TsAnalytics {
     * well-conditioned in double. Series with < 2 samples, or with zero
     * time variance, have null slope/prediction.
     *
-    * Needs NO ordered window at all — the moments are plain commutative
-    * aggregates, so the plan is one map-side-combined groupBy (a hot
-    * series parallelizes across its input partitions by itself; there is
-    * deliberately no `splitNs` here).
+    * The ANALYTIC needs no ordered window — the moments are plain
+    * commutative aggregates, one map-side-combined groupBy. The
+    * latest-version merge dedup upstream DOES window per series, so a
+    * single mega-series still serializes THERE: `splitNs` routes the
+    * slice through [[sliceChunked]] (dedup keys on (series, timestamp),
+    * so per-(series, chunk) dedup picks bit-identical rows and no
+    * boundary recompute is needed; the commutative moment sums merge in
+    * a different order — 1e-9-relative like [[ewmaSmooth]]'s split).
     *
     * Output: metric, tags, series_key, n_points, last_ts, slope_per_sec,
     * predicted — one row per series, ordered by series_key. */
   def predictLinear(points: DataFrame, p: QueryParams, horizonNs: Long,
       field: String = "value",
-      tombstones: Seq[Tombstone] = Nil): DataFrame = {
+      tombstones: Seq[Tombstone] = Nil,
+      splitNs: Option[Long] = None): DataFrame = {
     require(horizonNs >= 0, "predictLinear horizon must be non-negative")
-    val df = slice(points, p, field, tombstones).filter(col("__v").isNotNull)
+    val df = (splitNs match {
+      case Some(sw) => sliceChunked(points, p, field, tombstones, sw)
+      case None => slice(points, p, field, tombstones)
+    }).filter(col("__v").isNotNull)
     val tSec = (col("timestamp") - lit(p.startNs)).cast("double") / lit(1e9)
     val g = df.withColumn("__t", tSec)
       .groupBy(col("series_key"))

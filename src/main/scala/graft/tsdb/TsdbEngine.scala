@@ -380,7 +380,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
           splitNs = splitNs)
       case AnalyzePredict(f, h) =>
         TsAnalytics.predictLinear(pts, params, h, field = f,
-          tombstones = tombs)
+          tombstones = tombs, splitNs = splitNs)
       case AnalyzeEwma(f, a) =>
         TsAnalytics.ewmaSmooth(pts, params, a, field = f, tombstones = tombs,
           splitNs = splitNs)

@@ -472,10 +472,16 @@ class NbqlExecutorSpec extends SparkSpec {
       assert(p1.size == 1 && p1.head.isNullAt(p1.head.fieldIndex("slope_per_sec")))
 
       // SPLIT: DELTA/IRATE ride the lag machinery bit-identically;
-      // PREDICT needs no ordered scan, so SPLIT is rejected
+      // PREDICT's split chunks the merge-dedup slice (same rows picked;
+      // the moment sums re-associate, 1e-9-relative like EWMA's split)
       assert(rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE DELTA(v) SPLIT 1us") == del)
       assert(rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE IRATE(v) SPLIT AUTO") == ir)
-      assert(ex.execute("QUERY cpu FROM 0 TO 9999 ANALYZE PREDICT(v, 1us) SPLIT 1h").isLeft)
+      val prS = rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE PREDICT(v, 1us) SPLIT 1us")
+      assert(prS.size == pr.size)
+      val prSByH = prS.map(r => r.getAs[Map[String, String]]("tags")("h") ->
+        r.getAs[Double]("predicted")).toMap
+      pByH.foreach { case (h, (_, _, predicted)) =>
+        assert(math.abs(prSByH(h) - predicted) < 1e-9, s"series $h split predict") }
       // horizon must be positive
       assert(ex.execute("QUERY cpu ANALYZE PREDICT(v, 0s)").isLeft)
       // TAGGED composes; AGGREGATE does not
