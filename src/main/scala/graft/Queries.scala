@@ -311,6 +311,20 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Corpus bigram-LM self-scoring (CCNet-style perplexity filter):
+    * train the add-k bigram model in two count scans, score every doc's
+    * cross-entropy in bits per bigram. Self-scoring means every scored
+    * bigram is in the model, so the oracle's plain joins replay the
+    * exact smoothing formula. */
+  def lmCrossentropy(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.LangModel
+    val docs = t(s, dir, "documents")
+    LangModel.selfCrossEntropy(docs, "doc_id", "text", k = 0.5)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("bits_per_token"), 4).as("bits_per_token"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic (stopword/CJK scoring, deterministic tie-break). */
   def langId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(

@@ -40,6 +40,7 @@ object SparkEntry {
     "doc_stats" -> (Queries.docStats _),
     "quality_probe_gram" -> (Queries.qualityProbeGram _),
     "quality_probe_score" -> (Queries.qualityProbeScore _),
+    "lm_crossentropy" -> (Queries.lmCrossentropy _),
     "lang_id" -> (Queries.langId _),
     "dedup_exact" -> (Queries.dedupExact _),
     "dedup_jaccard_pairs" -> (Queries.dedupJaccardPairs _),
@@ -582,6 +583,24 @@ object SparkEntry {
         |      + 0.3 * (len(list_filter(ws, x -> x IN ('the','a','of','and')))::DOUBLE / len(ws)))
         |    * 10000 + 0.5) AS BIGINT) AS quality_e4
         |FROM w ORDER BY doc_id""".stripMargin,
+    // bigram-LM self cross-entropy: the model joins always hit under
+    // self-scoring, so the oracle replays the exact smoothing formula
+    "lm_crossentropy" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |      FROM (SELECT doc_id, ws,
+        |            unnest(generate_series(1, len(ws)-1)) AS i FROM w)),
+        |uni AS (SELECT w1, count(*) AS c1
+        |        FROM (SELECT unnest(ws) AS w1 FROM w) GROUP BY 1),
+        |bi AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+        |v AS (SELECT count(*)::DOUBLE AS vs FROM uni)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(sum(-log2((c2 + 0.5) / (c1 + 0.5 * vs))) / count(*), 4)
+        |    AS bits_per_token
+        |FROM b JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the probe's training scan: corpus → one row of Gram/moment sums
     "quality_probe_gram" ->
       """WITH w AS (SELECT

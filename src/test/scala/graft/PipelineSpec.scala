@@ -82,6 +82,44 @@ class PipelineSpec extends SparkSpec {
     assert(kept(1).getAs[Long]("cluster_size") == 1L)
   }
 
+  test("bigram LM: common text scores low entropy, OOV penalized, counts right") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the dog sat on the mat"),
+      (4L, "a strange quasar pulsed weirdly")).toDF("doc_id", "text")
+    val scored = LangModel.selfCrossEntropy(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // n_bigrams = tokens − 1 per doc
+    assert(scored(1)._1 == 5 && scored(4)._1 == 4)
+    // formulaic docs are predictable; the one-off doc is surprising
+    assert(scored(1)._2 < scored(4)._2)
+    // a doc with fewer than 2 tokens emits no row
+    val tiny = Seq((9L, "one")).toDF("doc_id", "text")
+    val (model, v) = LangModel.trainBigram(corpus, "text")
+    assert(LangModel.crossEntropy(tiny, "doc_id", "text", model, v).count() == 0)
+    // foreign doc, fully OOV: every bigram takes the c=0 smoothing path
+    // and scores exactly -log2(k / (k*V)) = log2(V) bits per bigram
+    val foreign = Seq((7L, "zz yy xx ww")).toDF("doc_id", "text")
+    val f = LangModel.crossEntropy(foreign, "doc_id", "text", model, v)
+      .head()
+    assert(f.getLong(1) == 3)
+    assert(math.abs(f.getDouble(2) - math.log(v.toDouble) / math.log(2)) < 1e-9)
+    // partial OOV: seen context, unseen continuation — smoothed, finite,
+    // and costlier than a seen continuation of the same context
+    val mixed = Seq((8L, "the zzz")).toDF("doc_id", "text")
+    val seen = Seq((5L, "the cat")).toDF("doc_id", "text")
+    val bitsMixed = LangModel.crossEntropy(mixed, "doc_id", "text", model, v)
+      .head().getDouble(2)
+    val bitsSeen = LangModel.crossEntropy(seen, "doc_id", "text", model, v)
+      .head().getDouble(2)
+    assert(bitsMixed > bitsSeen && !bitsMixed.isInfinite)
+    // broadcast hint changes the plan, not the numbers
+    val b = LangModel.crossEntropy(corpus, "doc_id", "text", model, v,
+      hintBroadcast = true).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored.forall { case (id, (_, bits)) => math.abs(b(id) - bits) < 1e-12 })
+  }
+
   test("ridge probe: one-pass fit recovers a linear target; lambda regularizes") {
     // y = 5 + 2·a − 3·b, noiseless → exact least squares recovers it
     val rows = (0 until 64).map { i =>
