@@ -363,4 +363,71 @@ class PropertySpec extends SparkSpec {
           .select($"cum_sum").as[Double].collect().toSeq)
     })
   }
+
+  test("delta/irate/predict == reference model under random points") {
+    // whole-range change, last-pair rate, and least-squares forecast
+    // against an in-memory model over the latest-version-merged series
+    // (duplicate timestamps resolved by max seq, like the engine).
+    // delta/irate are exact rational arithmetic on the same doubles;
+    // predict compares within 1e-9 (moment sums re-associate).
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(genPoint), Gen.choose(1L, 7L)) {
+      (rawPts: List[MPoint], width: Long) =>
+      val pts = rawPts.zipWithIndex.map { case (p, i) => p.copy(seq = i.toLong) }
+      val df = toDf(pts)
+      val q = QueryParams("m1", startNs = 0L, endNs = Some(16L))
+      val perSeries = modelSurvivors(pts, Nil, "m1", 0L, 16L)
+        .groupBy(_.host).map { case (h, ps) => h -> ps.sortBy(_.ts) }
+
+      // model: delta/increase/irate
+      val wantDelta = perSeries.map { case (h, ps) =>
+        val inc = ps.sliding(2).collect { case Seq(a, b) =>
+          if (b.v < a.v) b.v else b.v - a.v }.sum
+        h -> (ps.size.toLong, ps.last.v - ps.head.v, if (ps.size < 2) 0.0 else inc)
+      }
+      val gotDelta = TsAnalytics.rangeDelta(df, q, field = "v")
+        .collect().map(r => r.getAs[Map[String, String]]("tags")("host") ->
+          (r.getAs[Long]("n_points"), r.getAs[Double]("delta"),
+            r.getAs[Double]("increase"))).toMap
+      val deltaOk = wantDelta == gotDelta &&
+        gotDelta == TsAnalytics.rangeDelta(df, q, field = "v",
+          splitNs = Some(width)).collect()
+          .map(r => r.getAs[Map[String, String]]("tags")("host") ->
+            (r.getAs[Long]("n_points"), r.getAs[Double]("delta"),
+              r.getAs[Double]("increase"))).toMap
+
+      val wantIrate = perSeries.collect { case (h, ps) if ps.size >= 2 =>
+        val Seq(a, b) = ps.takeRight(2)
+        val d = if (b.v < a.v) b.v else b.v - a.v
+        h -> (b.ts, d, d * 1e9 / (b.ts - a.ts).toDouble)
+      }
+      val gotIrate = TsAnalytics.irate(df, q, field = "v")
+        .collect().map(r => r.getAs[Map[String, String]]("tags")("host") ->
+          (r.getAs[Long]("timestamp"), r.getAs[Double]("delta"),
+            r.getAs[Double]("rate_per_sec"))).toMap
+      val irateOk = wantIrate == gotIrate
+
+      // model: least-squares on (t_sec, v); null slope when degenerate
+      val predictOk = TsAnalytics.predictLinear(df, q, horizonNs = 3L,
+          field = "v").collect().forall { r =>
+        val h = r.getAs[Map[String, String]]("tags")("host")
+        val ps = perSeries(h)
+        val n = ps.size
+        if (n < 2 || ps.map(_.ts).distinct.size < 2)
+          r.isNullAt(r.fieldIndex("slope_per_sec"))
+        else {
+          val t = ps.map(_.ts.toDouble / 1e9); val v = ps.map(_.v)
+          val mt = t.sum / n; val mv = v.sum / n
+          val varT = t.map(x => x * x).sum / n - mt * mt
+          val slope = (t.zip(v).map { case (a, b) => a * b }.sum / n - mt * mv) / varT
+          val tt = (ps.last.ts + 3L).toDouble / 1e9
+          val pred = mv + slope * (tt - mt)
+          math.abs(r.getAs[Double]("slope_per_sec") - slope) <=
+            1e-9 * math.max(1.0, math.abs(slope)) &&
+          math.abs(r.getAs[Double]("predicted") - pred) <=
+            1e-9 * math.max(1.0, math.abs(pred))
+        }
+      }
+      deltaOk && irateOk && predictOk
+    })
+  }
 }
