@@ -197,3 +197,59 @@ object RestoreUtil {
       }
     }
 }
+
+/** `estimate-config` — the reference's write/read-amplification config
+  * advisor (`cmd/estimate-config/main.go`) mapped onto the parquet
+  * engine's knobs. The objective shape is the reference's exactly
+  * (equal weights, wWA = wRA = 0.5):
+  * `WA = C/S + 1/M + 1/T` (more commits per file size → more rewrite;
+  * fewer tolerated live files / tighter compaction cadence → more
+  * rewrite) and `RA = M + C/S + T` (files a query must merge grows
+  * with tolerated commits and with the compaction interval).
+  * In engine terms: M = max uncompacted commits before `compact()`
+  * (the L0-file-count analog), S = target data-file MB (the
+  * `maxPartitionBytes`/file-sizing guidance), T = compaction cadence
+  * in seconds. `-rate` is the expected commit throughput (the
+  * reference pins C=100). */
+object EstimateConfig {
+  private val wWA = 0.5
+  private val wRA = 0.5
+
+  private[graft] def score(c: Double, s: Double, m: Double, t: Double): Double = {
+    val wa = c / s + 1.0 / m + 1.0 / t
+    val ra = m + c / s + t
+    wWA * wa + wRA * ra
+  }
+
+  /** Grid-search the reference's candidate lists; returns (M, S, T,
+    * score). */
+  private[graft] def best(rate: Double): (Double, Double, Double, Double) = {
+    val ms = Seq(4, 6, 8, 10, 12, 16, 24, 32, 36, 40, 48, 56, 64).map(_.toDouble)
+    val ss = Seq(1, 4, 8, 16, 32, 64).map(_.toDouble)
+    val ts = Seq(10, 30, 60, 90, 120, 300).map(_.toDouble)
+    (for (m <- ms; s <- ss; t <- ts) yield (m, s, t, score(rate, s, m, t)))
+      .minBy(_._4)
+  }
+
+  def main(args: Array[String]): Unit = { val c = run(args); if (c != 0) sys.exit(c) }
+
+  def run(args: Array[String]): Int = {
+    val (_, flags) = CliArgs.parse(args)
+    val rate = flags.get("rate") match {
+      case None => 100.0
+      case Some(v) => v.toDoubleOption match {
+        case Some(r) if r > 0 => r
+        case _ =>
+          Console.err.println("Error: -rate must be a positive number.")
+          return 1
+      }
+    }
+    val (m, s, t, sc) = best(rate)
+    println("Best Parameters:")
+    println(f"  MaxUncompactedCommits = $m%.0f")
+    println(f"  TargetDataFileSize = $s%.0f MB")
+    println(f"  CompactionIntervalSeconds = $t%.0f")
+    println(f"  Objective Score = $sc%.4f (lower is better)")
+    0
+  }
+}

@@ -81,4 +81,22 @@ class AdminCliSpec extends SparkSpec {
       assert(restored.version == eng.version)
     }
   }
+
+  test("estimate-config: grid minimum matches the objective; flags validated") {
+    import graft.cli.EstimateConfig
+    // the chosen point really is the grid argmin of the published objective
+    val (m, s, t, sc) = EstimateConfig.best(100.0)
+    val grid = for {
+      gm <- Seq(4, 6, 8, 10, 12, 16, 24, 32, 36, 40, 48, 56, 64)
+      gs <- Seq(1, 4, 8, 16, 32, 64); gt <- Seq(10, 30, 60, 90, 120, 300)
+    } yield EstimateConfig.score(100.0, gs, gm, gt)
+    assert(sc == grid.min)
+    assert(EstimateConfig.score(100.0, s, m, t) == sc)
+    // higher write rate pushes toward bigger files (C/S dominates)
+    val (_, sHi, _, _) = EstimateConfig.best(100000.0)
+    assert(sHi >= s)
+    // exit codes
+    assert(EstimateConfig.run(Array("-rate", "250")) == 0)
+    assert(EstimateConfig.run(Array("-rate", "bogus")) == 1)
+  }
 }
