@@ -163,6 +163,30 @@ class NbqlParserSpec extends SparkSpec {
     assert(NbqlParser.parse("FETCH x").isLeft)
   }
 
+  test("fuzz: arbitrary input never throws — Left or a valid statement") {
+    // wire input is attacker-controlled (the TCP server feeds raw frame
+    // payloads straight in): the parser must return Either for ANY bytes
+    val rnd = new scala.util.Random(20260814L)
+    val glyphs =
+      "QUERY PUSH REMOVE SHOW ANALYZE SPLIT TAGGED FROM TO BY ( ) \" ' , ; = * . 0 1 9 -   \n \t é 漢 \\ é AGGREGATE FILL LIMIT AFTER"
+        .split(' ').toVector
+    (0 until 500).foreach { i =>
+      val n = rnd.nextInt(24)
+      val s = (0 until n).map(_ => glyphs(rnd.nextInt(glyphs.size)))
+        .mkString(" ")
+      val r = try NbqlParser.parse(s)
+      catch { case e: Throwable => fail(s"parser threw on <$s>: $e") }
+      assert(r.isLeft || r.isRight) // totality — no exceptions, ever
+    }
+    // pure binary garbage too
+    (0 until 200).foreach { _ =>
+      val bytes = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      try NbqlParser.parse(s)
+      catch { case e: Throwable => fail(s"parser threw on binary input: $e") }
+    }
+  }
+
   test("PUSHS: batch of PUSH-shaped items") {
     val st = p("""PUSHS cpu TAGGED (h="a") SET (v=1.0) AT 10,
                   cpu TAGGED (h="b") SET (v=2.0) AT 20,
