@@ -311,6 +311,15 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Per-source document cap (the CommonCrawl per-domain quota):
+    * deterministic md5-ranked top-k per source — unbiased by id order,
+    * reproducible at any parallelism. */
+  def samplePerSource(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.capPerGroup(
+        t(s, dir, "documents"), "doc_id", "source", k = 10)
+      .select(col("doc_id"), col("source"), col("sample_rank"))
+      .orderBy("doc_id")
+
   /** Corpus bigram-LM self-scoring (CCNet-style perplexity filter):
     * train the add-k bigram model in two count scans, score every doc's
     * cross-entropy in bits per bigram. Self-scoring means every scored

@@ -41,6 +41,7 @@ object SparkEntry {
     "quality_probe_gram" -> (Queries.qualityProbeGram _),
     "quality_probe_score" -> (Queries.qualityProbeScore _),
     "lm_crossentropy" -> (Queries.lmCrossentropy _),
+    "sample_per_source" -> (Queries.samplePerSource _),
     "lang_id" -> (Queries.langId _),
     "dedup_exact" -> (Queries.dedupExact _),
     "dedup_jaccard_pairs" -> (Queries.dedupJaccardPairs _),
@@ -583,6 +584,15 @@ object SparkEntry {
         |      + 0.3 * (len(list_filter(ws, x -> x IN ('the','a','of','and')))::DOUBLE / len(ws)))
         |    * 10000 + 0.5) AS BIGINT) AS quality_e4
         |FROM w ORDER BY doc_id""".stripMargin,
+    // per-source cap: md5 rank is identical in both engines
+    "sample_per_source" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS sample_rank
+        |  FROM documents)
+        |SELECT doc_id, source, sample_rank FROM r
+        |WHERE sample_rank <= 10 ORDER BY doc_id""".stripMargin,
     // bigram-LM self cross-entropy: the model joins always hit under
     // self-scoring, so the oracle replays the exact smoothing formula
     "lm_crossentropy" ->

@@ -47,6 +47,25 @@ object Sampling {
     df.withColumn("bucket", b).filter(col("bucket") < rate)
   }
 
+  /** Per-group cap (the CommonCrawl-style per-source/per-domain quota:
+    * "keep at most k documents per domain"): rank each group's rows by
+    * the deterministic md5 of the id under `seed` (a uniform,
+    * data-independent order — NOT first-k by id, which would bias toward
+    * old documents) and keep ranks ≤ k. One hash exchange on the group
+    * key; Spark's WindowGroupLimit prunes rows past rank k BEFORE the
+    * sort buffer, so a pathological mega-group costs its scan, not its
+    * sort. Deterministic: same corpus + seed → same sample, any
+    * parallelism. Output keeps all input columns plus `sample_rank`. */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String, k: Int,
+      seed: String = "cap"): DataFrame = {
+    require(k > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat(lit(seed + ":"), col(idCol).cast("string"))),
+        col(idCol)) // id tiebreak: md5 collisions can't reorder nondeterministically
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Deterministic [0, 1e6) bucket (parts-per-million resolution) for an
     * id under a seed namespace — 12 md5 hex chars (48 bits) so the mod
     * is unbiased to ~2⁻²⁸. */

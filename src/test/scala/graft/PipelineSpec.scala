@@ -82,6 +82,29 @@ class PipelineSpec extends SparkSpec {
     assert(kept(1).getAs[Long]("cluster_size") == 1L)
   }
 
+  test("per-group cap: k kept per group, deterministic, parallelism-stable") {
+    val docs = (0 until 200).map(i => (i.toLong, s"g${i % 4}")).toDF("id", "g")
+    val capped = Sampling.capPerGroup(docs, "id", "g", k = 7)
+    val byG = capped.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG.values.forall(_ == 7) && byG.size == 4)
+    // ranks are 1..k within each group
+    assert(capped.filter(col("sample_rank") > 7 || col("sample_rank") < 1).count() == 0)
+    // deterministic across partitioning
+    val a = capped.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.capPerGroup(docs.repartition(13), "id", "g", k = 7)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+    // a different seed picks a different sample (hash order, not id order)
+    val c = Sampling.capPerGroup(docs, "id", "g", k = 7, seed = "other")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a != c)
+    // groups under the cap keep everything
+    val small = Sampling.capPerGroup(docs.filter(col("id") < 8), "id", "g", 7)
+    assert(small.count() == 8)
+    intercept[IllegalArgumentException](Sampling.capPerGroup(docs, "id", "g", 0))
+  }
+
   test("bigram LM: common text scores low entropy, OOV penalized, counts right") {
     val corpus = Seq(
       (1L, "the cat sat on the mat"),
