@@ -1508,13 +1508,50 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   /** Physically delete data files no longer referenced by the CURRENT
     * version (like `VACUUM`; time travel reaches back only to versions
     * whose files survive). */
-  def vacuum(): Unit = {
+  /** Retention window for [[vacuum]]: an unreferenced data file is only
+    * deleted once it has been DEREFERENCED (not written) at least this
+    * long ago — the lakehouse answer (Delta `VACUUM ... RETAIN`) to the
+    * reference's SSTable refcounts (`sstable/` iterators pin files): a
+    * long-running reader or a lagging follower on an older manifest
+    * keeps working through compactions for up to the grace window, and
+    * [[readAt]] time travel stays valid that far back. 0 (the default,
+    * and the test configuration) vacuums immediately, like the
+    * reference's drop-when-refcount-zero with no concurrent readers. */
+  @volatile var vacuumGraceMs: Long = 0L
+
+  def vacuum(): Unit = vacuum(vacuumGraceMs)
+
+  /** Delete data files no longer referenced by the CURRENT manifest.
+    * With a grace window, the dereference time is recovered from the
+    * commit log itself — the mtime of the commit file whose `removes`
+    * dropped the data file (file names are commit-unique, so a removed
+    * file is never re-added). Stray files the log never saw (crashed
+    * staging moves) fall back to their own mtime. */
+  def vacuum(graceMs: Long): Unit = {
     val live = snap.files.toSet
     val root = Paths.get(dataDir)
     if (!Files.isDirectory(root)) return
+    val cutoff = System.currentTimeMillis() - graceMs
+    lazy val removedAtMs: Map[String, Long] =
+      if (graceMs <= 0) Map.empty
+      else (1L to snap.version).flatMap { v =>
+        val c = log.read(v)
+        if (c.removes.isEmpty) Nil
+        else {
+          val t = log.commitFileMtimeMs(v)
+          c.removes.map(_ -> t)
+        }
+      }.toMap
     Files.walk(root).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .filterNot(p => live.contains(root.relativize(p).toString))
+      .filter { p =>
+        graceMs <= 0 || {
+          val derefMs = removedAtMs.getOrElse(root.relativize(p).toString,
+            Files.getLastModifiedTime(p).toMillis)
+          derefMs < cutoff
+        }
+      }
       .foreach(Files.deleteIfExists(_))
   }
 

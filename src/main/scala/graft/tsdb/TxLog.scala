@@ -73,6 +73,12 @@ final class TxLog(logDirPath: String) {
   def read(v: Long): LogCommit =
     org.json4s.jackson.Serialization.read[LogCommit](Files.readString(fileOf(v)))
 
+  /** Wall-clock the commit at `v` landed (the commit file's mtime) —
+    * backs grace-period vacuum's dereference times without a log-format
+    * change. */
+  def commitFileMtimeMs(v: Long): Long =
+    Files.getLastModifiedTime(fileOf(v)).toMillis
+
   /** Atomically commit at the next free version. `build` receives the
     * version it will land at (losers of a race rebuild and retry).
     *

@@ -210,6 +210,34 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("grace-period vacuum: dereferenced files outlive compaction for readers") {
+    withDir { dir =>
+      val e = new TsdbEngine(spark, s"$dir/db")
+      assert(e.putBatch(Seq(pt("m", "h1", 1000L, 1.0))).isRight)
+      assert(e.putBatch(Seq(pt("m", "h1", 2000L, 2.0))).isRight)
+      val vOld = e.version
+      def parquetCount(): Long = {
+        val root = java.nio.file.Paths.get(s"$dir/db/data")
+        import scala.collection.JavaConverters._
+        Files.walk(root).iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet"))
+      }
+      val before = parquetCount()
+      // compaction under a grace window keeps the replaced files on disk
+      e.vacuumGraceMs = 3600L * 1000
+      assert(e.compact().isRight)
+      assert(parquetCount() > 0 && parquetCount() >= before,
+        "grace must keep the dereferenced files")
+      // an older manifest still reads — the long-running-reader contract
+      assert(e.readAt(vOld).count() == 2)
+      assert(count(e, "m") == 2)
+      // grace elapsed (force with 0): dereferenced files go away
+      e.vacuum(0L)
+      assert(count(e, "m") == 2) // live view unaffected
+      assert(parquetCount() < before + 1, "old files vacuumed after grace")
+    }
+  }
+
   test("commit log race: two writers never drop a commit") {
     withDir { dir =>
       val log = new TxLog(s"$dir/_log")
