@@ -99,6 +99,75 @@ object StreamingAnomaly {
   case class DeltaRow(series_key: String, ts: Timestamp, value: Double,
       n_points: Long, delta: Double, increase: Double)
 
+  case class TrendRow(series_key: String, ts: Timestamp, value: Double,
+      n_points: Long, slope_per_sec: Option[Double], predicted: Option[Double])
+
+  /** Running least-squares state: moment sums over (t_sec − t₀, v) with
+    * t₀ = the series' first event time (conditioning anchor), plus the
+    * last (ts ms, value) — O(1) per live series. */
+  case class TrendSt(t0Ms: Long, n: Long, st: Double, sv: Double,
+      stv: Double, stt: Double, tMs: Long, v: Double)
+
+  /** Streaming linear trend + horizon forecast — the streaming twin of
+    * [[graft.tsdb.TsAnalytics.predictLinear]]: each arriving point
+    * updates the series' running moment sums (O(1) state, no window) and
+    * emits the current slope and the value forecast `horizon` past the
+    * point. Slope needs ≥ 2 points and positive time variance (else
+    * None). After an in-order prefix, the last emitted row per series
+    * matches the batch operator within FP re-association (the batch
+    * anchors t at the query start, this anchors at the series' first
+    * point — slope/forecast are origin-invariant). Late rows (at or
+    * before the last event time) are dropped, like [[rate]]. */
+  def trend(points: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, horizonSec: Double = 3600.0,
+      lateness: String = "10 minutes",
+      idleExpiry: String = "1 hour"): DataFrame = {
+    require(horizonSec >= 0, "horizon must be non-negative")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val ds = points
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("t"),
+        col(valueCol).cast("double").as("v"))
+      .withWatermark("t", lateness)
+      .as[(String, Timestamp, Double)]
+    implicit val stEnc = Encoders.product[TrendSt]
+    implicit val rowEnc = Encoders.product[TrendRow]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[TrendSt, TrendRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, Timestamp, Double)],
+            state: GroupState[TrendSt]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.orNull
+            val batch = rows.toIndexedSeq.sortBy(_._2.getTime)
+            val out = batch.flatMap { case (_, ts, v) =>
+              val tMs = ts.getTime
+              if (st != null && tMs <= st.tMs) None
+              else {
+                if (st == null) st = TrendSt(tMs, 0L, 0.0, 0.0, 0.0, 0.0, tMs, v)
+                val t = (tMs - st.t0Ms) / 1000.0
+                st = TrendSt(st.t0Ms, st.n + 1, st.st + t, st.sv + v,
+                  st.stv + t * v, st.stt + t * t, tMs, v)
+                val n = st.n.toDouble
+                val mt = st.st / n; val mv = st.sv / n
+                val varT = st.stt / n - mt * mt
+                val slope =
+                  if (st.n >= 2 && varT > 0) Some((st.stv / n - mt * mv) / varT)
+                  else None
+                val predicted = slope.map(s => mv + s * (t + horizonSec - mt))
+                Some(TrendRow(key, ts, v, st.n, slope, predicted))
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(batch.last._2.getTime, idleExpiry)
+            }
+            out.iterator
+          }
+      }.toDF()
+  }
+
   /** Running whole-range-change state: first value, last (ts, value),
     * reset-aware increase, point count — O(1) per live series. */
   case class DeltaSt(firstV: Double, tMs: Long, v: Double,

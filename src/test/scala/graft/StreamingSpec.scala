@@ -626,6 +626,55 @@ class StreamingSpec extends SparkSpec {
     assert(aReset._4 == 1.0 && aReset._5 == 14.0)
   }
 
+  test("streaming trend: running least squares matches batch predictLinear") {
+    implicit val sqlCtx = spark.sqlContext
+    val S = 1000L
+    // a: exact line v = 1 + 3·i (slope 3/s at 1 s cadence); b: two points
+    val feed = (0 until 8).map(i => ("a", (i + 1) * S, 1.0 + 3.0 * i)) ++
+      Seq(("b", 2 * S, 5.0), ("b", 3 * S, 7.5))
+    val mem = MemoryStream[(String, Long, Double)]
+    val pts = mem.toDF().toDF("k", "ms", "v")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = StreamingAnomaly.trend(pts, "k", "ts", "v", horizonSec = 2.0)
+    val q = out.writeStream.format("memory").queryName("trendstream")
+      .outputMode("append").start()
+    try {
+      mem.addData(feed.take(5): _*) // moments must carry across the split
+      q.processAllAvailable()
+      mem.addData(feed.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("trendstream")
+      .select(col("series_key"), col("ts").cast("long") * 1000,
+        col("n_points"), col("slope_per_sec"), col("predicted"))
+      .collect()
+    assert(rows.length == feed.length)
+    // first point of each series has no slope yet
+    assert(rows.filter(_.getLong(2) == 1L)
+      .forall(r => r.isNullAt(3) && r.isNullAt(4)))
+    val last = rows.groupBy(_.getString(0)).map { case (k, rs) =>
+      k -> rs.maxBy(_.getLong(1)) }
+    // exact line: slope 3/s, forecast continues the line 2 s out
+    assert(math.abs(last("a").getDouble(3) - 3.0) < 1e-9)
+    assert(math.abs(last("a").getDouble(4) - (22.0 + 2.0 * 3.0)) < 1e-9)
+    // parity with the batch operator (origin-shift invariant, 1e-6 rel)
+    val batchPts = feed.map { case (k, ms, v) =>
+      TP("m", Map("h" -> k), ms * 1000000L, Map("value" -> FV.dv(v)), ms)
+    }
+    val want = TsAnalytics.predictLinear(batchPts.toDF(),
+        QueryParams("m", endNs = Some(Long.MaxValue / 2)),
+        horizonNs = 2L * 1000000000L)
+      .collect().map(r => r.getAs[Map[String, String]]("tags")("h") ->
+        (r.getAs[Double]("slope_per_sec"), r.getAs[Double]("predicted"))).toMap
+    last.foreach { case (k, r) =>
+      val (ws, wp) = want(k)
+      assert(math.abs(r.getDouble(3) - ws) <= 1e-6 * math.max(1.0, math.abs(ws)),
+        s"slope parity for $k")
+      assert(math.abs(r.getDouble(4) - wp) <= 1e-6 * math.max(1.0, math.abs(wp)),
+        s"forecast parity for $k")
+    }
+  }
+
   test("cardinality summary: sketch serve matches exact counts; unions merge") {
     val pts = (0 until 40).flatMap { i =>
       Seq(TP("m", Map("h" -> s"h$i"), i * 100L, Map("value" -> FV.dv(1.0)), i.toLong),
