@@ -810,6 +810,25 @@ object Queries {
       .orderBy("user", "timestamp")
   }
 
+  /** Whole-range DELTA/INCREASE served from rollup partials
+    * ([[Rollup.runDelta]]): in-window increase partials + boundary pairs
+    * over the tiny rollup frame — |series|×windows rows instead of raw
+    * points. Shares ts_delta's oracle verbatim: the driver hash-gates
+    * the exactness of the decomposition every round. */
+  def tsdbRollupDelta(s: SparkSession, dir: String): DataFrame = {
+    val oneMin = 60000000000L
+    val rollup = Rollup.build(QueryEngine.mergedView(pts(s, dir), Nil),
+      oneMin, Seq("value"))
+    val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture - 1))
+    Rollup.runDelta(rollup, oneMin, q, "value")
+      .select(userCol, col("n_points"),
+        (col("first_ts") - pmod(col("first_ts"), lit(1000L))).as("first_ts"),
+        (col("last_ts") - pmod(col("last_ts"), lit(1000L))).as("last_ts"),
+        round(col("delta"), 4).as("delta"),
+        round(col("increase"), 4).as("increase"))
+      .orderBy("user")
+  }
+
   /** `ts_rate` through the hot-series split path (1-day chunks): the lag
     * family's split is BIT-IDENTICAL to the unsplit plan (`TsSplitSpec`),
     * so this battery entry shares ts_rate's oracle verbatim — the driver

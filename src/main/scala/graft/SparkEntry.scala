@@ -93,6 +93,7 @@ object SparkEntry {
     "ts_rate_split" -> (Queries.tsRateSplit _),
     "ts_rate_prefix" -> (Queries.tsRatePrefix _),
     "ts_delta" -> (Queries.tsDelta _),
+    "tsdb_rollup_delta" -> (Queries.tsdbRollupDelta _),
     "ts_irate" -> (Queries.tsIrate _),
     "ts_predict" -> (Queries.tsPredict _),
     "ts_anomaly" -> (Queries.tsAnomaly _),
@@ -1030,6 +1031,7 @@ object SparkEntry {
     // identical oracle by construction
     "ts_delta" -> TsDeltaSql,
     "nbql_delta" -> TsDeltaSql,
+    "tsdb_rollup_delta" -> TsDeltaSql,
     "ts_irate" ->
       """WITH s AS (
         |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value

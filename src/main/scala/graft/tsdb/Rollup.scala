@@ -72,7 +72,13 @@ object Rollup {
       min(vord).as(s"${f}__first_ord"),
       min_by(n, vord).as(s"${f}__first"),
       max(vord).as(s"${f}__last_ord"),
-      max_by(n, vord).as(s"${f}__last"))
+      max_by(n, vord).as(s"${f}__last"),
+      // in-window counter increase: Σ reset-aware deltas of consecutive
+      // NUMERIC samples inside the window (precomputed by [[build]]'s
+      // window pass); composes across windows with [[runDelta]]'s
+      // boundary pairs — the decomposition behind rollup-routed
+      // ANALYZE DELTA
+      sum(col(s"__graft_inc_$f")).as(s"${f}__inc"))
     if (digest) base :+ tdigest_sketch(n).as(s"${f}__tdigest") else base
   }
 
@@ -87,9 +93,25 @@ object Rollup {
       if (merged.columns.contains("series_key")) merged
       else merged.withColumn("series_key",
         QueryEngine.seriesKeyCol(col("metric"), col("tags")))
-    keyed
-      .withColumn("window_start",
-        col("timestamp") - pmod(col("timestamp"), lit(intervalNs)))
+    val windowed = keyed.withColumn("window_start",
+      col("timestamp") - pmod(col("timestamp"), lit(intervalNs)))
+    // per-field consecutive reset-aware deltas WITHIN each window: the
+    // previous numeric sample via last(ignoreNulls) over a running frame
+    // (skips null-valued rows like the raw operator). The window rides
+    // the same (series, window) clustering as the groupBy below — one
+    // exchange total.
+    val winSpec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series_key"), col("window_start"))
+      .orderBy(col("timestamp"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withDeltas = fields.foldLeft(windowed) { (df, f) =>
+      val n = QueryEngine.numericOf(f)
+      val prev = last(n, ignoreNulls = true).over(winSpec)
+      df.withColumn(s"__graft_inc_$f",
+        when(n.isNotNull && prev.isNotNull,
+          when(n < prev, n).otherwise(n - prev)))
+    }
+    withDeltas
       .groupBy(col("series_key"), col("window_start"))
       .agg(first(col("metric")).as("metric"),
         (first(col("tags")).as("tags") +:
@@ -299,5 +321,69 @@ object Rollup {
         p.aggs.map(s => col(s.outputName)): _*)
       .orderBy(ordering: _*)
     p.limit.fold(shaped)(n => shaped.limit(n.toInt))
+  }
+
+  /** True when a whole-range DELTA over `field` is answerable from this
+    * rollup frame: whole-window-aligned [start, end], no value filters
+    * (they re-filter points), exact metric, and the frame physically
+    * stores the in-window increase partial (frames built before the
+    * `__inc` column existed route raw). TAGGED composes — rollup rows
+    * carry tags. */
+  def supportsDelta(p: QueryParams, rollupIntervalNs: Long,
+      rollup: DataFrame, field: String): Boolean = {
+    val r = rollupIntervalNs
+    p.valueFilters.isEmpty &&
+    !TagMatch.isPrefix(p.metric) &&
+    p.relativeNs.isEmpty &&
+    p.startNs % r == 0 &&
+    p.endNs.exists(e => e != 0L && (e + 1) % r == 0) &&
+    rollup.columns.contains(s"${field}__inc")
+  }
+
+  /** Whole-range DELTA/INCREASE ([[TsAnalytics.rangeDelta]]'s output
+    * shape) re-aggregated from rollup partials — |series| × windows rows
+    * instead of raw points. The decomposition is exact: every
+    * consecutive numeric pair in the range is either INSIDE one window
+    * (counted by the stored `__inc` partial) or SPANS two non-empty
+    * windows (recovered here as the reset-aware delta from the previous
+    * non-empty window's last value to this window's first — a lag over
+    * the tiny rollup frame). Gauge delta and the first/last timestamps
+    * come from the stored ord structs. FP sums re-associate vs the raw
+    * path (row-identical on integer-valued data, spec-pinned). */
+  def runDelta(rollup: DataFrame, rollupIntervalNs: Long, p: QueryParams,
+      field: String): DataFrame = {
+    require(supportsDelta(p, rollupIntervalNs, rollup, field),
+      s"DELTA($field) not answerable from a $rollupIntervalNs ns rollup")
+    val endNs = p.endNs.get
+    var df = rollup.filter(col("metric") === p.metric)
+    p.tags.foreach { case (k, v) => df = df.filter(TagMatch.pred(k, v)) }
+    df = df.filter(col("window_start").between(p.startNs, endNs))
+    if (rollup.columns.contains("date"))
+      df = df.filter(col("date").between(
+        TsdbEngine.dayStr(p.startNs), TsdbEngine.dayStr(endNs)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series_key")).orderBy(col("window_start"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val prevLast = last(col(s"${field}__last"), ignoreNulls = true).over(w)
+    val bf = col(s"${field}__first")
+    val boundary = when(bf.isNotNull && prevLast.isNotNull,
+      when(bf < prevLast, bf).otherwise(bf - prevLast))
+    df.withColumn("__bd", boundary)
+      .groupBy(col("series_key"))
+      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"),
+        sum(col(s"${field}__cnt")).as("n_points"),
+        min(col(s"${field}__first_ord")).as("__ford"),
+        max(col(s"${field}__last_ord")).as("__lord"),
+        min_by(col(s"${field}__first"), col(s"${field}__first_ord")).as("__fv"),
+        max_by(col(s"${field}__last"), col(s"${field}__last_ord")).as("__lv"),
+        (coalesce(sum(col(s"${field}__inc")), lit(0.0)) +
+          coalesce(sum(col("__bd")), lit(0.0))).as("__incsum"))
+      .filter(col("n_points") > 0) // like the raw path: null-only series emit nothing
+      .select(col("metric"), col("tags"), col("series_key"), col("n_points"),
+        col("__ford").getField("timestamp").as("first_ts"),
+        col("__lord").getField("timestamp").as("last_ts"),
+        (col("__lv") - col("__fv")).as("delta"),
+        col("__incsum").as("increase"))
+      .orderBy(col("series_key"))
   }
 }

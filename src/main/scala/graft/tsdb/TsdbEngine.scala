@@ -373,8 +373,25 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         TsAnalytics.rate(pts, params, field = f, tombstones = tombs,
           splitNs = splitNs)
       case AnalyzeDelta(f) =>
-        TsAnalytics.rangeDelta(pts, params, field = f, tombstones = tombs,
-          splitNs = splitNs)
+        // rollup-routed when a registered rollup covers the field with
+        // the in-window increase partial: |series|×windows partial rows
+        // instead of raw points ([[Rollup.runDelta]]'s exact
+        // decomposition; tombstones are immaterial — rollup views are
+        // built over the merged, tombstone-applied frame)
+        val routed = Option(rollupSpecs.get(params.metric))
+          .filter(spec => spec.fields.contains(f))
+          .map(spec => (spec, rollupView(params.metric, spec)))
+          .filter { case (spec, view) =>
+            Rollup.supportsDelta(params, spec.intervalNs, view, f) }
+          .map { case (spec, view) =>
+            lastServePath = "rollup-delta"
+            Rollup.runDelta(view, spec.intervalNs, params, f)
+          }
+        routed.getOrElse {
+          lastServePath = "analyze-raw"
+          TsAnalytics.rangeDelta(pts, params, field = f, tombstones = tombs,
+            splitNs = splitNs)
+        }
       case AnalyzeIrate(f) =>
         TsAnalytics.irate(pts, params, field = f, tombstones = tombs,
           splitNs = splitNs)

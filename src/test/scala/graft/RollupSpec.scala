@@ -83,6 +83,70 @@ class RollupSpec extends SparkSpec {
     assertSame(QueryEngine.run(pts, query), Rollup.run(rollup, Min, query))
   }
 
+  test("runDelta: whole-range delta/increase from partials == raw operator") {
+    val pts = fixture
+    val merged = QueryEngine.mergedView(pts, Nil)
+    val rollup = Rollup.build(merged, Min, Seq("value", "load"))
+    // the fixture spans [0, 150 min): query a whole-window-aligned range
+    val query = QueryParams("cpu.usage", startNs = 0L, endNs = Some(150 * Min - 1))
+    assert(Rollup.supportsDelta(query, Min, rollup, "value"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("series_key") ->
+        (r.getAs[Long]("n_points"), r.getAs[Long]("first_ts"),
+          r.getAs[Long]("last_ts"), r.getAs[Double]("delta"),
+          r.getAs[Double]("increase"))).toMap
+    val raw = rows(TsAnalytics.rangeDelta(pts, query))
+    val routed = rows(Rollup.runDelta(rollup, Min, query, "value"))
+    assert(raw.keySet == routed.keySet && raw.keySet.nonEmpty)
+    raw.foreach { case (k, (n, ft, lt, d, inc)) =>
+      val (n2, ft2, lt2, d2, inc2) = routed(k)
+      assert(n == n2 && ft == ft2 && lt == lt2 && d == d2, s"series $k")
+      assert(math.abs(inc - inc2) <= 1e-9 * math.max(1.0, math.abs(inc)),
+        s"series $k increase $inc vs $inc2")
+    }
+    // the int-typed field routes too
+    assert(rows(Rollup.runDelta(rollup, Min, query, "load")) ==
+      rows(TsAnalytics.rangeDelta(pts, query, field = "load")))
+    // TAGGED composes through the rollup rows
+    val tagged = query.copy(tags = Map("host" -> "h1"))
+    assert(rows(Rollup.runDelta(rollup, Min, tagged, "value")) ==
+      rows(TsAnalytics.rangeDelta(pts, tagged)))
+    // gating: misaligned range, value filters, missing __inc column
+    assert(!Rollup.supportsDelta(
+      query.copy(endNs = Some(150 * Min)), Min, rollup, "value"))
+    assert(!Rollup.supportsDelta(
+      query.copy(valueFilters = Seq(ValueFilter("value", ">", 0))),
+      Min, rollup, "value"))
+    val legacy = rollup.drop("value__inc")
+    assert(!Rollup.supportsDelta(query, Min, legacy, "value"))
+  }
+
+  test("engine: ANALYZE DELTA routes through a registered rollup") {
+    {
+      val dir = java.nio.file.Files.createTempDirectory("graft_rollup_delta").toString
+      val eng = new TsdbEngine(spark, dir)
+      // counter with a reset, 1-min cadence over 2 h
+      val points = (0 until 120).map { i =>
+        graft.model.DataPoint("reqs", Map("host" -> s"h${i % 2}"), i * Min,
+          Map("value" -> graft.model.FieldValue.ofDouble(
+            if (i == 60) 1.0 else (i % 60).toDouble * 2 + 1)))
+      }
+      assert(eng.putBatch(points).isRight)
+      val q = QueryParams("reqs", startNs = 0L, endNs = Some(120 * Min - 1))
+      val raw = eng.analyze(q, AnalyzeDelta("value")).collect()
+      assert(eng.lastServePath != "rollup-delta")
+      eng.registerRollup("reqs", Min, Seq("value"))
+      val routed = eng.analyze(q, AnalyzeDelta("value")).collect()
+      assert(eng.lastServePath == "rollup-delta")
+      assert(raw.map(_.toSeq).toSeq == routed.map(_.toSeq).toSeq,
+        "routed answer must equal the raw analytic")
+      // un-alignable range falls back to raw
+      val q2 = q.copy(endNs = Some(90 * Min))
+      eng.analyze(q2, AnalyzeDelta("value")).collect()
+      assert(eng.lastServePath != "rollup-delta")
+    }
+  }
+
   test("rollup path: empty-window emission, tag filter, cursor + limit") {
     val pts = fixture
     val rollup = Rollup.build(QueryEngine.mergedView(pts, Nil), Min, Seq("value"))
