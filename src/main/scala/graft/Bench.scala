@@ -106,8 +106,8 @@ object Bench {
     // for, and the driver's JSON line is the round's only bench record.
     val (ingestRps, qpsCold, qpsCached, qpsDsRaw, qpsDsRollup,
       qpsGbtRaw, qpsGbtRouted, qpsAnalyzeCold, qpsAnalyzeCached,
-      qpsCorrRaw, qpsCorrRouted) =
-      if (skipServing) (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      qpsCorrRaw, qpsCorrRouted, qpsDeltaRaw, qpsDeltaRouted) =
+      if (skipServing) (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
       else try {
       val pts = graft.tsdb.Tables.eventsAsPoints(spark, sfDir).cache()
       val nRows = pts.count()
@@ -249,16 +249,37 @@ object Bench {
       val t10 = System.nanoTime()
       (0 until nCorrR).foreach(i => engine.analyze(cp, corq(i)).count())
       val corrRoutedSec = (System.nanoTime() - t10) / 1e9
+
+      // ANALYZE DELTA: raw lag-scan vs rollup-partial route (purchase@1d
+      // is registered above, so the routed pass reads |series|×windows
+      // partial rows; distinct TAGGED filters defeat any caching)
+      def dlq(i: Int) = cp.copy(tags =
+        if (i % 2 == 0) Map.empty[String, String] else Map("user" -> s"${i % 7}"))
+      val deltaSpec = graft.tsdb.AnalyzeDelta("value")
+      engine.dropRollup("purchase")
+      engine.analyze(dlq(0), deltaSpec).count() // warm the raw plan
+      val nDeltaRaw = 3
+      val t11 = System.nanoTime()
+      (0 until nDeltaRaw).foreach(i => engine.analyze(dlq(i), deltaSpec).count())
+      val deltaRawSec = (System.nanoTime() - t11) / 1e9
+      engine.registerRollup("purchase", DayNs, Seq("value"))
+      engine.analyze(dlq(0), deltaSpec).count() // materialize the view
+      val nDeltaR = 10
+      val t12 = System.nanoTime()
+      (0 until nDeltaR).foreach(i => engine.analyze(dlq(i), deltaSpec).count())
+      val deltaRoutedSec = (System.nanoTime() - t12) / 1e9
+
       (nRows / ingestSec, nCold / coldSec, nCached / cachedSec,
         nDs / rawDsSec, nDsR / routedDsSec,
         nGbtRaw / gbtRawSec, nGbtR / gbtRoutedSec,
         nAnCold / anColdSec, nAnCached / anCachedSec,
-        nCorrRaw / corrRawSec, nCorrR / corrRoutedSec)
+        nCorrRaw / corrRawSec, nCorrR / corrRoutedSec,
+        nDeltaRaw / deltaRawSec, nDeltaR / deltaRoutedSec)
     } catch { case e: Throwable =>
       errors.getOrElseUpdate("serving_tier",
         e.getClass.getSimpleName + ": " +
           String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
-      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp)); ()
     }
@@ -313,6 +334,7 @@ object Bench {
       s""""qps_groupby_raw":$qpsGbtRaw,"qps_groupby_rollup":$qpsGbtRouted,""" +
       s""""qps_analyze_cold":$qpsAnalyzeCold,"qps_analyze_cached":$qpsAnalyzeCached,""" +
       s""""qps_correlate_raw":$qpsCorrRaw,"qps_correlate_rollup":$qpsCorrRouted,""" +
+      s""""qps_delta_raw":$qpsDeltaRaw,"qps_delta_rollup":$qpsDeltaRouted,""" +
       s""""n_errors":${errors.size},"errors":$errJson,""" +
       s""""n_queries":${results.size},"sf":"$sfDir"}"""
     println(line)
