@@ -106,8 +106,8 @@ object Bench {
     // for, and the driver's JSON line is the round's only bench record.
     val (ingestRps, qpsCold, qpsCached, qpsDsRaw, qpsDsRollup,
       qpsGbtRaw, qpsGbtRouted, qpsAnalyzeCold, qpsAnalyzeCached,
-      qpsCorrRaw, qpsCorrRouted, qpsDeltaRaw, qpsDeltaRouted) =
-      if (skipServing) (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      qpsCorrRaw, qpsCorrRouted, qpsDeltaRaw, qpsDeltaRouted, qpsDeltaLocal) =
+      if (skipServing) (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
       else try {
       val pts = graft.tsdb.Tables.eventsAsPoints(spark, sfDir).cache()
       val nRows = pts.count()
@@ -269,17 +269,28 @@ object Bench {
       (0 until nDeltaR).foreach(i => engine.analyze(dlq(i), deltaSpec).count())
       val deltaRoutedSec = (System.nanoTime() - t12) / 1e9
 
+      // driver-resident DELTA tier: pure-Scala fold over resident
+      // partials, no Spark job — distinct TAGGED filters defeat the
+      // result cache so each call pays the full local fold
+      engine.analyzeCached(dlq(1), deltaSpec) // make partials resident
+      val nDeltaL = 300
+      val t13 = System.nanoTime()
+      (0 until nDeltaL).foreach(i =>
+        engine.analyzeCached(dlq(1).copy(tags = Map("user" -> s"u$i")), deltaSpec))
+      val deltaLocalSec = (System.nanoTime() - t13) / 1e9
+
       (nRows / ingestSec, nCold / coldSec, nCached / cachedSec,
         nDs / rawDsSec, nDsR / routedDsSec,
         nGbtRaw / gbtRawSec, nGbtR / gbtRoutedSec,
         nAnCold / anColdSec, nAnCached / anCachedSec,
         nCorrRaw / corrRawSec, nCorrR / corrRoutedSec,
-        nDeltaRaw / deltaRawSec, nDeltaR / deltaRoutedSec)
+        nDeltaRaw / deltaRawSec, nDeltaR / deltaRoutedSec,
+        nDeltaL / deltaLocalSec)
     } catch { case e: Throwable =>
       errors.getOrElseUpdate("serving_tier",
         e.getClass.getSimpleName + ": " +
           String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
-      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp)); ()
     }
@@ -335,6 +346,7 @@ object Bench {
       s""""qps_analyze_cold":$qpsAnalyzeCold,"qps_analyze_cached":$qpsAnalyzeCached,""" +
       s""""qps_correlate_raw":$qpsCorrRaw,"qps_correlate_rollup":$qpsCorrRouted,""" +
       s""""qps_delta_raw":$qpsDeltaRaw,"qps_delta_rollup":$qpsDeltaRouted,""" +
+      s""""qps_delta_local":$qpsDeltaLocal,""" +
       s""""n_errors":${errors.size},"errors":$errJson,""" +
       s""""n_queries":${results.size},"sf":"$sfDir"}"""
     println(line)

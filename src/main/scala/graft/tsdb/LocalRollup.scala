@@ -358,6 +358,81 @@ object LocalRollup {
     p.limit.fold(sorted)(n => sorted.take(n.toInt))
   }
 
+  /** Output schema of [[runDelta]] — matches [[Rollup.runDelta]]. */
+  def outputSchemaDelta: StructType = StructType(Seq(
+    StructField("metric", StringType),
+    StructField("tags", MapType(StringType, StringType)),
+    StructField("series_key", StringType),
+    StructField("n_points", LongType),
+    StructField("first_ts", LongType),
+    StructField("last_ts", LongType),
+    StructField("delta", DoubleType),
+    StructField("increase", DoubleType)))
+
+  private final class DeltaState(val metric: String, val tags: Any) {
+    var n = 0L
+    var firstOrd: (Long, String, Long) = null; var firstVal = 0.0
+    var lastOrd: (Long, String, Long) = null; var lastVal = 0.0
+    var inc = 0.0
+    var prevLast = 0.0; var hasPrevLast = false
+  }
+
+  /** Driver-resident mirror of [[Rollup.runDelta]]: whole-range
+    * delta/increase folded from resident partial rows in pure Scala —
+    * the same in-window `__inc` + boundary-pair decomposition, no Spark
+    * job. `rows` must be sorted by window_start (the resident tier's
+    * invariant), so each series' windows arrive in order and the
+    * boundary fold is a single pass. */
+  def runDelta(rows: Array[Row], schema: StructType, p: QueryParams,
+      field: String): Array[Row] = {
+    val endNs = p.endNs.get
+    val iWs = schema.fieldIndex("window_start")
+    val iSk = schema.fieldIndex("series_key")
+    val iMetric = schema.fieldIndex("metric")
+    val iTags = schema.fieldIndex("tags")
+    val iCnt = schema.fieldIndex(s"${field}__cnt")
+    val iFo = schema.fieldIndex(s"${field}__first_ord")
+    val iFv = schema.fieldIndex(s"${field}__first")
+    val iLo = schema.fieldIndex(s"${field}__last_ord")
+    val iLv = schema.fieldIndex(s"${field}__last")
+    val iInc = schema.fieldIndex(s"${field}__inc")
+    val bySeries =
+      scala.collection.mutable.LinkedHashMap.empty[String, DeltaState]
+    rows.foreach { r =>
+      val ws = r.getLong(iWs)
+      if (ws >= p.startNs && ws <= endNs && r.getString(iMetric) == p.metric &&
+          tagsMatch(r, iTags, p)) {
+        val st = bySeries.getOrElseUpdate(r.getString(iSk),
+          new DeltaState(r.getString(iMetric), r.get(iTags)))
+        st.n += r.getLong(iCnt)
+        val fo = ordOf(r, iFo)
+        if (fo != null) { // window has numeric samples
+          val fv = r.getDouble(iFv)
+          if (st.firstOrd == null || ordOrdering.lt(fo, st.firstOrd)) {
+            st.firstOrd = fo; st.firstVal = fv
+          }
+          // boundary pair: previous non-empty window's last → this first
+          if (st.hasPrevLast)
+            st.inc += (if (fv < st.prevLast) fv else fv - st.prevLast)
+          val lo = ordOf(r, iLo)
+          if (st.lastOrd == null || ordOrdering.gt(lo, st.lastOrd)) {
+            st.lastOrd = lo; st.lastVal = r.getDouble(iLv)
+          }
+          st.prevLast = r.getDouble(iLv); st.hasPrevLast = true
+        }
+        if (!r.isNullAt(iInc)) st.inc += r.getDouble(iInc)
+      }
+    }
+    bySeries.iterator
+      .filter(_._2.n > 0)
+      .toArray
+      .sortBy(_._1)(Utf8Order)
+      .map { case (sk, st) =>
+        Row(st.metric, st.tags, sk, st.n, st.firstOrd._1, st.lastOrd._1,
+          st.lastVal - st.firstVal, st.inc)
+      }
+  }
+
   private def startAligned(p: QueryParams, interval: Long): Long =
     p.startNs - java.lang.Math.floorMod(p.startNs, interval)
 

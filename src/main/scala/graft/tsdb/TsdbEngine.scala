@@ -500,16 +500,55 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         lastServePath = "analyze-cache"
         (rows, false, schema)
       case None =>
-        val df = analyze(p, spec, splitNs)
-        val budget = servingRowBudget
-        val probe = df.limit(
-          math.min(budget + 1, Int.MaxValue.toLong).toInt).collect()
-        lastServePath = "analyze-spark"
-        if (probe.length > budget) (probe.take(budget.toInt), true, df.schema)
-        else {
-          if (cacheable) resultCache.putByKey(key, epoch, probe, df.schema)
-          (probe, false, df.schema)
+        // driver-resident tier for DELTA: fold the resident rollup
+        // partials in pure Scala ([[LocalRollup.runDelta]]) — no job, no
+        // planning floor, one output row per series (always under
+        // budget)
+        val local = spec match {
+          case AnalyzeDelta(f) => serveLocalRollupDelta(p, f)
+          case _ => None
         }
+        local match {
+          case Some((rows, sch)) =>
+            lastServePath = "local-rollup-delta"
+            if (cacheable) resultCache.putByKey(key, epoch, rows, sch)
+            (rows, false, sch)
+          case None =>
+            val df = analyze(p, spec, splitNs)
+            val budget = servingRowBudget
+            val probe = df.limit(
+              math.min(budget + 1, Int.MaxValue.toLong).toInt).collect()
+            lastServePath = "analyze-spark"
+            if (probe.length > budget) (probe.take(budget.toInt), true, df.schema)
+            else {
+              if (cacheable) resultCache.putByKey(key, epoch, probe, df.schema)
+              (probe, false, df.schema)
+            }
+        }
+    }
+  }
+
+  /** Driver-resident DELTA serving: [[LocalRollup.runDelta]] over the
+    * resident partial rows when a registered rollup covers the field
+    * (and its frame carries the `__inc` partial — schema-checked). */
+  private def serveLocalRollupDelta(p: QueryParams, field: String):
+      Option[(Array[Row], org.apache.spark.sql.types.StructType)] = {
+    val spec = rollupSpecs.get(p.metric)
+    if (spec == null || !spec.fields.contains(field) ||
+        p.valueFilters.nonEmpty || TagMatch.isPrefix(p.metric) ||
+        p.relativeNs.isDefined || p.startNs % spec.intervalNs != 0 ||
+        !p.endNs.exists(e => e != 0L && (e + 1) % spec.intervalNs == 0))
+      None
+    else localRollupRows(p.metric, spec).flatMap { case (rows, ws, sch) =>
+      if (!sch.fieldNames.contains(s"${field}__inc")) None
+      else {
+        val lo = lowerBound(ws, p.startNs)
+        val hi = math.max(lo, upperBound(ws, p.endNs.get))
+        val slice = java.util.Arrays.copyOfRange(
+          rows.asInstanceOf[Array[AnyRef]], lo, hi).asInstanceOf[Array[Row]]
+        Some((LocalRollup.runDelta(slice, sch, p, field),
+          LocalRollup.outputSchemaDelta))
+      }
     }
   }
 

@@ -144,6 +144,29 @@ class RollupSpec extends SparkSpec {
       val q2 = q.copy(endNs = Some(90 * Min))
       eng.analyze(q2, AnalyzeDelta("value")).collect()
       assert(eng.lastServePath != "rollup-delta")
+
+      // the driver-resident tier serves the same rows with NO Spark job
+      val local = eng.analyzeCached(q, AnalyzeDelta("value"))
+      assert(eng.lastServePath == "local-rollup-delta", eng.lastServePath)
+      assert(local.map(_.toSeq).toSeq == routed.map(_.toSeq).toSeq,
+        "driver tier must mirror the Spark rollup route row-for-row")
+      // second call hits the result cache
+      eng.analyzeCached(q, AnalyzeDelta("value"))
+      assert(eng.lastServePath == "analyze-cache")
+      // TAGGED composes through the resident rows
+      val qt = q.copy(tags = Map("host" -> "h1"))
+      val localT = eng.analyzeCached(qt, AnalyzeDelta("value"))
+      assert(eng.lastServePath == "local-rollup-delta")
+      assert(localT.map(_.toSeq).toSeq ==
+        eng.analyze(qt, AnalyzeDelta("value")).collect().map(_.toSeq).toSeq)
+      // a write invalidates: fresh rows, still locally served
+      assert(eng.putBatch(Seq(graft.model.DataPoint("reqs",
+        Map("host" -> "h0"), 120 * Min - 1, Map("value" ->
+          graft.model.FieldValue.ofDouble(999.0))))).isRight)
+      val after = eng.analyzeCached(q, AnalyzeDelta("value"))
+      assert(eng.lastServePath == "local-rollup-delta")
+      assert(after.map(_.toSeq).toSeq ==
+        eng.analyze(q, AnalyzeDelta("value")).collect().map(_.toSeq).toSeq)
     }
   }
 
