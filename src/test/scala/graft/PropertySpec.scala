@@ -364,6 +364,33 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("DELTA tiers agree: raw analytic == rollup route == driver fold") {
+    // integer-valued points make every sum exact, so the three tiers
+    // must agree BIT-FOR-BIT on random inputs at any rollup width
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(genPoint),
+      Gen.oneOf(1L, 2L, 4L, 8L, 16L)) { (rawPts: List[MPoint], width: Long) =>
+      val pts = rawPts.zipWithIndex.map { case (p, i) => p.copy(seq = i.toLong) }
+      val df = toDf(pts)
+      val q = QueryParams("m1", startNs = 0L, endNs = Some(15L))
+      def key(r: org.apache.spark.sql.Row) = r.getAs[String]("series_key")
+      def vals(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("n_points"), r.getAs[Long]("first_ts"),
+          r.getAs[Long]("last_ts"), r.getAs[Double]("delta"),
+          r.getAs[Double]("increase"))
+      val raw = TsAnalytics.rangeDelta(df, q, field = "v")
+        .collect().map(r => key(r) -> vals(r)).toMap
+      val rollup = Rollup.build(QueryEngine.mergedView(df, Nil), width, Seq("v"))
+      val routed = Rollup.runDelta(rollup, width, q, "v")
+        .collect().map(r => key(r) -> vals(r)).toMap
+      val rows = rollup.orderBy("window_start").collect()
+      val local = LocalRollup.runDelta(rows, rollup.schema, q, "v")
+        .map(r => r.getString(2) ->
+          (r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6),
+            r.getDouble(7))).toMap
+      raw == routed && raw == local
+    })
+  }
+
   test("delta/irate/predict == reference model under random points") {
     // whole-range change, last-pair rate, and least-squares forecast
     // against an in-memory model over the latest-version-merged series
