@@ -311,6 +311,14 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Fixed-token chunking with overlap (embedding prep): 32-token
+    * windows advancing 24 — partial tails kept, narrow map + explode
+    * only. */
+  def docChunks(s: SparkSession, dir: String): DataFrame =
+    TA.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_index")
+
   /** Per-source document cap (the CommonCrawl per-domain quota):
     * deterministic md5-ranked top-k per source — unbiased by id order,
     * reproducible at any parallelism. */

@@ -42,6 +42,7 @@ object SparkEntry {
     "quality_probe_score" -> (Queries.qualityProbeScore _),
     "lm_crossentropy" -> (Queries.lmCrossentropy _),
     "sample_per_source" -> (Queries.samplePerSource _),
+    "doc_chunks" -> (Queries.docChunks _),
     "lang_id" -> (Queries.langId _),
     "dedup_exact" -> (Queries.dedupExact _),
     "dedup_jaccard_pairs" -> (Queries.dedupJaccardPairs _),
@@ -585,6 +586,18 @@ object SparkEntry {
         |      + 0.3 * (len(list_filter(ws, x -> x IN ('the','a','of','and')))::DOUBLE / len(ws)))
         |    * 10000 + 0.5) AS BIGINT) AS quality_e4
         |FROM w ORDER BY doc_id""".stripMargin,
+    // chunking: pure list arithmetic, byte-identical strings
+    "doc_chunks" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |s AS (SELECT doc_id, ws, unnest(generate_series(0,
+        |        greatest(0, ((len(ws) - 32 + 23) // 24) * 24), 24)) AS cs
+        |      FROM w WHERE len(ws) > 0)
+        |SELECT doc_id, CAST(cs // 24 AS INT) AS chunk_index, cs AS chunk_start,
+        |  len(ws[cs+1 : cs+32]) AS n_chunk_tokens,
+        |  array_to_string(ws[cs+1 : cs+32], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_index""".stripMargin,
     // per-source cap: md5 rank is identical in both engines
     "sample_per_source" ->
       """WITH r AS (SELECT doc_id, source,

@@ -25,6 +25,45 @@ object TextAnalysis {
     size(filter(split(text, "[^\\w]+"), t => t =!= "")) +
       charClassCount(text, "[^\\w\\s]")
 
+  /** Fixed-token chunking with overlap — the embedding-prep step
+    * (retrieval corpora index CHUNKS, not documents): split each doc's
+    * token stream into windows of `chunkTokens` words advancing by
+    * `chunkTokens − overlap`, re-joined with single spaces. One narrow
+    * map + one explode — no shuffle; a 100 TB corpus chunks at scan
+    * speed. Chunk starts are `0, step, 2·step, …` while a start <
+    * n_tokens, so the final partial window is kept (standard RAG
+    * convention) and every token lands in ≥ 1 chunk; a doc shorter than
+    * one window yields exactly one chunk. Output: one row per chunk with
+    * `chunk_index`, `chunk_start` (token offset), `n_chunk_tokens`,
+    * `chunk_text`. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunkTokens=$chunkTokens overlap=$overlap")
+    val step = chunkTokens - overlap
+    val withWords = df.withColumn("__ws", words(col(textCol)))
+      .filter(size(col("__ws")) > 0)
+    val starts = sequence(lit(0),
+      // last start = step · ⌈(n − chunkTokens) / step⌉, capped at ≥ 0:
+      // the first start whose window reaches the end of the doc — the
+      // tail chunk may be partial but is never fully contained in its
+      // predecessor
+      greatest(lit(0),
+        ((size(col("__ws")) - chunkTokens + (step - 1)) / step)
+          .cast("int") * step), lit(step))
+    withWords
+      .withColumn("chunk_start", explode(starts))
+      // slice is 1-based
+      .withColumn("__chunk_ws",
+        slice(col("__ws"), col("chunk_start") + 1, lit(chunkTokens)))
+      .filter(size(col("__chunk_ws")) > 0)
+      .select(col(idCol),
+        (col("chunk_start") / step).cast("int").as("chunk_index"),
+        col("chunk_start"),
+        size(col("__chunk_ws")).as("n_chunk_tokens"),
+        array_join(col("__chunk_ws"), " ").as("chunk_text"))
+  }
+
   /** n-gram shingles (distinct) over an ALREADY-MATERIALIZED words column.
     * Always project `words()` into its own column first: referencing a
     * computed array from inside the transform lambda would re-evaluate the

@@ -82,6 +82,33 @@ class PipelineSpec extends SparkSpec {
     assert(kept(1).getAs[Long]("cluster_size") == 1L)
   }
 
+  test("doc chunking: full coverage, overlap, partial tail, short docs") {
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")), // 20 tokens
+      (2L, "only three words"),
+      (3L, (1 to 8).map(i => s"t$i").mkString(" "))) // exactly one window
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocs(docs, "doc_id", "text",
+      chunkTokens = 8, overlap = 3) // step 5
+    val byDoc = chunks.collect().groupBy(_.getLong(0))
+    // doc 1: starts 0,5,10 — ceil((20−8)/5)·5 = 15? no: ceil(12/5)=3 → 15
+    val c1 = byDoc(1L).sortBy(_.getInt(1))
+    assert(c1.map(_.getInt(2)).toSeq == Seq(0, 5, 10, 15))
+    assert(c1.map(_.getInt(3)).toSeq == Seq(8, 8, 8, 5)) // partial tail kept
+    // consecutive chunks overlap by exactly `overlap` tokens
+    val t0 = c1(0).getString(4).split(" "); val t1 = c1(1).getString(4).split(" ")
+    assert(t0.takeRight(3).toSeq == t1.take(3).toSeq)
+    // every token appears in some chunk
+    val covered = c1.flatMap(_.getString(4).split(" ")).toSet
+    assert(covered == (1 to 20).map(i => s"w$i").toSet)
+    // short doc: one chunk, whole text
+    assert(byDoc(2L).length == 1 && byDoc(2L).head.getString(4) == "only three words")
+    // exact single window: one chunk, not two
+    assert(byDoc(3L).length == 1 && byDoc(3L).head.getInt(3) == 8)
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkDocs(docs, "doc_id", "text", 8, 8))
+  }
+
   test("per-group cap: k kept per group, deterministic, parallelism-stable") {
     val docs = (0 until 200).map(i => (i.toLong, s"g${i % 4}")).toDF("id", "g")
     val capped = Sampling.capPerGroup(docs, "id", "g", k = 7)
