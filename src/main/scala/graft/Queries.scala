@@ -319,6 +319,20 @@ object Queries {
         chunkTokens = 32, overlap = 8)
       .orderBy("doc_id", "chunk_index")
 
+  /** Boilerplate-paragraph detection (Gopher/C4 repeated-passage drop),
+    * composed from [[TA.chunkDocs]] + fingerprint grouping: 8-token
+    * chunks repeated across ≥ 2 distinct documents are boilerplate
+    * candidates. Narrow chunking into one count shuffle on the
+    * fingerprint. */
+  def boilerplateChunks(s: SparkSession, dir: String): DataFrame =
+    TA.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 8, overlap = 0)
+      .groupBy(md5(col("chunk_text")).as("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("fp")
+
   /** Per-source document cap (the CommonCrawl per-domain quota):
     * deterministic md5-ranked top-k per source — unbiased by id order,
     * reproducible at any parallelism. */

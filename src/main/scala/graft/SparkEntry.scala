@@ -43,6 +43,7 @@ object SparkEntry {
     "lm_crossentropy" -> (Queries.lmCrossentropy _),
     "sample_per_source" -> (Queries.samplePerSource _),
     "doc_chunks" -> (Queries.docChunks _),
+    "boilerplate_chunks" -> (Queries.boilerplateChunks _),
     "lang_id" -> (Queries.langId _),
     "dedup_exact" -> (Queries.dedupExact _),
     "dedup_jaccard_pairs" -> (Queries.dedupJaccardPairs _),
@@ -598,6 +599,18 @@ object SparkEntry {
         |  len(ws[cs+1 : cs+32]) AS n_chunk_tokens,
         |  array_to_string(ws[cs+1 : cs+32], ' ') AS chunk_text
         |FROM s ORDER BY doc_id, chunk_index""".stripMargin,
+    "boilerplate_chunks" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |s AS (SELECT doc_id, ws, unnest(generate_series(0,
+        |        greatest(0, ((len(ws) - 8 + 7) // 8) * 8), 8)) AS cs
+        |      FROM w WHERE len(ws) > 0),
+        |c AS (SELECT doc_id, md5(array_to_string(ws[cs+1 : cs+8], ' ')) AS fp
+        |      FROM s)
+        |SELECT fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+        |FROM c GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY fp""".stripMargin,
     // per-source cap: md5 rank is identical in both engines
     "sample_per_source" ->
       """WITH r AS (SELECT doc_id, source,
