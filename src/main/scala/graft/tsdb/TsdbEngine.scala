@@ -1523,6 +1523,29 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * retention-expired rows; storage shrinks and reads stop paying the
     * merge. `nowNs` is injectable for determinism (same convention as
     * [[QueryParams.nowNs]]). */
+  /** Commits currently uncompacted: distinct commit stamps among the
+    * live data files (compaction rewrites everything under ONE stamp, so
+    * this is the L0-file-count analog the reference's compaction manager
+    * triggers on, `engine2/compaction_manager.go` l0_trigger_file_count —
+    * and the `M` knob [[graft.cli.EstimateConfig]] advises). */
+  def uncompactedCommits: Int =
+    snap.files.map { f =>
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      name.split("-part-", 2)(0) // "<stamp>-part-00000-..." → stamp
+    }.distinct.size
+
+  /** Trigger-based compaction: compact only once more than
+    * `maxUncompacted` commits have accumulated (the reference's
+    * L0-trigger policy made callable — drive it from a `PostPutBatch`
+    * hook listener or any scheduler for the check-interval behavior).
+    * Returns true when a compaction ran. */
+  def maybeCompact(maxUncompacted: Int,
+      nowNs: Option[Long] = None): Either[String, Boolean] = {
+    require(maxUncompacted >= 1, "maxUncompacted must be >= 1")
+    if (uncompactedCommits <= maxUncompacted) Right(false)
+    else compact(nowNs).map(_ => true)
+  }
+
   def compact(nowNs: Option[Long] = None): Either[String, Unit] = {
     if (hooks.hasListeners(EventType.PreCompaction))
       hooks.trigger(HookEvent(EventType.PreCompaction, Payloads.PreCompaction())) match {

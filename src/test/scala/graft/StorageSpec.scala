@@ -210,6 +210,26 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("maybeCompact: L0-style trigger fires only past the commit budget") {
+    withDir { dir =>
+      val e = new TsdbEngine(spark, s"$dir/db")
+      (1 to 3).foreach(i => assert(e.putBatch(Seq(pt("m", "h1", i * 1000L, i))).isRight))
+      assert(e.uncompactedCommits == 3)
+      // under budget: no compaction
+      assert(e.maybeCompact(maxUncompacted = 4) == Right(false))
+      assert(e.uncompactedCommits == 3)
+      // past budget: compacts down to one commit, data intact
+      assert(e.putBatch(Seq(pt("m", "h1", 9000L, 9.0))).isRight)
+      assert(e.putBatch(Seq(pt("m", "h1", 9500L, 9.5))).isRight)
+      assert(e.maybeCompact(maxUncompacted = 4) == Right(true))
+      assert(e.uncompactedCommits == 1)
+      assert(count(e, "m") == 5)
+      // idempotent: immediately after, under budget again
+      assert(e.maybeCompact(maxUncompacted = 4) == Right(false))
+      intercept[IllegalArgumentException](e.maybeCompact(0))
+    }
+  }
+
   test("grace-period vacuum: dereferenced files outlive compaction for readers") {
     withDir { dir =>
       val e = new TsdbEngine(spark, s"$dir/db")
