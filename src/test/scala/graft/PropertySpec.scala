@@ -364,6 +364,41 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("chunking invariants: coverage, stride, sizes, reconstruction") {
+    import graft.pipeline.TextAnalysis
+    val genDoc = for {
+      n <- Gen.choose(1, 60)
+      ws <- Gen.listOfN(n, Gen.choose('a', 'z').map(c => s"$c${n % 7}"))
+    } yield ws
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(genDoc),
+      Gen.choose(2, 12), Gen.choose(0, 6)) {
+      (docs: List[List[String]], chunkTokens: Int, overlapRaw: Int) =>
+      val overlap = math.min(overlapRaw, chunkTokens - 1)
+      val step = chunkTokens - overlap
+      val df = docs.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" ")) }.toDF("doc_id", "text")
+      val chunks = TextAnalysis.chunkDocs(df, "doc_id", "text",
+          chunkTokens, overlap)
+        .collect().groupBy(_.getLong(0))
+        .map { case (id, rs) => id -> rs.sortBy(_.getInt(1)) }
+      docs.zipWithIndex.forall { case (ws, i) =>
+        val cs = chunks(i.toLong)
+        val starts = cs.map(_.getInt(2)).toSeq
+        val texts = cs.map(_.getString(4).split(" ").toSeq).toSeq
+        // stride: starts are 0, step, 2·step …
+        starts == starts.indices.map(_ * step) &&
+        // sizes: all full except possibly the last, which is non-empty
+        texts.init.forall(_.size == chunkTokens) &&
+        texts.last.nonEmpty && texts.last.size <= chunkTokens &&
+        // content: chunk k is exactly tokens [k·step, k·step+len)
+        texts.zip(starts).forall { case (t, s0) =>
+          t == ws.slice(s0, s0 + t.size) } &&
+        // coverage + reconstruction: step-prefixes + last chunk = doc
+        (texts.init.flatMap(_.take(step)) ++ texts.last).toList == ws
+      }
+    })
+  }
+
   test("DELTA tiers agree: raw analytic == rollup route == driver fold") {
     // integer-valued points make every sum exact, so the three tiers
     // must agree BIT-FOR-BIT on random inputs at any rollup width
