@@ -851,6 +851,25 @@ object Queries {
       .orderBy("user")
   }
 
+  /** PREDICT served from rollup partials ([[Rollup.runPredict]]):
+    * absolute-epoch time moments merged as plain sums, shifted to the
+    * query anchor. Shares ts_predict's oracle verbatim — with the
+    * battery's anchor 0 the shift terms vanish and only summation
+    * grouping differs (ulp-level under the oracle's rounding). */
+  def tsdbRollupPredict(s: SparkSession, dir: String): DataFrame = {
+    val oneMin = 60000000000L
+    val rollup = Rollup.build(QueryEngine.mergedView(
+      Tables.eventsAsPoints(s, dir).filter(col("metric") === "view"), Nil),
+      oneMin, Seq("value"))
+    val q = QueryParams("view", startNs = 0L, endNs = Some(FarFuture - 1))
+    Rollup.runPredict(rollup, oneMin, q, "value", horizonNs = 7L * 24 * HourNs)
+      .select(userCol, col("n_points"),
+        (col("last_ts") - pmod(col("last_ts"), lit(1000L))).as("last_ts"),
+        round(col("slope_per_sec") * lit(3600.0), 6).as("slope_per_hour"),
+        round(col("predicted"), 4).as("predicted"))
+      .orderBy("user")
+  }
+
   /** `ts_rate` through the hot-series split path (1-day chunks): the lag
     * family's split is BIT-IDENTICAL to the unsplit plan (`TsSplitSpec`),
     * so this battery entry shares ts_rate's oracle verbatim — the driver

@@ -96,6 +96,7 @@ object SparkEntry {
     "ts_rate_prefix" -> (Queries.tsRatePrefix _),
     "ts_delta" -> (Queries.tsDelta _),
     "tsdb_rollup_delta" -> (Queries.tsdbRollupDelta _),
+    "tsdb_rollup_predict" -> (Queries.tsdbRollupPredict _),
     "ts_irate" -> (Queries.tsIrate _),
     "ts_predict" -> (Queries.tsPredict _),
     "ts_anomaly" -> (Queries.tsAnomaly _),
@@ -154,6 +155,30 @@ object SparkEntry {
       |  round(coalesce(sum(CASE WHEN pv IS NULL THEN NULL
       |    WHEN value < pv THEN value ELSE value - pv END), 0), 4) AS increase
       |FROM l GROUP BY u ORDER BY 1""".stripMargin
+
+  /** Shared by `ts_predict`/`tsdb_rollup_predict` (raw analytic vs the
+    * rollup-partial route) — mirrors predictLinear's moment formulas
+    * term-for-term. */
+  private val TsPredictSql =
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t_ns, value
+        |  FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT u, count(*) AS n_points, max(t_ns) AS last_ts,
+        |    avg(CAST(t_ns AS DOUBLE) / 1e9) AS mt, avg(value) AS mv,
+        |    avg((CAST(t_ns AS DOUBLE) / 1e9) * value) AS mtv,
+        |    avg((CAST(t_ns AS DOUBLE) / 1e9) * (CAST(t_ns AS DOUBLE) / 1e9)) AS mtt
+        |  FROM s GROUP BY u),
+        |d AS (
+        |  SELECT u, n_points, last_ts, mt, mv,
+        |    CASE WHEN n_points >= 2 AND mtt - mt * mt > 0
+        |      THEN (mtv - mt * mv) / (mtt - mt * mt) END AS slope
+        |  FROM m)
+        |SELECT u AS "user", n_points, last_ts,
+        |  round(slope * 3600, 6) AS slope_per_hour,
+        |  round(mv + slope * ((CAST(last_ts AS DOUBLE) + 604800000000000)
+        |    / 1e9 - mt), 4) AS predicted
+        |FROM d ORDER BY 1""".stripMargin
 
   /** Shared by `ts_twa`/`ts_twa_split` — same bit-identical contract. */
   private val TsTwaSql =
@@ -1075,26 +1100,10 @@ object SparkEntry {
         |ORDER BY 1""".stripMargin,
     // mirrors predictLinear's moment formulas term-for-term (same
     // conditioning in both engines; only summation order differs)
-    "ts_predict" ->
-      """WITH s AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t_ns, value
-        |  FROM events WHERE event_type = 'view'),
-        |m AS (
-        |  SELECT u, count(*) AS n_points, max(t_ns) AS last_ts,
-        |    avg(CAST(t_ns AS DOUBLE) / 1e9) AS mt, avg(value) AS mv,
-        |    avg((CAST(t_ns AS DOUBLE) / 1e9) * value) AS mtv,
-        |    avg((CAST(t_ns AS DOUBLE) / 1e9) * (CAST(t_ns AS DOUBLE) / 1e9)) AS mtt
-        |  FROM s GROUP BY u),
-        |d AS (
-        |  SELECT u, n_points, last_ts, mt, mv,
-        |    CASE WHEN n_points >= 2 AND mtt - mt * mt > 0
-        |      THEN (mtv - mt * mv) / (mtt - mt * mt) END AS slope
-        |  FROM m)
-        |SELECT u AS "user", n_points, last_ts,
-        |  round(slope * 3600, 6) AS slope_per_hour,
-        |  round(mv + slope * ((CAST(last_ts AS DOUBLE) + 604800000000000)
-        |    / 1e9 - mt), 4) AS predicted
-        |FROM d ORDER BY 1""".stripMargin,
+    // tsdb_rollup_predict: the rollup-partial route, same oracle (the
+    // battery's anchor 0 makes the moment-shift terms vanish)
+    "ts_predict" -> TsPredictSql,
+    "tsdb_rollup_predict" -> TsPredictSql,
 
     // ts_twa_split: same bit-identical-split contract as ts_rate_split
     "ts_twa" -> TsTwaSql,

@@ -78,9 +78,21 @@ object Rollup {
       // window pass); composes across windows with [[runDelta]]'s
       // boundary pairs — the decomposition behind rollup-routed
       // ANALYZE DELTA
-      sum(col(s"__graft_inc_$f")).as(s"${f}__inc"))
+      sum(col(s"__graft_inc_$f")).as(s"${f}__inc"),
+      // time moments over NUMERIC samples (t = epoch seconds): Σt, Σt·v,
+      // Σt² — plain sums, so they merge across windows and SHIFT exactly
+      // to any regression anchor (Σ(t−s)v = Σtv − s·Σv …) — the
+      // decomposition behind rollup-routed ANALYZE PREDICT
+      // ([[runPredict]])
+      sum(when(n.isNotNull, tSec)).as(s"${f}__tsum"),
+      sum(n * tSec).as(s"${f}__tvsum"),
+      sum(when(n.isNotNull, tSec * tSec)).as(s"${f}__ttsum"))
     if (digest) base :+ tdigest_sketch(n).as(s"${f}__tdigest") else base
   }
+
+  /** Timestamp in epoch seconds (the regression axis of
+    * [[TsAnalytics.predictLinear]]). */
+  private def tSec: Column = col("timestamp").cast("double") / 1e9
 
   /** Build the rollup at `intervalNs` over a MERGED point frame (the
     * [[QueryEngine.mergedView]] output — or any frame with the canonical
@@ -338,6 +350,60 @@ object Rollup {
     p.startNs % r == 0 &&
     p.endNs.exists(e => e != 0L && (e + 1) % r == 0) &&
     rollup.columns.contains(s"${field}__inc")
+  }
+
+  /** True when a PREDICT over `field` is answerable from this rollup
+    * frame — the [[supportsDelta]] gating plus the stored time-moment
+    * partials. */
+  def supportsPredict(p: QueryParams, rollupIntervalNs: Long,
+      rollup: DataFrame, field: String): Boolean =
+    supportsDelta(p, rollupIntervalNs, rollup, field) &&
+      rollup.columns.contains(s"${field}__tsum")
+
+  /** Least-squares trend + horizon forecast
+    * ([[TsAnalytics.predictLinear]]'s output shape) re-aggregated from
+    * rollup partials. The stored absolute-epoch moments merge across
+    * windows as plain sums, then SHIFT to the query's anchor
+    * (`s = startNs` in seconds): Σ(t−s) = Σt − s·n, Σ(t−s)v = Σtv −
+    * s·Σv, Σ(t−s)² = Σt² − 2s·Σt + s²·n — exact algebra; the FP
+    * re-association is ulp-level and the slope conditioning matches the
+    * raw path's (same anchor). */
+  def runPredict(rollup: DataFrame, rollupIntervalNs: Long, p: QueryParams,
+      field: String, horizonNs: Long): DataFrame = {
+    require(supportsPredict(p, rollupIntervalNs, rollup, field),
+      s"PREDICT($field) not answerable from a $rollupIntervalNs ns rollup")
+    require(horizonNs >= 0, "horizon must be non-negative")
+    val endNs = p.endNs.get
+    var df = rollup.filter(col("metric") === p.metric)
+    p.tags.foreach { case (k, v) => df = df.filter(TagMatch.pred(k, v)) }
+    df = df.filter(col("window_start").between(p.startNs, endNs))
+    if (rollup.columns.contains("date"))
+      df = df.filter(col("date").between(
+        TsdbEngine.dayStr(p.startNs), TsdbEngine.dayStr(endNs)))
+    val g = df.groupBy(col("series_key"))
+      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"),
+        sum(col(s"${field}__cnt")).as("n_points"),
+        max(col(s"${field}__last_ord")).as("__lord"),
+        sum(col(s"${field}__tsum")).as("__st"),
+        sum(col(s"${field}__sum")).as("__sv"),
+        sum(col(s"${field}__tvsum")).as("__stv"),
+        sum(col(s"${field}__ttsum")).as("__stt"))
+      .filter(col("n_points") > 0)
+    val s = lit(p.startNs.toDouble / 1e9)
+    val n = col("n_points").cast("double")
+    val mt = (col("__st") - s * n) / n
+    val mv = col("__sv") / n
+    val mtv = (col("__stv") - s * col("__sv")) / n
+    val mtt = (col("__stt") - lit(2.0) * s * col("__st") + s * s * n) / n
+    val varT = mtt - mt * mt
+    val slope = when(col("n_points") >= 2 && varT > 0, (mtv - mt * mv) / varT)
+    val lastTs = col("__lord").getField("timestamp")
+    val targetT = (lastTs - lit(p.startNs) + lit(horizonNs)).cast("double") / lit(1e9)
+    g.withColumn("slope_per_sec", slope)
+      .withColumn("predicted", mv + col("slope_per_sec") * (targetT - mt))
+      .select(col("metric"), col("tags"), col("series_key"), col("n_points"),
+        lastTs.as("last_ts"), col("slope_per_sec"), col("predicted"))
+      .orderBy(col("series_key"))
   }
 
   /** Whole-range DELTA/INCREASE ([[TsAnalytics.rangeDelta]]'s output

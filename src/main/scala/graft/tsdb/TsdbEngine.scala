@@ -396,8 +396,22 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         TsAnalytics.irate(pts, params, field = f, tombstones = tombs,
           splitNs = splitNs)
       case AnalyzePredict(f, h) =>
-        TsAnalytics.predictLinear(pts, params, h, field = f,
-          tombstones = tombs, splitNs = splitNs)
+        // rollup-routed like DELTA: the stored time moments shift to the
+        // query anchor and merge as plain sums ([[Rollup.runPredict]])
+        val routed = Option(rollupSpecs.get(params.metric))
+          .filter(spec => spec.fields.contains(f))
+          .map(spec => (spec, rollupView(params.metric, spec)))
+          .filter { case (spec, view) =>
+            Rollup.supportsPredict(params, spec.intervalNs, view, f) }
+          .map { case (spec, view) =>
+            lastServePath = "rollup-predict"
+            Rollup.runPredict(view, spec.intervalNs, params, f, h)
+          }
+        routed.getOrElse {
+          lastServePath = "analyze-raw"
+          TsAnalytics.predictLinear(pts, params, h, field = f,
+            tombstones = tombs, splitNs = splitNs)
+        }
       case AnalyzeEwma(f, a) =>
         TsAnalytics.ewmaSmooth(pts, params, a, field = f, tombstones = tombs,
           splitNs = splitNs)

@@ -121,6 +121,62 @@ class RollupSpec extends SparkSpec {
     assert(!Rollup.supportsDelta(query, Min, legacy, "value"))
   }
 
+  test("runPredict: trend from shifted moments == raw operator (1e-9)") {
+    val pts = fixture
+    val merged = QueryEngine.mergedView(pts, Nil)
+    val rollup = Rollup.build(merged, Min, Seq("value"))
+    // non-zero anchor exercises the moment shift
+    val query = QueryParams("cpu.usage", startNs = 60 * Min,
+      endNs = Some(150 * Min - 1))
+    assert(Rollup.supportsPredict(query, Min, rollup, "value"))
+    val h = 30 * Min
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("series_key") ->
+        (r.getAs[Long]("n_points"), r.getAs[Long]("last_ts"),
+          Option(r.getAs[java.lang.Double]("slope_per_sec")).map(_.doubleValue),
+          Option(r.getAs[java.lang.Double]("predicted")).map(_.doubleValue))).toMap
+    val raw = rows(TsAnalytics.predictLinear(pts, query, h))
+    val routed = rows(Rollup.runPredict(rollup, Min, query, "value", h))
+    assert(raw.keySet == routed.keySet && raw.nonEmpty)
+    def close(a: Option[Double], b: Option[Double]): Boolean = (a, b) match {
+      case (None, None) => true
+      case (Some(x), Some(y)) =>
+        math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x))
+      case _ => false
+    }
+    raw.foreach { case (k, (n, lt, sl, pr)) =>
+      val (n2, lt2, sl2, pr2) = routed(k)
+      assert(n == n2 && lt == lt2, s"series $k")
+      assert(close(sl, sl2) && close(pr, pr2),
+        s"series $k slope $sl vs $sl2, predicted $pr vs $pr2")
+    }
+    // legacy frames without the moment partials gate out
+    assert(!Rollup.supportsPredict(query, Min,
+      rollup.drop("value__tsum"), "value"))
+  }
+
+  test("engine: ANALYZE PREDICT routes through a registered rollup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_pred").toString
+    val eng = new TsdbEngine(spark, dir)
+    val points = (0 until 120).map { i =>
+      graft.model.DataPoint("disk", Map("host" -> s"h${i % 2}"), i * Min,
+        Map("value" -> graft.model.FieldValue.ofDouble(10.0 + 0.5 * i)))
+    }
+    assert(eng.putBatch(points).isRight)
+    val q = QueryParams("disk", startNs = 0L, endNs = Some(120 * Min - 1))
+    val raw = eng.analyze(q, AnalyzePredict("value", 60 * Min)).collect()
+    assert(eng.lastServePath == "analyze-raw")
+    eng.registerRollup("disk", Min, Seq("value"))
+    val routed = eng.analyze(q, AnalyzePredict("value", 60 * Min)).collect()
+    assert(eng.lastServePath == "rollup-predict")
+    assert(raw.length == routed.length)
+    raw.zip(routed).foreach { case (a, b) =>
+      assert(a.getString(2) == b.getString(2))
+      assert(math.abs(a.getDouble(5) - b.getDouble(5)) < 1e-9)
+      assert(math.abs(a.getDouble(6) - b.getDouble(6)) < 1e-9)
+    }
+  }
+
   test("engine: ANALYZE DELTA routes through a registered rollup") {
     {
       val dir = java.nio.file.Files.createTempDirectory("graft_rollup_delta").toString
