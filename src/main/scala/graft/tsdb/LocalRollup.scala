@@ -433,6 +433,78 @@ object LocalRollup {
       }
   }
 
+  /** Output schema of [[runPredict]] — matches [[Rollup.runPredict]]. */
+  def outputSchemaPredict: StructType = StructType(Seq(
+    StructField("metric", StringType),
+    StructField("tags", MapType(StringType, StringType)),
+    StructField("series_key", StringType),
+    StructField("n_points", LongType),
+    StructField("last_ts", LongType),
+    StructField("slope_per_sec", DoubleType),
+    StructField("predicted", DoubleType)))
+
+  private final class PredictState(val metric: String, val tags: Any) {
+    var n = 0L
+    var lastOrd: (Long, String, Long) = null
+    var st = 0.0; var sv = 0.0; var stv = 0.0; var stt = 0.0
+  }
+
+  /** Driver-resident mirror of [[Rollup.runPredict]]: least-squares
+    * trend + horizon forecast folded from resident moment partials in
+    * pure Scala (same anchor-shift algebra), no Spark job. */
+  def runPredict(rows: Array[Row], schema: StructType, p: QueryParams,
+      field: String, horizonNs: Long): Array[Row] = {
+    val endNs = p.endNs.get
+    val iWs = schema.fieldIndex("window_start")
+    val iSk = schema.fieldIndex("series_key")
+    val iMetric = schema.fieldIndex("metric")
+    val iTags = schema.fieldIndex("tags")
+    val iCnt = schema.fieldIndex(s"${field}__cnt")
+    val iLo = schema.fieldIndex(s"${field}__last_ord")
+    val iSv = schema.fieldIndex(s"${field}__sum")
+    val iSt = schema.fieldIndex(s"${field}__tsum")
+    val iStv = schema.fieldIndex(s"${field}__tvsum")
+    val iStt = schema.fieldIndex(s"${field}__ttsum")
+    val bySeries =
+      scala.collection.mutable.LinkedHashMap.empty[String, PredictState]
+    rows.foreach { r =>
+      val ws = r.getLong(iWs)
+      if (ws >= p.startNs && ws <= endNs && r.getString(iMetric) == p.metric &&
+          tagsMatch(r, iTags, p)) {
+        val st = bySeries.getOrElseUpdate(r.getString(iSk),
+          new PredictState(r.getString(iMetric), r.get(iTags)))
+        st.n += r.getLong(iCnt)
+        val lo = ordOf(r, iLo)
+        if (lo != null &&
+            (st.lastOrd == null || ordOrdering.gt(lo, st.lastOrd))) st.lastOrd = lo
+        if (!r.isNullAt(iSt)) st.st += r.getDouble(iSt)
+        if (!r.isNullAt(iSv)) st.sv += r.getDouble(iSv)
+        if (!r.isNullAt(iStv)) st.stv += r.getDouble(iStv)
+        if (!r.isNullAt(iStt)) st.stt += r.getDouble(iStt)
+      }
+    }
+    val s = p.startNs.toDouble / 1e9
+    bySeries.iterator
+      .filter(_._2.n > 0)
+      .toArray
+      .sortBy(_._1)(Utf8Order)
+      .map { case (sk, g) =>
+        val n = g.n.toDouble
+        val mt = (g.st - s * n) / n
+        val mv = g.sv / n
+        val mtv = (g.stv - s * g.sv) / n
+        val mtt = (g.stt - 2.0 * s * g.st + s * s * n) / n
+        val varT = mtt - mt * mt
+        val lastTs = g.lastOrd._1
+        if (g.n >= 2 && varT > 0) {
+          val slope = (mtv - mt * mv) / varT
+          val targetT = (lastTs - p.startNs + horizonNs).toDouble / 1e9
+          Row(g.metric, g.tags, sk, g.n, lastTs,
+            slope, mv + slope * (targetT - mt))
+        } else Row(g.metric, g.tags, sk, g.n, lastTs, null, null)
+      }
+  }
+
   private def startAligned(p: QueryParams, interval: Long): Long =
     p.startNs - java.lang.Math.floorMod(p.startNs, interval)
 

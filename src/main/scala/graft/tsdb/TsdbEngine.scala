@@ -519,12 +519,20 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         // planning floor, one output row per series (always under
         // budget)
         val local = spec match {
-          case AnalyzeDelta(f) => serveLocalRollupDelta(p, f)
+          case AnalyzeDelta(f) =>
+            serveLocalRollupAnalytic(p, f, "local-rollup-delta") {
+              (slice, sch) => (LocalRollup.runDelta(slice, sch, p, f),
+                LocalRollup.outputSchemaDelta)
+            }
+          case AnalyzePredict(f, h) =>
+            serveLocalRollupAnalytic(p, f, "local-rollup-predict") {
+              (slice, sch) => (LocalRollup.runPredict(slice, sch, p, f, h),
+                LocalRollup.outputSchemaPredict)
+            }
           case _ => None
         }
         local match {
           case Some((rows, sch)) =>
-            lastServePath = "local-rollup-delta"
             if (cacheable) resultCache.putByKey(key, epoch, rows, sch)
             (rows, false, sch)
           case None =>
@@ -542,10 +550,15 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     }
   }
 
-  /** Driver-resident DELTA serving: [[LocalRollup.runDelta]] over the
-    * resident partial rows when a registered rollup covers the field
-    * (and its frame carries the `__inc` partial — schema-checked). */
-  private def serveLocalRollupDelta(p: QueryParams, field: String):
+  /** Driver-resident whole-range-analytic serving (DELTA/PREDICT):
+    * slice the resident partial rows to the window range and fold in
+    * pure Scala when a registered rollup covers the field and the frame
+    * carries the needed partial columns (`__inc`; `__tsum` family —
+    * both ship together, schema-checked by the first). */
+  private def serveLocalRollupAnalytic(p: QueryParams, field: String,
+      path: String)(
+      fold: (Array[Row], org.apache.spark.sql.types.StructType) =>
+        (Array[Row], org.apache.spark.sql.types.StructType)):
       Option[(Array[Row], org.apache.spark.sql.types.StructType)] = {
     val spec = rollupSpecs.get(p.metric)
     if (spec == null || !spec.fields.contains(field) ||
@@ -554,14 +567,15 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         !p.endNs.exists(e => e != 0L && (e + 1) % spec.intervalNs == 0))
       None
     else localRollupRows(p.metric, spec).flatMap { case (rows, ws, sch) =>
-      if (!sch.fieldNames.contains(s"${field}__inc")) None
+      if (!sch.fieldNames.contains(s"${field}__inc") ||
+          !sch.fieldNames.contains(s"${field}__tsum")) None
       else {
         val lo = lowerBound(ws, p.startNs)
         val hi = math.max(lo, upperBound(ws, p.endNs.get))
         val slice = java.util.Arrays.copyOfRange(
           rows.asInstanceOf[Array[AnyRef]], lo, hi).asInstanceOf[Array[Row]]
-        Some((LocalRollup.runDelta(slice, sch, p, field),
-          LocalRollup.outputSchemaDelta))
+        lastServePath = path
+        Some(fold(slice, sch))
       }
     }
   }

@@ -175,6 +175,21 @@ class RollupSpec extends SparkSpec {
       assert(math.abs(a.getDouble(5) - b.getDouble(5)) < 1e-9)
       assert(math.abs(a.getDouble(6) - b.getDouble(6)) < 1e-9)
     }
+
+    // the driver-resident tier mirrors the Spark route with no job
+    val local = eng.analyzeCached(q, AnalyzePredict("value", 60 * Min))
+    assert(eng.lastServePath == "local-rollup-predict", eng.lastServePath)
+    assert(local.length == routed.length)
+    local.zip(routed).foreach { case (a, b) =>
+      assert(a.getString(2) == b.getString(2))
+      assert(math.abs(a.getDouble(5) - b.getDouble(5)) < 1e-9)
+      assert(math.abs(a.getDouble(6) - b.getDouble(6)) < 1e-9)
+    }
+    eng.analyzeCached(q, AnalyzePredict("value", 60 * Min))
+    assert(eng.lastServePath == "analyze-cache")
+    // distinct horizons get distinct cache entries
+    eng.analyzeCached(q, AnalyzePredict("value", 120 * Min))
+    assert(eng.lastServePath == "local-rollup-predict")
   }
 
   test("engine: ANALYZE DELTA routes through a registered rollup") {
