@@ -924,6 +924,18 @@ object Queries {
       .orderBy("user")
   }
 
+  /** Windowed change (`ANALYZE DELTA BY`): daily counter increase with
+    * continuous-counter semantics (boundary pairs land in the later
+    * window) plus the within-window gauge delta. */
+  def tsDeltaBy(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture))
+    TsAnalytics.windowedDelta(pts(s, dir), q, windowNs = 24L * HourNs)
+      .select(userCol, col("window_start"), col("n_points"),
+        round(col("delta"), 4).as("delta"),
+        round(col("increase"), 4).as("increase"))
+      .orderBy("user", "window_start")
+  }
+
   /** Instantaneous rate (PromQL irate): the rate over each series' LAST
     * two samples — one row per series. */
   def tsIrate(s: SparkSession, dir: String): DataFrame = {

@@ -181,6 +181,8 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
             return Left("ZSCORE lookback must be at least 2")
           case graft.tsdb.AnalyzePredict(_, h) if h <= 0 =>
             return Left("PREDICT horizon must be positive")
+          case graft.tsdb.AnalyzeDeltaBy(_, w) if w <= 0 =>
+            return Left("DELTA BY window must be positive")
           case graft.tsdb.AnalyzeCorrelate(_, b, _, _, mb) =>
             if (b == q.metric)
               return Left("CORRELATE needs two distinct metrics")
@@ -222,7 +224,8 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
           case _: graft.tsdb.AnalyzeRate | _: graft.tsdb.AnalyzeEwma |
                _: graft.tsdb.AnalyzeHolt | _: graft.tsdb.AnalyzeTwa |
                _: graft.tsdb.AnalyzeZScore | _: graft.tsdb.AnalyzeCumsum |
-               _: graft.tsdb.AnalyzeDelta | _: graft.tsdb.AnalyzeIrate |
+               _: graft.tsdb.AnalyzeDelta | _: graft.tsdb.AnalyzeDeltaBy |
+               _: graft.tsdb.AnalyzeIrate |
                _: graft.tsdb.AnalyzePredict => ()
           case _ =>
             return Left("SPLIT applies to the per-series analytics (RATE/DELTA/IRATE/PREDICT/EWMA/HOLT/TWA/ZSCORE/CUMSUM)")

@@ -1,7 +1,7 @@
 package graft.nbql
 
 import graft.model.FieldValue
-import graft.tsdb.{AggSpec, AnalyzeCorrelate, AnalyzeCumsum, AnalyzeDelta,
+import graft.tsdb.{AggSpec, AnalyzeCorrelate, AnalyzeCumsum, AnalyzeDelta, AnalyzeDeltaBy,
   AnalyzeEwma, AnalyzeHolt, AnalyzeIrate, AnalyzePredict, AnalyzeRate,
   AnalyzeRatio, AnalyzeSpec, AnalyzeTopK,
   AnalyzeTwa, AnalyzeZScore, Ascending, Descending,
@@ -114,7 +114,9 @@ object NbqlParser extends RegexParsers {
   private val numLit: Parser[Double] = doubleNum | longNum ^^ (_.toDouble)
   private val analyzeSpec: Parser[AnalyzeSpec] =
     kw("RATE") ~> "(" ~> name <~ ")" ^^ AnalyzeRate |
-    kw("DELTA") ~> "(" ~> name <~ ")" ^^ AnalyzeDelta |
+    kw("DELTA") ~> ("(" ~> name <~ ")") ~ opt(kw("BY") ~> duration) ^^ {
+      case f ~ None => AnalyzeDelta(f)
+      case f ~ Some(d) => AnalyzeDeltaBy(f, d) } |
     kw("IRATE") ~> "(" ~> name <~ ")" ^^ AnalyzeIrate |
     kw("PREDICT") ~> "(" ~> (name <~ ",") ~ duration <~ ")" ^^ {
       case f ~ h => AnalyzePredict(f, h) } |

@@ -70,6 +70,7 @@ final class QueryCache(capacity: Int = 256, maxRowsPerEntry: Int = 100000) {
     val specKey = spec match {
       case AnalyzeRate(f) => s"rate(${esc(f)})"
       case AnalyzeDelta(f) => s"delta(${esc(f)})"
+      case AnalyzeDeltaBy(f, w) => s"deltaby(${esc(f)},$w)"
       case AnalyzeIrate(f) => s"irate(${esc(f)})"
       case AnalyzePredict(f, h) => s"predict(${esc(f)},$h)"
       case AnalyzeEwma(f, a) => s"ewma(${esc(f)},$a)"

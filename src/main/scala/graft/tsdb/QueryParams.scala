@@ -127,6 +127,11 @@ final case class AnalyzeRate(field: String) extends AnalyzeSpec
   * counter-reset-aware increase, one row per series
   * ([[TsAnalytics.rangeDelta]]). */
 final case class AnalyzeDelta(field: String) extends AnalyzeSpec
+/** `ANALYZE DELTA(field) BY <dur>` — windowed change: per tumbling
+  * window, gauge delta and continuous-counter increase (boundary pairs
+  * land in the later window, so windows sum to the whole-range
+  * increase; [[TsAnalytics.windowedDelta]]). */
+final case class AnalyzeDeltaBy(field: String, windowNs: Long) extends AnalyzeSpec
 /** `ANALYZE IRATE(field)` — instantaneous rate over each series' last
   * two samples ([[TsAnalytics.irate]]). */
 final case class AnalyzeIrate(field: String) extends AnalyzeSpec

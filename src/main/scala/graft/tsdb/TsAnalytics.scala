@@ -240,6 +240,40 @@ object TsAnalytics {
       .orderBy(col("series_key"))
   }
 
+  /** Per-series WINDOWED change (`ANALYZE DELTA(f) BY <dur>` — the
+    * daily-counter-increase dashboard): tumbling epoch-aligned windows,
+    * each carrying its sample count, its gauge delta (last − first
+    * numeric value WITHIN the window), and its counter increase with
+    * CONTINUOUS-COUNTER semantics — a consecutive pair contributes to
+    * the window of its LATER point, so the pair crossing midnight lands
+    * in the new day and window increases sum exactly to the whole-range
+    * [[rangeDelta]] increase (spec-pinned). Same lag machinery and
+    * `splitNs` contract as [[rate]].
+    *
+    * Output: metric, tags, series_key, window_start, n_points, delta,
+    * increase, ordered by (series_key, window_start). */
+  def windowedDelta(points: DataFrame, p: QueryParams, windowNs: Long,
+      field: String = "value",
+      tombstones: Seq[Tombstone] = Nil,
+      splitNs: Option[Long] = None): DataFrame = {
+    require(windowNs > 0, "windowedDelta window must be positive")
+    laggedSlice(points, p, field, tombstones, splitNs, dropNullValues = true)
+      .withColumn("window_start",
+        col("timestamp") - pmod(col("timestamp"), lit(windowNs)))
+      .groupBy(col("series_key"), col("window_start"))
+      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"),
+        count(lit(1)).as("n_points"),
+        min_by(col("__v"), col("timestamp")).as("__fv"),
+        max_by(col("__v"), col("timestamp")).as("__lv"),
+        sum(when(col("__pv").isNotNull, pairDelta(counterReset = true)))
+          .as("__inc"))
+      .select(col("metric"), col("tags"), col("series_key"),
+        col("window_start"), col("n_points"),
+        (col("__lv") - col("__fv")).as("delta"),
+        coalesce(col("__inc"), lit(0.0)).as("increase"))
+      .orderBy(col("series_key"), col("window_start"))
+  }
+
   /** Per-series instantaneous rate (PromQL `irate`): the [[rate]] of the
     * LAST two numeric samples of each series in range — the right shape
     * for "current speed" dashboards where [[rate]] over the window is

@@ -392,6 +392,10 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
           TsAnalytics.rangeDelta(pts, params, field = f, tombstones = tombs,
             splitNs = splitNs)
         }
+      case AnalyzeDeltaBy(f, w) =>
+        lastServePath = "analyze-raw"
+        TsAnalytics.windowedDelta(pts, params, w, field = f,
+          tombstones = tombs, splitNs = splitNs)
       case AnalyzeIrate(f) =>
         TsAnalytics.irate(pts, params, field = f, tombstones = tombs,
           splitNs = splitNs)

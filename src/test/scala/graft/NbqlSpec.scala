@@ -511,6 +511,26 @@ class NbqlExecutorSpec extends SparkSpec {
       // TAGGED composes; AGGREGATE does not
       assert(rows(ex, """QUERY cpu TAGGED (h="a") FROM 0 TO 9999 ANALYZE DELTA(v)""").size == 1)
       assert(ex.execute("QUERY cpu AGGREGATE (sum(v)) ANALYZE DELTA(v)").isLeft)
+
+      // DELTA BY: windowed change; a reset pair crossing the boundary
+      // lands in the LATER window, and window increases sum to the
+      // whole-range increase
+      val db = rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE DELTA(v) BY 2us")
+      val dbB = db.filter(_.getAs[Map[String, String]]("tags")("h") == "b")
+        .map(r => r.getAs[Long]("window_start") ->
+          (r.getAs[Long]("n_points"), r.getAs[Double]("delta"),
+            r.getAs[Double]("increase"))).toMap
+      // b: 10 @1500 (window 0), 5 @2500 (window 2000) — the reset pair
+      // contributes 5 to window 2000
+      assert(dbB(0L) == ((1L, 0.0, 0.0)) && dbB(2000L) == ((1L, 0.0, 5.0)))
+      val sums = db.groupBy(_.getAs[Map[String, String]]("tags")("h"))
+        .map { case (h, rs) => h -> rs.map(_.getAs[Double]("increase")).sum }
+      assert(sums("a") == dByH("a")._5 && sums("b") == dByH("b")._5,
+        "window increases must sum to the whole-range increase")
+      // SPLIT composes (same lag machinery); zero window rejected
+      assert(rows(ex,
+        "QUERY cpu FROM 0 TO 9999 ANALYZE DELTA(v) BY 2us SPLIT 1us") == db)
+      assert(ex.execute("QUERY cpu ANALYZE DELTA(v) BY 0s").isLeft)
     }
   }
 
