@@ -352,7 +352,7 @@ object Queries {
     val docs = t(s, dir, "documents")
     LangModel.selfCrossEntropy(docs, "doc_id", "text", k = 0.5)
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("bits_per_token"), 4).as("bits_per_token"))
+        round(col("bits_per_bigram"), 4).as("bits_per_bigram"))
       .orderBy("doc_id")
   }
 

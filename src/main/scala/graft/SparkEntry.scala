@@ -661,7 +661,7 @@ object SparkEntry {
         |v AS (SELECT count(*)::DOUBLE AS vs FROM uni)
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(sum(-log2((c2 + 0.5) / (c1 + 0.5 * vs))) / count(*), 4)
-        |    AS bits_per_token
+        |    AS bits_per_bigram
         |FROM b JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the probe's training scan: corpus → one row of Gram/moment sums

@@ -151,6 +151,18 @@ final class HookManager {
       before ::: listener :: after
     })
 
+  /** Remove a previously [[register]]ed listener (reference identity) so
+    * bounded-lifetime observers — e.g. a server's commit-signal listener
+    * — don't accumulate on a shared engine across restarts. No-op if the
+    * listener isn't registered. */
+  def unregister(eventType: String, listener: HookListener): Unit = {
+    listeners.compute(eventType, (_, cur) => {
+      val l = if (cur == null) Nil else cur.filterNot(_ eq listener)
+      if (l.isEmpty) null else l
+    })
+    ()
+  }
+
   /** Fire `event`. For Pre events: sync, priority order, first
     * `Left`/throw cancels (returned as `Left`) and skips the rest. For
     * Post events: sync listeners inline (errors counted, never

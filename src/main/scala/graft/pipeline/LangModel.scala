@@ -50,7 +50,7 @@ object LangModel {
   /** Score each document against a trained model: cross-entropy in bits per
     * bigram, `H = −(1/n)·Σ log₂ p(w₂|w₁)`, with add-k smoothing and the
     * SAME formula for unseen bigrams/contexts (c=0). Docs with < 2
-    * tokens score null. Output: idCol, n_bigrams, bits_per_token.
+    * tokens score null. Output: idCol, n_bigrams, bits_per_bigram.
     *
     * `hintBroadcast` pins a broadcast of the model (right for natural
     * language at any corpus scale); without it Spark's stats decide. */
@@ -80,7 +80,7 @@ object LangModel {
     joined.select(col(idCol), bits.as("__bits"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"),
-        (sum(col("__bits")) / count(lit(1))).as("bits_per_token"))
+        (sum(col("__bits")) / count(lit(1))).as("bits_per_bigram"))
   }
 
   /** Train-and-score in one call (self-scoring: the standard "how

@@ -48,14 +48,18 @@ final class GraftTcpServer(executor: NbqlExecutor, port: Int = 0,
     * wait). */
   private val commitSignal = new Object
 
+  // held so stop() can unregister — restart cycles on a shared engine
+  // must not accumulate dead listeners in its hook registry
+  private val commitListener = graft.hooks.HookListener({ _ =>
+    commitSignal.synchronized { commitSignal.notifyAll() }; Right(())
+  })
+
   def boundPort: Int = server.getLocalPort
 
   def start(): Unit = {
     running = true
     executor.engine.hooks.register(graft.hooks.EventType.PostManifestWrite,
-      graft.hooks.HookListener({ _ =>
-        commitSignal.synchronized { commitSignal.notifyAll() }; Right(())
-      }))
+      commitListener)
     pool.submit(new Runnable {
       def run(): Unit = while (running) {
         try {
@@ -70,6 +74,8 @@ final class GraftTcpServer(executor: NbqlExecutor, port: Int = 0,
 
   def stop(): Unit = {
     running = false
+    executor.engine.hooks.unregister(
+      graft.hooks.EventType.PostManifestWrite, commitListener)
     try server.close() catch { case _: Exception => () }
     pool.shutdownNow(); ()
   }

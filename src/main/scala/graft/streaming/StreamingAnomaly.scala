@@ -161,7 +161,9 @@ object StreamingAnomaly {
             }
             if (st != null) {
               state.update(st)
-              state.setTimeoutTimestamp(batch.last._2.getTime, idleExpiry)
+              // anchor on the STATE's last event time, not the batch's:
+              // a batch of all-late rows must not pull expiry earlier
+              state.setTimeoutTimestamp(st.tMs, idleExpiry)
             }
             out.iterator
           }
@@ -219,7 +221,9 @@ object StreamingAnomaly {
             }
             if (st != null) {
               state.update(st)
-              state.setTimeoutTimestamp(batch.last._2.getTime, idleExpiry)
+              // state's own last event time: all-late batches must not
+              // pull the expiry deadline earlier ([[trend]] note)
+              state.setTimeoutTimestamp(st.tMs, idleExpiry)
             }
             out.iterator
           }
@@ -274,7 +278,9 @@ object StreamingAnomaly {
             }
             if (prev != null) {
               state.update(prev)
-              state.setTimeoutTimestamp(batch.last._2.getTime, idleExpiry)
+              // state's own last event time: all-late batches must not
+              // pull the expiry deadline earlier ([[trend]] note)
+              state.setTimeoutTimestamp(prev.tMs, idleExpiry)
             }
             out.iterator
           }

@@ -423,7 +423,7 @@ object LocalRollup {
         if (!r.isNullAt(iInc)) st.inc += r.getDouble(iInc)
       }
     }
-    bySeries.iterator
+    val out = bySeries.iterator
       .filter(_._2.n > 0)
       .toArray
       .sortBy(_._1)(Utf8Order)
@@ -431,6 +431,8 @@ object LocalRollup {
         Row(st.metric, st.tags, sk, st.n, st.firstOrd._1, st.lastOrd._1,
           st.lastVal - st.firstVal, st.inc)
       }
+    // LIMIT parity with the Spark path ([[TsdbEngine.analyze]]'s df.limit)
+    p.limit.fold(out)(n => out.take(n.toInt))
   }
 
   /** Output schema of [[runPredict]] — matches [[Rollup.runPredict]]. */
@@ -484,7 +486,7 @@ object LocalRollup {
       }
     }
     val s = p.startNs.toDouble / 1e9
-    bySeries.iterator
+    val out = bySeries.iterator
       .filter(_._2.n > 0)
       .toArray
       .sortBy(_._1)(Utf8Order)
@@ -503,6 +505,8 @@ object LocalRollup {
             slope, mv + slope * (targetT - mt))
         } else Row(g.metric, g.tags, sk, g.n, lastTs, null, null)
       }
+    // LIMIT parity with the Spark path ([[TsdbEngine.analyze]]'s df.limit)
+    p.limit.fold(out)(n => out.take(n.toInt))
   }
 
   private def startAligned(p: QueryParams, interval: Long): Long =

@@ -185,6 +185,31 @@ class HooksSpec extends SparkSpec {
     }
   }
 
+  test("unregister removes a listener; server restart cycles don't accumulate") {
+    withEngine { e =>
+      val hits = new java.util.concurrent.atomic.AtomicInteger
+      val l = HookListener({ _ => hits.incrementAndGet(); Right(()) })
+      e.hooks.register(EventType.PostManifestWrite, l)
+      assert(e.put(pt("m", "h1", 1000L, 1.0)).isRight)
+      assert(hits.get == 1)
+      e.hooks.unregister(EventType.PostManifestWrite, l)
+      assert(!e.hooks.hasListeners(EventType.PostManifestWrite))
+      assert(e.put(pt("m", "h1", 2000L, 2.0)).isRight)
+      assert(hits.get == 1, "unregistered listener must not fire")
+      // unregistering a never-registered listener is a no-op
+      e.hooks.unregister(EventType.PostManifestWrite, l)
+      // TCP server lifecycle: stop() must remove its commit-signal
+      // listener from the shared engine's registry
+      val ex = new graft.nbql.NbqlExecutor(e)
+      val srv = new graft.server.GraftTcpServer(ex, 0)
+      srv.start()
+      assert(e.hooks.hasListeners(EventType.PostManifestWrite))
+      srv.stop()
+      assert(!e.hooks.hasListeners(EventType.PostManifestWrite),
+        "stopped server must not leave its listener behind")
+    }
+  }
+
   test("pre-query veto throws; pre-query rewrite narrows the scan") {
     withEngine { e =>
       assert(e.putBatch(Seq(pt("m", "h1", 1000L, 1.0), pt("m", "h2", 2000L, 2.0))).isRight)

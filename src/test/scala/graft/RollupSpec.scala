@@ -190,6 +190,14 @@ class RollupSpec extends SparkSpec {
     // distinct horizons get distinct cache entries
     eng.analyzeCached(q, AnalyzePredict("value", 120 * Min))
     assert(eng.lastServePath == "local-rollup-predict")
+    // LIMIT parity with the Spark path's df.limit
+    val qLim = q.copy(limit = Some(1L))
+    val localLim = eng.analyzeCached(qLim, AnalyzePredict("value", 60 * Min))
+    assert(eng.lastServePath == "local-rollup-predict")
+    assert(localLim.length == 1)
+    assert(localLim.map(_.getString(2)).toSeq ==
+      eng.analyze(qLim, AnalyzePredict("value", 60 * Min))
+        .collect().map(_.getString(2)).toSeq)
   }
 
   test("engine: ANALYZE DELTA routes through a registered rollup") {
@@ -230,6 +238,18 @@ class RollupSpec extends SparkSpec {
       assert(eng.lastServePath == "local-rollup-delta")
       assert(localT.map(_.toSeq).toSeq ==
         eng.analyze(qt, AnalyzeDelta("value")).collect().map(_.toSeq).toSeq)
+      // LIMIT parity: the driver tier truncates exactly like the Spark
+      // path's df.limit (and caches the truncated rows under the
+      // limit-including key)
+      val qLim = q.copy(limit = Some(1L))
+      val localLim = eng.analyzeCached(qLim, AnalyzeDelta("value"))
+      assert(eng.lastServePath == "local-rollup-delta")
+      assert(localLim.length == 1)
+      assert(localLim.map(_.toSeq).toSeq ==
+        eng.analyze(qLim, AnalyzeDelta("value")).collect().map(_.toSeq).toSeq)
+      val cachedLim = eng.analyzeCached(qLim, AnalyzeDelta("value"))
+      assert(eng.lastServePath == "analyze-cache")
+      assert(cachedLim.length == 1)
       // a write invalidates: fresh rows, still locally served
       assert(eng.putBatch(Seq(graft.model.DataPoint("reqs",
         Map("host" -> "h0"), 120 * Min - 1, Map("value" ->
