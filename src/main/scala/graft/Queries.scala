@@ -851,6 +851,41 @@ object Queries {
       .orderBy("user")
   }
 
+  /** Windowed DELTA BY served from rollup partials ([[Rollup.runDeltaBy]]):
+    * the [[tsdbRollupDelta]] decomposition grouped into daily target
+    * windows — boundary pairs land in the later point's day, exactly the
+    * raw operator's continuous-counter contract. Shares ts_delta_by's
+    * oracle verbatim: the driver hash-gates the windowed decomposition
+    * every round. */
+  def tsdbRollupDeltaBy(s: SparkSession, dir: String): DataFrame = {
+    val oneMin = 60000000000L
+    val rollup = Rollup.build(QueryEngine.mergedView(pts(s, dir), Nil),
+      oneMin, Seq("value"))
+    val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture - 1))
+    Rollup.runDeltaBy(rollup, oneMin, q, "value", windowNs = 24L * HourNs)
+      .select(userCol, col("window_start"), col("n_points"),
+        round(col("delta"), 4).as("delta"),
+        round(col("increase"), 4).as("increase"))
+      .orderBy("user", "window_start")
+  }
+
+  /** TWA served from rollup partials ([[Rollup.runTwa]]): in-window LOCF
+    * integrals + ord-struct boundary carries over the tiny rollup frame.
+    * Shares ts_twa's oracle verbatim — same v·dt products, summation
+    * grouping differs (ulp-level under the oracle's rounding). */
+  def tsdbRollupTwa(s: SparkSession, dir: String): DataFrame = {
+    val oneMin = 60000000000L
+    val rollup = Rollup.build(QueryEngine.mergedView(
+      Tables.eventsAsPoints(s, dir).filter(col("metric") === "view"), Nil),
+      oneMin, Seq("value"))
+    val q = QueryParams("view", startNs = 0L, endNs = Some(FarFuture - 1),
+      downsampleNs = Some(7L * 24L * HourNs))
+    Rollup.runTwa(rollup, oneMin, q, "value")
+      .select(userCol, col("window_start"),
+        round(col("twa"), 4).as("twa"), col("n_points"))
+      .orderBy("user", "window_start")
+  }
+
   /** PREDICT served from rollup partials ([[Rollup.runPredict]]):
     * absolute-epoch time moments merged as plain sums, shifted to the
     * query anchor. Shares ts_predict's oracle verbatim — with the

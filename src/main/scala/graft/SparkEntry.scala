@@ -97,6 +97,8 @@ object SparkEntry {
     "ts_delta" -> (Queries.tsDelta _),
     "tsdb_rollup_delta" -> (Queries.tsdbRollupDelta _),
     "ts_delta_by" -> (Queries.tsDeltaBy _),
+    "tsdb_rollup_delta_by" -> (Queries.tsdbRollupDeltaBy _),
+    "tsdb_rollup_twa" -> (Queries.tsdbRollupTwa _),
     "tsdb_rollup_predict" -> (Queries.tsdbRollupPredict _),
     "ts_irate" -> (Queries.tsIrate _),
     "ts_predict" -> (Queries.tsPredict _),
@@ -156,6 +158,27 @@ object SparkEntry {
       |  round(coalesce(sum(CASE WHEN pv IS NULL THEN NULL
       |    WHEN value < pv THEN value ELSE value - pv END), 0), 4) AS increase
       |FROM l GROUP BY u ORDER BY 1""".stripMargin
+
+  /** Shared by `ts_delta_by`/`tsdb_rollup_delta_by` (raw analytic vs the
+    * rollup-partial route): boundary pairs assigned to the LATER point's
+    * day. */
+  private val TsDeltaBySql =
+    """WITH s AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |l AS (
+      |  SELECT u, t, value,
+      |    lag(value) OVER (PARTITION BY u ORDER BY t) AS pv
+      |  FROM s),
+      |w AS (
+      |  SELECT u, t, value, t - (t % 86400000000000) AS ws,
+      |    CASE WHEN pv IS NULL THEN NULL
+      |         WHEN value < pv THEN value ELSE value - pv END AS d
+      |  FROM l)
+      |SELECT u AS "user", ws AS window_start, count(*) AS n_points,
+      |  round(max_by(value, t) - min_by(value, t), 4) AS delta,
+      |  round(coalesce(sum(d), 0), 4) AS increase
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Shared by `ts_predict`/`tsdb_rollup_predict` (raw analytic vs the
     * rollup-partial route) — mirrors predictLinear's moment formulas
@@ -1084,24 +1107,12 @@ object SparkEntry {
     "ts_delta" -> TsDeltaSql,
     "nbql_delta" -> TsDeltaSql,
     "tsdb_rollup_delta" -> TsDeltaSql,
-    // windowed change: boundary pairs assigned to the LATER point's day
-    "ts_delta_by" ->
-      """WITH s AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value
-        |  FROM events WHERE event_type = 'purchase'),
-        |l AS (
-        |  SELECT u, t, value,
-        |    lag(value) OVER (PARTITION BY u ORDER BY t) AS pv
-        |  FROM s),
-        |w AS (
-        |  SELECT u, t, value, t - (t % 86400000000000) AS ws,
-        |    CASE WHEN pv IS NULL THEN NULL
-        |         WHEN value < pv THEN value ELSE value - pv END AS d
-        |  FROM l)
-        |SELECT u AS "user", ws AS window_start, count(*) AS n_points,
-        |  round(max_by(value, t) - min_by(value, t), 4) AS delta,
-        |  round(coalesce(sum(d), 0), 4) AS increase
-        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // windowed change: boundary pairs assigned to the LATER point's day;
+    // tsdb_rollup_delta_by is the rollup-partial route, same oracle
+    "ts_delta_by" -> TsDeltaBySql,
+    "tsdb_rollup_delta_by" -> TsDeltaBySql,
+    // tsdb_rollup_twa: the rollup-partial route, same oracle
+    "tsdb_rollup_twa" -> TsTwaSql,
     "ts_irate" ->
       """WITH s AS (
         |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value

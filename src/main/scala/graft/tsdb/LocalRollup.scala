@@ -509,6 +509,77 @@ object LocalRollup {
     p.limit.fold(out)(n => out.take(n.toInt))
   }
 
+  /** Output schema of [[runIrate]] — matches [[TsAnalytics.irate]]. */
+  def outputSchemaIrate: StructType = StructType(Seq(
+    StructField("metric", StringType),
+    StructField("tags", MapType(StringType, StringType)),
+    StructField("series_key", StringType),
+    StructField("timestamp", LongType),
+    StructField("value", DoubleType),
+    StructField("delta", DoubleType),
+    StructField("rate_per_sec", DoubleType)))
+
+  private final class IrateState(val metric: String, val tags: Any) {
+    // latest and second-latest numeric sample (ord, value) in range
+    var ord1: (Long, String, Long) = null; var v1 = 0.0
+    var ord2: (Long, String, Long) = null; var v2 = 0.0
+  }
+
+  /** Driver-resident IRATE ([[TsAnalytics.irate]]'s output shape) folded
+    * from resident partial rows in pure Scala — no Spark job. Each
+    * series' trailing sample PAIR is recoverable exactly from partials:
+    * a window with ≥ 2 numeric samples carries both its last
+    * (`__last_ord`/`__last`) and second-to-last (`__plast_ord`/
+    * `__plast`); a 1-sample window pairs with the previous non-empty
+    * window's last. `rows` must be sorted by window_start (the resident
+    * tier's invariant). Series with < 2 numeric samples emit no row;
+    * counter resets clamp to the new value (the engine's default irate
+    * contract). */
+  def runIrate(rows: Array[Row], schema: StructType, p: QueryParams,
+      field: String): Array[Row] = {
+    val endNs = p.endNs.get
+    val iWs = schema.fieldIndex("window_start")
+    val iSk = schema.fieldIndex("series_key")
+    val iMetric = schema.fieldIndex("metric")
+    val iTags = schema.fieldIndex("tags")
+    val iLo = schema.fieldIndex(s"${field}__last_ord")
+    val iLv = schema.fieldIndex(s"${field}__last")
+    val iPo = schema.fieldIndex(s"${field}__plast_ord")
+    val iPv = schema.fieldIndex(s"${field}__plast")
+    val bySeries =
+      scala.collection.mutable.LinkedHashMap.empty[String, IrateState]
+    rows.foreach { r =>
+      val ws = r.getLong(iWs)
+      if (ws >= p.startNs && ws <= endNs && r.getString(iMetric) == p.metric &&
+          tagsMatch(r, iTags, p)) {
+        val lo = ordOf(r, iLo)
+        if (lo != null) { // window has ≥1 numeric sample
+          val st = bySeries.getOrElseUpdate(r.getString(iSk),
+            new IrateState(r.getString(iMetric), r.get(iTags)))
+          val po = ordOf(r, iPo)
+          if (po != null) { // ≥2 samples: pair is internal to the window
+            st.ord2 = po; st.v2 = r.getDouble(iPv)
+          } else { // 1 sample: pairs with the previous window's last
+            st.ord2 = st.ord1; st.v2 = st.v1
+          }
+          st.ord1 = lo; st.v1 = r.getDouble(iLv)
+        }
+      }
+    }
+    val out = bySeries.iterator
+      .filter(_._2.ord2 != null)
+      .toArray
+      .sortBy(_._1)(Utf8Order)
+      .map { case (sk, st) =>
+        val delta = if (st.v1 < st.v2) st.v1 else st.v1 - st.v2
+        val dtNs = st.ord1._1 - st.ord2._1
+        val rate = delta * 1e9 / dtNs.toDouble
+        Row(st.metric, st.tags, sk, st.ord1._1, st.v1, delta, rate)
+      }
+    // LIMIT parity with the Spark path ([[TsdbEngine.analyze]]'s df.limit)
+    p.limit.fold(out)(n => out.take(n.toInt))
+  }
+
   private def startAligned(p: QueryParams, interval: Long): Long =
     p.startNs - java.lang.Math.floorMod(p.startNs, interval)
 

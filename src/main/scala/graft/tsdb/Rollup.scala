@@ -77,8 +77,20 @@ object Rollup {
       // NUMERIC samples inside the window (precomputed by [[build]]'s
       // window pass); composes across windows with [[runDelta]]'s
       // boundary pairs — the decomposition behind rollup-routed
-      // ANALYZE DELTA
+      // ANALYZE DELTA (whole-range) and [[runDeltaBy]] (windowed)
       sum(col(s"__graft_inc_$f")).as(s"${f}__inc"),
+      // in-window LOCF integral: Σ vᵢ·(tᵢ₊₁−tᵢ) over consecutive NUMERIC
+      // pairs inside the window, in value·ns ([[build]]'s window pass);
+      // the last sample's carry past the window edge is recoverable from
+      // the ord structs — the decomposition behind rollup-routed
+      // ANALYZE TWA ([[runTwa]])
+      sum(col(s"__graft_area_$f")).as(s"${f}__area"),
+      // the window's SECOND-TO-LAST numeric sample (value + ord): with
+      // the previous window's last this yields any trailing sample pair
+      // without touching points — the decomposition behind the
+      // driver-resident IRATE tier ([[LocalRollup.runIrate]])
+      max_by(col(s"__graft_prev_$f"), vord).as(s"${f}__plast"),
+      max_by(col(s"__graft_prevord_$f"), vord).as(s"${f}__plast_ord"),
       // time moments over NUMERIC samples (t = epoch seconds): Σt, Σt·v,
       // Σt² — plain sums, so they merge across windows and SHIFT exactly
       // to any regression anchor (Σ(t−s)v = Σtv − s·Σv …) — the
@@ -118,10 +130,27 @@ object Rollup {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val withDeltas = fields.foldLeft(windowed) { (df, f) =>
       val n = QueryEngine.numericOf(f)
-      val prev = last(n, ignoreNulls = true).over(winSpec)
-      df.withColumn(s"__graft_inc_$f",
-        when(n.isNotNull && prev.isNotNull,
-          when(n < prev, n).otherwise(n - prev)))
+      val ord = struct(col("timestamp"), col("series_key"),
+        (col("seq") * -1).as("negseq"))
+      df
+        // previous NUMERIC sample's value + ord within the window (the
+        // lag behind the __inc/__area/__plast partials)
+        .withColumn(s"__graft_prev_$f", last(n, ignoreNulls = true).over(winSpec))
+        .withColumn(s"__graft_prevord_$f",
+          last(when(n.isNotNull, ord), ignoreNulls = true).over(winSpec))
+        .withColumn(s"__graft_inc_$f",
+          when(n.isNotNull && col(s"__graft_prev_$f").isNotNull,
+            when(n < col(s"__graft_prev_$f"), n)
+              .otherwise(n - col(s"__graft_prev_$f"))))
+        // LOCF pair integral, assigned to the pair's LATER row: the
+        // earlier sample's value × the ns gap, as double (the raw TWA
+        // path's v·w product over the same operands)
+        .withColumn(s"__graft_area_$f",
+          when(n.isNotNull && col(s"__graft_prev_$f").isNotNull,
+            col(s"__graft_prev_$f") *
+              (col("timestamp") -
+                col(s"__graft_prevord_$f").getField("timestamp"))
+                .cast("double")))
     }
     withDeltas
       .groupBy(col("series_key"), col("window_start"))
@@ -451,5 +480,134 @@ object Rollup {
         (col("__lv") - col("__fv")).as("delta"),
         col("__incsum").as("increase"))
       .orderBy(col("series_key"))
+  }
+
+  /** True when a WINDOWED delta (`ANALYZE DELTA(f) BY windowNs`) is
+    * answerable from this rollup frame: the [[supportsDelta]] gating
+    * plus the target window being a multiple of the rollup grain (so
+    * every rollup window maps into exactly one target window and the
+    * per-window decomposition is exact). */
+  def supportsDeltaBy(p: QueryParams, rollupIntervalNs: Long,
+      rollup: DataFrame, field: String, windowNs: Long): Boolean =
+    supportsDelta(p, rollupIntervalNs, rollup, field) &&
+      windowNs > 0 && windowNs % rollupIntervalNs == 0
+
+  /** Windowed DELTA/INCREASE ([[TsAnalytics.windowedDelta]]'s output
+    * shape) re-aggregated from rollup partials. Same decomposition as
+    * [[runDelta]] — in-window `__inc` partials plus boundary pairs from
+    * a lag over the tiny rollup frame — but grouped by the TARGET
+    * window instead of collapsing the series: a boundary pair (previous
+    * non-empty rollup window's last sample → this window's first)
+    * belongs to the later point's target window, exactly the raw
+    * operator's continuous-counter contract, and epoch alignment +
+    * grain divisibility mean a rollup window never straddles a target
+    * boundary. Per-target gauge delta / n_points come from the stored
+    * ord structs and counts. */
+  def runDeltaBy(rollup: DataFrame, rollupIntervalNs: Long, p: QueryParams,
+      field: String, windowNs: Long): DataFrame = {
+    require(supportsDeltaBy(p, rollupIntervalNs, rollup, field, windowNs),
+      s"DELTA($field) BY $windowNs not answerable from a " +
+        s"$rollupIntervalNs ns rollup")
+    val endNs = p.endNs.get
+    var df = rollup.filter(col("metric") === p.metric)
+    p.tags.foreach { case (k, v) => df = df.filter(TagMatch.pred(k, v)) }
+    df = df.filter(col("window_start").between(p.startNs, endNs))
+    if (rollup.columns.contains("date"))
+      df = df.filter(col("date").between(
+        TsdbEngine.dayStr(p.startNs), TsdbEngine.dayStr(endNs)))
+    // boundary lag runs across the WHOLE range (continuous-counter
+    // semantics — the pair crossing a target boundary lands in the later
+    // target), not per target window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series_key")).orderBy(col("window_start"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val prevLast = last(col(s"${field}__last"), ignoreNulls = true).over(w)
+    val bf = col(s"${field}__first")
+    val boundary = when(bf.isNotNull && prevLast.isNotNull,
+      when(bf < prevLast, bf).otherwise(bf - prevLast))
+    df.withColumn("__bd", boundary)
+      .withColumn("target_window",
+        col("window_start") - pmod(col("window_start"), lit(windowNs)))
+      .groupBy(col("series_key"), col("target_window"))
+      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"),
+        sum(col(s"${field}__cnt")).as("n_points"),
+        min_by(col(s"${field}__first"), col(s"${field}__first_ord")).as("__fv"),
+        max_by(col(s"${field}__last"), col(s"${field}__last_ord")).as("__lv"),
+        (coalesce(sum(col(s"${field}__inc")), lit(0.0)) +
+          coalesce(sum(col("__bd")), lit(0.0))).as("__incsum"))
+      .filter(col("n_points") > 0) // target windows with no numeric samples emit nothing
+      .select(col("metric"), col("tags"), col("series_key"),
+        col("target_window").as("window_start"), col("n_points"),
+        (col("__lv") - col("__fv")).as("delta"),
+        col("__incsum").as("increase"))
+      .orderBy(col("series_key"), col("window_start"))
+  }
+
+  /** True when a TWA at `p.downsampleNs` is answerable from this rollup
+    * frame: the [[supportsDelta]] gating, plus the TWA interval being a
+    * multiple of the grain, plus the frame physically storing the
+    * in-window LOCF integral partial. */
+  def supportsTwa(p: QueryParams, rollupIntervalNs: Long,
+      rollup: DataFrame, field: String): Boolean =
+    supportsDelta(p, rollupIntervalNs, rollup, field) &&
+      p.downsampleNs.exists(i => i > 0 && i % rollupIntervalNs == 0) &&
+      rollup.columns.contains(s"${field}__area")
+
+  /** Time-weighted average ([[TsAnalytics.timeWeightedAvg]]'s output
+    * shape) re-aggregated from rollup partials — |series|×windows rows
+    * instead of raw points. Decomposition per rollup window r inside
+    * target window W (grain divides the TWA interval, so r ⊂ W):
+    *
+    *  - every non-last numeric sample's LOCF weight closes INSIDE r —
+    *    their Σ v·dt is the stored `__area` partial;
+    *  - the LAST sample's weight runs to `min(next, W_end)` where `next`
+    *    is the next non-empty rollup window's first sample timestamp
+    *    (a lead over the tiny rollup frame — the raw path's range-wide
+    *    lead observed at rollup-window granularity);
+    *  - in-window gaps telescope, so r's weight-sum is just
+    *    `min(next, W_end) − first_ts` — exact in long ns.
+    *
+    * The weighted mean re-associates the FP numerator vs the raw path's
+    * single sum (same v·dt products, different grouping) — the same
+    * ulp-level contract as [[runDelta]], spec-pinned. */
+  def runTwa(rollup: DataFrame, rollupIntervalNs: Long, p: QueryParams,
+      field: String): DataFrame = {
+    require(supportsTwa(p, rollupIntervalNs, rollup, field),
+      s"TWA($field) not answerable from a $rollupIntervalNs ns rollup")
+    val interval = p.downsampleNs.get
+    val endNs = p.endNs.get
+    var df = rollup.filter(col("metric") === p.metric)
+    p.tags.foreach { case (k, v) => df = df.filter(TagMatch.pred(k, v)) }
+    df = df.filter(col("window_start").between(p.startNs, endNs))
+    if (rollup.columns.contains("date"))
+      df = df.filter(col("date").between(
+        TsdbEngine.dayStr(p.startNs), TsdbEngine.dayStr(endNs)))
+    // drop windows with no numeric samples BEFORE the lead so `next`
+    // skips them (the raw path's lead is over numeric samples only)
+    df = df.filter(col(s"${field}__cnt") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series_key")).orderBy(col("window_start"))
+    val nextFirst = lead(col(s"${field}__first_ord").getField("timestamp"), 1).over(w)
+    val target = col("window_start") - pmod(col("window_start"), lit(interval))
+    val wEnd = col("target_window") + lit(interval)
+    val firstTs = col(s"${field}__first_ord").getField("timestamp")
+    val lastTs = col(s"${field}__last_ord").getField("timestamp")
+    val closeTs = least(coalesce(col("__next"), wEnd), wEnd)
+    val num = coalesce(col(s"${field}__area"), lit(0.0)) +
+      col(s"${field}__last") * (closeTs - lastTs).cast("double")
+    val den = (closeTs - firstTs).cast("double")
+    val grouped = df
+      .withColumn("__next", nextFirst)
+      .withColumn("target_window", target)
+      .withColumn("__num", num)
+      .withColumn("__den", den)
+      .groupBy(col("series_key"), col("target_window"))
+      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"),
+        (sum(col("__num")) / when(sum(col("__den")) =!= 0.0, sum(col("__den"))))
+          .as("twa"),
+        sum(col(s"${field}__cnt")).as("n_points"))
+    grouped.select(col("metric"), col("tags"), col("series_key"),
+        col("target_window").as("window_start"), col("twa"), col("n_points"))
+      .orderBy(col("series_key"), col("window_start"))
   }
 }

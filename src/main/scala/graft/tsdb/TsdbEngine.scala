@@ -393,9 +393,24 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
             splitNs = splitNs)
         }
       case AnalyzeDeltaBy(f, w) =>
-        lastServePath = "analyze-raw"
-        TsAnalytics.windowedDelta(pts, params, w, field = f,
-          tombstones = tombs, splitNs = splitNs)
+        // rollup-routed like whole-range DELTA when the target window is
+        // a multiple of the grain: the same in-window `__inc` + boundary
+        // decomposition, grouped into target windows
+        // ([[Rollup.runDeltaBy]])
+        val routed = Option(rollupSpecs.get(params.metric))
+          .filter(spec => spec.fields.contains(f))
+          .map(spec => (spec, rollupView(params.metric, spec)))
+          .filter { case (spec, view) =>
+            Rollup.supportsDeltaBy(params, spec.intervalNs, view, f, w) }
+          .map { case (spec, view) =>
+            lastServePath = "rollup-delta-by"
+            Rollup.runDeltaBy(view, spec.intervalNs, params, f, w)
+          }
+        routed.getOrElse {
+          lastServePath = "analyze-raw"
+          TsAnalytics.windowedDelta(pts, params, w, field = f,
+            tombstones = tombs, splitNs = splitNs)
+        }
       case AnalyzeIrate(f) =>
         TsAnalytics.irate(pts, params, field = f, tombstones = tombs,
           splitNs = splitNs)
@@ -423,9 +438,24 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         TsAnalytics.holtSmooth(pts, params, a, b, field = f,
           tombstones = tombs, splitNs = splitNs)
       case AnalyzeTwa(f, iv) =>
-        TsAnalytics.timeWeightedAvg(pts,
-          params.copy(downsampleNs = Some(iv)), field = f, tombstones = tombs,
-          splitNs = splitNs)
+        // rollup-routed when the frame stores the LOCF integral partial
+        // (`__area`) and the TWA interval is a multiple of the grain
+        // ([[Rollup.runTwa]])
+        val pTwa = params.copy(downsampleNs = Some(iv))
+        val routed = Option(rollupSpecs.get(params.metric))
+          .filter(spec => spec.fields.contains(f))
+          .map(spec => (spec, rollupView(params.metric, spec)))
+          .filter { case (spec, view) =>
+            Rollup.supportsTwa(pTwa, spec.intervalNs, view, f) }
+          .map { case (spec, view) =>
+            lastServePath = "rollup-twa"
+            Rollup.runTwa(view, spec.intervalNs, pTwa, f)
+          }
+        routed.getOrElse {
+          lastServePath = "analyze-raw"
+          TsAnalytics.timeWeightedAvg(pts, pTwa, field = f,
+            tombstones = tombs, splitNs = splitNs)
+        }
       case AnalyzeCumsum(f) =>
         TsAnalytics.runningAggregates(pts, params, field = f,
           tombstones = tombs, splitNs = splitNs)
@@ -533,6 +563,12 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
               (slice, sch) => (LocalRollup.runPredict(slice, sch, p, f, h),
                 LocalRollup.outputSchemaPredict)
             }
+          case AnalyzeIrate(f) =>
+            serveLocalRollupAnalytic(p, f, "local-rollup-irate",
+              extraCols = Seq(s"${f}__plast")) {
+              (slice, sch) => (LocalRollup.runIrate(slice, sch, p, f),
+                LocalRollup.outputSchemaIrate)
+            }
           case _ => None
         }
         local match {
@@ -560,7 +596,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * carries the needed partial columns (`__inc`; `__tsum` family —
     * both ship together, schema-checked by the first). */
   private def serveLocalRollupAnalytic(p: QueryParams, field: String,
-      path: String)(
+      path: String, extraCols: Seq[String] = Nil)(
       fold: (Array[Row], org.apache.spark.sql.types.StructType) =>
         (Array[Row], org.apache.spark.sql.types.StructType)):
       Option[(Array[Row], org.apache.spark.sql.types.StructType)] = {
@@ -572,7 +608,8 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       None
     else localRollupRows(p.metric, spec).flatMap { case (rows, ws, sch) =>
       if (!sch.fieldNames.contains(s"${field}__inc") ||
-          !sch.fieldNames.contains(s"${field}__tsum")) None
+          !sch.fieldNames.contains(s"${field}__tsum") ||
+          !extraCols.forall(sch.fieldNames.contains)) None
       else {
         val lo = lowerBound(ws, p.startNs)
         val hi = math.max(lo, upperBound(ws, p.endNs.get))

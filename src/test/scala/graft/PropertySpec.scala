@@ -426,6 +426,30 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("IRATE tiers agree: raw analytic == driver fold from partials") {
+    // the trailing sample pair is recoverable exactly from the stored
+    // __plast/__last partials at ANY rollup width: a ≥2-sample window
+    // carries its own pair, a 1-sample window pairs with the previous
+    // non-empty window's last — the fold must match the raw irate
+    // bit-for-bit (identical doubles, identical IEEE rate division)
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(genPoint),
+      Gen.oneOf(1L, 2L, 4L, 8L, 16L)) { (rawPts: List[MPoint], width: Long) =>
+      val pts = rawPts.zipWithIndex.map { case (p, i) => p.copy(seq = i.toLong) }
+      val df = toDf(pts)
+      val q = QueryParams("m1", startNs = 0L, endNs = Some(15L))
+      val raw = TsAnalytics.irate(df, q, field = "v")
+        .collect().map(r => r.getAs[String]("series_key") ->
+          (r.getAs[Long]("timestamp"), r.getAs[Double]("value"),
+            r.getAs[Double]("delta"), r.getAs[Double]("rate_per_sec"))).toMap
+      val rollup = Rollup.build(QueryEngine.mergedView(df, Nil), width, Seq("v"))
+      val rows = rollup.orderBy("window_start").collect()
+      val local = LocalRollup.runIrate(rows, rollup.schema, q, "v")
+        .map(r => r.getString(2) ->
+          (r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+      raw == local
+    })
+  }
+
   test("delta/irate/predict == reference model under random points") {
     // whole-range change, last-pair rate, and least-squares forecast
     // against an in-memory model over the latest-version-merged series

@@ -121,6 +121,148 @@ class RollupSpec extends SparkSpec {
     assert(!Rollup.supportsDelta(query, Min, legacy, "value"))
   }
 
+  test("runDeltaBy: windowed delta from partials == raw operator") {
+    val pts = fixture
+    val merged = QueryEngine.mergedView(pts, Nil)
+    val rollup = Rollup.build(merged, Min, Seq("value", "load"))
+    val query = QueryParams("cpu.usage", startNs = 0L, endNs = Some(150 * Min - 1))
+    assert(Rollup.supportsDeltaBy(query, Min, rollup, "value", Hr))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getAs[String]("series_key"), r.getAs[Long]("window_start")) ->
+          (r.getAs[Long]("n_points"), r.getAs[Double]("delta"),
+            r.getAs[Double]("increase"))).toMap
+    val raw = rows(TsAnalytics.windowedDelta(pts, query, Hr))
+    val routed = rows(Rollup.runDeltaBy(rollup, Min, query, "value", Hr))
+    assert(raw.keySet == routed.keySet && raw.keySet.nonEmpty)
+    raw.foreach { case (k, (n, d, inc)) =>
+      val (n2, d2, inc2) = routed(k)
+      assert(n == n2 && d == d2, s"window $k")
+      assert(math.abs(inc - inc2) <= 1e-9 * math.max(1.0, math.abs(inc)),
+        s"window $k increase $inc vs $inc2")
+    }
+    // per-window increases still sum to the whole-range increase
+    // (continuous-counter contract preserved through the route)
+    val whole = Rollup.runDelta(rollup, Min, query, "value").collect()
+      .map(r => r.getAs[String]("series_key") -> r.getAs[Double]("increase")).toMap
+    val summed = routed.toSeq.groupBy(_._1._1)
+      .map { case (sk, ws) => sk -> ws.map(_._2._3).sum }
+    whole.foreach { case (sk, inc) =>
+      assert(math.abs(summed(sk) - inc) <= 1e-9 * math.max(1.0, math.abs(inc))) }
+    // the int-typed field routes exactly; TAGGED composes
+    assert(rows(Rollup.runDeltaBy(rollup, Min, query, "load", Hr)) ==
+      rows(TsAnalytics.windowedDelta(pts, query, Hr, field = "load")))
+    val tagged = query.copy(tags = Map("host" -> "h1"))
+    assert(rows(Rollup.runDeltaBy(rollup, Min, tagged, "value", Hr)) ==
+      rows(TsAnalytics.windowedDelta(pts, tagged, Hr)))
+    // gating: target window must be a multiple of the grain
+    assert(!Rollup.supportsDeltaBy(query, Min, rollup, "value", 90L * 1000000000L))
+    assert(!Rollup.supportsDeltaBy(query, Min, rollup, "value", 0L))
+  }
+
+  test("runTwa: LOCF time-weighted average from partials == raw operator") {
+    val pts = fixture
+    val merged = QueryEngine.mergedView(pts, Nil)
+    val rollup = Rollup.build(merged, Min, Seq("value", "load"))
+    val query = QueryParams("cpu.usage", startNs = 0L, endNs = Some(150 * Min - 1),
+      downsampleNs = Some(Hr))
+    assert(Rollup.supportsTwa(query, Min, rollup, "value"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getAs[String]("series_key"), r.getAs[Long]("window_start")) ->
+          (r.getAs[Long]("n_points"), r.getAs[Double]("twa"))).toMap
+    def same(raw: Map[(String, Long), (Long, Double)],
+        routed: Map[(String, Long), (Long, Double)]): Unit = {
+      assert(raw.keySet == routed.keySet && raw.keySet.nonEmpty)
+      raw.foreach { case (k, (n, t)) =>
+        val (n2, t2) = routed(k)
+        assert(n == n2, s"window $k n_points")
+        assert(math.abs(t - t2) <= 1e-9 * math.max(1.0, math.abs(t)),
+          s"window $k twa $t vs $t2")
+      }
+    }
+    same(rows(TsAnalytics.timeWeightedAvg(pts, query)),
+      rows(Rollup.runTwa(rollup, Min, query, "value")))
+    // int field + TAGGED
+    same(rows(TsAnalytics.timeWeightedAvg(pts, query, field = "load")),
+      rows(Rollup.runTwa(rollup, Min, query, "load")))
+    val tagged = query.copy(tags = Map("host" -> "h2"))
+    same(rows(TsAnalytics.timeWeightedAvg(pts, tagged)),
+      rows(Rollup.runTwa(rollup, Min, tagged, "value")))
+    // gating: TWA interval must be a multiple of the grain; a frame
+    // without the __area partial (legacy build) routes raw
+    assert(!Rollup.supportsTwa(
+      query.copy(downsampleNs = Some(90L * 1000000000L)), Min, rollup, "value"))
+    assert(!Rollup.supportsTwa(query, Min, rollup.drop("value__area"), "value"))
+  }
+
+  test("engine: ANALYZE DELTA BY and TWA route through a registered rollup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_dby").toString
+    val eng = new TsdbEngine(spark, dir)
+    // integer-valued counter with a reset, 1-min cadence over 2 h —
+    // integer sums make routed == raw exact
+    val points = (0 until 120).map { i =>
+      graft.model.DataPoint("reqs", Map("host" -> s"h${i % 2}"), i * Min,
+        Map("value" -> graft.model.FieldValue.ofDouble(
+          if (i == 60) 1.0 else (i % 60).toDouble * 2 + 1)))
+    }
+    assert(eng.putBatch(points).isRight)
+    val q = QueryParams("reqs", startNs = 0L, endNs = Some(120 * Min - 1))
+    val dby = AnalyzeDeltaBy("value", Hr)
+    val rawD = eng.analyze(q, dby).collect()
+    assert(eng.lastServePath == "analyze-raw")
+    val twa = AnalyzeTwa("value", Hr)
+    val rawT = eng.analyze(q, twa).collect()
+    assert(eng.lastServePath == "analyze-raw")
+    eng.registerRollup("reqs", Min, Seq("value"))
+    val routedD = eng.analyze(q, dby).collect()
+    assert(eng.lastServePath == "rollup-delta-by")
+    assert(rawD.map(_.toSeq).toSeq == routedD.map(_.toSeq).toSeq,
+      "routed DELTA BY must equal the raw analytic")
+    val routedT = eng.analyze(q, twa).collect()
+    assert(eng.lastServePath == "rollup-twa")
+    assert(rawT.map(_.toSeq).toSeq == routedT.map(_.toSeq).toSeq,
+      "routed TWA must equal the raw analytic")
+    // non-multiple target window / interval falls back to raw
+    eng.analyze(q, AnalyzeDeltaBy("value", 90L * 1000000000L)).collect()
+    assert(eng.lastServePath == "analyze-raw")
+    eng.analyze(q, AnalyzeTwa("value", 90L * 1000000000L)).collect()
+    assert(eng.lastServePath == "analyze-raw")
+    // LIMIT flows through the routed plans
+    assert(eng.analyze(q.copy(limit = Some(3L)), dby).collect().length == 3)
+  }
+
+  test("engine: ANALYZE IRATE serves from the driver-resident tier") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_irate").toString
+    val eng = new TsdbEngine(spark, dir)
+    val points = (0 until 120).map { i =>
+      graft.model.DataPoint("reqs", Map("host" -> s"h${i % 2}"), i * Min,
+        Map("value" -> graft.model.FieldValue.ofDouble(
+          if (i == 60) 1.0 else (i % 60).toDouble * 2 + 1)))
+    }
+    assert(eng.putBatch(points).isRight)
+    val q = QueryParams("reqs", startNs = 0L, endNs = Some(120 * Min - 1))
+    val spec = AnalyzeIrate("value")
+    val raw = eng.analyze(q, spec).collect()
+    eng.registerRollup("reqs", Min, Seq("value"))
+    val local = eng.analyzeCached(q, spec)
+    assert(eng.lastServePath == "local-rollup-irate", eng.lastServePath)
+    assert(local.map(_.toSeq).toSeq == raw.map(_.toSeq).toSeq,
+      "driver IRATE tier must mirror the raw analytic row-for-row")
+    // second call hits the result cache; TAGGED + LIMIT compose
+    eng.analyzeCached(q, spec)
+    assert(eng.lastServePath == "analyze-cache")
+    val qt = q.copy(tags = Map("host" -> "h1"))
+    assert(eng.analyzeCached(qt, spec).map(_.toSeq).toSeq ==
+      eng.analyze(qt, spec).collect().map(_.toSeq).toSeq)
+    val qLim = q.copy(limit = Some(1L))
+    val lim = eng.analyzeCached(qLim, spec)
+    assert(eng.lastServePath == "local-rollup-irate")
+    assert(lim.length == 1 &&
+      lim.map(_.toSeq).toSeq ==
+        eng.analyze(qLim, spec).collect().map(_.toSeq).toSeq)
+  }
+
   test("runPredict: trend from shifted moments == raw operator (1e-9)") {
     val pts = fixture
     val merged = QueryEngine.mergedView(pts, Nil)
