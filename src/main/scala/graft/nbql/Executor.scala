@@ -26,22 +26,47 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
 
   sealed trait ExecResult
   /** A result-set statement. `df` is the full lazy frame (the engine
-    * seam); `page()` collects it and returns the rows plus the cursor to
-    * resume AFTER, when one exists. A streaming caller (S9) instead
-    * iterates `df` row-at-a-time and calls [[nextCursor]] with the count
-    * delivered and the last row — no driver materialization. */
+    * seam); `page()` collects AT MOST the engine's [[TsdbEngine.servingRowBudget]]
+    * rows and returns them plus the cursor to resume AFTER, when one
+    * exists — the buffered path must never materialize an unbounded
+    * result on the driver (the serving tiers already enforce the same
+    * budget; this closes the buffered-transport hole past it). A
+    * streaming caller (S9) instead iterates `df` row-at-a-time and calls
+    * [[nextCursor]] with the count delivered and the last row — no
+    * driver materialization.
+    *
+    * The cursor closure's third argument is `forced`: true when the page
+    * was cut by the BUDGET rather than a requested LIMIT, in which case
+    * cursor-capable shapes (raw scans, downsamples) emit a resume cursor
+    * even without a LIMIT; shapes with no cursor keyset (final
+    * aggregates, ANALYZE, GROUP BY TAGS, SHOW) return the truncated flag
+    * instead, telling the client to re-issue with `stream=1`. */
   final case class Rows(df: DataFrame,
-      private val cursorOf: (Long, Option[Row]) => Option[String]) extends ExecResult {
+      private val cursorOf: (Long, Option[Row], Boolean) => Option[String])
+      extends ExecResult {
     def page(): (Array[Row], Option[String]) = {
-      val rows = df.collect()
-      (rows, cursorOf(rows.length.toLong, rows.lastOption))
+      val (rows, next, _) = pageBudgeted(engine.servingRowBudget)
+      (rows, next)
+    }
+    /** Budget-capped collect: (rows, nextCursor, truncatedByBudget). */
+    def pageBudgeted(budget: Long): (Array[Row], Option[String], Boolean) = {
+      val cap = math.min(math.max(budget, 1L), Int.MaxValue - 1L).toInt
+      val rows = df.limit(cap + 1).collect()
+      if (rows.length <= cap)
+        (rows, cursorOf(rows.length.toLong, rows.lastOption, false), false)
+      else {
+        val pageRows = rows.take(cap)
+        (pageRows, cursorOf(pageRows.length.toLong, pageRows.lastOption, true),
+          true)
+      }
     }
     def nextCursor(delivered: Long, last: Option[Row]): Option[String] =
-      cursorOf(delivered, last)
+      cursorOf(delivered, last, false)
   }
   final case class Ack(message: String) extends ExecResult
 
-  private val noCursor: (Long, Option[Row]) => Option[String] = (_, _) => None
+  private val noCursor: (Long, Option[Row], Boolean) => Option[String] =
+    (_, _, _) => None
 
   def execute(nbql: String): Either[String, ExecResult] =
     NbqlParser.parse(nbql).flatMap(run)
@@ -74,12 +99,15 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
 
     case q: QueryStatement =>
       prepareQuery(q).map { params =>
-        val cursorOf: (Long, Option[Row]) => Option[String] =
-          if (params.isFinalAgg || params.limit.isEmpty) noCursor
-          else { (delivered, lastRow) =>
+        val cursorOf: (Long, Option[Row], Boolean) => Option[String] =
+          if (params.isFinalAgg) noCursor
+          else { (delivered, lastRow, forced) =>
             // a full page means more may follow — resume after its last row
-            // (`executor.go:349-351` emits the cursor alongside the rows)
-            lastRow.filter(_ => params.limit.contains(delivered)).map { last =>
+            // (`executor.go:349-351` emits the cursor alongside the rows);
+            // `forced` = the page was cut by the serving budget, which
+            // also warrants a resume cursor even without a LIMIT
+            lastRow.filter(_ =>
+              forced || params.limit.contains(delivered)).map { last =>
               val tsField = if (params.isDownsample) "window_start" else "timestamp"
               Cursor(last.getAs[Long](tsField),
                 last.getAs[String]("series_key")).encode

@@ -192,14 +192,22 @@ final class GraftHttpServer(executor: NbqlExecutor, port: Int = 0,
     }
   }
 
+  /** Buffered JSON path, BUDGETED: collects at most the engine's
+    * serving-row budget (bounded driver allocation no matter the result
+    * size). A budget cut surfaces as `truncated: true` plus — for
+    * cursor-capable shapes — a `next_cursor` to resume with AFTER; for
+    * shapes with no cursor keyset the client should re-issue with
+    * `stream=1` (the NDJSON path streams the full plan off
+    * `toLocalIterator` without materializing). */
   private def bufferRows(ex: HttpExchange, r: NbqlExecutor#Rows): Unit = {
     val schema = r.df.schema
-    val (rows, next) = r.page()
+    val (rows, next, truncated) = r.pageBudgeted(executor.engine.servingRowBudget)
     val fields = List(
       "status" -> JString("ok"),
       "results" -> JArray(rows.map(row => RowJson.toJValue(row, schema)).toList),
       "row_count" -> JLong(rows.length.toLong)) ++
-      next.map(c => "next_cursor" -> JString(c))
+      next.map(c => "next_cursor" -> JString(c)) ++
+      (if (truncated) List("truncated" -> JBool(true)) else Nil)
     reply(ex, 200, JObject(fields))
   }
 

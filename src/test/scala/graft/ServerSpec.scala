@@ -193,6 +193,55 @@ class ServerSpec extends SparkSpec {
     }
   }
 
+  test("buffered path is budget-bounded: page + cursor, never a full collect") {
+    withServer() { (ex, port) =>
+      for (i <- 1 to 7)
+        assert(post(port, s"""PUSH m TAGGED (k="x") SET (v=$i.0) AT ${i * 10}""")
+          .statusCode() == 200)
+      ex.engine.servingRowBudget = 3
+      // un-LIMITed over-budget query on the BUFFERED path: the driver
+      // materializes only the budget-sized page, and the response carries
+      // a resume cursor + the truncation flag
+      val r1 = post(port, "QUERY m FROM 0 TO 1000")
+      assert(r1.statusCode() == 200)
+      val j1 = json(r1)
+      assert((j1 \ "row_count") == JInt(3), r1.body)
+      assert((j1 \ "truncated") == JBool(true))
+      val results1 = (j1 \ "results").asInstanceOf[JArray].arr
+      assert(results1.map(_ \ "timestamp") == List(JInt(10), JInt(20), JInt(30)))
+      val cursor = (j1 \ "next_cursor").asInstanceOf[JString].s
+      // AFTER resumes where the budget cut; the final page is under
+      // budget → no cursor, no truncation flag
+      val r2 = post(port, s"QUERY m FROM 0 TO 1000 AFTER $cursor")
+      val j2 = json(r2)
+      assert((j2 \ "results").asInstanceOf[JArray].arr.map(_ \ "timestamp") ==
+        List(JInt(40), JInt(50), JInt(60)))
+      assert((j2 \ "truncated") == JBool(true))
+      val cursor2 = (j2 \ "next_cursor").asInstanceOf[JString].s
+      val j3 = json(post(port, s"QUERY m FROM 0 TO 1000 AFTER $cursor2"))
+      assert((j3 \ "results").asInstanceOf[JArray].arr.map(_ \ "timestamp") ==
+        List(JInt(70)))
+      assert((j3 \ "truncated") == JNothing)
+      assert((j3 \ "next_cursor") == JNothing)
+      // a cursor-less shape (GROUP BY TAGS) still bounds the driver:
+      // truncated flag, no cursor — the client re-issues with stream=1
+      ex.engine.servingRowBudget = 1
+      for (i <- 1 to 3)
+        assert(post(port, s"""PUSH m2 TAGGED (k="k$i") SET (v=1.0) AT 100""")
+          .statusCode() == 200)
+      val gbt = "QUERY m2 FROM 0 TO 1000 AGGREGATE (sum(v)) GROUP BY TAGS (k)"
+      val ja = json(post(port, gbt))
+      assert((ja \ "row_count") == JInt(1), ja)
+      assert((ja \ "truncated") == JBool(true))
+      assert((ja \ "next_cursor") == JNothing)
+      // the streamed path delivers the same result in full
+      val rs = post(port, gbt, stream = true)
+      val lines = rs.body.trim.split("\n").toSeq.map(JsonMethods.parse(_))
+      assert((lines.last \ "row_count") == JInt(3))
+      ex.engine.servingRowBudget = 2000000L
+    }
+  }
+
   test("auth: 401 without/with bad credentials, roles gate writes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_users").toString
     val userFile = s"$dir/users.db"
