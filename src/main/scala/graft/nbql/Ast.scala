@@ -84,11 +84,14 @@ case object ShowMetricsStatement extends ShowStatement
 final case class ShowTagKeysStatement(metric: String) extends ShowStatement
 final case class ShowTagValuesStatement(metric: Option[String], key: String)
   extends ShowStatement
-/** `SHOW CARDINALITY [FROM m] [BY dur]` — distinct active series (and
-  * point volume) per metric, windowed when `BY` is given (extension;
-  * the tabular view of the reference's cardinality-alerter signal). */
+/** `SHOW CARDINALITY [ESTIMATE] [FROM m] [BY dur]` — distinct active
+  * series (and point volume) per metric, windowed when `BY` is given
+  * (extension; the tabular view of the reference's cardinality-alerter
+  * signal). `ESTIMATE` serves from the registered HLL summary's sketch
+  * unions when one covers the window — the 100 TB path — and exact
+  * counts otherwise. */
 final case class ShowCardinalityStatement(metric: Option[String],
-    byNs: Option[Long]) extends ShowStatement
+    byNs: Option[Long], estimate: Boolean = false) extends ShowStatement
 
 /** `CREATE ROLLUP <metric> BY <interval> (field, ...) [WITH DIGESTS]` —
   * engine extension with no reference analog: registers materialized
@@ -100,6 +103,14 @@ final case class CreateRollupStatement(metric: String, intervalNs: Long,
     fields: Seq[String], withDigests: Boolean = false) extends Statement
 final case class DropRollupStatement(metric: String) extends Statement
 case object ShowRollupsStatement extends Statement
+
+/** `CREATE CARDINALITY SUMMARY BY <dur> [LGK n]` / `DROP CARDINALITY
+  * SUMMARY` — registers (drops) the engine's HLL cardinality summary so
+  * `SHOW CARDINALITY ESTIMATE` serves from sketch unions
+  * ([[graft.tsdb.TsAnalytics.cardinalitySummary]]). */
+final case class CreateCardinalitySummaryStatement(baseWindowNs: Long,
+    lgK: Option[Int] = None) extends Statement
+case object DropCardinalitySummaryStatement extends Statement
 
 /** `FLUSH [MEMTABLE|DISK|ALL]` */
 final case class FlushStatement(target: String) extends Statement

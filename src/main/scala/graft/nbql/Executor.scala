@@ -288,9 +288,20 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
     case ShowMetricsStatement => Right(Rows(engine.showMetrics(), noCursor))
     case ShowTagKeysStatement(m) => Right(Rows(engine.showTagKeys(m), noCursor))
     case ShowTagValuesStatement(m, k) => Right(Rows(engine.showTagValues(m, k), noCursor))
-    case ShowCardinalityStatement(m, by) =>
+    case ShowCardinalityStatement(m, by, estimate) =>
       if (by.exists(_ <= 0)) Left("cardinality window must be positive")
+      else if (estimate) Right(Rows(engine.showCardinalityEstimate(m, by), noCursor))
       else Right(Rows(engine.showCardinality(m, by), noCursor))
+
+    case CreateCardinalitySummaryStatement(base, lgK) =>
+      if (base <= 0) Left("summary base window must be positive")
+      else if (lgK.exists(k => k < 4 || k > 21)) Left("LGK must be in [4, 21]")
+      else {
+        engine.registerCardinalitySummary(base, lgK.getOrElse(12))
+        Right(Ack("OK"))
+      }
+    case DropCardinalitySummaryStatement =>
+      engine.dropCardinalitySummary(); Right(Ack("OK"))
 
     case CreateRollupStatement(m, i, fs, dig) =>
       if (i <= 0) Left("rollup interval must be positive")

@@ -184,9 +184,9 @@ object NbqlParser extends RegexParsers {
 
   private val show: Parser[Statement] =
     kw("SHOW") ~> kw("METRICS") ^^^ ShowMetricsStatement |
-    kw("SHOW") ~> kw("CARDINALITY") ~> opt(kw("FROM") ~> metricSel) ~
-      opt(kw("BY") ~> duration) ^^ {
-      case m ~ d => ShowCardinalityStatement(m, d)
+    kw("SHOW") ~> kw("CARDINALITY") ~> opt(kw("ESTIMATE")) ~
+      opt(kw("FROM") ~> metricSel) ~ opt(kw("BY") ~> duration) ^^ {
+      case est ~ m ~ d => ShowCardinalityStatement(m, d, est.isDefined)
     } |
     kw("SHOW") ~> kw("TAG") ~> kw("KEYS") ~> kw("FROM") ~> name ^^ ShowTagKeysStatement |
     kw("SHOW") ~> kw("TAG") ~> kw("VALUES") ~> opt(kw("FROM") ~> name) ~
@@ -201,7 +201,13 @@ object NbqlParser extends RegexParsers {
       case m ~ d ~ fs ~ dig => CreateRollupStatement(m, d, fs, dig.isDefined)
     } |
     kw("DROP") ~> kw("ROLLUP") ~> name ^^ DropRollupStatement |
-    kw("SHOW") ~> kw("ROLLUPS") ^^^ ShowRollupsStatement
+    kw("SHOW") ~> kw("ROLLUPS") ^^^ ShowRollupsStatement |
+    kw("CREATE") ~> kw("CARDINALITY") ~> kw("SUMMARY") ~>
+      (kw("BY") ~> duration) ~ opt(kw("LGK") ~> longNum) ^^ {
+      case d ~ k => CreateCardinalitySummaryStatement(d, k.map(_.toInt))
+    } |
+    kw("DROP") ~> kw("CARDINALITY") ~> kw("SUMMARY") ^^^
+      DropCardinalitySummaryStatement
 
   private val flush: Parser[Statement] =
     kw("FLUSH") ~> opt(kw("MEMTABLE") | kw("DISK") | kw("ALL")) ^^ {

@@ -1553,6 +1553,92 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     }
   }
 
+  // ---- cardinality summary (SHOW CARDINALITY ESTIMATE serving) ---------
+
+  /** (base window ns, lgK) of the registered HLL cardinality summary. */
+  @volatile private var cardReg: Option[(Long, Int)] = None
+  /** (log version built at, reg built with, persisted frame). */
+  @volatile private var cardCache: Option[(Long, (Long, Int), DataFrame)] = None
+  private val cardRoot = s"$rootDir/_cardinality"
+
+  /** Register an HLL cardinality summary at `baseWindowNs` granularity:
+    * from now on `SHOW CARDINALITY ESTIMATE` (any window that is a
+    * multiple of the base) serves distinct-series estimates from
+    * |metrics|×windows sketch rows ([[TsAnalytics.cardinalitySummary]])
+    * instead of scanning points — the 100 TB-shaped cardinality
+    * question. Derived cache like the rollups: built lazily over the
+    * MERGED view (latest-version + tombstones), rebuilt when the log
+    * version moves (deletes can shrink a set — append-only maintenance
+    * via [[TsAnalytics.appendCardinalitySummary]] remains the
+    * no-deletes fast path for external pipelines). */
+  def registerCardinalitySummary(baseWindowNs: Long, lgK: Int = 12): Unit =
+    synchronized {
+      require(baseWindowNs > 0, "summary base window must be positive")
+      require(lgK >= 4 && lgK <= 21, "lgK must be in [4, 21]")
+      cardReg = Some((baseWindowNs, lgK))
+      cardCache.foreach(_._3.unpersist(blocking = false)); cardCache = None
+    }
+
+  /** Drop the summary: ESTIMATE falls back to exact counts. */
+  def dropCardinalitySummary(): Unit = synchronized {
+    cardReg = None
+    cardCache.foreach(_._3.unpersist(blocking = false)); cardCache = None
+    deleteDir(Paths.get(cardRoot))
+  }
+
+  /** The registered summary spec, if any. */
+  def cardinalitySummaryReg: Option[(Long, Int)] = cardReg
+
+  private def cardinalityView(reg: (Long, Int)): DataFrame = synchronized {
+    cardCache match {
+      case Some((ver, r, df)) if ver >= snap.version && r == reg => df
+      case old =>
+        old.foreach(_._3.unpersist(blocking = false))
+        val pts = loadPoints().getOrElse(TsdbEngine.emptyPoints(spark))
+        TsAnalytics.writeCardinalitySummary(pts, reg._1, cardRoot, reg._2,
+          loadTombstones())
+        val df = TsAnalytics.readCardinalitySummary(spark, cardRoot)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cardCache = Some((snap.version, reg, df))
+        df
+    }
+  }
+
+  /** `SHOW CARDINALITY ESTIMATE [FROM m] [BY dur]`: distinct-series
+    * ESTIMATES from the registered summary's sketch unions when the
+    * requested window aligns (whole-range = union of every base window
+    * per metric, emitted as window_start 0 like the exact form); exact
+    * counts otherwise (no summary, or a window the summary can't
+    * decompose). The estimate column is `n_series_est` on BOTH paths —
+    * an exact count is a valid estimate; the serving tier, not the
+    * numbers, is what the keyword selects. Standard error ~0.8% at the
+    * default lgK=12, and EXACT while a window's series set fits the
+    * sketch's sparse mode ([[TsAnalytics.cardinalitySummary]]). */
+  def showCardinalityEstimate(metric: Option[String],
+      windowNs: Option[Long]): DataFrame = {
+    cardReg match {
+      case Some(reg @ (base, _))
+          if windowNs.forall(w => w >= base && w % base == 0) =>
+        val summary0 = cardinalityView(reg)
+        val summary = metric.fold(summary0)(m =>
+          summary0.filter(TagMatch.metricPred(m)))
+        windowNs match {
+          case Some(w) => TsAnalytics.cardinalityServe(summary, base, w)
+          case None =>
+            summary.groupBy(col("metric"))
+              .agg(hll_sketch_estimate(hll_union_agg(col("hll")))
+                  .as("n_series_est"),
+                sum(col("n_points")).as("n_points"))
+              .select(col("metric"), lit(0L).as("window_start"),
+                col("n_series_est"), col("n_points"))
+              .orderBy("metric")
+        }
+      case _ =>
+        showCardinality(metric, windowNs)
+          .withColumnRenamed("n_series", "n_series_est")
+    }
+  }
+
   def getSeriesByTags(metric: String, tags: Map[String, String]): DataFrame = {
     var df = loadPoints().getOrElse(emptyPoints(spark))
       .filter(col("metric") === metric)

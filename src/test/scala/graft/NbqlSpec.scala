@@ -324,6 +324,53 @@ class NbqlExecutorSpec extends SparkSpec {
     }
   }
 
+  test("SHOW CARDINALITY ESTIMATE: summary-served sketches, exact fallback") {
+    withEngine { (eng, ex) =>
+      for ((m, h, t) <- Seq(("cpu", "a", 100L), ("cpu", "b", 150L),
+          ("cpu", "a", 1100L), ("mem", "a", 120L)))
+        assert(ex.execute(
+          s"""PUSH $m TAGGED (host="$h") SET (value=1.0) AT $t""").isRight)
+      def est(q: String): Map[(String, Long), (Long, Long)] =
+        rows(ex, q).map(r => (r.getAs[String]("metric"),
+          r.getAs[Long]("window_start")) ->
+          (r.getAs[Long]("n_series_est"), r.getAs[Long]("n_points"))).toMap
+      // no summary registered: ESTIMATE falls back to the exact counts
+      assert(est("SHOW CARDINALITY ESTIMATE") ==
+        Map(("cpu", 0L) -> ((2L, 3L)), ("mem", 0L) -> ((1L, 1L))))
+      // register on the wire; small sets sit in HLL sparse mode → exact
+      assert(ex.execute("CREATE CARDINALITY SUMMARY BY 1us").isRight)
+      assert(est("SHOW CARDINALITY ESTIMATE") ==
+        Map(("cpu", 0L) -> ((2L, 3L)), ("mem", 0L) -> ((1L, 1L))))
+      assert(est("SHOW CARDINALITY ESTIMATE FROM cpu BY 1us") ==
+        Map(("cpu", 0L) -> ((2L, 2L)), ("cpu", 1000L) -> ((1L, 1L))))
+      // a coarser multiple unions base sketches (never re-scans points)
+      assert(est("SHOW CARDINALITY ESTIMATE BY 2us") ==
+        Map(("cpu", 0L) -> ((2L, 3L)), ("mem", 0L) -> ((1L, 1L))))
+      // freshness: the summary rebuilds past the commit
+      assert(ex.execute(
+        """PUSH cpu TAGGED (host="c") SET (value=1.0) AT 160""").isRight)
+      assert(est("SHOW CARDINALITY ESTIMATE FROM cpu")(("cpu", 0L))._1 == 3L)
+      // non-multiple window: exact fallback (same statement, right rows)
+      assert(est("SHOW CARDINALITY ESTIMATE FROM cpu BY 1500ns") ==
+        rows(ex, "SHOW CARDINALITY FROM cpu BY 1500ns")
+          .map(r => (r.getAs[String]("metric"), r.getAs[Long]("window_start")) ->
+            (r.getAs[Long]("n_series"), r.getAs[Long]("n_points"))).toMap)
+      // error bound at real cardinality: 1000 series within the
+      // documented ~0.8%·k standard error (gate at 5%)
+      assert(eng.putBatch((0 until 1000).map(i =>
+        graft.model.DataPoint("big", Map("host" -> s"h$i"), 500L,
+          Map("value" -> graft.model.FieldValue.ofDouble(1.0))))).isRight)
+      val e = est("SHOW CARDINALITY ESTIMATE FROM big")(("big", 0L))._1
+      assert(math.abs(e - 1000L) <= 50, s"estimate $e vs exact 1000")
+      // drop on the wire → exact fallback again
+      assert(ex.execute("DROP CARDINALITY SUMMARY").isRight)
+      assert(est("SHOW CARDINALITY ESTIMATE FROM big")(("big", 0L))._1 == 1000L)
+      // validations
+      assert(ex.execute("CREATE CARDINALITY SUMMARY BY 0ns").isLeft)
+      assert(ex.execute("CREATE CARDINALITY SUMMARY BY 1us LGK 99").isLeft)
+    }
+  }
+
   test("GROUP BY TAGS end-to-end: cross-series windows, collapse, validations") {
     withEngine { (_, ex) =>
       for ((dc, host, v) <- Seq(("east", "h1", 1.0), ("east", "h2", 3.0),
