@@ -532,6 +532,70 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "streaming fold must match the batch window bit-for-bit")
   }
 
+  test("streaming downsample: windows match the batch A2 kernel; late rows dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val S = 1000L // ms
+    val Iv = 5000000000L // 5 s in ns — two windows over the feed
+    // a: values across both windows, one NaN (present for count, not a
+    // numeric sample); b: a single point (stddev/frac NaN territory)
+    val feed = Seq(
+      ("a", 1 * S, 4.0), ("a", 2 * S, Double.NaN), ("a", 4 * S, 10.0),
+      ("a", 6 * S, 2.0), ("a", 8 * S, 8.0),
+      ("b", 3 * S, 7.0))
+    val aggs = Seq(AggSpec("count", "*"), AggSpec("count", "value"),
+      AggSpec("sum", "value"), AggSpec("avg", "value"),
+      AggSpec("min", "value"), AggSpec("max", "value"),
+      AggSpec("first", "value"), AggSpec("last", "value"),
+      AggSpec("frac", "value"), AggSpec("stddev", "value"))
+    val mem = MemoryStream[(String, Long, Double)]
+    val pts = mem.toDF().toDF("k", "ms", "v")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = StreamingDownsample.downsample(pts, "k", "ts", "v", Iv, aggs,
+      lateness = "2 seconds")
+    val q = out.writeStream.format("memory").queryName("dsstream")
+      .outputMode("append").start()
+    def emitted() = spark.table("dsstream")
+      .filter(col("series_key") =!= "z")
+      .select(col("series_key") +: col("window_start") +:
+        aggs.map(s => col(s.outputName)): _*)
+      .collect().map(_.toString).toSeq.sorted
+    try {
+      mem.addData(feed: _*)
+      q.processAllAvailable()
+      // Append mode: nothing emits until the watermark passes a window
+      // end — a far-future sentinel closes both feed windows
+      mem.addData(("z", 100 * S, 1.0))
+      q.processAllAvailable()
+      val got = emitted()
+      assert(got.size == 3, s"two windows for a + one for b: $got")
+      // a too-late row (watermark is ~98 s) must be DROPPED: no new row,
+      // no change to the already-emitted window
+      mem.addData(("a", 1500L, 999.0))
+      q.processAllAvailable()
+      assert(emitted() == got, "late row past the watermark must be dropped")
+    } finally q.stop()
+
+    // batch twin: the engine kernel over the same points (late row and
+    // sentinel excluded — they are not part of the stream's answer)
+    val batchPts = feed.map { case (k, ms, v) =>
+      TP("m", Map("h" -> k), ms * 1000000L, Map("value" -> FV.dv(v)), ms)
+    }
+    val want = QueryEngine.run(batchPts.toDF(),
+        QueryParams("m", aggs = aggs, downsampleNs = Some(Iv),
+          endNs = Some(Long.MaxValue / 2)))
+      .select(col("tags")("h") +: col("window_start") +:
+        aggs.map(s => col(s.outputName)): _*)
+      .collect().map(_.toString).toSeq.sorted
+    assert(emitted() == want,
+      "streaming windows must match the batch A2 kernel row-for-row")
+
+    // percentile specs are rejected up front
+    intercept[IllegalArgumentException] {
+      StreamingDownsample.downsample(pts, "k", "ts", "v", Iv,
+        Seq(AggSpec("p95", "value")))
+    }
+  }
+
   test("streaming rate: bit-for-bit parity with the batch operator, resets included") {
     implicit val sqlCtx = spark.sqlContext
     val S = 1000L
