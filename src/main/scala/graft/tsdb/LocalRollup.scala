@@ -509,6 +509,161 @@ object LocalRollup {
     p.limit.fold(out)(n => out.take(n.toInt))
   }
 
+  /** Output schema of [[runDeltaBy]] — matches [[Rollup.runDeltaBy]]. */
+  def outputSchemaDeltaBy: StructType = StructType(Seq(
+    StructField("metric", StringType),
+    StructField("tags", MapType(StringType, StringType)),
+    StructField("series_key", StringType),
+    StructField("window_start", LongType),
+    StructField("n_points", LongType),
+    StructField("delta", DoubleType),
+    StructField("increase", DoubleType)))
+
+  private final class DeltaByState(val metric: String, val tags: Any) {
+    var n = 0L
+    var firstOrd: (Long, String, Long) = null; var firstVal = 0.0
+    var lastOrd: (Long, String, Long) = null; var lastVal = 0.0
+    var inc = 0.0
+  }
+
+  /** Driver-resident mirror of [[Rollup.runDeltaBy]]: windowed
+    * delta/increase folded from resident partial rows in pure Scala —
+    * the [[runDelta]] decomposition grouped into target windows, the
+    * boundary pair landing in the LATER point's target
+    * (continuous-counter contract). `windowNs` must be a multiple of the
+    * rollup grain (caller-gated); `rows` sorted by window_start. */
+  def runDeltaBy(rows: Array[Row], schema: StructType, p: QueryParams,
+      field: String, windowNs: Long): Array[Row] = {
+    val endNs = p.endNs.get
+    val iWs = schema.fieldIndex("window_start")
+    val iSk = schema.fieldIndex("series_key")
+    val iMetric = schema.fieldIndex("metric")
+    val iTags = schema.fieldIndex("tags")
+    val iCnt = schema.fieldIndex(s"${field}__cnt")
+    val iFo = schema.fieldIndex(s"${field}__first_ord")
+    val iFv = schema.fieldIndex(s"${field}__first")
+    val iLo = schema.fieldIndex(s"${field}__last_ord")
+    val iLv = schema.fieldIndex(s"${field}__last")
+    val iInc = schema.fieldIndex(s"${field}__inc")
+    // per-series boundary carry runs across the WHOLE range
+    val prevLast = scala.collection.mutable.HashMap.empty[String, Double]
+    val groups =
+      scala.collection.mutable.LinkedHashMap.empty[(String, Long), DeltaByState]
+    rows.foreach { r =>
+      val ws = r.getLong(iWs)
+      if (ws >= p.startNs && ws <= endNs && r.getString(iMetric) == p.metric &&
+          tagsMatch(r, iTags, p)) {
+        val sk = r.getString(iSk)
+        val target = ws - java.lang.Math.floorMod(ws, windowNs)
+        val st = groups.getOrElseUpdate((sk, target),
+          new DeltaByState(r.getString(iMetric), r.get(iTags)))
+        st.n += r.getLong(iCnt)
+        val fo = ordOf(r, iFo)
+        if (fo != null) { // window has numeric samples
+          val fv = r.getDouble(iFv)
+          if (st.firstOrd == null || ordOrdering.lt(fo, st.firstOrd)) {
+            st.firstOrd = fo; st.firstVal = fv
+          }
+          prevLast.get(sk).foreach { pl =>
+            st.inc += (if (fv < pl) fv else fv - pl)
+          }
+          val lo = ordOf(r, iLo)
+          if (st.lastOrd == null || ordOrdering.gt(lo, st.lastOrd)) {
+            st.lastOrd = lo; st.lastVal = r.getDouble(iLv)
+          }
+          prevLast(sk) = r.getDouble(iLv)
+        }
+        if (!r.isNullAt(iInc)) st.inc += r.getDouble(iInc)
+      }
+    }
+    val out = groups.iterator
+      .filter(_._2.n > 0)
+      .toArray
+      .sortBy { case ((sk, w), _) => (sk, w) }(
+        Ordering.Tuple2(Utf8Order, Ordering.Long))
+      .map { case ((sk, w), st) =>
+        Row(st.metric, st.tags, sk, w, st.n, st.lastVal - st.firstVal, st.inc)
+      }
+    p.limit.fold(out)(n => out.take(n.toInt))
+  }
+
+  /** Output schema of [[runTwa]] — matches [[Rollup.runTwa]]. */
+  def outputSchemaTwa: StructType = StructType(Seq(
+    StructField("metric", StringType),
+    StructField("tags", MapType(StringType, StringType)),
+    StructField("series_key", StringType),
+    StructField("window_start", LongType),
+    StructField("twa", DoubleType),
+    StructField("n_points", LongType)))
+
+  private final class TwaGroup(val metric: String, val tags: Any) {
+    var num = 0.0; var den = 0.0; var n = 0L
+  }
+  /** One non-empty rollup window pending its successor's first-ts. */
+  private final class TwaPending(var target: Long, var firstTs: Long,
+      var lastTs: Long, var lastVal: Double, var area: Double, var cnt: Long)
+
+  /** Driver-resident mirror of [[Rollup.runTwa]]: LOCF time-weighted
+    * averages folded from resident partial rows — in-window `__area`
+    * integrals plus the last sample's carry to min(next non-empty
+    * window's first sample, target end). Windows are processed in
+    * window_start order per series, holding each non-empty window
+    * pending until its successor is known (the lead over the rollup
+    * frame, as a one-pass fold). `p.downsampleNs` (a multiple of the
+    * grain) is the target interval; `rows` sorted by window_start. */
+  def runTwa(rows: Array[Row], schema: StructType, p: QueryParams,
+      field: String): Array[Row] = {
+    val interval = p.downsampleNs.get
+    val endNs = p.endNs.get
+    val iWs = schema.fieldIndex("window_start")
+    val iSk = schema.fieldIndex("series_key")
+    val iMetric = schema.fieldIndex("metric")
+    val iTags = schema.fieldIndex("tags")
+    val iCnt = schema.fieldIndex(s"${field}__cnt")
+    val iFo = schema.fieldIndex(s"${field}__first_ord")
+    val iLo = schema.fieldIndex(s"${field}__last_ord")
+    val iLv = schema.fieldIndex(s"${field}__last")
+    val iArea = schema.fieldIndex(s"${field}__area")
+    val groups =
+      scala.collection.mutable.LinkedHashMap.empty[(String, Long), TwaGroup]
+    val pending = scala.collection.mutable.HashMap.empty[String, TwaPending]
+    val meta = scala.collection.mutable.HashMap.empty[String, (String, Any)]
+    def close(sk: String, pd: TwaPending, nextFirstTs: Long): Unit = {
+      val wEnd = pd.target + interval
+      val closeTs = math.min(nextFirstTs, wEnd)
+      val (m, tg) = meta(sk)
+      val g = groups.getOrElseUpdate((sk, pd.target), new TwaGroup(m, tg))
+      g.num += pd.area + pd.lastVal * (closeTs - pd.lastTs).toDouble
+      g.den += (closeTs - pd.firstTs).toDouble
+      g.n += pd.cnt
+    }
+    rows.foreach { r =>
+      val ws = r.getLong(iWs)
+      if (ws >= p.startNs && ws <= endNs && r.getString(iMetric) == p.metric &&
+          tagsMatch(r, iTags, p) && r.getLong(iCnt) > 0) {
+        val sk = r.getString(iSk)
+        meta.getOrElseUpdate(sk, (r.getString(iMetric), r.get(iTags)))
+        val fo = ordOf(r, iFo)
+        val lo = ordOf(r, iLo)
+        pending.get(sk).foreach(pd => close(sk, pd, fo._1))
+        pending(sk) = new TwaPending(
+          ws - java.lang.Math.floorMod(ws, interval), fo._1, lo._1,
+          r.getDouble(iLv),
+          if (r.isNullAt(iArea)) 0.0 else r.getDouble(iArea),
+          r.getLong(iCnt))
+      }
+    }
+    pending.foreach { case (sk, pd) => close(sk, pd, Long.MaxValue) }
+    val out = groups.iterator
+      .toArray
+      .sortBy { case ((sk, w), _) => (sk, w) }(
+        Ordering.Tuple2(Utf8Order, Ordering.Long))
+      .map { case ((sk, w), g) =>
+        Row(g.metric, g.tags, sk, w, g.num / g.den, g.n)
+      }
+    p.limit.fold(out)(n => out.take(n.toInt))
+  }
+
   /** Output schema of [[runIrate]] — matches [[TsAnalytics.irate]]. */
   def outputSchemaIrate: StructType = StructType(Seq(
     StructField("metric", StringType),

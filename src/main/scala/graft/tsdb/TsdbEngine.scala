@@ -569,6 +569,20 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
               (slice, sch) => (LocalRollup.runIrate(slice, sch, p, f),
                 LocalRollup.outputSchemaIrate)
             }
+          case AnalyzeDeltaBy(f, w) =>
+            serveLocalRollupAnalytic(p, f, "local-rollup-delta-by",
+              alignGate = grain => w > 0 && w % grain == 0) {
+              (slice, sch) => (LocalRollup.runDeltaBy(slice, sch, p, f, w),
+                LocalRollup.outputSchemaDeltaBy)
+            }
+          case AnalyzeTwa(f, iv) =>
+            val pTwa = p.copy(downsampleNs = Some(iv))
+            serveLocalRollupAnalytic(pTwa, f, "local-rollup-twa",
+              extraCols = Seq(s"${f}__area"),
+              alignGate = grain => iv > 0 && iv % grain == 0) {
+              (slice, sch) => (LocalRollup.runTwa(slice, sch, pTwa, f),
+                LocalRollup.outputSchemaTwa)
+            }
           case _ => None
         }
         local match {
@@ -596,7 +610,8 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * carries the needed partial columns (`__inc`; `__tsum` family —
     * both ship together, schema-checked by the first). */
   private def serveLocalRollupAnalytic(p: QueryParams, field: String,
-      path: String, extraCols: Seq[String] = Nil)(
+      path: String, extraCols: Seq[String] = Nil,
+      alignGate: Long => Boolean = _ => true)(
       fold: (Array[Row], org.apache.spark.sql.types.StructType) =>
         (Array[Row], org.apache.spark.sql.types.StructType)):
       Option[(Array[Row], org.apache.spark.sql.types.StructType)] = {
@@ -604,7 +619,8 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     if (spec == null || !spec.fields.contains(field) ||
         p.valueFilters.nonEmpty || TagMatch.isPrefix(p.metric) ||
         p.relativeNs.isDefined || p.startNs % spec.intervalNs != 0 ||
-        !p.endNs.exists(e => e != 0L && (e + 1) % spec.intervalNs == 0))
+        !p.endNs.exists(e => e != 0L && (e + 1) % spec.intervalNs == 0) ||
+        !alignGate(spec.intervalNs))
       None
     else localRollupRows(p.metric, spec).flatMap { case (rows, ws, sch) =>
       if (!sch.fieldNames.contains(s"${field}__inc") ||

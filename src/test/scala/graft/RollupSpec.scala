@@ -230,6 +230,32 @@ class RollupSpec extends SparkSpec {
     assert(eng.lastServePath == "analyze-raw")
     // LIMIT flows through the routed plans
     assert(eng.analyze(q.copy(limit = Some(3L)), dby).collect().length == 3)
+
+    // the driver-resident tiers serve the same rows with NO Spark job
+    val localD = eng.analyzeCached(q, dby)
+    assert(eng.lastServePath == "local-rollup-delta-by", eng.lastServePath)
+    assert(localD.map(_.toSeq).toSeq == routedD.map(_.toSeq).toSeq,
+      "driver DELTA BY tier must mirror the Spark rollup route row-for-row")
+    val localT = eng.analyzeCached(q, twa)
+    assert(eng.lastServePath == "local-rollup-twa", eng.lastServePath)
+    assert(localT.map(_.toSeq).toSeq == routedT.map(_.toSeq).toSeq,
+      "driver TWA tier must mirror the Spark rollup route row-for-row")
+    // cache hits on repeat; TAGGED + LIMIT compose through the folds
+    eng.analyzeCached(q, dby)
+    assert(eng.lastServePath == "analyze-cache")
+    val qt = q.copy(tags = Map("host" -> "h1"))
+    assert(eng.analyzeCached(qt, dby).map(_.toSeq).toSeq ==
+      eng.analyze(qt, dby).collect().map(_.toSeq).toSeq)
+    assert(eng.analyzeCached(qt, twa).map(_.toSeq).toSeq ==
+      eng.analyze(qt, twa).collect().map(_.toSeq).toSeq)
+    val qLim = q.copy(limit = Some(2L))
+    assert(eng.analyzeCached(qLim, dby).map(_.toSeq).toSeq ==
+      eng.analyze(qLim, dby).collect().map(_.toSeq).toSeq)
+    assert(eng.analyzeCached(qLim, twa).map(_.toSeq).toSeq ==
+      eng.analyze(qLim, twa).collect().map(_.toSeq).toSeq)
+    // a non-multiple window bails out of the local tier too (spark path)
+    eng.analyzeCached(q, AnalyzeTwa("value", 90L * 1000000000L))
+    assert(eng.lastServePath == "analyze-spark")
   }
 
   test("engine: ANALYZE IRATE serves from the driver-resident tier") {
