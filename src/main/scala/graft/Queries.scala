@@ -981,6 +981,62 @@ object Queries {
       .orderBy("user")
   }
 
+  /** Counter resets (PromQL resets): per-series count of consecutive
+    * pairs whose value decreased — exact long counts, hashed unrounded. */
+  def tsResets(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture))
+    TsAnalytics.transitions(pts(s, dir), q)
+      .select(userCol, col("n_points"), col("resets"))
+      .orderBy("user")
+  }
+
+  /** Value changes (PromQL changes): per-series count of consecutive
+    * pairs with differing values. */
+  def tsChanges(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture))
+    TsAnalytics.transitions(pts(s, dir), q)
+      .select(userCol, col("n_points"), col("changes"))
+      .orderBy("user")
+  }
+
+  /** RESETS re-aggregated from 1-minute rollup partials
+    * ([[Rollup.runTransitions]]) — shares `ts_resets`' oracle verbatim,
+    * so the driver hash-gates the in-window + boundary-pair
+    * decomposition (exact: long counts) every round. */
+  def tsdbRollupResets(s: SparkSession, dir: String): DataFrame = {
+    val oneMin = 60000000000L
+    val rollup = Rollup.build(QueryEngine.mergedView(pts(s, dir), Nil),
+      oneMin, Seq("value"))
+    val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture - 1))
+    Rollup.runTransitions(rollup, oneMin, q, "value")
+      .select(userCol, col("n_points"), col("resets"))
+      .orderBy("user")
+  }
+
+  /** RESETS under hot-series time-splitting ([[TsAnalytics.laggedSlice]]
+    * chunking + boundary-pair patch) — long counts, so the split twin
+    * shares `ts_resets`' oracle BIT-identically, and the driver re-gates
+    * the chunk-boundary patch on a distinct verb every round. */
+  def tsResetsSplit(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture))
+    TsAnalytics.transitions(pts(s, dir), q, splitNs = Some(24L * HourNs))
+      .select(userCol, col("n_points"), col("resets"))
+      .orderBy("user")
+  }
+
+  /** CHANGES re-aggregated from rollup partials — shares `ts_changes`'
+    * oracle (boundary pairs compare by INequality here, a distinct code
+    * path from resets' less-than). */
+  def tsdbRollupChanges(s: SparkSession, dir: String): DataFrame = {
+    val oneMin = 60000000000L
+    val rollup = Rollup.build(QueryEngine.mergedView(pts(s, dir), Nil),
+      oneMin, Seq("value"))
+    val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture - 1))
+    Rollup.runTransitions(rollup, oneMin, q, "value")
+      .select(userCol, col("n_points"), col("changes"))
+      .orderBy("user")
+  }
+
   /** Least-squares trend + 7-day forecast (PromQL predict_linear): the
     * oracle mirrors the SAME moment formulas (avg-of-products over
     * epoch-second t), so both engines share the conditioning; slope is
@@ -1419,5 +1475,14 @@ object Queries {
         (col("last_ts") - pmod(col("last_ts"), lit(1000L))).as("last_ts"),
         round(col("delta"), 4).as("delta"),
         round(col("increase"), 4).as("increase"))
+      .orderBy("user")
+
+  /** `ANALYZE RESETS` through the full NBQL protocol path (parse →
+    * validate → serving tier; rollup-routable when one is registered) —
+    * hashes against ts_resets' oracle verbatim, wire-gating the
+    * counter-transition analytic with exact long counts. */
+  def nbqlResets(s: SparkSession, dir: String): DataFrame =
+    nbqlRows(s, dir, s"QUERY purchase FROM 0 TO $FarFuture ANALYZE RESETS(value)")
+      .select(userCol, col("n_points"), col("resets"))
       .orderBy("user")
 }

@@ -101,6 +101,12 @@ object SparkEntry {
     "tsdb_rollup_twa" -> (Queries.tsdbRollupTwa _),
     "tsdb_rollup_predict" -> (Queries.tsdbRollupPredict _),
     "ts_irate" -> (Queries.tsIrate _),
+    "ts_resets" -> (Queries.tsResets _),
+    "ts_changes" -> (Queries.tsChanges _),
+    "ts_resets_split" -> (Queries.tsResetsSplit _),
+    "tsdb_rollup_resets" -> (Queries.tsdbRollupResets _),
+    "tsdb_rollup_changes" -> (Queries.tsdbRollupChanges _),
+    "nbql_resets" -> (Queries.nbqlResets _),
     "ts_predict" -> (Queries.tsPredict _),
     "ts_anomaly" -> (Queries.tsAnomaly _),
     "ts_anomaly_split" -> (Queries.tsAnomalySplit _),
@@ -157,6 +163,35 @@ object SparkEntry {
       |  round(max_by(value, t) - min_by(value, t), 4) AS delta,
       |  round(coalesce(sum(CASE WHEN pv IS NULL THEN NULL
       |    WHEN value < pv THEN value ELSE value - pv END), 0), 4) AS increase
+      |FROM l GROUP BY u ORDER BY 1""".stripMargin
+
+  /** Shared by `ts_resets`/`tsdb_rollup_resets` (raw lag plan vs the
+    * rollup-partial route): consecutive-pair decrease counts — exact
+    * longs, hashed unrounded. */
+  private val TsResetsSql =
+    """WITH s AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |l AS (
+      |  SELECT u, value,
+      |    lag(value) OVER (PARTITION BY u ORDER BY t) AS pv
+      |  FROM s)
+      |SELECT u AS "user", count(*) AS n_points,
+      |  count(CASE WHEN pv IS NOT NULL AND value < pv THEN 1 END) AS resets
+      |FROM l GROUP BY u ORDER BY 1""".stripMargin
+
+  /** Shared by `ts_changes`/`tsdb_rollup_changes` — consecutive-pair
+    * inequality counts. */
+  private val TsChangesSql =
+    """WITH s AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |l AS (
+      |  SELECT u, value,
+      |    lag(value) OVER (PARTITION BY u ORDER BY t) AS pv
+      |  FROM s)
+      |SELECT u AS "user", count(*) AS n_points,
+      |  count(CASE WHEN pv IS NOT NULL AND value <> pv THEN 1 END) AS changes
       |FROM l GROUP BY u ORDER BY 1""".stripMargin
 
   /** Shared by `ts_delta_by`/`tsdb_rollup_delta_by` (raw analytic vs the
@@ -1113,6 +1148,15 @@ object SparkEntry {
     "tsdb_rollup_delta_by" -> TsDeltaBySql,
     // tsdb_rollup_twa: the rollup-partial route, same oracle
     "tsdb_rollup_twa" -> TsTwaSql,
+    // counter transitions (PromQL resets/changes); the rollup twins are
+    // the partial-decomposition routes, same oracles — exact long counts
+    "ts_resets" -> TsResetsSql,
+    "tsdb_rollup_resets" -> TsResetsSql,
+    "ts_changes" -> TsChangesSql,
+    "tsdb_rollup_changes" -> TsChangesSql,
+    // split twin + full-protocol twin: same oracle, distinct serve paths
+    "ts_resets_split" -> TsResetsSql,
+    "nbql_resets" -> TsResetsSql,
     "ts_irate" ->
       """WITH s AS (
         |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value

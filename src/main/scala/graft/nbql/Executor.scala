@@ -253,10 +253,11 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
                _: graft.tsdb.AnalyzeHolt | _: graft.tsdb.AnalyzeTwa |
                _: graft.tsdb.AnalyzeZScore | _: graft.tsdb.AnalyzeCumsum |
                _: graft.tsdb.AnalyzeDelta | _: graft.tsdb.AnalyzeDeltaBy |
-               _: graft.tsdb.AnalyzeIrate |
+               _: graft.tsdb.AnalyzeIrate | _: graft.tsdb.AnalyzeResets |
+               _: graft.tsdb.AnalyzeChanges |
                _: graft.tsdb.AnalyzePredict => ()
           case _ =>
-            return Left("SPLIT applies to the per-series analytics (RATE/DELTA/IRATE/PREDICT/EWMA/HOLT/TWA/ZSCORE/CUMSUM)")
+            return Left("SPLIT applies to the per-series analytics (RATE/DELTA/IRATE/RESETS/CHANGES/PREDICT/EWMA/HOLT/TWA/ZSCORE/CUMSUM)")
         }
       }
       Right(QueryParams(

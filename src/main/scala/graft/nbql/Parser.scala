@@ -1,8 +1,10 @@
 package graft.nbql
 
 import graft.model.FieldValue
-import graft.tsdb.{AggSpec, AnalyzeCorrelate, AnalyzeCumsum, AnalyzeDelta, AnalyzeDeltaBy,
+import graft.tsdb.{AggSpec, AnalyzeChanges, AnalyzeCorrelate, AnalyzeCumsum,
+  AnalyzeDelta, AnalyzeDeltaBy,
   AnalyzeEwma, AnalyzeHolt, AnalyzeIrate, AnalyzePredict, AnalyzeRate,
+  AnalyzeResets,
   AnalyzeRatio, AnalyzeSpec, AnalyzeTopK,
   AnalyzeTwa, AnalyzeZScore, Ascending, Descending,
   FillLinear, FillNone, FillPrevious}
@@ -102,7 +104,8 @@ object NbqlParser extends RegexParsers {
       case by ~ specs => (q: QueryStatement) => q.copy(aggs = specs, byIntervalNs = by)
     }
 
-  /** `ANALYZE RATE(f) | DELTA(f) | IRATE(f) | PREDICT(f, <dur>) |
+  /** `ANALYZE RATE(f) | DELTA(f) | IRATE(f) | RESETS(f) | CHANGES(f) |
+    * PREDICT(f, <dur>) |
     * EWMA(f, α) | HOLT(f, α, β) | TWA(f) BY <dur> |
     * CUMSUM(f) | ZSCORE(f, lookback, threshold)` — the TS analytics pack
     * ([[graft.tsdb.AnalyzeSpec]]). The field is explicit, like the
@@ -118,6 +121,8 @@ object NbqlParser extends RegexParsers {
       case f ~ None => AnalyzeDelta(f)
       case f ~ Some(d) => AnalyzeDeltaBy(f, d) } |
     kw("IRATE") ~> "(" ~> name <~ ")" ^^ AnalyzeIrate |
+    kw("RESETS") ~> "(" ~> name <~ ")" ^^ AnalyzeResets |
+    kw("CHANGES") ~> "(" ~> name <~ ")" ^^ AnalyzeChanges |
     kw("PREDICT") ~> "(" ~> (name <~ ",") ~ duration <~ ")" ^^ {
       case f ~ h => AnalyzePredict(f, h) } |
     kw("EWMA") ~> "(" ~> (name <~ ",") ~ numLit <~ ")" ^^ {

@@ -230,6 +230,68 @@ object StreamingAnomaly {
       }.toDF()
   }
 
+  /** Running counter-transition state: last (ts ms, value), reset and
+    * change counts, point count — O(1) per live series. */
+  case class TransSt(tMs: Long, v: Double, resets: Long, changes: Long,
+      n: Long)
+
+  case class TransRow(series_key: String, ts: Timestamp, value: Double,
+      n_points: Long, resets: Long, changes: Long)
+
+  /** Streaming counter-transition counts — the streaming twin of
+    * [[graft.tsdb.TsAnalytics.transitions]] (PromQL `resets`/`changes`):
+    * each arriving point emits the series' running reset count (pairs
+    * whose value decreased) and change count (pairs that differed), so a
+    * dashboard watches counter restarts live. Counts are exact longs —
+    * after any in-order prefix the LAST emitted row per series equals
+    * the batch operator's row over that prefix BIT-identically
+    * (spec-pinned). A series' first point emits (n=1, 0, 0); late rows
+    * (at or before the last seen event time) are dropped, like [[rate]].
+    * State expires after `idleExpiry` beyond the watermark. */
+  def transitions(points: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, lateness: String = "10 minutes",
+      idleExpiry: String = "1 hour"): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val ds = points
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("t"),
+        col(valueCol).cast("double").as("v"))
+      .withWatermark("t", lateness)
+      .as[(String, Timestamp, Double)]
+    implicit val stEnc = Encoders.product[TransSt]
+    implicit val rowEnc = Encoders.product[TransRow]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[TransSt, TransRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, Timestamp, Double)],
+            state: GroupState[TransSt]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.orNull
+            val batch = rows.toIndexedSeq.sortBy(_._2.getTime)
+            val out = batch.flatMap { case (_, t, v) =>
+              val tMs = t.getTime
+              if (st == null) {
+                st = TransSt(tMs, v, 0L, 0L, 1L)
+                Some(TransRow(key, t, v, 1L, 0L, 0L))
+              } else if (tMs <= st.tMs) None // late/dup: dropped like rate
+              else {
+                val r = st.resets + (if (v < st.v) 1L else 0L)
+                val c = st.changes + (if (v != st.v) 1L else 0L)
+                st = TransSt(tMs, v, r, c, st.n + 1)
+                Some(TransRow(key, t, v, st.n, r, c))
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              // state's own last event time ([[trend]] note)
+              state.setTimeoutTimestamp(st.tMs, idleExpiry)
+            }
+            out.iterator
+          }
+      }.toDF()
+  }
+
   /** Streaming per-second rate — the streaming twin of
     * [[graft.tsdb.TsAnalytics.rate]] (PromQL `rate` contract, counter
     * resets clamped to the new value). State per live series is ONE

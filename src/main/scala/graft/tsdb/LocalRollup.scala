@@ -435,6 +435,74 @@ object LocalRollup {
     p.limit.fold(out)(n => out.take(n.toInt))
   }
 
+  /** Output schema of [[runTransitions]] — matches
+    * [[Rollup.runTransitions]] projected to the verb's column
+    * (`keep` = "resets" | "changes"), the [[TsdbEngine.analyze]] output
+    * shape for ANALYZE RESETS/CHANGES. */
+  def outputSchemaTransitions(keep: String): StructType = StructType(Seq(
+    StructField("metric", StringType),
+    StructField("tags", MapType(StringType, StringType)),
+    StructField("series_key", StringType),
+    StructField("n_points", LongType),
+    StructField(keep, LongType)))
+
+  private final class TransState(val metric: String, val tags: Any) {
+    var n = 0L
+    var resets = 0L; var changes = 0L
+    var prevLast = 0.0; var hasPrevLast = false
+  }
+
+  /** Driver-resident mirror of [[Rollup.runTransitions]]: counter
+    * reset/change counts folded from resident partial rows — in-window
+    * `__resets`/`__changes` partials plus boundary-pair comparisons
+    * (previous non-empty window's last value vs this window's first).
+    * Long counts: BIT-identical to both the Spark rollup route and the
+    * raw analytic. `rows` sorted by window_start. */
+  def runTransitions(rows: Array[Row], schema: StructType, p: QueryParams,
+      field: String, keep: String): Array[Row] = {
+    val endNs = p.endNs.get
+    val iWs = schema.fieldIndex("window_start")
+    val iSk = schema.fieldIndex("series_key")
+    val iMetric = schema.fieldIndex("metric")
+    val iTags = schema.fieldIndex("tags")
+    val iCnt = schema.fieldIndex(s"${field}__cnt")
+    val iFo = schema.fieldIndex(s"${field}__first_ord")
+    val iFv = schema.fieldIndex(s"${field}__first")
+    val iLv = schema.fieldIndex(s"${field}__last")
+    val iRst = schema.fieldIndex(s"${field}__resets")
+    val iChg = schema.fieldIndex(s"${field}__changes")
+    val bySeries =
+      scala.collection.mutable.LinkedHashMap.empty[String, TransState]
+    rows.foreach { r =>
+      val ws = r.getLong(iWs)
+      if (ws >= p.startNs && ws <= endNs && r.getString(iMetric) == p.metric &&
+          tagsMatch(r, iTags, p)) {
+        val st = bySeries.getOrElseUpdate(r.getString(iSk),
+          new TransState(r.getString(iMetric), r.get(iTags)))
+        st.n += r.getLong(iCnt)
+        if (ordOf(r, iFo) != null) { // window has numeric samples
+          val fv = r.getDouble(iFv)
+          if (st.hasPrevLast) { // boundary pair
+            if (fv < st.prevLast) st.resets += 1L
+            if (fv != st.prevLast) st.changes += 1L
+          }
+          if (!r.isNullAt(iRst)) st.resets += r.getLong(iRst)
+          if (!r.isNullAt(iChg)) st.changes += r.getLong(iChg)
+          st.prevLast = r.getDouble(iLv); st.hasPrevLast = true
+        }
+      }
+    }
+    val out = bySeries.iterator
+      .filter(_._2.n > 0)
+      .toArray
+      .sortBy(_._1)(Utf8Order)
+      .map { case (sk, st) =>
+        Row(st.metric, st.tags, sk, st.n,
+          if (keep == "resets") st.resets else st.changes)
+      }
+    p.limit.fold(out)(n => out.take(n.toInt))
+  }
+
   /** Output schema of [[runPredict]] — matches [[Rollup.runPredict]]. */
   def outputSchemaPredict: StructType = StructType(Seq(
     StructField("metric", StringType),

@@ -72,6 +72,8 @@ final class QueryCache(capacity: Int = 256, maxRowsPerEntry: Int = 100000) {
       case AnalyzeDelta(f) => s"delta(${esc(f)})"
       case AnalyzeDeltaBy(f, w) => s"deltaby(${esc(f)},$w)"
       case AnalyzeIrate(f) => s"irate(${esc(f)})"
+      case AnalyzeResets(f) => s"resets(${esc(f)})"
+      case AnalyzeChanges(f) => s"changes(${esc(f)})"
       case AnalyzePredict(f, h) => s"predict(${esc(f)},$h)"
       case AnalyzeEwma(f, a) => s"ewma(${esc(f)},$a)"
       case AnalyzeHolt(f, a, b) => s"holt(${esc(f)},$a,$b)"

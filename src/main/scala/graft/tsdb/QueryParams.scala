@@ -135,6 +135,14 @@ final case class AnalyzeDeltaBy(field: String, windowNs: Long) extends AnalyzeSp
 /** `ANALYZE IRATE(field)` — instantaneous rate over each series' last
   * two samples ([[TsAnalytics.irate]]). */
 final case class AnalyzeIrate(field: String) extends AnalyzeSpec
+/** `ANALYZE RESETS(field)` — per-series count of counter resets
+  * (consecutive numeric-sample pairs where the value DECREASED) over the
+  * scanned range, PromQL `resets()` shape ([[TsAnalytics.transitions]]). */
+final case class AnalyzeResets(field: String) extends AnalyzeSpec
+/** `ANALYZE CHANGES(field)` — per-series count of value changes
+  * (consecutive numeric-sample pairs with differing values), PromQL
+  * `changes()` shape ([[TsAnalytics.transitions]]). */
+final case class AnalyzeChanges(field: String) extends AnalyzeSpec
 /** `ANALYZE PREDICT(field, <horizon dur>)` — least-squares trend and
   * horizon forecast past each series' last sample
   * ([[TsAnalytics.predictLinear]]). */

@@ -79,6 +79,13 @@ object Rollup {
       // boundary pairs — the decomposition behind rollup-routed
       // ANALYZE DELTA (whole-range) and [[runDeltaBy]] (windowed)
       sum(col(s"__graft_inc_$f")).as(s"${f}__inc"),
+      // in-window counter-transition counts: resets (pair decreased) and
+      // changes (pair differed) over consecutive NUMERIC samples inside
+      // the window; compose across windows with boundary-pair
+      // comparisons — the decomposition behind rollup-routed
+      // ANALYZE RESETS/CHANGES ([[runTransitions]]), exact (long counts)
+      sum(col(s"__graft_reset_$f")).as(s"${f}__resets"),
+      sum(col(s"__graft_chg_$f")).as(s"${f}__changes"),
       // in-window LOCF integral: Σ vᵢ·(tᵢ₊₁−tᵢ) over consecutive NUMERIC
       // pairs inside the window, in value·ns ([[build]]'s window pass);
       // the last sample's carry past the window edge is recoverable from
@@ -142,6 +149,14 @@ object Rollup {
           when(n.isNotNull && col(s"__graft_prev_$f").isNotNull,
             when(n < col(s"__graft_prev_$f"), n)
               .otherwise(n - col(s"__graft_prev_$f"))))
+        // counter-transition flags per consecutive numeric pair (the
+        // __resets/__changes partials; long so the sums stay exact)
+        .withColumn(s"__graft_reset_$f",
+          when(n.isNotNull && col(s"__graft_prev_$f").isNotNull,
+            when(n < col(s"__graft_prev_$f"), lit(1L)).otherwise(lit(0L))))
+        .withColumn(s"__graft_chg_$f",
+          when(n.isNotNull && col(s"__graft_prev_$f").isNotNull,
+            when(n =!= col(s"__graft_prev_$f"), lit(1L)).otherwise(lit(0L))))
         // LOCF pair integral, assigned to the pair's LATER row: the
         // earlier sample's value × the ns gap, as double (the raw TWA
         // path's v·w product over the same operands)
@@ -479,6 +494,65 @@ object Rollup {
         col("__lord").getField("timestamp").as("last_ts"),
         (col("__lv") - col("__fv")).as("delta"),
         col("__incsum").as("increase"))
+      .orderBy(col("series_key"))
+  }
+
+  /** True when RESETS/CHANGES over `field` are answerable from this
+    * rollup frame: the [[supportsDelta]] gating with the stored
+    * transition-count partials instead of `__inc` (frames built before
+    * the `__resets` column existed route raw). */
+  def supportsTransitions(p: QueryParams, rollupIntervalNs: Long,
+      rollup: DataFrame, field: String): Boolean = {
+    val r = rollupIntervalNs
+    p.valueFilters.isEmpty &&
+    !TagMatch.isPrefix(p.metric) &&
+    p.relativeNs.isEmpty &&
+    p.startNs % r == 0 &&
+    p.endNs.exists(e => e != 0L && (e + 1) % r == 0) &&
+    rollup.columns.contains(s"${field}__resets")
+  }
+
+  /** Counter-transition counts ([[TsAnalytics.transitions]]'s output
+    * shape) re-aggregated from rollup partials. The decomposition is the
+    * same as [[runDelta]]'s and EXACT in both value and representation
+    * (long counts, no FP re-association): every consecutive numeric pair
+    * is either inside one window (counted by the stored
+    * `__resets`/`__changes` partials) or spans two non-empty windows —
+    * recovered here by comparing the previous non-empty window's last
+    * value against this window's first (a lag over the tiny rollup
+    * frame). */
+  def runTransitions(rollup: DataFrame, rollupIntervalNs: Long,
+      p: QueryParams, field: String): DataFrame = {
+    require(supportsTransitions(p, rollupIntervalNs, rollup, field),
+      s"RESETS/CHANGES($field) not answerable from a " +
+        s"$rollupIntervalNs ns rollup")
+    val endNs = p.endNs.get
+    var df = rollup.filter(col("metric") === p.metric)
+    p.tags.foreach { case (k, v) => df = df.filter(TagMatch.pred(k, v)) }
+    df = df.filter(col("window_start").between(p.startNs, endNs))
+    if (rollup.columns.contains("date"))
+      df = df.filter(col("date").between(
+        TsdbEngine.dayStr(p.startNs), TsdbEngine.dayStr(endNs)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series_key")).orderBy(col("window_start"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val prevLast = last(col(s"${field}__last"), ignoreNulls = true).over(w)
+    val bf = col(s"${field}__first")
+    val pairUp = bf.isNotNull && prevLast.isNotNull
+    df.withColumn("__br",
+        when(pairUp, when(bf < prevLast, lit(1L)).otherwise(lit(0L))))
+      .withColumn("__bc",
+        when(pairUp, when(bf =!= prevLast, lit(1L)).otherwise(lit(0L))))
+      .groupBy(col("series_key"))
+      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"),
+        sum(col(s"${field}__cnt")).as("n_points"),
+        (coalesce(sum(col(s"${field}__resets")), lit(0L)) +
+          coalesce(sum(col("__br")), lit(0L))).as("resets"),
+        (coalesce(sum(col(s"${field}__changes")), lit(0L)) +
+          coalesce(sum(col("__bc")), lit(0L))).as("changes"))
+      .filter(col("n_points") > 0) // like the raw path: null-only series emit nothing
+      .select(col("metric"), col("tags"), col("series_key"), col("n_points"),
+        col("resets"), col("changes"))
       .orderBy(col("series_key"))
   }
 

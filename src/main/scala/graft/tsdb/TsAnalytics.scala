@@ -304,6 +304,38 @@ object TsAnalytics {
       .orderBy(col("series_key"))
   }
 
+  /** Per-series counter-transition counts (PromQL `resets` + `changes`):
+    * over consecutive NUMERIC sample pairs within the scanned range,
+    * `resets` counts pairs whose value DECREASED (the counter restarted)
+    * and `changes` counts pairs with differing values — a reset is
+    * always also a change. Null-valued rows are not samples (skipped
+    * before the lag, like [[rangeDelta]]); a single-sample series has
+    * both counts 0; the pair crossing `startNs` is deliberately out of
+    * scope (range-internal, PromQL's window contract). Counts are exact
+    * longs, so the rollup decomposition ([[Rollup.runTransitions]]) and
+    * the `splitNs` boundary patch are BIT-identical, not ulp-level.
+    *
+    * Plan: the shared [[rate]] lag exchange feeding a partially
+    * aggregated groupBy carrying one row per series.
+    *
+    * Output: metric, tags, series_key, n_points, resets, changes — one
+    * row per series, ordered by series_key. */
+  def transitions(points: DataFrame, p: QueryParams, field: String = "value",
+      tombstones: Seq[Tombstone] = Nil,
+      splitNs: Option[Long] = None): DataFrame = {
+    laggedSlice(points, p, field, tombstones, splitNs, dropNullValues = true)
+      .groupBy(col("series_key"))
+      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"),
+        count(lit(1)).as("n_points"),
+        count(when(col("__pv").isNotNull && col("__v") < col("__pv"), lit(1)))
+          .as("resets"),
+        count(when(col("__pv").isNotNull && col("__v") =!= col("__pv"), lit(1)))
+          .as("changes"))
+      .select(col("metric"), col("tags"), col("series_key"), col("n_points"),
+        col("resets"), col("changes"))
+      .orderBy(col("series_key"))
+  }
+
   /** Per-series least-squares trend + horizon forecast (PromQL
     * `predict_linear`): fit `v ≈ intercept + slope·t` over the scanned
     * range and evaluate it `horizonNs` past the series' LAST sample.

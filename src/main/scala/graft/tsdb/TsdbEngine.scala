@@ -414,6 +414,10 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       case AnalyzeIrate(f) =>
         TsAnalytics.irate(pts, params, field = f, tombstones = tombs,
           splitNs = splitNs)
+      case AnalyzeResets(f) =>
+        transitionsPath(pts, tombs, params, f, splitNs, "resets")
+      case AnalyzeChanges(f) =>
+        transitionsPath(pts, tombs, params, f, splitNs, "changes")
       case AnalyzePredict(f, h) =>
         // rollup-routed like DELTA: the stored time moments shift to the
         // query anchor and merge as plain sums ([[Rollup.runPredict]])
@@ -492,6 +496,31 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     params.limit.fold(df)(n => df.limit(n.toInt))
   }
 
+  /** ANALYZE RESETS/CHANGES plan: rollup-routed when a registered rollup
+    * stores the transition-count partials ([[Rollup.runTransitions]] —
+    * exact long counts, so the route is BIT-identical to raw, not just
+    * value-equal), raw lag plan otherwise; projected to the verb's
+    * column. */
+  private def transitionsPath(pts: DataFrame, tombs: Seq[Tombstone],
+      params: QueryParams, f: String, splitNs: Option[Long],
+      keep: String): DataFrame = {
+    val routed = Option(rollupSpecs.get(params.metric))
+      .filter(spec => spec.fields.contains(f))
+      .map(spec => (spec, rollupView(params.metric, spec)))
+      .filter { case (spec, view) =>
+        Rollup.supportsTransitions(params, spec.intervalNs, view, f) }
+      .map { case (spec, view) =>
+        lastServePath = "rollup-transitions"
+        Rollup.runTransitions(view, spec.intervalNs, params, f)
+      }
+    routed.getOrElse {
+      lastServePath = "analyze-raw"
+      TsAnalytics.transitions(pts, params, field = f, tombstones = tombs,
+        splitNs = splitNs)
+    }.select(col("metric"), col("tags"), col("series_key"),
+      col("n_points"), col(keep))
+  }
+
   /** ANALYZE through the serving tier: the protocol entry for the
     * analytics pack (the reference's NBQL-layer cache position, same as
     * [[queryServingDF]]). The cache key extends the point-query key with
@@ -568,6 +597,20 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
               extraCols = Seq(s"${f}__plast")) {
               (slice, sch) => (LocalRollup.runIrate(slice, sch, p, f),
                 LocalRollup.outputSchemaIrate)
+            }
+          case AnalyzeResets(f) =>
+            serveLocalRollupAnalytic(p, f, "local-rollup-resets",
+              extraCols = Seq(s"${f}__resets", s"${f}__changes")) {
+              (slice, sch) =>
+                (LocalRollup.runTransitions(slice, sch, p, f, "resets"),
+                  LocalRollup.outputSchemaTransitions("resets"))
+            }
+          case AnalyzeChanges(f) =>
+            serveLocalRollupAnalytic(p, f, "local-rollup-changes",
+              extraCols = Seq(s"${f}__resets", s"${f}__changes")) {
+              (slice, sch) =>
+                (LocalRollup.runTransitions(slice, sch, p, f, "changes"),
+                  LocalRollup.outputSchemaTransitions("changes"))
             }
           case AnalyzeDeltaBy(f, w) =>
             serveLocalRollupAnalytic(p, f, "local-rollup-delta-by",

@@ -106,6 +106,12 @@ class NbqlParserSpec extends SparkSpec {
       .asInstanceOf[QueryStatement].analyze.contains(graft.tsdb.AnalyzeDelta("v")))
     assert(p("QUERY cpu ANALYZE IRATE(v)")
       .asInstanceOf[QueryStatement].analyze.contains(graft.tsdb.AnalyzeIrate("v")))
+    assert(p("QUERY cpu ANALYZE RESETS(v)")
+      .asInstanceOf[QueryStatement].analyze.contains(graft.tsdb.AnalyzeResets("v")))
+    assert(p("QUERY cpu ANALYZE CHANGES(v)")
+      .asInstanceOf[QueryStatement].analyze.contains(graft.tsdb.AnalyzeChanges("v")))
+    assert(NbqlParser.parse("QUERY cpu ANALYZE RESETS()").isLeft)
+    assert(NbqlParser.parse("QUERY cpu ANALYZE CHANGES").isLeft)
     assert(p("QUERY cpu ANALYZE PREDICT(v, 1h)")
       .asInstanceOf[QueryStatement].analyze
       .contains(graft.tsdb.AnalyzePredict("v", 3600L * 1000000000L)))
@@ -448,6 +454,20 @@ class NbqlExecutorSpec extends SparkSpec {
       val twa = rows(ex, """QUERY cpu TAGGED (h="a") FROM 0 TO 9999 ANALYZE TWA(v) BY 1us""")
       assert(twa.map(r => (r.getAs[Long]("window_start"), r.getAs[Double]("twa"))) ==
         Seq((1000L, 1.0), (2000L, 2.0), (3000L, 4.0)))
+
+      // RESETS/CHANGES: h=a rises 1→2→4 (0 resets, 2 changes);
+      // h=b 10→5 is one reset, which is also its one change
+      val res = rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE RESETS(v)")
+      assert(res.map(r => r.getAs[Map[String, String]]("tags")("h") ->
+        (r.getAs[Long]("n_points"), r.getAs[Long]("resets"))).toMap ==
+        Map("a" -> ((3L, 0L)), "b" -> ((2L, 1L))))
+      val chg = rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE CHANGES(v)")
+      assert(chg.map(r => r.getAs[Map[String, String]]("tags")("h") ->
+        (r.getAs[Long]("n_points"), r.getAs[Long]("changes"))).toMap ==
+        Map("a" -> ((3L, 2L)), "b" -> ((2L, 1L))))
+      // SPLIT composes: maximally-split chunks stay bit-identical
+      assert(rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE RESETS(v) SPLIT 1us") == res)
+      assert(rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE CHANGES(v) SPLIT AUTO") == chg)
 
       // validations reject non-composing shapes with clear messages
       assert(ex.execute("QUERY cpu AGGREGATE (sum(v)) ANALYZE RATE(v)").isLeft)

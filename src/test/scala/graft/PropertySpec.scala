@@ -450,6 +450,44 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("RESETS/CHANGES tiers agree: raw == rollup route == driver fold == model") {
+    // transition counts are LONGS — no FP re-association anywhere, so
+    // all three tiers must agree bit-for-bit at any rollup width, and
+    // with an in-memory pairwise model over the survivor series
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(genPoint),
+      Gen.oneOf(1L, 2L, 4L, 8L, 16L)) { (rawPts: List[MPoint], width: Long) =>
+      val pts = rawPts.zipWithIndex.map { case (p, i) => p.copy(seq = i.toLong) }
+      val df = toDf(pts)
+      val q = QueryParams("m1", startNs = 0L, endNs = Some(15L))
+      def vals(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("n_points"), r.getAs[Long]("resets"),
+          r.getAs[Long]("changes"))
+      val raw = TsAnalytics.transitions(df, q, field = "v")
+        .collect().map(r => r.getAs[String]("series_key") -> vals(r)).toMap
+      val rollup = Rollup.build(QueryEngine.mergedView(df, Nil), width, Seq("v"))
+      val routed = Rollup.runTransitions(rollup, width, q, "v")
+        .collect().map(r => r.getAs[String]("series_key") -> vals(r)).toMap
+      val rows = rollup.orderBy("window_start").collect()
+      def localOf(keep: String) =
+        LocalRollup.runTransitions(rows, rollup.schema, q, "v", keep)
+          .map(r => r.getString(2) -> (r.getLong(3), r.getLong(4))).toMap
+      val localR = localOf("resets"); val localC = localOf("changes")
+      val want = modelSurvivors(pts, Nil, "m1", 0L, 15L)
+        .groupBy(_.host).map { case (h, ps0) =>
+          val ps = ps0.sortBy(_.ts)
+          val pairs = ps.sliding(2).toSeq.collect { case Seq(a, b) => (a.v, b.v) }
+          s"m1${SeriesKey.Sep}host=$h" -> (ps.size.toLong,
+            pairs.count { case (a, b) => b < a }.toLong,
+            pairs.count { case (a, b) => b != a }.toLong)
+        }
+      raw == routed && raw == want &&
+        raw.map { case (k, (n, r, _)) => k -> (n, r) } == localR &&
+        raw.map { case (k, (n, _, c)) => k -> (n, c) } == localC &&
+        // a reset is always also a change
+        raw.values.forall { case (_, r, c) => r <= c }
+    })
+  }
+
   test("delta/irate/predict == reference model under random points") {
     // whole-range change, last-pair rate, and least-squares forecast
     // against an in-memory model over the latest-version-merged series

@@ -160,6 +160,108 @@ class RollupSpec extends SparkSpec {
     assert(!Rollup.supportsDeltaBy(query, Min, rollup, "value", 0L))
   }
 
+  test("runTransitions: reset/change counts from partials == raw (bit-identical)") {
+    val pts = fixture
+    val merged = QueryEngine.mergedView(pts, Nil)
+    val rollup = Rollup.build(merged, Min, Seq("value", "load"))
+    val query = QueryParams("cpu.usage", startNs = 0L, endNs = Some(150 * Min - 1))
+    assert(Rollup.supportsTransitions(query, Min, rollup, "value"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("series_key") ->
+        (r.getAs[Long]("n_points"), r.getAs[Long]("resets"),
+          r.getAs[Long]("changes"))).toMap
+    val raw = rows(TsAnalytics.transitions(pts, query))
+    val routed = rows(Rollup.runTransitions(rollup, Min, query, "value"))
+    // long counts: EXACT map equality, no tolerance anywhere
+    assert(raw == routed && raw.nonEmpty)
+    // a reset is always also a change; the fixture has both kinds
+    raw.values.foreach { case (_, r, c) => assert(r <= c) }
+    assert(raw.values.exists(_._2 > 0) && raw.values.exists(v => v._3 > v._2))
+    // the int-typed field routes too; TAGGED composes through the partials
+    assert(rows(Rollup.runTransitions(rollup, Min, query, "load")) ==
+      rows(TsAnalytics.transitions(pts, query, field = "load")))
+    val tagged = query.copy(tags = Map("host" -> "h2"))
+    assert(rows(Rollup.runTransitions(rollup, Min, tagged, "value")) ==
+      rows(TsAnalytics.transitions(pts, tagged)))
+    // gating: misaligned range, value filters, legacy frame without the
+    // transition partials
+    assert(!Rollup.supportsTransitions(
+      query.copy(endNs = Some(150 * Min)), Min, rollup, "value"))
+    assert(!Rollup.supportsTransitions(
+      query.copy(valueFilters = Seq(ValueFilter("value", ">", 0))),
+      Min, rollup, "value"))
+    assert(!Rollup.supportsTransitions(
+      query, Min, rollup.drop("value__resets"), "value"))
+  }
+
+  test("engine: ANALYZE RESETS/CHANGES route through a registered rollup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_trans").toString
+    val eng = new TsdbEngine(spark, dir)
+    // counter with a reset at i=60 plus a flat stretch (changes < pairs)
+    val points = (0 until 120).map { i =>
+      graft.model.DataPoint("reqs", Map("host" -> s"h${i % 2}"), i * Min,
+        Map("value" -> graft.model.FieldValue.ofDouble(
+          if (i == 60) 1.0
+          else if (i < 20) 5.0 // flat: no change
+          else (i % 60).toDouble * 2 + 1)))
+    }
+    assert(eng.putBatch(points).isRight)
+    val q = QueryParams("reqs", startNs = 0L, endNs = Some(120 * Min - 1))
+    val rawR = eng.analyze(q, AnalyzeResets("value")).collect()
+    assert(eng.lastServePath == "analyze-raw")
+    val rawC = eng.analyze(q, AnalyzeChanges("value")).collect()
+    assert(eng.lastServePath == "analyze-raw")
+    assert(rawR.head.schema.fieldNames.toSeq ==
+      Seq("metric", "tags", "series_key", "n_points", "resets"))
+    assert(rawC.head.schema.fieldNames.toSeq ==
+      Seq("metric", "tags", "series_key", "n_points", "changes"))
+    eng.registerRollup("reqs", Min, Seq("value"))
+    val routedR = eng.analyze(q, AnalyzeResets("value")).collect()
+    assert(eng.lastServePath == "rollup-transitions")
+    assert(rawR.map(_.toSeq).toSeq == routedR.map(_.toSeq).toSeq,
+      "routed RESETS must equal the raw analytic bit-for-bit")
+    val routedC = eng.analyze(q, AnalyzeChanges("value")).collect()
+    assert(eng.lastServePath == "rollup-transitions")
+    assert(rawC.map(_.toSeq).toSeq == routedC.map(_.toSeq).toSeq,
+      "routed CHANGES must equal the raw analytic bit-for-bit")
+    // un-alignable range falls back to raw
+    eng.analyze(q.copy(endNs = Some(90 * Min)), AnalyzeResets("value")).collect()
+    assert(eng.lastServePath == "analyze-raw")
+    // LIMIT flows through the routed plan
+    assert(eng.analyze(q.copy(limit = Some(1L)),
+      AnalyzeResets("value")).collect().length == 1)
+
+    // driver-resident tier serves the same rows with NO Spark job
+    val localR = eng.analyzeCached(q, AnalyzeResets("value"))
+    assert(eng.lastServePath == "local-rollup-resets", eng.lastServePath)
+    assert(localR.map(_.toSeq).toSeq == routedR.map(_.toSeq).toSeq,
+      "driver RESETS tier must mirror the Spark rollup route row-for-row")
+    val localC = eng.analyzeCached(q, AnalyzeChanges("value"))
+    assert(eng.lastServePath == "local-rollup-changes", eng.lastServePath)
+    assert(localC.map(_.toSeq).toSeq == routedC.map(_.toSeq).toSeq,
+      "driver CHANGES tier must mirror the Spark rollup route row-for-row")
+    // second call hits the result cache; the two verbs cache separately
+    eng.analyzeCached(q, AnalyzeResets("value"))
+    assert(eng.lastServePath == "analyze-cache")
+    // TAGGED + LIMIT compose through the fold
+    val qt = q.copy(tags = Map("host" -> "h1"))
+    assert(eng.analyzeCached(qt, AnalyzeResets("value")).map(_.toSeq).toSeq ==
+      eng.analyze(qt, AnalyzeResets("value")).collect().map(_.toSeq).toSeq)
+    val qLim = q.copy(limit = Some(1L))
+    val localLim = eng.analyzeCached(qLim, AnalyzeChanges("value"))
+    assert(eng.lastServePath == "local-rollup-changes")
+    assert(localLim.length == 1 && localLim.map(_.toSeq).toSeq ==
+      eng.analyze(qLim, AnalyzeChanges("value")).collect().map(_.toSeq).toSeq)
+    // a write invalidates: fresh rows, still locally served
+    assert(eng.putBatch(Seq(graft.model.DataPoint("reqs",
+      Map("host" -> "h0"), 120 * Min - 1, Map("value" ->
+        graft.model.FieldValue.ofDouble(0.5))))).isRight)
+    val after = eng.analyzeCached(q, AnalyzeResets("value"))
+    assert(eng.lastServePath == "local-rollup-resets")
+    assert(after.map(_.toSeq).toSeq ==
+      eng.analyze(q, AnalyzeResets("value")).collect().map(_.toSeq).toSeq)
+  }
+
   test("runTwa: LOCF time-weighted average from partials == raw operator") {
     val pts = fixture
     val merged = QueryEngine.mergedView(pts, Nil)

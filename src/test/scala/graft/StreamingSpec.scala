@@ -690,6 +690,53 @@ class StreamingSpec extends SparkSpec {
     assert(aReset._4 == 1.0 && aReset._5 == 14.0)
   }
 
+  test("streaming transitions: last row per series matches batch (bit-identical)") {
+    implicit val sqlCtx = spark.sqlContext
+    val S = 1000L
+    // a: rise, reset, flat repeat, rise — resets=1, changes=7 (one
+    // consecutive pair equal); b: two equal points — changes=0
+    val aVals = Seq(1.0, 4.0, 7.0, 2.0, 5.0, 5.0, 8.0, 11.0, 14.0)
+    val feed = aVals.zipWithIndex.map { case (v, i) => ("a", (i + 1) * S, v) } ++
+      Seq(("b", 2 * S, 5.0), ("b", 3 * S, 5.0))
+    val mem = MemoryStream[(String, Long, Double)]
+    val pts = mem.toDF().toDF("k", "ms", "v")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = StreamingAnomaly.transitions(pts, "k", "ts", "v")
+    val q = out.writeStream.format("memory").queryName("transstream")
+      .outputMode("append").start()
+    try {
+      mem.addData(feed.take(6): _*) // counts must carry across the split
+      q.processAllAvailable()
+      mem.addData(feed.drop(6): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("transstream")
+      .select(col("series_key"), col("ts").cast("long") * 1000,
+        col("n_points"), col("resets"), col("changes"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.length == feed.length) // every point emits (first: 1,0,0)
+    assert(rows.filter(_._3 == 1L).map(r => (r._1, r._4, r._5)).toSet ==
+      Set(("a", 0L, 0L), ("b", 0L, 0L)))
+    val lastBySeries = rows.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.maxBy(_._2) }
+    val batchPts = feed.map { case (k, ms, v) =>
+      TP("m", Map("h" -> k), ms * 1000000L, Map("value" -> FV.dv(v)), ms)
+    }
+    val want = TsAnalytics.transitions(batchPts.toDF(),
+        QueryParams("m", endNs = Some(Long.MaxValue / 2)))
+      .select(col("tags")("h"), col("n_points"), col("resets"), col("changes"))
+      .as[(String, Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    lastBySeries.foreach { case (k, (_, _, n, r, c)) =>
+      assert(want(k) == ((n, r, c)),
+        s"series $k: streaming final ($n,$r,$c) vs batch ${want(k)}")
+    }
+    assert(want("a") == ((9L, 1L, 7L)) && want("b") == ((2L, 0L, 0L)))
+    // the flat repeat (5.0 → 5.0) incremented neither count mid-stream
+    val aFlat = rows.find(r => r._1 == "a" && r._3 == 6L).get
+    assert(aFlat._4 == 1L && aFlat._5 == 4L)
+  }
+
   test("streaming trend: running least squares matches batch predictLinear") {
     implicit val sqlCtx = spark.sqlContext
     val S = 1000L
