@@ -1013,6 +1013,29 @@ object Queries {
       .orderBy("user")
   }
 
+  /** Windowed counter-reset counts (`ANALYZE RESETS BY 1d` — "restarts
+    * per day"): boundary pairs land in the LATER point's day, so daily
+    * counts sum exactly to the whole-range `ts_resets` counts. */
+  def tsResetsBy(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture))
+    TsAnalytics.windowedTransitions(pts(s, dir), q, windowNs = 24L * HourNs)
+      .select(userCol, col("window_start"), col("n_points"), col("resets"))
+      .orderBy("user", "window_start")
+  }
+
+  /** Windowed RESETS re-aggregated from 1-minute rollup partials
+    * ([[Rollup.runTransitionsBy]]) — shares `ts_resets_by`'s oracle
+    * verbatim (exact long counts), gating the grouped decomposition. */
+  def tsdbRollupResetsBy(s: SparkSession, dir: String): DataFrame = {
+    val oneMin = 60000000000L
+    val rollup = Rollup.build(QueryEngine.mergedView(pts(s, dir), Nil),
+      oneMin, Seq("value"))
+    val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture - 1))
+    Rollup.runTransitionsBy(rollup, oneMin, q, "value", 24L * HourNs)
+      .select(userCol, col("window_start"), col("n_points"), col("resets"))
+      .orderBy("user", "window_start")
+  }
+
   /** RESETS under hot-series time-splitting ([[TsAnalytics.laggedSlice]]
     * chunking + boundary-pair patch) — long counts, so the split twin
     * shares `ts_resets`' oracle BIT-identically, and the driver re-gates

@@ -104,6 +104,8 @@ object SparkEntry {
     "ts_resets" -> (Queries.tsResets _),
     "ts_changes" -> (Queries.tsChanges _),
     "ts_resets_split" -> (Queries.tsResetsSplit _),
+    "ts_resets_by" -> (Queries.tsResetsBy _),
+    "tsdb_rollup_resets_by" -> (Queries.tsdbRollupResetsBy _),
     "tsdb_rollup_resets" -> (Queries.tsdbRollupResets _),
     "tsdb_rollup_changes" -> (Queries.tsdbRollupChanges _),
     "nbql_resets" -> (Queries.nbqlResets _),
@@ -179,6 +181,22 @@ object SparkEntry {
       |SELECT u AS "user", count(*) AS n_points,
       |  count(CASE WHEN pv IS NOT NULL AND value < pv THEN 1 END) AS resets
       |FROM l GROUP BY u ORDER BY 1""".stripMargin
+
+  /** Shared by `ts_resets_by`/`tsdb_rollup_resets_by` (raw windowed lag
+    * plan vs the grouped rollup-partial route): per-day reset counts,
+    * each pair in the LATER point's day — exact longs. */
+  private val TsResetsBySql =
+    """WITH s AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |l AS (
+      |  SELECT u, t, value,
+      |    lag(value) OVER (PARTITION BY u ORDER BY t) AS pv
+      |  FROM s)
+      |SELECT u AS "user", t - (t % 86400000000000) AS window_start,
+      |  count(*) AS n_points,
+      |  count(CASE WHEN pv IS NOT NULL AND value < pv THEN 1 END) AS resets
+      |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Shared by `ts_changes`/`tsdb_rollup_changes` — consecutive-pair
     * inequality counts. */
@@ -1157,6 +1175,9 @@ object SparkEntry {
     // split twin + full-protocol twin: same oracle, distinct serve paths
     "ts_resets_split" -> TsResetsSql,
     "nbql_resets" -> TsResetsSql,
+    // windowed transitions: boundary pairs land in the LATER point's day
+    "ts_resets_by" -> TsResetsBySql,
+    "tsdb_rollup_resets_by" -> TsResetsBySql,
     "ts_irate" ->
       """WITH s AS (
         |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value

@@ -211,6 +211,10 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
             return Left("PREDICT horizon must be positive")
           case graft.tsdb.AnalyzeDeltaBy(_, w) if w <= 0 =>
             return Left("DELTA BY window must be positive")
+          case graft.tsdb.AnalyzeResetsBy(_, w) if w <= 0 =>
+            return Left("RESETS BY window must be positive")
+          case graft.tsdb.AnalyzeChangesBy(_, w) if w <= 0 =>
+            return Left("CHANGES BY window must be positive")
           case graft.tsdb.AnalyzeCorrelate(_, b, _, _, mb) =>
             if (b == q.metric)
               return Left("CORRELATE needs two distinct metrics")
@@ -254,7 +258,8 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
                _: graft.tsdb.AnalyzeZScore | _: graft.tsdb.AnalyzeCumsum |
                _: graft.tsdb.AnalyzeDelta | _: graft.tsdb.AnalyzeDeltaBy |
                _: graft.tsdb.AnalyzeIrate | _: graft.tsdb.AnalyzeResets |
-               _: graft.tsdb.AnalyzeChanges |
+               _: graft.tsdb.AnalyzeChanges | _: graft.tsdb.AnalyzeResetsBy |
+               _: graft.tsdb.AnalyzeChangesBy |
                _: graft.tsdb.AnalyzePredict => ()
           case _ =>
             return Left("SPLIT applies to the per-series analytics (RATE/DELTA/IRATE/RESETS/CHANGES/PREDICT/EWMA/HOLT/TWA/ZSCORE/CUMSUM)")

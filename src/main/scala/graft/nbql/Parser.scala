@@ -1,10 +1,11 @@
 package graft.nbql
 
 import graft.model.FieldValue
-import graft.tsdb.{AggSpec, AnalyzeChanges, AnalyzeCorrelate, AnalyzeCumsum,
+import graft.tsdb.{AggSpec, AnalyzeChanges, AnalyzeChangesBy,
+  AnalyzeCorrelate, AnalyzeCumsum,
   AnalyzeDelta, AnalyzeDeltaBy,
   AnalyzeEwma, AnalyzeHolt, AnalyzeIrate, AnalyzePredict, AnalyzeRate,
-  AnalyzeResets,
+  AnalyzeResets, AnalyzeResetsBy,
   AnalyzeRatio, AnalyzeSpec, AnalyzeTopK,
   AnalyzeTwa, AnalyzeZScore, Ascending, Descending,
   FillLinear, FillNone, FillPrevious}
@@ -121,8 +122,12 @@ object NbqlParser extends RegexParsers {
       case f ~ None => AnalyzeDelta(f)
       case f ~ Some(d) => AnalyzeDeltaBy(f, d) } |
     kw("IRATE") ~> "(" ~> name <~ ")" ^^ AnalyzeIrate |
-    kw("RESETS") ~> "(" ~> name <~ ")" ^^ AnalyzeResets |
-    kw("CHANGES") ~> "(" ~> name <~ ")" ^^ AnalyzeChanges |
+    kw("RESETS") ~> ("(" ~> name <~ ")") ~ opt(kw("BY") ~> duration) ^^ {
+      case f ~ None => AnalyzeResets(f)
+      case f ~ Some(d) => AnalyzeResetsBy(f, d) } |
+    kw("CHANGES") ~> ("(" ~> name <~ ")") ~ opt(kw("BY") ~> duration) ^^ {
+      case f ~ None => AnalyzeChanges(f)
+      case f ~ Some(d) => AnalyzeChangesBy(f, d) } |
     kw("PREDICT") ~> "(" ~> (name <~ ",") ~ duration <~ ")" ^^ {
       case f ~ h => AnalyzePredict(f, h) } |
     kw("EWMA") ~> "(" ~> (name <~ ",") ~ numLit <~ ")" ^^ {

@@ -655,6 +655,76 @@ object LocalRollup {
     p.limit.fold(out)(n => out.take(n.toInt))
   }
 
+  /** Output schema of [[runTransitionsBy]] — matches
+    * [[Rollup.runTransitionsBy]] projected to the verb's column. */
+  def outputSchemaTransitionsBy(keep: String): StructType = StructType(Seq(
+    StructField("metric", StringType),
+    StructField("tags", MapType(StringType, StringType)),
+    StructField("series_key", StringType),
+    StructField("window_start", LongType),
+    StructField("n_points", LongType),
+    StructField(keep, LongType)))
+
+  private final class TransByState(val metric: String, val tags: Any) {
+    var n = 0L; var resets = 0L; var changes = 0L
+  }
+
+  /** Driver-resident mirror of [[Rollup.runTransitionsBy]]: windowed
+    * reset/change counts folded from resident partials — the
+    * [[runTransitions]] decomposition grouped by target window, boundary
+    * pairs (previous non-empty window's last vs this window's first)
+    * landing in the LATER point's target. Long counts: BIT-identical to
+    * the Spark routes. `rows` sorted by window_start. */
+  def runTransitionsBy(rows: Array[Row], schema: StructType, p: QueryParams,
+      field: String, windowNs: Long, keep: String): Array[Row] = {
+    val endNs = p.endNs.get
+    val iWs = schema.fieldIndex("window_start")
+    val iSk = schema.fieldIndex("series_key")
+    val iMetric = schema.fieldIndex("metric")
+    val iTags = schema.fieldIndex("tags")
+    val iCnt = schema.fieldIndex(s"${field}__cnt")
+    val iFo = schema.fieldIndex(s"${field}__first_ord")
+    val iFv = schema.fieldIndex(s"${field}__first")
+    val iLv = schema.fieldIndex(s"${field}__last")
+    val iRst = schema.fieldIndex(s"${field}__resets")
+    val iChg = schema.fieldIndex(s"${field}__changes")
+    // per-series boundary carry runs across the WHOLE range
+    val prevLast = scala.collection.mutable.HashMap.empty[String, Double]
+    val groups =
+      scala.collection.mutable.LinkedHashMap.empty[(String, Long), TransByState]
+    rows.foreach { r =>
+      val ws = r.getLong(iWs)
+      if (ws >= p.startNs && ws <= endNs && r.getString(iMetric) == p.metric &&
+          tagsMatch(r, iTags, p)) {
+        val sk = r.getString(iSk)
+        val target = ws - java.lang.Math.floorMod(ws, windowNs)
+        val st = groups.getOrElseUpdate((sk, target),
+          new TransByState(r.getString(iMetric), r.get(iTags)))
+        st.n += r.getLong(iCnt)
+        if (ordOf(r, iFo) != null) { // window has numeric samples
+          val fv = r.getDouble(iFv)
+          prevLast.get(sk).foreach { pl =>
+            if (fv < pl) st.resets += 1L
+            if (fv != pl) st.changes += 1L
+          }
+          if (!r.isNullAt(iRst)) st.resets += r.getLong(iRst)
+          if (!r.isNullAt(iChg)) st.changes += r.getLong(iChg)
+          prevLast(sk) = r.getDouble(iLv)
+        }
+      }
+    }
+    val out = groups.iterator
+      .filter(_._2.n > 0)
+      .toArray
+      .sortBy { case ((sk, w), _) => (sk, w) }(
+        Ordering.Tuple2(Utf8Order, Ordering.Long))
+      .map { case ((sk, w), st) =>
+        Row(st.metric, st.tags, sk, w, st.n,
+          if (keep == "resets") st.resets else st.changes)
+      }
+    p.limit.fold(out)(n => out.take(n.toInt))
+  }
+
   /** Output schema of [[runTwa]] — matches [[Rollup.runTwa]]. */
   def outputSchemaTwa: StructType = StructType(Seq(
     StructField("metric", StringType),

@@ -74,6 +74,8 @@ final class QueryCache(capacity: Int = 256, maxRowsPerEntry: Int = 100000) {
       case AnalyzeIrate(f) => s"irate(${esc(f)})"
       case AnalyzeResets(f) => s"resets(${esc(f)})"
       case AnalyzeChanges(f) => s"changes(${esc(f)})"
+      case AnalyzeResetsBy(f, w) => s"resetsby(${esc(f)},$w)"
+      case AnalyzeChangesBy(f, w) => s"changesby(${esc(f)},$w)"
       case AnalyzePredict(f, h) => s"predict(${esc(f)},$h)"
       case AnalyzeEwma(f, a) => s"ewma(${esc(f)},$a)"
       case AnalyzeHolt(f, a, b) => s"holt(${esc(f)},$a,$b)"

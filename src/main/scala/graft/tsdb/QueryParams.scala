@@ -143,6 +143,15 @@ final case class AnalyzeResets(field: String) extends AnalyzeSpec
   * (consecutive numeric-sample pairs with differing values), PromQL
   * `changes()` shape ([[TsAnalytics.transitions]]). */
 final case class AnalyzeChanges(field: String) extends AnalyzeSpec
+/** `ANALYZE RESETS(field) BY <dur>` — reset counts per tumbling
+  * epoch-aligned window; a pair crossing a boundary lands in the LATER
+  * point's window ([[TsAnalytics.windowedTransitions]]). */
+final case class AnalyzeResetsBy(field: String, windowNs: Long)
+  extends AnalyzeSpec
+/** `ANALYZE CHANGES(field) BY <dur>` — change counts per tumbling
+  * epoch-aligned window ([[TsAnalytics.windowedTransitions]]). */
+final case class AnalyzeChangesBy(field: String, windowNs: Long)
+  extends AnalyzeSpec
 /** `ANALYZE PREDICT(field, <horizon dur>)` — least-squares trend and
   * horizon forecast past each series' last sample
   * ([[TsAnalytics.predictLinear]]). */

@@ -556,6 +556,62 @@ object Rollup {
       .orderBy(col("series_key"))
   }
 
+  /** True when WINDOWED transition counts (`ANALYZE RESETS/CHANGES(f)
+    * BY windowNs`) are answerable from this rollup frame: the
+    * [[supportsTransitions]] gating plus the target window being a
+    * multiple of the grain. */
+  def supportsTransitionsBy(p: QueryParams, rollupIntervalNs: Long,
+      rollup: DataFrame, field: String, windowNs: Long): Boolean =
+    supportsTransitions(p, rollupIntervalNs, rollup, field) &&
+      windowNs > 0 && windowNs % rollupIntervalNs == 0
+
+  /** Windowed transition counts ([[TsAnalytics.windowedTransitions]]'s
+    * output shape) re-aggregated from rollup partials — the
+    * [[runTransitions]] decomposition grouped by TARGET window instead
+    * of collapsing the series (the [[runDeltaBy]] shape): a boundary
+    * pair belongs to the later point's target window, and epoch
+    * alignment + grain divisibility mean a rollup window never
+    * straddles a target boundary. Long counts — BIT-identical to the
+    * raw operator. */
+  def runTransitionsBy(rollup: DataFrame, rollupIntervalNs: Long,
+      p: QueryParams, field: String, windowNs: Long): DataFrame = {
+    require(supportsTransitionsBy(p, rollupIntervalNs, rollup, field, windowNs),
+      s"RESETS/CHANGES($field) BY $windowNs not answerable from a " +
+        s"$rollupIntervalNs ns rollup")
+    val endNs = p.endNs.get
+    var df = rollup.filter(col("metric") === p.metric)
+    p.tags.foreach { case (k, v) => df = df.filter(TagMatch.pred(k, v)) }
+    df = df.filter(col("window_start").between(p.startNs, endNs))
+    if (rollup.columns.contains("date"))
+      df = df.filter(col("date").between(
+        TsdbEngine.dayStr(p.startNs), TsdbEngine.dayStr(endNs)))
+    // boundary lag runs across the WHOLE range ([[runDeltaBy]] note)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series_key")).orderBy(col("window_start"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val prevLast = last(col(s"${field}__last"), ignoreNulls = true).over(w)
+    val bf = col(s"${field}__first")
+    val pairUp = bf.isNotNull && prevLast.isNotNull
+    df.withColumn("__br",
+        when(pairUp, when(bf < prevLast, lit(1L)).otherwise(lit(0L))))
+      .withColumn("__bc",
+        when(pairUp, when(bf =!= prevLast, lit(1L)).otherwise(lit(0L))))
+      .withColumn("target_window",
+        col("window_start") - pmod(col("window_start"), lit(windowNs)))
+      .groupBy(col("series_key"), col("target_window"))
+      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"),
+        sum(col(s"${field}__cnt")).as("n_points"),
+        (coalesce(sum(col(s"${field}__resets")), lit(0L)) +
+          coalesce(sum(col("__br")), lit(0L))).as("resets"),
+        (coalesce(sum(col(s"${field}__changes")), lit(0L)) +
+          coalesce(sum(col("__bc")), lit(0L))).as("changes"))
+      .filter(col("n_points") > 0) // target windows with no numeric samples
+      .select(col("metric"), col("tags"), col("series_key"),
+        col("target_window").as("window_start"), col("n_points"),
+        col("resets"), col("changes"))
+      .orderBy(col("series_key"), col("window_start"))
+  }
+
   /** True when a WINDOWED delta (`ANALYZE DELTA(f) BY windowNs`) is
     * answerable from this rollup frame: the [[supportsDelta]] gating
     * plus the target window being a multiple of the rollup grain (so

@@ -336,6 +336,38 @@ object TsAnalytics {
       .orderBy(col("series_key"))
   }
 
+  /** Per-series WINDOWED counter-transition counts (`ANALYZE RESETS(f)
+    * BY <dur>` / `CHANGES(f) BY <dur>` — "restarts per day" dashboards):
+    * tumbling epoch-aligned windows, each carrying its sample count and
+    * its reset/change counts with CONTINUOUS-COUNTER semantics — a
+    * consecutive pair contributes to the window of its LATER point, so
+    * the pair crossing midnight lands in the new day and window counts
+    * sum exactly to the whole-range [[transitions]] counts. Exact
+    * longs; same lag machinery and `splitNs` contract as
+    * [[windowedDelta]].
+    *
+    * Output: metric, tags, series_key, window_start, n_points, resets,
+    * changes, ordered by (series_key, window_start). */
+  def windowedTransitions(points: DataFrame, p: QueryParams, windowNs: Long,
+      field: String = "value",
+      tombstones: Seq[Tombstone] = Nil,
+      splitNs: Option[Long] = None): DataFrame = {
+    require(windowNs > 0, "windowedTransitions window must be positive")
+    laggedSlice(points, p, field, tombstones, splitNs, dropNullValues = true)
+      .withColumn("window_start",
+        col("timestamp") - pmod(col("timestamp"), lit(windowNs)))
+      .groupBy(col("series_key"), col("window_start"))
+      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"),
+        count(lit(1)).as("n_points"),
+        count(when(col("__pv").isNotNull && col("__v") < col("__pv"), lit(1)))
+          .as("resets"),
+        count(when(col("__pv").isNotNull && col("__v") =!= col("__pv"), lit(1)))
+          .as("changes"))
+      .select(col("metric"), col("tags"), col("series_key"),
+        col("window_start"), col("n_points"), col("resets"), col("changes"))
+      .orderBy(col("series_key"), col("window_start"))
+  }
+
   /** Per-series least-squares trend + horizon forecast (PromQL
     * `predict_linear`): fit `v ≈ intercept + slope·t` over the scanned
     * range and evaluate it `horizonNs` past the series' LAST sample.

@@ -418,6 +418,10 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         transitionsPath(pts, tombs, params, f, splitNs, "resets")
       case AnalyzeChanges(f) =>
         transitionsPath(pts, tombs, params, f, splitNs, "changes")
+      case AnalyzeResetsBy(f, w) =>
+        transitionsByPath(pts, tombs, params, f, w, splitNs, "resets")
+      case AnalyzeChangesBy(f, w) =>
+        transitionsByPath(pts, tombs, params, f, w, splitNs, "changes")
       case AnalyzePredict(f, h) =>
         // rollup-routed like DELTA: the stored time moments shift to the
         // query anchor and merge as plain sums ([[Rollup.runPredict]])
@@ -521,6 +525,30 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       col("n_points"), col(keep))
   }
 
+  /** WINDOWED transition counts (`ANALYZE RESETS/CHANGES(f) BY <dur>`):
+    * rollup-routed like [[transitionsPath]] when the target window is a
+    * multiple of the grain ([[Rollup.runTransitionsBy]], exact long
+    * counts), raw windowed lag plan otherwise. */
+  private def transitionsByPath(pts: DataFrame, tombs: Seq[Tombstone],
+      params: QueryParams, f: String, windowNs: Long, splitNs: Option[Long],
+      keep: String): DataFrame = {
+    val routed = Option(rollupSpecs.get(params.metric))
+      .filter(spec => spec.fields.contains(f))
+      .map(spec => (spec, rollupView(params.metric, spec)))
+      .filter { case (spec, view) =>
+        Rollup.supportsTransitionsBy(params, spec.intervalNs, view, f, windowNs) }
+      .map { case (spec, view) =>
+        lastServePath = "rollup-transitions-by"
+        Rollup.runTransitionsBy(view, spec.intervalNs, params, f, windowNs)
+      }
+    routed.getOrElse {
+      lastServePath = "analyze-raw"
+      TsAnalytics.windowedTransitions(pts, params, windowNs, field = f,
+        tombstones = tombs, splitNs = splitNs)
+    }.select(col("metric"), col("tags"), col("series_key"),
+      col("window_start"), col("n_points"), col(keep))
+  }
+
   /** ANALYZE through the serving tier: the protocol entry for the
     * analytics pack (the reference's NBQL-layer cache position, same as
     * [[queryServingDF]]). The cache key extends the point-query key with
@@ -617,6 +645,22 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
               alignGate = grain => w > 0 && w % grain == 0) {
               (slice, sch) => (LocalRollup.runDeltaBy(slice, sch, p, f, w),
                 LocalRollup.outputSchemaDeltaBy)
+            }
+          case AnalyzeResetsBy(f, w) =>
+            serveLocalRollupAnalytic(p, f, "local-rollup-resets-by",
+              extraCols = Seq(s"${f}__resets", s"${f}__changes"),
+              alignGate = grain => w > 0 && w % grain == 0) {
+              (slice, sch) =>
+                (LocalRollup.runTransitionsBy(slice, sch, p, f, w, "resets"),
+                  LocalRollup.outputSchemaTransitionsBy("resets"))
+            }
+          case AnalyzeChangesBy(f, w) =>
+            serveLocalRollupAnalytic(p, f, "local-rollup-changes-by",
+              extraCols = Seq(s"${f}__resets", s"${f}__changes"),
+              alignGate = grain => w > 0 && w % grain == 0) {
+              (slice, sch) =>
+                (LocalRollup.runTransitionsBy(slice, sch, p, f, w, "changes"),
+                  LocalRollup.outputSchemaTransitionsBy("changes"))
             }
           case AnalyzeTwa(f, iv) =>
             val pTwa = p.copy(downsampleNs = Some(iv))

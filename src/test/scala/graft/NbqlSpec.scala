@@ -110,6 +110,12 @@ class NbqlParserSpec extends SparkSpec {
       .asInstanceOf[QueryStatement].analyze.contains(graft.tsdb.AnalyzeResets("v")))
     assert(p("QUERY cpu ANALYZE CHANGES(v)")
       .asInstanceOf[QueryStatement].analyze.contains(graft.tsdb.AnalyzeChanges("v")))
+    assert(p("QUERY cpu ANALYZE RESETS(v) BY 1d")
+      .asInstanceOf[QueryStatement].analyze
+      .contains(graft.tsdb.AnalyzeResetsBy("v", 86400L * 1000000000L)))
+    assert(p("QUERY cpu ANALYZE CHANGES(v) BY 1h")
+      .asInstanceOf[QueryStatement].analyze
+      .contains(graft.tsdb.AnalyzeChangesBy("v", 3600L * 1000000000L)))
     assert(NbqlParser.parse("QUERY cpu ANALYZE RESETS()").isLeft)
     assert(NbqlParser.parse("QUERY cpu ANALYZE CHANGES").isLeft)
     assert(p("QUERY cpu ANALYZE PREDICT(v, 1h)")
@@ -468,6 +474,14 @@ class NbqlExecutorSpec extends SparkSpec {
       // SPLIT composes: maximally-split chunks stay bit-identical
       assert(rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE RESETS(v) SPLIT 1us") == res)
       assert(rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE CHANGES(v) SPLIT AUTO") == chg)
+      // windowed forms: per-window counts sum to the whole-range counts
+      val resBy = rows(ex, "QUERY cpu FROM 0 TO 9999 ANALYZE RESETS(v) BY 1us")
+      assert(resBy.map(r => r.getAs[Map[String, String]]("tags")("h") ->
+        r.getAs[Long]("resets")).groupBy(_._1).map { case (h, xs) =>
+          h -> xs.map(_._2).sum } ==
+        Map("a" -> 0L, "b" -> 1L))
+      assert(resBy.head.schema.fieldNames.contains("window_start"))
+      assert(ex.execute("QUERY cpu ANALYZE RESETS(v) BY 0s").isLeft)
 
       // validations reject non-composing shapes with clear messages
       assert(ex.execute("QUERY cpu AGGREGATE (sum(v)) ANALYZE RATE(v)").isLeft)

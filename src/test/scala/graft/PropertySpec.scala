@@ -480,9 +480,31 @@ class PropertySpec extends SparkSpec {
             pairs.count { case (a, b) => b < a }.toLong,
             pairs.count { case (a, b) => b != a }.toLong)
         }
+      // windowed decomposition at a target window 2× the grain: per-window
+      // counts from all three tiers agree and sum to the whole-range counts
+      val target = width * 2
+      def valsBy(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("n_points"), r.getAs[Long]("resets"),
+          r.getAs[Long]("changes"))
+      def keyBy(r: org.apache.spark.sql.Row) =
+        (r.getAs[String]("series_key"), r.getAs[Long]("window_start"))
+      val rawBy = TsAnalytics.windowedTransitions(df, q, target, field = "v")
+        .collect().map(r => keyBy(r) -> valsBy(r)).toMap
+      val routedBy = Rollup.runTransitionsBy(rollup, width, q, "v", target)
+        .collect().map(r => keyBy(r) -> valsBy(r)).toMap
+      val localBy =
+        LocalRollup.runTransitionsBy(rows, rollup.schema, q, "v", target, "resets")
+          .map(r => (r.getString(2), r.getLong(3)) -> (r.getLong(4), r.getLong(5)))
+          .toMap
+      val summed = rawBy.toSeq.groupBy(_._1._1).map { case (sk, ws) =>
+        sk -> (ws.map(_._2._1).sum, ws.map(_._2._2).sum, ws.map(_._2._3).sum) }
+
       raw == routed && raw == want &&
         raw.map { case (k, (n, r, _)) => k -> (n, r) } == localR &&
         raw.map { case (k, (n, _, c)) => k -> (n, c) } == localC &&
+        rawBy == routedBy &&
+        rawBy.map { case (k, (n, r, _)) => k -> (n, r) } == localBy &&
+        summed == raw &&
         // a reset is always also a change
         raw.values.forall { case (_, r, c) => r <= c }
     })

@@ -160,6 +160,47 @@ class RollupSpec extends SparkSpec {
     assert(!Rollup.supportsDeltaBy(query, Min, rollup, "value", 0L))
   }
 
+  test("runTransitionsBy: windowed reset/change counts from partials == raw") {
+    val pts = fixture
+    val merged = QueryEngine.mergedView(pts, Nil)
+    val rollup = Rollup.build(merged, Min, Seq("value", "load"))
+    val query = QueryParams("cpu.usage", startNs = 0L, endNs = Some(150 * Min - 1))
+    assert(Rollup.supportsTransitionsBy(query, Min, rollup, "value", Hr))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getAs[String]("series_key"), r.getAs[Long]("window_start")) ->
+          (r.getAs[Long]("n_points"), r.getAs[Long]("resets"),
+            r.getAs[Long]("changes"))).toMap
+    val raw = rows(TsAnalytics.windowedTransitions(pts, query, Hr))
+    val routed = rows(Rollup.runTransitionsBy(rollup, Min, query, "value", Hr))
+    // long counts: EXACT map equality
+    assert(raw == routed && raw.nonEmpty)
+    // per-window counts sum to the whole-range transitions counts
+    // (boundary pairs in the LATER point's window — nothing lost/doubled)
+    val whole = TsAnalytics.transitions(pts, query).collect()
+      .map(r => r.getAs[String]("series_key") ->
+        (r.getAs[Long]("resets"), r.getAs[Long]("changes"))).toMap
+    val summed = routed.toSeq.groupBy(_._1._1).map { case (sk, ws) =>
+      sk -> (ws.map(_._2._2).sum, ws.map(_._2._3).sum) }
+    assert(summed == whole)
+    // the int-typed field routes; TAGGED composes; driver fold agrees
+    assert(rows(Rollup.runTransitionsBy(rollup, Min, query, "load", Hr)) ==
+      rows(TsAnalytics.windowedTransitions(pts, query, Hr, field = "load")))
+    val tagged = query.copy(tags = Map("host" -> "h1"))
+    assert(rows(Rollup.runTransitionsBy(rollup, Min, tagged, "value", Hr)) ==
+      rows(TsAnalytics.windowedTransitions(pts, tagged, Hr)))
+    val resident = rollup.orderBy("window_start").collect()
+    val localR = LocalRollup.runTransitionsBy(
+      resident, rollup.schema, query, "value", Hr, "resets")
+      .map(r => (r.getString(2), r.getLong(3)) -> (r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(localR == raw.map { case (k, (n, r, _)) => k -> (n, r) })
+    // gating: target window must be a multiple of the grain
+    assert(!Rollup.supportsTransitionsBy(query, Min, rollup, "value",
+      90L * 1000000000L))
+    assert(!Rollup.supportsTransitionsBy(query, Min, rollup, "value", 0L))
+  }
+
   test("runTransitions: reset/change counts from partials == raw (bit-identical)") {
     val pts = fixture
     val merged = QueryEngine.mergedView(pts, Nil)
@@ -211,6 +252,10 @@ class RollupSpec extends SparkSpec {
     assert(eng.lastServePath == "analyze-raw")
     val rawC = eng.analyze(q, AnalyzeChanges("value")).collect()
     assert(eng.lastServePath == "analyze-raw")
+    val rawByR = eng.analyze(q, AnalyzeResetsBy("value", Hr)).collect()
+    assert(eng.lastServePath == "analyze-raw")
+    assert(rawByR.head.schema.fieldNames.toSeq == Seq("metric", "tags",
+      "series_key", "window_start", "n_points", "resets"))
     assert(rawR.head.schema.fieldNames.toSeq ==
       Seq("metric", "tags", "series_key", "n_points", "resets"))
     assert(rawC.head.schema.fieldNames.toSeq ==
@@ -252,6 +297,20 @@ class RollupSpec extends SparkSpec {
     assert(eng.lastServePath == "local-rollup-changes")
     assert(localLim.length == 1 && localLim.map(_.toSeq).toSeq ==
       eng.analyze(qLim, AnalyzeChanges("value")).collect().map(_.toSeq).toSeq)
+    // WINDOWED forms: rollup-routed when the target divides (and
+    // bit-identical to the raw windowed path captured pre-registration),
+    // raw otherwise; driver tier row-identical to the Spark route
+    val routedBy = eng.analyze(q, AnalyzeResetsBy("value", Hr)).collect()
+    assert(eng.lastServePath == "rollup-transitions-by")
+    assert(routedBy.map(_.toSeq).toSeq == rawByR.map(_.toSeq).toSeq,
+      "routed RESETS BY must equal the raw windowed path bit-for-bit")
+    eng.analyze(q, AnalyzeResetsBy("value", 90L * 1000000000L)).collect()
+    assert(eng.lastServePath == "analyze-raw")
+    val localBy = eng.analyzeCached(q, AnalyzeChangesBy("value", Hr))
+    assert(eng.lastServePath == "local-rollup-changes-by", eng.lastServePath)
+    assert(localBy.map(_.toSeq).toSeq ==
+      eng.analyze(q, AnalyzeChangesBy("value", Hr)).collect().map(_.toSeq).toSeq)
+
     // a write invalidates: fresh rows, still locally served
     assert(eng.putBatch(Seq(graft.model.DataPoint("reqs",
       Map("host" -> "h0"), 120 * Min - 1, Map("value" ->
