@@ -1074,6 +1074,18 @@ object Queries {
       .orderBy("user")
   }
 
+  /** Per-series least-squares slope (PromQL deriv): PREDICT's trend fit
+    * projected to slope — shares predict's moment formulas, so the
+    * oracle mirrors them term-for-term (same conditioning contract). */
+  def tsDeriv(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("view", startNs = 0L, endNs = Some(FarFuture))
+    TsAnalytics.predictLinear(pts(s, dir), q, horizonNs = 0L)
+      .select(userCol, col("n_points"),
+        (col("last_ts") - pmod(col("last_ts"), lit(1000L))).as("last_ts"),
+        round(col("slope_per_sec") * lit(3600.0), 6).as("slope_per_hour"))
+      .orderBy("user")
+  }
+
   /** RATE over the bare-`*` metric selector: one call fans out across
     * every metric, per (metric, user) series — the ANALYZE × prefix
     * composition (PromQL's implicit multi-series rate). The series_key

@@ -110,6 +110,7 @@ object SparkEntry {
     "tsdb_rollup_changes" -> (Queries.tsdbRollupChanges _),
     "nbql_resets" -> (Queries.nbqlResets _),
     "ts_predict" -> (Queries.tsPredict _),
+    "ts_deriv" -> (Queries.tsDeriv _),
     "ts_anomaly" -> (Queries.tsAnomaly _),
     "ts_anomaly_split" -> (Queries.tsAnomalySplit _),
     "ts_twa" -> (Queries.tsTwa _),
@@ -1198,6 +1199,22 @@ object SparkEntry {
     // tsdb_rollup_predict: the rollup-partial route, same oracle (the
     // battery's anchor 0 makes the moment-shift terms vanish)
     "ts_predict" -> TsPredictSql,
+    // deriv = the same moment fit projected to slope (PromQL deriv())
+    "ts_deriv" ->
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t_ns, value
+        |  FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT u, count(*) AS n_points, max(t_ns) AS last_ts,
+        |    avg(CAST(t_ns AS DOUBLE) / 1e9) AS mt, avg(value) AS mv,
+        |    avg((CAST(t_ns AS DOUBLE) / 1e9) * value) AS mtv,
+        |    avg((CAST(t_ns AS DOUBLE) / 1e9) * (CAST(t_ns AS DOUBLE) / 1e9)) AS mtt
+        |  FROM s GROUP BY u)
+        |SELECT u AS "user", n_points, last_ts,
+        |  round(CASE WHEN n_points >= 2 AND mtt - mt * mt > 0
+        |    THEN (mtv - mt * mv) / (mtt - mt * mt) END * 3600, 6)
+        |    AS slope_per_hour
+        |FROM m ORDER BY 1""".stripMargin,
     "tsdb_rollup_predict" -> TsPredictSql,
 
     // ts_twa_split: same bit-identical-split contract as ts_rate_split

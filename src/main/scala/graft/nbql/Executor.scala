@@ -259,10 +259,10 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
                _: graft.tsdb.AnalyzeDelta | _: graft.tsdb.AnalyzeDeltaBy |
                _: graft.tsdb.AnalyzeIrate | _: graft.tsdb.AnalyzeResets |
                _: graft.tsdb.AnalyzeChanges | _: graft.tsdb.AnalyzeResetsBy |
-               _: graft.tsdb.AnalyzeChangesBy |
+               _: graft.tsdb.AnalyzeChangesBy | _: graft.tsdb.AnalyzeDeriv |
                _: graft.tsdb.AnalyzePredict => ()
           case _ =>
-            return Left("SPLIT applies to the per-series analytics (RATE/DELTA/IRATE/RESETS/CHANGES/PREDICT/EWMA/HOLT/TWA/ZSCORE/CUMSUM)")
+            return Left("SPLIT applies to the per-series analytics (RATE/DELTA/IRATE/RESETS/CHANGES/DERIV/PREDICT/EWMA/HOLT/TWA/ZSCORE/CUMSUM)")
         }
       }
       Right(QueryParams(

@@ -3,7 +3,7 @@ package graft.nbql
 import graft.model.FieldValue
 import graft.tsdb.{AggSpec, AnalyzeChanges, AnalyzeChangesBy,
   AnalyzeCorrelate, AnalyzeCumsum,
-  AnalyzeDelta, AnalyzeDeltaBy,
+  AnalyzeDelta, AnalyzeDeltaBy, AnalyzeDeriv,
   AnalyzeEwma, AnalyzeHolt, AnalyzeIrate, AnalyzePredict, AnalyzeRate,
   AnalyzeResets, AnalyzeResetsBy,
   AnalyzeRatio, AnalyzeSpec, AnalyzeTopK,
@@ -128,6 +128,7 @@ object NbqlParser extends RegexParsers {
     kw("CHANGES") ~> ("(" ~> name <~ ")") ~ opt(kw("BY") ~> duration) ^^ {
       case f ~ None => AnalyzeChanges(f)
       case f ~ Some(d) => AnalyzeChangesBy(f, d) } |
+    kw("DERIV") ~> "(" ~> name <~ ")" ^^ AnalyzeDeriv |
     kw("PREDICT") ~> "(" ~> (name <~ ",") ~ duration <~ ")" ^^ {
       case f ~ h => AnalyzePredict(f, h) } |
     kw("EWMA") ~> "(" ~> (name <~ ",") ~ numLit <~ ")" ^^ {

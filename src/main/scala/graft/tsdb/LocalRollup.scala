@@ -503,6 +503,16 @@ object LocalRollup {
     p.limit.fold(out)(n => out.take(n.toInt))
   }
 
+  /** Output schema of the DERIV projection of [[runPredict]] —
+    * [[outputSchemaPredict]] without the forecast column. */
+  def outputSchemaDeriv: StructType = StructType(Seq(
+    StructField("metric", StringType),
+    StructField("tags", MapType(StringType, StringType)),
+    StructField("series_key", StringType),
+    StructField("n_points", LongType),
+    StructField("last_ts", LongType),
+    StructField("slope_per_sec", DoubleType)))
+
   /** Output schema of [[runPredict]] — matches [[Rollup.runPredict]]. */
   def outputSchemaPredict: StructType = StructType(Seq(
     StructField("metric", StringType),

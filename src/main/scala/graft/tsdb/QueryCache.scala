@@ -77,6 +77,7 @@ final class QueryCache(capacity: Int = 256, maxRowsPerEntry: Int = 100000) {
       case AnalyzeResetsBy(f, w) => s"resetsby(${esc(f)},$w)"
       case AnalyzeChangesBy(f, w) => s"changesby(${esc(f)},$w)"
       case AnalyzePredict(f, h) => s"predict(${esc(f)},$h)"
+      case AnalyzeDeriv(f) => s"deriv(${esc(f)})"
       case AnalyzeEwma(f, a) => s"ewma(${esc(f)},$a)"
       case AnalyzeHolt(f, a, b) => s"holt(${esc(f)},$a,$b)"
       case AnalyzeTwa(f, iv) => s"twa(${esc(f)},$iv)"

@@ -152,6 +152,11 @@ final case class AnalyzeResetsBy(field: String, windowNs: Long)
   * epoch-aligned window ([[TsAnalytics.windowedTransitions]]). */
 final case class AnalyzeChangesBy(field: String, windowNs: Long)
   extends AnalyzeSpec
+/** `ANALYZE DERIV(field)` — per-series least-squares slope per second
+  * over the scanned range, PromQL `deriv()` shape: [[AnalyzePredict]]'s
+  * trend fit without the forecast ([[TsAnalytics.predictLinear]]
+  * projected to `slope_per_sec`). */
+final case class AnalyzeDeriv(field: String) extends AnalyzeSpec
 /** `ANALYZE PREDICT(field, <horizon dur>)` — least-squares trend and
   * horizon forecast past each series' last sample
   * ([[TsAnalytics.predictLinear]]). */

@@ -423,22 +423,14 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       case AnalyzeChangesBy(f, w) =>
         transitionsByPath(pts, tombs, params, f, w, splitNs, "changes")
       case AnalyzePredict(f, h) =>
-        // rollup-routed like DELTA: the stored time moments shift to the
-        // query anchor and merge as plain sums ([[Rollup.runPredict]])
-        val routed = Option(rollupSpecs.get(params.metric))
-          .filter(spec => spec.fields.contains(f))
-          .map(spec => (spec, rollupView(params.metric, spec)))
-          .filter { case (spec, view) =>
-            Rollup.supportsPredict(params, spec.intervalNs, view, f) }
-          .map { case (spec, view) =>
-            lastServePath = "rollup-predict"
-            Rollup.runPredict(view, spec.intervalNs, params, f, h)
-          }
-        routed.getOrElse {
-          lastServePath = "analyze-raw"
-          TsAnalytics.predictLinear(pts, params, h, field = f,
-            tombstones = tombs, splitNs = splitNs)
-        }
+        predictPath(pts, tombs, params, f, h, splitNs)
+      case AnalyzeDeriv(f) =>
+        // PromQL deriv(): the PREDICT trend fit without the forecast —
+        // identical routing (the moments don't depend on the horizon),
+        // projected to the slope
+        predictPath(pts, tombs, params, f, 0L, splitNs)
+          .select(col("metric"), col("tags"), col("series_key"),
+            col("n_points"), col("last_ts"), col("slope_per_sec"))
       case AnalyzeEwma(f, a) =>
         TsAnalytics.ewmaSmooth(pts, params, a, field = f, tombstones = tombs,
           splitNs = splitNs)
@@ -523,6 +515,28 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         splitNs = splitNs)
     }.select(col("metric"), col("tags"), col("series_key"),
       col("n_points"), col(keep))
+  }
+
+  /** PREDICT/DERIV trend fit: rollup-routed like DELTA — the stored time
+    * moments shift to the query anchor and merge as plain sums
+    * ([[Rollup.runPredict]]) — raw moment plan otherwise. */
+  private def predictPath(pts: DataFrame, tombs: Seq[Tombstone],
+      params: QueryParams, f: String, h: Long,
+      splitNs: Option[Long]): DataFrame = {
+    val routed = Option(rollupSpecs.get(params.metric))
+      .filter(spec => spec.fields.contains(f))
+      .map(spec => (spec, rollupView(params.metric, spec)))
+      .filter { case (spec, view) =>
+        Rollup.supportsPredict(params, spec.intervalNs, view, f) }
+      .map { case (spec, view) =>
+        lastServePath = "rollup-predict"
+        Rollup.runPredict(view, spec.intervalNs, params, f, h)
+      }
+    routed.getOrElse {
+      lastServePath = "analyze-raw"
+      TsAnalytics.predictLinear(pts, params, h, field = f,
+        tombstones = tombs, splitNs = splitNs)
+    }
   }
 
   /** WINDOWED transition counts (`ANALYZE RESETS/CHANGES(f) BY <dur>`):
@@ -619,6 +633,13 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
             serveLocalRollupAnalytic(p, f, "local-rollup-predict") {
               (slice, sch) => (LocalRollup.runPredict(slice, sch, p, f, h),
                 LocalRollup.outputSchemaPredict)
+            }
+          case AnalyzeDeriv(f) =>
+            serveLocalRollupAnalytic(p, f, "local-rollup-deriv") {
+              (slice, sch) =>
+                (LocalRollup.runPredict(slice, sch, p, f, 0L)
+                  .map(r => Row(r(0), r(1), r(2), r(3), r(4), r(5))),
+                  LocalRollup.outputSchemaDeriv)
             }
           case AnalyzeIrate(f) =>
             serveLocalRollupAnalytic(p, f, "local-rollup-irate",

@@ -527,6 +527,24 @@ class RollupSpec extends SparkSpec {
     assert(localLim.map(_.getString(2)).toSeq ==
       eng.analyze(qLim, AnalyzePredict("value", 60 * Min))
         .collect().map(_.getString(2)).toSeq)
+
+    // DERIV: the same routed moment fit projected to slope — routed and
+    // driver tiers match the raw fit's slope exactly
+    val deriv = eng.analyze(q, AnalyzeDeriv("value")).collect()
+    assert(eng.lastServePath == "rollup-predict")
+    assert(deriv.head.schema.fieldNames.toSeq == Seq("metric", "tags",
+      "series_key", "n_points", "last_ts", "slope_per_sec"))
+    deriv.zip(raw).foreach { case (d, p) =>
+      assert(d.getString(2) == p.getString(2))
+      assert(math.abs(d.getDouble(5) - p.getDouble(5)) < 1e-9,
+        "DERIV slope must equal PREDICT's trend fit")
+    }
+    val localDeriv = eng.analyzeCached(q, AnalyzeDeriv("value"))
+    assert(eng.lastServePath == "local-rollup-deriv", eng.lastServePath)
+    assert(localDeriv.map(r => (r.getString(2), r.getDouble(5))).toSeq ==
+      deriv.map(r => (r.getString(2), r.getDouble(5))).toSeq)
+    eng.analyzeCached(q, AnalyzeDeriv("value"))
+    assert(eng.lastServePath == "analyze-cache")
   }
 
   test("engine: ANALYZE DELTA routes through a registered rollup") {
