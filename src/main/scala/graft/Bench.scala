@@ -92,10 +92,11 @@ object Bench {
     val (ingestRps, qpsCold, qpsCached, qpsDsRaw, qpsDsRollup,
       qpsGbtRaw, qpsGbtRouted, qpsAnalyzeCold, qpsAnalyzeCached,
       qpsCorrRaw, qpsCorrRouted, qpsDeltaRaw, qpsDeltaRouted, qpsDeltaLocal,
-      qpsIrateLocal, qpsDeltaByRaw, qpsDeltaByRouted, qpsTwaRaw, qpsTwaRouted) =
+      qpsIrateLocal, qpsDeltaByRaw, qpsDeltaByRouted, qpsTwaRaw, qpsTwaRouted,
+      qpsResetsRaw, qpsResetsRouted, qpsResetsByLocal) =
       if (skipServing)
         (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
-         0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+         0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
       else try {
       val pts = graft.tsdb.Tables.eventsAsPoints(spark, sfDir).cache()
       val nRows = pts.count()
@@ -272,14 +273,34 @@ object Bench {
         { engine.analyzeCached(dlq(1).copy(tags = Map("user" -> s"u$i")),
             irateSpec); () })
 
+      // counter transitions (RESETS): raw lag-scan vs the long-count
+      // partial route — the r9 family; the routed read is BIT-identical
+      val resetsSpec = graft.tsdb.AnalyzeResets("value")
+      engine.dropRollup("purchase")
+      engine.analyze(dlq(0), resetsSpec).count() // warm the raw plan
+      val qpsResetsRaw0 = passes3("qps_resets_raw", 3)(i =>
+        { engine.analyze(dlq(i), resetsSpec).count(); () })
+      engine.registerRollup("purchase", DayNs, Seq("value"))
+      engine.analyze(dlq(0), resetsSpec).count() // materialize the view
+      val qpsResetsR0 = passes3("qps_resets_rollup", 10)(i =>
+        { engine.analyze(dlq(i), resetsSpec).count(); () })
+      // driver-resident windowed tier: RESETS BY folded from resident
+      // partials, no Spark job
+      val resetsBySpec = graft.tsdb.AnalyzeResetsBy("value", 2L * DayNs)
+      engine.analyzeCached(dlq(1), resetsBySpec)
+      val qpsResetsByL0 = passes3("qps_resets_by_local", 300)(i =>
+        { engine.analyzeCached(dlq(1).copy(tags = Map("user" -> s"u$i")),
+            resetsBySpec); () })
+
       (ingestRps0, qpsCold0, qpsCached0, qpsDsRaw0, qpsDsR0,
         qpsGbtRaw0, qpsGbtR0, qpsAnCold0, qpsAnCached0,
         qpsCorrRaw0, qpsCorrR0, qpsDeltaRaw0, qpsDeltaR0, qpsDeltaL0,
-        qpsIrateL0, qpsDeltaByRaw0, qpsDeltaByR0, qpsTwaRaw0, qpsTwaR0)
+        qpsIrateL0, qpsDeltaByRaw0, qpsDeltaByR0, qpsTwaRaw0, qpsTwaR0,
+        qpsResetsRaw0, qpsResetsR0, qpsResetsByL0)
     } catch { case e: Throwable =>
       errors.getOrElseUpdate("serving_tier", esc(e))
       (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
-       0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+       0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp)); ()
     }
@@ -380,6 +401,8 @@ object Bench {
       s""""qps_delta_by_raw":$qpsDeltaByRaw,"qps_delta_by_rollup":$qpsDeltaByRouted,""" +
       s""""qps_twa_raw":$qpsTwaRaw,"qps_twa_rollup":$qpsTwaRouted,""" +
       s""""qps_delta_local":$qpsDeltaLocal,"qps_irate_local":$qpsIrateLocal,""" +
+      s""""qps_resets_raw":$qpsResetsRaw,"qps_resets_rollup":$qpsResetsRouted,""" +
+      s""""qps_resets_by_local":$qpsResetsByLocal,""" +
       s""""serving_runs":$servingRunsJson,""" +
       s""""n_errors":${errors.size},"errors":$errJson,""" +
       s""""n_queries":${results.size},"sf":"$sfDir"}"""
