@@ -971,6 +971,19 @@ object Queries {
       .orderBy("user", "window_start")
   }
 
+  /** Per-window average per-second rate (`ANALYZE RATE BY 1d`): the
+    * windowed counter increase over the window duration — the oracle
+    * mirrors the projection op-for-op (`inc * 1e9 / windowNs`). */
+  def tsRateBy(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture))
+    val w = 24L * HourNs
+    TsAnalytics.windowedDelta(pts(s, dir), q, windowNs = w)
+      .select(userCol, col("window_start"), col("n_points"),
+        round(col("increase") * lit(1e9) / lit(w.toDouble), 6)
+          .as("rate_per_sec"))
+      .orderBy("user", "window_start")
+  }
+
   /** Instantaneous rate (PromQL irate): the rate over each series' LAST
     * two samples — one row per series. */
   def tsIrate(s: SparkSession, dir: String): DataFrame = {

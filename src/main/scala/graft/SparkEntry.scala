@@ -105,6 +105,7 @@ object SparkEntry {
     "ts_changes" -> (Queries.tsChanges _),
     "ts_resets_split" -> (Queries.tsResetsSplit _),
     "ts_resets_by" -> (Queries.tsResetsBy _),
+    "ts_rate_by" -> (Queries.tsRateBy _),
     "tsdb_rollup_resets_by" -> (Queries.tsdbRollupResetsBy _),
     "tsdb_rollup_resets" -> (Queries.tsdbRollupResets _),
     "tsdb_rollup_changes" -> (Queries.tsdbRollupChanges _),
@@ -1179,6 +1180,24 @@ object SparkEntry {
     // windowed transitions: boundary pairs land in the LATER point's day
     "ts_resets_by" -> TsResetsBySql,
     "tsdb_rollup_resets_by" -> TsResetsBySql,
+    // windowed average rate: the DELTA BY increase over the window
+    // duration, mirrored op-for-op (inc * 1e9 / windowNs)
+    "ts_rate_by" ->
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |l AS (
+        |  SELECT u, t, value,
+        |    lag(value) OVER (PARTITION BY u ORDER BY t) AS pv
+        |  FROM s),
+        |w AS (
+        |  SELECT u, t, value, t - (t % 86400000000000) AS ws,
+        |    CASE WHEN pv IS NULL THEN NULL
+        |         WHEN value < pv THEN value ELSE value - pv END AS d
+        |  FROM l)
+        |SELECT u AS "user", ws AS window_start, count(*) AS n_points,
+        |  round(coalesce(sum(d), 0) * 1e9 / 86400000000000, 6) AS rate_per_sec
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ts_irate" ->
       """WITH s AS (
         |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value

@@ -213,6 +213,8 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
             return Left("DELTA BY window must be positive")
           case graft.tsdb.AnalyzeResetsBy(_, w) if w <= 0 =>
             return Left("RESETS BY window must be positive")
+          case graft.tsdb.AnalyzeRateBy(_, w) if w <= 0 =>
+            return Left("RATE BY window must be positive")
           case graft.tsdb.AnalyzeChangesBy(_, w) if w <= 0 =>
             return Left("CHANGES BY window must be positive")
           case graft.tsdb.AnalyzeCorrelate(_, b, _, _, mb) =>
@@ -257,6 +259,7 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
                _: graft.tsdb.AnalyzeHolt | _: graft.tsdb.AnalyzeTwa |
                _: graft.tsdb.AnalyzeZScore | _: graft.tsdb.AnalyzeCumsum |
                _: graft.tsdb.AnalyzeDelta | _: graft.tsdb.AnalyzeDeltaBy |
+               _: graft.tsdb.AnalyzeRateBy |
                _: graft.tsdb.AnalyzeIrate | _: graft.tsdb.AnalyzeResets |
                _: graft.tsdb.AnalyzeChanges | _: graft.tsdb.AnalyzeResetsBy |
                _: graft.tsdb.AnalyzeChangesBy | _: graft.tsdb.AnalyzeDeriv |

@@ -5,7 +5,7 @@ import graft.tsdb.{AggSpec, AnalyzeChanges, AnalyzeChangesBy,
   AnalyzeCorrelate, AnalyzeCumsum,
   AnalyzeDelta, AnalyzeDeltaBy, AnalyzeDeriv,
   AnalyzeEwma, AnalyzeHolt, AnalyzeIrate, AnalyzePredict, AnalyzeRate,
-  AnalyzeResets, AnalyzeResetsBy,
+  AnalyzeRateBy, AnalyzeResets, AnalyzeResetsBy,
   AnalyzeRatio, AnalyzeSpec, AnalyzeTopK,
   AnalyzeTwa, AnalyzeZScore, Ascending, Descending,
   FillLinear, FillNone, FillPrevious}
@@ -117,7 +117,9 @@ object NbqlParser extends RegexParsers {
     * ([[graft.tsdb.TsAnalytics]] `splitNs`). */
   private val numLit: Parser[Double] = doubleNum | longNum ^^ (_.toDouble)
   private val analyzeSpec: Parser[AnalyzeSpec] =
-    kw("RATE") ~> "(" ~> name <~ ")" ^^ AnalyzeRate |
+    kw("RATE") ~> ("(" ~> name <~ ")") ~ opt(kw("BY") ~> duration) ^^ {
+      case f ~ None => AnalyzeRate(f)
+      case f ~ Some(d) => AnalyzeRateBy(f, d) } |
     kw("DELTA") ~> ("(" ~> name <~ ")") ~ opt(kw("BY") ~> duration) ^^ {
       case f ~ None => AnalyzeDelta(f)
       case f ~ Some(d) => AnalyzeDeltaBy(f, d) } |

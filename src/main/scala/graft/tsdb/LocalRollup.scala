@@ -588,6 +588,16 @@ object LocalRollup {
   }
 
   /** Output schema of [[runDeltaBy]] — matches [[Rollup.runDeltaBy]]. */
+  /** Output schema of the RATE BY projection of [[runDeltaBy]] —
+    * windowed increase over the window duration. */
+  def outputSchemaRateBy: StructType = StructType(Seq(
+    StructField("metric", StringType),
+    StructField("tags", MapType(StringType, StringType)),
+    StructField("series_key", StringType),
+    StructField("window_start", LongType),
+    StructField("n_points", LongType),
+    StructField("rate_per_sec", DoubleType)))
+
   def outputSchemaDeltaBy: StructType = StructType(Seq(
     StructField("metric", StringType),
     StructField("tags", MapType(StringType, StringType)),

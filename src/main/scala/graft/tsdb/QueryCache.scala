@@ -69,6 +69,7 @@ final class QueryCache(capacity: Int = 256, maxRowsPerEntry: Int = 100000) {
       splitNs: Option[Long]): String = {
     val specKey = spec match {
       case AnalyzeRate(f) => s"rate(${esc(f)})"
+      case AnalyzeRateBy(f, w) => s"rateby(${esc(f)},$w)"
       case AnalyzeDelta(f) => s"delta(${esc(f)})"
       case AnalyzeDeltaBy(f, w) => s"deltaby(${esc(f)},$w)"
       case AnalyzeIrate(f) => s"irate(${esc(f)})"

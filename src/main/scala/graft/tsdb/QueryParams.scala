@@ -135,6 +135,11 @@ final case class AnalyzeDeltaBy(field: String, windowNs: Long) extends AnalyzeSp
 /** `ANALYZE IRATE(field)` — instantaneous rate over each series' last
   * two samples ([[TsAnalytics.irate]]). */
 final case class AnalyzeIrate(field: String) extends AnalyzeSpec
+/** `ANALYZE RATE(field) BY <dur>` — per-window average per-second rate:
+  * the windowed counter increase ([[AnalyzeDeltaBy]]'s continuous-counter
+  * contract) divided by the window duration. */
+final case class AnalyzeRateBy(field: String, windowNs: Long)
+  extends AnalyzeSpec
 /** `ANALYZE RESETS(field)` — per-series count of counter resets
   * (consecutive numeric-sample pairs where the value DECREASED) over the
   * scanned range, PromQL `resets()` shape ([[TsAnalytics.transitions]]). */

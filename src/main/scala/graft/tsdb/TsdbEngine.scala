@@ -393,24 +393,16 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
             splitNs = splitNs)
         }
       case AnalyzeDeltaBy(f, w) =>
-        // rollup-routed like whole-range DELTA when the target window is
-        // a multiple of the grain: the same in-window `__inc` + boundary
-        // decomposition, grouped into target windows
-        // ([[Rollup.runDeltaBy]])
-        val routed = Option(rollupSpecs.get(params.metric))
-          .filter(spec => spec.fields.contains(f))
-          .map(spec => (spec, rollupView(params.metric, spec)))
-          .filter { case (spec, view) =>
-            Rollup.supportsDeltaBy(params, spec.intervalNs, view, f, w) }
-          .map { case (spec, view) =>
-            lastServePath = "rollup-delta-by"
-            Rollup.runDeltaBy(view, spec.intervalNs, params, f, w)
-          }
-        routed.getOrElse {
-          lastServePath = "analyze-raw"
-          TsAnalytics.windowedDelta(pts, params, w, field = f,
-            tombstones = tombs, splitNs = splitNs)
-        }
+        deltaByPath(pts, tombs, params, f, w, splitNs)
+      case AnalyzeRateBy(f, w) =>
+        // per-window average per-second rate: the windowed increase over
+        // the window duration — identical routing (same partials), one
+        // projection on top
+        deltaByPath(pts, tombs, params, f, w, splitNs)
+          .select(col("metric"), col("tags"), col("series_key"),
+            col("window_start"), col("n_points"),
+            (col("increase") * lit(1e9) / lit(w.toDouble))
+              .as("rate_per_sec"))
       case AnalyzeIrate(f) =>
         TsAnalytics.irate(pts, params, field = f, tombstones = tombs,
           splitNs = splitNs)
@@ -515,6 +507,29 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         splitNs = splitNs)
     }.select(col("metric"), col("tags"), col("series_key"),
       col("n_points"), col(keep))
+  }
+
+  /** WINDOWED delta (`DELTA BY` / `RATE BY`): rollup-routed like
+    * whole-range DELTA when the target window is a multiple of the
+    * grain — the same in-window `__inc` + boundary decomposition,
+    * grouped into target windows ([[Rollup.runDeltaBy]]). */
+  private def deltaByPath(pts: DataFrame, tombs: Seq[Tombstone],
+      params: QueryParams, f: String, w: Long,
+      splitNs: Option[Long]): DataFrame = {
+    val routed = Option(rollupSpecs.get(params.metric))
+      .filter(spec => spec.fields.contains(f))
+      .map(spec => (spec, rollupView(params.metric, spec)))
+      .filter { case (spec, view) =>
+        Rollup.supportsDeltaBy(params, spec.intervalNs, view, f, w) }
+      .map { case (spec, view) =>
+        lastServePath = "rollup-delta-by"
+        Rollup.runDeltaBy(view, spec.intervalNs, params, f, w)
+      }
+    routed.getOrElse {
+      lastServePath = "analyze-raw"
+      TsAnalytics.windowedDelta(pts, params, w, field = f,
+        tombstones = tombs, splitNs = splitNs)
+    }
   }
 
   /** PREDICT/DERIV trend fit: rollup-routed like DELTA — the stored time
@@ -666,6 +681,15 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
               alignGate = grain => w > 0 && w % grain == 0) {
               (slice, sch) => (LocalRollup.runDeltaBy(slice, sch, p, f, w),
                 LocalRollup.outputSchemaDeltaBy)
+            }
+          case AnalyzeRateBy(f, w) =>
+            serveLocalRollupAnalytic(p, f, "local-rollup-rate-by",
+              alignGate = grain => w > 0 && w % grain == 0) {
+              (slice, sch) =>
+                (LocalRollup.runDeltaBy(slice, sch, p, f, w).map(r =>
+                  Row(r(0), r(1), r(2), r(3), r(4),
+                    r.getDouble(6) * 1e9 / w.toDouble)),
+                  LocalRollup.outputSchemaRateBy)
             }
           case AnalyzeResetsBy(f, w) =>
             serveLocalRollupAnalytic(p, f, "local-rollup-resets-by",

@@ -123,6 +123,9 @@ class NbqlParserSpec extends SparkSpec {
       .contains(graft.tsdb.AnalyzePredict("v", 3600L * 1000000000L)))
     assert(p("QUERY cpu ANALYZE DERIV(v)")
       .asInstanceOf[QueryStatement].analyze.contains(graft.tsdb.AnalyzeDeriv("v")))
+    assert(p("QUERY cpu ANALYZE RATE(v) BY 1h")
+      .asInstanceOf[QueryStatement].analyze
+      .contains(graft.tsdb.AnalyzeRateBy("v", 3600L * 1000000000L)))
     assert(NbqlParser.parse("QUERY cpu ANALYZE PREDICT(v)").isLeft) // horizon mandatory
     assert(NbqlParser.parse("QUERY cpu ANALYZE DELTA()").isLeft)
     assert(p("QUERY cpu ANALYZE ZSCORE(v, 20, 3.0)")

@@ -372,6 +372,14 @@ class RollupSpec extends SparkSpec {
     val dby = AnalyzeDeltaBy("value", Hr)
     val rawD = eng.analyze(q, dby).collect()
     assert(eng.lastServePath == "analyze-raw")
+    val rby = AnalyzeRateBy("value", Hr)
+    val rawRby = eng.analyze(q, rby).collect()
+    assert(eng.lastServePath == "analyze-raw")
+    assert(rawRby.head.schema.fieldNames.toSeq == Seq("metric", "tags",
+      "series_key", "window_start", "n_points", "rate_per_sec"))
+    // rate_per_sec IS the DELTA BY increase over the window duration
+    rawRby.zip(rawD).foreach { case (r, d) =>
+      assert(r.getDouble(5) == d.getDouble(6) * 1e9 / Hr.toDouble) }
     val twa = AnalyzeTwa("value", Hr)
     val rawT = eng.analyze(q, twa).collect()
     assert(eng.lastServePath == "analyze-raw")
@@ -384,6 +392,14 @@ class RollupSpec extends SparkSpec {
     assert(eng.lastServePath == "rollup-twa")
     assert(rawT.map(_.toSeq).toSeq == routedT.map(_.toSeq).toSeq,
       "routed TWA must equal the raw analytic")
+    val routedRby = eng.analyze(q, rby).collect()
+    assert(eng.lastServePath == "rollup-delta-by")
+    assert(rawRby.map(_.toSeq).toSeq == routedRby.map(_.toSeq).toSeq,
+      "routed RATE BY must equal the raw analytic")
+    val localRby = eng.analyzeCached(q, rby)
+    assert(eng.lastServePath == "local-rollup-rate-by", eng.lastServePath)
+    assert(localRby.map(_.toSeq).toSeq == routedRby.map(_.toSeq).toSeq,
+      "driver RATE BY tier must mirror the Spark rollup route row-for-row")
     // non-multiple target window / interval falls back to raw
     eng.analyze(q, AnalyzeDeltaBy("value", 90L * 1000000000L)).collect()
     assert(eng.lastServePath == "analyze-raw")
