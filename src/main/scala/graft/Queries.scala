@@ -1484,6 +1484,16 @@ object Queries {
         round(col("sum_value"), 2).as("sum_value"), col("count_star"))
       .orderBy("rank")
 
+  /** `ANALYZE BOTTOMK` through the full NBQL protocol path — the TOPK
+    * ranking ascending (PromQL bottomk): the 5 SMALLEST per-user sums. */
+  def nbqlBottomk(s: SparkSession, dir: String): DataFrame =
+    nbqlRows(s, dir,
+      s"QUERY purchase FROM 0 TO $FarFuture AGGREGATE (sum(value), count(*)) " +
+        "ANALYZE BOTTOMK(5, sum_value) GROUP BY TAGS (user)")
+      .select(col("tag_user").as("user"), col("rank"),
+        round(col("sum_value"), 2).as("sum_value"), col("count_star"))
+      .orderBy("rank")
+
   private def nbqlRows(s: SparkSession, dir: String, stmt: String): DataFrame = {
     val ex = nbqlExec(s, dir)
     ex.execute(stmt) match {

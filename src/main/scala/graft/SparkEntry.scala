@@ -28,6 +28,7 @@ object SparkEntry {
     "nbql_delta" -> (Queries.nbqlDelta _),
     "nbql_correlate" -> (Queries.nbqlCorrelate _),
     "nbql_topk" -> (Queries.nbqlTopk _),
+    "nbql_bottomk" -> (Queries.nbqlBottomk _),
     "show_metrics" -> (Queries.showMetrics _),
     "show_tag_values" -> (Queries.showTagValues _),
     "series_by_tags" -> (Queries.seriesByTags _),
@@ -1303,6 +1304,15 @@ object SparkEntry {
     // nbql_topk runs the same ranking through AGGREGATE … ANALYZE TOPK
     "ts_topk_series" -> TsTopkSql,
     "nbql_topk" -> TsTopkSql,
+    // BOTTOMK: the same ranking ascending (PromQL bottomk)
+    "nbql_bottomk" ->
+      """WITH g AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, sum(value) AS s, count(*) AS n
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT u AS "user",
+        |  row_number() OVER (ORDER BY s ASC, u ASC) AS rank,
+        |  round(s, 2) AS sum_value, n AS count_star
+        |FROM g ORDER BY s ASC, u ASC LIMIT 5""".stripMargin,
     "tsdb_groupby_tag" ->
       """SELECT 'click' AS metric,
         |  epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS window_start,

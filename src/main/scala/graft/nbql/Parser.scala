@@ -150,7 +150,9 @@ object NbqlParser extends RegexParsers {
         (kw("BY") ~> duration) ^^ {
       case f ~ b ~ k ~ d => AnalyzeRatio(f, b, k, d) } |
     kw("TOPK") ~> "(" ~> (longNum <~ ",") ~ name <~ ")" ^^ {
-      case k ~ by => AnalyzeTopK(k.toInt, by) }
+      case k ~ by => AnalyzeTopK(k.toInt, by) } |
+    kw("BOTTOMK") ~> "(" ~> (longNum <~ ",") ~ name <~ ")" ^^ {
+      case k ~ by => AnalyzeTopK(k.toInt, by, ascending = true) }
 
   private val queryTail: Parser[QueryStatement => QueryStatement] =
     tagged ^^ { tg => (q: QueryStatement) => q.copy(tags = tg) } |

@@ -88,8 +88,8 @@ final class QueryCache(capacity: Int = 256, maxRowsPerEntry: Int = 100000) {
         s"corr(${esc(f)},${esc(b)},${esc(k)},$iv,$mb)"
       case AnalyzeRatio(f, b, k, iv) =>
         s"ratio(${esc(f)},${esc(b)},${esc(k)},$iv)"
-      case AnalyzeTopK(k, by, keys) =>
-        s"topk($k,${esc(by)},${keys.map(esc).mkString(",")})"
+      case AnalyzeTopK(k, by, keys, asc) =>
+        s"topk($k,${esc(by)},${keys.map(esc).mkString(",")},$asc)"
     }
     s"${keyOf(p)}|ANALYZE|$specKey|${splitNs.getOrElse(0L)}"
   }

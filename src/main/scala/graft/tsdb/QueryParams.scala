@@ -197,7 +197,8 @@ final case class AnalyzeRatio(field: String, metricB: String,
   * grouping keys). `tagKeys` is copied from the GROUP BY TAGS clause by
   * the executor after validation. */
 final case class AnalyzeTopK(k: Int, by: String,
-    tagKeys: Seq[String] = Nil) extends AnalyzeSpec {
+    tagKeys: Seq[String] = Nil, ascending: Boolean = false)
+  extends AnalyzeSpec {
   def field: String = by
 }
 

@@ -902,13 +902,16 @@ object TsAnalytics {
     * the rank column is a window over the K survivors only. */
   def topKGroups(points: DataFrame, p: QueryParams, tagKeys: Seq[String],
       k: Int, by: String,
-      tombstones: Seq[Tombstone] = Nil): DataFrame = {
+      tombstones: Seq[Tombstone] = Nil,
+      ascending: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(p.downsampleNs.isEmpty, "topKGroups ranks the whole-range aggregation")
     require(p.aggs.exists(_.outputName == by),
       s"ranking column $by must be one of the aggregation outputs")
     val keyRefs = tagKeys.map(kk => col(s"tag_$kk"))
-    val ordering = col(by).desc +: keyRefs.map(_.asc)
+    // BOTTOMK = the same ranking ascending (PromQL bottomk)
+    val ordering =
+      (if (ascending) col(by).asc else col(by).desc) +: keyRefs.map(_.asc)
     val top = aggregateByTags(points, p, tagKeys, tombstones)
       .orderBy(ordering: _*).limit(k)
     top.withColumn("rank",

@@ -478,8 +478,9 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
             TsAnalytics.ratio(pts, params.metric, b, key, iv, s0, e0,
               field = f, tombstones = tombs)
         }
-      case AnalyzeTopK(k, by, keys) =>
-        TsAnalytics.topKGroups(pts, params, keys, k, by, tombstones = tombs)
+      case AnalyzeTopK(k, by, keys, asc) =>
+        TsAnalytics.topKGroups(pts, params, keys, k, by, tombstones = tombs,
+          ascending = asc)
     }
     params.limit.fold(df)(n => df.limit(n.toInt))
   }

@@ -126,6 +126,10 @@ class NbqlParserSpec extends SparkSpec {
     assert(p("QUERY cpu ANALYZE RATE(v) BY 1h")
       .asInstanceOf[QueryStatement].analyze
       .contains(graft.tsdb.AnalyzeRateBy("v", 3600L * 1000000000L)))
+    assert(p("QUERY cpu AGGREGATE (sum(v)) ANALYZE BOTTOMK(3, sum_v) " +
+        "GROUP BY TAGS (h)")
+      .asInstanceOf[QueryStatement].analyze
+      .contains(AnalyzeTopK(3, "sum_v", ascending = true)))
     assert(NbqlParser.parse("QUERY cpu ANALYZE PREDICT(v)").isLeft) // horizon mandatory
     assert(NbqlParser.parse("QUERY cpu ANALYZE DELTA()").isLeft)
     assert(p("QUERY cpu ANALYZE ZSCORE(v, 20, 3.0)")
