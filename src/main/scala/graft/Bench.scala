@@ -41,6 +41,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Pre-warm the OS page cache over the source parquet: cross-run
+    // serving variance was traced to cold files, not the engine (SCALE.md
+    // round-9 protocol note) — one sequential read makes runs comparable.
+    try {
+      val buf = new Array[Byte](1 << 20)
+      Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach { f =>
+          val in = new java.io.FileInputStream(f)
+          try { while (in.read(buf) >= 0) () } finally in.close()
+        }
+    } catch { case _: Throwable => () }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
