@@ -253,9 +253,14 @@ object StreamingAnomaly {
       idleExpiry: String = "1 hour"): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
+    // NaN/±Inf are not samples (batch gets cleanNumeric via
+    // QueryEngine.numericOf) — drop them BEFORE the stateful fold so the
+    // n_points/resets/changes counts stay bit-identical to the batch twin
     val ds = points
       .select(col(keyCol).cast("string").as("k"), col(tsCol).as("t"),
-        col(valueCol).cast("double").as("v"))
+        graft.tsdb.AggFunctions.cleanNumeric(col(valueCol).cast("double"))
+          .as("v"))
+      .filter(col("v").isNotNull)
       .withWatermark("t", lateness)
       .as[(String, Timestamp, Double)]
     implicit val stEnc = Encoders.product[TransSt]

@@ -886,7 +886,11 @@ object LocalRollup {
       .map { case (sk, st) =>
         val delta = if (st.v1 < st.v2) st.v1 else st.v1 - st.v2
         val dtNs = st.ord1._1 - st.ord2._1
-        val rate = delta * 1e9 / dtNs.toDouble
+        // zero-dt guard mirroring the raw operator (TsAnalytics.irate
+        // wraps the divisor in when(dt =!= 0L, ...) → null rate): a
+        // same-timestamp trailing pair must not emit ±Inf/NaN here
+        val rate: java.lang.Double =
+          if (dtNs == 0L) null else delta * 1e9 / dtNs.toDouble
         Row(st.metric, st.tags, sk, st.ord1._1, st.v1, delta, rate)
       }
     // LIMIT parity with the Spark path ([[TsdbEngine.analyze]]'s df.limit)

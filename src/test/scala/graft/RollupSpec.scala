@@ -466,6 +466,36 @@ class RollupSpec extends SparkSpec {
         eng.analyze(qLim, spec).collect().map(_.toSeq).toSeq)
   }
 
+  test("runIrate: zero-dt trailing pair emits null rate (raw-operator guard parity)") {
+    // The merged view dedups same-timestamp versions per series, so a
+    // zero-dt pair can't reach runIrate through the engine — but the
+    // tiers are documented row-identical, and the raw operator guards
+    // the division (TsAnalytics.irate: when(dt =!= 0L, ...) → null).
+    // Hand-mutate a collected partial row to the degenerate shape and
+    // pin the local fold emits null, never ±Inf/NaN.
+    val pts = Seq(
+      TP("m", Map("h" -> "a"), 0L, Map("value" -> FV.dv(3.0)), 0L),
+      TP("m", Map("h" -> "a"), Min, Map("value" -> FV.dv(7.0)), 1L)).toDF()
+    val rollup = Rollup.build(QueryEngine.mergedView(pts, Nil), 2 * Min, Seq("value"))
+    val schema = rollup.schema
+    val rows = rollup.orderBy("window_start").collect()
+    val iLo = schema.fieldIndex("value__last_ord")
+    val iPo = schema.fieldIndex("value__plast_ord")
+    val mutated = rows.map { r =>
+      val vals = r.toSeq.toArray
+      val lo = r.getStruct(iLo)
+      // second-to-last sample forced to the SAME timestamp as the last
+      vals(iPo) = org.apache.spark.sql.Row(lo.getLong(0), lo.getString(1),
+        lo.getLong(2) - 1)
+      org.apache.spark.sql.Row.fromSeq(vals.toSeq)
+    }
+    val q = QueryParams("m", startNs = 0L, endNs = Some(2 * Min))
+    val out = LocalRollup.runIrate(mutated, schema, q, "value")
+    assert(out.length == 1)
+    assert(out.head.isNullAt(6), s"zero-dt rate must be null, got ${out.head}")
+    assert(out.head.getDouble(5) == 4.0) // delta still defined
+  }
+
   test("runPredict: trend from shifted moments == raw operator (1e-9)") {
     val pts = fixture
     val merged = QueryEngine.mergedView(pts, Nil)

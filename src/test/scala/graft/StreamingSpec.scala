@@ -737,6 +737,41 @@ class StreamingSpec extends SparkSpec {
     assert(aFlat._4 == 1L && aFlat._5 == 4L)
   }
 
+  test("streaming transitions: NaN/Inf are not samples (batch cleanNumeric parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val S = 1000L
+    // NaN and ±Inf interleaved: the batch operator nulls them via
+    // cleanNumeric so they are not samples — the streaming fold must
+    // drop them BEFORE touching state or the counts diverge
+    val feed = Seq(
+      ("a", 1 * S, 5.0), ("a", 2 * S, Double.NaN), ("a", 3 * S, 2.0),
+      ("a", 4 * S, Double.PositiveInfinity), ("a", 5 * S, 2.0),
+      ("a", 6 * S, Double.NegativeInfinity), ("a", 7 * S, 9.0))
+    val mem = MemoryStream[(String, Long, Double)]
+    val pts = mem.toDF().toDF("k", "ms", "v")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = StreamingAnomaly.transitions(pts, "k", "ts", "v")
+    val q = out.writeStream.format("memory").queryName("transnan")
+      .outputMode("append").start()
+    try { mem.addData(feed: _*); q.processAllAvailable() } finally q.stop()
+    val rows = spark.table("transnan")
+      .select(col("series_key"), col("ts").cast("long") * 1000,
+        col("n_points"), col("resets"), col("changes"))
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._2)
+    // only the 4 finite points emit; counts over (5,2,2,9):
+    // resets = 1 (5→2), changes = 2 (5→2, 2→9)
+    assert(rows.length == 4, rows.mkString(","))
+    assert(rows.last._3 == 4L && rows.last._4 == 1L && rows.last._5 == 2L)
+    val batchPts = feed.map { case (k, ms, v) =>
+      TP("m", Map("h" -> k), ms * 1000000L, Map("value" -> FV.dv(v)), ms) }
+    val want = TsAnalytics.transitions(batchPts.toDF(),
+        QueryParams("m", endNs = Some(Long.MaxValue / 2)))
+      .select(col("n_points"), col("resets"), col("changes"))
+      .as[(Long, Long, Long)].collect().head
+    assert(want == ((rows.last._3, rows.last._4, rows.last._5)),
+      s"batch $want vs streaming ${rows.last}")
+  }
+
   test("streaming trend: running least squares matches batch predictLinear") {
     implicit val sqlCtx = spark.sqlContext
     val S = 1000L
