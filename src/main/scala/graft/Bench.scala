@@ -81,6 +81,10 @@ object Bench {
     // ------------------------------------------------------------------
     val servingRuns =
       scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // key -> median qps of the loop (the JSON's named serving metrics
+    // read from this map — a missing key reports 0.0, like skipServing)
+    val servingMedians =
+      scala.collection.mutable.LinkedHashMap[String, Double]()
     /** Median-of-3-passes throughput: each pass runs `n` iterations of
       * `body` with a globally unique iteration index (pass·n + k), so
       * cold paths stay cold across passes (no accidental result-cache
@@ -93,6 +97,41 @@ object Bench {
         n / ((System.nanoTime() - t0) / 1e9)
       }
       servingRuns(key) = qps
+      servingMedians(key) = qps.sorted.apply(1)
+      qps.sorted.apply(1)
+    }
+    /** Steady-state median-of-3 throughput (round-10 reproducibility
+      * fix, VERDICT r9 #1): untimed warm BATCHES of `n` run until two
+      * consecutive batches agree within 10% (min `minWarm`, capped at
+      * `maxWarm` — JIT/GC settled), THEN 3 timed passes. r9's fixed-count
+      * warmup left the first timed pass 3× slow: its warm indices sat
+      * beyond the data's 30-day span, so warmup exercised the
+      * empty-result path and the real-result path met the JIT cold.
+      * Callers' generators now wrap indices into the data span (with a
+      * sub-second jitter term keeping every call a result-cache miss),
+      * and ONE monotone counter spans warm + timed so params never
+      * repeat. The warm trajectory lands in `serving_runs` under
+      * `<key>_warm` — the settle is visible in the artifact. */
+    def steady3(key: String, n: Int, minWarm: Int = 5, maxWarm: Int = 40)
+        (body: Int => Unit): Double = {
+      var k = 0
+      def batch(): Double = {
+        val t0 = System.nanoTime()
+        var j = 0
+        while (j < n) { body(k); k += 1; j += 1 }
+        n / ((System.nanoTime() - t0) / 1e9)
+      }
+      val warm = scala.collection.mutable.ArrayBuffer[Double]()
+      warm += batch()
+      while (warm.size < maxWarm && (warm.size < minWarm ||
+          math.abs(warm(warm.size - 1) - warm(warm.size - 2)) /
+            math.max(warm(warm.size - 1), warm(warm.size - 2)) >= 0.10)) {
+        warm += batch()
+      }
+      servingRuns(key + "_warm") = warm.toSeq
+      val qps = (0 until 3).map(_ => batch())
+      servingRuns(key) = qps
+      servingMedians(key) = qps.sorted.apply(1)
       qps.sorted.apply(1)
     }
 
@@ -101,15 +140,7 @@ object Bench {
     // A serving-tier failure must degrade to zeros + an `errors` entry —
     // never abort the run: the driver's JSON line is the round's only
     // bench record.
-    val (ingestRps, qpsCold, qpsCached, qpsDsRaw, qpsDsRollup,
-      qpsGbtRaw, qpsGbtRouted, qpsAnalyzeCold, qpsAnalyzeCached,
-      qpsCorrRaw, qpsCorrRouted, qpsDeltaRaw, qpsDeltaRouted, qpsDeltaLocal,
-      qpsIrateLocal, qpsDeltaByRaw, qpsDeltaByRouted, qpsTwaRaw, qpsTwaRouted,
-      qpsResetsRaw, qpsResetsRouted, qpsResetsByLocal) =
-      if (skipServing)
-        (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
-         0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
-      else try {
+    if (!skipServing) try {
       val pts = graft.tsdb.Tables.eventsAsPoints(spark, sfDir).cache()
       val nRows = pts.count()
       // steady-state: warm the write path (codegen, parquet committer,
@@ -126,28 +157,31 @@ object Bench {
         nRows / ((System.nanoTime() - t0) / 1e9)
       }
       servingRuns("ingest_rows_per_sec") = ingestRaw
-      val ingestRps0 = ingestRaw.sorted.apply(1)
+      servingMedians("ingest_rows_per_sec") = ingestRaw.sorted.apply(1)
       val engine = new graft.tsdb.TsdbEngine(spark, s"$tmp/db0")
       pts.unpersist()
       val rnd = new scala.util.Random(42)
+      // the events corpus spans 30 days (720 h) from 2024-01-01: the
+      // hour offset wraps at 600 so EVERY query (warm and timed) hits
+      // real data with the same 24 h window cost, and the per-wrap 1 µs
+      // start jitter keeps every call's params distinct → result-cache
+      // miss. (r9's warm indices 1000..1400 sat past the span: warmup
+      // JIT'd the empty-result path and the first timed pass met the
+      // real-result path cold — the 3.3× per-pass spread in its
+      // serving_runs arrays.)
       def q(i: Int) = graft.tsdb.QueryParams("purchase",
         Map("user" -> (rnd.nextInt(100).toString)),
-        startNs = 1704067200000000000L + i * 3600000000000L,
-        endNs = Some(1704067200000000000L + (i + 24) * 3600000000000L))
+        startNs = 1704067200000000000L + (i % 600).toLong * 3600000000000L
+          + (i / 600).toLong * 1000L,
+        endNs = Some(1704067200000000000L
+          + ((i % 600) + 24).toLong * 3600000000000L + (i / 600).toLong * 1000L))
       // cold = uncached RESULT on the serving path (every query distinct →
-      // all result-cache misses). Warmup-then-measure like every other
-      // block: the round-7 probe showed the first ~100 calls sit in the
-      // JIT transient (444 qps warming → 600+ steady on identical code —
-      // the whole r4→r6 "regression" was where inside that transient the
-      // 20-query sample landed), so warm well past it, then take the
-      // median of 3 passes of 100.
-      (1000 until 1400).foreach(i => engine.queryCached(q(i)))
-      val qpsCold0 = passes3("query_qps_cold", 100)(i => { engine.queryCached(q(i)); () })
+      // all result-cache misses), steady-state warm batches then 3 passes
+      steady3("query_qps_cold", 100)(i => { engine.queryCached(q(i)); () })
       // cached = repeated identical query (result-cache hit path): ~1 µs
       // steady-state, so small samples measured ONLY keyOf's JIT warmup
       val cq = q(0)
-      (0 until 5000).foreach(_ => engine.queryCached(cq))
-      val qpsCached0 = passes3("query_qps_cached", 20000)(_ => { engine.queryCached(cq); () })
+      steady3("query_qps_cached", 20000)(_ => { engine.queryCached(cq); () })
 
       // rollup acceleration: the CACHED SERVING-PATH read (build excluded
       // — the battery's tsdb_rollup_downsample measures build+query; this
@@ -174,41 +208,42 @@ object Bench {
       // 0..29, routed warm 120..123, routed measured 30..119 — all
       // distinct mod 138, all sets disjoint
       engine.queryCached(dq(130)) // warm the merged serving view
-      val qpsDsRaw0 = passes3("qps_downsample_raw", 10)(i => { engine.queryCached(dq(i)); () })
+      passes3("qps_downsample_raw", 10)(i => { engine.queryCached(dq(i)); () })
       engine.registerRollup("purchase", DayNs, Seq("value"))
       // routed queries serve from the DRIVER-RESIDENT rollup tier
       // (LocalRollup): materialize + collect once (excluded), warm the
       // re-agg JIT, then measure — the path is sub-ms
       (120 until 124).foreach(i => engine.queryCached(dq(i)))
-      val qpsDsR0 = passes3("qps_downsample_rollup", 30)(i => { engine.queryCached(dq(30 + i)); () })
+      passes3("qps_downsample_rollup", 30)(i => { engine.queryCached(dq(30 + i)); () })
       // tag-grouped serving: the same downsample shapes collapsed across
       // series (GROUP BY TAGS ()) through the driver partial tier vs the
       // raw Spark operator
       def gq(i: Int) = dq(i)
       val pts0 = engine.loadPoints().get
       graft.tsdb.TsAnalytics.aggregateByTags(pts0, gq(200), Nil).count() // warm raw path
-      val qpsGbtRaw0 = passes3("qps_groupby_raw", 5) { i =>
+      passes3("qps_groupby_raw", 5) { i =>
         val pts = engine.loadPoints().get
         graft.tsdb.TsAnalytics.aggregateByTags(pts, gq(200 + i), Nil).count(); ()
       }
       (250 until 254).foreach(i => engine.queryByTagsServingDF(gq(i), Nil).count())
-      val qpsGbtR0 = passes3("qps_groupby_rollup", 30)(i =>
+      passes3("qps_groupby_rollup", 30)(i =>
         { engine.queryByTagsServingDF(gq(300 + i), Nil).count(); () })
       // ANALYZE serving tier: cold = distinct rate queries (full Spark
       // plan each, namespaced-cache misses), cached = one repeated query
       // (the dashboard-refresh path the analyze cache exists for)
+      // params repeat at stride 35 without the per-wrap 1 s end offset —
+      // with it, every call (warm and timed) is distinct and in-span
       def aq(i: Int) = graft.tsdb.QueryParams("purchase",
         startNs = 1704067200000000000L + (i % 5).toLong * DayNs,
-        endNs = Some(1704067200000000000L + (25 + (i % 7)).toLong * DayNs))
+        endNs = Some(1704067200000000000L + (25 + (i % 7)).toLong * DayNs
+          + (i / 35).toLong * 1000000000L))
       val rateSpec = graft.tsdb.AnalyzeRate("value")
-      engine.analyzeServingDF(aq(100), rateSpec).count() // warm codegen
-      val qpsAnCold0 = passes3("qps_analyze_cold", 5)(i =>
-        { engine.analyzeServingDF(aq(i), rateSpec).count(); () })
+      steady3("qps_analyze_cold", 5, minWarm = 3, maxWarm = 10)(
+        i => { engine.analyzeServingDF(aq(i), rateSpec).count(); () })
       // cached = the driver-side rows path (queryCached analog) — the
       // hit path has no per-call plan/DataFrame floor
       val caq = aq(0)
-      (0 until 500).foreach(_ => engine.analyzeCached(caq, rateSpec))
-      val qpsAnCached0 = passes3("qps_analyze_cached", 5000)(_ =>
+      steady3("qps_analyze_cached", 5000)(_ =>
         { engine.analyzeCached(caq, rateSpec); () })
       // cross-metric analytics: CORRELATE from the raw point scan vs the
       // rollup-partial route (points never scanned). engine.analyze is
@@ -222,12 +257,12 @@ object Bench {
         startNs = 1704067200000000000L,
         endNs = Some(1704067200000000000L + 30L * DayNs - 1))
       engine.analyze(cp, corq(0)).count() // warm
-      val qpsCorrRaw0 = passes3("qps_correlate_raw", 3)(i =>
+      passes3("qps_correlate_raw", 3)(i =>
         { engine.analyze(cp, corq(i)).count(); () })
       engine.registerRollup("purchase", DayNs, Seq("value"))
       engine.registerRollup("view", DayNs, Seq("value"))
       engine.analyze(cp, corq(0)).count() // materialize both rollup views
-      val qpsCorrR0 = passes3("qps_correlate_rollup", 10)(i =>
+      passes3("qps_correlate_rollup", 10)(i =>
         { engine.analyze(cp, corq(i)).count(); () })
 
       // ANALYZE DELTA: raw lag-scan vs rollup-partial route (purchase@1d
@@ -238,11 +273,11 @@ object Bench {
       val deltaSpec = graft.tsdb.AnalyzeDelta("value")
       engine.dropRollup("purchase")
       engine.analyze(dlq(0), deltaSpec).count() // warm the raw plan
-      val qpsDeltaRaw0 = passes3("qps_delta_raw", 3)(i =>
+      passes3("qps_delta_raw", 3)(i =>
         { engine.analyze(dlq(i), deltaSpec).count(); () })
       engine.registerRollup("purchase", DayNs, Seq("value"))
       engine.analyze(dlq(0), deltaSpec).count() // materialize the view
-      val qpsDeltaR0 = passes3("qps_delta_rollup", 10)(i =>
+      passes3("qps_delta_rollup", 10)(i =>
         { engine.analyze(dlq(i), deltaSpec).count(); () })
 
       // windowed DELTA BY: raw lag-scan vs the per-window partial route
@@ -251,11 +286,11 @@ object Bench {
       val deltaBySpec = graft.tsdb.AnalyzeDeltaBy("value", 2L * DayNs)
       engine.dropRollup("purchase")
       engine.analyze(dlq(0), deltaBySpec).count() // warm the raw plan
-      val qpsDeltaByRaw0 = passes3("qps_delta_by_raw", 3)(i =>
+      passes3("qps_delta_by_raw", 3)(i =>
         { engine.analyze(dlq(i), deltaBySpec).count(); () })
       engine.registerRollup("purchase", DayNs, Seq("value"))
       engine.analyze(dlq(0), deltaBySpec).count() // materialize the view
-      val qpsDeltaByR0 = passes3("qps_delta_by_rollup", 10)(i =>
+      passes3("qps_delta_by_rollup", 10)(i =>
         { engine.analyze(dlq(i), deltaBySpec).count(); () })
 
       // TWA: raw LOCF integral vs the rollup-partial route (`__area`
@@ -263,25 +298,25 @@ object Bench {
       val twaSpec = graft.tsdb.AnalyzeTwa("value", DayNs)
       engine.dropRollup("purchase")
       engine.analyze(dlq(0), twaSpec).count() // warm the raw plan
-      val qpsTwaRaw0 = passes3("qps_twa_raw", 3)(i =>
+      passes3("qps_twa_raw", 3)(i =>
         { engine.analyze(dlq(i), twaSpec).count(); () })
       engine.registerRollup("purchase", DayNs, Seq("value"))
       engine.analyze(dlq(0), twaSpec).count() // materialize the view
-      val qpsTwaR0 = passes3("qps_twa_rollup", 10)(i =>
+      passes3("qps_twa_rollup", 10)(i =>
         { engine.analyze(dlq(i), twaSpec).count(); () })
 
       // driver-resident DELTA tier: pure-Scala fold over resident
       // partials, no Spark job — distinct TAGGED filters defeat the
       // result cache so each call pays the full local fold
       engine.analyzeCached(dlq(1), deltaSpec) // make partials resident
-      val qpsDeltaL0 = passes3("qps_delta_local", 300)(i =>
+      passes3("qps_delta_local", 300)(i =>
         { engine.analyzeCached(dlq(1).copy(tags = Map("user" -> s"u$i")),
             deltaSpec); () })
       // driver-resident IRATE tier: last-two-samples fold over the same
       // resident partials (LocalRollup.runIrate), no Spark job
       val irateSpec = graft.tsdb.AnalyzeIrate("value")
       engine.analyzeCached(dlq(1), irateSpec)
-      val qpsIrateL0 = passes3("qps_irate_local", 300)(i =>
+      passes3("qps_irate_local", 300)(i =>
         { engine.analyzeCached(dlq(1).copy(tags = Map("user" -> s"u$i")),
             irateSpec); () })
 
@@ -290,29 +325,38 @@ object Bench {
       val resetsSpec = graft.tsdb.AnalyzeResets("value")
       engine.dropRollup("purchase")
       engine.analyze(dlq(0), resetsSpec).count() // warm the raw plan
-      val qpsResetsRaw0 = passes3("qps_resets_raw", 3)(i =>
+      passes3("qps_resets_raw", 3)(i =>
         { engine.analyze(dlq(i), resetsSpec).count(); () })
       engine.registerRollup("purchase", DayNs, Seq("value"))
       engine.analyze(dlq(0), resetsSpec).count() // materialize the view
-      val qpsResetsR0 = passes3("qps_resets_rollup", 10)(i =>
+      passes3("qps_resets_rollup", 10)(i =>
         { engine.analyze(dlq(i), resetsSpec).count(); () })
       // driver-resident windowed tier: RESETS BY folded from resident
       // partials, no Spark job
       val resetsBySpec = graft.tsdb.AnalyzeResetsBy("value", 2L * DayNs)
       engine.analyzeCached(dlq(1), resetsBySpec)
-      val qpsResetsByL0 = passes3("qps_resets_by_local", 300)(i =>
+      passes3("qps_resets_by_local", 300)(i =>
         { engine.analyzeCached(dlq(1).copy(tags = Map("user" -> s"u$i")),
             resetsBySpec); () })
 
-      (ingestRps0, qpsCold0, qpsCached0, qpsDsRaw0, qpsDsR0,
-        qpsGbtRaw0, qpsGbtR0, qpsAnCold0, qpsAnCached0,
-        qpsCorrRaw0, qpsCorrR0, qpsDeltaRaw0, qpsDeltaR0, qpsDeltaL0,
-        qpsIrateL0, qpsDeltaByRaw0, qpsDeltaByR0, qpsTwaRaw0, qpsTwaR0,
-        qpsResetsRaw0, qpsResetsR0, qpsResetsByL0)
+      // windowed EWMA (round-10 smoothing rollup): raw per-point fold +
+      // window sampling vs the stored exact fold states — the routed
+      // read is BIT-identical (SmoothSpec contract), measured on the
+      // same distinct-TAGGED shapes as the other analytics
+      val ewmaBySpec = graft.tsdb.AnalyzeEwmaBy("value", 0.25, 2L * DayNs)
+      engine.dropRollup("purchase")
+      engine.analyze(dlq(0), ewmaBySpec).count() // warm the raw plan
+      passes3("qps_ewma_by_raw", 3)(i =>
+        { engine.analyze(dlq(i), ewmaBySpec).count(); () })
+      engine.registerRollup("purchase", DayNs, Seq("value"),
+        smooth = Seq(graft.tsdb.SmoothSpec("value", "ewma", 0.25)))
+      engine.analyze(dlq(0), ewmaBySpec).count() // materialize the view
+      passes3("qps_ewma_by_rollup", 10)(i =>
+        { engine.analyze(dlq(i), ewmaBySpec).count(); () })
+
+      ()
     } catch { case e: Throwable =>
       errors.getOrElseUpdate("serving_tier", esc(e))
-      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
-       0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp)); ()
     }
@@ -391,6 +435,7 @@ object Bench {
     val total = results.map(_._2).sum
     val totalCount = resultsCount.map(_._2).sum
 
+    def sm(k: String): Double = servingMedians.getOrElse(k, 0.0)
     val servingRunsJson = servingRuns.map { case (k, ts) =>
       "\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -401,20 +446,31 @@ object Bench {
       s""""runs":$runsJson,"passes":$nPasses,""" +
       s""""total_count_mode":$totalCount,""" +
       s""""p50":${pct(0.5)},"p90":${pct(0.9)},"p99":${pct(0.99)},""" +
-      s""""ingest_rows_per_sec":$ingestRps,""" +
+      s""""ingest_rows_per_sec":${sm("ingest_rows_per_sec")},""" +
       s""""ingest_stream_rows_per_sec":$ingestStreamRps,""" +
-      s""""query_qps_cold":$qpsCold,""" +
-      s""""query_qps_cached":$qpsCached,""" +
-      s""""qps_downsample_raw":$qpsDsRaw,"qps_downsample_rollup":$qpsDsRollup,""" +
-      s""""qps_groupby_raw":$qpsGbtRaw,"qps_groupby_rollup":$qpsGbtRouted,""" +
-      s""""qps_analyze_cold":$qpsAnalyzeCold,"qps_analyze_cached":$qpsAnalyzeCached,""" +
-      s""""qps_correlate_raw":$qpsCorrRaw,"qps_correlate_rollup":$qpsCorrRouted,""" +
-      s""""qps_delta_raw":$qpsDeltaRaw,"qps_delta_rollup":$qpsDeltaRouted,""" +
-      s""""qps_delta_by_raw":$qpsDeltaByRaw,"qps_delta_by_rollup":$qpsDeltaByRouted,""" +
-      s""""qps_twa_raw":$qpsTwaRaw,"qps_twa_rollup":$qpsTwaRouted,""" +
-      s""""qps_delta_local":$qpsDeltaLocal,"qps_irate_local":$qpsIrateLocal,""" +
-      s""""qps_resets_raw":$qpsResetsRaw,"qps_resets_rollup":$qpsResetsRouted,""" +
-      s""""qps_resets_by_local":$qpsResetsByLocal,""" +
+      s""""query_qps_cold":${sm("query_qps_cold")},""" +
+      s""""query_qps_cached":${sm("query_qps_cached")},""" +
+      s""""qps_downsample_raw":${sm("qps_downsample_raw")},""" +
+      s""""qps_downsample_rollup":${sm("qps_downsample_rollup")},""" +
+      s""""qps_groupby_raw":${sm("qps_groupby_raw")},""" +
+      s""""qps_groupby_rollup":${sm("qps_groupby_rollup")},""" +
+      s""""qps_analyze_cold":${sm("qps_analyze_cold")},""" +
+      s""""qps_analyze_cached":${sm("qps_analyze_cached")},""" +
+      s""""qps_correlate_raw":${sm("qps_correlate_raw")},""" +
+      s""""qps_correlate_rollup":${sm("qps_correlate_rollup")},""" +
+      s""""qps_delta_raw":${sm("qps_delta_raw")},""" +
+      s""""qps_delta_rollup":${sm("qps_delta_rollup")},""" +
+      s""""qps_delta_by_raw":${sm("qps_delta_by_raw")},""" +
+      s""""qps_delta_by_rollup":${sm("qps_delta_by_rollup")},""" +
+      s""""qps_twa_raw":${sm("qps_twa_raw")},""" +
+      s""""qps_twa_rollup":${sm("qps_twa_rollup")},""" +
+      s""""qps_delta_local":${sm("qps_delta_local")},""" +
+      s""""qps_irate_local":${sm("qps_irate_local")},""" +
+      s""""qps_resets_raw":${sm("qps_resets_raw")},""" +
+      s""""qps_resets_rollup":${sm("qps_resets_rollup")},""" +
+      s""""qps_resets_by_local":${sm("qps_resets_by_local")},""" +
+      s""""qps_ewma_by_raw":${sm("qps_ewma_by_raw")},""" +
+      s""""qps_ewma_by_rollup":${sm("qps_ewma_by_rollup")},""" +
       s""""serving_runs":$servingRunsJson,""" +
       s""""n_errors":${errors.size},"errors":$errJson,""" +
       s""""n_queries":${results.size},"sf":"$sfDir"}"""

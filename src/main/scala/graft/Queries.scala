@@ -1214,6 +1214,67 @@ object Queries {
       .orderBy("user", "timestamp")
   }
 
+  /** Windowed EWMA (`ANALYZE EWMA(value, 0.25) BY 1d`): the ts_ewma fold
+    * sampled at each day's last purchase — the reference downsampler's
+    * per-window emission shape for a smoothed series at dashboard
+    * granularity. UNROUNDED doubles: the oracle replays the identical
+    * fold and samples it with arg_max, bit-exact like ts_ewma. */
+  def tsEwmaBy(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture))
+    TsAnalytics.ewmaSmoothBy(pts(s, dir), q, alpha = 0.25,
+        windowNs = 24L * HourNs)
+      .select(userCol, col("window_start"), col("n_points"),
+        (col("last_ts") - pmod(col("last_ts"), lit(1000L))).as("last_ts"),
+        col("value"), col("ewma"))
+      .orderBy("user", "window_start")
+  }
+
+  /** EWMA BY served from a smoothing rollup ([[Rollup.runSmoothBy]]):
+    * the stored per-window fold states — computed by the SAME native
+    * sequential fold as the raw operator, sampled at window ends — so
+    * the routed read shares ts_ewma_by's oracle VERBATIM (bit-exact,
+    * not ulp-level; [[graft.tsdb.SmoothSpec]]). */
+  def tsdbRollupEwma(s: SparkSession, dir: String): DataFrame = {
+    val sm = SmoothSpec("value", "ewma", 0.25)
+    val rollup = Rollup.build(QueryEngine.mergedView(
+      pts(s, dir).filter(col("metric") === "purchase"), Nil),
+      HourNs, Seq("value"), smooth = Seq(sm))
+    val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture - 1))
+    Rollup.runSmoothBy(rollup, HourNs, q, sm, windowNs = 24L * HourNs)
+      .select(userCol, col("window_start"), col("n_points"),
+        (col("last_ts") - pmod(col("last_ts"), lit(1000L))).as("last_ts"),
+        col("value"), col("ewma"))
+      .orderBy("user", "window_start")
+  }
+
+  /** Windowed Holt smoothing (`ANALYZE HOLT(value, 0.5, 0.25) BY 1d`):
+    * level/trend/forecast at each day's last error sample. UNROUNDED
+    * doubles (replay-the-fold oracle, like ts_holt). */
+  def tsHoltBy(s: SparkSession, dir: String): DataFrame = {
+    val q = QueryParams("error", startNs = 0L, endNs = Some(FarFuture))
+    TsAnalytics.holtSmoothBy(pts(s, dir), q, alpha = 0.5, beta = 0.25,
+        windowNs = 24L * HourNs)
+      .select(userCol, col("window_start"), col("n_points"),
+        (col("last_ts") - pmod(col("last_ts"), lit(1000L))).as("last_ts"),
+        col("value"), col("level"), col("trend"), col("forecast"))
+      .orderBy("user", "window_start")
+  }
+
+  /** HOLT BY served from a smoothing rollup — shares ts_holt_by's oracle
+    * verbatim ([[tsdbRollupEwma]] contract, 2-d state). */
+  def tsdbRollupHolt(s: SparkSession, dir: String): DataFrame = {
+    val sm = SmoothSpec("value", "holt", 0.5, 0.25)
+    val rollup = Rollup.build(QueryEngine.mergedView(
+      pts(s, dir).filter(col("metric") === "error"), Nil),
+      HourNs, Seq("value"), smooth = Seq(sm))
+    val q = QueryParams("error", startNs = 0L, endNs = Some(FarFuture - 1))
+    Rollup.runSmoothBy(rollup, HourNs, q, sm, windowNs = 24L * HourNs)
+      .select(userCol, col("window_start"), col("n_points"),
+        (col("last_ts") - pmod(col("last_ts"), lit(1000L))).as("last_ts"),
+        col("value"), col("level"), col("trend"), col("forecast"))
+      .orderBy("user", "window_start")
+  }
+
   /** Cross-metric correlation: click vs view behaviour per user on daily
     * buckets — one scan of both metrics, conditional-aggregation pivot,
     * Pearson r over paired buckets (≥5 pairs; hourly buckets would pair

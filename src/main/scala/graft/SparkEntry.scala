@@ -120,6 +120,10 @@ object SparkEntry {
     "ts_cumsum" -> (Queries.tsCumsum _),
     "ts_ewma" -> (Queries.tsEwma _),
     "ts_holt" -> (Queries.tsHolt _),
+    "ts_ewma_by" -> (Queries.tsEwmaBy _),
+    "ts_holt_by" -> (Queries.tsHoltBy _),
+    "tsdb_rollup_ewma" -> (Queries.tsdbRollupEwma _),
+    "tsdb_rollup_holt" -> (Queries.tsdbRollupHolt _),
     "ts_correlate" -> (Queries.tsCorrelate _),
     "ts_cardinality" -> (Queries.tsCardinality _),
     "ts_ratio" -> (Queries.tsRatio _),
@@ -299,6 +303,46 @@ object SparkEntry {
 
   /** Shared by `ts_correlate`/`nbql_correlate` (same analytic, API vs
     * wire path). */
+  /** Shared by `ts_ewma_by`/`tsdb_rollup_ewma`: the ts_ewma replayed
+    * fold, sampled at each daily window's last point with arg_max —
+    * identical IEEE order both sides, UNROUNDED doubles hashed. */
+  private val TsEwmaBySql =
+    """WITH s AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      |  FROM events WHERE event_type = 'purchase'),
+      |g AS (SELECT u, list(value ORDER BY t) AS vs FROM s GROUP BY u),
+      |f AS (SELECT s.u, s.t, s.value,
+      |    list_reduce(g.vs[1:s.rn], (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma,
+      |    s.t - s.t % 86400000000000 AS w
+      |  FROM s JOIN g ON s.u = g.u)
+      |SELECT u AS "user", w AS window_start, count(*) AS n_points,
+      |  max(t) AS last_ts, arg_max(value, t) AS value, arg_max(ewma, t) AS ewma
+      |FROM f GROUP BY u, w ORDER BY 1, 2""".stripMargin
+
+  /** Shared by `ts_holt_by`/`tsdb_rollup_holt` — the two-term fold
+    * sampled per window (ts_holt technique + arg_max). */
+  private val TsHoltBySql =
+    """WITH s AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_ns(ts) AS t, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      |  FROM events WHERE event_type = 'error'),
+      |g AS (SELECT u, list([value, CAST(0 AS DOUBLE)] ORDER BY t) AS vs
+      |      FROM s GROUP BY u),
+      |f AS (
+      |  SELECT s.u, s.t, s.value,
+      |    list_reduce(g.vs[1:s.rn], (acc, e) ->
+      |      [0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+      |       0.25 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+      |         + 0.75 * acc[2]]) AS h,
+      |    s.t - s.t % 86400000000000 AS w
+      |  FROM s JOIN g ON s.u = g.u)
+      |SELECT u AS "user", w AS window_start, count(*) AS n_points,
+      |  max(t) AS last_ts, arg_max(value, t) AS value,
+      |  arg_max(h[1], t) AS level, arg_max(h[2], t) AS trend,
+      |  arg_max(h[1] + h[2], t) AS forecast
+      |FROM f GROUP BY u, w ORDER BY 1, 2""".stripMargin
+
   private val TsCorrelateSql =
     """WITH s AS (
       |  SELECT CAST(user_id AS VARCHAR) AS u,
@@ -1285,6 +1329,14 @@ object SparkEntry {
         |         + 0.75 * acc[2]]) AS h
         |  FROM s JOIN g ON s.u = g.u) q
         |ORDER BY 1, 2""".stripMargin,
+    // windowed smoothing: the same replayed folds sampled at each day's
+    // last point (arg_max). The tsdb_rollup_* twins are the smoothing-
+    // rollup routes (stored exact fold states) — same oracles VERBATIM,
+    // hashing UNROUNDED doubles.
+    "ts_ewma_by" -> TsEwmaBySql,
+    "tsdb_rollup_ewma" -> TsEwmaBySql,
+    "ts_holt_by" -> TsHoltBySql,
+    "tsdb_rollup_holt" -> TsHoltBySql,
     // nbql_correlate runs the same analytic through ANALYZE CORRELATE
     "ts_correlate" -> TsCorrelateSql,
     "nbql_correlate" -> TsCorrelateSql,

@@ -93,14 +93,19 @@ final case class ShowTagValuesStatement(metric: Option[String], key: String)
 final case class ShowCardinalityStatement(metric: Option[String],
     byNs: Option[Long], estimate: Boolean = false) extends ShowStatement
 
-/** `CREATE ROLLUP <metric> BY <interval> (field, ...) [WITH DIGESTS]` —
+/** `CREATE ROLLUP <metric> BY <interval> (field, ...) [WITH DIGESTS]
+  * [SMOOTH EWMA(f, α) | HOLT(f, α, β), ...]` —
   * engine extension with no reference analog: registers materialized
   * downsample partials so covered `AGGREGATE BY` queries re-aggregate the
   * rollup instead of scanning raw points ([[graft.tsdb.Rollup]]).
   * `WITH DIGESTS` adds per-window t-digest sketches, making `p<N>`
-  * downsamples rollup-eligible (approximate contract). */
+  * downsamples rollup-eligible (approximate contract). `SMOOTH` stores
+  * exact EWMA/Holt fold states per window, making the matching
+  * `ANALYZE … BY` queries rollup-served bit-identically
+  * ([[graft.tsdb.SmoothSpec]]; forces full rebuilds on commit). */
 final case class CreateRollupStatement(metric: String, intervalNs: Long,
-    fields: Seq[String], withDigests: Boolean = false) extends Statement
+    fields: Seq[String], withDigests: Boolean = false,
+    smooth: Seq[graft.tsdb.SmoothSpec] = Nil) extends Statement
 final case class DropRollupStatement(metric: String) extends Statement
 case object ShowRollupsStatement extends Statement
 

@@ -200,9 +200,14 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
         q.analyze.get match {
           case graft.tsdb.AnalyzeEwma(_, a) if a <= 0.0 || a > 1.0 =>
             return Left("EWMA alpha must be in (0, 1]")
+          case graft.tsdb.AnalyzeEwmaBy(_, a, w) if a <= 0.0 || a > 1.0 || w <= 0 =>
+            return Left("EWMA alpha must be in (0, 1] and BY window positive")
           case graft.tsdb.AnalyzeHolt(_, a, b)
               if a <= 0.0 || a > 1.0 || b <= 0.0 || b > 1.0 =>
             return Left("HOLT alpha and beta must be in (0, 1]")
+          case graft.tsdb.AnalyzeHoltBy(_, a, b, w)
+              if a <= 0.0 || a > 1.0 || b <= 0.0 || b > 1.0 || w <= 0 =>
+            return Left("HOLT alpha/beta must be in (0, 1] and BY window positive")
           case graft.tsdb.AnalyzeTwa(_, iv) if iv <= 0 =>
             return Left("TWA interval must be positive")
           case graft.tsdb.AnalyzeZScore(_, lb, _) if lb < 2 =>
@@ -256,6 +261,7 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
           return Left("SPLIT duration must be positive (or AUTO)")
         q.analyze.get match {
           case _: graft.tsdb.AnalyzeRate | _: graft.tsdb.AnalyzeEwma |
+               _: graft.tsdb.AnalyzeEwmaBy | _: graft.tsdb.AnalyzeHoltBy |
                _: graft.tsdb.AnalyzeHolt | _: graft.tsdb.AnalyzeTwa |
                _: graft.tsdb.AnalyzeZScore | _: graft.tsdb.AnalyzeCumsum |
                _: graft.tsdb.AnalyzeDelta | _: graft.tsdb.AnalyzeDeltaBy |
@@ -312,17 +318,27 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
     case DropCardinalitySummaryStatement =>
       engine.dropCardinalitySummary(); Right(Ack("OK"))
 
-    case CreateRollupStatement(m, i, fs, dig) =>
+    case CreateRollupStatement(m, i, fs, dig, sm) =>
       if (i <= 0) Left("rollup interval must be positive")
       else if (fs.isEmpty) Left("rollup needs at least one field")
-      else { engine.registerRollup(m, i, fs, dig); Right(Ack("OK")) }
+      else if (sm.exists(s => !fs.contains(s.field)))
+        Left("SMOOTH fields must be among the rollup's fields")
+      else if (sm.exists(s => s.alpha <= 0.0 || s.alpha > 1.0 ||
+          (s.kind == "holt" && (s.beta <= 0.0 || s.beta > 1.0))))
+        Left("SMOOTH alpha/beta must be in (0, 1]")
+      else if (sm.map(s => (s.field, s.kind)).distinct.size != sm.size)
+        Left("one SMOOTH spec per (field, kind)")
+      else { engine.registerRollup(m, i, fs, dig, sm); Right(Ack("OK")) }
     case DropRollupStatement(m) =>
       engine.dropRollup(m); Right(Ack("OK"))
     case ShowRollupsStatement =>
       import engine.spark.implicits._
       val df = engine.rollups
-        .map { case (m, i, fs, dig) => (m, i, fs.mkString(","), dig) }
-        .toDF("metric", "interval_ns", "fields", "digests")
+        .map { case (m, i, fs, dig, sm) => (m, i, fs.mkString(","), dig,
+          sm.map(s => s"${s.kind}(${s.field},${s.alpha}" +
+            (if (s.kind == "holt") s",${s.beta}" else "") + ")")
+            .mkString(",")) }
+        .toDF("metric", "interval_ns", "fields", "digests", "smooth")
       Right(Rows(df, noCursor))
 
     case FlushStatement(_) =>

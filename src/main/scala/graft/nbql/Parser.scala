@@ -4,7 +4,8 @@ import graft.model.FieldValue
 import graft.tsdb.{AggSpec, AnalyzeChanges, AnalyzeChangesBy,
   AnalyzeCorrelate, AnalyzeCumsum,
   AnalyzeDelta, AnalyzeDeltaBy, AnalyzeDeriv,
-  AnalyzeEwma, AnalyzeHolt, AnalyzeIrate, AnalyzePredict, AnalyzeRate,
+  AnalyzeEwma, AnalyzeEwmaBy, AnalyzeHolt, AnalyzeHoltBy,
+  AnalyzeIrate, AnalyzePredict, AnalyzeRate,
   AnalyzeRateBy, AnalyzeResets, AnalyzeResetsBy,
   AnalyzeRatio, AnalyzeSpec, AnalyzeTopK,
   AnalyzeTwa, AnalyzeZScore, Ascending, Descending,
@@ -133,10 +134,14 @@ object NbqlParser extends RegexParsers {
     kw("DERIV") ~> "(" ~> name <~ ")" ^^ AnalyzeDeriv |
     kw("PREDICT") ~> "(" ~> (name <~ ",") ~ duration <~ ")" ^^ {
       case f ~ h => AnalyzePredict(f, h) } |
-    kw("EWMA") ~> "(" ~> (name <~ ",") ~ numLit <~ ")" ^^ {
-      case f ~ a => AnalyzeEwma(f, a) } |
-    kw("HOLT") ~> "(" ~> (name <~ ",") ~ (numLit <~ ",") ~ numLit <~ ")" ^^ {
-      case f ~ a ~ b => AnalyzeHolt(f, a, b) } |
+    kw("EWMA") ~> ("(" ~> (name <~ ",") ~ numLit <~ ")") ~
+        opt(kw("BY") ~> duration) ^^ {
+      case f ~ a ~ None => AnalyzeEwma(f, a)
+      case f ~ a ~ Some(d) => AnalyzeEwmaBy(f, a, d) } |
+    kw("HOLT") ~> ("(" ~> (name <~ ",") ~ (numLit <~ ",") ~ numLit <~ ")") ~
+        opt(kw("BY") ~> duration) ^^ {
+      case f ~ a ~ b ~ None => AnalyzeHolt(f, a, b)
+      case f ~ a ~ b ~ Some(d) => AnalyzeHoltBy(f, a, b, d) } |
     kw("TWA") ~> ("(" ~> name <~ ")") ~ (kw("BY") ~> duration) ^^ {
       case f ~ d => AnalyzeTwa(f, d) } |
     kw("CUMSUM") ~> "(" ~> name <~ ")" ^^ AnalyzeCumsum |
@@ -209,11 +214,19 @@ object NbqlParser extends RegexParsers {
       case m ~ k => ShowTagValuesStatement(m, k)
     }
 
+  private val smoothSpecP: Parser[graft.tsdb.SmoothSpec] =
+    kw("EWMA") ~> "(" ~> (name <~ ",") ~ numLit <~ ")" ^^ {
+      case f ~ a => graft.tsdb.SmoothSpec(f, "ewma", a) } |
+    kw("HOLT") ~> "(" ~> (name <~ ",") ~ (numLit <~ ",") ~ numLit <~ ")" ^^ {
+      case f ~ a ~ b => graft.tsdb.SmoothSpec(f, "holt", a, b) }
+
   private val rollup: Parser[Statement] =
     kw("CREATE") ~> kw("ROLLUP") ~> name ~ (kw("BY") ~> duration) ~
       ("(" ~> rep1sep(name, ",") <~ ")") ~
-      opt(kw("WITH") ~> kw("DIGESTS")) ^^ {
-      case m ~ d ~ fs ~ dig => CreateRollupStatement(m, d, fs, dig.isDefined)
+      opt(kw("WITH") ~> kw("DIGESTS")) ~
+      opt(kw("SMOOTH") ~> rep1sep(smoothSpecP, ",")) ^^ {
+      case m ~ d ~ fs ~ dig ~ sm =>
+        CreateRollupStatement(m, d, fs, dig.isDefined, sm.getOrElse(Nil))
     } |
     kw("DROP") ~> kw("ROLLUP") ~> name ^^ DropRollupStatement |
     kw("SHOW") ~> kw("ROLLUPS") ^^^ ShowRollupsStatement |

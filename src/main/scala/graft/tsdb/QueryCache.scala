@@ -80,7 +80,9 @@ final class QueryCache(capacity: Int = 256, maxRowsPerEntry: Int = 100000) {
       case AnalyzePredict(f, h) => s"predict(${esc(f)},$h)"
       case AnalyzeDeriv(f) => s"deriv(${esc(f)})"
       case AnalyzeEwma(f, a) => s"ewma(${esc(f)},$a)"
+      case AnalyzeEwmaBy(f, a, w) => s"ewmaby(${esc(f)},$a,$w)"
       case AnalyzeHolt(f, a, b) => s"holt(${esc(f)},$a,$b)"
+      case AnalyzeHoltBy(f, a, b, w) => s"holtby(${esc(f)},$a,$b,$w)"
       case AnalyzeTwa(f, iv) => s"twa(${esc(f)},$iv)"
       case AnalyzeCumsum(f) => s"cumsum(${esc(f)})"
       case AnalyzeZScore(f, lb, th) => s"zscore(${esc(f)},$lb,$th)"

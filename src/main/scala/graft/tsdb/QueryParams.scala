@@ -168,9 +168,19 @@ final case class AnalyzeDeriv(field: String) extends AnalyzeSpec
 final case class AnalyzePredict(field: String, horizonNs: Long) extends AnalyzeSpec
 /** `ANALYZE EWMA(field, alpha)` ([[TsAnalytics.ewmaSmooth]]). */
 final case class AnalyzeEwma(field: String, alpha: Double) extends AnalyzeSpec
+/** `ANALYZE EWMA(field, alpha) BY <dur>` — the smoothed series sampled
+  * at each tumbling window's last point ([[TsAnalytics.ewmaSmoothBy]]);
+  * rollup-served from stored fold states when a matching
+  * [[graft.tsdb.SmoothSpec]] is registered ([[Rollup.runSmoothBy]]). */
+final case class AnalyzeEwmaBy(field: String, alpha: Double, windowNs: Long)
+  extends AnalyzeSpec
 /** `ANALYZE HOLT(field, alpha, beta)` ([[TsAnalytics.holtSmooth]]). */
 final case class AnalyzeHolt(field: String, alpha: Double, beta: Double)
   extends AnalyzeSpec
+/** `ANALYZE HOLT(field, alpha, beta) BY <dur>`
+  * ([[TsAnalytics.holtSmoothBy]]; rollup-served like [[AnalyzeEwmaBy]]). */
+final case class AnalyzeHoltBy(field: String, alpha: Double, beta: Double,
+    windowNs: Long) extends AnalyzeSpec
 /** `ANALYZE TWA(field) BY <dur>` — time-weighted average over tumbling
   * windows ([[TsAnalytics.timeWeightedAvg]]). */
 final case class AnalyzeTwa(field: String, intervalNs: Long) extends AnalyzeSpec

@@ -49,9 +49,30 @@ import org.apache.spark.sql.functions._
   * [[TsdbEngine]] materializes exactly that layout and its
   * `rollupView` rebuilds only the date partitions later commits touch.
   */
+/** A smoothing recurrence materialized INTO a rollup (round-10): the
+  * build stores, per (series, window), the EXACT running state of the
+  * EWMA (`kind = "ewma"`) or Holt (`kind = "holt"`) fold at the window's
+  * last numeric sample — computed by the SAME native sequential window
+  * aggregate as the raw operator over the same merged order, so the
+  * stored doubles are BIT-identical to the raw analytic's values there
+  * (no transit-matrix composition: re-associating a floating-point left
+  * fold is inherently ulp-level, which is why the SPLIT family is
+  * 1e-9-pinned — a recurrence partial that must hash against the raw
+  * oracle has to BE the sequential fold, sampled). The price is
+  * maintenance: a prefix fold's state is suffix-invalidating, so a
+  * rollup registered with smoothing always FULL-rebuilds on commit
+  * (partition-local incremental maintenance cannot hold for it). One
+  * spec per (field, kind); α/β ride the registration, not column names —
+  * re-registering different parameters rebuilds. */
+final case class SmoothSpec(field: String, kind: String, alpha: Double,
+    beta: Double = 0.0)
+
 object Rollup {
 
   import graft.functions.TDigestFunctions.{tdigest_sketch, tdigest_merge_quantile}
+
+  /** Physical column holding [[SmoothSpec]]'s stored fold state. */
+  def smoothStateCol(s: SmoothSpec): String = s"${s.field}__${s.kind}"
 
   /** Stored partial-aggregate columns for field `f` (null-safe: a window
     * whose points lack the field stores nulls / zero counts). With
@@ -118,13 +139,36 @@ object Rollup {
     * schema plus `series_key`). One row per (series, window) carrying
     * count(*) plus [[partials]] for each rolled field. */
   def build(merged: DataFrame, intervalNs: Long, fields: Seq[String],
-      withDigests: Boolean = false): DataFrame = {
+      withDigests: Boolean = false,
+      smooth: Seq[SmoothSpec] = Nil): DataFrame = {
     require(intervalNs > 0, "rollup interval must be > 0")
+    require(smooth.map(s => (s.field, s.kind)).distinct.size == smooth.size,
+      "one smoothing spec per (field, kind)")
     val keyed =
       if (merged.columns.contains("series_key")) merged
       else merged.withColumn("series_key",
         QueryEngine.seriesKeyCol(col("metric"), col("tags")))
-    val windowed = keyed.withColumn("window_start",
+    val preWindow = smooth.foldLeft(keyed) { (df, s) =>
+      // exact recurrence state per sample ([[SmoothSpec]]): the raw
+      // operator's own native fold over the per-SERIES merged order.
+      // Runs BEFORE the per-(series, window) lag pass; hash(series_key)
+      // partitioning satisfies the downstream (series, window)
+      // clustering, so the extra pass costs one sort, never an exchange.
+      val n = QueryEngine.numericOf(s.field)
+      s.kind match {
+        case "ewma" => df.withColumn(smoothStateCol(s),
+          graft.functions.WindowFunctions.ewma(n, s.alpha,
+            partitionBy = Seq(col("series_key")),
+            orderBy = Seq(col("timestamp"))))
+        case "holt" => df.withColumn(smoothStateCol(s),
+          graft.functions.WindowFunctions.holtTrend(n, s.alpha, s.beta,
+            partitionBy = Seq(col("series_key")),
+            orderBy = Seq(col("timestamp"))))
+        case other =>
+          throw new IllegalArgumentException(s"unknown smoothing kind $other")
+      }
+    }
+    val windowed = preWindow.withColumn("window_start",
       col("timestamp") - pmod(col("timestamp"), lit(intervalNs)))
     // per-field consecutive reset-aware deltas WITHIN each window: the
     // previous numeric sample via last(ignoreNulls) over a running frame
@@ -167,12 +211,21 @@ object Rollup {
                 col(s"__graft_prevord_$f").getField("timestamp"))
                 .cast("double")))
     }
+    // smoothing partials: the state at the window's LAST numeric sample
+    // (max_by over the same vord key as first/last — non-numeric rows
+    // carry the fold unchanged and are excluded by the null ord)
+    val smoothAggs = smooth.map { s =>
+      val n = QueryEngine.numericOf(s.field)
+      val vord = when(n.isNotNull, struct(col("timestamp"), col("series_key"),
+        (col("seq") * -1).as("negseq")))
+      max_by(col(smoothStateCol(s)), vord).as(smoothStateCol(s))
+    }
     withDeltas
       .groupBy(col("series_key"), col("window_start"))
       .agg(first(col("metric")).as("metric"),
         (first(col("tags")).as("tags") +:
           count(lit(1)).as("__cnt_star") +:
-          fields.flatMap(partials(_, withDigests))): _*)
+          (fields.flatMap(partials(_, withDigests)) ++ smoothAggs)): _*)
   }
 
   /** Fields whose partials a rollup frame actually carries (derived from
@@ -739,5 +792,85 @@ object Rollup {
     grouped.select(col("metric"), col("tags"), col("series_key"),
         col("target_window").as("window_start"), col("twa"), col("n_points"))
       .orderBy(col("series_key"), col("window_start"))
+  }
+
+  /** Pure (job-free) gate for a windowed smoothing query: aligned bounds,
+    * grain divisibility, and the frame physically carrying the spec's
+    * stored fold state. The RANGE-START probe ([[supportsSmoothBy]]) is
+    * separate because it runs a (metadata-sized) job. */
+  def supportsSmoothShape(p: QueryParams, rollupIntervalNs: Long,
+      rollup: DataFrame, s: SmoothSpec, windowNs: Long): Boolean = {
+    val r = rollupIntervalNs
+    p.valueFilters.isEmpty &&
+    !TagMatch.isPrefix(p.metric) &&
+    p.relativeNs.isEmpty &&
+    p.startNs % r == 0 &&
+    p.endNs.exists(e => e != 0L && (e + 1) % r == 0) &&
+    windowNs > 0 && windowNs % r == 0 &&
+    rollup.columns.contains(smoothStateCol(s)) &&
+    rollup.columns.contains(s"${s.field}__cnt")
+  }
+
+  /** True when `ANALYZE EWMA/HOLT(f, …) BY windowNs` is answerable from
+    * this rollup frame. Beyond [[supportsSmoothShape]], a recurrence
+    * adds a condition the range-local analytics don't have: the stored
+    * state folds from each series' FIRST sample, so the query start must
+    * precede every in-scope sample (a mid-stream start would make the
+    * raw twin re-seed and the states diverge). With grain-aligned
+    * startNs that reduces to "no matched non-empty rollup window starts
+    * before startNs" — one limit-1 probe over the cached frame. */
+  def supportsSmoothBy(p: QueryParams, rollupIntervalNs: Long,
+      rollup: DataFrame, s: SmoothSpec, windowNs: Long): Boolean =
+    supportsSmoothShape(p, rollupIntervalNs, rollup, s, windowNs) && {
+      var df = rollup.filter(col("metric") === p.metric)
+      p.tags.foreach { case (k, v) => df = df.filter(TagMatch.pred(k, v)) }
+      df.filter(col(s"${s.field}__cnt") > 0 &&
+        col("window_start") < p.startNs).isEmpty
+    }
+
+  /** Windowed smoothing ([[TsAnalytics.ewmaSmoothBy]] /
+    * [[TsAnalytics.holtSmoothBy]]'s output shape) served from stored
+    * fold states — |series|×windows rows, never raw points. The target
+    * window's state is the stored state of its LAST non-empty rollup
+    * window (the fold is a running prefix — sampling it at a coarser
+    * boundary IS the finer sample at that boundary), so any `windowNs`
+    * that is a multiple of the grain serves BIT-identically to the raw
+    * operator. Caller must have checked [[supportsSmoothBy]] (the
+    * range-start probe is not re-run here — it costs a job). */
+  def runSmoothBy(rollup: DataFrame, rollupIntervalNs: Long, p: QueryParams,
+      s: SmoothSpec, windowNs: Long): DataFrame = {
+    require(supportsSmoothShape(p, rollupIntervalNs, rollup, s, windowNs),
+      s"${s.kind.toUpperCase}(${s.field}) BY $windowNs not answerable " +
+        s"from a $rollupIntervalNs ns rollup")
+    val endNs = p.endNs.get
+    var df = rollup.filter(col("metric") === p.metric)
+    p.tags.foreach { case (k, v) => df = df.filter(TagMatch.pred(k, v)) }
+    df = df.filter(col("window_start").between(p.startNs, endNs))
+    if (rollup.columns.contains("date"))
+      df = df.filter(col("date").between(
+        TsdbEngine.dayStr(p.startNs), TsdbEngine.dayStr(endNs)))
+    df = df.filter(col(s"${s.field}__cnt") > 0)
+    val lastOrd = col(s"${s.field}__last_ord")
+    val grouped = df
+      .withColumn("target_window",
+        col("window_start") - pmod(col("window_start"), lit(windowNs)))
+      .groupBy(col("series_key"), col("target_window"))
+      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"),
+        sum(col(s"${s.field}__cnt")).as("n_points"),
+        max(lastOrd.getField("timestamp")).as("last_ts"),
+        max_by(col(s"${s.field}__last"), lastOrd).as("value"),
+        max_by(col(smoothStateCol(s)), lastOrd).as("__st"))
+    val base = grouped.select(col("metric"), col("tags"), col("series_key"),
+      col("target_window").as("window_start"), col("n_points"),
+      col("last_ts"), col("value"), col("__st"))
+    val out = s.kind match {
+      case "ewma" => base.withColumn("ewma", col("__st"))
+      case "holt" => base
+        .withColumn("level", col("__st").getField("level"))
+        .withColumn("trend", col("__st").getField("trend"))
+        .withColumn("forecast",
+          col("__st").getField("level") + col("__st").getField("trend"))
+    }
+    out.drop("__st").orderBy(col("series_key"), col("window_start"))
   }
 }

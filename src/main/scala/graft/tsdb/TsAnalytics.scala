@@ -719,6 +719,62 @@ object TsAnalytics {
         col("__q.trend") + col("__p.p10") * col("__sl") + col("__p.p11") * col("__st"))
   }
 
+  /** Windowed EWMA (`ANALYZE EWMA(f, α) BY <dur>`): the [[ewmaSmooth]]
+    * recurrence sampled at each tumbling epoch-aligned window's last
+    * numeric sample — the reference downsampler's per-window emission
+    * shape (`iterator/multi_field_downsampling_iterator.go:262-269`) for
+    * a smoothed series at dashboard granularity instead of every raw
+    * point. The windowing is a projection of the SAME fold, so the
+    * rollup route ([[Rollup.runSmoothBy]]) serves it bit-identically.
+    *
+    * Output: metric, tags, series_key, window_start, n_points, last_ts,
+    * value (last sample), ewma — ordered (series_key, window_start). */
+  def ewmaSmoothBy(points: DataFrame, p: QueryParams, alpha: Double,
+      windowNs: Long, field: String = "value",
+      tombstones: Seq[Tombstone] = Nil,
+      splitNs: Option[Long] = None): DataFrame = {
+    require(windowNs > 0, "EWMA BY window must be positive")
+    ewmaSmooth(points, p, alpha, field, tombstones, splitNs)
+      .withColumn("window_start",
+        col("timestamp") - pmod(col("timestamp"), lit(windowNs)))
+      .groupBy(col("series_key"), col("window_start"))
+      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"),
+        count(lit(1)).as("n_points"),
+        max(col("timestamp")).as("last_ts"),
+        max_by(col("value"), col("timestamp")).as("value"),
+        max_by(col("ewma"), col("timestamp")).as("ewma"))
+      .select(col("metric"), col("tags"), col("series_key"),
+        col("window_start"), col("n_points"), col("last_ts"),
+        col("value"), col("ewma"))
+      .orderBy(col("series_key"), col("window_start"))
+  }
+
+  /** Windowed Holt smoothing (`ANALYZE HOLT(f, α, β) BY <dur>`) — the
+    * 2-d sibling of [[ewmaSmoothBy]]: level/trend/one-step forecast at
+    * each window's last sample. Output: metric, tags, series_key,
+    * window_start, n_points, last_ts, value, level, trend, forecast. */
+  def holtSmoothBy(points: DataFrame, p: QueryParams, alpha: Double,
+      beta: Double, windowNs: Long, field: String = "value",
+      tombstones: Seq[Tombstone] = Nil,
+      splitNs: Option[Long] = None): DataFrame = {
+    require(windowNs > 0, "HOLT BY window must be positive")
+    holtSmooth(points, p, alpha, beta, field, tombstones, splitNs)
+      .withColumn("window_start",
+        col("timestamp") - pmod(col("timestamp"), lit(windowNs)))
+      .groupBy(col("series_key"), col("window_start"))
+      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"),
+        count(lit(1)).as("n_points"),
+        max(col("timestamp")).as("last_ts"),
+        max_by(col("value"), col("timestamp")).as("value"),
+        max_by(col("level"), col("timestamp")).as("level"),
+        max_by(col("trend"), col("timestamp")).as("trend"),
+        max_by(col("forecast"), col("timestamp")).as("forecast"))
+      .select(col("metric"), col("tags"), col("series_key"),
+        col("window_start"), col("n_points"), col("last_ts"),
+        col("value"), col("level"), col("trend"), col("forecast"))
+      .orderBy(col("series_key"), col("window_start"))
+  }
+
   /** Cross-metric Pearson correlation: align metric A and B per tag value
     * on tumbling buckets (per-bucket avg), then correlate the paired
     * bucket series. ONE scan reads both metrics (`metric IN (a, b)`) —

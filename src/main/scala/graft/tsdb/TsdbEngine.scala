@@ -426,9 +426,13 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       case AnalyzeEwma(f, a) =>
         TsAnalytics.ewmaSmooth(pts, params, a, field = f, tombstones = tombs,
           splitNs = splitNs)
+      case AnalyzeEwmaBy(f, a, w) =>
+        smoothByPath(pts, tombs, params, SmoothSpec(f, "ewma", a), w, splitNs)
       case AnalyzeHolt(f, a, b) =>
         TsAnalytics.holtSmooth(pts, params, a, b, field = f,
           tombstones = tombs, splitNs = splitNs)
+      case AnalyzeHoltBy(f, a, b, w) =>
+        smoothByPath(pts, tombs, params, SmoothSpec(f, "holt", a, b), w, splitNs)
       case AnalyzeTwa(f, iv) =>
         // rollup-routed when the frame stores the LOCF integral partial
         // (`__area`) and the TWA interval is a multiple of the grain
@@ -530,6 +534,35 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       lastServePath = "analyze-raw"
       TsAnalytics.windowedDelta(pts, params, w, field = f,
         tombstones = tombs, splitNs = splitNs)
+    }
+  }
+
+  /** EWMA/HOLT … BY: served from a registered rollup's stored fold
+    * states when the registration carries the EXACT same [[SmoothSpec]]
+    * (field, kind, α, β ride the registration — a different α is a
+    * different fold) and [[Rollup.supportsSmoothBy]] passes (aligned
+    * bounds + the range-start probe); the raw windowed fold otherwise.
+    * The routed read is BIT-identical ([[SmoothSpec]] contract). */
+  private def smoothByPath(pts: DataFrame, tombs: Seq[Tombstone],
+      params: QueryParams, s: SmoothSpec, w: Long,
+      splitNs: Option[Long]): DataFrame = {
+    val routed = Option(rollupSpecs.get(params.metric))
+      .filter(spec => spec.smooth.contains(s))
+      .map(spec => (spec, rollupView(params.metric, spec)))
+      .filter { case (spec, view) =>
+        Rollup.supportsSmoothBy(params, spec.intervalNs, view, s, w) }
+      .map { case (spec, view) =>
+        lastServePath = s"rollup-${s.kind}"
+        Rollup.runSmoothBy(view, spec.intervalNs, params, s, w)
+      }
+    routed.getOrElse {
+      lastServePath = "analyze-raw"
+      if (s.kind == "ewma")
+        TsAnalytics.ewmaSmoothBy(pts, params, s.alpha, w, field = s.field,
+          tombstones = tombs, splitNs = splitNs)
+      else
+        TsAnalytics.holtSmoothBy(pts, params, s.alpha, s.beta, w,
+          field = s.field, tombstones = tombs, splitNs = splitNs)
     }
   }
 
@@ -724,10 +757,16 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
             (rows, false, sch)
           case None =>
             val df = analyze(p, spec, splitNs)
+            // keep rollup-route telemetry visible through the wire path
+            // (a clobbered "analyze-spark" hid whether the plan was the
+            // raw scan or the partial route)
+            val inner = lastServePath
             val budget = servingRowBudget
             val probe = df.limit(
               math.min(budget + 1, Int.MaxValue.toLong).toInt).collect()
-            lastServePath = "analyze-spark"
+            lastServePath =
+              if (inner != null && inner.startsWith("rollup-")) inner
+              else "analyze-spark"
             if (probe.length > budget) (probe.take(budget.toInt), true, df.schema)
             else {
               if (cacheable) resultCache.putByKey(key, epoch, probe, df.schema)
@@ -1137,9 +1176,14 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * [[Rollup]]. Spec-asserted identical to the raw path (percentiles:
     * within digest error; exact on singleton-centroid windows). */
   def registerRollup(metric: String, intervalNs: Long, fields: Seq[String],
-      withDigests: Boolean = false): Unit = synchronized {
+      withDigests: Boolean = false,
+      smooth: Seq[SmoothSpec] = Nil): Unit = synchronized {
     require(intervalNs > 0, "rollup interval must be > 0")
-    val spec = RollupReg(intervalNs, fields, withDigests)
+    require(smooth.forall(s => fields.contains(s.field)),
+      "smoothing fields must be among the rollup's fields")
+    require(smooth.map(s => (s.field, s.kind)).distinct.size == smooth.size,
+      "one smoothing spec per (field, kind)")
+    val spec = RollupReg(intervalNs, fields, withDigests, smooth)
     val prev = rollupSpecs.put(metric, spec)
     if (prev != null && prev != spec) {
       val old = rollupCache.remove(metric)
@@ -1155,11 +1199,12 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     deleteDir(rollupMetricDir(metric))
   }
 
-  /** Registered rollups as (metric, interval ns, fields, digests),
-    * metric-sorted. */
-  def rollups: Seq[(String, Long, Seq[String], Boolean)] = {
-    val out = Seq.newBuilder[(String, Long, Seq[String], Boolean)]
-    rollupSpecs.forEach((m, v) => out += ((m, v.intervalNs, v.fields, v.digests)))
+  /** Registered rollups as (metric, interval ns, fields, digests,
+    * smoothing specs), metric-sorted. */
+  def rollups: Seq[(String, Long, Seq[String], Boolean, Seq[SmoothSpec])] = {
+    val out = Seq.newBuilder[(String, Long, Seq[String], Boolean, Seq[SmoothSpec])]
+    rollupSpecs.forEach((m, v) =>
+      out += ((m, v.intervalNs, v.fields, v.digests, v.smooth)))
     out.result().sortBy(_._1)
   }
 
@@ -1215,7 +1260,8 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     Files.createDirectories(dirM)
     val tmp = dirM.resolve(s".marker-${java.util.UUID.randomUUID()}.tmp")
     Files.writeString(tmp, org.json4s.jackson.Serialization.write(
-      RollupMarker(version, spec.intervalNs, spec.fields, spec.digests)))
+      RollupMarker(version, spec.intervalNs, spec.fields, spec.digests,
+        spec.smooth)))
     Files.move(tmp, dirM.resolve("_built.json"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
@@ -1295,12 +1341,22 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     val dirM = rollupMetricDir(metric)
     val cur = snap
     val marker = readRollupMarker(dirM)
-    val canIncrement = marker.exists(m =>
+    val markerMatches = marker.exists(m =>
       m.intervalNs == spec.intervalNs && m.fields == spec.fields &&
-        m.digests == spec.digests && m.version <= cur.version &&
-        DayNs % spec.intervalNs == 0)
+        m.digests == spec.digests && m.smooth == spec.smooth &&
+        m.version <= cur.version)
+    // Smoothing rollups NEVER increment: their stored states are prefix
+    // folds — an edit anywhere invalidates every later window of the
+    // touched series, so partition-local maintenance cannot hold
+    // ([[SmoothSpec]]); any commit triggers a full per-metric rebuild
+    // (a marker already at the current version still short-circuits).
+    val canIncrement = markerMatches && spec.smooth.isEmpty &&
+      DayNs % spec.intervalNs == 0
     val touched: Option[Set[String]] =
-      if (canIncrement) rollupTouchedDates(metric, marker.get.version) else None
+      if (canIncrement) rollupTouchedDates(metric, marker.get.version)
+      else if (markerMatches && marker.get.version == cur.version)
+        Some(Set.empty[String]) // on-disk materialization is current
+      else None
     touched match {
       case Some(ds) if ds.isEmpty => () // nothing changed for this metric
       case Some(ds) => writeRollupPartitions(dirM, metric, spec, Some(ds))
@@ -1326,7 +1382,8 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   private def writeRollupPartitions(dirM: Path, metric: String, spec: RollupReg,
       replaceDates: Option[Set[String]]): Unit = {
     val merged = metricMergedView(metric, replaceDates)
-    val rolled = Rollup.build(merged, spec.intervalNs, spec.fields, spec.digests)
+    val rolled = Rollup.build(merged, spec.intervalNs, spec.fields,
+      spec.digests, spec.smooth)
       .withColumn("date", dateOfTs(col("window_start")))
     val stamp = java.util.UUID.randomUUID().toString.take(12)
     val staging = Paths.get(s"$rootDir/_staging/rollup-$stamp")
@@ -1362,7 +1419,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     if (!hasDates)
       // schema-correct empty frame (metric with no data yet)
       Rollup.build(QueryEngine.mergedView(emptyPoints(spark), Nil),
-          spec.intervalNs, spec.fields, spec.digests)
+          spec.intervalNs, spec.fields, spec.digests, spec.smooth)
         .withColumn("date", dateOfTs(col("window_start")))
     else spark.read.option("basePath", dirM.toString).parquet(dirM.toString)
   }
@@ -2069,15 +2126,19 @@ object TsdbEngine {
     * plus gzip, all codec jars shipped with Spark. */
   val Codecs: Set[String] = Set("uncompressed", "snappy", "lz4", "zstd", "gzip")
 
-  /** A registered rollup: interval, covered fields, and whether per-window
-    * t-digest sketches are stored (percentile eligibility). */
+  /** A registered rollup: interval, covered fields, whether per-window
+    * t-digest sketches are stored (percentile eligibility), and the
+    * smoothing recurrences whose exact fold states are materialized
+    * ([[SmoothSpec]]; EWMA/HOLT … BY eligibility). */
   final case class RollupReg(intervalNs: Long, fields: Seq[String],
-      digests: Boolean)
+      digests: Boolean, smooth: Seq[SmoothSpec] = Nil)
   /** `_built.json` marker of an on-disk rollup materialization: the log
     * version it reflects plus the spec it was built with — top-level (not
-    * engine-inner) so json4s can round-trip it. */
+    * engine-inner) so json4s can round-trip it. `smooth` defaults Nil so
+    * pre-round-10 markers still read. */
   final case class RollupMarker(version: Long, intervalNs: Long,
-      fields: Seq[String], digests: Boolean)
+      fields: Seq[String], digests: Boolean,
+      smooth: Seq[SmoothSpec] = Nil)
 
   /** Parquet row shapes (Options encode the FieldValue union). */
   final case class StoredValue(d: Option[Double], l: Option[Long],

@@ -97,6 +97,16 @@ class NbqlParserSpec extends SparkSpec {
       .asInstanceOf[QueryStatement].analyze.contains(AnalyzeEwma("v", 0.25)))
     assert(p("QUERY cpu ANALYZE HOLT(v, 0.5, 0.25)")
       .asInstanceOf[QueryStatement].analyze.contains(AnalyzeHolt("v", 0.5, 0.25)))
+    assert(p("QUERY cpu ANALYZE EWMA(v, 0.25) BY 1h")
+      .asInstanceOf[QueryStatement].analyze
+      .contains(graft.tsdb.AnalyzeEwmaBy("v", 0.25, 3600L * 1000000000L)))
+    assert(p("QUERY cpu ANALYZE HOLT(v, 0.5, 0.25) BY 1d")
+      .asInstanceOf[QueryStatement].analyze
+      .contains(graft.tsdb.AnalyzeHoltBy("v", 0.5, 0.25, 86400L * 1000000000L)))
+    assert(p("""CREATE ROLLUP cpu BY 1m (value) SMOOTH EWMA(value, 0.25), HOLT(value, 0.5, 0.25)""") ==
+      CreateRollupStatement("cpu", 60L * 1000000000L, Seq("value"), false,
+        Seq(graft.tsdb.SmoothSpec("value", "ewma", 0.25),
+          graft.tsdb.SmoothSpec("value", "holt", 0.5, 0.25))))
     assert(p("QUERY cpu ANALYZE TWA(v) BY 1h")
       .asInstanceOf[QueryStatement].analyze
       .contains(AnalyzeTwa("v", 3600L * 1000000000L)))
@@ -851,6 +861,33 @@ class NbqlExecutorSpec extends SparkSpec {
         assert(r.df.collect().nonEmpty)
         assert(eng.lastServePath == "local-rollup", eng.lastServePath)
       })
+      // SMOOTH stores exact fold states → ANALYZE EWMA BY rollup-routes
+      // bit-identically to the raw windowed fold (wire path end-to-end).
+      // The raw twin runs FIRST (before registration, so its entry lands
+      // in the result cache under this shape); the routed run uses a
+      // TAGGED twin — a distinct cache key — so it exercises the route.
+      val eq = """QUERY cpu.usage FROM 0 TO 11999 ANALYZE EWMA(value, 0.25) BY 4us"""
+      val eqT = """QUERY cpu.usage TAGGED (host="h1") FROM 0 TO 11999
+                   ANALYZE EWMA(value, 0.25) BY 4us"""
+      val rawE = rows(ex, eq).map(_.toString)
+      assert(eng.lastServePath == "analyze-spark", eng.lastServePath)
+      assert(ex.execute(
+        "CREATE ROLLUP cpu.usage BY 1us (value) SMOOTH EWMA(value, 0.25)").isRight)
+      assert(rows(ex, "SHOW ROLLUPS").map(r => r.getAs[String]("smooth")) ==
+        Seq("ewma(value,0.25)"))
+      val routedT = rows(ex, eqT).map(_.toString)
+      assert(eng.lastServePath == "rollup-ewma", eng.lastServePath)
+      // routed TAGGED rows ⊂ raw rows (h1's windows), bit-identical
+      assert(routedT.nonEmpty && routedT.forall(rawE.contains),
+        s"routed $routedT vs raw $rawE")
+      // an unregistered alpha keeps the raw path
+      rows(ex, """QUERY cpu.usage FROM 0 TO 11999 ANALYZE EWMA(value, 0.5) BY 4us""")
+      assert(eng.lastServePath == "analyze-spark", eng.lastServePath)
+      // SMOOTH validation errors are clean
+      assert(ex.execute(
+        "CREATE ROLLUP cpu.usage BY 1us (value) SMOOTH EWMA(other, 0.25)").isLeft)
+      assert(ex.execute(
+        "CREATE ROLLUP cpu.usage BY 1us (value) SMOOTH EWMA(value, 1.5)").isLeft)
     }
   }
 

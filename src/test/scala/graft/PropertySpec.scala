@@ -450,6 +450,35 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("EWMA/HOLT BY tiers agree: raw windowed fold == rollup-served states (bit-identical)") {
+    // the stored smoothing state IS the raw sequential fold sampled at
+    // window ends (not a transit-matrix composition — that would be
+    // ulp-level), so the routed read must match bit-for-bit at any
+    // rollup width and any multiple target window, on random inputs
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(genPoint),
+      Gen.oneOf(1L, 2L, 4L, 8L), Gen.oneOf(1L, 2L, 4L)) {
+      (rawPts: List[MPoint], width: Long, mult: Long) =>
+      val pts = rawPts.zipWithIndex.map { case (p, i) => p.copy(seq = i.toLong) }
+      val df = toDf(pts)
+      val q = QueryParams("m1", startNs = 0L, endNs = Some(15L))
+      val sE = SmoothSpec("v", "ewma", 0.25)
+      val sH = SmoothSpec("v", "holt", 0.25, 0.5)
+      val rollup = Rollup.build(QueryEngine.mergedView(df, Nil), width,
+        Seq("v"), smooth = Seq(sE, sH))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[String]("series_key"), r.getAs[Long]("window_start"))
+      val rawE = TsAnalytics.ewmaSmoothBy(df, q, 0.25, width * mult, field = "v")
+        .collect().map(r => key(r) -> r.toSeq).toMap
+      val routedE = Rollup.runSmoothBy(rollup, width, q, sE, width * mult)
+        .collect().map(r => key(r) -> r.toSeq).toMap
+      val rawH = TsAnalytics.holtSmoothBy(df, q, 0.25, 0.5, width * mult, field = "v")
+        .collect().map(r => key(r) -> r.toSeq).toMap
+      val routedH = Rollup.runSmoothBy(rollup, width, q, sH, width * mult)
+        .collect().map(r => key(r) -> r.toSeq).toMap
+      rawE == routedE && rawH == routedH
+    })
+  }
+
   test("RESETS/CHANGES tiers agree: raw == rollup route == driver fold == model") {
     // transition counts are LONGS — no FP re-association anywhere, so
     // all three tiers must agree bit-for-bit at any rollup width, and

@@ -466,6 +466,66 @@ class RollupSpec extends SparkSpec {
         eng.analyze(qLim, spec).collect().map(_.toSeq).toSeq)
   }
 
+  test("engine: ANALYZE EWMA/HOLT BY route through a smoothing rollup bit-identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_smooth").toString
+    val eng = new TsdbEngine(spark, dir)
+    // irregular cadence + a NaN (not a sample) + two series
+    val points = (0 until 90).map { i =>
+      graft.model.DataPoint("reqs", Map("host" -> s"h${i % 2}"),
+        i * Min + (i % 3) * (Min / 5),
+        Map("value" -> graft.model.FieldValue.ofDouble(
+          if (i == 40) Double.NaN else math.sin(i * 0.7) * 10 + i)))
+    }
+    assert(eng.putBatch(points).isRight)
+    val q = QueryParams("reqs", startNs = 0L, endNs = Some(8 * Hr - 1))
+    val ewmaBy = AnalyzeEwmaBy("value", 0.25, 10 * Min)
+    val holtBy = AnalyzeHoltBy("value", 0.25, 0.125, 10 * Min)
+    val rawE = eng.analyze(q, ewmaBy).collect()
+    assert(eng.lastServePath == "analyze-raw")
+    val rawH = eng.analyze(q, holtBy).collect()
+    // windowed raw == per-point raw sampled at each window's last point
+    val perPoint = eng.analyze(q, AnalyzeEwma("value", 0.25)).collect()
+      .map(r => (r.getString(2), r.getLong(3)) -> r.getDouble(5)).toMap
+    rawE.foreach { r =>
+      assert(perPoint((r.getString(2), r.getLong(5))) == r.getDouble(7),
+        "windowed EWMA must sample the per-point fold")
+    }
+    eng.registerRollup("reqs", 5 * Min, Seq("value"),
+      smooth = Seq(SmoothSpec("value", "ewma", 0.25),
+        SmoothSpec("value", "holt", 0.25, 0.125)))
+    val routedE = eng.analyze(q, ewmaBy).collect()
+    assert(eng.lastServePath == "rollup-ewma", eng.lastServePath)
+    assert(routedE.map(_.toSeq).toSeq == rawE.map(_.toSeq).toSeq,
+      "rollup-served EWMA BY must be bit-identical to the raw fold")
+    val routedH = eng.analyze(q, holtBy).collect()
+    assert(eng.lastServePath == "rollup-holt", eng.lastServePath)
+    assert(routedH.map(_.toSeq).toSeq == rawH.map(_.toSeq).toSeq,
+      "rollup-served HOLT BY must be bit-identical to the raw fold")
+    // a different alpha is a different fold — raw path
+    eng.analyze(q, AnalyzeEwmaBy("value", 0.5, 10 * Min)).collect()
+    assert(eng.lastServePath == "analyze-raw")
+    // mid-range start would re-seed the raw fold — the range-start probe
+    // must refuse the stored prefix states
+    val qMid = q.copy(startNs = 1 * Hr)
+    val rawMid = eng.analyze(qMid, ewmaBy).collect()
+    assert(eng.lastServePath == "analyze-raw")
+    assert(rawMid.nonEmpty)
+    // commit AFTER registration: the smoothing rollup full-rebuilds and
+    // still serves the fresh fold bit-identically
+    val more = (90 until 120).map { i =>
+      graft.model.DataPoint("reqs", Map("host" -> s"h${i % 2}"), i * Min,
+        Map("value" -> graft.model.FieldValue.ofDouble(i * 1.5)))
+    }
+    assert(eng.putBatch(more).isRight)
+    val q2 = QueryParams("reqs", startNs = 0L, endNs = Some(8 * Hr - 1))
+    val raw2 = TsAnalytics.ewmaSmoothBy(
+      eng.loadPoints().get, q2, 0.25, 10 * Min).collect()
+    val routed2 = eng.analyze(q2, ewmaBy).collect()
+    assert(eng.lastServePath == "rollup-ewma")
+    assert(routed2.map(_.toSeq).toSeq == raw2.map(_.toSeq).toSeq,
+      "post-commit full rebuild must serve the fresh fold")
+  }
+
   test("runIrate: zero-dt trailing pair emits null rate (raw-operator guard parity)") {
     // The merged view dedups same-timestamp versions per series, so a
     // zero-dt pair can't reach runIrate through the engine — but the
