@@ -1604,4 +1604,14 @@ object Queries {
     nbqlRows(s, dir, s"QUERY purchase FROM 0 TO $FarFuture ANALYZE RESETS(value)")
       .select(userCol, col("n_points"), col("resets"))
       .orderBy("user")
+
+  /** `ts_cardinality` through the NBQL wire surface (`SHOW CARDINALITY
+    * BY 1d`, the EXACT path — deterministic, unlike the sketch
+    * ESTIMATE): parse -> validate -> engine merged-storage count — same
+    * oracle verbatim as the API-path entry. */
+  def nbqlCardinality(s: SparkSession, dir: String): DataFrame =
+    nbqlRows(s, dir, "SHOW CARDINALITY BY 1d")
+      .select(col("metric"), col("window_start"), col("n_series"),
+        col("n_points"))
+      .orderBy("metric", "window_start")
 }

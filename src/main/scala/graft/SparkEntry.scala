@@ -126,6 +126,7 @@ object SparkEntry {
     "tsdb_rollup_holt" -> (Queries.tsdbRollupHolt _),
     "ts_correlate" -> (Queries.tsCorrelate _),
     "ts_cardinality" -> (Queries.tsCardinality _),
+    "nbql_cardinality" -> (Queries.nbqlCardinality _),
     "ts_ratio" -> (Queries.tsRatio _),
     "ts_topk_series" -> (Queries.tsTopkSeries _),
     "tsdb_groupby_tag" -> (Queries.tsdbGroupByTag _),
@@ -1391,7 +1392,14 @@ object SparkEntry {
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events WHERE event_type = 'view' AND value > 50
         |GROUP BY 1, 2 ORDER BY 2, 1""".stripMargin,
+    // nbql_cardinality: the same exact count through the wire path
+    // (SHOW CARDINALITY BY 1d) — shared oracle
     "ts_cardinality" ->
+      """SELECT event_type AS metric,
+        |  epoch_ns(ts) - (epoch_ns(ts) % 86400000000000) AS window_start,
+        |  count(DISTINCT user_id) AS n_series, count(*) AS n_points
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "nbql_cardinality" ->
       """SELECT event_type AS metric,
         |  epoch_ns(ts) - (epoch_ns(ts) % 86400000000000) AS window_start,
         |  count(DISTINCT user_id) AS n_series, count(*) AS n_points

@@ -772,6 +772,74 @@ class StreamingSpec extends SparkSpec {
       s"batch $want vs streaming ${rows.last}")
   }
 
+  test("streaming windowed analytics: closed+expired windows match batch DELTA/RESETS/TWA BY") {
+    implicit val sqlCtx = spark.sqlContext
+    val S = 1000L
+    val W = 4L * S * 1000000L // 4 s windows in ns
+    // a: rises, resets, repeats across 4 windows (one left empty);
+    // b: a single 2-point window. Integer values + integer ns gaps keep
+    // every TWA sum exact, so even the FP verb compares bit-for-bit.
+    val aFeed = Seq(1L -> 2.0, 2L -> 5.0, 3L -> 5.0, 5L -> 9.0, 6L -> 3.0,
+      7L -> 4.0, 13L -> 8.0, 14L -> 11.0)
+      .map { case (sec, v) => ("a", sec * S, v) }
+    val bFeed = Seq(("b", 2 * S, 6.0), ("b", 3 * S, 2.0))
+    val mem = MemoryStream[(String, Long, Double)]
+    val pts = mem.toDF().toDF("k", "ms", "v")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = StreamingWindowed.windowedAnalytics(pts, "k", "ts", "v", W)
+    val q = out.writeStream.format("memory").queryName("winstream")
+      .outputMode("append").start()
+    try {
+      mem.addData(aFeed.take(5) ++ bFeed: _*)
+      q.processAllAvailable()
+      mem.addData(aFeed.drop(5): _*)
+      q.processAllAvailable()
+      // advance the watermark far past idleExpiry (1 h): every live
+      // state expires and the FINAL open windows flush
+      mem.addData(("zzz", 10L * 3600 * S, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("winstream")
+      .filter(col("series_key") =!= "zzz")
+      .select(col("series_key"), col("window_start"), col("n_points"),
+        col("delta"), col("increase"), col("resets"), col("changes"),
+        col("twa"))
+      .as[(String, Long, Long, Double, Double, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7, r._8)))
+      .toMap
+    // batch over the identical prefix
+    val batchPts = (aFeed ++ bFeed).map { case (k, ms, v) =>
+      TP("m", Map("h" -> k), ms * 1000000L, Map("value" -> FV.dv(v)), ms) }
+    val p = QueryParams("m", startNs = 0L, endNs = Some(Long.MaxValue / 2))
+    val wd = TsAnalytics.windowedDelta(batchPts.toDF(), p, W)
+      .select(col("tags")("h"), col("window_start"), col("n_points"),
+        col("delta"), col("increase"))
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val wt = TsAnalytics.windowedTransitions(batchPts.toDF(), p, W)
+      .select(col("tags")("h"), col("window_start"), col("resets"),
+        col("changes"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val twa = TsAnalytics.timeWeightedAvg(batchPts.toDF(),
+        p.copy(downsampleNs = Some(W)))
+      .select(col("tags")("h"), col("window_start"), col("twa"))
+      .as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet == wd.keySet, s"windows: ${got.keySet} vs ${wd.keySet}")
+    got.foreach { case (k, (n, d, inc, rs, ch, tw)) =>
+      assert(wd(k) == ((n, d, inc)), s"$k delta: got ($n,$d,$inc), want ${wd(k)}")
+      assert(wt(k) == ((rs, ch)), s"$k transitions: got ($rs,$ch), want ${wt(k)}")
+      assert(twa(k) == tw, s"$k twa: got $tw, want ${twa(k)}")
+    }
+    // spot-pin the continuous-counter boundary: a's 5.0→9.0 pair crosses
+    // into window 4s — its increase (4) lands THERE, plus the in-window
+    // reset 9→3 (counts 3, reset-aware) and 3→4 (1): increase = 8
+    assert(got(("a", 4L * S * 1000000L))._3 == 8.0)
+    // the reset (9→3) sits in window 4s: resets=1
+    assert(got(("a", 4L * S * 1000000L))._4 == 1L)
+  }
+
   test("streaming trend: running least squares matches batch predictLinear") {
     implicit val sqlCtx = spark.sqlContext
     val S = 1000L
