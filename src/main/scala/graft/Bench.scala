@@ -354,6 +354,94 @@ object Bench {
       passes3("qps_ewma_by_rollup", 10)(i =>
         { engine.analyze(dlq(i), ewmaBySpec).count(); () })
 
+      // ------------------------------------------------------------------
+      // CONCURRENT-CLIENT serving over the real framed-TCP wire (round-10;
+      // the reference protocol is 10 concurrent queriers / 10 concurrent
+      // writers — `cmd/query-perf-client/main.go:50-54`,
+      // `cmd/perf-client/main.go:52-56`). The single-threaded loops above
+      // can't see contention on the result cache, hook manager, or driver
+      // tiers; these keys can. Each thread drives its OWN NbqlClient
+      // (sockets aren't shared), every query distinct (result-cache
+      // miss), in-span like q(i).
+      // ------------------------------------------------------------------
+      val srv = new graft.server.GraftTcpServer(
+        new graft.nbql.NbqlExecutor(engine))
+      srv.start()
+      try {
+        val nThreads = 10
+        val nextIdx = new java.util.concurrent.atomic.AtomicInteger(0)
+        def qText(): String = {
+          val idx = nextIdx.getAndIncrement()
+          val h = (idx % 600).toLong
+          val jit = (idx / 600).toLong * 1000L
+          val st = 1704067200000000000L + h * 3600000000000L + jit
+          val en = 1704067200000000000L + (h + 24) * 3600000000000L + jit
+          val u = idx % 100
+          s"""QUERY purchase TAGGED (user="$u") FROM $st TO $en"""
+        }
+        val clients = (0 until nThreads).map(_ =>
+          graft.client.NbqlClient.connect("127.0.0.1", srv.boundPort))
+        def drive(perThread: Int): Double = {
+          val t0 = System.nanoTime()
+          val threads = clients.map { c =>
+            val t = new Thread(() => {
+              var j = 0
+              while (j < perThread) { c.query(qText()); j += 1 }
+            })
+            t.start(); t
+          }
+          threads.foreach(_.join())
+          (nThreads * perThread) / ((System.nanoTime() - t0) / 1e9)
+        }
+        drive(40); drive(40) // warm the wire codec + server pool, untimed
+        val c10 = (0 until 3).map(_ => drive(30))
+        servingRuns("qps_cold_c10") = c10
+        servingMedians("qps_cold_c10") = c10.sorted.apply(1)
+        clients.foreach(_.close())
+      } finally srv.stop()
+
+      // concurrent wire INGEST: 10 writers x framed PUSHS batches into a
+      // fresh engine per pass (each batch is one storage commit — commit
+      // serialization under concurrency is exactly what's measured)
+      val ingRuns = (0 until 3).map { pass =>
+        val ing = new graft.tsdb.TsdbEngine(spark, s"$tmp/db_c10_$pass")
+        val srvI = new graft.server.GraftTcpServer(
+          new graft.nbql.NbqlExecutor(ing))
+        srvI.start()
+        try {
+          val nThreads = 10
+          val batches = 4
+          val batchSz = 500
+          val writers = (0 until nThreads).map(tid =>
+            graft.client.NbqlClient.connect("127.0.0.1", srvI.boundPort))
+          val t0 = System.nanoTime()
+          val threads = writers.zipWithIndex.map { case (c, tid) =>
+            val t = new Thread(() => {
+              var b = 0
+              while (b < batches) {
+                val base = tid * 1000000 + b * batchSz
+                c.pushBulk((0 until batchSz).map { j =>
+                  val i = base + j
+                  ("purchase", Map("user" -> s"${i % 100}"),
+                    1704067200000000000L + i.toLong * 1000000L,
+                    Map("value" -> graft.model.FieldValue.ofDouble(
+                      (i % 997).toDouble)))
+                })
+                b += 1
+              }
+            })
+            t.start(); t
+          }
+          threads.foreach(_.join())
+          val rps = (nThreads * batches * batchSz) /
+            ((System.nanoTime() - t0) / 1e9)
+          writers.foreach(_.close())
+          rps
+        } finally srvI.stop()
+      }
+      servingRuns("ingest_rows_per_sec_c10") = ingRuns
+      servingMedians("ingest_rows_per_sec_c10") = ingRuns.sorted.apply(1)
+
       ()
     } catch { case e: Throwable =>
       errors.getOrElseUpdate("serving_tier", esc(e))
@@ -471,6 +559,8 @@ object Bench {
       s""""qps_resets_by_local":${sm("qps_resets_by_local")},""" +
       s""""qps_ewma_by_raw":${sm("qps_ewma_by_raw")},""" +
       s""""qps_ewma_by_rollup":${sm("qps_ewma_by_rollup")},""" +
+      s""""qps_cold_c10":${sm("qps_cold_c10")},""" +
+      s""""ingest_rows_per_sec_c10":${sm("ingest_rows_per_sec_c10")},""" +
       s""""serving_runs":$servingRunsJson,""" +
       s""""n_errors":${errors.size},"errors":$errJson,""" +
       s""""n_queries":${results.size},"sf":"$sfDir"}"""

@@ -475,6 +475,66 @@ class ServerSpec extends SparkSpec {
     }
   }
 
+  test("client: 10 concurrent readers + concurrent writers get correct results") {
+    // the Bench c10 protocol's correctness side: 10 reader threads (own
+    // client each) hammer a static metric while 10 writer threads commit
+    // to ANOTHER metric — every read must return exactly the static
+    // rows (no torn results, no cross-talk from concurrent commits)
+    withClientServer() { port =>
+      val seed = NbqlClient.connect("127.0.0.1", port)
+      try {
+        seed.pushBulk((0 until 200).map { i =>
+          ("static", Map("u" -> s"${i % 10}"), 1000L + i * 10L,
+            Map("v" -> FieldValue.ofDouble(i.toDouble)))
+        })
+      } finally seed.close()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val readers = (0 until 10).map { tid =>
+        new Thread(() => {
+          val c = NbqlClient.connect("127.0.0.1", port)
+          try {
+            var j = 0
+            while (j < 20) {
+              val u = (tid + j) % 10
+              val r = c.query(s"""QUERY static TAGGED (u="$u") FROM 0 TO 99999""")
+              if (r.rows.size != 20)
+                errs.add(s"reader $tid/$j: u=$u got ${r.rows.size} rows")
+              else if (!r.rows.forall(p => p.tags == Map("u" -> s"$u")))
+                errs.add(s"reader $tid/$j: cross-talk rows for u=$u")
+              j += 1
+            }
+          } catch { case e: Throwable => errs.add(s"reader $tid: $e") }
+          finally c.close()
+        })
+      }
+      val writers = (0 until 10).map { tid =>
+        new Thread(() => {
+          val c = NbqlClient.connect("127.0.0.1", port)
+          try {
+            var b = 0
+            while (b < 3) {
+              c.pushBulk((0 until 50).map { j =>
+                ("churn", Map("w" -> s"$tid"), 500000L + (tid * 1000 + b * 50 + j) * 10L,
+                  Map("v" -> FieldValue.ofDouble(j.toDouble)))
+              })
+              b += 1
+            }
+          } catch { case e: Throwable => errs.add(s"writer $tid: $e") }
+          finally c.close()
+        })
+      }
+      (readers ++ writers).foreach(_.start())
+      (readers ++ writers).foreach(_.join())
+      assert(errs.isEmpty, errs.toArray.mkString("; "))
+      // every concurrent commit landed exactly once
+      val check = NbqlClient.connect("127.0.0.1", port)
+      try {
+        val r = check.query("QUERY churn FROM 0 TO 99999999")
+        assert(r.rows.size == 10 * 3 * 50, s"churn rows: ${r.rows.size}")
+      } finally check.close()
+    }
+  }
+
   test("client: AFTER-cursor pagination walks every page in order") {
     withClientServer() { port =>
       val c = NbqlClient.connect("127.0.0.1", port)
