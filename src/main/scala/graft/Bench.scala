@@ -353,6 +353,13 @@ object Bench {
       engine.analyze(dlq(0), ewmaBySpec).count() // materialize the view
       passes3("qps_ewma_by_rollup", 10)(i =>
         { engine.analyze(dlq(i), ewmaBySpec).count(); () })
+      // driver-resident EWMA BY tier: pure-Scala pick of stored fold
+      // states, no Spark job — distinct TAGGED filters defeat the
+      // result cache so each call pays the full local fold
+      engine.analyzeCached(dlq(1), ewmaBySpec) // make partials resident
+      passes3("qps_ewma_local", 300)(i =>
+        { engine.analyzeCached(dlq(1).copy(tags = Map("user" -> s"u$i")),
+            ewmaBySpec); () })
 
       // ------------------------------------------------------------------
       // CONCURRENT-CLIENT serving over the real framed-TCP wire (round-10;
@@ -559,6 +566,7 @@ object Bench {
       s""""qps_resets_by_local":${sm("qps_resets_by_local")},""" +
       s""""qps_ewma_by_raw":${sm("qps_ewma_by_raw")},""" +
       s""""qps_ewma_by_rollup":${sm("qps_ewma_by_rollup")},""" +
+      s""""qps_ewma_local":${sm("qps_ewma_local")},""" +
       s""""qps_cold_c10":${sm("qps_cold_c10")},""" +
       s""""ingest_rows_per_sec_c10":${sm("ingest_rows_per_sec_c10")},""" +
       s""""serving_runs":$servingRunsJson,""" +

@@ -745,6 +745,80 @@ object LocalRollup {
     p.limit.fold(out)(n => out.take(n.toInt))
   }
 
+  /** Output schema of [[runSmoothBy]] — matches [[Rollup.runSmoothBy]]. */
+  def outputSchemaSmooth(kind: String): StructType = {
+    val base = Seq(
+      StructField("metric", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("series_key", StringType),
+      StructField("window_start", LongType),
+      StructField("n_points", LongType),
+      StructField("last_ts", LongType),
+      StructField("value", DoubleType))
+    StructType(base ++ (kind match {
+      case "ewma" => Seq(StructField("ewma", DoubleType))
+      case _ => Seq(StructField("level", DoubleType),
+        StructField("trend", DoubleType), StructField("forecast", DoubleType))
+    }))
+  }
+
+  private final class SmoothByState(val metric: String, val tags: Any) {
+    var n = 0L; var lastTs = 0L; var value = 0.0; var state: Any = null
+  }
+
+  /** Driver-resident EWMA/HOLT … BY ([[Rollup.runSmoothBy]]'s output
+    * shape) folded from resident partial rows in pure Scala — no Spark
+    * job. The stored fold state of a target window's LAST non-empty
+    * rollup window IS the raw analytic's value at that sample
+    * ([[SmoothSpec]] contract), so the fold only picks states — rows
+    * arrive sorted by window_start (the resident tier's invariant), so
+    * the last matched row per (series, target) wins. The CALLER must
+    * have verified the range-start condition (no matched non-empty
+    * window before startNs) — the prefix sits outside this slice. */
+  def runSmoothBy(rows: Array[Row], schema: StructType, p: QueryParams,
+      s: SmoothSpec, windowNs: Long): Array[Row] = {
+    val endNs = p.endNs.get
+    val iWs = schema.fieldIndex("window_start")
+    val iSk = schema.fieldIndex("series_key")
+    val iMetric = schema.fieldIndex("metric")
+    val iTags = schema.fieldIndex("tags")
+    val iCnt = schema.fieldIndex(s"${s.field}__cnt")
+    val iLo = schema.fieldIndex(s"${s.field}__last_ord")
+    val iLv = schema.fieldIndex(s"${s.field}__last")
+    val iSt = schema.fieldIndex(Rollup.smoothStateCol(s))
+    val groups =
+      scala.collection.mutable.LinkedHashMap.empty[(String, Long), SmoothByState]
+    rows.foreach { r =>
+      val ws = r.getLong(iWs)
+      if (ws >= p.startNs && ws <= endNs && r.getString(iMetric) == p.metric &&
+          r.getLong(iCnt) > 0 && tagsMatch(r, iTags, p)) {
+        val target = ws - java.lang.Math.floorMod(ws, windowNs)
+        val st = groups.getOrElseUpdate((r.getString(iSk), target),
+          new SmoothByState(r.getString(iMetric), r.get(iTags)))
+        st.n += r.getLong(iCnt)
+        st.lastTs = ordOf(r, iLo)._1
+        st.value = r.getDouble(iLv)
+        st.state = r.get(iSt)
+      }
+    }
+    val out = groups.iterator
+      .toArray
+      .sortBy { case ((sk, w), _) => (sk, w) }(
+        Ordering.Tuple2(Utf8Order, Ordering.Long))
+      .map { case ((sk, w), st) =>
+        if (s.kind == "ewma")
+          Row(st.metric, st.tags, sk, w, st.n, st.lastTs, st.value,
+            st.state.asInstanceOf[Double])
+        else {
+          val h = st.state.asInstanceOf[Row]
+          val (lvl, trd) = (h.getDouble(0), h.getDouble(1))
+          Row(st.metric, st.tags, sk, w, st.n, st.lastTs, st.value,
+            lvl, trd, lvl + trd)
+        }
+      }
+    p.limit.fold(out)(n => out.take(n.toInt))
+  }
+
   /** Output schema of [[runTwa]] — matches [[Rollup.runTwa]]. */
   def outputSchemaTwa: StructType = StructType(Seq(
     StructField("metric", StringType),
@@ -900,7 +974,7 @@ object LocalRollup {
   private def startAligned(p: QueryParams, interval: Long): Long =
     p.startNs - java.lang.Math.floorMod(p.startNs, interval)
 
-  private def tagsMatch(r: Row, iTags: Int, p: QueryParams): Boolean =
+  private[tsdb] def tagsMatch(r: Row, iTags: Int, p: QueryParams): Boolean =
     p.tags.isEmpty || {
       val tg = r.getAs[scala.collection.Map[String, String]](iTags)
       p.tags.forall { case (k, v) =>

@@ -749,6 +749,10 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
               (slice, sch) => (LocalRollup.runTwa(slice, sch, pTwa, f),
                 LocalRollup.outputSchemaTwa)
             }
+          case AnalyzeEwmaBy(f, a, w) =>
+            serveLocalSmooth(p, SmoothSpec(f, "ewma", a), w)
+          case AnalyzeHoltBy(f, a, b, w) =>
+            serveLocalSmooth(p, SmoothSpec(f, "holt", a, b), w)
           case _ => None
         }
         local match {
@@ -805,6 +809,49 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
           rows.asInstanceOf[Array[AnyRef]], lo, hi).asInstanceOf[Array[Row]]
         lastServePath = path
         Some(fold(slice, sch))
+      }
+    }
+  }
+
+  /** Driver-resident EWMA/HOLT … BY: the [[serveLocalRollupAnalytic]]
+    * analog for the smoothing recurrences — eligible only when the
+    * registration carries the EXACT [[SmoothSpec]], the bounds align,
+    * the window is a grain multiple, AND no matched non-empty window
+    * precedes startNs (the stored state is a prefix fold; the prefix
+    * check scans the resident rows BEFORE the range slice, so it costs
+    * a driver array walk, not a job). */
+  private def serveLocalSmooth(p: QueryParams, s: SmoothSpec, w: Long):
+      Option[(Array[Row], org.apache.spark.sql.types.StructType)] = {
+    val spec = rollupSpecs.get(p.metric)
+    if (spec == null || !spec.smooth.contains(s) ||
+        p.valueFilters.nonEmpty || TagMatch.isPrefix(p.metric) ||
+        p.relativeNs.isDefined || p.startNs % spec.intervalNs != 0 ||
+        !p.endNs.exists(e => e != 0L && (e + 1) % spec.intervalNs == 0) ||
+        w <= 0 || w % spec.intervalNs != 0)
+      None
+    else localRollupRows(p.metric, spec).flatMap { case (rows, ws, sch) =>
+      if (!sch.fieldNames.contains(Rollup.smoothStateCol(s))) None
+      else {
+        val lo = lowerBound(ws, p.startNs)
+        val hi = math.max(lo, upperBound(ws, p.endNs.get))
+        val iMetric = sch.fieldIndex("metric")
+        val iTags = sch.fieldIndex("tags")
+        val iCnt = sch.fieldIndex(s"${s.field}__cnt")
+        var i = 0; var blocked = false
+        while (i < lo && !blocked) {
+          val r = rows(i)
+          if (r.getString(iMetric) == p.metric && r.getLong(iCnt) > 0 &&
+              LocalRollup.tagsMatch(r, iTags, p)) blocked = true
+          i += 1
+        }
+        if (blocked) None
+        else {
+          val slice = java.util.Arrays.copyOfRange(
+            rows.asInstanceOf[Array[AnyRef]], lo, hi).asInstanceOf[Array[Row]]
+          lastServePath = s"local-rollup-${s.kind}"
+          Some((LocalRollup.runSmoothBy(slice, sch, p, s, w),
+            LocalRollup.outputSchemaSmooth(s.kind)))
+        }
       }
     }
   }

@@ -501,6 +501,24 @@ class RollupSpec extends SparkSpec {
     assert(eng.lastServePath == "rollup-holt", eng.lastServePath)
     assert(routedH.map(_.toSeq).toSeq == rawH.map(_.toSeq).toSeq,
       "rollup-served HOLT BY must be bit-identical to the raw fold")
+    // driver-resident tier: analyzeCached folds the RESIDENT partials
+    // with zero Spark jobs and mirrors the Spark route row-for-row
+    val localE = eng.analyzeCached(q, ewmaBy)
+    assert(eng.lastServePath == "local-rollup-ewma", eng.lastServePath)
+    assert(localE.map(_.toSeq).toSeq == rawE.map(_.toSeq).toSeq,
+      "driver EWMA BY tier must mirror the raw fold row-for-row")
+    val qt = q.copy(tags = Map("host" -> "h1"))
+    val localH = eng.analyzeCached(qt, holtBy)
+    assert(eng.lastServePath == "local-rollup-holt", eng.lastServePath)
+    assert(localH.map(_.toSeq).toSeq ==
+      eng.analyze(qt, holtBy).collect().map(_.toSeq).toSeq)
+    // LIMIT parity; a mid-range start is refused by the PREFIX check
+    // (stored states fold from the series' first sample)
+    val qLim = q.copy(limit = Some(2L))
+    assert(eng.analyzeCached(qLim, ewmaBy).map(_.toSeq).toSeq ==
+      eng.analyze(qLim, ewmaBy).collect().map(_.toSeq).toSeq)
+    eng.analyzeCached(q.copy(startNs = 1 * Hr), ewmaBy)
+    assert(eng.lastServePath != "local-rollup-ewma", eng.lastServePath)
     // a different alpha is a different fold — raw path
     eng.analyze(q, AnalyzeEwmaBy("value", 0.5, 10 * Min)).collect()
     assert(eng.lastServePath == "analyze-raw")
