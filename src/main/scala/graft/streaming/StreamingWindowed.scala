@@ -129,6 +129,103 @@ object StreamingWindowed {
       }.toDF()
   }
 
+  /** Smoothing state: EWMA acc or Holt (level, trend), plus the open
+    * window's accumulators. */
+  case class SmoothSt(ws: Long, n: Long, lastNs: Long, lastV: Double,
+      lvl: Double, trd: Double)
+
+  case class SmoothRow(series_key: String, window_start: Long,
+      n_points: Long, last_ts: Long, value: Double, lvl: Double, trd: Double)
+
+  /** Streaming twin of `ANALYZE EWMA/HOLT(f, …) BY <dur>`
+    * ([[graft.tsdb.TsAnalytics.ewmaSmoothBy]]/[[graft.tsdb.TsAnalytics.holtSmoothBy]]):
+    * the per-sample recurrence folds in event-time order with the SAME
+    * IEEE operations as the native window aggregates
+    * (`α·v + (1−α)·acc`; Holt substitutes the level update into the
+    * trend update), and each window's row emits at close carrying the
+    * state at its last sample — closed-window rows are BIT-identical to
+    * the batch operators over the same prefix (spec-pinned). Same
+    * close/expiry/in-order/cleanNumeric contract as
+    * [[windowedAnalytics]]. `beta = None` selects EWMA. */
+  def windowedSmooth(points: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, windowNs: Long, alpha: Double,
+      beta: Option[Double] = None, lateness: String = "10 minutes",
+      idleExpiry: String = "1 hour"): DataFrame = {
+    require(windowNs > 0 && windowNs % 1000000L == 0L,
+      s"window must be a positive whole number of milliseconds, got $windowNs ns")
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    beta.foreach(b => require(b > 0.0 && b <= 1.0, "beta must be in (0, 1]"))
+    val spark = points.sparkSession
+    import spark.implicits._
+    val ds = points
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("t"),
+        graft.tsdb.AggFunctions.cleanNumeric(col(valueCol).cast("double"))
+          .as("v"))
+      .filter(col("v").isNotNull)
+      .withWatermark("t", lateness)
+      .as[(String, Timestamp, Double)]
+    implicit val stEnc = Encoders.product[SmoothSt]
+    implicit val rowEnc = Encoders.product[SmoothRow]
+    def emit(k: String, st: SmoothSt): SmoothRow =
+      SmoothRow(k, st.ws, st.n, st.lastNs, st.lastV, st.lvl, st.trd)
+    val out = ds.groupByKey(_._1)
+      .flatMapGroupsWithState[SmoothSt, SmoothRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, Timestamp, Double)],
+            state: GroupState[SmoothSt]) =>
+          if (state.hasTimedOut) {
+            val fin = state.getOption.map(emit(key, _))
+            state.remove()
+            fin.iterator
+          } else {
+            var st = state.getOption.orNull
+            val batch = rows.toIndexedSeq.sortBy(_._2.getTime)
+            val outRows = batch.flatMap { case (_, t, v) =>
+              val tNs = t.getTime * 1000000L
+              if (st != null && tNs <= st.lastNs) None
+              else {
+                val w = tNs - java.lang.Math.floorMod(tNs, windowNs)
+                if (st == null) {
+                  // seeded-first convention: level = v₁, trend = 0
+                  st = SmoothSt(w, 1L, tNs, v, v, 0.0)
+                  None
+                } else {
+                  // the recurrence — identical IEEE order to the natives
+                  val (nl, nt) = beta match {
+                    case None =>
+                      (alpha * v + (1.0 - alpha) * st.lvl, 0.0)
+                    case Some(b) =>
+                      val newL = alpha * v + (1.0 - alpha) * (st.lvl + st.trd)
+                      (newL, b * (newL - st.lvl) + (1.0 - b) * st.trd)
+                  }
+                  if (w == st.ws) {
+                    st = SmoothSt(st.ws, st.n + 1, tNs, v, nl, nt)
+                    None
+                  } else {
+                    val closed = emit(key, st)
+                    st = SmoothSt(w, 1L, tNs, v, nl, nt)
+                    Some(closed)
+                  }
+                }
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastNs / 1000000L, idleExpiry)
+            }
+            outRows.iterator
+          }
+      }.toDF()
+    beta match {
+      case None => out.select(col("series_key"), col("window_start"),
+        col("n_points"), col("last_ts"), col("value"), col("lvl").as("ewma"))
+      case Some(_) => out.select(col("series_key"), col("window_start"),
+        col("n_points"), col("last_ts"), col("value"),
+        col("lvl").as("level"), col("trd").as("trend"),
+        (col("lvl") + col("trd")).as("forecast"))
+    }
+  }
+
   /** `ANALYZE DELTA(f) BY <dur>` twin: window_start, n_points, delta
     * (in-window gauge change), increase (reset-aware counter increase,
     * boundary pairs in the later window). */

@@ -876,7 +876,10 @@ class NbqlExecutorSpec extends SparkSpec {
       assert(rows(ex, "SHOW ROLLUPS").map(r => r.getAs[String]("smooth")) ==
         Seq("ewma(value,0.25)"))
       val routedT = rows(ex, eqT).map(_.toString)
-      assert(eng.lastServePath == "rollup-ewma", eng.lastServePath)
+      // resident partials make the driver tier eligible first; either
+      // rollup-backed tier proves the route (both mirror the raw fold)
+      assert(eng.lastServePath == "local-rollup-ewma" ||
+        eng.lastServePath == "rollup-ewma", eng.lastServePath)
       // routed TAGGED rows ⊂ raw rows (h1's windows), bit-identical
       assert(routedT.nonEmpty && routedT.forall(rawE.contains),
         s"routed $routedT vs raw $rawE")

@@ -544,6 +544,58 @@ class RollupSpec extends SparkSpec {
       "post-commit full rebuild must serve the fresh fold")
   }
 
+  test("smoothing rollup marker round-trips on disk; unchanged version skips rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_smooth_marker").toString
+    def listRollupFiles(): Seq[String] = {
+      val root = java.nio.file.Paths.get(dir, "_rollup")
+      if (!java.nio.file.Files.isDirectory(root)) Nil
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.iterator().asScala.filter(p =>
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(root.relativize(_).toString).toSeq.sorted
+        finally s.close()
+      }
+    }
+    val smooth = Seq(SmoothSpec("value", "ewma", 0.25),
+      SmoothSpec("value", "holt", 0.5, 0.25))
+    val points = (0 until 60).map { i =>
+      graft.model.DataPoint("reqs", Map("host" -> s"h${i % 2}"), i * Min,
+        Map("value" -> graft.model.FieldValue.ofDouble(i * 1.25)))
+    }
+    val q = QueryParams("reqs", startNs = 0L, endNs = Some(Hr - 1))
+    val spec = AnalyzeEwmaBy("value", 0.25, 10 * Min)
+    val eng = new TsdbEngine(spark, dir)
+    assert(eng.putBatch(points).isRight)
+    eng.registerRollup("reqs", Min, Seq("value"), smooth = smooth)
+    val served = eng.analyze(q, spec).collect()
+    assert(eng.lastServePath == "rollup-ewma")
+    val files0 = listRollupFiles()
+    assert(files0.nonEmpty)
+    // a FRESH engine on the same root (new marker read — json4s
+    // round-trip of Seq[SmoothSpec]) must serve from the existing
+    // materialization without rewriting a single file
+    val eng2 = new TsdbEngine(spark, dir)
+    eng2.registerRollup("reqs", Min, Seq("value"), smooth = smooth)
+    val served2 = eng2.analyze(q, spec).collect()
+    assert(eng2.lastServePath == "rollup-ewma")
+    assert(served2.map(_.toSeq).toSeq == served.map(_.toSeq).toSeq)
+    assert(listRollupFiles() == files0,
+      "unchanged version must not rewrite the materialization")
+    // any commit FULL-rebuilds a smoothing rollup (prefix fold ⇒
+    // suffix-invalidating; never partition-local): every file restamps
+    assert(eng2.putBatch(Seq(graft.model.DataPoint("reqs",
+      Map("host" -> "h0"), 30 * Min + 1,
+      Map("value" -> graft.model.FieldValue.ofDouble(500.0))))).isRight)
+    val served3 = eng2.analyze(q, spec).collect()
+    assert(eng2.lastServePath == "rollup-ewma")
+    val raw3 = TsAnalytics.ewmaSmoothBy(eng2.loadPoints().get, q, 0.25,
+      10 * Min).collect()
+    assert(served3.map(_.toSeq).toSeq == raw3.map(_.toSeq).toSeq)
+    assert(listRollupFiles().intersect(files0).isEmpty,
+      "a smoothing rollup must full-rebuild on commit (no stale suffix states)")
+  }
+
   test("runIrate: zero-dt trailing pair emits null rate (raw-operator guard parity)") {
     // The merged view dedups same-timestamp versions per series, so a
     // zero-dt pair can't reach runIrate through the engine — but the

@@ -840,6 +840,46 @@ class StreamingSpec extends SparkSpec {
     assert(got(("a", 4L * S * 1000000L))._4 == 1L)
   }
 
+  test("streaming windowed smoothing matches batch EWMA/HOLT BY bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val S = 1000L
+    val W = 4L * S * 1000000L
+    val feed = Seq(("a", 1 * S, 2.0), ("a", 2 * S, 5.0), ("a", 3 * S, 4.0),
+      ("a", 5 * S, 9.0), ("a", 7 * S, 3.0), ("a", 13 * S, 8.0),
+      ("a", 14 * S, 11.0), ("b", 2 * S, 6.0), ("b", 3 * S, 2.5))
+    def run(name: String, beta: Option[Double]): Map[(String, Long), Seq[Any]] = {
+      val mem = MemoryStream[(String, Long, Double)]
+      val pts = mem.toDF().toDF("k", "ms", "v")
+        .withColumn("ts", timestamp_millis(col("ms")))
+      val out = StreamingWindowed.windowedSmooth(pts, "k", "ts", "v", W,
+        alpha = 0.25, beta = beta)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        mem.addData(feed: _*); q.processAllAvailable()
+        mem.addData(("zzz", 10L * 3600 * S, 1.0)); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).filter(col("series_key") =!= "zzz").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    }
+    val batchPts = feed.map { case (k, ms, v) =>
+      TP("m", Map("h" -> k), ms * 1000000L, Map("value" -> FV.dv(v)), ms) }
+    val p = QueryParams("m", startNs = 0L, endNs = Some(Long.MaxValue / 2))
+    val gotE = run("smoothewma", None)
+    val wantE = TsAnalytics.ewmaSmoothBy(batchPts.toDF(), p, 0.25, W)
+      .select(col("tags")("h"), col("window_start"), col("n_points"),
+        col("last_ts"), col("value"), col("ewma"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    assert(gotE == wantE, s"ewma: $gotE vs $wantE")
+    val gotH = run("smoothholt", Some(0.5))
+    val wantH = TsAnalytics.holtSmoothBy(batchPts.toDF(), p, 0.25, 0.5, W)
+      .select(col("tags")("h"), col("window_start"), col("n_points"),
+        col("last_ts"), col("value"), col("level"), col("trend"),
+        col("forecast"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    assert(gotH == wantH, s"holt: $gotH vs $wantH")
+  }
+
   test("streaming trend: running least squares matches batch predictLinear") {
     implicit val sqlCtx = spark.sqlContext
     val S = 1000L
