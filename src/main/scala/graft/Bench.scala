@@ -241,10 +241,16 @@ object Bench {
       steady3("qps_analyze_cold", 5, minWarm = 3, maxWarm = 10)(
         i => { engine.analyzeServingDF(aq(i), rateSpec).count(); () })
       // cached = the driver-side rows path (queryCached analog) — the
-      // hit path has no per-call plan/DataFrame floor
+      // hit path has no per-call plan/DataFrame floor. The repeated
+      // query must stay CACHEABLE AT EVERY SF: RATE is per-point, so at
+      // sf1 its ~170k rows silently exceed QueryCache.maxRowsPerEntry
+      // and every "cached" call replays the full plan — a 6-orders-of-
+      // magnitude qps cliff (SCALE.md round-10). DELTA emits one row
+      // per series (the bounded shape dashboards actually repeat); the
+      // hit path being measured is identical either way.
       val caq = aq(0)
       steady3("qps_analyze_cached", 5000)(_ =>
-        { engine.analyzeCached(caq, rateSpec); () })
+        { engine.analyzeCached(caq, graft.tsdb.AnalyzeDelta("value")); () })
       // cross-metric analytics: CORRELATE from the raw point scan vs the
       // rollup-partial route (points never scanned). engine.analyze is
       // the raw plan entry (no result cache), so each call measures the
