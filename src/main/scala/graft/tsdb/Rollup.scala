@@ -821,12 +821,21 @@ object Rollup {
     * before startNs" — one limit-1 probe over the cached frame. */
   def supportsSmoothBy(p: QueryParams, rollupIntervalNs: Long,
       rollup: DataFrame, s: SmoothSpec, windowNs: Long): Boolean =
-    supportsSmoothShape(p, rollupIntervalNs, rollup, s, windowNs) && {
-      var df = rollup.filter(col("metric") === p.metric)
-      p.tags.foreach { case (k, v) => df = df.filter(TagMatch.pred(k, v)) }
-      df.filter(col(s"${s.field}__cnt") > 0 &&
-        col("window_start") < p.startNs).isEmpty
-    }
+    supportsSmoothShape(p, rollupIntervalNs, rollup, s, windowNs) &&
+      smoothRangeStartProbe(rollup, p, s)
+
+  /** The range-start condition alone (one limit-1 job): no matched
+    * non-empty window before startNs. [[TsdbEngine]] short-circuits it
+    * with a cached per-(metric, epoch) min-window bound — any frame
+    * whose FIRST stored window is ≥ startNs passes for every tag
+    * subset without a job (the common "from the beginning" dashboard). */
+  def smoothRangeStartProbe(rollup: DataFrame, p: QueryParams,
+      s: SmoothSpec): Boolean = {
+    var df = rollup.filter(col("metric") === p.metric)
+    p.tags.foreach { case (k, v) => df = df.filter(TagMatch.pred(k, v)) }
+    df.filter(col(s"${s.field}__cnt") > 0 &&
+      col("window_start") < p.startNs).isEmpty
+  }
 
   /** Windowed smoothing ([[TsAnalytics.ewmaSmoothBy]] /
     * [[TsAnalytics.holtSmoothBy]]'s output shape) served from stored

@@ -550,7 +550,12 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       .filter(spec => spec.smooth.contains(s))
       .map(spec => (spec, rollupView(params.metric, spec)))
       .filter { case (spec, view) =>
-        Rollup.supportsSmoothBy(params, spec.intervalNs, view, s, w) }
+        // range-start condition: the cached per-(metric, epoch) min
+        // window bound answers the common from-the-start dashboard with
+        // NO job; only a mid-range start pays the limit-1 probe
+        Rollup.supportsSmoothShape(params, spec.intervalNs, view, s, w) &&
+          (rollupMinWindowStart(params.metric, spec, view) >= params.startNs ||
+            Rollup.smoothRangeStartProbe(view, params, s)) }
       .map { case (spec, view) =>
         lastServePath = s"rollup-${s.kind}"
         Rollup.runSmoothBy(view, spec.intervalNs, params, s, w)
@@ -1284,6 +1289,27 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
           rollupCache.remove(eldest)._3.unpersist(blocking = false)
         }
         built
+    }
+  }
+
+  /** Cached min stored window_start per metric (the smoothing route's
+    * range-start shortcut): one tiny agg per (metric, epoch, spec),
+    * invalidated like the rollup cache. Long.MaxValue for an empty
+    * frame (every startNs passes — there is nothing before it). */
+  private val rollupMinWs =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, RollupReg, Long)]()
+
+  private def rollupMinWindowStart(metric: String, spec: RollupReg,
+      view: DataFrame): Long = {
+    val e = metricEpoch(metric)
+    rollupMinWs.get(metric) match {
+      case (ver, sp, mw) if ver == e && sp == spec => mw
+      case _ =>
+        val r = view.agg(org.apache.spark.sql.functions.min(
+          col("window_start"))).head()
+        val mw = if (r.isNullAt(0)) Long.MaxValue else r.getLong(0)
+        rollupMinWs.put(metric, (e, spec, mw))
+        mw
     }
   }
 
