@@ -1605,6 +1605,18 @@ object Queries {
       .select(userCol, col("n_points"), col("resets"))
       .orderBy("user")
 
+  /** `ts_ewma_by` through the NBQL wire surface (`ANALYZE
+    * EWMA(value, 0.25) BY 1d`): parse -> validate -> serving tier ->
+    * rows — shares the API-path twin's replay-the-fold oracle verbatim
+    * (unrounded doubles through the whole wire stack). */
+  def nbqlEwmaBy(s: SparkSession, dir: String): DataFrame =
+    nbqlRows(s, dir,
+      s"QUERY purchase FROM 0 TO $FarFuture ANALYZE EWMA(value, 0.25) BY 1d")
+      .select(userCol, col("window_start"), col("n_points"),
+        (col("last_ts") - pmod(col("last_ts"), lit(1000L))).as("last_ts"),
+        col("value"), col("ewma"))
+      .orderBy("user", "window_start")
+
   /** `ts_cardinality` through the NBQL wire surface (`SHOW CARDINALITY
     * BY 1d`, the EXACT path — deterministic, unlike the sketch
     * ESTIMATE): parse -> validate -> engine merged-storage count — same

@@ -127,6 +127,7 @@ object SparkEntry {
     "ts_correlate" -> (Queries.tsCorrelate _),
     "ts_cardinality" -> (Queries.tsCardinality _),
     "nbql_cardinality" -> (Queries.nbqlCardinality _),
+    "nbql_ewma_by" -> (Queries.nbqlEwmaBy _),
     "ts_ratio" -> (Queries.tsRatio _),
     "ts_topk_series" -> (Queries.tsTopkSeries _),
     "tsdb_groupby_tag" -> (Queries.tsdbGroupByTag _),
@@ -1336,6 +1337,7 @@ object SparkEntry {
     // hashing UNROUNDED doubles.
     "ts_ewma_by" -> TsEwmaBySql,
     "tsdb_rollup_ewma" -> TsEwmaBySql,
+    "nbql_ewma_by" -> TsEwmaBySql, // the wire twin, same oracle
     "ts_holt_by" -> TsHoltBySql,
     "tsdb_rollup_holt" -> TsHoltBySql,
     // nbql_correlate runs the same analytic through ANALYZE CORRELATE
