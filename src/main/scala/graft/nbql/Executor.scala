@@ -326,8 +326,8 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
       else if (sm.exists(s => s.alpha <= 0.0 || s.alpha > 1.0 ||
           (s.kind == "holt" && (s.beta <= 0.0 || s.beta > 1.0))))
         Left("SMOOTH alpha/beta must be in (0, 1]")
-      else if (sm.map(s => (s.field, s.kind)).distinct.size != sm.size)
-        Left("one SMOOTH spec per (field, kind)")
+      else if (sm.distinct.size != sm.size)
+        Left("duplicate SMOOTH spec")
       else { engine.registerRollup(m, i, fs, dig, sm); Right(Ack("OK")) }
     case DropRollupStatement(m) =>
       engine.dropRollup(m); Right(Ack("OK"))

@@ -61,9 +61,11 @@ import org.apache.spark.sql.functions._
   * oracle has to BE the sequential fold, sampled). The price is
   * maintenance: a prefix fold's state is suffix-invalidating, so a
   * rollup registered with smoothing always FULL-rebuilds on commit
-  * (partition-local incremental maintenance cannot hold for it). One
-  * spec per (field, kind); α/β ride the registration, not column names —
-  * re-registering different parameters rebuilds. */
+  * (partition-local incremental maintenance cannot hold for it).
+  * Several smoothings may coexist on one field (two dashboards, two
+  * alphas): each spec's parameters ride its stored column's name as
+  * exact IEEE bits ([[Rollup.smoothStateCol]]); re-registering a
+  * different spec set rebuilds. */
 final case class SmoothSpec(field: String, kind: String, alpha: Double,
     beta: Double = 0.0)
 
@@ -71,8 +73,17 @@ object Rollup {
 
   import graft.functions.TDigestFunctions.{tdigest_sketch, tdigest_merge_quantile}
 
-  /** Physical column holding [[SmoothSpec]]'s stored fold state. */
-  def smoothStateCol(s: SmoothSpec): String = s"${s.field}__${s.kind}"
+  /** Physical column holding [[SmoothSpec]]'s stored fold state. The
+    * parameters ride the name (exact IEEE bits, hex — never a lossy
+    * decimal render), so one rollup can hold SEVERAL smoothings of the
+    * same field (two dashboards, two alphas) without collision. */
+  def smoothStateCol(s: SmoothSpec): String = {
+    val a = java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(s.alpha))
+    val b = if (s.kind == "holt")
+      "_" + java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(s.beta))
+    else ""
+    s"${s.field}__${s.kind}_$a$b"
+  }
 
   /** Stored partial-aggregate columns for field `f` (null-safe: a window
     * whose points lack the field stores nulls / zero counts). With
@@ -142,8 +153,8 @@ object Rollup {
       withDigests: Boolean = false,
       smooth: Seq[SmoothSpec] = Nil): DataFrame = {
     require(intervalNs > 0, "rollup interval must be > 0")
-    require(smooth.map(s => (s.field, s.kind)).distinct.size == smooth.size,
-      "one smoothing spec per (field, kind)")
+    require(smooth.distinct.size == smooth.size,
+      "duplicate smoothing spec")
     val keyed =
       if (merged.columns.contains("series_key")) merged
       else merged.withColumn("series_key",

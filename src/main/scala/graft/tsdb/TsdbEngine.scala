@@ -1233,8 +1233,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     require(intervalNs > 0, "rollup interval must be > 0")
     require(smooth.forall(s => fields.contains(s.field)),
       "smoothing fields must be among the rollup's fields")
-    require(smooth.map(s => (s.field, s.kind)).distinct.size == smooth.size,
-      "one smoothing spec per (field, kind)")
+    require(smooth.distinct.size == smooth.size, "duplicate smoothing spec")
     val spec = RollupReg(intervalNs, fields, withDigests, smooth)
     val prev = rollupSpecs.put(metric, spec)
     if (prev != null && prev != spec) {

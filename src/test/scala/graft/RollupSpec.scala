@@ -522,6 +522,20 @@ class RollupSpec extends SparkSpec {
     // a different alpha is a different fold — raw path
     eng.analyze(q, AnalyzeEwmaBy("value", 0.5, 10 * Min)).collect()
     assert(eng.lastServePath == "analyze-raw")
+    // TWO alphas on one field coexist (param-encoded state columns):
+    // each routes to ITS OWN stored fold, both bit-identical to raw
+    val raw05 = eng.analyze(q, AnalyzeEwmaBy("value", 0.5, 10 * Min)).collect()
+    eng.registerRollup("reqs", 5 * Min, Seq("value"),
+      smooth = Seq(SmoothSpec("value", "ewma", 0.25),
+        SmoothSpec("value", "ewma", 0.5),
+        SmoothSpec("value", "holt", 0.25, 0.125)))
+    val r25 = eng.analyze(q, ewmaBy).collect()
+    assert(eng.lastServePath == "rollup-ewma")
+    assert(r25.map(_.toSeq).toSeq == rawE.map(_.toSeq).toSeq)
+    val r05 = eng.analyze(q, AnalyzeEwmaBy("value", 0.5, 10 * Min)).collect()
+    assert(eng.lastServePath == "rollup-ewma")
+    assert(r05.map(_.toSeq).toSeq == raw05.map(_.toSeq).toSeq,
+      "the second alpha must serve from its own stored fold")
     // mid-range start would re-seed the raw fold — the range-start probe
     // must refuse the stored prefix states
     val qMid = q.copy(startNs = 1 * Hr)
