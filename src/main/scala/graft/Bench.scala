@@ -492,15 +492,22 @@ object Bench {
           val nRows = pts.count()
           pts.drop("seq").toJSON.toDF("value")
             .repartition(8).write.text(s"$stmp/in")
-          val engine = new graft.tsdb.TsdbEngine(spark, s"$stmp/db")
-          val src = spark.readStream
-            .option("maxFilesPerTrigger", "2") // ≥4 micro-batches
-            .text(s"$stmp/in")
-          val t0 = System.nanoTime()
-          val q = graft.streaming.Ingest.start(engine, src, s"$stmp/ckpt")
-          q.processAllAvailable()
-          q.stop()
-          nRows / ((System.nanoTime() - t0) / 1e9)
+          // median of 3 fresh-pipeline passes (was the last single-shot
+          // serving metric — it ran in the c10 loops' GC wake and swung
+          // ±30% round-over-round on identical code)
+          val runs = (0 until 3).map { pass =>
+            val engine = new graft.tsdb.TsdbEngine(spark, s"$stmp/db$pass")
+            val src = spark.readStream
+              .option("maxFilesPerTrigger", "2") // ≥4 micro-batches
+              .text(s"$stmp/in")
+            val t0 = System.nanoTime()
+            val q = graft.streaming.Ingest.start(engine, src, s"$stmp/ckpt$pass")
+            q.processAllAvailable()
+            q.stop()
+            nRows / ((System.nanoTime() - t0) / 1e9)
+          }
+          servingRuns("ingest_stream_rows_per_sec") = runs
+          runs.sorted.apply(1)
         } finally {
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stmp)); ()
         }
