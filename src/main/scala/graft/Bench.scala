@@ -100,10 +100,12 @@ object Bench {
       servingMedians(key) = qps.sorted.apply(1)
       qps.sorted.apply(1)
     }
-    /** Steady-state median-of-3 throughput (round-10 reproducibility
+    /** Steady-state median-of-5 throughput (round-10 reproducibility
       * fix, VERDICT r9 #1): untimed warm BATCHES of `n` run until two
       * consecutive batches agree within 10% (min `minWarm`, capped at
-      * `maxWarm` — JIT/GC settled), THEN 3 timed passes. r9's fixed-count
+      * `maxWarm` — JIT/GC settled), THEN 5 timed passes, each started
+      * from a forced-GC state, reporting the MEDIAN of the 5 (the
+      * recorded `serving_runs` arrays have 5 entries). r9's fixed-count
       * warmup left the first timed pass 3× slow: its warm indices sat
       * beyond the data's 30-day span, so warmup exercised the
       * empty-result path and the real-result path met the JIT cold.
@@ -112,7 +114,7 @@ object Bench {
       * and ONE monotone counter spans warm + timed so params never
       * repeat. The warm trajectory lands in `serving_runs` under
       * `<key>_warm` — the settle is visible in the artifact. */
-    def steady3(key: String, n: Int, minWarm: Int = 5, maxWarm: Int = 40)
+    def steady5(key: String, n: Int, minWarm: Int = 5, maxWarm: Int = 40)
         (body: Int => Unit): Double = {
       var k = 0
       def batch(): Double = {
@@ -190,12 +192,12 @@ object Bench {
       // tiered JIT over a ~25 µs driver-side serve) — two adjacent warm
       // batches can agree mid-climb, so the floor is raised to 12
       // batches (36k calls, a few seconds) before the detector may stop
-      steady3("query_qps_cold", 3000, minWarm = 12)(i =>
+      steady5("query_qps_cold", 3000, minWarm = 12)(i =>
         { engine.queryCached(q(i)); () })
       // cached = repeated identical query (result-cache hit path): ~1 µs
       // steady-state, so small samples measured ONLY keyOf's JIT warmup
       val cq = q(0)
-      steady3("query_qps_cached", 200000)(_ => { engine.queryCached(cq); () })
+      steady5("query_qps_cached", 200000)(_ => { engine.queryCached(cq); () })
 
       // rollup acceleration: the CACHED SERVING-PATH read (build excluded
       // — the battery's tsdb_rollup_downsample measures build+query; this
@@ -252,7 +254,7 @@ object Bench {
         endNs = Some(1704067200000000000L + (25 + (i % 7)).toLong * DayNs
           + (i / 35).toLong * 1000000000L))
       val rateSpec = graft.tsdb.AnalyzeRate("value")
-      steady3("qps_analyze_cold", 5, minWarm = 3, maxWarm = 10)(
+      steady5("qps_analyze_cold", 5, minWarm = 3, maxWarm = 10)(
         i => { engine.analyzeServingDF(aq(i), rateSpec).count(); () })
       // cached = the driver-side rows path (queryCached analog) — the
       // hit path has no per-call plan/DataFrame floor. The repeated
@@ -263,7 +265,7 @@ object Bench {
       // per series (the bounded shape dashboards actually repeat); the
       // hit path being measured is identical either way.
       val caq = aq(0)
-      steady3("qps_analyze_cached", 5000)(_ =>
+      steady5("qps_analyze_cached", 5000)(_ =>
         { engine.analyzeCached(caq, graft.tsdb.AnalyzeDelta("value")); () })
       // cross-metric analytics: CORRELATE from the raw point scan vs the
       // rollup-partial route (points never scanned). engine.analyze is
@@ -597,6 +599,12 @@ object Bench {
       s""""qps_cold_c10":${sm("qps_cold_c10")},""" +
       s""""ingest_rows_per_sec_c10":${sm("ingest_rows_per_sec_c10")},""" +
       s""""serving_runs":$servingRunsJson,""" +
+      // spec-change provenance for keys whose measured query SHAPE changed
+      // across rounds (comparing them round-over-round without this note
+      // would be apples-to-oranges)
+      s""""notes":{"qps_analyze_cached":"repeats ANALYZE DELTA """ +
+      s"""(bounded-output shape) since r10; r4-r9 repeated ANALYZE RATE, """ +
+      s"""which silently exceeds the result-cache row cap at sf>=1"},""" +
       s""""n_errors":${errors.size},"errors":$errJson,""" +
       s""""n_queries":${results.size},"sf":"$sfDir"}"""
     println(line)

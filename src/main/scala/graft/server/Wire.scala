@@ -121,6 +121,12 @@ object Wire {
 
   def readFields(i: DataInputStream): Map[String, FieldValue] = {
     val blockLen = i.readInt()
+    // length sanity BEFORE allocation: a hostile frame can claim a
+    // 2 GB block inside a 100-byte payload — the allocation must be
+    // bounded by the bytes actually present (the reference's decoders
+    // are fuzzed for exactly this, `api/nbql/nbqlfuzz_test.go`)
+    if (blockLen < 0 || blockLen > i.available())
+      throw new java.io.IOException(s"bad field block length $blockLen")
     val block = new Array[Byte](blockLen); i.readFully(block)
     val bi = new DataInputStream(new java.io.ByteArrayInputStream(block))
     (0 until bi.readUnsignedShort()).map { _ =>
@@ -129,7 +135,10 @@ object Wire {
         case 1 => FieldValue.ofDouble(bi.readDouble())
         case 2 => FieldValue.ofLong(bi.readLong())
         case 3 =>
-          val n = bi.readInt(); val b = new Array[Byte](n); bi.readFully(b)
+          val n = bi.readInt()
+          if (n < 0 || n > bi.available())
+            throw new java.io.IOException(s"bad string value length $n")
+          val b = new Array[Byte](n); bi.readFully(b)
           FieldValue.ofString(new String(b, UTF_8))
         case 4 => FieldValue.ofBool(bi.readByte() != 0)
         case _ => FieldValue.NilValue

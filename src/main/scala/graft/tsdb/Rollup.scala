@@ -67,7 +67,14 @@ import org.apache.spark.sql.functions._
   * exact IEEE bits ([[Rollup.smoothStateCol]]); re-registering a
   * different spec set rebuilds. */
 final case class SmoothSpec(field: String, kind: String, alpha: Double,
-    beta: Double = 0.0)
+    beta: Double = 0.0) {
+  // EWMA has no beta: a nonzero one would be dropped by
+  // [[Rollup.smoothStateCol]]'s name encoding, letting two "distinct"
+  // specs collide on one state column — reject at construction (the NBQL
+  // parser always pins ewma beta = 0.0; this guards direct-API callers)
+  require(kind != "ewma" || beta == 0.0,
+    s"ewma smoothing takes no beta (got $beta)")
+}
 
 object Rollup {
 

@@ -1234,6 +1234,18 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     require(smooth.forall(s => fields.contains(s.field)),
       "smoothing fields must be among the rollup's fields")
     require(smooth.distinct.size == smooth.size, "duplicate smoothing spec")
+    // parameter ranges checked HERE, not at the commit-time rebuild: an
+    // invalid spec that only failed inside Ewma/HoltTrend's type check
+    // would turn every subsequent putBatch into a failure until the
+    // rollup was dropped (the NBQL executor validates; so must the API)
+    smooth.foreach { s =>
+      require(s.kind == "ewma" || s.kind == "holt",
+        s"unknown smoothing kind ${s.kind}")
+      require(s.alpha > 0.0 && s.alpha <= 1.0,
+        s"smoothing alpha must be in (0, 1], got ${s.alpha}")
+      require(s.kind != "holt" || (s.beta > 0.0 && s.beta <= 1.0),
+        s"holt beta must be in (0, 1], got ${s.beta}")
+    }
     val spec = RollupReg(intervalNs, fields, withDigests, smooth)
     val prev = rollupSpecs.put(metric, spec)
     if (prev != null && prev != spec) {
