@@ -24,11 +24,21 @@ import org.apache.spark.sql.types._
   *
   * The reference engine has no smoothing operators (its aggregation
   * surface is `iterator/agg_helpers.go`); this is a north-star extension.
+  *
+  * `seed` (optional, per-row but constant per partition in practice — a
+  * joined column) RESUMES the fold: the state before the partition's
+  * first row is `seed` instead of "unseeded", so
+  * `ewma(suffix, seed = state at prefix end)` is BIT-identical to the
+  * tail of `ewma(prefix ++ suffix)` — the primitive behind
+  * suffix-incremental maintenance of smoothing rollups
+  * ([[graft.tsdb.Rollup]]). A null seed (the default literal) reproduces
+  * the unseeded semantics exactly.
   */
-case class Ewma(child: Expression, alpha: Expression)
+case class Ewma(child: Expression, alpha: Expression,
+    seed: Expression = Literal(null, DoubleType))
     extends AggregateWindowFunction {
 
-  override def children: Seq[Expression] = Seq(child, alpha)
+  override def children: Seq[Expression] = Seq(child, alpha, seed)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
@@ -39,6 +49,10 @@ case class Ewma(child: Expression, alpha: Expression)
     else if (!alpha.foldable || !alpha.dataType.isInstanceOf[NumericType])
       TypeCheckResult.TypeCheckFailure(
         "ewma alpha must be a foldable numeric literal")
+    else if (!seed.dataType.isInstanceOf[NumericType] &&
+        seed.dataType != NullType)
+      TypeCheckResult.TypeCheckFailure(
+        s"ewma seed must be numeric, got ${seed.dataType.catalogString}")
     else {
       // SQL literals arrive as DECIMAL — validate through the same cast
       // the update expressions use
@@ -51,21 +65,25 @@ case class Ewma(child: Expression, alpha: Expression)
 
   private lazy val alphaD: Expression = Cast(alpha, DoubleType)
   private lazy val v: Expression = Cast(child, DoubleType)
+  private lazy val seedD: Expression = Cast(seed, DoubleType)
   private lazy val acc = AttributeReference("ewma_acc", DoubleType)()
+  // effective previous state: the buffer once any row has run, else the
+  // seed (null seed ⇒ unseeded, the classic first-value initialization)
+  private lazy val prev: Expression = If(IsNull(acc), seedD, acc)
 
   override def aggBufferAttributes: Seq[AttributeReference] = Seq(acc)
   override lazy val initialValues: Seq[Expression] = Seq(Literal(null, DoubleType))
   override lazy val updateExpressions: Seq[Expression] = Seq(
-    If(IsNull(v), acc,
-      If(IsNull(acc), v,
+    If(IsNull(v), prev,
+      If(IsNull(prev), v,
         Add(Multiply(alphaD, v),
-          Multiply(Subtract(Literal(1.0), alphaD), acc)))))
+          Multiply(Subtract(Literal(1.0), alphaD), prev)))))
   override lazy val evaluateExpression: Expression = acc
 
   override def prettyName: String = "ewma"
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Ewma =
-    copy(child = newChildren(0), alpha = newChildren(1))
+    copy(child = newChildren(0), alpha = newChildren(1), seed = newChildren(2))
 }
 
 /** Holt's linear-trend (double-exponential) smoothing as a native
@@ -76,11 +94,19 @@ case class Ewma(child: Expression, alpha: Expression)
   * `level + trend`. Same incremental running-frame machinery as [[Ewma]]
   * (O(n) per series, update is a pure expression tree); `b_t` recomputes
   * the `l_t` expression over the same operands, so codegen CSE collapses
-  * it and the bits can't diverge. */
-case class HoltTrend(child: Expression, alpha: Expression, beta: Expression)
+  * it and the bits can't diverge.
+  *
+  * `seedLevel`/`seedTrend` RESUME the fold from a stored (level, trend)
+  * state exactly like [[Ewma]]'s `seed` — bit-identical to the tail of
+  * the full fold; null seeds (the defaults) reproduce the unseeded
+  * semantics. */
+case class HoltTrend(child: Expression, alpha: Expression, beta: Expression,
+    seedLevel: Expression = Literal(null, DoubleType),
+    seedTrend: Expression = Literal(null, DoubleType))
     extends AggregateWindowFunction {
 
-  override def children: Seq[Expression] = Seq(child, alpha, beta)
+  override def children: Seq[Expression] =
+    Seq(child, alpha, beta, seedLevel, seedTrend)
   override def dataType: DataType = StructType(Seq(
     StructField("level", DoubleType), StructField("trend", DoubleType)))
   override def nullable: Boolean = true
@@ -100,6 +126,9 @@ case class HoltTrend(child: Expression, alpha: Expression, beta: Expression)
     if (!child.dataType.isInstanceOf[NumericType])
       TypeCheckResult.TypeCheckFailure(
         s"holt_trend input must be numeric, got ${child.dataType.catalogString}")
+    else if (Seq(seedLevel, seedTrend).exists(e =>
+        !e.dataType.isInstanceOf[NumericType] && e.dataType != NullType))
+      TypeCheckResult.TypeCheckFailure("holt_trend seeds must be numeric")
     else checkRate(alpha, "alpha").orElse(checkRate(beta, "beta"))
       .getOrElse(TypeCheckResult.TypeCheckSuccess)
   }
@@ -107,20 +136,26 @@ case class HoltTrend(child: Expression, alpha: Expression, beta: Expression)
   private lazy val a = Cast(alpha, DoubleType)
   private lazy val b = Cast(beta, DoubleType)
   private lazy val v: Expression = Cast(child, DoubleType)
+  private lazy val sL: Expression = Cast(seedLevel, DoubleType)
+  private lazy val sT: Expression = Cast(seedTrend, DoubleType)
   private lazy val lvl = AttributeReference("holt_level", DoubleType)()
   private lazy val trd = AttributeReference("holt_trend", DoubleType)()
+  // effective previous state (see [[Ewma.prev]]): the buffer once any row
+  // has run (lvl null ⇒ trd null, they update together), else the seeds
+  private lazy val effL: Expression = If(IsNull(lvl), sL, lvl)
+  private lazy val effT: Expression = If(IsNull(lvl), sT, trd)
 
   override def aggBufferAttributes: Seq[AttributeReference] = Seq(lvl, trd)
   override lazy val initialValues: Seq[Expression] =
     Seq(Literal(null, DoubleType), Literal(null, DoubleType))
   override lazy val updateExpressions: Seq[Expression] = {
     val newL = Add(Multiply(a, v),
-      Multiply(Subtract(Literal(1.0), a), Add(lvl, trd)))
-    val newB = Add(Multiply(b, Subtract(newL, lvl)),
-      Multiply(Subtract(Literal(1.0), b), trd))
+      Multiply(Subtract(Literal(1.0), a), Add(effL, effT)))
+    val newB = Add(Multiply(b, Subtract(newL, effL)),
+      Multiply(Subtract(Literal(1.0), b), effT))
     Seq(
-      If(IsNull(v), lvl, If(IsNull(lvl), v, newL)),
-      If(IsNull(v), trd, If(IsNull(lvl), Literal(0.0), newB)))
+      If(IsNull(v), effL, If(IsNull(effL), v, newL)),
+      If(IsNull(v), effT, If(IsNull(effL), Literal(0.0), newB)))
   }
   override lazy val evaluateExpression: Expression =
     If(IsNull(lvl), Literal(null, dataType),
@@ -129,7 +164,8 @@ case class HoltTrend(child: Expression, alpha: Expression, beta: Expression)
   override def prettyName: String = "holt_trend"
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): HoltTrend =
-    copy(child = newChildren(0), alpha = newChildren(1), beta = newChildren(2))
+    copy(child = newChildren(0), alpha = newChildren(1), beta = newChildren(2),
+      seedLevel = newChildren(3), seedTrend = newChildren(4))
 }
 
 /** Running variable-coefficient linear recurrence over ordered rows:
@@ -286,8 +322,10 @@ object WindowFunctions {
     * node. Handing the analyzer a complete `WindowExpression` skips the
     * wrap, exactly as SQL-registered window functions resolve. */
   def ewma(value: Column, alpha: Double, partitionBy: Seq[Column],
-      orderBy: Seq[Column]): Column = {
-    val fn = Ewma(ColumnBridge.expression(value), Literal(alpha, DoubleType))
+      orderBy: Seq[Column], seed: Option[Column] = None): Column = {
+    val fn = Ewma(ColumnBridge.expression(value), Literal(alpha, DoubleType),
+      seed.map(ColumnBridge.expression)
+        .getOrElse(Literal(null, DoubleType)))
     val spec = WindowSpecDefinition(
       partitionBy.map(ColumnBridge.expression),
       orderBy.map(c => SortOrder(ColumnBridge.expression(c), Ascending)),
@@ -346,9 +384,14 @@ object WindowFunctions {
     * [[HoltTrend]]; same complete-WindowExpression construction as
     * [[ewma]]. */
   def holtTrend(value: Column, alpha: Double, beta: Double,
-      partitionBy: Seq[Column], orderBy: Seq[Column]): Column = {
+      partitionBy: Seq[Column], orderBy: Seq[Column],
+      seed: Option[(Column, Column)] = None): Column = {
     val fn = HoltTrend(ColumnBridge.expression(value),
-      Literal(alpha, DoubleType), Literal(beta, DoubleType))
+      Literal(alpha, DoubleType), Literal(beta, DoubleType),
+      seed.map(s => ColumnBridge.expression(s._1))
+        .getOrElse(Literal(null, DoubleType)),
+      seed.map(s => ColumnBridge.expression(s._2))
+        .getOrElse(Literal(null, DoubleType)))
     val spec = WindowSpecDefinition(
       partitionBy.map(ColumnBridge.expression),
       orderBy.map(c => SortOrder(ColumnBridge.expression(c), Ascending)),

@@ -124,7 +124,13 @@ object Wire {
     // length sanity BEFORE allocation: a hostile frame can claim a
     // 2 GB block inside a 100-byte payload — the allocation must be
     // bounded by the bytes actually present (the reference's decoders
-    // are fuzzed for exactly this, `api/nbql/nbqlfuzz_test.go`)
+    // are fuzzed for exactly this, `api/nbql/nbqlfuzz_test.go`).
+    // PRECONDITION: `i` must wrap an already-read in-memory buffer
+    // ([[dis]] over a frame payload — every call site does), where
+    // available() is EXACTLY the remaining bytes; over a socket stream
+    // available() is only "readable without blocking" and this guard
+    // would spuriously reject. readFrame materializes the whole frame
+    // first, so no socket-backed stream ever reaches the payload codecs.
     if (blockLen < 0 || blockLen > i.available())
       throw new java.io.IOException(s"bad field block length $blockLen")
     val block = new Array[Byte](blockLen); i.readFully(block)

@@ -58,10 +58,16 @@ import org.apache.spark.sql.functions._
   * (no transit-matrix composition: re-associating a floating-point left
   * fold is inherently ulp-level, which is why the SPLIT family is
   * 1e-9-pinned — a recurrence partial that must hash against the raw
-  * oracle has to BE the sequential fold, sampled). The price is
-  * maintenance: a prefix fold's state is suffix-invalidating, so a
-  * rollup registered with smoothing always FULL-rebuilds on commit
-  * (partition-local incremental maintenance cannot hold for it).
+  * oracle has to BE the sequential fold, sampled). Maintenance is
+  * SUFFIX-incremental (round 13): an edit invalidates every stored state
+  * AT OR AFTER the earliest commit-touched timestamp but none before it
+  * (a left fold's prefix is edit-invariant), so [[TsdbEngine]] rebuilds
+  * only date partitions ≥ that boundary, RESUMING each series' fold from
+  * its last stored pre-boundary state ([[Rollup.build]]'s `seeds`) — the
+  * rebuilt states stay bit-identical to a full rebuild, and a year-deep
+  * metric's ingest touches only the hot tail, never its history
+  * (cf. the reference's chunk-local downsampling restart,
+  * `iterator/multi_field_downsampling_iterator.go:262-269`).
   * Several smoothings may coexist on one field (two dashboards, two
   * alphas): each spec's parameters ride its stored column's name as
   * exact IEEE bits ([[Rollup.smoothStateCol]]); re-registering a
@@ -91,6 +97,12 @@ object Rollup {
     else ""
     s"${s.field}__${s.kind}_$a$b"
   }
+
+  /** Column name carrying [[SmoothSpec]]'s RESUME seed in a [[build]]
+    * `seeds` frame (the stored fold state at each series' last
+    * pre-boundary numeric sample — double for ewma, struct(level, trend)
+    * for holt). */
+  def smoothSeedCol(s: SmoothSpec): String = s"__seed_${smoothStateCol(s)}"
 
   /** Stored partial-aggregate columns for field `f` (null-safe: a window
     * whose points lack the field stores nulls / zero counts). With
@@ -155,17 +167,35 @@ object Rollup {
   /** Build the rollup at `intervalNs` over a MERGED point frame (the
     * [[QueryEngine.mergedView]] output — or any frame with the canonical
     * schema plus `series_key`). One row per (series, window) carrying
-    * count(*) plus [[partials]] for each rolled field. */
+    * count(*) plus [[partials]] for each rolled field.
+    *
+    * `seeds` (suffix-incremental maintenance, round 13): a per-series
+    * frame of stored fold states at a boundary — `series_key` plus one
+    * [[smoothSeedCol]] per smoothing spec. When present, each series'
+    * smoothing fold RESUMES from its seed instead of its first sample
+    * ([[graft.functions.Ewma]]'s seeded form), so building over only the
+    * points ≥ the boundary yields states BIT-identical to a full-history
+    * rebuild (the fold is a left recurrence: resuming from the exact
+    * stored state replays the exact same FP operations). Series absent
+    * from `seeds` (new past the boundary) fold unseeded, exactly as a
+    * full build would. Non-smoothing partials are window-local and never
+    * need seeds. */
   def build(merged: DataFrame, intervalNs: Long, fields: Seq[String],
       withDigests: Boolean = false,
-      smooth: Seq[SmoothSpec] = Nil): DataFrame = {
+      smooth: Seq[SmoothSpec] = Nil,
+      seeds: Option[DataFrame] = None): DataFrame = {
     require(intervalNs > 0, "rollup interval must be > 0")
     require(smooth.distinct.size == smooth.size,
       "duplicate smoothing spec")
-    val keyed =
+    require(seeds.isEmpty || smooth.nonEmpty, "seeds without smoothing specs")
+    val keyed0 =
       if (merged.columns.contains("series_key")) merged
       else merged.withColumn("series_key",
         QueryEngine.seriesKeyCol(col("metric"), col("tags")))
+    // the seed join shares the series_key clustering the smoothing window
+    // pass needs anyway — at most one exchange for both
+    val keyed = seeds.fold(keyed0)(sd =>
+      keyed0.join(sd, Seq("series_key"), "left"))
     val preWindow = smooth.foldLeft(keyed) { (df, s) =>
       // exact recurrence state per sample ([[SmoothSpec]]): the raw
       // operator's own native fold over the per-SERIES merged order.
@@ -173,15 +203,19 @@ object Rollup {
       // partitioning satisfies the downstream (series, window)
       // clustering, so the extra pass costs one sort, never an exchange.
       val n = QueryEngine.numericOf(s.field)
+      val seedCol = seeds.map(_ => col(smoothSeedCol(s)))
       s.kind match {
         case "ewma" => df.withColumn(smoothStateCol(s),
           graft.functions.WindowFunctions.ewma(n, s.alpha,
             partitionBy = Seq(col("series_key")),
-            orderBy = Seq(col("timestamp"))))
+            orderBy = Seq(col("timestamp")),
+            seed = seedCol))
         case "holt" => df.withColumn(smoothStateCol(s),
           graft.functions.WindowFunctions.holtTrend(n, s.alpha, s.beta,
             partitionBy = Seq(col("series_key")),
-            orderBy = Seq(col("timestamp"))))
+            orderBy = Seq(col("timestamp")),
+            seed = seedCol.map(c =>
+              (c.getField("level"), c.getField("trend")))))
         case other =>
           throw new IllegalArgumentException(s"unknown smoothing kind $other")
       }

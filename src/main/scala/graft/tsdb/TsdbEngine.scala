@@ -198,22 +198,36 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * per batch instead of one per (shuffle partition × metric) — fewer,
     * bigger parquet files, the healthier layout on both ends. Files are
     * invisible to readers until the log commit lands. */
+  /** Cumulative wall-clock of [[commitAppend]]'s stages since engine
+    * construction (ns): staging write (runs the upstream plan — parse/
+    * validate ride here), file move-in, log commit + cache invalidation.
+    * Three clock reads per append; exists so ingest throughput is
+    * attributable to a stage instead of guessed at (SCALE.md r13). */
+  val appendStageNs = new java.util.concurrent.atomic.AtomicLongArray(3)
+
   private def commitAppend(df: DataFrame, txn: Option[(String, Long)]): Unit = {
     txn.foreach { case (app, batch) =>
       if (snap.txnSeen(app, batch)) return // replayed micro-batch — drop it
     }
     val stamp = java.util.UUID.randomUUID().toString.take(12)
     val staging = s"$rootDir/_staging/$stamp"
+    val t0 = System.nanoTime()
     df.withColumn("date", dateOfTs(col("timestamp")))
       .repartition(col("metric"), col("date"))
       .write.option("compression", compressionCodec)
       .partitionBy("metric", "date").parquet(staging)
+    val t1 = System.nanoTime()
     val added = moveStaged(Paths.get(staging), stamp)
     deleteDir(Paths.get(staging))
+    val t2 = System.nanoTime()
     val hwm = seqCounter.get()
     log.commit(v => LogCommit(v, adds = added, metrics = metricsOf(added),
       txnApp = txn.map(_._1), txnBatch = txn.map(_._2), maxSeq = hwm))
     committed()
+    val t3 = System.nanoTime()
+    appendStageNs.addAndGet(0, t1 - t0)
+    appendStageNs.addAndGet(1, t2 - t1)
+    appendStageNs.addAndGet(2, t3 - t2)
   }
 
   /** Move staged parquet files into the data root, preserving their
@@ -357,6 +371,19 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * output. */
   def analyze(params: QueryParams, spec: AnalyzeSpec,
       splitNs0: Option[Long] = None): DataFrame = {
+    // smoothing-rate ranges checked HERE like registerRollup's — the NBQL
+    // parser validates its own input, but a direct-API caller would
+    // otherwise only fail inside the native fold's Catalyst type check
+    // (analysis-time, opaque) or silently mis-smooth
+    def rate(x: Double, name: String): Unit =
+      require(x > 0.0 && x <= 1.0, s"smoothing $name must be in (0, 1], got $x")
+    spec match {
+      case AnalyzeEwma(_, a) => rate(a, "alpha")
+      case AnalyzeEwmaBy(_, a, _) => rate(a, "alpha")
+      case AnalyzeHolt(_, a, b) => rate(a, "alpha"); rate(b, "beta")
+      case AnalyzeHoltBy(_, a, b, _) => rate(a, "alpha"); rate(b, "beta")
+      case _ => ()
+    }
     val pts = loadPoints().getOrElse(TsdbEngine.emptyPoints(spark))
     val tombs = loadTombstones()
     // SPLIT AUTO resolves against the query's ACTUAL range here, before
@@ -1337,7 +1364,16 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     if (!Files.isRegularFile(f)) None
     else scala.util.Try(
       org.json4s.jackson.Serialization.read[RollupMarker](Files.readString(f))
-    ).toOption
+    ) match {
+      case scala.util.Success(m) => Some(m)
+      case scala.util.Failure(e) =>
+        // an unreadable marker silently costs a FULL rebuild — surface it
+        // (corrupt file, schema drift from an older build) instead of
+        // letting the cost masquerade as normal maintenance
+        TsdbEngine.log.warn(
+          s"unreadable rollup marker $f (full rebuild will follow): $e")
+        None
+    }
   }
 
   private def writeRollupMarker(dirM: Path, version: Long, spec: RollupReg): Unit = {
@@ -1429,13 +1465,15 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       m.intervalNs == spec.intervalNs && m.fields == spec.fields &&
         m.digests == spec.digests && m.smooth == spec.smooth &&
         m.version <= cur.version)
-    // Smoothing rollups NEVER increment: their stored states are prefix
-    // folds — an edit anywhere invalidates every later window of the
-    // touched series, so partition-local maintenance cannot hold
-    // ([[SmoothSpec]]); any commit triggers a full per-metric rebuild
-    // (a marker already at the current version still short-circuits).
-    val canIncrement = markerMatches && spec.smooth.isEmpty &&
-      DayNs % spec.intervalNs == 0
+    // Smoothing rollups maintain SUFFIX-incrementally: stored states are
+    // prefix folds, so an edit invalidates every stored window of the
+    // metric AT OR AFTER the earliest commit-touched date but none
+    // before it. Rebuild only partitions ≥ that boundary, resuming each
+    // series' fold from its last stored pre-boundary state
+    // ([[SmoothSpec]]; [[Rollup.build]]'s seeds) — bit-identical to a
+    // full rebuild, work ∝ the hot tail instead of the metric's history.
+    // Plain rollups stay PARTITION-local (only touched dates rebuild).
+    val canIncrement = markerMatches && DayNs % spec.intervalNs == 0
     val touched: Option[Set[String]] =
       if (canIncrement) rollupTouchedDates(metric, marker.get.version)
       else if (markerMatches && marker.get.version == cur.version)
@@ -1443,7 +1481,20 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       else None
     touched match {
       case Some(ds) if ds.isEmpty => () // nothing changed for this metric
-      case Some(ds) => writeRollupPartitions(dirM, metric, spec, Some(ds))
+      case Some(ds) if spec.smooth.isEmpty =>
+        writeRollupPartitions(dirM, metric, spec, Some(ds))
+      case Some(ds) =>
+        // suffix = every data/rollup date ≥ the earliest touched date
+        // (dates are yyyy-MM-dd: lexicographic == chronological)
+        val boundary = ds.min
+        val rollupDates = listRollupDates(dirM)
+        val dataDates = rollupDatesOf(cur.files, metric)
+        val replace = (rollupDates ++ dataDates).filter(_ >= boundary)
+        val prefixDates = rollupDates.filter(_ < boundary)
+        val seeds =
+          if (prefixDates.isEmpty) None
+          else Some(smoothSeeds(dirM, prefixDates, spec))
+        writeRollupPartitions(dirM, metric, spec, Some(replace), seeds)
       case None => writeRollupPartitions(dirM, metric, spec, None)
     }
     writeRollupMarker(dirM, cur.version, spec)
@@ -1459,15 +1510,45 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       .sortWithinPartitions(col("window_start"))
   }
 
+  /** `date=` partition values currently materialized under `dirM`. */
+  private def listRollupDates(dirM: Path): Set[String] =
+    if (!Files.isDirectory(dirM)) Set.empty
+    else Files.list(dirM).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("date="))
+      .map(_.drop(5)).toSet
+
+  /** Per-series smoothing RESUME states at a partition boundary: for each
+    * [[SmoothSpec]], the stored fold state at the series' LAST numeric
+    * sample across the pre-boundary date partitions (max_by over the
+    * stored last-sample ord keys — windows without a numeric sample of
+    * the spec's field carry a null ord and are ignored). One row per
+    * series that has any pre-boundary sample; |series| rows total, read
+    * from the tiny rollup frame, never from points. */
+  private def smoothSeeds(dirM: Path, prefixDates: Set[String],
+      spec: RollupReg): DataFrame = {
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val prefix = spark.read.option("basePath", dirM.toString)
+      .parquet(prefixDates.toSeq.sorted.map(d => s"$dirM/date=$d"): _*)
+    val aggs = spec.smooth.map { s =>
+      org.apache.spark.sql.functions.max_by(
+        col(Rollup.smoothStateCol(s)),
+        col(s"${s.field}__last_ord")).as(Rollup.smoothSeedCol(s))
+    }
+    prefix.groupBy(col("series_key")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Aggregate + swap: build partials for the affected dates (all, when
     * `replaceDates` is None), stage, delete the replaced date dirs, move
     * the staged files in under build-unique names. A date rebuilt to
-    * empty simply loses its directory. */
+    * empty simply loses its directory. `seeds` resumes smoothing folds
+    * at a suffix boundary ([[smoothSeeds]]; [[Rollup.build]]). */
   private def writeRollupPartitions(dirM: Path, metric: String, spec: RollupReg,
-      replaceDates: Option[Set[String]]): Unit = {
+      replaceDates: Option[Set[String]],
+      seeds: Option[DataFrame] = None): Unit = {
     val merged = metricMergedView(metric, replaceDates)
     val rolled = Rollup.build(merged, spec.intervalNs, spec.fields,
-      spec.digests, spec.smooth)
+      spec.digests, spec.smooth, seeds)
       .withColumn("date", dateOfTs(col("window_start")))
     val stamp = java.util.UUID.randomUUID().toString.take(12)
     val staging = Paths.get(s"$rootDir/_staging/rollup-$stamp")
@@ -2205,6 +2286,8 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
 }
 
 object TsdbEngine {
+  private[tsdb] val log = org.slf4j.LoggerFactory.getLogger(classOf[TsdbEngine])
+
   /** Parquet codecs accepted by [[TsdbEngine.setCompression]] — the
     * reference's compressor set (`compressors/`: none/snappy/lz4/zstd)
     * plus gzip, all codec jars shipped with Spark. */

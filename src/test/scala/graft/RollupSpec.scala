@@ -596,8 +596,11 @@ class RollupSpec extends SparkSpec {
     assert(served2.map(_.toSeq).toSeq == served.map(_.toSeq).toSeq)
     assert(listRollupFiles() == files0,
       "unchanged version must not rewrite the materialization")
-    // any commit FULL-rebuilds a smoothing rollup (prefix fold ⇒
-    // suffix-invalidating; never partition-local): every file restamps
+    // a commit rebuilds every partition ≥ the earliest touched date
+    // (suffix-incremental maintenance); all this fixture's data is on
+    // ONE date, so here the suffix is everything: every file restamps
+    // and the served fold is fresh (the multi-day prefix-preservation
+    // case has its own test below)
     assert(eng2.putBatch(Seq(graft.model.DataPoint("reqs",
       Map("host" -> "h0"), 30 * Min + 1,
       Map("value" -> graft.model.FieldValue.ofDouble(500.0))))).isRight)
@@ -607,7 +610,83 @@ class RollupSpec extends SparkSpec {
       10 * Min).collect()
     assert(served3.map(_.toSeq).toSeq == raw3.map(_.toSeq).toSeq)
     assert(listRollupFiles().intersect(files0).isEmpty,
-      "a smoothing rollup must full-rebuild on commit (no stale suffix states)")
+      "a commit must restamp every suffix partition (single-date fixture" +
+        " ⇒ the whole materialization)")
+  }
+
+  test("smoothing rollup maintenance is suffix-incremental: prefix " +
+      "partitions untouched, resumed folds bit-identical") {
+    val Day = TsdbEngine.DayNs
+    val dir = java.nio.file.Files.createTempDirectory("graft_smooth_sfx").toString
+    def filesOf(date: String): Seq[String] = {
+      val d = java.nio.file.Paths.get(dir, "_rollup",
+        "metric=reqs", s"date=$date")
+      if (!java.nio.file.Files.isDirectory(d)) Nil
+      else {
+        val s = java.nio.file.Files.list(d)
+        try s.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+        finally s.close()
+      }
+    }
+    val smooth = Seq(SmoothSpec("value", "ewma", 0.25),
+      SmoothSpec("value", "holt", 0.25, 0.125))
+    // two series across THREE days, irregular cadence + a NaN sample
+    def pt(host: String, ts: Long, v: Double) =
+      graft.model.DataPoint("reqs", Map("host" -> host), ts,
+        Map("value" -> graft.model.FieldValue.ofDouble(v)))
+    val base = (0 until 120).flatMap { i =>
+      val ts = i * 35 * Min + (i % 4) * (Min / 3) // spans ~2.9 days
+      Seq(pt("h0", ts, math.sin(i * 0.9) * 20 + i),
+        pt("h1", ts + Min, if (i == 50) Double.NaN else 1000.0 - i * 3.5))
+    }
+    val eng = new TsdbEngine(spark, dir)
+    assert(eng.putBatch(base).isRight)
+    eng.registerRollup("reqs", 5 * Min, Seq("value"), smooth = smooth)
+    val q = QueryParams("reqs", startNs = 0L, endNs = Some(3 * Day - 1))
+    val ewmaBy = AnalyzeEwmaBy("value", 0.25, 10 * Min)
+    val holtBy = AnalyzeHoltBy("value", 0.25, 0.125, 10 * Min)
+    eng.analyze(q, ewmaBy).collect() // forces the initial build
+    assert(eng.lastServePath == "rollup-ewma")
+    val (d0, d1, d2) = ("1970-01-01", "1970-01-02", "1970-01-03")
+    val (f0, f1) = (filesOf(d0), filesOf(d1))
+    assert(f0.nonEmpty && f1.nonEmpty && filesOf(d2).nonEmpty)
+    // commit touching ONLY day 3 (h0 + a brand-new series h2): days 1-2
+    // must stay physically untouched; day 3 rebuilds with folds RESUMED
+    // from the stored day-2 states
+    val more = (0 until 12).map(i => pt("h0", 2 * Day + Hr + i * 7 * Min,
+      500.0 + i)) :+ pt("h2", 2 * Day + 2 * Hr, 7.25)
+    assert(eng.putBatch(more).isRight)
+    val routedE = eng.analyze(q, ewmaBy).collect()
+    assert(eng.lastServePath == "rollup-ewma")
+    assert(filesOf(d0) == f0 && filesOf(d1) == f1,
+      "pre-boundary partitions must not be rewritten by a day-3 commit")
+    assert(filesOf(d2).nonEmpty)
+    val rawE = TsAnalytics.ewmaSmoothBy(eng.loadPoints().get, q, 0.25,
+      10 * Min).collect()
+    assert(routedE.map(_.toSeq).toSeq == rawE.map(_.toSeq).toSeq,
+      "resumed EWMA folds must be bit-identical to the full fold" +
+        " (incl. the unseeded new series h2)")
+    val routedH = eng.analyze(q, holtBy).collect()
+    assert(eng.lastServePath == "rollup-holt")
+    val rawH = TsAnalytics.holtSmoothBy(eng.loadPoints().get, q, 0.25,
+      0.125, 10 * Min).collect()
+    assert(routedH.map(_.toSeq).toSeq == rawH.map(_.toSeq).toSeq,
+      "resumed HOLT folds must be bit-identical to the full fold")
+    // commit touching day 2: boundary moves — day 1 still untouched,
+    // days 2-3 rebuild, folds resume from day-1 states only
+    assert(eng.putBatch(Seq(pt("h1", Day + 3 * Hr + 1, -42.0))).isRight)
+    val routedE2 = eng.analyze(q, ewmaBy).collect()
+    assert(eng.lastServePath == "rollup-ewma")
+    assert(filesOf(d0) == f0,
+      "a day-2 commit must leave day 1 physically untouched")
+    assert(filesOf(d1) != f1, "a day-2 commit must rebuild day 2")
+    val rawE2 = TsAnalytics.ewmaSmoothBy(eng.loadPoints().get, q, 0.25,
+      10 * Min).collect()
+    assert(routedE2.map(_.toSeq).toSeq == rawE2.map(_.toSeq).toSeq)
+    // the driver-resident tier reads the same maintained frame
+    val localE = eng.analyzeCached(q, ewmaBy)
+    assert(eng.lastServePath == "local-rollup-ewma")
+    assert(localE.map(_.toSeq).toSeq == rawE2.map(_.toSeq).toSeq)
   }
 
   test("runIrate: zero-dt trailing pair emits null rate (raw-operator guard parity)") {

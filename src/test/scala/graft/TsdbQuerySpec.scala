@@ -802,4 +802,29 @@ class TsdbQuerySpec extends SparkSpec {
     assert(localPage == sparkPage, s"$localPage != $sparkPage")
     assert(localPage.size == 2 && !localPage.contains(cur.seriesKey))
   }
+
+  test("direct-API ANALYZE rejects out-of-range smoothing rates eagerly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rate_chk").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    val q = QueryParams("cpu", startNs = 0L, endNs = Some(1000L))
+    // eager IllegalArgumentException with the parameter named — not a
+    // Catalyst analysis error from inside the native fold
+    Seq(0.0, -0.5, 1.5).foreach { a =>
+      val e = intercept[IllegalArgumentException](
+        eng.analyze(q, AnalyzeEwma("v", a)))
+      assert(e.getMessage.contains("alpha"))
+      assert(intercept[IllegalArgumentException](
+        eng.analyze(q, AnalyzeEwmaBy("v", a, 600L)))
+        .getMessage.contains("alpha"))
+      assert(intercept[IllegalArgumentException](
+        eng.analyze(q, AnalyzeHolt("v", 0.5, a)))
+        .getMessage.contains("beta"))
+      assert(intercept[IllegalArgumentException](
+        eng.analyze(q, AnalyzeHoltBy("v", a, 0.5, 600L)))
+        .getMessage.contains("alpha"))
+    }
+    // boundary: 1.0 is legal (pure tracking) — must not throw
+    eng.analyze(q, AnalyzeEwma("v", 1.0))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)); ()
+  }
 }
