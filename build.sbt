@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver archives a stdout tail and parses the last JSON line;
+// sbt's trailing "[success] Total time …" banner lands after graft.Bench's
+// JSON record and has made every BENCH_r<N>.json parse to null. Success is
+// still signalled by the exit code.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

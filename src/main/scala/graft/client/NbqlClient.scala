@@ -216,6 +216,9 @@ object NbqlClient {
     val sock = new Socket()
     sock.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
     sock.setSoTimeout(timeoutMs)
+    // request/response protocol with small frames: Nagle + delayed-ACK
+    // interaction turns each query into a multi-ms stall otherwise
+    sock.setTcpNoDelay(true)
     credentials.foreach { case (user, pass) =>
       val out = sock.getOutputStream
       out.write(Wire.encodeAuthRequest(user, pass)); out.flush()

@@ -41,9 +41,35 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
     * even without a LIMIT; shapes with no cursor keyset (final
     * aggregates, ANALYZE, GROUP BY TAGS, SHOW) return the truncated flag
     * instead, telling the client to re-issue with `stream=1`. */
-  final case class Rows(df: DataFrame,
+  final case class Rows(
+      private val source: graft.tsdb.TsdbEngine.Served,
       private val cursorOf: (Long, Option[Row], Boolean) => Option[String])
       extends ExecResult {
+    /** The result as a lazy DataFrame. When the serving tiers answered
+      * on the driver this builds a LocalRelation ON DEMAND — the
+      * protocol servers never ask for it (they stream [[rowIterator]]),
+      * so the per-query plan-construction + job cost (~22 ms measured,
+      * vs ~50 µs for the tier serve itself — SCALE.md r13) is paid only
+      * by callers that genuinely want a frame. */
+    lazy val df: DataFrame = source match {
+      case Left((rows, sch)) =>
+        engine.spark.createDataFrame(java.util.Arrays.asList(rows: _*), sch)
+      case Right(d) => d
+    }
+    def schema: org.apache.spark.sql.types.StructType =
+      source.fold(_._2, _.schema)
+    /** Stream the result rows: driver-resident array when the tiers
+      * answered (no job), `toLocalIterator` over the plan otherwise
+      * (partitions stream as they finish, driver memory O(1 row)). */
+    def rowIterator(): Iterator[Row] = source match {
+      case Left((rows, _)) => rows.iterator
+      case Right(d) =>
+        val it = d.toLocalIterator()
+        new Iterator[Row] {
+          def hasNext: Boolean = it.hasNext
+          def next(): Row = it.next()
+        }
+    }
     def page(): (Array[Row], Option[String]) = {
       val (rows, next, _) = pageBudgeted(engine.servingRowBudget)
       (rows, next)
@@ -51,7 +77,10 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
     /** Budget-capped collect: (rows, nextCursor, truncatedByBudget). */
     def pageBudgeted(budget: Long): (Array[Row], Option[String], Boolean) = {
       val cap = math.min(math.max(budget, 1L), Int.MaxValue - 1L).toInt
-      val rows = df.limit(cap + 1).collect()
+      val rows = source match {
+        case Left((rs, _)) => rs.take(cap + 1)
+        case Right(d) => d.limit(cap + 1).collect()
+      }
       if (rows.length <= cap)
         (rows, cursorOf(rows.length.toLong, rows.lastOption, false), false)
       else {
@@ -63,6 +92,10 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
     def nextCursor(delivered: Long, last: Option[Row]): Option[String] =
       cursorOf(delivered, last, false)
   }
+  /** DataFrame-sourced [[Rows]] (the SHOW/EXPLAIN/snapshot shapes). */
+  private def dfRows(df: DataFrame,
+      cursorOf: (Long, Option[Row], Boolean) => Option[String]): Rows =
+    Rows(Right(df), cursorOf)
   final case class Ack(message: String) extends ExecResult
 
   private val noCursor: (Long, Option[Row], Boolean) => Option[String] =
@@ -119,11 +152,12 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
         // Tag-grouped queries bypass the per-series serving tiers entirely.
         (q.analyze, q.groupByTags) match {
           case (Some(spec), _) =>
-            Rows(engine.analyzeServingDF(params, withTopKKeys(spec, q),
-              q.analyzeSplitNs), noCursor)
+            val served = engine.serveAnalyze(params, withTopKKeys(spec, q),
+              q.analyzeSplitNs)
+            Rows(served, analyticCursorOf(served, params))
           case (None, Some(keys)) =>
-            Rows(engine.queryByTagsServingDF(params, keys), noCursor)
-          case (None, None) => Rows(engine.queryServingDF(params), cursorOf)
+            Rows(engine.serveByTags(params, keys), noCursor)
+          case (None, None) => Rows(engine.serveQuery(params), cursorOf)
         }
       }
 
@@ -145,7 +179,7 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("plan",
             org.apache.spark.sql.types.StringType)))
-        Rows(engine.spark.createDataFrame(
+        dfRows(engine.spark.createDataFrame(
           java.util.Arrays.asList(lines.map(Row(_)): _*), schema), noCursor)
       }
 
@@ -157,6 +191,28 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
       q: QueryStatement): graft.tsdb.AnalyzeSpec = spec match {
     case t: graft.tsdb.AnalyzeTopK => t.copy(tagKeys = q.groupByTags.getOrElse(Nil))
     case s => s
+  }
+
+  /** Keyset cursor for the per-series analytics (round 13): their
+    * outputs order by (series_key[, window_start | timestamp]), so a
+    * budget-cut or LIMIT-full page resumes AFTER the last row's key —
+    * the over-budget ANALYZE cliff pages through the same row-budgeted
+    * machinery as plain queries instead of forcing `stream=1`
+    * ([[TsdbEngine.analyze]]'s AFTER filter is the other half). Field
+    * access is POSITIONAL: the driver-resident tiers hand back
+    * schema-less `GenericRow`s, where name lookup throws. Group-keyed
+    * shapes (no series_key column) keep the no-cursor contract. */
+  private def analyticCursorOf(served: graft.tsdb.TsdbEngine.Served,
+      params: QueryParams): (Long, Option[Row], Boolean) => Option[String] = {
+    val names = served.fold(_._2, _.schema).fieldNames
+    val iSk = names.indexOf("series_key")
+    val iSec = Seq("window_start", "timestamp")
+      .map(names.indexOf(_)).find(_ >= 0)
+    if (iSk < 0) noCursor
+    else (delivered, lastRow, forced) =>
+      lastRow.filter(_ => forced || params.limit.contains(delivered)).map {
+        last => Cursor(iSec.fold(0L)(last.getLong), last.getString(iSk)).encode
+      }
   }
 
   /** Shared validation + params construction for QUERY-shaped statements
@@ -193,8 +249,17 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
           return Left("ANALYZE and GROUP BY TAGS don't compose (TOPK is the exception)")
         if (q.fill != FillNone || q.emitEmptyWindows)
           return Left("FILL/EMIT EMPTY WINDOWS don't apply to ANALYZE results")
-        if (q.after.isDefined)
-          return Left("AFTER cursors don't apply to ANALYZE results")
+        // AFTER composes with the per-series analytics (round 13): their
+        // (series_key[, window]) ordering is a keyset, so over-budget
+        // results page like plain queries ([[analyticCursorOf]]). The
+        // group-keyed shapes have no series keyset — reject eagerly.
+        val groupKeyed = q.analyze.get match {
+          case _: graft.tsdb.AnalyzeTopK | _: graft.tsdb.AnalyzeCorrelate |
+               _: graft.tsdb.AnalyzeRatio => true
+          case _ => false
+        }
+        if (q.after.isDefined && groupKeyed)
+          return Left("AFTER cursors don't apply to group-keyed ANALYZE results")
         if (q.order == Descending)
           return Left("ANALYZE results are ordered (series, time) ascending — DESC is not supported")
         q.analyze.get match {
@@ -300,13 +365,13 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
     case RemoveRangeStatement(m, tg, a, b) =>
       engine.deleteRange(m, tg, a, b).map(_ => Ack("OK"))
 
-    case ShowMetricsStatement => Right(Rows(engine.showMetrics(), noCursor))
-    case ShowTagKeysStatement(m) => Right(Rows(engine.showTagKeys(m), noCursor))
-    case ShowTagValuesStatement(m, k) => Right(Rows(engine.showTagValues(m, k), noCursor))
+    case ShowMetricsStatement => Right(dfRows(engine.showMetrics(), noCursor))
+    case ShowTagKeysStatement(m) => Right(dfRows(engine.showTagKeys(m), noCursor))
+    case ShowTagValuesStatement(m, k) => Right(dfRows(engine.showTagValues(m, k), noCursor))
     case ShowCardinalityStatement(m, by, estimate) =>
       if (by.exists(_ <= 0)) Left("cardinality window must be positive")
-      else if (estimate) Right(Rows(engine.showCardinalityEstimate(m, by), noCursor))
-      else Right(Rows(engine.showCardinality(m, by), noCursor))
+      else if (estimate) Right(dfRows(engine.showCardinalityEstimate(m, by), noCursor))
+      else Right(dfRows(engine.showCardinality(m, by), noCursor))
 
     case CreateCardinalitySummaryStatement(base, lgK) =>
       if (base <= 0) Left("summary base window must be positive")
@@ -339,7 +404,7 @@ class NbqlExecutor(val engine: TsdbEngine, snapshotDir: String => String = ident
             (if (s.kind == "holt") s",${s.beta}" else "") + ")")
             .mkString(",")) }
         .toDF("metric", "interval_ns", "fields", "digests", "smooth")
-      Right(Rows(df, noCursor))
+      Right(dfRows(df, noCursor))
 
     case FlushStatement(_) =>
       // memtable/disk flush is meaningless on parquet storage; compaction

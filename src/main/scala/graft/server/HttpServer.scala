@@ -200,7 +200,7 @@ final class GraftHttpServer(executor: NbqlExecutor, port: Int = 0,
     * `stream=1` (the NDJSON path streams the full plan off
     * `toLocalIterator` without materializing). */
   private def bufferRows(ex: HttpExchange, r: NbqlExecutor#Rows): Unit = {
-    val schema = r.df.schema
+    val schema = r.schema
     val (rows, next, truncated) = r.pageBudgeted(executor.engine.servingRowBudget)
     val fields = List(
       "status" -> JString("ok"),
@@ -214,7 +214,7 @@ final class GraftHttpServer(executor: NbqlExecutor, port: Int = 0,
   /** S9: chunked NDJSON, one row per line via toLocalIterator — rows flow
     * as partitions complete; nothing is materialized driver-side. */
   private def streamRows(ex: HttpExchange, r: NbqlExecutor#Rows): Unit = {
-    val schema = r.df.schema
+    val schema = r.schema
     ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
     ex.sendResponseHeaders(200, 0) // length 0 = chunked transfer
     val out = ex.getResponseBody
@@ -225,7 +225,7 @@ final class GraftHttpServer(executor: NbqlExecutor, port: Int = 0,
     var delivered = 0L
     var last: Option[Row] = None
     try {
-      val it = r.df.toLocalIterator()
+      val it = r.rowIterator()
       while (it.hasNext) {
         val row = it.next()
         writeLine(RowJson.toJValue(row, schema))

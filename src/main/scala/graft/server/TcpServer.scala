@@ -64,6 +64,7 @@ final class GraftTcpServer(executor: NbqlExecutor, port: Int = 0,
       def run(): Unit = while (running) {
         try {
           val sock = server.accept()
+          sock.setTcpNoDelay(true) // see NbqlClient.connect — small frames
           pool.submit(new Runnable { def run(): Unit = handle(sock) })
           ()
         } catch { case _: Exception if !running => () case _: Exception => () }
@@ -251,17 +252,20 @@ final class GraftTcpServer(executor: NbqlExecutor, port: Int = 0,
     }
   }
 
-  /** One QueryResultPart frame per row off `toLocalIterator` — partitions
-    * stream as they finish, driver memory stays O(1 row); then QueryEnd
-    * with the row count (`tcp_connection_handler.go:216-280`). */
+  /** One QueryResultPart frame per row off [[NbqlExecutor.Rows.rowIterator]]
+    * — the driver-resident array when the serving tiers answered (no
+    * plan, no job), `toLocalIterator` over the full plan otherwise
+    * (partitions stream as they finish, driver memory stays O(1 row));
+    * then QueryEnd with the row count
+    * (`tcp_connection_handler.go:216-280`). */
   private def streamRows(out: java.io.OutputStream, r: NbqlExecutor#Rows): Unit = {
-    val schema = r.df.schema
+    val schema = r.schema
     val names = schema.fieldNames.toSet
     val isAgg = names.contains("window_start") ||
       (!names.contains("fields") && names.contains("timestamp"))
     var delivered = 0L
     var last: Option[Row] = None
-    val it = r.df.toLocalIterator()
+    val it = r.rowIterator()
     while (it.hasNext) {
       val row = it.next()
       Wire.writeFrame(out, Wire.CmdQueryResultPart,

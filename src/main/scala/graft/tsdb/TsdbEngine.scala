@@ -71,6 +71,13 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * snappy is the default like the reference's. */
   @volatile private var compressionCodec: String = "snappy"
   def compression: String = compressionCodec
+
+  /** The session's configured shuffle width, read per write (the conf is
+    * mutable) — the EXPLICIT numPartitions for staged clustered writes,
+    * where a bare keyed repartition would let AQE coalesce a small batch
+    * to one task and serialize every partition directory's writer. */
+  private def shufflePartitions: Int =
+    spark.conf.get("spark.sql.shuffle.partitions").toInt
   def setCompression(codec: String): Unit = {
     val norm = codec.toLowerCase match {
       case "none" => "uncompressed"
@@ -212,8 +219,14 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     val stamp = java.util.UUID.randomUUID().toString.take(12)
     val staging = s"$rootDir/_staging/$stamp"
     val t0 = System.nanoTime()
+    // EXPLICIT partition count: a bare keyed repartition lets AQE
+    // coalesce a small batch to ONE shuffle partition, serializing every
+    // (metric, date) directory's writer into a single task (~20 ms/dir —
+    // measured the whole streaming-ingest gap, SCALE.md r13). The
+    // explicit count pins write parallelism while keeping one file per
+    // directory (each key still hashes to exactly one partition).
     df.withColumn("date", dateOfTs(col("timestamp")))
-      .repartition(col("metric"), col("date"))
+      .repartition(shufflePartitions, col("metric"), col("date"))
       .write.option("compression", compressionCodec)
       .partitionBy("metric", "date").parquet(staging)
     val t1 = System.nanoTime()
@@ -513,7 +526,27 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         TsAnalytics.topKGroups(pts, params, keys, k, by, tombstones = tombs,
           ascending = asc)
     }
-    params.limit.fold(df)(n => df.limit(n.toInt))
+    // keyset resume (round 13): per-series/windowed analytics order by
+    // (series_key[, window_start|timestamp]) — AFTER filters strictly
+    // past the cursor in that order, making over-budget ANALYZE results
+    // walkable page by page through the same row-budgeted machinery the
+    // plain-QUERY path has (the cursor rides Cursor(ts, seriesKey) with
+    // ts = the secondary key, 0 for one-row-per-series shapes). Applies
+    // BEFORE limit so page 2 of a LIMITed walk is the next rows, not a
+    // re-filtered page 1. Group-keyed shapes (TOPK/CORRELATE/...) have
+    // no series keyset — AFTER on them is a clean error.
+    val paged = params.afterKey.fold(df) { c =>
+      val cols = df.columns.toSet
+      require(cols.contains("series_key"),
+        s"AFTER is not supported for this ANALYZE shape")
+      val sk = col("series_key")
+      Seq("window_start", "timestamp").find(cols.contains) match {
+        case Some(sec) => df.filter(sk > c.seriesKey ||
+          (sk === c.seriesKey && col(sec) > c.timestamp))
+        case None => df.filter(sk > c.seriesKey)
+      }
+    }
+    params.limit.fold(paged)(n => paged.limit(n.toInt))
   }
 
   /** ANALYZE RESETS/CHANGES plan: rollup-routed when a registered rollup
@@ -657,7 +690,13 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * the same bounded-driver contract as the point path. Pre/PostQuery
     * hooks fire as on [[queryServingDF]]. */
   def analyzeServingDF(params: QueryParams, spec: AnalyzeSpec,
-      splitNs: Option[Long] = None): DataFrame = {
+      splitNs: Option[Long] = None): DataFrame =
+    toDF(serveAnalyze(params, spec, splitNs))
+
+  /** [[analyzeServingDF]] without the DataFrame wrap — see
+    * [[serveQuery]] for why the protocol servers want the raw rows. */
+  def serveAnalyze(params: QueryParams, spec: AnalyzeSpec,
+      splitNs: Option[Long] = None): TsdbEngine.Served = {
     var p = params
     if (hooks.hasListeners(EventType.PreQuery)) {
       val pay = new Payloads.PreQuery(p)
@@ -668,9 +707,9 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     }
     val t0 = System.nanoTime()
     val (rows, truncated, schema) = analyzeCachedFull(p, spec, splitNs)
-    val out =
-      if (truncated) { lastServePath = "analyze-stream"; analyze(p, spec, splitNs) }
-      else spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val out: TsdbEngine.Served =
+      if (truncated) { lastServePath = "analyze-stream"; Right(analyze(p, spec, splitNs)) }
+      else Left((rows, schema))
     firePost(EventType.PostQuery, Payloads.PostQuery(p, System.nanoTime() - t0))
     out
   }
@@ -824,7 +863,11 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         (Array[Row], org.apache.spark.sql.types.StructType)):
       Option[(Array[Row], org.apache.spark.sql.types.StructType)] = {
     val spec = rollupSpecs.get(p.metric)
+    // afterKey: a cursor resume takes the Spark path, whose generic
+    // keyset filter + limit handle it ([[analyze]]) — the local folds
+    // apply LIMIT internally, which would otherwise re-serve page 1
     if (spec == null || !spec.fields.contains(field) ||
+        p.afterKey.isDefined ||
         p.valueFilters.nonEmpty || TagMatch.isPrefix(p.metric) ||
         p.relativeNs.isDefined || p.startNs % spec.intervalNs != 0 ||
         !p.endNs.exists(e => e != 0L && (e + 1) % spec.intervalNs == 0) ||
@@ -856,6 +899,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       Option[(Array[Row], org.apache.spark.sql.types.StructType)] = {
     val spec = rollupSpecs.get(p.metric)
     if (spec == null || !spec.smooth.contains(s) ||
+        p.afterKey.isDefined || // see serveLocalRollupAnalytic
         p.valueFilters.nonEmpty || TagMatch.isPrefix(p.metric) ||
         p.relativeNs.isDefined || p.startNs % spec.intervalNs != 0 ||
         !p.endNs.exists(e => e != 0L && (e + 1) % spec.intervalNs == 0) ||
@@ -950,9 +994,15 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * dashboard query costs microseconds) and the result is returned as a
     * LocalRelation so the protocol servers keep their streaming seams.
     * Anything else falls to the Spark path. */
-  def queryByTagsServingDF(params: QueryParams, tagKeys: Seq[String]): DataFrame = {
+  def queryByTagsServingDF(params: QueryParams, tagKeys: Seq[String]): DataFrame =
+    toDF(serveByTags(params, tagKeys))
+
+  /** [[queryByTagsServingDF]] without the DataFrame wrap — see
+    * [[serveQuery]]. */
+  def serveByTags(params: QueryParams,
+      tagKeys: Seq[String]): TsdbEngine.Served = {
     val spec = rollupSpecs.get(params.metric)
-    val local =
+    val local: Option[TsdbEngine.Served] =
       if (spec != null && byTagsRollupEligible(params, spec))
         localRollupRows(params.metric, spec).map { case (rows, ws, sch) =>
           val lo = lowerBound(ws, params.startNs)
@@ -960,13 +1010,13 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
           val slice = java.util.Arrays.copyOfRange(
             rows.asInstanceOf[Array[AnyRef]], lo, hi).asInstanceOf[Array[Row]]
           lastServePath = "local-rollup-tags"
-          spark.createDataFrame(
-            java.util.Arrays.asList(
-              LocalRollup.runByTags(slice, sch, params, spec.intervalNs, tagKeys): _*),
-            LocalRollup.outputSchemaByTags(params, tagKeys))
+          Left((LocalRollup.runByTags(slice, sch, params, spec.intervalNs, tagKeys),
+            LocalRollup.outputSchemaByTags(params, tagKeys)))
         }
       else None
-    local.getOrElse { lastServePath = "spark"; queryByTags(params, tagKeys) }
+    local.getOrElse {
+      lastServePath = "spark"; Right(queryByTags(params, tagKeys))
+    }
   }
 
   private def queryImpl(params: QueryParams, routed: Boolean): DataFrame = {
@@ -1552,7 +1602,9 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       .withColumn("date", dateOfTs(col("window_start")))
     val stamp = java.util.UUID.randomUUID().toString.take(12)
     val staging = Paths.get(s"$rootDir/_staging/rollup-$stamp")
-    rolled.repartition(col("date"))
+    // explicit count — see commitAppend's note (AQE would serialize an
+    // incremental rebuild's per-date writers into one task)
+    rolled.repartition(shufflePartitions, col("date"))
       .write.option("compression", compressionCodec)
       .partitionBy("date").parquet(staging.toString)
     replaceDates match {
@@ -1767,7 +1819,18 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * are unchanged); a budget-TRUNCATED result falls back to the
     * streamed Spark plan so un-LIMITed protocol queries still deliver
     * complete results. */
-  def queryServingDF(params: QueryParams): DataFrame = {
+  def queryServingDF(params: QueryParams): DataFrame =
+    toDF(serveQuery(params))
+
+  /** [[queryServingDF]] without the DataFrame wrap: `Left(rows, schema)`
+    * when the serving tiers answered on the driver — the protocol
+    * servers stream those rows DIRECTLY (wrapping them in a
+    * LocalRelation and draining it back through `toLocalIterator` costs
+    * a full per-query plan + job submission, ~22 ms measured against the
+    * tier's ~50 µs serve — SCALE.md r13); `Right(plan)` only for
+    * budget-truncated results, which genuinely need the streamed full
+    * plan. */
+  def serveQuery(params: QueryParams): TsdbEngine.Served = {
     var p = params
     if (hooks.hasListeners(EventType.PreQuery)) {
       val pay = new Payloads.PreQuery(p)
@@ -1781,11 +1844,16 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     // streamed full plan below, so collecting the budget-sized first
     // page would be a discarded third execution of the query shape
     val (rows, truncated, schema) = queryCachedFull(p, pageOnTruncation = false)
-    val out =
-      if (truncated) routedDF(p)
-      else spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val out: TsdbEngine.Served =
+      if (truncated) Right(routedDF(p)) else Left((rows, schema))
     firePost(EventType.PostQuery, Payloads.PostQuery(p, System.nanoTime() - t0))
     out
+  }
+
+  private def toDF(s: TsdbEngine.Served): DataFrame = s match {
+    case Left((rows, schema)) =>
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    case Right(df) => df
   }
 
   /** `pageOnTruncation = false` skips materializing the budget-limited
@@ -2091,7 +2159,9 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     val stamp = java.util.UUID.randomUUID().toString.take(12)
     val staging = s"$rootDir/_staging/$stamp"
     survivors.withColumn("date", dateOfTs(col("timestamp")))
-      .repartition(col("metric"), col("date"))
+      // explicit count — see commitAppend's note (AQE would serialize
+      // a small metric's per-directory writers into one task)
+      .repartition(shufflePartitions, col("metric"), col("date"))
       .write.option("compression", compressionCodec)
       .partitionBy("metric", "date").parquet(staging)
     val added = moveStaged(Paths.get(staging), stamp)
@@ -2287,6 +2357,11 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
 
 object TsdbEngine {
   private[tsdb] val log = org.slf4j.LoggerFactory.getLogger(classOf[TsdbEngine])
+
+  /** A serving-tier result: `Left(rows, schema)` = answered on the
+    * driver (stream the rows directly — no plan, no job); `Right(plan)`
+    * = budget-truncated, stream the full plan. */
+  type Served = Either[(Array[Row], org.apache.spark.sql.types.StructType), DataFrame]
 
   /** Parquet codecs accepted by [[TsdbEngine.setCompression]] — the
     * reference's compressor set (`compressors/`: none/snappy/lz4/zstd)

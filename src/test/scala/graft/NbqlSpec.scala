@@ -995,4 +995,59 @@ class NbqlExecutorSpec extends SparkSpec {
       assert(after.map(_.getAs[Long]("timestamp")) == Seq(10L, 20L, 30L))
     }
   }
+
+  test("over-budget ANALYZE pages with a resume cursor; walk completes") {
+    withEngine { (eng, ex) =>
+      // 6 series x 30 windows of EWMA BY = 180 output rows; budget 40
+      (0 until 6).foreach { s =>
+        val pushes = (0 until 120).map(i =>
+          s"""PUSH cpu TAGGED (host="h$s") SET (v=${i % 17}.0) AT ${i * 1000}""")
+        assert(ex.executeScript(pushes.mkString(";")).isRight)
+      }
+      val q = "QUERY cpu FROM 0 TO 119999 ANALYZE EWMA(v, 0.25) BY 4us"
+      val full = rows(ex, q).map(_.toString)
+      assert(full.length == 180)
+      eng.servingRowBudget = 40L
+      try {
+        // page walk: every page is budget-bounded, carries a cursor while
+        // rows remain, and the concatenation is exactly the full result
+        var collected = Vector.empty[String]
+        var next: Option[String] = None
+        var pages = 0
+        var done = false
+        while (!done) {
+          val stmt = q + next.fold("")(c => s" AFTER $c")
+          ex.execute(stmt).fold(e => fail(e), {
+            case r: ex.Rows @unchecked =>
+              val (page, cur) = r.page()
+              assert(page.length <= 40, s"page ${page.length} > budget")
+              collected ++= page.map(_.toString)
+              pages += 1
+              next = cur
+              done = cur.isEmpty
+            case other => fail(s"expected rows, got $other")
+          })
+          assert(pages <= 10, "walk must terminate")
+        }
+        assert(pages >= 5, s"180 rows / 40 budget needs >= 5 pages, got $pages")
+        assert(collected == full,
+          "page-walk concatenation must equal the unpaged result")
+        // LIMIT + AFTER compose: a 50-row LIMIT pages as 40 + 10
+        val p1 = ex.execute(q + " LIMIT 40").fold(e => fail(e), {
+          case r: ex.Rows @unchecked => r.page()
+          case other => fail(s"$other") })
+        assert(p1._1.length == 40 && p1._2.isDefined)
+        val p2 = ex.execute(q + s" LIMIT 10 AFTER ${p1._2.get}")
+          .fold(e => fail(e), { case r: ex.Rows @unchecked => r.page()
+                                case other => fail(s"$other") })
+        assert(p2._1.map(_.toString).toSeq == full.slice(40, 50))
+      } finally eng.servingRowBudget = 2000000L
+      // group-keyed analytics have no series keyset: AFTER is a clean,
+      // named error at prepare time
+      val cur0 = Cursor(0L, "h0").encode
+      val bad = ex.execute(s"QUERY cpu FROM 0 TO 119999 AGGREGATE (avg(v)) " +
+        s"ANALYZE TOPK(2, avg_v) GROUP BY TAGS (host) AFTER $cur0")
+      assert(bad.swap.exists(_.contains("AFTER")), bad.toString)
+    }
+  }
 }

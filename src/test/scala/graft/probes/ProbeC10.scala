@@ -35,6 +35,7 @@ object ProbeC10 {
       s"""QUERY purchase TAGGED (user="${idx % 100}") FROM $st TO $en"""
     }
     var idx = 0
+    var runOnlyNs = 0L
     def timeIt(name: String, n: Int)(f: Int => Unit): Unit = {
       (0 until n / 2).foreach { _ => f(idx); idx += 1 } // warm
       val t0 = System.nanoTime()
@@ -47,11 +48,24 @@ object ProbeC10 {
 
     timeIt("engine.queryCached", 3000)(i => { engine.queryCached(params(i)); () })
     val ex = new graft.nbql.NbqlExecutor(engine)
-    timeIt("executor.run+drain", 2000) { i =>
+    timeIt("nbql parse only", 2000) { i =>
+      graft.nbql.NbqlParser.parse(qText(i)).fold(sys.error, identity); ()
+    }
+    timeIt("executor.run only (pre-parsed)", 2000) { i =>
+      val st = graft.nbql.NbqlParser.parse(qText(i)).fold(sys.error, identity)
+      val t0 = System.nanoTime()
+      ex.run(st match { case s => s }) match {
+        case Right(_: ex.Rows) => ()
+        case other => sys.error(s"unexpected $other")
+      }
+      runOnlyNs += System.nanoTime() - t0
+    }
+    println("  (run-only inner: " + (runOnlyNs / 3000.0 / 1000.0) + " us/query)")
+    timeIt("executor.run+drain(rowIterator)", 2000) { i =>
       graft.nbql.NbqlParser.parse(qText(i)) match {
         case Right(st) => ex.run(st) match {
           case Right(r: ex.Rows) =>
-            val it = r.df.toLocalIterator(); while (it.hasNext) it.next()
+            val it = r.rowIterator(); while (it.hasNext) it.next()
             ()
           case other => sys.error(s"unexpected $other")
         }
