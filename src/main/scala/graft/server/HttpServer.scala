@@ -37,6 +37,11 @@ import java.util.Base64
 final class GraftHttpServer(executor: NbqlExecutor, port: Int = 0,
     authenticator: Option[Authenticator] = None) {
 
+  // the JDK http server leaves Nagle ON unless this property is set
+  // before ServerImpl reads its config — same request/response stall the
+  // framed TCP path had (SCALE.md r13: ~16 ms per small round-trip)
+  GraftHttpServer.ensureNoDelay()
+
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/api/nbql", (ex: HttpExchange) => handle(ex))
   server.createContext("/query", (ex: HttpExchange) => handleUi(ex))
@@ -275,6 +280,15 @@ private[server] object RowJson {
 }
 
 object GraftHttpServer {
+  /** `sun.net.httpserver.nodelay` is read once when the JDK server's
+    * config class initializes — set it before the first
+    * `HttpServer.create` in this JVM. Idempotent; an explicit "false"
+    * set by the operator is respected. */
+  private[server] def ensureNoDelay(): Unit =
+    if (System.getProperty("sun.net.httpserver.nodelay") == null) {
+      System.setProperty("sun.net.httpserver.nodelay", "true"); ()
+    }
+
   /** Minimal query console, served at `GET /query`. */
   private[server] val QueryPageHtml: String =
     """<!doctype html><html><head><meta charset="utf-8"><title>graft query</title>

@@ -182,7 +182,15 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         p.fields.map { case (k, v) => k -> StoredValue(v.d, v.l, v.s, v.b) },
         nextSeq())
     }
-    commitAppend(rows.toDF(), txn = None)
+    // the rows are driver-resident: size the staged write's shuffle to
+    // the batch's actual (metric, day) spread — a 1-dir PUSHS batch gets
+    // one write task (32 near-empty tasks cost ~3x under 10 concurrent
+    // wire writers, measured), a backfill spanning many days still fans
+    // out (see commitAppend's AQE note)
+    val dirs = points.iterator
+      .map(p => (p.metric, Math.floorDiv(p.timestamp, TsdbEngine.DayNs)))
+      .toSet.size
+    commitAppend(rows.toDF(), txn = None, dirHint = Some(dirs))
     if (hooks.hasListeners(EventType.OnSeriesCreate))
       points.foreach { p =>
         val key = SeriesKey.of(p.metric, p.tags)
@@ -212,7 +220,8 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * attributable to a stage instead of guessed at (SCALE.md r13). */
   val appendStageNs = new java.util.concurrent.atomic.AtomicLongArray(3)
 
-  private def commitAppend(df: DataFrame, txn: Option[(String, Long)]): Unit = {
+  private def commitAppend(df: DataFrame, txn: Option[(String, Long)],
+      dirHint: Option[Int] = None): Unit = {
     txn.foreach { case (app, batch) =>
       if (snap.txnSeen(app, batch)) return // replayed micro-batch — drop it
     }
@@ -225,8 +234,13 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     // measured the whole streaming-ingest gap, SCALE.md r13). The
     // explicit count pins write parallelism while keeping one file per
     // directory (each key still hashes to exactly one partition).
+    // dirHint (driver-side putBatch): cap the width at the batch's
+    // distinct (metric, date) count — extra shuffle partitions past the
+    // dir count can only hold empty writers
+    val width = math.max(1, math.min(shufflePartitions,
+      dirHint.getOrElse(shufflePartitions)))
     df.withColumn("date", dateOfTs(col("timestamp")))
-      .repartition(shufflePartitions, col("metric"), col("date"))
+      .repartition(width, col("metric"), col("date"))
       .write.option("compression", compressionCodec)
       .partitionBy("metric", "date").parquet(staging)
     val t1 = System.nanoTime()
@@ -1603,8 +1617,12 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     val stamp = java.util.UUID.randomUUID().toString.take(12)
     val staging = Paths.get(s"$rootDir/_staging/rollup-$stamp")
     // explicit count — see commitAppend's note (AQE would serialize an
-    // incremental rebuild's per-date writers into one task)
-    rolled.repartition(shufflePartitions, col("date"))
+    // incremental rebuild's per-date writers into one task); capped at
+    // the number of date partitions actually being replaced (a 1-date
+    // incremental rebuild needs 1 write task, not 31 empty ones)
+    val width = math.max(1, math.min(shufflePartitions,
+      replaceDates.map(_.size).getOrElse(shufflePartitions)))
+    rolled.repartition(width, col("date"))
       .write.option("compression", compressionCodec)
       .partitionBy("date").parquet(staging.toString)
     replaceDates match {
