@@ -17,14 +17,21 @@ import sys
 chunks_dir, serving_path, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
 
 queries, runs, errors = {}, {}, {}
-total = total_count = 0.0
+count_mode = {}
 for f in sorted(glob.glob(f"{chunks_dir}/chunk_*.json")):
     d = json.load(open(f))
     queries.update(d["queries"])
     runs.update(d["runs"])
     errors.update(d.get("errors", {}))
-    total += d["value"]
-    total_count += d.get("total_count_mode", 0.0)
+    # later chunks supersede earlier ones (re-measurements), so totals
+    # must come from the MERGED map, not a per-chunk sum; count-mode
+    # totals are only attributable per chunk, keep the superseding
+    # chunk's share by scaling its chunk total across its queries
+    share = d.get("total_count_mode", 0.0) / max(1, len(d["queries"]))
+    for q in d["queries"]:
+        count_mode[q] = share
+total = sum(queries.values())
+total_count = sum(count_mode.values())
 
 serving = json.load(open(serving_path))
 lat = sorted(queries.values())

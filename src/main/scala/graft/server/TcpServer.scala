@@ -212,19 +212,37 @@ final class GraftTcpServer(executor: NbqlExecutor, port: Int = 0,
         val tip = engine.sync()
         var v = since + 1
         while (v <= tip) {
-          val (puts, tombs) = engine.commitChanges(v)
-          puts.foreach { df =>
-            val matched = PubSub.subscribe(df, filter).orderBy("seq")
-            // toLocalIterator, not collect: a bulk backfill commit streams
-            // through the push loop one partition at a time instead of
-            // materializing the whole matched set on the driver (the same
-            // seam the query result path uses)
-            val it = matched.toLocalIterator()
-            while (it.hasNext) {
-              val row = it.next()
-              Wire.writeFrame(out, Wire.CmdQueryResultPart,
-                Wire.encodeQueryResultPart(toPointItem(row, matched.schema, isAgg = false)))
-            }
+          // driver-originated append commits push WITHOUT a Spark job:
+          // the engine retains their rows ([[TsdbEngine.commitChangesLocal]]
+          // — the reference's in-memory per-Put publish,
+          // `engine2/pubsub.go:105-126`); evicted/bulk/tombstone commits
+          // take the parquet read below
+          val tombs = engine.commitChangesLocal(v) match {
+            case Some(pts) =>
+              pts.sortBy(_._2).foreach { case (p, seq) =>
+                if (PubSub.matchesDriver(filter, p.metric, p.tags))
+                  Wire.writeFrame(out, Wire.CmdQueryResultPart,
+                    Wire.encodeQueryResultPart(Wire.PointItem(seq, p.metric,
+                      p.tags, p.timestamp, p.fields, 0L, Nil,
+                      isAggregated = false)))
+              }
+              Nil // an append commit never carries tombstones
+            case None =>
+              val (puts, ts) = engine.commitChanges(v)
+              puts.foreach { df =>
+                val matched = PubSub.subscribe(df, filter).orderBy("seq")
+                // toLocalIterator, not collect: a bulk backfill commit
+                // streams through the push loop one partition at a time
+                // instead of materializing the whole matched set on the
+                // driver (the same seam the query result path uses)
+                val it = matched.toLocalIterator()
+                while (it.hasNext) {
+                  val row = it.next()
+                  Wire.writeFrame(out, Wire.CmdQueryResultPart,
+                    Wire.encodeQueryResultPart(toPointItem(row, matched.schema, isAgg = false)))
+                }
+              }
+              ts
           }
           tombs.filter(t => PubSub.matchesDriver(filter, t.metric, t.tags))
             .foreach { t =>

@@ -172,6 +172,26 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     r
   }
 
+  /** Driver-originated commits kept as rows for job-free subscription
+    * delivery (S8): the reference publishes each Put in-memory
+    * (`engine2/pubsub.go:105-126`); reading a small commit's parquet
+    * back through a Spark plan costs a per-commit job (~20 ms class —
+    * the same tax SCALE.md r13 measured on the query path). Bounded by
+    * commit count and per-batch size; anything evicted or oversized
+    * falls back to [[commitChanges]]' parquet read. */
+  private val recentPuts =
+    new java.util.concurrent.ConcurrentSkipListMap[Long, Seq[(DataPoint, Long)]]()
+  @volatile private[graft] var recentPutsMaxCommits = 256 // test hook
+  /** Batches above this row count are not retained (a bulk backfill's
+    * rows shouldn't live twice in driver memory); test hook. */
+  @volatile private[graft] var recentPutsMaxBatch: Int = 10000
+
+  /** The retained rows of a driver-originated append commit, seq-stamped
+    * — `Some` means the commit is EXACTLY these puts (no tombstones, no
+    * removes); `None` means read it back via [[commitChanges]]. */
+  def commitChangesLocal(version: Long): Option[Seq[(DataPoint, Long)]] =
+    Option(recentPuts.get(version))
+
   private def appendPoints(points: Seq[DataPoint]): Either[String, Long] = {
     val bad = points.iterator.map(DataPoint.validate).collectFirst {
       case Left(err) => err }
@@ -190,7 +210,14 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     val dirs = points.iterator
       .map(p => (p.metric, Math.floorDiv(p.timestamp, TsdbEngine.DayNs)))
       .toSet.size
-    commitAppend(rows.toDF(), txn = None, dirHint = Some(dirs))
+    val committedVersion =
+      commitAppend(rows.toDF(), txn = None, dirHint = Some(dirs))
+    if (committedVersion > 0 && points.size <= recentPutsMaxBatch) {
+      recentPuts.put(committedVersion,
+        points.lazyZip(rows).map((p, r) => (p, r.seq)).toSeq)
+      while (recentPuts.size() > recentPutsMaxCommits)
+        recentPuts.pollFirstEntry()
+    }
     if (hooks.hasListeners(EventType.OnSeriesCreate))
       points.foreach { p =>
         val key = SeriesKey.of(p.metric, p.tags)
@@ -205,8 +232,9 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * `txn = Some((app, batchId))` makes the append IDEMPOTENT: a replayed
     * micro-batch (streaming checkpoint re-delivery after a crash) is
     * recognized by its watermark and skipped — exactly-once end to end. */
-  def putDF(df: DataFrame, txn: Option[(String, Long)] = None): Unit =
-    commitAppend(df, txn)
+  def putDF(df: DataFrame, txn: Option[(String, Long)] = None): Unit = {
+    commitAppend(df, txn); ()
+  }
 
   /** Stage → move-in → commit. The staged write clusters rows by their
     * partition values so each (metric, date) directory receives ONE file
@@ -220,10 +248,12 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * attributable to a stage instead of guessed at (SCALE.md r13). */
   val appendStageNs = new java.util.concurrent.atomic.AtomicLongArray(3)
 
+  /** Returns the committed log version, or -1 when an idempotent replay
+    * was dropped. */
   private def commitAppend(df: DataFrame, txn: Option[(String, Long)],
-      dirHint: Option[Int] = None): Unit = {
+      dirHint: Option[Int] = None): Long = {
     txn.foreach { case (app, batch) =>
-      if (snap.txnSeen(app, batch)) return // replayed micro-batch — drop it
+      if (snap.txnSeen(app, batch)) return -1L // replayed micro-batch — drop it
     }
     val stamp = java.util.UUID.randomUUID().toString.take(12)
     val staging = s"$rootDir/_staging/$stamp"
@@ -248,13 +278,15 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     deleteDir(Paths.get(staging))
     val t2 = System.nanoTime()
     val hwm = seqCounter.get()
-    log.commit(v => LogCommit(v, adds = added, metrics = metricsOf(added),
+    val landed = log.commit(v => LogCommit(v, adds = added,
+      metrics = metricsOf(added),
       txnApp = txn.map(_._1), txnBatch = txn.map(_._2), maxSeq = hwm))
     committed()
     val t3 = System.nanoTime()
     appendStageNs.addAndGet(0, t1 - t0)
     appendStageNs.addAndGet(1, t2 - t1)
     appendStageNs.addAndGet(2, t3 - t2)
+    landed.version
   }
 
   /** Move staged parquet files into the data root, preserving their

@@ -1366,4 +1366,54 @@ class RollupSpec extends SparkSpec {
     val rawRows = pts.count()
     assert(rowsRead < rawRows, s"rollup should compress: $rowsRead vs $rawRows")
   }
+
+  test("property: seeded suffix folds are bit-identical to the full fold" +
+      " across random splits") {
+    val Day = TsdbEngine.DayNs
+    val rnd = new scala.util.Random(7)
+    (0 until 6).foreach { it =>
+      val alpha = 0.05 + rnd.nextDouble() * 0.9
+      val beta = 0.05 + rnd.nextDouble() * 0.9
+      val smooth = Seq(SmoothSpec("value", "ewma", alpha),
+        SmoothSpec("value", "holt", alpha, beta))
+      val nSeries = 1 + rnd.nextInt(3)
+      val n = 20 + rnd.nextInt(40)
+      val pts = (0 until n).flatMap { i =>
+        (0 until nSeries).map { sIdx =>
+          val ts = rnd.nextLong() % (3 * Day)
+          val v = if (rnd.nextInt(12) == 0) Double.NaN
+            else rnd.nextDouble() * 1000 - 500
+          TP("m", Map("h" -> s"h$sIdx"), math.abs(ts),
+            Map("value" -> FV.dv(v)), (i * nSeries + sIdx).toLong)
+        }
+      }
+      val merged = QueryEngine.mergedView(pts.toDF(), Nil)
+      val interval = Seq(Min, 5 * Min, Hr)(rnd.nextInt(3))
+      val full = Rollup.build(merged, interval, Seq("value"), smooth = smooth)
+        .withColumn("date", TsdbEngine.dateOfTs(col("window_start")))
+      val boundary = TsdbEngine.dayStr(rnd.nextInt(3).toLong * Day)
+      val prefix = full.filter(col("date") < boundary)
+      // seeds exactly as the engine derives them: per series, the stored
+      // state at the field's LAST pre-boundary numeric sample
+      val seedAggs = smooth.map { sp =>
+        max_by(col(Rollup.smoothStateCol(sp)), col("value__last_ord"))
+          .as(Rollup.smoothSeedCol(sp))
+      }
+      val seeds = prefix.groupBy(col("series_key"))
+        .agg(seedAggs.head, seedAggs.tail: _*)
+      val suffixPts = merged.filter(
+        TsdbEngine.dateOfTs(col("timestamp")) >= boundary)
+      val rebuilt = Rollup.build(suffixPts, interval, Seq("value"),
+        smooth = smooth, seeds = Some(seeds))
+      val stateCols = smooth.map(Rollup.smoothStateCol)
+      def rows(df: DataFrame): Seq[String] = df
+        .select((Seq(col("series_key"), col("window_start")) ++
+          stateCols.map(col)): _*)
+        .orderBy("series_key", "window_start").collect().map(_.toString).toSeq
+      val fullSuffix = rows(full.filter(col("date") >= boundary))
+      assert(rows(rebuilt) == fullSuffix,
+        s"iteration $it (alpha=$alpha beta=$beta interval=$interval " +
+          s"boundary=$boundary): resumed folds must be bit-identical")
+    }
+  }
 }

@@ -753,4 +753,55 @@ class ServerSpec extends SparkSpec {
     }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("subscription ring: driver-retained commits serve job-free, bounded, fallback-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_subring").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    def pt(m: String, ts: Long, v: Double) =
+      graft.model.DataPoint(m, Map("host" -> "a"), ts,
+        Map("v" -> FieldValue.ofDouble(v)))
+    // a driver-originated batch is retained with its committed seqs
+    assert(eng.putBatch(Seq(pt("cpu", 1L, 1.0), pt("cpu", 2L, 2.0))).isRight)
+    val v1 = eng.version
+    val kept = eng.commitChangesLocal(v1)
+    assert(kept.exists(_.map(_._1.timestamp) == Seq(1L, 2L)))
+    assert(kept.exists(_.map(_._2).distinct.size == 2), "seq-stamped")
+    // oversized batches are NOT retained (no double-residency of bulk rows)
+    eng.recentPutsMaxBatch = 1
+    assert(eng.putBatch(Seq(pt("cpu", 3L, 3.0), pt("cpu", 4L, 4.0))).isRight)
+    assert(eng.commitChangesLocal(eng.version).isEmpty,
+      "over-budget batch must fall back to the parquet read")
+    eng.recentPutsMaxBatch = 10000
+    // the ring is commit-bounded: oldest versions evict
+    eng.recentPutsMaxCommits = 3
+    (10 until 16).foreach(i => assert(eng.putBatch(Seq(pt("cpu", i.toLong, i.toDouble))).isRight))
+    assert(eng.commitChangesLocal(v1).isEmpty, "evicted version reads via parquet")
+    assert(eng.commitChangesLocal(eng.version).isDefined)
+    // end-to-end parity: the SAME points delivered through the ring and
+    // through the forced parquet fallback produce identical updates
+    val ex = new NbqlExecutor(eng)
+    val srv = new GraftTcpServer(ex, port = 0)
+    srv.subscriptionPollMs = 20L
+    srv.start()
+    val sub = NbqlClient.connect("127.0.0.1", srv.boundPort)
+    try {
+      val s = sub.subscribe("ring.*", Map.empty)
+      assert(eng.putBatch(Seq(pt("ring.a", 100L, 1.5), pt("ring.b", 101L, 2.5))).isRight)
+      assert(eng.commitChangesLocal(eng.version).isDefined) // ring-served
+      eng.recentPutsMaxBatch = 0 // force the parquet path for the twin
+      assert(eng.putBatch(Seq(pt("ring.a", 100L, 1.5), pt("ring.b", 101L, 2.5))).isRight)
+      assert(eng.commitChangesLocal(eng.version).isEmpty) // fallback-served
+      val viaRing = Seq(s.next(), s.next())
+      val viaParquet = Seq(s.next(), s.next())
+      def shape(u: sub.SubscriptionUpdate) =
+        (u.isDelete, u.item.metric, u.item.tags, u.item.timestamp, u.item.fields)
+      assert(viaRing.map(shape) == viaParquet.map(shape),
+        "ring-served and parquet-served updates must be byte-identical in content")
+      s.close()
+    } finally {
+      try sub.close() catch { case _: Exception => () }
+      srv.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
