@@ -105,7 +105,9 @@ object Ingest {
   /** Start streaming ingest into an engine. Each micro-batch reserves a
     * block of the engine's sequence space (rows get unique, monotonically
     * increasing seqs — later batches always win the version merge) and
-    * commits with an (appId, batchId) watermark for exactly-once. */
+    * commits with an (appId, batchId) watermark for exactly-once; the
+    * commit lands as a LEVEL-0 file set (shuffle-free, one file per
+    * source partition — [[graft.tsdb.TsdbEngine.compactL0]] migrates). */
   def start(engine: TsdbEngine, source: DataFrame, checkpointDir: String,
       appId: String = null, rules: Seq[IngestRule] = Nil): StreamingQuery = {
     val app = Option(appId).getOrElse(checkpointDir)

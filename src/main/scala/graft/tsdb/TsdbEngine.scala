@@ -258,35 +258,111 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     val stamp = java.util.UUID.randomUUID().toString.take(12)
     val staging = s"$rootDir/_staging/$stamp"
     val t0 = System.nanoTime()
-    // EXPLICIT partition count: a bare keyed repartition lets AQE
-    // coalesce a small batch to ONE shuffle partition, serializing every
-    // (metric, date) directory's writer into a single task (~20 ms/dir —
-    // measured the whole streaming-ingest gap, SCALE.md r13). The
-    // explicit count pins write parallelism while keeping one file per
-    // directory (each key still hashes to exactly one partition).
-    // dirHint (driver-side putBatch): cap the width at the batch's
-    // distinct (metric, date) count — extra shuffle partitions past the
-    // dir count can only hold empty writers
-    val width = math.max(1, math.min(shufflePartitions,
-      dirHint.getOrElse(shufflePartitions)))
-    df.withColumn("date", dateOfTs(col("timestamp")))
-      .repartition(width, col("metric"), col("date"))
-      .write.option("compression", compressionCodec)
-      .partitionBy("metric", "date").parquet(staging)
+    val dated = df.withColumn("date", dateOfTs(col("timestamp")))
+    // Streaming micro-batches (txn commits) land as LEVEL-0 files:
+    // unpartitioned parquet with metric/date as COLUMNS, one file per
+    // input partition, NO exchange. The hive-clustered write was the
+    // measured 60-90% of streaming ingest even at explicit width — a
+    // micro-batch spread over ~150 (metric, date) directories pays ~150
+    // parquet writers + commits per batch (SCALE.md r13); the L0 write
+    // pays |input partitions|. The commit records the batch's metric and
+    // date sets (one Observation — rides the write job, zero extra
+    // passes) so epoch invalidation, per-metric file selection and
+    // touched-date derivation stay exact at the commit level; compactL0
+    // migrates L0 into the hive layout once enough accumulates — the
+    // LSM memtable-flush shape (reference `engine2/levels_manifest.go`).
+    val l0Meta: Option[(Seq[String], Seq[String])] =
+      if (txn.isDefined) {
+        val obs = org.apache.spark.sql.Observation()
+        dated.observe(obs, collect_set(col("metric")).as("metrics"),
+            collect_set(col("date")).as("dates"))
+          .write.option("compression", compressionCodec)
+          .parquet(s"$staging/l0")
+        def strs(a: Any): Seq[String] =
+          a.asInstanceOf[scala.collection.Seq[String]].toSeq
+        val observed = obs.get
+        Some((strs(observed("metrics")), strs(observed("dates"))))
+      } else {
+        // EXPLICIT partition count: a bare keyed repartition lets AQE
+        // coalesce a small batch to ONE shuffle partition, serializing
+        // every (metric, date) directory's writer into a single task
+        // (~20 ms/dir — measured, SCALE.md r13). The explicit count pins
+        // write parallelism while keeping one file per directory (each
+        // key still hashes to exactly one partition). dirHint
+        // (driver-side putBatch): cap the width at the batch's distinct
+        // (metric, date) count — extra shuffle partitions past the dir
+        // count can only hold empty writers
+        val width = math.max(1, math.min(shufflePartitions,
+          dirHint.getOrElse(shufflePartitions)))
+        dated.repartition(width, col("metric"), col("date"))
+          .write.option("compression", compressionCodec)
+          .partitionBy("metric", "date").parquet(staging)
+        None
+      }
     val t1 = System.nanoTime()
     val added = moveStaged(Paths.get(staging), stamp)
     deleteDir(Paths.get(staging))
     val t2 = System.nanoTime()
     val hwm = seqCounter.get()
     val landed = log.commit(v => LogCommit(v, adds = added,
-      metrics = metricsOf(added),
+      metrics = l0Meta.map(_._1).getOrElse(metricsOf(added)),
+      dates = l0Meta.map(_._2).getOrElse(Nil),
       txnApp = txn.map(_._1), txnBatch = txn.map(_._2), maxSeq = hwm))
     committed()
     val t3 = System.nanoTime()
     appendStageNs.addAndGet(0, t1 - t0)
     appendStageNs.addAndGet(1, t2 - t1)
     appendStageNs.addAndGet(2, t3 - t2)
+    if (l0Meta.isDefined &&
+        snap.files.count(TxLog.isL0) > l0CompactThreshold)
+      compactL0()
     landed.version
+  }
+
+  /** L0 file count past which [[commitAppend]] folds level 0 into the
+    * hive layout inline ([[compactL0]]). Bounds read amplification the
+    * way an LSM bounds level-0 tables: queries between compactions union
+    * at most this many unpartitioned files over the clustered layout. */
+  @volatile var l0CompactThreshold: Int = 48
+
+  /** Migrate every LEVEL-0 file into the hive-partitioned layout: read
+    * ONLY level 0, rewrite clustered by (metric, date), commit
+    * adds+removes atomically, vacuum the dead files. Row content is
+    * untouched (no merge, no tombstone application — those stay
+    * read-time semantics); only the LAYOUT moves, restoring partition
+    * pruning for the migrated rows. Bounded by level-0 size, never the
+    * table's — the LSM L0→L1 step, vs [[compact]]'s full rewrite.
+    * A PreCompaction veto skips the migration (level 0 keeps serving;
+    * ingest must not fail on a vetoed optimization). */
+  def compactL0(): Unit = {
+    if (hooks.hasListeners(EventType.PreCompaction))
+      hooks.trigger(HookEvent(EventType.PreCompaction, Payloads.PreCompaction())) match {
+        case Left(_) => return
+        case Right(()) => ()
+      }
+    val s = snap
+    val l0 = s.files.filter(TxLog.isL0)
+    if (l0.isEmpty) return
+    val pts = readFiles(l0).getOrElse(return)
+    val stamp = java.util.UUID.randomUUID().toString.take(12)
+    val staging = s"$rootDir/_staging/$stamp"
+    pts.repartition(shufflePartitions, col("metric"), col("date"))
+      .write.option("compression", compressionCodec)
+      .partitionBy("metric", "date").parquet(staging)
+    val added = moveStaged(Paths.get(staging), stamp)
+    deleteDir(Paths.get(staging))
+    val l0Metrics = l0.flatMap(f => s.l0Keys.get(f).fold(Seq.empty[String])(_._1))
+    val l0Dates = l0.flatMap(f => s.l0Keys.get(f).fold(Seq.empty[String])(_._2))
+    val bytesRead = bytesOf(l0)
+    val bytesWritten = bytesOf(added)
+    val hwm = seqCounter.get()
+    log.commit(v => LogCommit(v, adds = added, removes = l0,
+      metrics = (metricsOf(added) ++ l0Metrics).distinct,
+      dates = l0Dates.distinct, maxSeq = hwm))
+    committed()
+    firePost(EventType.PostCompaction,
+      Payloads.PostCompaction(l0, added, bytesRead, bytesWritten))
+    vacuum()
   }
 
   /** Move staged parquet files into the data root, preserving their
@@ -362,11 +438,39 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
 
   // ---- read path --------------------------------------------------------
 
+  /** Read a set of manifest-listed data files as one frame, canonical
+    * columns `(tags, timestamp, fields, seq, metric, date)`. Hive-layout
+    * files recover metric/date from their directory segments (basePath);
+    * LEVEL-0 files ([[TxLog.isL0]]: small streaming micro-batch commits,
+    * written unpartitioned to dodge the dynamic-partition writer spread —
+    * SCALE.md r13) carry them as real columns. The two reads union by
+    * position after an explicit select, so downstream consumers see one
+    * shape regardless of which level a row lives in. */
+  private def readFiles(files: Seq[String]): Option[DataFrame] = {
+    if (files.isEmpty) return None
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val canonical = Seq("tags", "timestamp", "fields", "seq", "metric", "date")
+    val (l0, hive) = files.partition(TxLog.isL0)
+    val h =
+      if (hive.isEmpty) None
+      else Some(spark.read.option("basePath", dataDir)
+        .parquet(hive.map(f => s"$dataDir/$f"): _*))
+    val l =
+      if (l0.isEmpty) None
+      else Some(spark.read.parquet(l0.map(f => s"$dataDir/$f"): _*))
+    (h, l) match {
+      case (Some(a), Some(b)) =>
+        Some(a.select(canonical.map(col): _*)
+          .unionByName(b.select(canonical.map(col): _*)))
+      case (a, b) => a.orElse(b)
+    }
+  }
+
   /** The committed file set as one DataFrame (hive-style partition
-    * columns `metric`, `date` recovered via basePath). Only
-    * manifest-listed files are read — a torn or uncommitted file in the
-    * directory is invisible. Plan reuse: the resolved frame is cached per
-    * log version. */
+    * columns `metric`, `date` recovered via basePath; L0 files read by
+    * column — [[readFiles]]). Only manifest-listed files are read — a
+    * torn or uncommitted file in the directory is invisible. Plan reuse:
+    * the resolved frame is cached per log version. */
   def loadPoints(): Option[DataFrame] = loadPointsAt(snap)
 
   private var viewCache: (Long, Option[DataFrame]) = (-1L, None)
@@ -374,11 +478,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   private def loadPointsAt(s: LogSnapshot): Option[DataFrame] = synchronized {
     if (viewCache._1 == s.version) viewCache._2
     else {
-      spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-      val v =
-        if (s.files.isEmpty) None
-        else Some(spark.read.option("basePath", dataDir)
-          .parquet(s.files.map(f => s"$dataDir/$f"): _*))
+      val v = readFiles(s.files)
       viewCache = (s.version, v)
       v
     }
@@ -1101,27 +1201,16 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     val c = log.read(version)
     val puts =
       if (c.removes.nonEmpty || c.adds.isEmpty) None
-      else {
-        val files = c.adds.filter(f => Files.exists(Paths.get(dataDir).resolve(f)))
-        if (files.isEmpty) None
-        else {
-          spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-          Some(spark.read.option("basePath", dataDir)
-            .parquet(files.map(f => s"$dataDir/$f"): _*))
-        }
-      }
+      else readFiles(
+        c.adds.filter(f => Files.exists(Paths.get(dataDir).resolve(f))))
     (puts, c.tombs)
   }
 
   /** Read the table as of an older log version (time travel — what
     * Delta's VERSION AS OF gives; bounded by vacuum retention). */
-  def readAt(version: Long): DataFrame = {
-    val s = log.replay(upTo = version)
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    if (s.files.isEmpty) emptyPoints(spark)
-    else spark.read.option("basePath", dataDir)
-      .parquet(s.files.map(f => s"$dataDir/$f"): _*)
-  }
+  def readAt(version: Long): DataFrame =
+    readFiles(log.replay(upTo = version).files)
+      .getOrElse(TsdbEngine.emptyPoints(spark))
 
   // ---- serving view: per-metric merged-frame cache ----------------------
 
@@ -1227,16 +1316,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       old: Option[ServingMat]): ServingMat = {
     lastServingBuild = "full"
     old.foreach(unpersistMat)
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    val prefix = "metric="
-    val mine = snap.files.filter { f =>
-      val seg = f.takeWhile(_ != '/')
-      seg.startsWith(prefix) && unescapePathSeg(seg.drop(prefix.length)) == metric
-    }
-    val pts =
-      if (mine.isEmpty) emptyPoints(spark)
-      else spark.read.option("basePath", dataDir)
-        .parquet(mine.map(f => s"$dataDir/$f"): _*)
+    val pts = metricPoints(metric, dates = None)
     val tombs = loadTombstones().filter(_.metric == metric)
     // time-clustered layout: range-partition + sort by timestamp so the
     // in-memory scan prunes whole cached batches against a query's time
@@ -1270,7 +1350,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         // a commit named the metric but changed no observable content
         Some(cur.copy(epoch = e))
       else {
-        val dataDates = rollupDatesOf(snap.files, metric)
+        val dataDates = dataDatesOf(snap, metric)
         if (touched.size * 2 >= math.max(1, dataDates.size)) None // churned most data
         else {
           lastServingBuild = "incremental"
@@ -1493,6 +1573,18 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       else None
     }.toSet
 
+  /** Dates that may hold `metric` data in snapshot `s`: hive dates from
+    * paths, plus the recorded dates of any L0 file whose commit touched
+    * the metric (over-approximate — an L0 commit's dates aren't broken
+    * out per metric; the cost is a slightly wider rebuild, never a wrong
+    * answer). */
+  private def dataDatesOf(s: LogSnapshot, metric: String): Set[String] =
+    rollupDatesOf(s.files, metric) ++
+      s.files.iterator.filter(TxLog.isL0).flatMap(f =>
+        s.l0Keys.get(f).toSeq.collect {
+          case (ms, ds) if ms.contains(metric) => ds
+        }.flatten)
+
   /** Dates whose MERGED content a commit in (fromVersion, snap.version]
     * may have changed for `metric`; None forces a full rebuild (e.g. a
     * commit manifest is unreadable). File-churn dates come straight from
@@ -1504,13 +1596,21 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       fromVersion: Long): Option[Set[String]] = {
     val cur = snap
     val out = scala.collection.mutable.Set.empty[String]
-    lazy val dataDates = rollupDatesOf(cur.files, metric)
+    lazy val dataDates = dataDatesOf(cur, metric)
     var v = fromVersion + 1
     while (v <= cur.version) {
       val c = try log.read(v) catch { case _: Exception => return None }
       if (c.metrics.contains(metric)) {
         out ++= rollupDatesOf(c.adds, metric)
         out ++= rollupDatesOf(c.removes, metric)
+        // L0 files carry no date path segment: the commit records its
+        // touched dates instead (adds AND removed-L0 dates — see
+        // commitAppend / compactL0). A legacy commit with L0 churn but no
+        // recorded dates can't be attributed — full rebuild.
+        if (c.adds.exists(TxLog.isL0) || c.removes.exists(TxLog.isL0)) {
+          if (c.dates.isEmpty) return None
+          out ++= c.dates
+        }
         c.tombs.filter(_.metric == metric).foreach { t =>
           if (t.kind == "series") out ++= dataDates
           else {
@@ -1529,21 +1629,39 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * to a set of `date` partitions — the pruned input of a partition-level
     * rollup rebuild (only the touched dates' files are even listed; merge
     * per (series, timestamp) is date-local, so the restriction is exact). */
-  private def metricMergedView(metric: String, dates: Option[Set[String]]): DataFrame = {
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+  private def metricMergedView(metric: String, dates: Option[Set[String]]): DataFrame =
+    QueryEngine.mergedView(metricPoints(metric, dates),
+      loadTombstones().filter(_.metric == metric))
+
+  /** Points of ONE metric, optionally restricted to a set of `date`
+    * partitions. Hive-layout files are selected by their path segments;
+    * L0 files by their commit's recorded key sets ([[LogSnapshot.l0Keys]];
+    * conservatively included when the log predates the metadata). An L0
+    * file may interleave several metrics/dates, so COLUMN predicates then
+    * make the restriction exact — for hive files those same predicates
+    * fold into partition pruning, costing nothing. */
+  private def metricPoints(metric: String, dates: Option[Set[String]]): DataFrame = {
     val s = snap
     val mine = s.files.filter { f =>
-      val segs = f.split('/')
-      segs(0).startsWith("metric=") &&
-        unescapePathSeg(segs(0).drop(7)) == metric &&
-        dates.forall(ds => segs.length >= 2 && segs(1).startsWith("date=") &&
-          ds.contains(segs(1).drop(5)))
+      if (TxLog.isL0(f))
+        s.l0Keys.get(f).forall { case (ms, ds) =>
+          ms.contains(metric) && dates.forall(want => ds.exists(want.contains))
+        }
+      else {
+        val segs = f.split('/')
+        segs(0).startsWith("metric=") &&
+          unescapePathSeg(segs(0).drop(7)) == metric &&
+          dates.forall(ds => segs.length >= 2 && segs(1).startsWith("date=") &&
+            ds.contains(segs(1).drop(5)))
+      }
     }
-    val pts =
-      if (mine.isEmpty) emptyPoints(spark)
-      else spark.read.option("basePath", dataDir)
-        .parquet(mine.map(f => s"$dataDir/$f"): _*)
-    QueryEngine.mergedView(pts, loadTombstones().filter(_.metric == metric))
+    readFiles(mine).fold(TsdbEngine.emptyPoints(spark)) { df =>
+      if (!mine.exists(TxLog.isL0)) df
+      else {
+        val m = df.filter(col("metric") === metric)
+        dates.fold(m)(ds => m.filter(col("date").isin(ds.toSeq: _*)))
+      }
+    }
   }
 
   /** Build / refresh the on-disk rollup materialization and return a frame
@@ -1584,7 +1702,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         // (dates are yyyy-MM-dd: lexicographic == chronological)
         val boundary = ds.min
         val rollupDates = listRollupDates(dirM)
-        val dataDates = rollupDatesOf(cur.files, metric)
+        val dataDates = dataDatesOf(cur, metric)
         val replace = (rollupDates ++ dataDates).filter(_ >= boundary)
         val prefixDates = rollupDates.filter(_ < boundary)
         val seeds =
@@ -2221,8 +2339,16 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     val bytesRead = bytesOf(s.files)
     val bytesWritten = bytesOf(added)
     val hwm = seqCounter.get()
+    // removed L0 files carry no metric/date path segments — fold their
+    // recorded sets into the commit so epochs bump and touched-date
+    // derivation sees their dates
+    val l0Gone = s.files.filter(TxLog.isL0)
+    val l0Metrics = l0Gone.flatMap(f => s.l0Keys.get(f).fold(Seq.empty[String])(_._1))
+    val l0Dates = l0Gone.flatMap(f => s.l0Keys.get(f).fold(Seq.empty[String])(_._2))
     log.commit(v => LogCommit(v, adds = added, removes = s.files,
-      clearTombs = true, metrics = metricsOf(s.files ++ added), maxSeq = hwm))
+      clearTombs = true,
+      metrics = (metricsOf(s.files ++ added) ++ l0Metrics).distinct,
+      dates = l0Dates.distinct, maxSeq = hwm))
     committed()
     firePost(EventType.PostCompaction,
       Payloads.PostCompaction(s.files, added, bytesRead, bytesWritten))

@@ -14,6 +14,10 @@ final case class LogCommit(
     clearTombs: Boolean = false,
     /** metrics this commit touches — per-metric cache epochs key off it. */
     metrics: Seq[String] = Nil,
+    /** `date` partition values this commit touches. Recorded for L0
+      * commits (whose file paths carry no `date=` segment to parse);
+      * hive-layout commits leave it empty and derive dates from paths. */
+    dates: Seq[String] = Nil,
     /** idempotent-writer watermark (streaming exactly-once): a commit
       * carrying (app, batch) <= the recorded watermark is a replay. */
     txnApp: Option[String] = None,
@@ -28,7 +32,13 @@ final case class LogSnapshot(
     tombs: Vector[TsdbEngine.TombRow],
     metricEpoch: Map[String, Long],
     txns: Map[String, Long],
-    maxSeq: Long) {
+    maxSeq: Long,
+    /** L0 file → (metrics, dates) it contains, from its commit's recorded
+      * sets — the path-parse equivalent for files whose layout carries
+      * metric/date as COLUMNS instead of directory segments. Per-metric
+      * file selection and touched-date derivation read this; a file
+      * absent from the map (pre-L0 log) is handled conservatively. */
+    l0Keys: Map[String, (Seq[String], Seq[String])] = Map.empty) {
   def txnSeen(app: String, batch: Long): Boolean = txns.get(app).exists(_ >= batch)
 }
 
@@ -117,14 +127,19 @@ final class TxLog(logDirPath: String) {
     var metricEpoch = base.metricEpoch
     var txns = base.txns
     var maxSeq = base.maxSeq
+    var l0Keys = base.l0Keys
     var v = base.version + 1
     while (v <= tip) {
       val c = read(v)
       if (c.removes.nonEmpty) {
         val dead = c.removes.toSet
         files = files.filterNot(dead)
+        l0Keys = l0Keys.removedAll(c.removes.filter(TxLog.isL0))
       }
       files = files ++ c.adds
+      val l0Adds = c.adds.filter(TxLog.isL0)
+      if (l0Adds.nonEmpty)
+        l0Keys = l0Keys ++ l0Adds.map(_ -> ((c.metrics, c.dates)))
       if (c.clearTombs) tombs = Vector.empty
       tombs = tombs ++ c.tombs
       metricEpoch = metricEpoch ++ c.metrics.map(_ -> v)
@@ -133,6 +148,15 @@ final class TxLog(logDirPath: String) {
       maxSeq = math.max(maxSeq, c.maxSeq)
       v += 1
     }
-    LogSnapshot(tip, files, tombs, metricEpoch, txns, maxSeq)
+    LogSnapshot(tip, files, tombs, metricEpoch, txns, maxSeq, l0Keys)
   }
+}
+
+object TxLog {
+  /** Data-root-relative paths of LEVEL-0 files: unpartitioned parquet
+    * carrying metric/date as columns (small streaming micro-batch
+    * commits land here; compaction migrates them into the hive layout —
+    * the memtable-flush / L0-SSTable shape of an LSM, cf. the
+    * reference's `engine2/levels_manifest.go` level 0). */
+  def isL0(f: String): Boolean = f.startsWith("l0/")
 }

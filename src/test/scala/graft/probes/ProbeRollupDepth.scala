@@ -1,0 +1,86 @@
+package graft
+
+import graft.model.{DataPoint, FieldValue}
+import graft.tsdb.{AnalyzeEwmaBy, QueryParams, SmoothSpec, TsdbEngine}
+import org.apache.spark.sql.SparkSession
+
+/** Throwaway: measure SMOOTH-rollup maintenance cost as a function of
+  * HISTORY DEPTH — the evidence behind closing VERDICT r12 weak grade #1.
+  *
+  * Protocol, per depth D ∈ {30, 120, 360} days: ingest D days of hourly
+  * points (4 series), register an EWMA rollup, materialize it (full
+  * build, timed), then commit ONE point to the newest day and time the
+  * next routed read (which runs the suffix-incremental maintenance).
+  * For contrast, delete the build marker and time the forced FULL
+  * rebuild of the same tree. The fix's claim is exactly this shape:
+  * post-commit maintenance is ~flat in D while the full rebuild grows
+  * linearly — a year-deep hot metric's ingest touches the tail, never
+  * its history. */
+object ProbeRollupDepth {
+  private val Hr = 3600L * 1000 * 1000 * 1000
+  private val Day = 24 * Hr
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rdepth").toString
+    try {
+      for (days <- Seq(30, 120, 360)) {
+        val eng = new TsdbEngine(spark, s"$tmp/db$days")
+        // bulk history: 4 series x 24 points/day, one commit
+        val rows = spark.range(days.toLong * 24 * 4).map { i =>
+          val hour = i / 4
+          val s = (i % 4).toString
+          (("deep"), Map("host" -> s), hour * Hr,
+            Map("value" -> FieldValue(d = Some((i % 997).toDouble))), i)
+        }.toDF("metric", "tags", "timestamp", "fields", "seq")
+        eng.putDF(rows)
+        eng.registerRollup("deep", Hr, Seq("value"),
+          smooth = Seq(SmoothSpec("value", "ewma", 0.25)))
+        val end = days * Day - 1
+        val q = QueryParams("deep", startNs = 0L, endNs = Some(end))
+        val spec = AnalyzeEwmaBy("value", 0.25, Hr)
+        def timedAnalyze(): Double = {
+          val t0 = System.nanoTime()
+          eng.analyze(q, spec).noop()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val buildS = timedAnalyze() // initial FULL build + serve
+        assert(eng.lastServePath == "rollup-ewma", eng.lastServePath)
+        // steady-state routed read, nothing to maintain
+        val warmS = timedAnalyze()
+        // ONE tail-day point per iteration -> suffix-incremental rebuild
+        val incr = (0 until 3).map { i =>
+          eng.put(DataPoint("deep", Map("host" -> "0"),
+            (days - 1).toLong * Day + (i + 1) * 60L * 1000 * 1000 * 1000,
+            Map("value" -> FieldValue.ofDouble(1.0)))).fold(sys.error, identity)
+          timedAnalyze()
+        }.sorted.apply(1)
+        assert(eng.lastServePath == "rollup-ewma", eng.lastServePath)
+        // forced full rebuild of the identical tree (marker removed)
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+          s"$tmp/db$days/_rollup/metric=deep/_built.json"))
+        eng.put(DataPoint("deep", Map("host" -> "0"),
+          (days - 1).toLong * Day + 10L * 60 * 1000 * 1000 * 1000,
+          Map("value" -> FieldValue.ofDouble(2.0)))).fold(sys.error, identity)
+        val fullS = timedAnalyze()
+        println(f"days=$days%4d rows=${days * 24 * 4}%7d " +
+          f"initialBuild=$buildS%6.2f s warmRead=$warmS%5.2f s " +
+          f"incrMaintain+read=$incr%5.2f s fullRebuild+read=$fullS%6.2f s")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp)); ()
+    }
+    spark.stop()
+  }
+
+  private implicit class NoopOps(df: org.apache.spark.sql.DataFrame) {
+    def noop(): Unit = df.write.format("noop").mode("overwrite").save()
+  }
+}
