@@ -1707,7 +1707,17 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         val prefixDates = rollupDates.filter(_ < boundary)
         val seeds =
           if (prefixDates.isEmpty) None
-          else Some(smoothSeeds(dirM, prefixDates, spec))
+          else {
+            // the suffix build's series set, for the bounded seed scan
+            // (tail-sized: reads only the replaced dates' data)
+            val suffix = metricMergedView(metric, Some(replace))
+            val needed =
+              (if (suffix.columns.contains("series_key")) suffix
+               else suffix.withColumn("series_key",
+                 QueryEngine.seriesKeyCol(col("metric"), col("tags"))))
+                .select("series_key").distinct()
+            Some(smoothSeeds(dirM, prefixDates, spec, needed))
+          }
         writeRollupPartitions(dirM, metric, spec, Some(replace), seeds)
       case None => writeRollupPartitions(dirM, metric, spec, None)
     }
@@ -1732,25 +1742,59 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       .filter(_.startsWith("date="))
       .map(_.drop(5)).toSet
 
+  /** How many of the NEWEST pre-boundary rollup partitions the seed scan
+    * reads before concluding a series' resume state isn't recent
+    * (falling back to the full prefix). Bounds suffix-incremental
+    * maintenance's one remaining history-proportional term: with steady
+    * series, every suffix series' last state lives in the most recent
+    * partitions, so the scan is O(this) regardless of how deep the
+    * metric's history is; only series churn (a suffix series absent from
+    * the recent window) pays the full-prefix read. */
+  @volatile var seedScanDates: Int = 32
+
   /** Per-series smoothing RESUME states at a partition boundary: for each
     * [[SmoothSpec]], the stored fold state at the series' LAST numeric
     * sample across the pre-boundary date partitions (max_by over the
     * stored last-sample ord keys — windows without a numeric sample of
     * the spec's field carry a null ord and are ignored). One row per
     * series that has any pre-boundary sample; |series| rows total, read
-    * from the tiny rollup frame, never from points. */
+    * from the tiny rollup frame, never from points — and usually from
+    * only the [[seedScanDates]] newest partitions: the recent window is
+    * tried first and kept iff every series of `neededSeries` (the suffix
+    * build's series set) resolves ALL its specs there; otherwise the
+    * full prefix is read (exactness over speed — a stale series' last
+    * state may live arbitrarily far back). */
   private def smoothSeeds(dirM: Path, prefixDates: Set[String],
-      spec: RollupReg): DataFrame = {
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    val prefix = spark.read.option("basePath", dirM.toString)
-      .parquet(prefixDates.toSeq.sorted.map(d => s"$dirM/date=$d"): _*)
-    val aggs = spec.smooth.map { s =>
-      org.apache.spark.sql.functions.max_by(
-        col(Rollup.smoothStateCol(s)),
-        col(s"${s.field}__last_ord")).as(Rollup.smoothSeedCol(s))
+      spec: RollupReg, neededSeries: DataFrame): DataFrame = {
+    def over(dates: Seq[String]): DataFrame = {
+      spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      val prefix = spark.read.option("basePath", dirM.toString)
+        .parquet(dates.map(d => s"$dirM/date=$d"): _*)
+      val aggs = spec.smooth.map { s =>
+        org.apache.spark.sql.functions.max_by(
+          col(Rollup.smoothStateCol(s)),
+          col(s"${s.field}__last_ord")).as(Rollup.smoothSeedCol(s))
+      }
+      prefix.groupBy(col("series_key")).agg(aggs.head, aggs.tail: _*)
     }
-    prefix.groupBy(col("series_key")).agg(aggs.head, aggs.tail: _*)
+    val sorted = prefixDates.toSeq.sorted
+    val recent = sorted.takeRight(math.max(1, seedScanDates))
+    if (recent.size == sorted.size) { lastSeedScan = "all"; over(sorted) }
+    else {
+      val r = over(recent)
+      val resolved = r.filter(spec.smooth
+        .map(s => col(Rollup.smoothSeedCol(s)).isNotNull).reduce(_ && _))
+      val unresolved =
+        neededSeries.join(resolved, Seq("series_key"), "left_anti")
+      if (unresolved.isEmpty) { lastSeedScan = "recent"; r }
+      else { lastSeedScan = "full"; over(sorted) }
+    }
   }
+
+  /** Which branch the last [[smoothSeeds]] took (test/bench seam):
+    * "all" = prefix fits the window, "recent" = bounded scan sufficed,
+    * "full" = a suffix series was stale past the window. */
+  @volatile private[graft] var lastSeedScan: String = ""
 
   /** Aggregate + swap: build partials for the affected dates (all, when
     * `replaceDates` is None), stage, delete the replaced date dirs, move

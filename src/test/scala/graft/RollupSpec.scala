@@ -689,6 +689,51 @@ class RollupSpec extends SparkSpec {
     assert(localE.map(_.toSeq).toSeq == rawE2.map(_.toSeq).toSeq)
   }
 
+  test("bounded seed scan: recent window serves steady series; a stale " +
+      "series falls back to the full prefix, both bit-identical") {
+    val Day = TsdbEngine.DayNs
+    val dir = java.nio.file.Files.createTempDirectory("graft_seed_scan").toString
+    def pt(host: String, ts: Long, v: Double) =
+      graft.model.DataPoint("reqs", Map("host" -> host), ts,
+        Map("value" -> graft.model.FieldValue.ofDouble(v)))
+    // 6 days of history: "hot" every day; "cold" only on days 1-2 (its
+    // last stored fold state then sits 4+ partitions behind the tip)
+    val base =
+      (0 until 6 * 24).map(i => pt("hot", i * Hr + 5, 10.0 + (i % 7))) ++
+      (0 until 2 * 24).map(i => pt("cold", i * Hr + 9, 100.0 - i))
+    val eng = new TsdbEngine(spark, dir)
+    eng.seedScanDates = 2
+    assert(eng.putBatch(base).isRight)
+    eng.registerRollup("reqs", Hr, Seq("value"),
+      smooth = Seq(SmoothSpec("value", "ewma", 0.25)))
+    val q = QueryParams("reqs", startNs = 0L, endNs = Some(7 * Day - 1))
+    val ewmaBy = AnalyzeEwmaBy("value", 0.25, 2 * Hr)
+    eng.analyze(q, ewmaBy).collect() // initial full build
+    // day-6 commit touching only the steady series: every suffix series
+    // resolves inside the 2-date recent window — no full-prefix read
+    assert(eng.putBatch(Seq(pt("hot", 5 * Day + 30 * Min, 77.0))).isRight)
+    val routed1 = eng.analyze(q, ewmaBy).collect()
+    assert(eng.lastServePath == "rollup-ewma")
+    assert(eng.lastSeedScan == "recent",
+      s"steady series must resolve in the bounded window, got ${eng.lastSeedScan}")
+    val raw1 = TsAnalytics.ewmaSmoothBy(eng.loadPoints().get, q, 0.25,
+      2 * Hr).collect()
+    assert(routed1.map(_.toSeq).toSeq == raw1.map(_.toSeq).toSeq,
+      "bounded-window seeds must stay bit-identical to the full fold")
+    // the STALE series reappears on day 6: its resume state lives on
+    // day 2, outside the recent window — exactness demands the fallback
+    assert(eng.putBatch(Seq(pt("cold", 5 * Day + 40 * Min, 55.5))).isRight)
+    val routed2 = eng.analyze(q, ewmaBy).collect()
+    assert(eng.lastServePath == "rollup-ewma")
+    assert(eng.lastSeedScan == "full",
+      s"a stale suffix series must force the full-prefix scan, got ${eng.lastSeedScan}")
+    val raw2 = TsAnalytics.ewmaSmoothBy(eng.loadPoints().get, q, 0.25,
+      2 * Hr).collect()
+    assert(routed2.map(_.toSeq).toSeq == raw2.map(_.toSeq).toSeq,
+      "the reappearing series must resume from its day-2 state, not restart")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("runIrate: zero-dt trailing pair emits null rate (raw-operator guard parity)") {
     // The merged view dedups same-timestamp versions per series, so a
     // zero-dt pair can't reach runIrate through the engine — but the

@@ -33,11 +33,15 @@ object ProbeRollupDepth {
     try {
       for (days <- Seq(30, 120, 360)) {
         val eng = new TsdbEngine(spark, s"$tmp/db$days")
-        // bulk history: 4 series x 24 points/day, one commit
-        val rows = spark.range(days.toLong * 24 * 4).map { i =>
-          val hour = i / 4
+        // bulk history: 4 series x 1440 points/day (per-minute — the
+        // rollup's 1h windows then hold 60 points each, so a FULL
+        // rebuild folds 60x the rows the rollup stores; sparser data
+        // would make both paths file-overhead-bound and hide the
+        // asymmetry this probe exists to show), one commit
+        val rows = spark.range(days.toLong * 1440 * 4).map { i =>
+          val minute = i / 4
           val s = (i % 4).toString
-          (("deep"), Map("host" -> s), hour * Hr,
+          (("deep"), Map("host" -> s), minute * 60L * 1000 * 1000 * 1000,
             Map("value" -> FieldValue(d = Some((i % 997).toDouble))), i)
         }.toDF("metric", "tags", "timestamp", "fields", "seq")
         eng.putDF(rows)
@@ -70,7 +74,7 @@ object ProbeRollupDepth {
           (days - 1).toLong * Day + 10L * 60 * 1000 * 1000 * 1000,
           Map("value" -> FieldValue.ofDouble(2.0)))).fold(sys.error, identity)
         val fullS = timedAnalyze()
-        println(f"days=$days%4d rows=${days * 24 * 4}%7d " +
+        println(f"days=$days%4d rows=${days * 1440 * 4}%8d " +
           f"initialBuild=$buildS%6.2f s warmRead=$warmS%5.2f s " +
           f"incrMaintain+read=$incr%5.2f s fullRebuild+read=$fullS%6.2f s")
       }
