@@ -126,9 +126,12 @@ final class GraftHttpServer(executor: NbqlExecutor, port: Int = 0,
       if (g.getCollectionCount > 0) gcCount += g.getCollectionCount
       if (g.getCollectionTime > 0) gcMs += g.getCollectionTime
     }
+    val (dataFiles, l0Files) = eng.fileCounts
     reply(ex, 200, JObject(
       "engine" -> JObject(
         "version" -> JLong(eng.version),
+        "data_files" -> JLong(dataFiles.toLong),
+        "l0_files" -> JLong(l0Files.toLong),
         "compaction_events" -> JLong(cs.events),
         "compaction_bytes_read" -> JLong(cs.bytesRead),
         "compaction_bytes_written" -> JLong(cs.bytesWritten),

@@ -325,6 +325,13 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * at most this many unpartitioned files over the clustered layout. */
   @volatile var l0CompactThreshold: Int = 48
 
+  /** (live data files, of which level-0) — operator visibility into L0
+    * buildup (`/metrics` exposes both; [[compactL0]] bounds the second). */
+  def fileCounts: (Int, Int) = {
+    val fs = snap.files
+    (fs.size, fs.count(TxLog.isL0))
+  }
+
   /** Migrate every LEVEL-0 file into the hive-partitioned layout: read
     * ONLY level 0, rewrite clustered by (metric, date), commit
     * adds+removes atomically, vacuum the dead files. Row content is
