@@ -163,6 +163,92 @@ class L0Spec extends SparkSpec {
     }
   }
 
+  test("random commit-kind interleavings: query == model across levels, " +
+      "compactions and restarts") {
+    // Storage-level fuzz: hive puts, L0 (txn) puts, point/series deletes,
+    // both compaction kinds and engine RESTARTS (log replay incl. the L0
+    // key metadata) interleave randomly; after every op the engine's
+    // merged read must equal an op-order model (engine seqs are
+    // monotonic in call order, so "latest op wins" IS the seq merge).
+    val rnd = new scala.util.Random(20260816L)
+    val hosts = Seq("a", "b", "c")
+    (0 until 3).foreach { round =>
+      withDir { dir =>
+        var e = new TsdbEngine(spark, s"$dir/db")
+        e.l0CompactThreshold = 2
+        // model rows/tombs carry a per-point VERSION mirroring the
+        // engine's seq order (each written point / tombstone draws the
+        // next version, exactly like nextSeq in call order)
+        var ver = 0
+        def nextVer(): Int = { ver += 1; ver }
+        var rows = Vector.empty[(String, Long, Double, Int)] // host, ts, v, ver
+        var ptombs = Vector.empty[(String, Long, Int)]
+        var stombs = Vector.empty[(String, Int)]
+        var batchId = 0L
+        def modelVisible: Set[(String, Long, Double)] = {
+          val latest = rows.groupBy(r => (r._1, r._2))
+            .map { case (_, vs) => vs.maxBy(_._4) }
+          latest.filterNot { case (h, ts, _, v) =>
+            ptombs.exists(t => t._1 == h && t._2 == ts && v <= t._3) ||
+              stombs.exists(t => t._1 == h && v <= t._2)
+          }.map(r => (r._1, r._2, r._3)).toSet
+        }
+        (0 until 14).foreach { op =>
+          rnd.nextInt(8) match {
+            case 0 | 1 => // hive putBatch
+              val pts = (0 until 1 + rnd.nextInt(3)).map { _ =>
+                val (h, ts, v) = (hosts(rnd.nextInt(3)),
+                  rnd.nextInt(12).toLong, rnd.nextInt(50).toDouble)
+                rows :+= ((h, ts, v, nextVer()))
+                DataPoint("m", Map("host" -> h), ts,
+                  Map("value" -> FieldValue.ofDouble(v)))
+              }
+              assert(e.putBatch(pts).isRight)
+            case 2 | 3 => // L0 txn put
+              import SparkTestSession.spark.implicits._
+              val sp = (0 until 1 + rnd.nextInt(3)).map { _ =>
+                val (h, ts, v) = (hosts(rnd.nextInt(3)),
+                  rnd.nextInt(12).toLong, rnd.nextInt(50).toDouble)
+                rows :+= ((h, ts, v, nextVer()))
+                TsdbEngine.StoredPoint("m", Map("host" -> h), ts,
+                  Map("value" -> TsdbEngine.StoredValue(Some(v), None, None, None)),
+                  e.nextSeq())
+              }
+              e.putDF(sp.toDF(), txn = Some(("fuzz", batchId)))
+              batchId += 1
+            case 4 => // point delete
+              val (h, ts) = (hosts(rnd.nextInt(3)), rnd.nextInt(12).toLong)
+              ptombs :+= ((h, ts, nextVer()))
+              assert(e.deletePoint("m", Map("host" -> h), ts).isRight)
+            case 5 => // series delete
+              val h = hosts(rnd.nextInt(3))
+              stombs :+= ((h, nextVer()))
+              assert(e.deleteSeries("m", Map("host" -> h)).isRight)
+            case 6 => // a compaction kind
+              if (rnd.nextBoolean()) e.compactL0()
+              else {
+                assert(e.compact().isRight)
+                // compact folds tombstones into the data; model keeps
+                // them (shadowing is monotone, so keeping is equivalent)
+              }
+            case 7 => // restart: replay the log, L0 metadata included
+              e = new TsdbEngine(spark, s"$dir/db")
+              e.l0CompactThreshold = 2
+          }
+          val got = e.query(QueryParams("m", startNs = 0L,
+              endNs = Some(1L << 40))).collect().map { r =>
+            (r.getAs[Map[String, String]]("tags")("host"),
+              r.getAs[Long]("timestamp"),
+              r.getAs[Map[String, org.apache.spark.sql.Row]]("fields")("value")
+                .getAs[Double]("d"))
+          }.toSet
+          assert(got == modelVisible,
+            s"round $round op $op: engine/model diverged\n got=$got\n exp=$modelVisible")
+        }
+      }
+    }
+  }
+
   test("subscription commit reads and time travel see L0 commits") {
     withDir { dir =>
       val e = new TsdbEngine(spark, s"$dir/db")
