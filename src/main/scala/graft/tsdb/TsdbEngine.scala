@@ -193,6 +193,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     Option(recentPuts.get(version))
 
   private def appendPoints(points: Seq[DataPoint]): Either[String, Long] = {
+    if (points.isEmpty) return Right(0L) // ack, no commit
     val bad = points.iterator.map(DataPoint.validate).collectFirst {
       case Left(err) => err }
     if (bad.isDefined) return Left(bad.get)
@@ -202,16 +203,25 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         p.fields.map { case (k, v) => k -> StoredValue(v.d, v.l, v.s, v.b) },
         nextSeq())
     }
-    // the rows are driver-resident: size the staged write's shuffle to
-    // the batch's actual (metric, day) spread — a 1-dir PUSHS batch gets
-    // one write task (32 near-empty tasks cost ~3x under 10 concurrent
-    // wire writers, measured), a backfill spanning many days still fans
-    // out (see commitAppend's AQE note)
-    val dirs = points.iterator
-      .map(p => (p.metric, Math.floorDiv(p.timestamp, TsdbEngine.DayNs)))
-      .toSet.size
     val committedVersion =
-      commitAppend(rows.toDF(), txn = None, dirHint = Some(dirs))
+      if (points.size <= inlineMaxRows && points.forall(InlineRows.encodable)) {
+        // WAL shape for the wire PUSH/PUSHS path: the rows ride INSIDE
+        // the commit manifest — durable at the rename, NO Spark job, no
+        // data file. A serial putBatch of 500 rows paid ~330 ms of
+        // plan+job submission for a one-task parquet write (ProbeC10Ingest,
+        // SCALE.md r13); the inline commit pays serialization only.
+        // compactInline() folds accumulated blobs into the clustered
+        // layout, like the reference's memtable flush (`wal/wal.go`).
+        commitInline(points.lazyZip(rows).map((p, r) => (p, r.seq)).toSeq)
+      } else {
+        // big/odd batches: staged clustered write. Size the shuffle to
+        // the batch's actual (metric, day) spread — a backfill spanning
+        // many days fans out (see commitAppend's AQE note)
+        val dirs = points.iterator
+          .map(p => (p.metric, Math.floorDiv(p.timestamp, TsdbEngine.DayNs)))
+          .toSet.size
+        commitAppend(rows.toDF(), txn = None, dirHint = Some(dirs))
+      }
     if (committedVersion > 0 && points.size <= recentPutsMaxBatch) {
       recentPuts.put(committedVersion,
         points.lazyZip(rows).map((p, r) => (p, r.seq)).toSeq)
@@ -330,6 +340,82 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   def fileCounts: (Int, Int) = {
     val fs = snap.files
     (fs.size, fs.count(TxLog.isL0))
+  }
+
+  /** Live inline (in-manifest) commits not yet folded into files. */
+  def inlineCommitCount: Int = snap.inline.size
+
+  /** Max rows a driver-side batch may have to commit INLINE in the log
+    * manifest instead of through a staged parquet write ([[InlineRows]]).
+    * Bounds one manifest's size (~64 B/row) and [[compactInline]]'s
+    * driver decode. */
+  @volatile var inlineMaxRows: Int = 5000
+
+  /** Live inline-commit count past which [[appendPoints]] folds them
+    * into the clustered layout inline — the memtable-flush trigger. */
+  @volatile var inlineCompactThreshold: Int = 64
+
+  /** WAL-style commit: the rows ride in the manifest itself. */
+  private def commitInline(pts: Seq[(DataPoint, Long)]): Long = {
+    val blob = InlineRows.encode(pts)
+    val metrics = pts.map(_._1.metric).distinct
+    val dates = pts.map(p => dayStr(p._1.timestamp)).distinct
+    val hwm = seqCounter.get()
+    val landed = log.commit(v => LogCommit(v, inline = Some(blob),
+      metrics = metrics, dates = dates, maxSeq = hwm))
+    committed()
+    if (snap.inline.size > inlineCompactThreshold) compactInline()
+    landed.version
+  }
+
+  /** Decode a snapshot's live inline commits into one canonical frame
+    * (tags, timestamp, fields, seq, metric, date) — the LocalRelation
+    * leg of the read union. Bounded: at most
+    * [[inlineCompactThreshold]] × [[inlineMaxRows]] rows exist at once. */
+  private def inlineDF(s: LogSnapshot): Option[DataFrame] =
+    if (s.inline.isEmpty) None
+    else {
+      val rows = s.inline.flatMap(ic => InlineRows.decode(ic.blob)).map {
+        case (p, seq) => StoredPoint(p.metric, p.tags, p.timestamp,
+          p.fields.map { case (k, v) => k -> StoredValue(v.d, v.l, v.s, v.b) },
+          seq)
+      }
+      Some(spark.createDataFrame(rows)
+        .withColumn("date", dateOfTs(col("timestamp")))
+        .select(Seq("tags", "timestamp", "fields", "seq", "metric", "date")
+          .map(col): _*))
+    }
+
+  /** Fold every live inline commit into the hive-clustered layout: one
+    * staged write of the decoded rows, committed atomically with
+    * `clearInline` (replayers see either blobs or files, never both or
+    * neither) — the memtable flush. Bounded by the inline budget. */
+  def compactInline(): Unit = {
+    val s = snap
+    if (s.inline.isEmpty) return
+    import spark.implicits._
+    val rows = s.inline.flatMap(ic => InlineRows.decode(ic.blob)).map {
+      case (p, seq) => StoredPoint(p.metric, p.tags, p.timestamp,
+        p.fields.map { case (k, v) => k -> StoredValue(v.d, v.l, v.s, v.b) },
+        seq)
+    }
+    val stamp = java.util.UUID.randomUUID().toString.take(12)
+    val staging = s"$rootDir/_staging/$stamp"
+    val dirs = rows.iterator
+      .map(r => (r.metric, Math.floorDiv(r.timestamp, TsdbEngine.DayNs)))
+      .toSet.size
+    rows.toDF().withColumn("date", dateOfTs(col("timestamp")))
+      .repartition(math.max(1, math.min(shufflePartitions, dirs)),
+        col("metric"), col("date"))
+      .write.option("compression", compressionCodec)
+      .partitionBy("metric", "date").parquet(staging)
+    val added = moveStaged(Paths.get(staging), stamp)
+    deleteDir(Paths.get(staging))
+    val hwm = seqCounter.get()
+    log.commit(v => LogCommit(v, adds = added, clearInline = true,
+      metrics = s.inline.flatMap(_.metrics).distinct,
+      dates = s.inline.flatMap(_.dates).distinct, maxSeq = hwm))
+    committed()
   }
 
   /** Migrate every LEVEL-0 file into the hive-partitioned layout: read
@@ -473,11 +559,20 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     }
   }
 
-  /** The committed file set as one DataFrame (hive-style partition
-    * columns `metric`, `date` recovered via basePath; L0 files read by
-    * column — [[readFiles]]). Only manifest-listed files are read — a
-    * torn or uncommitted file in the directory is invisible. Plan reuse:
-    * the resolved frame is cached per log version. */
+  /** Files plus live inline commits of a snapshot as one frame. */
+  private def readSnapshot(s: LogSnapshot): Option[DataFrame] =
+    (readFiles(s.files), inlineDF(s)) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+
+  /** The committed row set as one DataFrame: hive-style files (partition
+    * columns `metric`, `date` recovered via basePath), L0 files (read by
+    * column — [[readFiles]]) and inline commits ([[inlineDF]] — rows
+    * living in the log manifests themselves). Only manifest-listed
+    * content is read — a torn or uncommitted file in the directory is
+    * invisible. Plan reuse: the resolved frame is cached per log
+    * version. */
   def loadPoints(): Option[DataFrame] = loadPointsAt(snap)
 
   private var viewCache: (Long, Option[DataFrame]) = (-1L, None)
@@ -485,7 +580,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   private def loadPointsAt(s: LogSnapshot): Option[DataFrame] = synchronized {
     if (viewCache._1 == s.version) viewCache._2
     else {
-      val v = readFiles(s.files)
+      val v = readSnapshot(s)
       viewCache = (s.version, v)
       v
     }
@@ -1207,7 +1302,14 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   def commitChanges(version: Long): (Option[DataFrame], Seq[TombRow]) = {
     val c = log.read(version)
     val puts =
-      if (c.removes.nonEmpty || c.adds.isEmpty) None
+      // removes / clearInline mark storage REWRITES (compaction, L0 or
+      // inline fold-down) — their rows were already published, never
+      // re-delivered as puts
+      if (c.removes.nonEmpty || c.clearInline) None
+      else if (c.inline.isDefined)
+        inlineDF(LogSnapshot.empty.copy(
+          inline = Vector(InlineCommit(version, c.inline.get, c.metrics, c.dates))))
+      else if (c.adds.isEmpty) None
       else readFiles(
         c.adds.filter(f => Files.exists(Paths.get(dataDir).resolve(f))))
     (puts, c.tombs)
@@ -1216,7 +1318,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   /** Read the table as of an older log version (time travel — what
     * Delta's VERSION AS OF gives; bounded by vacuum retention). */
   def readAt(version: Long): DataFrame =
-    readFiles(log.replay(upTo = version).files)
+    readSnapshot(log.replay(upTo = version))
       .getOrElse(TsdbEngine.emptyPoints(spark))
 
   // ---- serving view: per-metric merged-frame cache ----------------------
@@ -1590,7 +1692,8 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       s.files.iterator.filter(TxLog.isL0).flatMap(f =>
         s.l0Keys.get(f).toSeq.collect {
           case (ms, ds) if ms.contains(metric) => ds
-        }.flatten)
+        }.flatten) ++
+      s.inline.iterator.filter(_.metrics.contains(metric)).flatMap(_.dates)
 
   /** Dates whose MERGED content a commit in (fromVersion, snap.version]
     * may have changed for `metric`; None forces a full rebuild (e.g. a
@@ -1610,14 +1713,14 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       if (c.metrics.contains(metric)) {
         out ++= rollupDatesOf(c.adds, metric)
         out ++= rollupDatesOf(c.removes, metric)
-        // L0 files carry no date path segment: the commit records its
-        // touched dates instead (adds AND removed-L0 dates — see
-        // commitAppend / compactL0). A legacy commit with L0 churn but no
+        // L0 files and inline commits carry no date path segment: the
+        // commit records its touched dates instead (adds, removed-L0 and
+        // folded-inline dates — see commitAppend / compactL0 /
+        // compactInline). A legacy commit with such churn but no
         // recorded dates can't be attributed — full rebuild.
-        if (c.adds.exists(TxLog.isL0) || c.removes.exists(TxLog.isL0)) {
-          if (c.dates.isEmpty) return None
-          out ++= c.dates
-        }
+        out ++= c.dates
+        if ((c.adds.exists(TxLog.isL0) || c.removes.exists(TxLog.isL0) ||
+            c.inline.isDefined) && c.dates.isEmpty) return None
         c.tombs.filter(_.metric == metric).foreach { t =>
           if (t.kind == "series") out ++= dataDates
           else {
@@ -1662,12 +1765,24 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
             ds.contains(segs(1).drop(5)))
       }
     }
-    readFiles(mine).fold(TsdbEngine.emptyPoints(spark)) { df =>
+    val fileSide = readFiles(mine).map { df =>
       if (!mine.exists(TxLog.isL0)) df
       else {
         val m = df.filter(col("metric") === metric)
         dates.fold(m)(ds => m.filter(col("date").isin(ds.toSeq: _*)))
       }
+    }
+    // inline commits: select by recorded key sets, then exact column
+    // predicates (same discipline as the L0 leg)
+    val liveInline = s.inline.filter(ic => ic.metrics.contains(metric) &&
+      dates.forall(want => ic.dates.exists(want.contains)))
+    val inlineSide = inlineDF(s.copy(inline = liveInline)).map { df =>
+      val m = df.filter(col("metric") === metric)
+      dates.fold(m)(ds => m.filter(col("date").isin(ds.toSeq: _*)))
+    }
+    (fileSide, inlineSide) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (a, b) => a.orElse(b).getOrElse(TsdbEngine.emptyPoints(spark))
     }
   }
 
@@ -2387,19 +2502,22 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     deleteDir(Paths.get(staging))
     // byte accounting while both file sets exist (pre-vacuum) — handed to
     // PostCompaction listeners (the default WAF listener consumes it)
-    val bytesRead = bytesOf(s.files)
+    // inline blobs are read too (base64 → ~3/4 of the manifest chars)
+    val bytesRead = bytesOf(s.files) +
+      s.inline.map(_.blob.length.toLong * 3 / 4).sum
     val bytesWritten = bytesOf(added)
     val hwm = seqCounter.get()
-    // removed L0 files carry no metric/date path segments — fold their
-    // recorded sets into the commit so epochs bump and touched-date
-    // derivation sees their dates
+    // removed L0 files and folded inline commits carry no metric/date
+    // path segments — fold their recorded sets into the commit so epochs
+    // bump and touched-date derivation sees their dates
     val l0Gone = s.files.filter(TxLog.isL0)
     val l0Metrics = l0Gone.flatMap(f => s.l0Keys.get(f).fold(Seq.empty[String])(_._1))
     val l0Dates = l0Gone.flatMap(f => s.l0Keys.get(f).fold(Seq.empty[String])(_._2))
     log.commit(v => LogCommit(v, adds = added, removes = s.files,
-      clearTombs = true,
-      metrics = (metricsOf(s.files ++ added) ++ l0Metrics).distinct,
-      dates = l0Dates.distinct, maxSeq = hwm))
+      clearTombs = true, clearInline = true,
+      metrics = (metricsOf(s.files ++ added) ++ l0Metrics ++
+        s.inline.flatMap(_.metrics)).distinct,
+      dates = (l0Dates ++ s.inline.flatMap(_.dates)).distinct, maxSeq = hwm))
     committed()
     firePost(EventType.PostCompaction,
       Payloads.PostCompaction(s.files, added, bytesRead, bytesWritten))
@@ -2573,10 +2691,18 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       return Left(s"cannot restore to $version: ${missing.size} files vacuumed")
     val cur = snap
     val hwm = seqCounter.get()
+    // inline commits roll back too: clear the live set and re-record the
+    // target version's blobs as one combined blob (rows keep their seqs,
+    // so the merge semantics are unchanged)
+    val oldInline = old.inline.flatMap(ic => InlineRows.decode(ic.blob))
     log.commit(v => LogCommit(v,
       adds = old.files.diff(cur.files), removes = cur.files.diff(old.files),
-      tombs = old.tombs, clearTombs = true,
-      metrics = metricsOf(cur.files ++ old.files), maxSeq = hwm))
+      tombs = old.tombs, clearTombs = true, clearInline = true,
+      inline = if (oldInline.isEmpty) None else Some(InlineRows.encode(oldInline)),
+      metrics = (metricsOf(cur.files ++ old.files) ++
+        old.inline.flatMap(_.metrics) ++ cur.inline.flatMap(_.metrics)).distinct,
+      dates = (old.inline.flatMap(_.dates) ++
+        cur.inline.flatMap(_.dates)).distinct, maxSeq = hwm))
     committed()
     Right(())
   }

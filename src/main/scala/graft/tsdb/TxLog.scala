@@ -18,6 +18,14 @@ final case class LogCommit(
       * commits (whose file paths carry no `date=` segment to parse);
       * hive-layout commits leave it empty and derive dates from paths. */
     dates: Seq[String] = Nil,
+    /** Rows committed INLINE in this manifest ([[InlineRows]] blob) —
+      * the WAL/memtable shape for small driver-side batches: durable at
+      * the commit rename, no data file, no Spark job. Folded into the
+      * clustered layout by threshold compaction (`clearInline`). */
+    inline: Option[String] = None,
+    /** compaction: drop every inline blob recorded up to this commit
+      * (its rows were rewritten as files in this same commit's adds). */
+    clearInline: Boolean = false,
     /** idempotent-writer watermark (streaming exactly-once): a commit
       * carrying (app, batch) <= the recorded watermark is a replay. */
     txnApp: Option[String] = None,
@@ -38,9 +46,16 @@ final case class LogSnapshot(
       * metric/date as COLUMNS instead of directory segments. Per-metric
       * file selection and touched-date derivation read this; a file
       * absent from the map (pre-L0 log) is handled conservatively. */
-    l0Keys: Map[String, (Seq[String], Seq[String])] = Map.empty) {
+    l0Keys: Map[String, (Seq[String], Seq[String])] = Map.empty,
+    /** Live INLINE commits (not yet folded into files), oldest first. */
+    inline: Vector[InlineCommit] = Vector.empty) {
   def txnSeen(app: String, batch: Long): Boolean = txns.get(app).exists(_ >= batch)
 }
+
+/** One live inline commit: its version, row blob ([[InlineRows]]) and
+  * recorded metric/date sets (for per-metric selection without decode). */
+final case class InlineCommit(version: Long, blob: String,
+    metrics: Seq[String], dates: Seq[String])
 
 object LogSnapshot {
   val empty: LogSnapshot =
@@ -128,6 +143,7 @@ final class TxLog(logDirPath: String) {
     var txns = base.txns
     var maxSeq = base.maxSeq
     var l0Keys = base.l0Keys
+    var inline = base.inline
     var v = base.version + 1
     while (v <= tip) {
       val c = read(v)
@@ -140,6 +156,9 @@ final class TxLog(logDirPath: String) {
       val l0Adds = c.adds.filter(TxLog.isL0)
       if (l0Adds.nonEmpty)
         l0Keys = l0Keys ++ l0Adds.map(_ -> ((c.metrics, c.dates)))
+      if (c.clearInline) inline = Vector.empty
+      c.inline.foreach(b =>
+        inline = inline :+ InlineCommit(v, b, c.metrics, c.dates))
       if (c.clearTombs) tombs = Vector.empty
       tombs = tombs ++ c.tombs
       metricEpoch = metricEpoch ++ c.metrics.map(_ -> v)
@@ -148,7 +167,7 @@ final class TxLog(logDirPath: String) {
       maxSeq = math.max(maxSeq, c.maxSeq)
       v += 1
     }
-    LogSnapshot(tip, files, tombs, metricEpoch, txns, maxSeq, l0Keys)
+    LogSnapshot(tip, files, tombs, metricEpoch, txns, maxSeq, l0Keys, inline)
   }
 }
 

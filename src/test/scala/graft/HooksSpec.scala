@@ -95,6 +95,7 @@ class HooksSpec extends SparkSpec {
 
   test("async post-compaction listener observes stats; stop() awaits it") {
     withEngine { e =>
+      e.inlineMaxRows = 0 // assert FILE lists in the payload: staged layout
       val seen = new java.util.concurrent.atomic.AtomicReference[Payloads.PostCompaction]
       val gate = new java.util.concurrent.CountDownLatch(1)
       e.hooks.register(EventType.PostCompaction, HookListener({ ev =>

@@ -51,22 +51,39 @@ class L0Spec extends SparkSpec {
       .map(_.getFileName.toString).filter(_.startsWith("metric=")).toSeq
   }
 
-  test("txn commits land in level 0; bulk commits stay hive-clustered") {
+  test("commit routing: txn batches land in level 0, small driver batches " +
+      "inline in the log, big driver batches hive-clustered") {
     withDir { dir =>
       val e = new TsdbEngine(spark, s"$dir/db")
       e.putDF(txnBatch(e, "l0.m", "h1", 1000L, 1.0), txn = Some(("app", 0L)))
       assert(l0Files(dir).size == 1, "a txn micro-batch must write level 0")
       assert(!hiveDirs(dir).exists(_.contains("l0.m")),
         "no hive directory until compaction")
+      // small driver batch: INLINE in the commit manifest — no file at all
+      assert(e.putBatch(Seq(DataPoint("inline.m", Map("host" -> "h1"), 1000L,
+        Map("value" -> FieldValue.ofDouble(3.0))))).isRight)
+      assert(e.inlineCommitCount == 1, "a small putBatch must commit inline")
+      assert(!hiveDirs(dir).exists(_.contains("inline.m")))
+      // past the inline row budget: the staged clustered write
+      e.inlineMaxRows = 0
       assert(e.putBatch(Seq(DataPoint("bulk.m", Map("host" -> "h1"), 1000L,
         Map("value" -> FieldValue.ofDouble(2.0))))).isRight)
       assert(hiveDirs(dir).exists(_.contains("bulk.m")),
-        "driver putBatch keeps the clustered layout")
-      // both levels serve: full content through every basic surface
+        "an over-budget putBatch keeps the clustered layout")
+      // all three levels serve: full content through every basic surface
       assert(e.query(QueryParams("l0.m", startNs = 0L,
         endNs = Some(1L << 60))).count() == 1)
+      assert(e.query(QueryParams("inline.m", startNs = 0L,
+        endNs = Some(1L << 60))).count() == 1)
       assert(e.showMetrics().collect().map(_.getString(0)).toSeq ==
-        Seq("bulk.m", "l0.m"))
+        Seq("bulk.m", "inline.m", "l0.m"))
+      // compactInline folds the manifest rows into files
+      e.compactInline()
+      assert(e.inlineCommitCount == 0)
+      assert(hiveDirs(dir).exists(_.contains("inline.m")),
+        "compactInline must materialize the inline rows as hive files")
+      assert(e.query(QueryParams("inline.m", startNs = 0L,
+        endNs = Some(1L << 60))).count() == 1)
     }
   }
 
@@ -174,8 +191,15 @@ class L0Spec extends SparkSpec {
     val hosts = Seq("a", "b", "c")
     (0 until 3).foreach { round =>
       withDir { dir =>
-        var e = new TsdbEngine(spark, s"$dir/db")
-        e.l0CompactThreshold = 2
+        def tune(e: TsdbEngine): TsdbEngine = {
+          e.l0CompactThreshold = 2
+          // size-1 driver batches commit INLINE, bigger ones stage hive —
+          // the fuzz then interleaves all three commit kinds
+          e.inlineMaxRows = 1
+          e.inlineCompactThreshold = 2
+          e
+        }
+        var e = tune(new TsdbEngine(spark, s"$dir/db"))
         // model rows/tombs carry a per-point VERSION mirroring the
         // engine's seq order (each written point / tombstone draws the
         // next version, exactly like nextSeq in call order)
@@ -225,15 +249,16 @@ class L0Spec extends SparkSpec {
               stombs :+= ((h, nextVer()))
               assert(e.deleteSeries("m", Map("host" -> h)).isRight)
             case 6 => // a compaction kind
-              if (rnd.nextBoolean()) e.compactL0()
-              else {
-                assert(e.compact().isRight)
-                // compact folds tombstones into the data; model keeps
-                // them (shadowing is monotone, so keeping is equivalent)
+              rnd.nextInt(3) match {
+                case 0 => e.compactL0()
+                case 1 => e.compactInline()
+                case _ =>
+                  assert(e.compact().isRight)
+                  // compact folds tombstones into the data; model keeps
+                  // them (shadowing is monotone, so keeping is equivalent)
               }
-            case 7 => // restart: replay the log, L0 metadata included
-              e = new TsdbEngine(spark, s"$dir/db")
-              e.l0CompactThreshold = 2
+            case 7 => // restart: replay the log, L0 + inline metadata incl.
+              e = tune(new TsdbEngine(spark, s"$dir/db"))
           }
           val got = e.query(QueryParams("m", startNs = 0L,
               endNs = Some(1L << 40))).collect().map { r =>

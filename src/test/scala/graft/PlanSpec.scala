@@ -210,6 +210,7 @@ class PlanSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     try {
       val e = new TsdbEngine(spark, s"$dir/db")
+      e.inlineMaxRows = 0 // this test asserts FILE partition pruning
       val day = TsdbEngine.DayNs
       e.putBatch((0 until 4).flatMap(d => Seq(
         DataPoint("cpu", Map("h" -> "1"), d * day + 5L,

@@ -104,6 +104,7 @@ class StorageSpec extends SparkSpec {
   test("date partitioning: one directory per day, vacuum drops compacted files") {
     withDir { dir =>
       val e = new TsdbEngine(spark, s"$dir/db")
+      e.inlineMaxRows = 0 // this test asserts the staged FILE layout
       val day = TsdbEngine.DayNs
       e.putBatch(Seq(pt("m", "h1", 5L, 1.0), pt("m", "h1", day + 5L, 2.0),
         pt("m", "h1", 2 * day + 5L, 3.0)))
@@ -152,6 +153,7 @@ class StorageSpec extends SparkSpec {
   test("incremental snapshot: second snapshot copies only new files") {
     withDir { dir =>
       val e = new TsdbEngine(spark, s"$dir/db")
+      e.inlineMaxRows = 0 // this test asserts the staged FILE layout
       e.putBatch(Seq(pt("m", "h1", 1000L, 1.0)))
       val snapDir = s"$dir/snap"
       e.snapshot(snapDir)
@@ -180,6 +182,7 @@ class StorageSpec extends SparkSpec {
   test("compression codec: every reference codec round-trips; compaction rewrites") {
     withDir { dir =>
       val e = new TsdbEngine(spark, s"$dir/db")
+      e.inlineMaxRows = 0 // this test asserts the staged FILE layout
       assert(e.compression == "snappy") // the reference's default
       // every supported codec writes and reads back through the engine
       Seq("zstd", "lz4", "gzip", "none", "snappy").zipWithIndex.foreach {
@@ -213,6 +216,7 @@ class StorageSpec extends SparkSpec {
   test("maybeCompact: L0-style trigger fires only past the commit budget") {
     withDir { dir =>
       val e = new TsdbEngine(spark, s"$dir/db")
+      e.inlineMaxRows = 0 // this test asserts the staged FILE layout
       (1 to 3).foreach(i => assert(e.putBatch(Seq(pt("m", "h1", i * 1000L, i))).isRight))
       assert(e.uncompactedCommits == 3)
       // under budget: no compaction
@@ -233,6 +237,7 @@ class StorageSpec extends SparkSpec {
   test("grace-period vacuum: dereferenced files outlive compaction for readers") {
     withDir { dir =>
       val e = new TsdbEngine(spark, s"$dir/db")
+      e.inlineMaxRows = 0 // this test asserts the staged FILE layout
       assert(e.putBatch(Seq(pt("m", "h1", 1000L, 1.0))).isRight)
       assert(e.putBatch(Seq(pt("m", "h1", 2000L, 2.0))).isRight)
       val vOld = e.version
