@@ -132,6 +132,7 @@ final class GraftHttpServer(executor: NbqlExecutor, port: Int = 0,
         "version" -> JLong(eng.version),
         "data_files" -> JLong(dataFiles.toLong),
         "l0_files" -> JLong(l0Files.toLong),
+        "inline_commits" -> JLong(eng.inlineCommitCount.toLong),
         "compaction_events" -> JLong(cs.events),
         "compaction_bytes_read" -> JLong(cs.bytesRead),
         "compaction_bytes_written" -> JLong(cs.bytesWritten),
