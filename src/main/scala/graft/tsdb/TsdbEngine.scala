@@ -325,7 +325,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     appendStageNs.addAndGet(2, t3 - t2)
     if (l0Meta.isDefined &&
         snap.files.count(TxLog.isL0) > l0CompactThreshold)
-      compactL0()
+      foldOnce(compactL0())
     landed.version
   }
 
@@ -355,6 +355,17 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * into the clustered layout inline — the memtable-flush trigger. */
   @volatile var inlineCompactThreshold: Int = 64
 
+  /** Single-flight guard for the background folds ([[compactInline]],
+    * [[compactL0]] when threshold-triggered): concurrent wire writers
+    * crossing the threshold together must produce ONE fold, not ten
+    * overlapping ones (overlap is merge-masked — duplicates collapse in
+    * the seq dedup — but multiplies fold work). */
+  private val foldInFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def foldOnce(f: => Unit): Unit =
+    if (foldInFlight.compareAndSet(false, true))
+      try f finally foldInFlight.set(false)
+
   /** WAL-style commit: the rows ride in the manifest itself. */
   private def commitInline(pts: Seq[(DataPoint, Long)]): Long = {
     val blob = InlineRows.encode(pts)
@@ -364,7 +375,8 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     val landed = log.commit(v => LogCommit(v, inline = Some(blob),
       metrics = metrics, dates = dates, maxSeq = hwm))
     committed()
-    if (snap.inline.size > inlineCompactThreshold) compactInline()
+    if (snap.inline.size > inlineCompactThreshold)
+      foldOnce(compactInline())
     landed.version
   }
 
@@ -386,10 +398,16 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
           .map(col): _*))
     }
 
-  /** Fold every live inline commit into the hive-clustered layout: one
-    * staged write of the decoded rows, committed atomically with
-    * `clearInline` (replayers see either blobs or files, never both or
-    * neither) — the memtable flush. Bounded by the inline budget. */
+  /** Fold every live inline commit into ONE level-0 file, committed
+    * atomically with `clearInline` (replayers see either blobs or the
+    * file, never both or neither) — the memtable flush, landing at L0
+    * like an LSM's: inline (WAL) → L0 (flush) → hive (compaction). The
+    * flush write is a single unpartitioned file — clustering into the
+    * (metric, date) layout is [[compactL0]]'s amortized job; flushing
+    * straight to hive paid a clustered write every
+    * [[inlineCompactThreshold]] commits and throttled sustained wire
+    * ingest ~4× (SCALE.md r13 reference-protocol run). Bounded by the
+    * inline budget. */
   def compactInline(): Unit = {
     val s = snap
     if (s.inline.isEmpty) return
@@ -401,21 +419,22 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     }
     val stamp = java.util.UUID.randomUUID().toString.take(12)
     val staging = s"$rootDir/_staging/$stamp"
-    val dirs = rows.iterator
-      .map(r => (r.metric, Math.floorDiv(r.timestamp, TsdbEngine.DayNs)))
-      .toSet.size
     rows.toDF().withColumn("date", dateOfTs(col("timestamp")))
-      .repartition(math.max(1, math.min(shufflePartitions, dirs)),
-        col("metric"), col("date"))
+      .coalesce(1)
       .write.option("compression", compressionCodec)
-      .partitionBy("metric", "date").parquet(staging)
+      .parquet(s"$staging/l0")
     val added = moveStaged(Paths.get(staging), stamp)
     deleteDir(Paths.get(staging))
     val hwm = seqCounter.get()
-    log.commit(v => LogCommit(v, adds = added, clearInline = true,
+    // fold the EXACT versions read from the snapshot, never a blunt
+    // clear: an inline commit racing in between stays live (its rows
+    // were not in this fold)
+    log.commit(v => LogCommit(v, adds = added,
+      foldedInline = s.inline.map(_.version),
       metrics = s.inline.flatMap(_.metrics).distinct,
       dates = s.inline.flatMap(_.dates).distinct, maxSeq = hwm))
     committed()
+    if (snap.files.count(TxLog.isL0) > l0CompactThreshold) compactL0()
   }
 
   /** Migrate every LEVEL-0 file into the hive-partitioned layout: read
@@ -1302,10 +1321,10 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   def commitChanges(version: Long): (Option[DataFrame], Seq[TombRow]) = {
     val c = log.read(version)
     val puts =
-      // removes / clearInline mark storage REWRITES (compaction, L0 or
-      // inline fold-down) — their rows were already published, never
-      // re-delivered as puts
-      if (c.removes.nonEmpty || c.clearInline) None
+      // removes / clearInline / foldedInline mark storage REWRITES
+      // (compaction, L0 or inline fold-down) — their rows were already
+      // published, never re-delivered as puts
+      if (c.removes.nonEmpty || c.clearInline || c.foldedInline.nonEmpty) None
       else if (c.inline.isDefined)
         inlineDF(LogSnapshot.empty.copy(
           inline = Vector(InlineCommit(version, c.inline.get, c.metrics, c.dates))))
@@ -1720,7 +1739,8 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         // recorded dates can't be attributed — full rebuild.
         out ++= c.dates
         if ((c.adds.exists(TxLog.isL0) || c.removes.exists(TxLog.isL0) ||
-            c.inline.isDefined) && c.dates.isEmpty) return None
+            c.inline.isDefined || c.foldedInline.nonEmpty) &&
+            c.dates.isEmpty) return None
         c.tombs.filter(_.metric == metric).foreach { t =>
           if (t.kind == "series") out ++= dataDates
           else {

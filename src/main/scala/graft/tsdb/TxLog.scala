@@ -24,8 +24,16 @@ final case class LogCommit(
       * clustered layout by threshold compaction (`clearInline`). */
     inline: Option[String] = None,
     /** compaction: drop every inline blob recorded up to this commit
-      * (its rows were rewritten as files in this same commit's adds). */
+      * (its rows were rewritten as files in this same commit's adds).
+      * ADMIN-op semantics (compact/restore, like `clearTombs`): it wipes
+      * everything live at replay, so it must not race concurrent inline
+      * writers — the concurrent-safe fold records [[foldedInline]]. */
     clearInline: Boolean = false,
+    /** EXACT inline-commit versions this commit folded into its adds —
+      * the concurrency-safe memtable flush: an inline commit landing
+      * between the folder's snapshot and its commit is untouched (a
+      * blunt clear would wipe rows that were never folded). */
+    foldedInline: Seq[Long] = Nil,
     /** idempotent-writer watermark (streaming exactly-once): a commit
       * carrying (app, batch) <= the recorded watermark is a replay. */
     txnApp: Option[String] = None,
@@ -157,6 +165,10 @@ final class TxLog(logDirPath: String) {
       if (l0Adds.nonEmpty)
         l0Keys = l0Keys ++ l0Adds.map(_ -> ((c.metrics, c.dates)))
       if (c.clearInline) inline = Vector.empty
+      if (c.foldedInline.nonEmpty) {
+        val folded = c.foldedInline.toSet
+        inline = inline.filterNot(ic => folded.contains(ic.version))
+      }
       c.inline.foreach(b =>
         inline = inline :+ InlineCommit(v, b, c.metrics, c.dates))
       if (c.clearTombs) tombs = Vector.empty

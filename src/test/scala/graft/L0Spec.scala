@@ -77,11 +77,18 @@ class L0Spec extends SparkSpec {
         endNs = Some(1L << 60))).count() == 1)
       assert(e.showMetrics().collect().map(_.getString(0)).toSeq ==
         Seq("bulk.m", "inline.m", "l0.m"))
-      // compactInline folds the manifest rows into files
+      // the LSM ladder: compactInline flushes the manifest rows to
+      // LEVEL 0; compactL0 clusters them into the hive layout
+      val l0Before = l0Files(dir).size
       e.compactInline()
       assert(e.inlineCommitCount == 0)
+      assert(l0Files(dir).size == l0Before + 1,
+        "compactInline must flush the inline rows as one level-0 file")
+      assert(e.query(QueryParams("inline.m", startNs = 0L,
+        endNs = Some(1L << 60))).count() == 1)
+      e.compactL0()
       assert(hiveDirs(dir).exists(_.contains("inline.m")),
-        "compactInline must materialize the inline rows as hive files")
+        "compactL0 must cluster the flushed rows into the hive layout")
       assert(e.query(QueryParams("inline.m", startNs = 0L,
         endNs = Some(1L << 60))).count() == 1)
     }
@@ -271,6 +278,47 @@ class L0Spec extends SparkSpec {
             s"round $round op $op: engine/model diverged\n got=$got\n exp=$modelVisible")
         }
       }
+    }
+  }
+
+  test("concurrent wire-shaped writers: no row lost across inline folds") {
+    // 10 threads commit unique single-point batches while the tiny
+    // thresholds force inline→L0 folds (and L0→hive) to race the
+    // writers. The fold records the EXACT versions it folded
+    // (LogCommit.foldedInline) — a blunt clear would wipe a commit that
+    // landed between the folder's snapshot and its commit, silently
+    // losing rows. Every written key must survive.
+    withDir { dir =>
+      val e = new TsdbEngine(spark, s"$dir/db")
+      e.inlineCompactThreshold = 3
+      e.l0CompactThreshold = 2
+      val (threads, perT) = (10, 12)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = (0 until threads).map { tid =>
+        val t = new Thread(() => try {
+          (0 until perT).foreach { i =>
+            e.putBatch(Seq(DataPoint("m", Map("host" -> s"h$tid"),
+              i.toLong * 1000L,
+              Map("value" -> FieldValue.ofDouble(tid * 1000.0 + i)))))
+              .fold(sys.error, identity)
+          }
+        } catch { case x: Throwable => errs.add(x); () })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      assert(errs.isEmpty, s"writer failed: ${Option(errs.peek())}")
+      val got = e.query(QueryParams("m", startNs = 0L,
+        endNs = Some(1L << 40))).collect()
+        .map(r => (r.getAs[Map[String, String]]("tags")("host"),
+          r.getAs[Long]("timestamp"))).toSet
+      val want = (for (tid <- 0 until threads; i <- 0 until perT)
+        yield (s"h$tid", i.toLong * 1000L)).toSet
+      assert(got == want,
+        s"lost ${(want -- got).size} rows, phantom ${(got -- want).size}")
+      // restart: the fold/clear history replays to the same content
+      val e2 = new TsdbEngine(spark, s"$dir/db")
+      assert(e2.query(QueryParams("m", startNs = 0L,
+        endNs = Some(1L << 40))).count() == want.size)
     }
   }
 

@@ -27,11 +27,14 @@ object ProbeC10Ingest {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val tmp = java.nio.file.Files.createTempDirectory("graft_c10i").toString
+    val refOnly = sys.env.get("SPARK_GRAFT_REF_ONLY").contains("1")
+    val (threads, perT) = (10, 4)
     try {
       // warmup: codegen + committer
       val w = new graft.tsdb.TsdbEngine(spark, s"$tmp/warm")
       (0 until 8).foreach(b => w.putBatch(batch(0, b, 500)))
 
+      if (!refOnly) {
       // 1. serial direct putBatch
       val e1 = new graft.tsdb.TsdbEngine(spark, s"$tmp/serial")
       val n1 = 20
@@ -43,7 +46,6 @@ object ProbeC10Ingest {
 
       // 2. 10-thread direct putBatch (commit contention, no wire)
       val e2 = new graft.tsdb.TsdbEngine(spark, s"$tmp/conc")
-      val (threads, perT) = (10, 4)
       val t2 = System.nanoTime()
       val ts = (0 until threads).map { tid =>
         val t = new Thread(() => (0 until perT).foreach(b =>
@@ -76,6 +78,38 @@ object ProbeC10Ingest {
           f"${threads * perT * 500 / wireS}%8.0f rows/s")
         writers.foreach(_.close())
       } finally srv.stop()
+      } // !refOnly
+
+      // 4. the REFERENCE write protocol end-to-end: 1M points, batch
+      //    1000, 10 concurrent wire writers (cmd/perf-client/main.go:
+      //    52-56) — includes every inline fold the run triggers
+      if (sys.env.get("SPARK_GRAFT_REF_PROTOCOL").contains("1")) {
+        val e4 = new graft.tsdb.TsdbEngine(spark, s"$tmp/refproto")
+        val srv4 = new graft.server.GraftTcpServer(new graft.nbql.NbqlExecutor(e4))
+        srv4.start()
+        try {
+          val (bsz, perW) = (1000, 100) // 10 x 100 x 1000 = 1M points
+          val writers = (0 until threads).map(_ =>
+            graft.client.NbqlClient.connect("127.0.0.1", srv4.boundPort))
+          val t4 = System.nanoTime()
+          val wts = writers.zipWithIndex.map { case (c, tid) =>
+            val t = new Thread(() => (0 until perW).foreach { b =>
+              c.pushBulk(batch(tid, b, bsz).map(p =>
+                (p.metric, p.tags, p.timestamp, p.fields)))
+            })
+            t.start(); t
+          }
+          wts.foreach(_.join())
+          val s4 = (System.nanoTime() - t4) / 1e9
+          println(f"ref protocol (1M pts, batch 1000, c10): $s4%6.1f s  " +
+            f"${threads * perW * bsz / s4}%8.0f rows/s  " +
+            s"inline_live=${e4.inlineCommitCount} files=${e4.fileCounts}")
+          val n = e4.loadPoints().map(_.count()).getOrElse(0L)
+          println(s"ref protocol row integrity: stored=$n expected=${threads * perW * bsz}" +
+            (if (n == threads * perW * bsz) " OK" else " **LOSS**"))
+          writers.foreach(_.close())
+        } finally srv4.stop()
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp)); ()
     }
