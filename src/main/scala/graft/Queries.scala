@@ -1,7 +1,7 @@
 package graft
 
 import graft.tsdb._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The driver-checked query battery: every SURVEY §2 operator exercised
@@ -1509,10 +1509,20 @@ object Queries {
   // ---- NBQL protocol-path battery ---------------------------------------
 
   /** One executor per sf dir: a REAL [[TsdbEngine]] in a temp dir,
-    * bulk-loaded once with the events point stream, then driven through
+    * loaded once with the events point stream, then driven through
     * [[graft.nbql.NbqlExecutor.execute]] — so the battery hashes the
     * parse → validate → serve path the wire protocol runs, not just the
-    * query engine underneath it. */
+    * query engine underneath it.
+    *
+    * The load deliberately spans ALL THREE storage levels (round 13):
+    * most rows bulk-commit into the hive layout, a deterministic ~1%
+    * slice goes through the wire-shaped [[TsdbEngine.putBatch]] (INLINE
+    * commits — rows living in the log manifests) and another ~1% through
+    * a txn micro-batch (a LEVEL-0 file). Content is identical to a pure
+    * bulk load — events keys are unique, so the putBatch seq reassignment
+    * can't flip a merge — which makes every `nbql_*` oracle hash-gate
+    * the multi-level union read path against DuckDB, not just the
+    * clustered layout. */
   private val nbqlExecs =
     new java.util.concurrent.ConcurrentHashMap[String, graft.nbql.NbqlExecutor]()
   private def nbqlExec(s: SparkSession, dir: String): graft.nbql.NbqlExecutor =
@@ -1520,7 +1530,24 @@ object Queries {
       val root = java.nio.file.Files
         .createTempDirectory("graft_nbql_battery").toString
       val eng = new TsdbEngine(s, root)
-      eng.putDF(pts(s, dir))
+      val all = pts(s, dir)
+      eng.putDF(all.filter(col("seq") % 97 >= 2))
+      eng.putDF(all.filter(col("seq") % 97 === 1), txn = Some(("battery", 0L)))
+      val inlineRows = all.filter(col("seq") % 97 === 0).collect().map { r =>
+        graft.model.DataPoint(
+          r.getAs[String]("metric"),
+          r.getAs[Map[String, String]]("tags"),
+          r.getAs[Long]("timestamp"),
+          r.getAs[Map[String, Row]]("fields").map { case (k, v) =>
+            k -> graft.model.FieldValue(
+              Option(v.getAs[java.lang.Double]("d")).map(_.doubleValue()),
+              Option(v.getAs[java.lang.Long]("l")).map(_.longValue()),
+              Option(v.getAs[String]("s")),
+              Option(v.getAs[java.lang.Boolean]("b")).map(_.booleanValue()))
+          })
+      }
+      inlineRows.grouped(2000).foreach(chunk =>
+        eng.putBatch(chunk.toSeq).fold(sys.error, identity))
       new graft.nbql.NbqlExecutor(eng)
     })
 
