@@ -97,11 +97,35 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   private def firePost(tpe: String, payload: AnyRef): Unit =
     if (hooks.hasListeners(tpe)) hooks.trigger(HookEvent(tpe, payload))
 
-  /** Commit landed: refresh the snapshot, then announce the new manifest
-    * version (the reference's WAL/manifest post-write event). */
+  /** Commit landed: refresh the snapshot, maybe checkpoint the log,
+    * then announce the new manifest version (the reference's
+    * WAL/manifest post-write event). */
   private def committed(): Unit = {
     refresh()
+    maybeCheckpoint()
     firePost(EventType.PostManifestWrite, Payloads.PostManifestWrite(snap.version))
+  }
+
+  /** Commits between log CHECKPOINTS (0 disables). Every Nth commit
+    * materializes the full [[LogSnapshot]] as a checkpoint manifest and
+    * vacuums pre-checkpoint commit JSONs (with their dead inline blobs)
+    * under the write-path grace discipline — bounding restart replay,
+    * follower catch-up and the log directory itself to O(N + grace
+    * window) instead of O(total commits ever). The reference bounds its
+    * log the same way: WAL segments rotate at 4 MiB and old segments
+    * are deleted after flush (`wal/wal.go:53-60`; `keep` knob,
+    * `cmd/server/config.yaml:46-53`), and the levels manifest is
+    * rewritten, not replayed from genesis
+    * (`engine2/levels_manifest.go`). */
+  @volatile var checkpointInterval: Int = 64
+
+  private def maybeCheckpoint(): Unit = {
+    val s = snap
+    if (checkpointInterval > 0 && s.version > 0 &&
+        log.commitsSinceCheckpoint(s.version) >= checkpointInterval) {
+      log.writeCheckpoint(s)
+      log.truncate(math.max(vacuumGraceMs, foldVacuumGraceMs))
+    }
   }
 
   def version: Long = snap.version
@@ -180,17 +204,36 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * commit count and per-batch size; anything evicted or oversized
     * falls back to [[commitChanges]]' parquet read. */
   private val recentPuts =
-    new java.util.concurrent.ConcurrentSkipListMap[Long, Seq[(DataPoint, Long)]]()
+    new java.util.concurrent.ConcurrentSkipListMap[Long, (Seq[(DataPoint, Long)], Long)]()
   @volatile private[graft] var recentPutsMaxCommits = 256 // test hook
   /** Batches above this row count are not retained (a bulk backfill's
     * rows shouldn't live twice in driver memory); test hook. */
   @volatile private[graft] var recentPutsMaxBatch: Int = 10000
+  /** TOTAL driver-heap budget for the retained ring, in estimated bytes
+    * — the commit-count bound alone admits a ~2.5M-point worst case
+    * (256 commits × 10k rows); the byte bound keeps the ring's footprint
+    * fixed regardless of row shape. Estimated per point from its string/
+    * map sizes at retain time, never re-walked. */
+  @volatile private[graft] var recentPutsMaxBytes: Long = 64L << 20
+  private val recentPutsBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Current estimated heap held by the retained ring (test seam). */
+  private[graft] def recentPutsRetainedBytes: Long = recentPutsBytes.get()
+
+  /** Rough driver-heap estimate of one retained point: JVM object
+    * headers/boxing flat cost plus 2 bytes per string char (UTF-16). */
+  private def pointBytes(p: DataPoint): Long = {
+    var n = 96L + 2L * p.metric.length
+    p.tags.foreach { case (k, v) => n += 80L + 2L * (k.length + v.length) }
+    p.fields.foreach { case (k, v) =>
+      n += 96L + 2L * k.length + v.s.fold(0L)(s => 2L * s.length) }
+    n
+  }
 
   /** The retained rows of a driver-originated append commit, seq-stamped
     * — `Some` means the commit is EXACTLY these puts (no tombstones, no
     * removes); `None` means read it back via [[commitChanges]]. */
   def commitChangesLocal(version: Long): Option[Seq[(DataPoint, Long)]] =
-    Option(recentPuts.get(version))
+    Option(recentPuts.get(version)).map(_._1)
 
   private def appendPoints(points: Seq[DataPoint]): Either[String, Long] = {
     if (points.isEmpty) return Right(0L) // ack, no commit
@@ -223,10 +266,16 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         commitAppend(rows.toDF(), txn = None, dirHint = Some(dirs))
       }
     if (committedVersion > 0 && points.size <= recentPutsMaxBatch) {
+      val bytes = points.iterator.map(pointBytes).sum
       recentPuts.put(committedVersion,
-        points.lazyZip(rows).map((p, r) => (p, r.seq)).toSeq)
-      while (recentPuts.size() > recentPutsMaxCommits)
-        recentPuts.pollFirstEntry()
+        (points.lazyZip(rows).map((p, r) => (p, r.seq)).toSeq, bytes))
+      recentPutsBytes.addAndGet(bytes)
+      while (recentPuts.size() > recentPutsMaxCommits ||
+          recentPutsBytes.get() > recentPutsMaxBytes) {
+        val e = recentPuts.pollFirstEntry()
+        if (e == null) { recentPutsBytes.set(0L) }
+        else recentPutsBytes.addAndGet(-e.getValue._2)
+      }
     }
     if (hooks.hasListeners(EventType.OnSeriesCreate))
       points.foreach { p =>
@@ -325,7 +374,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     appendStageNs.addAndGet(2, t3 - t2)
     if (l0Meta.isDefined &&
         snap.files.count(TxLog.isL0) > l0CompactThreshold)
-      foldOnce(compactL0())
+      foldOnce(compactL0Impl(writePath = true))
     landed.version
   }
 
@@ -355,16 +404,33 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * into the clustered layout inline — the memtable-flush trigger. */
   @volatile var inlineCompactThreshold: Int = 64
 
-  /** Single-flight guard for the background folds ([[compactInline]],
-    * [[compactL0]] when threshold-triggered): concurrent wire writers
-    * crossing the threshold together must produce ONE fold, not ten
-    * overlapping ones (overlap is merge-masked — duplicates collapse in
-    * the seq dedup — but multiplies fold work). */
-  private val foldInFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** Single-flight guard for the folds ([[compactInline]], [[compactL0]])
+    * — held INSIDE the public methods, so every entry point (threshold
+    * trigger, admin call, NBQL FLUSH) is single-flighted: concurrent wire
+    * writers crossing the threshold together must produce ONE fold, and
+    * an explicit admin fold racing a threshold-triggered one must not
+    * fold the same inline versions twice (overlap is merge-masked —
+    * duplicates collapse in the seq dedup — but double-counts raw
+    * loadPoints()/count-based integrity checks and multiplies fold
+    * work). Reentrant: compactInline's spill into compactL0 re-enters.
+    * [[compact]] takes the lock BLOCKING — an admin full compaction
+    * waits for an in-flight fold instead of skipping. */
+  private val foldLock = new java.util.concurrent.locks.ReentrantLock()
 
   private def foldOnce(f: => Unit): Unit =
-    if (foldInFlight.compareAndSet(false, true))
-      try f finally foldInFlight.set(false)
+    if (foldLock.tryLock())
+      try f finally foldLock.unlock()
+
+  /** Grace window applied to the vacuum that runs after a WRITE-PATH
+    * triggered fold (threshold [[compactL0]]/[[compactInline]] during
+    * streaming or wire ingest): the folded-away files stay on disk this
+    * long so a concurrent query executing a plan resolved against the
+    * prior snapshot never hits FileNotFound mid-ingest. Explicit admin
+    * [[compact]]/[[vacuum]] calls keep using [[vacuumGraceMs]] (default
+    * 0 — immediate), preserving their historical semantics; disk held by
+    * the grace is bounded by the window × fold rate, and the files are
+    * the small L0/inline ones. */
+  @volatile var foldVacuumGraceMs: Long = 600000L
 
   /** WAL-style commit: the rows ride in the manifest itself. */
   private def commitInline(pts: Seq[(DataPoint, Long)]): Long = {
@@ -376,7 +442,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       metrics = metrics, dates = dates, maxSeq = hwm))
     committed()
     if (snap.inline.size > inlineCompactThreshold)
-      foldOnce(compactInline())
+      foldOnce(compactInlineImpl(writePath = true))
     landed.version
   }
 
@@ -407,8 +473,11 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * straight to hive paid a clustered write every
     * [[inlineCompactThreshold]] commits and throttled sustained wire
     * ingest ~4× (SCALE.md r13 reference-protocol run). Bounded by the
-    * inline budget. */
-  def compactInline(): Unit = {
+    * inline budget. Single-flighted via [[foldOnce]] — a call racing an
+    * in-flight fold returns without folding. */
+  def compactInline(): Unit = foldOnce(compactInlineImpl(writePath = false))
+
+  private def compactInlineImpl(writePath: Boolean): Unit = {
     val s = snap
     if (s.inline.isEmpty) return
     import spark.implicits._
@@ -434,7 +503,8 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       metrics = s.inline.flatMap(_.metrics).distinct,
       dates = s.inline.flatMap(_.dates).distinct, maxSeq = hwm))
     committed()
-    if (snap.files.count(TxLog.isL0) > l0CompactThreshold) compactL0()
+    if (snap.files.count(TxLog.isL0) > l0CompactThreshold)
+      compactL0Impl(writePath)
   }
 
   /** Migrate every LEVEL-0 file into the hive-partitioned layout: read
@@ -445,8 +515,11 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * pruning for the migrated rows. Bounded by level-0 size, never the
     * table's — the LSM L0→L1 step, vs [[compact]]'s full rewrite.
     * A PreCompaction veto skips the migration (level 0 keeps serving;
-    * ingest must not fail on a vetoed optimization). */
-  def compactL0(): Unit = {
+    * ingest must not fail on a vetoed optimization). Single-flighted via
+    * [[foldOnce]]. */
+  def compactL0(): Unit = foldOnce(compactL0Impl(writePath = false))
+
+  private def compactL0Impl(writePath: Boolean): Unit = {
     if (hooks.hasListeners(EventType.PreCompaction))
       hooks.trigger(HookEvent(EventType.PreCompaction, Payloads.PreCompaction())) match {
         case Left(_) => return
@@ -474,7 +547,11 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     committed()
     firePost(EventType.PostCompaction,
       Payloads.PostCompaction(l0, added, bytesRead, bytesWritten))
-    vacuum()
+    // write-path folds vacuum under a grace window (concurrent queries
+    // may hold plans resolved against the pre-fold snapshot); explicit
+    // admin folds keep the immediate-vacuum default
+    if (writePath) vacuum(math.max(vacuumGraceMs, foldVacuumGraceMs))
+    else vacuum()
   }
 
   /** Move staged parquet files into the data root, preserving their
@@ -1908,16 +1985,18 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * state may live arbitrarily far back). */
   private def smoothSeeds(dirM: Path, prefixDates: Set[String],
       spec: RollupReg, neededSeries: DataFrame): DataFrame = {
-    def over(dates: Seq[String]): DataFrame = {
+    def readPrefix(dates: Seq[String]): DataFrame = {
       spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-      val prefix = spark.read.option("basePath", dirM.toString)
+      spark.read.option("basePath", dirM.toString)
         .parquet(dates.map(d => s"$dirM/date=$d"): _*)
+    }
+    def over(dates: Seq[String]): DataFrame = {
       val aggs = spec.smooth.map { s =>
         org.apache.spark.sql.functions.max_by(
           col(Rollup.smoothStateCol(s)),
           col(s"${s.field}__last_ord")).as(Rollup.smoothSeedCol(s))
       }
-      prefix.groupBy(col("series_key")).agg(aggs.head, aggs.tail: _*)
+      readPrefix(dates).groupBy(col("series_key")).agg(aggs.head, aggs.tail: _*)
     }
     val sorted = prefixDates.toSeq.sorted
     val recent = sorted.takeRight(math.max(1, seedScanDates))
@@ -1929,7 +2008,26 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       val unresolved =
         neededSeries.join(resolved, Seq("series_key"), "left_anti")
       if (unresolved.isEmpty) { lastSeedScan = "recent"; r }
-      else { lastSeedScan = "full"; over(sorted) }
+      else {
+        // An unresolved series is one of two very different cases:
+        //  - STALE: it has pre-boundary rollup rows, just none in the
+        //    recent window — its seed lives deeper; exactness demands
+        //    the full-prefix read.
+        //  - BRAND-NEW: it has NO pre-boundary rows anywhere — the
+        //    unseeded fold is already exact, and falling back would
+        //    defeat the bounded scan precisely on the most common
+        //    pattern, new series appearing in the ingest suffix.
+        // Distinguishing them needs only the series_key COLUMN of the
+        // older partitions — a pruned single-column scan of the tiny
+        // rollup frame, not the full-prefix state read.
+        val older = sorted.dropRight(recent.size)
+        val staleExists = !unresolved
+          .join(readPrefix(older).select("series_key").distinct(),
+            Seq("series_key"), "left_semi")
+          .isEmpty
+        if (staleExists) { lastSeedScan = "full"; over(sorted) }
+        else { lastSeedScan = "recent-new"; r }
+      }
     }
   }
 
@@ -2500,6 +2598,15 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         case Left(err) => return Left(err)
         case Right(()) => ()
       }
+    // BLOCKING acquire (vs the folds' tryLock): an admin full compaction
+    // waits for an in-flight threshold fold rather than racing it —
+    // both rewrite inline rows, and overlapping folds would commit the
+    // same rows twice (dedup-masked but double-counted by raw reads)
+    foldLock.lock()
+    try compactLocked(nowNs) finally foldLock.unlock()
+  }
+
+  private def compactLocked(nowNs: Option[Long]): Either[String, Unit] = {
     val s = snap
     val pts = loadPointsAt(s).getOrElse(return Right(()))
     val retained = retentionPeriodNs match {
@@ -2533,8 +2640,16 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     val l0Gone = s.files.filter(TxLog.isL0)
     val l0Metrics = l0Gone.flatMap(f => s.l0Keys.get(f).fold(Seq.empty[String])(_._1))
     val l0Dates = l0Gone.flatMap(f => s.l0Keys.get(f).fold(Seq.empty[String])(_._2))
+    // fold EXACTLY the snapshot's inline versions and tombstone seqs —
+    // never a blunt clear: compact() runs from PostPutBatch hooks and
+    // schedulers DURING ingest, so an inline commit or a delete landing
+    // between `val s = snap` and this commit must stay live (its rows /
+    // its shadowing were not in this rewrite). Same concurrency
+    // discipline as compactInline's foldedInline.
     log.commit(v => LogCommit(v, adds = added, removes = s.files,
-      clearTombs = true, clearInline = true,
+      clearTombsUpToSeq =
+        if (s.tombs.isEmpty) None else Some(s.tombs.map(_.seq).max),
+      foldedInline = s.inline.map(_.version),
       metrics = (metricsOf(s.files ++ added) ++ l0Metrics ++
         s.inline.flatMap(_.metrics)).distinct,
       dates = (l0Dates ++ s.inline.flatMap(_.dates)).distinct, maxSeq = hwm))
@@ -2572,16 +2687,24 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     val root = Paths.get(dataDir)
     if (!Files.isDirectory(root)) return
     val cutoff = System.currentTimeMillis() - graceMs
+    // Only commit manifests still PRESENT are consulted (the log
+    // truncates below checkpoints). A file whose removing commit was
+    // truncated falls through to its own-mtime fallback — sound,
+    // because truncation obeys the same grace window: the manifest
+    // outlived its dereference by ≥ grace, so the deref is ≥ grace old
+    // and the (even older) write mtime deletes nothing early.
     lazy val removedAtMs: Map[String, Long] =
       if (graceMs <= 0) Map.empty
-      else (1L to snap.version).flatMap { v =>
-        val c = log.read(v)
-        if (c.removes.isEmpty) Nil
-        else {
-          val t = log.commitFileMtimeMs(v)
-          c.removes.map(_ -> t)
-        }
-      }.toMap
+      else log.availableCommitVersions().filter(_ <= snap.version)
+        .flatMap { v =>
+          scala.util.Try(log.read(v)).toOption.toSeq.flatMap { c =>
+            if (c.removes.isEmpty) Nil
+            else {
+              val t = log.commitFileMtimeMs(v)
+              c.removes.map(_ -> t)
+            }
+          }
+        }.toMap
     Files.walk(root).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .filterNot(p => live.contains(root.relativize(p).toString))
@@ -2593,7 +2716,36 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         }
       }
       .foreach(Files.deleteIfExists(_))
+    // Orphaned _staging dirs — a crash BETWEEN a staged fold/append
+    // write and its log commit strands the staging dir (and possibly
+    // already-moved data files, cleaned above as unreferenced strays).
+    // Readers never saw any of it (only manifest-listed files are
+    // read), so deletion restores the pre-fold state exactly. A live
+    // fold is distinguished by AGE: its newest mtime keeps moving while
+    // it writes, and it deletes its dir at move-in — anything quiet for
+    // the orphan window is dead. (Cf. the reference's recovery sweep,
+    // `engine2/engine_recovery_test.go`.)
+    val stagingRoot = Paths.get(s"$rootDir/_staging")
+    if (Files.isDirectory(stagingRoot)) {
+      val orphanCutoff = System.currentTimeMillis() -
+        math.max(graceMs, stagingOrphanMinAgeMs)
+      val kids = Files.list(stagingRoot)
+      try kids.iterator().asScala.toSeq.foreach { d =>
+        val walk = Files.walk(d)
+        val newest =
+          try walk.iterator().asScala
+            .map(p => Files.getLastModifiedTime(p).toMillis)
+            .foldLeft(0L)(math.max)
+          finally walk.close()
+        if (newest < orphanCutoff) deleteDir(d)
+      } finally kids.close()
+    }
   }
+
+  /** Minimum quiet age before an un-committed `_staging` dir counts as
+    * a crash orphan ([[vacuum]]) — generous, so an in-flight fold's
+    * staged write (which refreshes mtimes as it goes) is never swept. */
+  @volatile private[graft] var stagingOrphanMinAgeMs: Long = 600000L
 
   /** Snapshot = log copy + INCREMENTAL data copy: file names are
     * commit-unique, so only files the destination lacks are transferred
@@ -2654,22 +2806,46 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     val destDataDir = Paths.get(s"$destDir/data")
     Files.createDirectories(destLogDir)
     Files.createDirectories(destDataDir)
-    val from = new TxLog(s"$destDir/_log").latestVersion()
+    var from = new TxLog(s"$destDir/_log").latestVersion()
+    def shipFile(rel: String): Unit = {
+      val src = Paths.get(dataDir).resolve(rel)
+      val dst = destDataDir.resolve(rel)
+      if (Files.exists(src) && !Files.exists(dst)) {
+        Files.createDirectories(dst.getParent)
+        Files.copy(src, dst)
+      }
+    }
+    // The follower's next commit was TRUNCATED at the source (it lags
+    // past a checkpoint boundary, or is brand-new against a checkpointed
+    // log): ship the newest checkpoint ≤ the tip instead — its data
+    // files FIRST, then the checkpoint manifest (same files-before-
+    // manifest invariant as commits), and resume the commit walk after
+    // it. The follower's replay jumps to the shipped checkpoint.
+    if (from < s.version && !log.hasCommit(from + 1))
+      log.latestCheckpoint(s.version).filter(_ > from) match {
+        case Some(cv) =>
+          val ck = log.readCheckpoint(cv)
+          ck.files.foreach(shipFile)
+          val manifest = destLogDir.resolve(
+            log.checkpointPath(cv).getFileName.toString)
+          if (!Files.exists(manifest)) {
+            val tmp = destLogDir.resolve(s".ship-ckpt-$cv.tmp")
+            Files.copy(log.checkpointPath(cv), tmp,
+              StandardCopyOption.REPLACE_EXISTING)
+            Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE)
+          }
+          from = cv
+        case None => throw new IllegalStateException(
+          s"replication gap: source commit ${from + 1} truncated and no " +
+            "checkpoint covers the follower")
+      }
     (from + 1 to s.version).foreach { v =>
       val c = log.read(v)
-      c.adds.foreach { rel =>
-        val src = Paths.get(dataDir).resolve(rel)
-        val dst = destDataDir.resolve(rel)
-        if (Files.exists(src) && !Files.exists(dst)) {
-          Files.createDirectories(dst.getParent)
-          Files.copy(src, dst)
-        }
-      }
+      c.adds.foreach(shipFile)
       val manifest = destLogDir.resolve(f"$v%020d.json")
       if (!Files.exists(manifest)) {
         val tmp = destLogDir.resolve(s".ship-$v.tmp")
-        Files.copy(Paths.get(s"$rootDir/_log").resolve(f"$v%020d.json"), tmp,
-          StandardCopyOption.REPLACE_EXISTING)
+        Files.copy(log.commitPath(v), tmp, StandardCopyOption.REPLACE_EXISTING)
         Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE)
       }
     }
@@ -2705,7 +2881,12 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * (Delta's RESTORE): the file set and tombstone state become those of
     * `version`. Fails if vacuum already removed a needed file. */
   def restoreVersion(version: Long): Either[String, Unit] = {
-    val old = log.replay(upTo = version)
+    val old = try log.replay(upTo = version) catch {
+      case e: IllegalStateException =>
+        return Left(s"cannot restore to $version: ${e.getMessage}")
+    }
+    if (old.version != version)
+      return Left(s"cannot restore to $version: log tip is ${old.version}")
     val missing = old.files.filterNot(f => Files.exists(Paths.get(s"$dataDir/$f")))
     if (missing.nonEmpty)
       return Left(s"cannot restore to $version: ${missing.size} files vacuumed")
@@ -2715,13 +2896,20 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     // target version's blobs as one combined blob (rows keep their seqs,
     // so the merge semantics are unchanged)
     val oldInline = old.inline.flatMap(ic => InlineRows.decode(ic.blob))
+    val readds = old.files.diff(cur.files)
+    // re-added L0 files carry no metric/date path segments — replay keys
+    // them in l0Keys from THIS commit's recorded sets, so fold their old
+    // keys in (over-approximation is safe: per-metric selection applies
+    // exact column predicates on top; omitting them would make serving
+    // views and rollups silently skip the restored rows)
+    val l0ReKeys = readds.filter(TxLog.isL0).flatMap(old.l0Keys.get)
     log.commit(v => LogCommit(v,
-      adds = old.files.diff(cur.files), removes = cur.files.diff(old.files),
+      adds = readds, removes = cur.files.diff(old.files),
       tombs = old.tombs, clearTombs = true, clearInline = true,
       inline = if (oldInline.isEmpty) None else Some(InlineRows.encode(oldInline)),
-      metrics = (metricsOf(cur.files ++ old.files) ++
+      metrics = (metricsOf(cur.files ++ old.files) ++ l0ReKeys.flatMap(_._1) ++
         old.inline.flatMap(_.metrics) ++ cur.inline.flatMap(_.metrics)).distinct,
-      dates = (old.inline.flatMap(_.dates) ++
+      dates = (l0ReKeys.flatMap(_._2) ++ old.inline.flatMap(_.dates) ++
         cur.inline.flatMap(_.dates)).distinct, maxSeq = hwm))
     committed()
     Right(())

@@ -10,8 +10,18 @@ final case class LogCommit(
     adds: Seq[String] = Nil,
     removes: Seq[String] = Nil,
     tombs: Seq[TsdbEngine.TombRow] = Nil,
-    /** compaction: drop every tombstone recorded up to this commit. */
+    /** restore: drop every tombstone recorded up to this commit. ADMIN-op
+      * semantics — wipes everything live at replay, so it must not race
+      * concurrent deleters; the concurrency-safe compaction fold records
+      * [[clearTombsUpToSeq]] instead. */
     clearTombs: Boolean = false,
+    /** compaction: drop tombstones with seq <= this bound — exactly the
+      * ones the rewrite applied. A delete landing between the compactor's
+      * snapshot and its commit minted a HIGHER seq (seqs are monotonic),
+      * so it survives the clear and still shadows the rewritten rows at
+      * read time (rows keep their seqs) — the tombstone twin of
+      * [[foldedInline]]. */
+    clearTombsUpToSeq: Option[Long] = None,
     /** metrics this commit touches — per-metric cache epochs key off it. */
     metrics: Seq[String] = Nil,
     /** `date` partition values this commit touches. Recorded for L0
@@ -70,6 +80,35 @@ object LogSnapshot {
     LogSnapshot(0L, Vector.empty, Vector.empty, Map.empty, Map.empty, 0L)
 }
 
+/** JSON shape of a CHECKPOINT manifest — a full [[LogSnapshot]]
+  * materialized at one version, so replay starts here instead of
+  * genesis (Delta's checkpoint-parquet + `_last_checkpoint` pairing;
+  * the reference bounds its log the same way — WAL segments rotate and
+  * are deleted after flush, `wal/wal.go:53-60`, and the levels manifest
+  * is REWRITTEN, not replayed from history,
+  * `engine2/levels_manifest.go`). `l0Keys` flattens the snapshot's
+  * tuple-valued map into rows (json4s round-trips case classes, not
+  * tuples). */
+final case class CheckpointL0Key(file: String, metrics: Seq[String],
+    dates: Seq[String])
+final case class CheckpointState(
+    version: Long, files: Seq[String], tombs: Seq[TsdbEngine.TombRow],
+    metricEpoch: Map[String, Long], txns: Map[String, Long], maxSeq: Long,
+    l0Keys: Seq[CheckpointL0Key] = Nil,
+    inline: Seq[InlineCommit] = Nil) {
+  def toSnapshot: LogSnapshot = LogSnapshot(version, files.toVector,
+    tombs.toVector, metricEpoch, txns, maxSeq,
+    l0Keys.map(k => k.file -> ((k.metrics, k.dates))).toMap,
+    inline.toVector)
+}
+object CheckpointState {
+  def of(s: LogSnapshot): CheckpointState = CheckpointState(s.version,
+    s.files, s.tombs, s.metricEpoch, s.txns, s.maxSeq,
+    s.l0Keys.toSeq.sortBy(_._1).map { case (f, (ms, ds)) =>
+      CheckpointL0Key(f, ms, ds) },
+    s.inline)
+}
+
 /** A minimal ACID commit log over a directory of parquet files — the
   * transactional half of the lakehouse design (what Delta Lake's
   * `_delta_log` provides; reimplemented here because the environment
@@ -94,17 +133,183 @@ final class TxLog(logDirPath: String) {
   private implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
 
   private def fileOf(v: Long): Path = logDir.resolve(f"$v%020d.json")
+  private def ckptFileOf(v: Long): Path =
+    logDir.resolve(f"$v%020d.checkpoint.json")
+  private val lastCkptHintFile = logDir.resolve("_last_checkpoint")
 
-  def latestVersion(): Long =
-    if (!Files.isDirectory(logDir)) 0L
-    else Files.list(logDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong)
-      .foldLeft(0L)(math.max)
+  /** Commit-manifest file names are exactly 20 digits + ".json" —
+    * checkpoints carry ".checkpoint.json" and the hint file has no
+    * version; both must never parse as commits. */
+  private def commitVersionOf(name: String): Option[Long] =
+    if (name.length == 25 && name.endsWith(".json") &&
+        name.take(20).forall(_.isDigit)) Some(name.take(20).toLong)
+    else None
+
+  /** Versions of all commit manifests still present (ascending). Bounded
+    * by [[truncate]] — pre-checkpoint manifests are vacuumed, so this
+    * listing is O(checkpoint interval + grace window), never O(total
+    * commits ever). */
+  def availableCommitVersions(): Seq[Long] =
+    if (!Files.isDirectory(logDir)) Nil
+    else {
+      val s = Files.list(logDir)
+      try s.iterator().asScala
+        .flatMap(p => commitVersionOf(p.getFileName.toString))
+        .toSeq.sorted
+      finally s.close()
+    }
+
+  private def checkpointVersions(): Seq[Long] =
+    if (!Files.isDirectory(logDir)) Nil
+    else {
+      val s = Files.list(logDir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.length == 36 && n.endsWith(".checkpoint.json") &&
+          n.take(20).forall(_.isDigit))
+        .map(_.take(20).toLong).toSeq.sorted
+      finally s.close()
+    }
+
+  /** In-memory tip cache: commits are DENSE (the put-if-absent link
+    * allocates versions without gaps), so once a tip is known the next
+    * one is found by probing `tip+1` — `latestVersion()` stops listing
+    * the directory on every commit (the r13 write path lands 100-200
+    * commits/s; a listing per commit is quadratic in history). -1 =
+    * not yet initialized; initialization pays ONE listing. */
+  private val tipHint = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  def latestVersion(): Long = {
+    if (!Files.isDirectory(logDir)) return 0L
+    var v = tipHint.get()
+    // self-heal a stale hint: the log can be REPLACED under a live
+    // instance (restore() swaps the whole directory for a snapshot with
+    // a shorter history) — a cached tip pointing past the real one must
+    // re-list, or replay would walk into missing manifests
+    if (v > 0L && !Files.exists(fileOf(v)) && !Files.exists(ckptFileOf(v))) {
+      tipHint.set(-1L)
+      ckptHint.set(-1L)
+      v = -1L
+    }
+    if (v < 0L)
+      v = availableCommitVersions()
+        .foldLeft(checkpointVersions().foldLeft(0L)(math.max))(math.max)
+    var probing = true
+    while (probing) {
+      while (Files.exists(fileOf(v + 1))) v += 1
+      probing = false
+      // Stalled — usually the true tip, but for an instance lagging past
+      // a FOREIGN truncation the next commits are gone while newer ones
+      // (and a checkpoint) exist. One ~50-byte hint-file read settles
+      // it — still O(1), never a directory listing.
+      readCkptHintFile().filter(_ > v).foreach { hv =>
+        ckptHint.getAndAccumulate(hv, math.max(_, _))
+        v = hv
+        probing = true
+      }
+    }
+    tipHint.getAndAccumulate(v, math.max(_, _))
+    v
+  }
 
   def read(v: Long): LogCommit =
-    org.json4s.jackson.Serialization.read[LogCommit](Files.readString(fileOf(v)))
+    try org.json4s.jackson.Serialization.read[LogCommit](
+      Files.readString(fileOf(v)))
+    catch {
+      case e: java.nio.file.NoSuchFileException =>
+        throw new IllegalStateException(
+          s"commit manifest $v is gone (truncated past a checkpoint " +
+            "or never written); replay from a covering checkpoint", e)
+    }
+
+  // ---- checkpoints --------------------------------------------------------
+
+  /** Version of the newest checkpoint manifest, from the advisory
+    * `_last_checkpoint` hint when valid, else a directory listing.
+    * In-memory cached; [[writeCheckpoint]] advances it. */
+  private val ckptHint = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  def latestCheckpoint(upTo: Long = Long.MaxValue): Option[Long] = {
+    var h = ckptHint.get()
+    if (h < 0L) {
+      h = readCkptHintFile().filter(v => Files.exists(ckptFileOf(v)))
+        .getOrElse(checkpointVersions().foldLeft(0L)(math.max))
+      ckptHint.getAndAccumulate(h, math.max(_, _))
+      h = ckptHint.get()
+    }
+    if (h <= upTo) { if (h > 0L) Some(h) else None } // 0 = none known — O(1)
+    else checkpointVersions().filter(_ <= upTo).maxOption // time travel below the hint
+  }
+
+  private def readCkptHintFile(): Option[Long] =
+    if (!Files.exists(lastCkptHintFile)) None
+    else scala.util.Try {
+      (org.json4s.jackson.JsonMethods.parse(
+        Files.readString(lastCkptHintFile)) \ "version")
+        .extract[Long]
+    }.toOption
+
+  def readCheckpoint(v: Long): LogSnapshot =
+    org.json4s.jackson.Serialization.read[CheckpointState](
+      Files.readString(ckptFileOf(v))).toSnapshot
+
+  /** Materialize `s` as a checkpoint manifest (put-if-absent — two
+    * engines checkpointing the same version dedupe) and advance the
+    * `_last_checkpoint` hint. The hint write is advisory: readers fall
+    * back to a listing, so a torn/stale hint costs a listing, never
+    * correctness. */
+  def writeCheckpoint(s: LogSnapshot): Unit = {
+    require(s.version > 0L, "cannot checkpoint the empty snapshot")
+    Files.createDirectories(logDir)
+    val tmp = logDir.resolve(s".ckpt-${java.util.UUID.randomUUID()}.tmp")
+    Files.writeString(tmp,
+      org.json4s.jackson.Serialization.write(CheckpointState.of(s)))
+    try Files.createLink(ckptFileOf(s.version), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    Files.deleteIfExists(tmp)
+    ckptHint.getAndAccumulate(s.version, math.max(_, _))
+    if (readCkptHintFile().forall(_ < s.version)) {
+      val t2 = logDir.resolve(s".ckpt-hint-${java.util.UUID.randomUUID()}.tmp")
+      Files.writeString(t2, s"""{"version":${s.version}}""")
+      Files.move(t2, lastCkptHintFile, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Commits at the tip not yet covered by a checkpoint — the engine's
+    * checkpoint-interval trigger reads this instead of listing. */
+  def commitsSinceCheckpoint(tip: Long): Long =
+    tip - latestCheckpoint(tip).getOrElse(0L)
+
+  /** Vacuum the log: delete commit manifests at or below the OLDEST KEPT
+    * checkpoint (their state is materialized there — including their
+    * dead inline blobs, which otherwise live in the JSON forever), and
+    * checkpoints older than the `keepCheckpoints` newest. Both only
+    * once the file is `graceMs` old, the same discipline data-file
+    * vacuum applies: a lagging follower or an in-flight reader keeps a
+    * consistent view for the grace window, and time travel reaches back
+    * to the oldest surviving checkpoint. Returns files deleted. */
+  def truncate(graceMs: Long, keepCheckpoints: Int = 2): Int = {
+    val cks = checkpointVersions()
+    if (cks.isEmpty) return 0
+    val kept = cks.takeRight(math.max(1, keepCheckpoints))
+    val bound = kept.min
+    val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
+    var deleted = 0
+    def tryDelete(p: Path): Unit =
+      if (Files.exists(p) &&
+          Files.getLastModifiedTime(p).toMillis < cutoff &&
+          Files.deleteIfExists(p)) deleted += 1
+    availableCommitVersions().takeWhile(_ <= bound).foreach(v => tryDelete(fileOf(v)))
+    cks.dropRight(math.max(1, keepCheckpoints)).foreach(v => tryDelete(ckptFileOf(v)))
+    deleted
+  }
+
+  /** On-disk locations, for replication shipping (the engine copies
+    * manifests file-for-file; names are format-private otherwise). */
+  def commitPath(v: Long): Path = fileOf(v)
+  def checkpointPath(v: Long): Path = ckptFileOf(v)
+  def hasCommit(v: Long): Boolean = Files.exists(fileOf(v))
 
   /** Wall-clock the commit at `v` landed (the commit file's mtime) —
     * backs grace-period vacuum's dereference times without a log-format
@@ -131,6 +336,7 @@ final class TxLog(logDirPath: String) {
       try {
         Files.createLink(fileOf(v), tmp)
         Files.deleteIfExists(tmp)
+        tipHint.getAndAccumulate(v, math.max(_, _))
         return c
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -141,10 +347,30 @@ final class TxLog(logDirPath: String) {
     throw new IllegalStateException("commit contention: lost every race")
   }
 
-  /** Replay commits (base.version, upTo] on top of `base`. */
+  /** Replay commits (base.version, upTo] on top of `base`. A cold start
+    * (or a follower lagging past a truncation boundary) jumps to the
+    * newest CHECKPOINT ≤ `upTo` first and replays only the commits
+    * after it — O(checkpoint interval), never O(total commits ever).
+    * An incremental refresh (live `base` at or past the checkpoint)
+    * takes the plain tail walk it always did. */
   def replay(base: LogSnapshot = LogSnapshot.empty,
       upTo: Long = Long.MaxValue): LogSnapshot = {
     val tip = math.min(latestVersion(), upTo)
+    var start = base
+    if (start.version < tip &&
+        (start.version == 0L || !Files.exists(fileOf(start.version + 1))))
+      // jump when starting cold, or when the needed chain was truncated
+      // (a lagging follower across a checkpoint boundary): the hint
+      // first; a LISTING retry when the hint is stale — a foreign
+      // process may have checkpointed without this instance noticing
+      latestCheckpoint(tip).filter(_ > start.version)
+        .orElse(checkpointVersions().filter(v =>
+          v > start.version && v <= tip).maxOption)
+        .foreach(cv => start = readCheckpoint(cv))
+    replayTail(start, tip)
+  }
+
+  private def replayTail(base: LogSnapshot, tip: Long): LogSnapshot = {
     var files = base.files
     var tombs = base.tombs
     var metricEpoch = base.metricEpoch
@@ -172,6 +398,7 @@ final class TxLog(logDirPath: String) {
       c.inline.foreach(b =>
         inline = inline :+ InlineCommit(v, b, c.metrics, c.dates))
       if (c.clearTombs) tombs = Vector.empty
+      c.clearTombsUpToSeq.foreach(b => tombs = tombs.filter(_.seq > b))
       tombs = tombs ++ c.tombs
       metricEpoch = metricEpoch ++ c.metrics.map(_ -> v)
       for (app <- c.txnApp; b <- c.txnBatch)

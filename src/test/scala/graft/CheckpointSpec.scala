@@ -1,0 +1,176 @@
+package graft
+
+import graft.model.{DataPoint, FieldValue}
+import graft.tsdb._
+import java.nio.file.{Files, Paths}
+
+/** Commit-log CHECKPOINTING (round 14): every [[TsdbEngine
+  * .checkpointInterval]] commits the engine materializes the full
+  * [[LogSnapshot]] as a checkpoint manifest and truncates pre-checkpoint
+  * commit JSONs under the grace discipline — so `latestVersion()` is
+  * O(1) (tip cache + dense-version probing), restart replay reads
+  * O(interval) manifests instead of every manifest ever written, and
+  * dead inline blobs stop living in the log forever. The reference
+  * bounds its log identically: WAL segments rotate and are deleted
+  * after flush (`wal/wal.go:53-60`, `keep` at
+  * `cmd/server/config.yaml:46-53`) and the levels manifest is
+  * rewritten, not replayed from genesis (`engine2/levels_manifest.go`).
+  *
+  * Pinned here: bounded replay after restart; follower `sync()` across
+  * a truncation boundary; replication shipping a checkpoint over a
+  * truncated gap; time travel inside / clean failure outside the
+  * retained window; full state round-trip through the checkpoint
+  * (inline rows, tombstones, L0 keys, txn watermarks, seq HWM). */
+class CheckpointSpec extends SparkSpec {
+
+  private def withDir(f: String => Unit): Unit = {
+    val dir = Files.createTempDirectory("graft_ckpt").toString
+    try f(dir)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  private def pt(m: String, host: String, ts: Long, v: Double): DataPoint =
+    DataPoint(m, Map("host" -> host), ts, Map("value" -> FieldValue.ofDouble(v)))
+
+  private def count(e: TsdbEngine, m: String): Long =
+    e.query(QueryParams(m, startNs = 0L, endNs = Some(1L << 60))).count()
+
+  private def tuned(e: TsdbEngine): TsdbEngine = {
+    e.checkpointInterval = 8
+    e.foldVacuumGraceMs = 0L // immediate truncation, so tests see it
+    e
+  }
+
+  test("restart replay is bounded: the log dir holds O(interval) " +
+      "manifests and a fresh engine reads checkpoint + tail only") {
+    withDir { dir =>
+      val e = tuned(new TsdbEngine(spark, s"$dir/db"))
+      // mixed commit kinds so the checkpoint round-trips EVERY field:
+      // inline puts, an L0 txn batch, a delete, a txn watermark
+      (0 until 10).foreach(i =>
+        assert(e.putBatch(Seq(pt("m", "h1", i * 1000L, i.toDouble))).isRight))
+      import SparkTestSession.spark.implicits._
+      e.putDF(Seq(TsdbEngine.StoredPoint("m", Map("host" -> "h2"), 500L,
+        Map("value" -> TsdbEngine.StoredValue(Some(42.0), None, None, None)),
+        e.nextSeq())).toDF(), txn = Some(("ckpt-app", 7L)))
+      assert(e.deletePoint("m", Map("host" -> "h1"), 0L).isRight)
+      (10 until 30).foreach(i =>
+        assert(e.putBatch(Seq(pt("m", "h1", i * 1000L, i.toDouble))).isRight))
+      val expect = e.query(QueryParams("m", startNs = 0L,
+        endNs = Some(1L << 60))).collect().map(_.toSeq).toSet
+      assert(expect.size == 30) // 31 written, 1 tombstoned
+
+      val log = new TxLog(s"$dir/db/_log")
+      val avail = log.availableCommitVersions()
+      assert(avail.size <= 2 * e.checkpointInterval,
+        s"log must truncate below the oldest kept checkpoint, " +
+          s"${avail.size} commit manifests survive")
+      assert(avail.head > 1, "genesis manifests must be gone")
+      assert(log.latestCheckpoint().isDefined)
+
+      // fresh engine: checkpoint + tail replay reproduces EVERYTHING —
+      // rows (incl. inline + L0), the tombstone, the txn watermark, seq
+      val e2 = new TsdbEngine(spark, s"$dir/db")
+      assert(e2.version == e.version)
+      assert(e2.query(QueryParams("m", startNs = 0L,
+        endNs = Some(1L << 60))).collect().map(_.toSeq).toSet == expect)
+      // the idempotence watermark survived the checkpoint: a replayed
+      // micro-batch must still be dropped
+      val before = e2.version
+      e2.putDF(Seq(TsdbEngine.StoredPoint("m", Map("host" -> "h2"), 501L,
+        Map("value" -> TsdbEngine.StoredValue(Some(1.0), None, None, None)),
+        e2.nextSeq())).toDF(), txn = Some(("ckpt-app", 7L)))
+      assert(e2.version == before,
+        "txn watermark must survive checkpoint truncation")
+    }
+  }
+
+  test("follower sync() across a checkpoint/truncation boundary is seamless") {
+    withDir { dir =>
+      val e1 = tuned(new TsdbEngine(spark, s"$dir/db"))
+      assert(e1.putBatch(Seq(pt("m", "h0", 0L, 0.0))).isRight)
+      val follower = new TsdbEngine(spark, s"$dir/db") // tips at v1
+      assert(follower.version == 1L)
+      (1 until 30).foreach(i =>
+        assert(e1.putBatch(Seq(pt("m", s"h$i", i * 1000L, i.toDouble))).isRight))
+      // precondition: the follower's next commit (v2) is truncated
+      val log = new TxLog(s"$dir/db/_log")
+      assert(log.availableCommitVersions().head > 2,
+        "test setup: truncation must have passed the follower's tip")
+      assert(follower.sync() == e1.version)
+      assert(count(follower, "m") == 30,
+        "the follower must rebuild from the checkpoint, not the gap")
+    }
+  }
+
+  test("replicateTo ships a checkpoint over a truncated gap; the " +
+      "disjoint-storage follower reads everything") {
+    withDir { dir =>
+      val e1 = tuned(new TsdbEngine(spark, s"$dir/db"))
+      (0 until 30).foreach(i =>
+        assert(e1.putBatch(Seq(pt("m", s"h$i", i * 1000L, i.toDouble))).isRight))
+      assert(e1.compact().isRight) // give the checkpoint real data files
+      (30 until 40).foreach(i =>
+        assert(e1.putBatch(Seq(pt("m", s"h$i", i * 1000L, i.toDouble))).isRight))
+      val shipped = e1.replicateTo(s"$dir/follower")
+      assert(shipped == e1.version)
+      val f = new TsdbEngine(spark, s"$dir/follower")
+      assert(f.version == e1.version)
+      assert(count(f, "m") == 40)
+      // incremental: later commits ship as plain manifests
+      (40 until 44).foreach(i =>
+        assert(e1.putBatch(Seq(pt("m", s"h$i", i * 1000L, i.toDouble))).isRight))
+      e1.replicateTo(s"$dir/follower")
+      assert(f.sync() == e1.version)
+      assert(count(f, "m") == 44)
+    }
+  }
+
+  test("time travel works back to the retained window; older versions " +
+      "fail CLEANLY") {
+    withDir { dir =>
+      val e = tuned(new TsdbEngine(spark, s"$dir/db"))
+      (0 until 30).foreach(i =>
+        assert(e.putBatch(Seq(pt("m", "h1", i * 1000L, i.toDouble))).isRight))
+      val log = new TxLog(s"$dir/db/_log")
+      val oldestCommit = log.availableCommitVersions().head
+      // inside the window: exact historical count
+      assert(e.readAt(e.version - 1).count() == 29)
+      assert(e.readAt(oldestCommit).count() == oldestCommit)
+      // below the window: a clean Left, never silent wrong data
+      val r = e.restoreVersion(2L)
+      assert(r.isLeft && r.left.exists(_.contains("cannot restore")),
+        s"pre-truncation restore must fail cleanly, got $r")
+    }
+  }
+
+  test("TxLog: checkpoint round-trips the snapshot bit-for-bit; " +
+      "latestVersion needs no listing once tipped") {
+    withDir { dir =>
+      val t = new TxLog(s"$dir/log")
+      val blob = InlineRows.encode(Seq((pt("m", "a", 1L, 1.0), 5L)))
+      t.commit(v => LogCommit(v, adds = Seq("metric=m/date=d/a.parquet",
+        "l0/x.parquet"), metrics = Seq("m"), dates = Seq("1970-01-01"),
+        maxSeq = 9L))
+      t.commit(v => LogCommit(v, inline = Some(blob), metrics = Seq("m"),
+        dates = Seq("1970-01-01"), txnApp = Some("app"), txnBatch = Some(3L),
+        maxSeq = 11L))
+      t.commit(v => LogCommit(v, tombs = Seq(TsdbEngine.TombRow("point", "m",
+        Map("host" -> "a"), 1L, 1L, 12L)), metrics = Seq("m"), maxSeq = 12L))
+      val s = t.replay()
+      t.writeCheckpoint(s)
+      assert(t.readCheckpoint(3L) == s,
+        "checkpoint must round-trip files/tombs/epochs/txns/l0Keys/inline")
+      // replay from a COLD TxLog instance with commits 1..3 deleted:
+      // only the checkpoint carries the state now
+      t.truncate(graceMs = 0L, keepCheckpoints = 1)
+      // truncate keeps commits ABOVE the kept checkpoint only; all three
+      // are ≤ it here
+      val t2 = new TxLog(s"$dir/log")
+      assert(t2.availableCommitVersions().isEmpty)
+      assert(t2.latestVersion() == 3L,
+        "latestVersion must see the checkpointed tip with zero commits")
+      assert(t2.replay() == s, "cold replay must start from the checkpoint")
+    }
+  }
+}

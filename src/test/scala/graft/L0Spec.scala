@@ -144,6 +144,7 @@ class L0Spec extends SparkSpec {
     withDir { dir =>
       val e = new TsdbEngine(spark, s"$dir/db")
       e.l0CompactThreshold = 2
+      e.foldVacuumGraceMs = 0L // assert on-disk state without the grace
       (0 until 4).foreach { i =>
         e.putDF(txnBatch(e, "m", "h1", i * 1000L + 1000L, i.toDouble),
           txn = Some(("app", i.toLong)))
@@ -339,6 +340,182 @@ class L0Spec extends SparkSpec {
       e.putDF(txnBatch(e, "m", "h1", 2000L, 2.0), txn = Some(("app", 1L)))
       assert(e.readAt(v1).count() == 1, "time travel across L0 versions")
       assert(e.loadPoints().get.count() == 2)
+    }
+  }
+
+  test("compact() folds EXACT inline versions and tombstone seqs — " +
+      "a commit racing the compactor survives at replay") {
+    withDir { dir =>
+      // engine-level: compact's commit must record foldedInline /
+      // clearTombsUpToSeq, never the blunt admin clears (compact runs
+      // from PostPutBatch hooks and schedulers DURING ingest — a blunt
+      // clearInline wipes an acked inline commit that landed between the
+      // compactor's snapshot and its commit; same for a racing delete)
+      val e = new TsdbEngine(spark, s"$dir/db")
+      def dp(ts: Long, v: Double) = DataPoint("m", Map("host" -> "a"), ts,
+        Map("value" -> FieldValue.ofDouble(v)))
+      assert(e.putBatch(Seq(dp(1000L, 1.0))).isRight) // inline commit v1
+      assert(e.putBatch(Seq(dp(2000L, 2.0))).isRight) // inline commit v2
+      assert(e.deletePoint("m", Map("host" -> "a"), 1000L).isRight) // v3
+      assert(e.compact().isRight)
+      val log = new TxLog(s"$dir/db/_log")
+      val c = log.read(e.version)
+      assert(!c.clearInline && !c.clearTombs,
+        "compact must not blunt-clear inline rows or tombstones")
+      assert(c.foldedInline.toSet == Set(1L, 2L),
+        s"compact must fold exactly the snapshotted inline versions, got ${c.foldedInline}")
+      val tombSeq = log.read(3L).tombs.head.seq
+      assert(c.clearTombsUpToSeq.contains(tombSeq),
+        "compact must clear tombstones only up to the snapshotted seq")
+      assert(e.query(QueryParams("m", startNs = 0L,
+        endNs = Some(1L << 40))).count() == 1)
+
+      // replay-level race ordering: an inline commit and a delete landing
+      // AFTER the compactor's snapshot but BEFORE its commit stay live
+      val t = new TxLog(s"$dir/race_log")
+      val blob = InlineRows.encode(Seq((dp(5000L, 5.0), 100L)))
+      t.commit(v => LogCommit(v, inline = Some(blob),
+        metrics = Seq("m"), dates = Seq("1970-01-01")))     // snapshotted
+      t.commit(v => LogCommit(v, inline = Some(blob),
+        metrics = Seq("m"), dates = Seq("1970-01-01")))     // racing put
+      t.commit(v => LogCommit(v, tombs = Seq(TsdbEngine.TombRow("point",
+        "m", Map("host" -> "a"), 1L, 1L, 10L)), metrics = Seq("m"))) // racing delete
+      t.commit(v => LogCommit(v, adds = Seq("metric=m/date=1970-01-01/x.parquet"),
+        foldedInline = Seq(1L), clearTombsUpToSeq = Some(5L),
+        metrics = Seq("m")))                                // the fold
+      val s = t.replay()
+      assert(s.inline.map(_.version) == Vector(2L),
+        "the racing inline commit must survive an exact fold")
+      assert(s.tombs.map(_.seq) == Vector(10L),
+        "the racing tombstone must survive a seq-bounded clear")
+    }
+  }
+
+  test("write-path folds vacuum under a grace window; explicit admin " +
+      "folds vacuum immediately") {
+    withDir { dir =>
+      // threshold-triggered folds fire from the ingest path — a query
+      // executing a plan resolved against the pre-fold snapshot must not
+      // hit FileNotFound because its L0 files were deleted mid-flight
+      val e = new TsdbEngine(spark, s"$dir/db")
+      e.inlineCompactThreshold = 2
+      e.l0CompactThreshold = 1
+      e.foldVacuumGraceMs = 3600000L
+      def dp(i: Int) = DataPoint("m", Map("host" -> s"h$i"), i * 1000L,
+        Map("value" -> FieldValue.ofDouble(i.toDouble)))
+      (0 until 8).foreach(i => assert(e.putBatch(Seq(dp(i))).isRight))
+      // the inline→L0 and L0→hive folds both ran from the write path by
+      // now; folded-away L0 files are DEAD in the manifest but must
+      // still be on disk (grace window)
+      assert(e.fileCounts._2 == 0 || l0Files(dir).size >= e.fileCounts._2)
+      val dead = l0Files(dir).size - e.fileCounts._2
+      assert(dead > 0,
+        s"write-path folds must leave dereferenced L0 files on disk " +
+          s"(disk=${l0Files(dir).size}, live=${e.fileCounts._2})")
+      e.vacuum(0L) // explicit immediate vacuum drops them
+      assert(l0Files(dir).size == e.fileCounts._2,
+        "an explicit vacuum(0) must drop the folded-away files")
+      // explicit admin fold: immediate vacuum (historical semantics)
+      val e2 = new TsdbEngine(spark, s"$dir/db2")
+      e2.putBatch(Seq(dp(1)))
+      e2.compactInline()
+      assert(Files.isDirectory(Paths.get(s"$dir/db2/data/l0")))
+      e2.compactL0()
+      val l0Disk = {
+        val p = Paths.get(s"$dir/db2/data/l0")
+        if (!Files.isDirectory(p)) 0
+        else Files.list(p).iterator().asScala.count(_.toString.endsWith(".parquet"))
+      }
+      assert(l0Disk == 0, "an explicit compactL0 must vacuum immediately")
+    }
+  }
+
+  test("retained put ring is byte-bounded, not just commit-bounded") {
+    withDir { dir =>
+      val e = new TsdbEngine(spark, s"$dir/db")
+      e.recentPutsMaxBytes = 2048L
+      val versions = (0 until 12).map { i =>
+        assert(e.putBatch(Seq(DataPoint("m", Map("host" -> s"host-$i"),
+          i * 1000L, Map("value" -> FieldValue.ofDouble(i.toDouble))))).isRight)
+        e.version
+      }
+      assert(e.recentPutsRetainedBytes <= 2048L,
+        s"ring must stay under the byte budget, got ${e.recentPutsRetainedBytes}")
+      assert(e.commitChangesLocal(versions.head).isEmpty,
+        "oldest commits must be evicted once the byte budget is hit")
+      assert(e.commitChangesLocal(versions.last).isDefined,
+        "the newest commit must stay resident")
+    }
+  }
+
+  test("torn fold: a crash between the staged write (or move-in) and " +
+      "the log commit leaves the pre-fold state; orphans are vacuumed") {
+    withDir { dir =>
+      val e = new TsdbEngine(spark, s"$dir/db")
+      def dp(i: Int) = DataPoint("m", Map("host" -> s"h$i"), i * 1000L,
+        Map("value" -> FieldValue.ofDouble(i.toDouble)))
+      (0 until 3).foreach(i => assert(e.putBatch(Seq(dp(i))).isRight))
+      assert(e.inlineCommitCount == 3)
+      // simulate compactInline dying at BOTH crash points: (a) after the
+      // staged parquet write, before move-in — a stranded _staging dir;
+      // (b) after move-in, before log.commit — a data file the manifest
+      // never listed
+      import SparkTestSession.spark.implicits._
+      val stray = Seq(TsdbEngine.StoredPoint("m", Map("host" -> "GHOST"),
+        999L, Map("value" -> TsdbEngine.StoredValue(Some(9.9), None, None,
+          None)), 999L)).toDF().withColumn("date", lit("1970-01-01"))
+      stray.coalesce(1).write.parquet(s"$dir/db/_staging/tornfold/l0")
+      Files.createDirectories(Paths.get(s"$dir/db/data/l0"))
+      val src = Files.list(Paths.get(s"$dir/db/_staging/tornfold/l0"))
+        .iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      Files.copy(src, Paths.get(s"$dir/db/data/l0/torn-orphan.parquet"))
+      // restart: readers see EXACTLY the pre-fold state — the inline
+      // commits still serve, the ghost row is invisible
+      val e2 = new TsdbEngine(spark, s"$dir/db")
+      assert(e2.inlineCommitCount == 3,
+        "the torn fold must not have consumed the inline commits")
+      val got = e2.query(QueryParams("m", startNs = 0L,
+        endNs = Some(1L << 40))).collect()
+        .map(_.getAs[Map[String, String]]("tags")("host")).toSet
+      assert(got == Set("h0", "h1", "h2"),
+        s"pre-fold state must be intact and the torn file invisible, got $got")
+      // vacuum sweeps both orphans (test collapses the quiet window)
+      e2.stagingOrphanMinAgeMs = 0L
+      e2.vacuum(0L)
+      assert(!Files.exists(Paths.get(s"$dir/db/_staging/tornfold")),
+        "the stranded staging dir must be vacuumed")
+      assert(!Files.exists(Paths.get(s"$dir/db/data/l0/torn-orphan.parquet")),
+        "the un-committed moved-in file must be vacuumed")
+      assert(e2.query(QueryParams("m", startNs = 0L,
+        endNs = Some(1L << 40))).count() == 3)
+    }
+  }
+
+  test("restoreVersion re-keys re-added L0 files: per-metric serving " +
+      "sees the restored rows") {
+    withDir { dir =>
+      val e = new TsdbEngine(spark, s"$dir/db")
+      e.vacuumGraceMs = 3600000L // keep dead files for the rollback
+      // an L0-only metric: one txn micro-batch, never compacted to hive
+      e.putDF(txnBatch(e, "rx", "h1", 1000L, 7.0), txn = Some(("app", 0L)))
+      val v1 = e.version
+      // delete the series and compact — the metric now has NO hive
+      // directory anywhere, and the L0 file is dereferenced
+      assert(e.deleteSeries("rx", Map("host" -> "h1")).isRight)
+      assert(e.compact().isRight)
+      assert(e.query(QueryParams("rx", startNs = 0L,
+        endNs = Some(1L << 40))).count() == 0)
+      // roll back: the restore commit re-adds the L0 file, whose metric/
+      // date keys can only come from the OLD snapshot's l0Keys (its path
+      // carries no metric= segment and no hive dir for "rx" exists)
+      assert(e.restoreVersion(v1).isRight)
+      assert(e.query(QueryParams("rx", startNs = 0L,
+        endNs = Some(1L << 40))).count() == 1)
+      // the PER-METRIC serving path (metricPoints-backed) must see it too
+      val served = e.queryCached(QueryParams("rx", startNs = 0L,
+        endNs = Some(1L << 40)))
+      assert(served.length == 1,
+        "per-metric serving must include a restored L0 file's rows")
     }
   }
 }

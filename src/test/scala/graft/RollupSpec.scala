@@ -720,6 +720,20 @@ class RollupSpec extends SparkSpec {
       2 * Hr).collect()
     assert(routed1.map(_.toSeq).toSeq == raw1.map(_.toSeq).toSeq,
       "bounded-window seeds must stay bit-identical to the full fold")
+    // a BRAND-NEW series appearing in the suffix has no pre-boundary
+    // state anywhere — it must NOT force the full-prefix fallback (the
+    // common new-series ingest pattern): the pruned series_key-only scan
+    // of the older partitions distinguishes new from stale, and the
+    // unseeded fold is already exact
+    assert(eng.putBatch(Seq(pt("fresh", 5 * Day + 50 * Min, 9.0))).isRight)
+    val routedN = eng.analyze(q, ewmaBy).collect()
+    assert(eng.lastServePath == "rollup-ewma")
+    assert(eng.lastSeedScan == "recent-new",
+      s"a brand-new suffix series must keep the bounded scan, got ${eng.lastSeedScan}")
+    val rawN = TsAnalytics.ewmaSmoothBy(eng.loadPoints().get, q, 0.25,
+      2 * Hr).collect()
+    assert(routedN.map(_.toSeq).toSeq == rawN.map(_.toSeq).toSeq,
+      "an unseeded fresh series must be bit-identical to the full fold")
     // the STALE series reappears on day 6: its resume state lives on
     // day 2, outside the recent window — exactness demands the fallback
     assert(eng.putBatch(Seq(pt("cold", 5 * Day + 40 * Min, 55.5))).isRight)
