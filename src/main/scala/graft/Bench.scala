@@ -471,6 +471,11 @@ object Bench {
       servingRuns("ingest_rows_per_sec_c10") = ingRuns
       servingMedians("ingest_rows_per_sec_c10") = ingRuns.sorted.apply(1)
 
+      // release the serving engine's persisted views/rollups/driver
+      // tiers before the battery: its MEMORY_AND_DISK blocks otherwise
+      // ride into the battery's JVM and surface as a late-pass tail
+      // (SCALE.md r14: full-run pass-3 +34% vs battery-only +5%)
+      engine.close()
       ()
     } catch { case e: Throwable =>
       errors.getOrElseUpdate("serving_tier", esc(e))

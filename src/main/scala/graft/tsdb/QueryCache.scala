@@ -121,4 +121,8 @@ final class QueryCache(capacity: Int = 256, maxRowsPerEntry: Int = 100000) {
 
   def stats: (Long, Long) = synchronized((hitCount, missCount))
   def size: Int = synchronized(lru.size())
+
+  /** Drop every entry (engine close / explicit reset); hit/miss counters
+    * keep accumulating. */
+  def clear(): Unit = synchronized(lru.clear())
 }

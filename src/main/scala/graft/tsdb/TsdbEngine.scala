@@ -1444,6 +1444,29 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     m.deltas.foreach(_._2.unpersist(blocking = false))
   }
 
+  /** Release every Spark-resident resource this engine holds — persisted
+    * serving views, rollup frames, cardinality summaries, driver tiers.
+    * The reference engine has an explicit `Close()`
+    * (`engine2/adapter.go`); without one here, a discarded engine's
+    * MEMORY_AND_DISK blocks outlive it in the BlockManager until memory
+    * pressure evicts them (measured: a bench process that builds
+    * throwaway engines carries their blocks into later work — SCALE.md
+    * r14 pass-3 tail). Storage on disk is untouched: a closed engine's
+    * root reopens cleanly. Idempotent. */
+  def close(): Unit = synchronized {
+    servingCache.values().iterator().asScala.foreach(unpersistMat)
+    servingCache.clear()
+    rollupCache.values().iterator().asScala
+      .foreach(_._3.unpersist(blocking = false))
+    rollupCache.clear()
+    cardCache.foreach(_._3.unpersist(blocking = false)); cardCache = None
+    localCache.clear()
+    localRollupCache.clear()
+    recentPuts.clear(); recentPutsBytes.set(0L)
+    resultCache.clear()
+    viewCache = (-1L, None)
+  }
+
   /** Metrics at or below this many stored rows additionally keep their
     * merged view DRIVER-RESIDENT (a sorted row array) so raw-scan serving
     * needs no Spark job at all — the analog of the reference's in-memory

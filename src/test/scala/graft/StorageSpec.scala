@@ -263,6 +263,28 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("close() releases every persisted block; the root reopens cleanly") {
+    withDir { dir =>
+      val baseline = spark.sparkContext.getPersistentRDDs.size
+      val e = new TsdbEngine(spark, s"$dir/db")
+      (0 until 3).foreach(i =>
+        assert(e.putBatch(Seq(pt("m", s"h$i", i * 1000L, i.toDouble))).isRight))
+      // build Spark-resident serving state: a serving view + a rollup
+      e.queryCached(QueryParams("m", startNs = 0L, endNs = Some(1L << 40)))
+      e.registerRollup("m", 3600000000000L, Seq("value"))
+      e.queryRouted(QueryParams("m", startNs = 0L, endNs = Some(1L << 40),
+        downsampleNs = Some(3600000000000L),
+        aggs = Seq(AggSpec("sum", "value")))).collect()
+      e.close()
+      assert(spark.sparkContext.getPersistentRDDs.size <= baseline,
+        "close() must unpersist every block the engine pinned")
+      // storage untouched: the same root reopens and serves
+      val e2 = new TsdbEngine(spark, s"$dir/db")
+      assert(count(e2, "m") == 3)
+      e2.close()
+    }
+  }
+
   test("commit log race: two writers never drop a commit") {
     withDir { dir =>
       val log = new TxLog(s"$dir/_log")
