@@ -119,13 +119,23 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * (`engine2/levels_manifest.go`). */
   @volatile var checkpointInterval: Int = 64
 
+  /** Single-flight for checkpoint writes: every committer calls
+    * [[maybeCheckpoint]], and under concurrent wire ingest several
+    * threads cross the interval together — one pays the checkpoint,
+    * the rest skip (the next commit re-checks). */
+  private val ckptLock = new java.util.concurrent.locks.ReentrantLock()
+
   private def maybeCheckpoint(): Unit = {
-    val s = snap
-    if (checkpointInterval > 0 && s.version > 0 &&
-        log.commitsSinceCheckpoint(s.version) >= checkpointInterval) {
-      log.writeCheckpoint(s)
-      log.truncate(math.max(vacuumGraceMs, foldVacuumGraceMs))
-    }
+    if (checkpointInterval <= 0) return
+    if (!ckptLock.tryLock()) return
+    try {
+      val s = snap
+      if (s.version > 0 &&
+          log.commitsSinceCheckpoint(s.version) >= checkpointInterval) {
+        log.writeCheckpoint(s)
+        log.truncate(math.max(vacuumGraceMs, foldVacuumGraceMs))
+      }
+    } finally ckptLock.unlock()
   }
 
   def version: Long = snap.version
@@ -373,8 +383,15 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     appendStageNs.addAndGet(1, t2 - t1)
     appendStageNs.addAndGet(2, t3 - t2)
     if (l0Meta.isDefined &&
-        snap.files.count(TxLog.isL0) > l0CompactThreshold)
-      foldOnce(compactL0Impl(writePath = true))
+        snap.files.count(TxLog.isL0) > l0CompactThreshold) {
+      if (snap.files.count(TxLog.isL0) >= l0StallThreshold) {
+        // L0 write stall — see inlineStallThreshold
+        foldLock.lock()
+        try { if (snap.files.count(TxLog.isL0) > l0CompactThreshold)
+          compactL0Impl(writePath = true) }
+        finally foldLock.unlock()
+      } else foldOnce(compactL0Impl(writePath = true))
+    }
     landed.version
   }
 
@@ -403,6 +420,22 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   /** Live inline-commit count past which [[appendPoints]] folds them
     * into the clustered layout inline — the memtable-flush trigger. */
   @volatile var inlineCompactThreshold: Int = 64
+
+  /** HARD ceiling on live inline commits — the write-stall threshold
+    * (an LSM's L0 stall): past it, a committing writer BLOCKS on the
+    * fold lock instead of skipping the fold. Without it, sustained
+    * multi-writer ingest outruns the single-flighted fold — the r14
+    * backpressure probe measured inline commits drifting to 1600+
+    * (25× the threshold) with every-64th-commit checkpoints then
+    * serializing ~50 MB of live blobs, collapsing ingest 98k → 25k
+    * rows/s. With the stall, reads stay bounded at O(stall × batch)
+    * inline rows and checkpoints stay small; writers resume the moment
+    * the fold lands. */
+  @volatile var inlineStallThreshold: Int = 256
+
+  /** The L0 twin of [[inlineStallThreshold]]: concurrent txn/streaming
+    * writers past this many live L0 files block on the fold. */
+  @volatile var l0StallThreshold: Int = 192
 
   /** Single-flight guard for the folds ([[compactInline]], [[compactL0]])
     * — held INSIDE the public methods, so every entry point (threshold
@@ -441,8 +474,17 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     val landed = log.commit(v => LogCommit(v, inline = Some(blob),
       metrics = metrics, dates = dates, maxSeq = hwm))
     committed()
-    if (snap.inline.size > inlineCompactThreshold)
-      foldOnce(compactInlineImpl(writePath = true))
+    if (snap.inline.size > inlineCompactThreshold) {
+      if (snap.inline.size >= inlineStallThreshold) {
+        // write-stall backpressure: over the hard ceiling, WAIT for the
+        // in-flight fold (then fold the backlog if still over) instead
+        // of skipping — see inlineStallThreshold
+        foldLock.lock()
+        try { if (snap.inline.size > inlineCompactThreshold)
+          compactInlineImpl(writePath = true) }
+        finally foldLock.unlock()
+      } else foldOnce(compactInlineImpl(writePath = true))
+    }
     landed.version
   }
 

@@ -297,9 +297,16 @@ final class TxLog(logDirPath: String) {
     val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
     var deleted = 0
     def tryDelete(p: Path): Unit =
-      if (Files.exists(p) &&
-          Files.getLastModifiedTime(p).toMillis < cutoff &&
-          Files.deleteIfExists(p)) deleted += 1
+      try {
+        if (Files.exists(p) &&
+            Files.getLastModifiedTime(p).toMillis < cutoff &&
+            Files.deleteIfExists(p)) deleted += 1
+      } catch {
+        // a concurrent truncator (another thread or process) won the
+        // race between the exists check and the mtime read — the file
+        // is gone, which is exactly the outcome wanted
+        case _: java.nio.file.NoSuchFileException => ()
+      }
     availableCommitVersions().takeWhile(_ <= bound).foreach(v => tryDelete(fileOf(v)))
     cks.dropRight(math.max(1, keepCheckpoints)).foreach(v => tryDelete(ckptFileOf(v)))
     deleted
