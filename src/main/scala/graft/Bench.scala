@@ -59,6 +59,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the library's standard deployment: SQL functions + optimizer
+      // rules (TsPushdown, RangeJoinRewrite) ride the session — the
+      // bench must time the plans a real deployment gets (round 14:
+      // scoped-rule registration timed the UN-rescued nested loop,
+      // because DataFrame actions re-plan; see rangeJoinAttrib)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -133,6 +133,9 @@ final class GraftHttpServer(executor: NbqlExecutor, port: Int = 0,
         "data_files" -> JLong(dataFiles.toLong),
         "l0_files" -> JLong(l0Files.toLong),
         "inline_commits" -> JLong(eng.inlineCommitCount.toLong),
+        "last_checkpoint" -> JLong(eng.logStats._1),
+        "log_manifests" -> JLong(eng.logStats._2.toLong),
+        "write_stalls" -> JLong(eng.writeStallCount),
         "compaction_events" -> JLong(cs.events),
         "compaction_bytes_read" -> JLong(cs.bytesRead),
         "compaction_bytes_written" -> JLong(cs.bytesWritten),

@@ -386,6 +386,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         snap.files.count(TxLog.isL0) > l0CompactThreshold) {
       if (snap.files.count(TxLog.isL0) >= l0StallThreshold) {
         // L0 write stall — see inlineStallThreshold
+        stallCounter.incrementAndGet()
         foldLock.lock()
         try { if (snap.files.count(TxLog.isL0) > l0CompactThreshold)
           compactL0Impl(writePath = true) }
@@ -410,6 +411,20 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
 
   /** Live inline (in-manifest) commits not yet folded into files. */
   def inlineCommitCount: Int = snap.inline.size
+
+  /** (newest checkpoint version or 0, commit manifests currently on
+    * disk) — the log-bounding health pair `/metrics` exposes: the
+    * manifest count staying O(interval + grace-window commits) is the
+    * observable proof truncation is keeping up. */
+  def logStats: (Long, Int) =
+    (log.latestCheckpoint().getOrElse(0L), log.availableCommitVersions().size)
+
+  /** Times a committing writer hit the write-stall ceiling and blocked
+    * for an in-flight fold ([[inlineStallThreshold]] /
+    * [[l0StallThreshold]]) — sustained growth means ingest is
+    * chronically outrunning fold capacity. */
+  private val stallCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  def writeStallCount: Long = stallCounter.get()
 
   /** Max rows a driver-side batch may have to commit INLINE in the log
     * manifest instead of through a staged parquet write ([[InlineRows]]).
@@ -479,6 +494,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         // write-stall backpressure: over the hard ceiling, WAIT for the
         // in-flight fold (then fold the backlog if still over) instead
         // of skipping — see inlineStallThreshold
+        stallCounter.incrementAndGet()
         foldLock.lock()
         try { if (snap.inline.size > inlineCompactThreshold)
           compactInlineImpl(writePath = true) }

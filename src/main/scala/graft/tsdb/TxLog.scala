@@ -198,15 +198,17 @@ final class TxLog(logDirPath: String) {
     while (probing) {
       while (Files.exists(fileOf(v + 1))) v += 1
       probing = false
-      // Stalled — usually the true tip, but for an instance lagging past
-      // a FOREIGN truncation the next commits are gone while newer ones
-      // (and a checkpoint) exist. One ~50-byte hint-file read settles
-      // it — still O(1), never a directory listing.
-      readCkptHintFile().filter(_ > v).foreach { hv =>
-        ckptHint.getAndAccumulate(hv, math.max(_, _))
-        v = hv
-        probing = true
-      }
+      // Stalled with the tip COMMIT itself missing — not a healthy tip
+      // (a live tip's own manifest exists): an instance lagging past a
+      // FOREIGN truncation, or a checkpoint-only directory. One ~50-byte
+      // hint-file read settles it; the healthy hot path (tip manifest
+      // present) never pays it.
+      if (v == 0L || !Files.exists(fileOf(v)))
+        readCkptHintFile().filter(_ > v).foreach { hv =>
+          ckptHint.getAndAccumulate(hv, math.max(_, _))
+          v = hv
+          probing = true
+        }
     }
     tipHint.getAndAccumulate(v, math.max(_, _))
     v

@@ -36,9 +36,15 @@ class RangeJoinRewriteSpec extends SparkSpec {
       val got = joined.select($"iv_id", $"pt_id").as[(Long, Long)].collect().toSet
       assert(got == naive)
     }
-    // control: without the width, Spark nested-loops the same join
-    val control = ivs.join(pts, $"t" >= $"s" && $"t" <= $"e")
-      .queryExecution.executedPlan.toString
+    // control: with the rewrite DISABLED, Spark nested-loops the same
+    // join. Forced via binWidth=off rather than deregistration — the
+    // battery's rangeJoinAttrib leaves the rule registered on shared
+    // sessions by design (round 14), so absence can't be assumed here.
+    val control = try {
+      spark.conf.set("spark.graft.rangeJoin.binWidth", "off")
+      ivs.join(pts, $"t" >= $"s" && $"t" <= $"e")
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
     assert(control.contains("BroadcastNestedLoop") || control.contains("CartesianProduct"))
   }
 

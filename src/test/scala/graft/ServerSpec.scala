@@ -88,6 +88,9 @@ class ServerSpec extends SparkSpec {
       val JDouble(waf) = (j \ "engine" \ "compaction_waf"): @unchecked
       assert(waf > 0.0)
       assert((j \ "engine" \ "query_cache_hits") == JInt(1)) // second query hit
+      val JInt(logManifests) = (j \ "engine" \ "log_manifests"): @unchecked
+      assert(logManifests.toLong > 0, "log health must report live manifests")
+      assert((j \ "engine" \ "write_stalls") == JInt(0))
       val JInt(heapUsed) = (j \ "memstats" \ "heap_used"): @unchecked
       assert(heapUsed.toLong > 0)
 
