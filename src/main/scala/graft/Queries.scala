@@ -718,12 +718,21 @@ object Queries {
     // fresh QueryExecution), so the benched execution ran the un-rescued
     // BroadcastNestedLoopJoin: 313 s vs 40 s at sf1 (ProbeRangeJoin),
     // while the memoized-and-audited plan showed the rewrite.
-    val viaExtensions = s.conf.getOption("spark.sql.extensions")
-      .exists(_.contains("GraftExtensions"))
-    if (!viaExtensions &&
-        !s.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+    // Detect by the rule's actual presence in the session's optimizer
+    // (injected rules land in extendedOperatorOptimizationRules — covers
+    // both `spark.sql.extensions` and programmatic `withExtensions`
+    // sessions, which carry no conf string), and synchronize the
+    // check-then-append: extraOptimizations is a plain var, so two
+    // concurrent first-callers would otherwise both read the old Seq
+    // and double-append the rule.
+    val injected = scala.util.Try(
+      s.sessionState.optimizer.extendedOperatorOptimizationRules
+        .contains(graft.plans.RangeJoinRewrite)).getOrElse(false)
+    if (!injected) Queries.synchronized {
+      if (!s.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+    }
     val HalfHourNs = 30L * 60L * 1000000000L
     val ev = t(s, dir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")

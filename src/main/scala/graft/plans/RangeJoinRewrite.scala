@@ -44,6 +44,33 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   private val SampleRows = 10000
   private val MaxFanout = 4096L
 
+  /** Memoized derived widths, keyed by the CANONICALIZED probe plan
+    * (`Project(hi − lo, intervalSide)` — canonicalization normalizes
+    * expr-ids, so re-analyzed copies of the same join shape share a
+    * key). Every DataFrame ACTION re-plans (a noop write builds a fresh
+    * QueryExecution), so without the cache a serving loop re-runs the
+    * p95+max aggregation job once per action — pure planning-time waste
+    * (the same property that made r14's scoped-registration bench time
+    * an un-rescued plan). Bounded LRU; the width is a performance knob
+    * (the original condition is always re-verified), so a stale entry
+    * after data growth costs fanout, never correctness — writers that
+    * materially change interval distributions can clear it via
+    * [[clearWidthCache]]. Thread-safe via synchronized access (plan
+    * rewrites are driver-side and rare). */
+  private val WidthCacheMax = 64
+  private val widthCache =
+    new java.util.LinkedHashMap[LogicalPlan, Option[Long]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[LogicalPlan, Option[Long]]): Boolean =
+        size() > WidthCacheMax
+    }
+
+  def clearWidthCache(): Unit = widthCache.synchronized(widthCache.clear())
+
+  /** Probe executions actually run (test seam — specs pin one derivation
+    * per distinct join shape across repeated plannings). */
+  private[graft] val probeRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** None → auto-derive per join; Some(w>0) → fixed width; Some(0) → off. */
   private def configuredWidth: Option[Long] =
     conf.getConfString(WidthKey, "auto").trim.toLowerCase match {
@@ -70,20 +97,31 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     * scan for that never happening. */
   private def deriveWidth(ival: LogicalPlan, lo: Expression,
       hi: Expression): Option[Long] = try {
-    val spark = SparkSession.active
     val len = Alias(Subtract(hi, lo), "__graft_len")()
-    val probe = ColumnBridge.ofRows(spark, Project(Seq(len), ival))
-    val row = probe.agg(
-      percentile_approx(col("__graft_len"), lit(0.95), lit(SampleRows))
-        .cast("long").as("p95"),
-      max(col("__graft_len")).cast("long").as("mx")).head()
-    if (row.isNullAt(0)) None
-    else {
-      val p95 = math.max(row.getLong(0), 1L)
-      val mx = math.max(if (row.isNullAt(1)) p95 else row.getLong(1), p95)
-      val w = math.max(p95, (mx + MaxFanout - 1) / MaxFanout)
-      logInfo(s"derived $WidthKey=$w (p95 len=$p95, exact max len=$mx)")
-      Some(w)
+    val probePlan = Project(Seq(len), ival)
+    val key = probePlan.canonicalized
+    val cached = widthCache.synchronized(Option(widthCache.get(key)))
+    cached.getOrElse {
+      probeRuns.incrementAndGet()
+      val spark = SparkSession.active
+      val probe = ColumnBridge.ofRows(spark, probePlan)
+      val row = probe.agg(
+        percentile_approx(col("__graft_len"), lit(0.95), lit(SampleRows))
+          .cast("long").as("p95"),
+        max(col("__graft_len")).cast("long").as("mx")).head()
+      val w =
+        if (row.isNullAt(0)) None
+        else {
+          val p95 = math.max(row.getLong(0), 1L)
+          val mx = math.max(if (row.isNullAt(1)) p95 else row.getLong(1), p95)
+          val dw = math.max(p95, (mx + MaxFanout - 1) / MaxFanout)
+          logInfo(s"derived $WidthKey=$dw (p95 len=$p95, exact max len=$mx)")
+          Some(dw)
+        }
+      // a None (empty interval side) is NOT cached: the side may fill
+      // up later, and re-probing an empty side is a trivial agg
+      if (w.isDefined) widthCache.synchronized(widthCache.put(key, w))
+      w
     }
   } catch {
     case scala.util.control.NonFatal(e) =>

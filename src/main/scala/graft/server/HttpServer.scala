@@ -127,14 +127,17 @@ final class GraftHttpServer(executor: NbqlExecutor, port: Int = 0,
       if (g.getCollectionTime > 0) gcMs += g.getCollectionTime
     }
     val (dataFiles, l0Files) = eng.fileCounts
+    // one evaluation — each logStats call pays a log-directory listing
+    // plus a checkpoint lookup, and /metrics is scraped continuously
+    val (lastCkpt, logManifests) = eng.logStats
     reply(ex, 200, JObject(
       "engine" -> JObject(
         "version" -> JLong(eng.version),
         "data_files" -> JLong(dataFiles.toLong),
         "l0_files" -> JLong(l0Files.toLong),
         "inline_commits" -> JLong(eng.inlineCommitCount.toLong),
-        "last_checkpoint" -> JLong(eng.logStats._1),
-        "log_manifests" -> JLong(eng.logStats._2.toLong),
+        "last_checkpoint" -> JLong(lastCkpt),
+        "log_manifests" -> JLong(logManifests.toLong),
         "write_stalls" -> JLong(eng.writeStallCount),
         "compaction_events" -> JLong(cs.events),
         "compaction_bytes_read" -> JLong(cs.bytesRead),

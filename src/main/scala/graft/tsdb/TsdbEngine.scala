@@ -280,10 +280,17 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       recentPuts.put(committedVersion,
         (points.lazyZip(rows).map((p, r) => (p, r.seq)).toSeq, bytes))
       recentPutsBytes.addAndGet(bytes)
-      while (recentPuts.size() > recentPutsMaxCommits ||
-          recentPutsBytes.get() > recentPutsMaxBytes) {
+      // eviction only ever SUBTRACTS per polled entry — a hard counter
+      // reset here would race a concurrent appendPoints that just
+      // addAndGet'ed bytes for an entry it is about to insert,
+      // permanently under-counting and silently disabling the byte
+      // budget. The counter is exact (every insert adds, every poll
+      // subtracts), so an empty ring simply ends the drain.
+      var draining = true
+      while (draining && (recentPuts.size() > recentPutsMaxCommits ||
+          recentPutsBytes.get() > recentPutsMaxBytes)) {
         val e = recentPuts.pollFirstEntry()
-        if (e == null) { recentPutsBytes.set(0L) }
+        if (e == null) draining = false
         else recentPutsBytes.addAndGet(-e.getValue._2)
       }
     }
@@ -411,6 +418,9 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
 
   /** Live inline (in-manifest) commits not yet folded into files. */
   def inlineCommitCount: Int = snap.inline.size
+
+  /** Data-root-relative paths of the live data files (test seam). */
+  private[graft] def liveFilePaths: Set[String] = snap.files.toSet
 
   /** (newest checkpoint version or 0, commit manifests currently on
     * disk) — the log-bounding health pair `/metrics` exposes: the
@@ -602,13 +612,16 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     log.commit(v => LogCommit(v, adds = added, removes = l0,
       metrics = (metricsOf(added) ++ l0Metrics).distinct,
       dates = l0Dates.distinct, maxSeq = hwm))
+    recordDerefs(l0)
     committed()
     firePost(EventType.PostCompaction,
       Payloads.PostCompaction(l0, added, bytesRead, bytesWritten))
-    // write-path folds vacuum under a grace window (concurrent queries
-    // may hold plans resolved against the pre-fold snapshot); explicit
-    // admin folds keep the immediate-vacuum default
-    if (writePath) vacuum(math.max(vacuumGraceMs, foldVacuumGraceMs))
+    // write-path folds vacuum from the dereference LEDGER under a grace
+    // window (concurrent queries may hold plans resolved against the
+    // pre-fold snapshot) — O(files this engine folded away), never a
+    // data-root walk; explicit admin folds keep the full-sweep
+    // immediate-vacuum default
+    if (writePath) vacuumDerefs(math.max(vacuumGraceMs, foldVacuumGraceMs))
     else vacuum()
   }
 
@@ -2734,6 +2747,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       metrics = (metricsOf(s.files ++ added) ++ l0Metrics ++
         s.inline.flatMap(_.metrics)).distinct,
       dates = (l0Dates ++ s.inline.flatMap(_.dates)).distinct, maxSeq = hwm))
+    recordDerefs(s.files)
     committed()
     firePost(EventType.PostCompaction,
       Payloads.PostCompaction(s.files, added, bytesRead, bytesWritten))
@@ -2755,6 +2769,52 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * reference's drop-when-refcount-zero with no concurrent readers. */
   @volatile var vacuumGraceMs: Long = 0L
 
+  /** Dereference ledger: data-root-relative path → wall-clock ms when a
+    * commit THIS engine made dropped the file from the manifest. The
+    * write-path fold's vacuum ([[vacuumDerefs]]) deletes from this list
+    * alone — O(files this engine dereferenced within the grace window),
+    * never a walk of the data root (at 100× scale the root holds millions
+    * of files; a per-fold `Files.walk` was the last O(table-size) cost on
+    * the hot write path). Bounded by grace window × fold rate: entries
+    * leave when their file is deleted (here or by a full [[vacuum]]).
+    * Files dereferenced by OTHER processes, or before a restart, are
+    * strays to this ledger — the explicit admin [[vacuum]] keeps the
+    * full-walk sweep for exactly those. Cf. the reference deleting
+    * exactly the compacted inputs, never sweeping the store
+    * (`engine2/compaction_manager.go:144-262`). */
+  private val derefLedger =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private def recordDerefs(paths: Seq[String]): Unit =
+    if (paths.nonEmpty) {
+      val now = System.currentTimeMillis()
+      paths.foreach(p => derefLedger.putIfAbsent(p, now))
+    }
+
+  /** Ledger entries currently awaiting deletion (test seam). */
+  private[graft] def derefLedgerSize: Int = derefLedger.size()
+
+  /** Write-path vacuum: delete ONLY files this engine's own commits
+    * dereferenced (the fold knows exactly which files it dropped), once
+    * their dereference is `graceMs` old. Never touches — or even lists —
+    * anything else in the data root; the `_staging` orphan sweep is kept
+    * (it lists only in-flight fold dirs, bounded by fold concurrency). */
+  private def vacuumDerefs(graceMs: Long): Unit = {
+    val cutoff = System.currentTimeMillis() - graceMs
+    val live = snap.files.toSet
+    val root = Paths.get(dataDir)
+    val it = derefLedger.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (live.contains(e.getKey)) it.remove() // re-added: impossible (commit-unique names), but never delete a live file
+      else if (graceMs <= 0L || e.getValue < cutoff) {
+        Files.deleteIfExists(root.resolve(e.getKey))
+        it.remove()
+      } else if (!Files.exists(root.resolve(e.getKey))) it.remove() // a full vacuum beat us
+    }
+    sweepStagingOrphans(graceMs)
+  }
+
   def vacuum(): Unit = vacuum(vacuumGraceMs)
 
   /** Delete data files no longer referenced by the CURRENT manifest.
@@ -2770,10 +2830,18 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     val cutoff = System.currentTimeMillis() - graceMs
     // Only commit manifests still PRESENT are consulted (the log
     // truncates below checkpoints). A file whose removing commit was
-    // truncated falls through to its own-mtime fallback — sound,
-    // because truncation obeys the same grace window: the manifest
-    // outlived its dereference by ≥ grace, so the deref is ≥ grace old
-    // and the (even older) write mtime deletes nothing early.
+    // truncated falls through to a fallback deref estimate: its own
+    // write mtime, RAISED to the truncation bound (truncation time −
+    // the grace the truncation honored) when one is recorded. The raise
+    // closes the gap the own-mtime fallback alone leaves: when this
+    // vacuum's graceMs EXCEEDS the grace truncation used (the user
+    // raised vacuumGraceMs after checkpoints started truncating), the
+    // write mtime underestimates the dereference time and would delete
+    // a time-travel/reader-protected file early — but any deref whose
+    // commit was truncated happened at or before (truncation − its
+    // grace), so that bound is a sound upper estimate. Pure strays the
+    // log never saw (crashed staging moves) are at worst deleted a
+    // little later than their mtime alone would allow.
     lazy val removedAtMs: Map[String, Long] =
       if (graceMs <= 0) Map.empty
       else log.availableCommitVersions().filter(_ <= snap.version)
@@ -2786,26 +2854,32 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
             }
           }
         }.toMap
+    lazy val truncBoundMs: Long = log.lastTruncationBoundMs().getOrElse(0L)
     Files.walk(root).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .filterNot(p => live.contains(root.relativize(p).toString))
       .filter { p =>
         graceMs <= 0 || {
           val derefMs = removedAtMs.getOrElse(root.relativize(p).toString,
-            Files.getLastModifiedTime(p).toMillis)
+            math.max(Files.getLastModifiedTime(p).toMillis, truncBoundMs))
           derefMs < cutoff
         }
       }
       .foreach(Files.deleteIfExists(_))
-    // Orphaned _staging dirs — a crash BETWEEN a staged fold/append
-    // write and its log commit strands the staging dir (and possibly
-    // already-moved data files, cleaned above as unreferenced strays).
-    // Readers never saw any of it (only manifest-listed files are
-    // read), so deletion restores the pre-fold state exactly. A live
-    // fold is distinguished by AGE: its newest mtime keeps moving while
-    // it writes, and it deletes its dir at move-in — anything quiet for
-    // the orphan window is dead. (Cf. the reference's recovery sweep,
-    // `engine2/engine_recovery_test.go`.)
+    sweepStagingOrphans(graceMs)
+  }
+
+  /** Orphaned `_staging` dirs — a crash BETWEEN a staged fold/append
+    * write and its log commit strands the staging dir (and possibly
+    * already-moved data files, cleaned by [[vacuum]] as unreferenced
+    * strays). Readers never saw any of it (only manifest-listed files
+    * are read), so deletion restores the pre-fold state exactly. A live
+    * fold is distinguished by AGE: its newest mtime keeps moving while
+    * it writes, and it deletes its dir at move-in — anything quiet for
+    * the orphan window is dead. (Cf. the reference's recovery sweep,
+    * `engine2/engine_recovery_test.go`.) Lists only `_staging`
+    * children — bounded by fold concurrency, never table size. */
+  private def sweepStagingOrphans(graceMs: Long): Unit = {
     val stagingRoot = Paths.get(s"$rootDir/_staging")
     if (Files.isDirectory(stagingRoot)) {
       val orphanCutoff = System.currentTimeMillis() -
@@ -2992,6 +3066,7 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         old.inline.flatMap(_.metrics) ++ cur.inline.flatMap(_.metrics)).distinct,
       dates = (l0ReKeys.flatMap(_._2) ++ old.inline.flatMap(_.dates) ++
         cur.inline.flatMap(_.dates)).distinct, maxSeq = hwm))
+    recordDerefs(cur.files.diff(old.files))
     committed()
     Right(())
   }

@@ -233,6 +233,16 @@ final class TxLog(logDirPath: String) {
 
   def latestCheckpoint(upTo: Long = Long.MaxValue): Option[Long] = {
     var h = ckptHint.get()
+    // validate a cached hint against the filesystem: a FOREIGN process
+    // (shared-storage follower / multi-engine is a supported model) can
+    // truncate the checkpoint this instance cached (keepCheckpoints
+    // bounds survivors); returning the stale hint would send replay's
+    // jump into a missing file — and the hint would stay poisoned until
+    // restart. One Files.exists per call; reset + re-list on a miss.
+    if (h > 0L && !Files.exists(ckptFileOf(h))) {
+      ckptHint.compareAndSet(h, -1L)
+      h = ckptHint.get()
+    }
     if (h < 0L) {
       h = readCkptHintFile().filter(v => Files.exists(ckptFileOf(v)))
         .getOrElse(checkpointVersions().foldLeft(0L)(math.max))
@@ -296,7 +306,8 @@ final class TxLog(logDirPath: String) {
     if (cks.isEmpty) return 0
     val kept = cks.takeRight(math.max(1, keepCheckpoints))
     val bound = kept.min
-    val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
+    val now = System.currentTimeMillis()
+    val cutoff = now - math.max(0L, graceMs)
     var deleted = 0
     def tryDelete(p: Path): Unit =
       try {
@@ -311,8 +322,38 @@ final class TxLog(logDirPath: String) {
       }
     availableCommitVersions().takeWhile(_ <= bound).foreach(v => tryDelete(fileOf(v)))
     cks.dropRight(math.max(1, keepCheckpoints)).foreach(v => tryDelete(ckptFileOf(v)))
+    // Record the bound any truncation-lost dereference obeys: a deleted
+    // commit manifest was ≥ graceMs old, so any file-remove it recorded
+    // happened at or before (now − graceMs). Data-file vacuum raises its
+    // own-mtime fallback to this bound, so a vacuum grace LARGER than
+    // the truncation grace still never deletes early (the own write
+    // mtime alone underestimates the dereference time). Advisory +
+    // monotone: a torn write costs at most a later stray deletion.
+    if (deleted > 0) {
+      val prior = lastTruncationBoundMs().getOrElse(Long.MinValue)
+      if (cutoff > prior)
+        try {
+          val tmp = logDir.resolve(s".trunc-${java.util.UUID.randomUUID()}.tmp")
+          Files.writeString(tmp, s"""{"boundMs":$cutoff}""")
+          Files.move(tmp, lastTruncFile, StandardCopyOption.REPLACE_EXISTING,
+            StandardCopyOption.ATOMIC_MOVE)
+        } catch { case _: java.io.IOException => () }
+    }
     deleted
   }
+
+  private val lastTruncFile = logDir.resolve("_last_truncation")
+
+  /** Upper bound (wall-clock ms) on the dereference time of any data
+    * file whose removing commit manifest has been truncated away —
+    * `None` when no truncation was ever recorded (every remove is still
+    * readable from the log). */
+  def lastTruncationBoundMs(): Option[Long] =
+    if (!Files.exists(lastTruncFile)) None
+    else scala.util.Try {
+      (org.json4s.jackson.JsonMethods.parse(
+        Files.readString(lastTruncFile)) \ "boundMs").extract[Long]
+    }.toOption
 
   /** On-disk locations, for replication shipping (the engine copies
     * manifests file-for-file; names are format-private otherwise). */
@@ -367,15 +408,27 @@ final class TxLog(logDirPath: String) {
     val tip = math.min(latestVersion(), upTo)
     var start = base
     if (start.version < tip &&
-        (start.version == 0L || !Files.exists(fileOf(start.version + 1))))
+        (start.version == 0L || !Files.exists(fileOf(start.version + 1)))) {
       // jump when starting cold, or when the needed chain was truncated
       // (a lagging follower across a checkpoint boundary): the hint
       // first; a LISTING retry when the hint is stale — a foreign
-      // process may have checkpointed without this instance noticing
-      latestCheckpoint(tip).filter(_ > start.version)
+      // process may have checkpointed without this instance noticing.
+      // readCheckpoint itself races foreign truncation (the file can
+      // vanish between the exists-check inside latestCheckpoint and the
+      // read) — on a miss, drop the poisoned hint and take the newest
+      // LISTED checkpoint that still reads.
+      def tryRead(cv: Long): Option[LogSnapshot] =
+        try Some(readCheckpoint(cv))
+        catch {
+          case _: java.nio.file.NoSuchFileException =>
+            ckptHint.compareAndSet(cv, -1L); None
+        }
+      latestCheckpoint(tip).filter(_ > start.version).flatMap(tryRead)
         .orElse(checkpointVersions().filter(v =>
-          v > start.version && v <= tip).maxOption)
-        .foreach(cv => start = readCheckpoint(cv))
+          v > start.version && v <= tip).sorted.reverseIterator
+          .flatMap(tryRead(_)).nextOption())
+        .foreach(s => start = s)
+    }
     replayTail(start, tip)
   }
 

@@ -3,6 +3,7 @@ package graft
 import graft.model.{DataPoint, FieldValue}
 import graft.tsdb._
 import java.nio.file.{Files, Paths}
+import scala.collection.JavaConverters._
 
 /** Commit-log CHECKPOINTING (round 14): every [[TsdbEngine
   * .checkpointInterval]] commits the engine materializes the full
@@ -141,6 +142,90 @@ class CheckpointSpec extends SparkSpec {
       val r = e.restoreVersion(2L)
       assert(r.isLeft && r.left.exists(_.contains("cannot restore")),
         s"pre-truncation restore must fail cleanly, got $r")
+    }
+  }
+
+  test("a FOREIGN truncation of the cached checkpoint never poisons " +
+      "latestCheckpoint or replay") {
+    withDir { dir =>
+      // shared-storage multi-engine is a supported model: another
+      // process can delete the checkpoint this instance cached
+      // (keepCheckpoints bounds survivors). The stale in-memory hint
+      // must be re-validated against the filesystem — otherwise
+      // replay's jump reads a missing file and every sync()/refresh
+      // fails until restart (ADVICE r14, medium).
+      val t = new TxLog(s"$dir/log")
+      def add(l: TxLog, n: Int): Unit = (0 until n).foreach { _ =>
+        l.commit(v => LogCommit(v,
+          adds = Seq(f"metric=m/date=d/$v%03d.parquet"), metrics = Seq("m")))
+      }
+      add(t, 4)
+      t.writeCheckpoint(t.replay()) // ckpt @4
+      assert(t.latestCheckpoint().contains(4L)) // hint now CACHED
+      // a foreign instance advances two more checkpoints and truncates:
+      // ckpt @4 and all commits ≤ 8 die
+      val foreign = new TxLog(s"$dir/log")
+      add(foreign, 4)
+      foreign.writeCheckpoint(foreign.replay()) // ckpt @8
+      add(foreign, 4)
+      foreign.writeCheckpoint(foreign.replay()) // ckpt @12
+      foreign.truncate(graceMs = 0L, keepCheckpoints = 2)
+      assert(!Files.exists(t.checkpointPath(4L)),
+        "test setup: the cached checkpoint must be truncated")
+      // the lagging instance self-heals: hint re-validated, replay jumps
+      // to a checkpoint that still exists
+      assert(t.latestCheckpoint().exists(_ >= 8L),
+        "a stale cached hint must be dropped and re-resolved")
+      val s = t.replay()
+      assert(s.version == 12L && s.files.size == 12,
+        s"replay must recover over the truncated gap, got v${s.version}")
+    }
+  }
+
+  test("vacuum with a grace LARGER than the truncation grace never " +
+      "deletes a dereferenced file early") {
+    withDir { dir =>
+      // a file whose removing commit was truncated falls to vacuum's
+      // fallback deref estimate; the own write mtime UNDERESTIMATES the
+      // dereference time, so it must be raised to the recorded
+      // truncation bound (ADVICE r14) — otherwise raising vacuumGraceMs
+      // above the truncation grace deletes reader-protected files early
+      val e = new TsdbEngine(spark, s"$dir/db")
+      e.checkpointInterval = 0 // manual checkpoint/truncation below
+      e.vacuumGraceMs = 3600000L
+      assert(e.putBatch(Seq(pt("m", "h1", 1000L, 1.0))).isRight)
+      assert(e.compact().isRight) // inline → data file F1
+      assert(e.putBatch(Seq(pt("m", "h2", 2000L, 2.0))).isRight)
+      assert(e.compact().isRight) // rewrites: F1 dereferenced, kept by grace
+      val live = e.readAt(e.version).count() // force a refresh-side read
+      assert(live == 2)
+      val dataRoot = Paths.get(s"$dir/db/data")
+      def diskFiles() = {
+        val w = Files.walk(dataRoot)
+        try w.iterator().asScala.filter(
+          _.getFileName.toString.endsWith(".parquet")).toVector
+        finally w.close()
+      }
+      val dead = diskFiles().filterNot(p =>
+        e.liveFilePaths.contains(dataRoot.relativize(p).toString))
+      assert(dead.nonEmpty, "test setup: a dereferenced file must survive " +
+        "under the 1h grace")
+      // truncate the removing commits away (grace 0 — SMALLER than the
+      // 1h vacuum grace) and age the dead file's mtime past the grace
+      val log = new TxLog(s"$dir/db/_log")
+      log.writeCheckpoint(log.replay())
+      assert(log.truncate(graceMs = 0L, keepCheckpoints = 1) > 0)
+      assert(log.lastTruncationBoundMs().isDefined,
+        "truncation must record its bound")
+      dead.foreach(p => Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 7200000L)))
+      e.vacuum(3600000L)
+      assert(dead.forall(Files.exists(_)),
+        "the mtime fallback must be raised to the truncation bound — " +
+          "a 2h-old mtime does not date a dereference the log no longer has")
+      e.vacuum(0L)
+      assert(dead.forall(!Files.exists(_)))
     }
   }
 

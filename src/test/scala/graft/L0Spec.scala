@@ -491,6 +491,44 @@ class L0Spec extends SparkSpec {
     }
   }
 
+  test("write-path fold vacuum deletes ONLY files the fold dereferenced " +
+      "— never a data-root sweep") {
+    withDir { dir =>
+      // At 100× scale the data root holds millions of files; the hot
+      // write path must delete from the fold's own dereference list,
+      // never Files.walk the root (VERDICT r14 #1). Pinned by behavior:
+      // an unreferenced stray in the data root — exactly what a full
+      // sweep would delete — SURVIVES write-path folds and falls only
+      // to the explicit admin vacuum.
+      val e = new TsdbEngine(spark, s"$dir/db")
+      e.inlineCompactThreshold = 2
+      e.l0CompactThreshold = 1
+      e.foldVacuumGraceMs = 0L // folded-away files delete at the fold itself
+      def dp(i: Int) = DataPoint("m", Map("host" -> s"h$i"), i * 1000L,
+        Map("value" -> FieldValue.ofDouble(i.toDouble)))
+      assert(e.putBatch(Seq(dp(0))).isRight)
+      // plant a stray AFTER the first commit so the data dir exists
+      val strayDir = Paths.get(s"$dir/db/data/metric=ghost/date=1970-01-01")
+      Files.createDirectories(strayDir)
+      val stray = strayDir.resolve("stray-unreferenced.parquet")
+      Files.writeString(stray, "not really parquet")
+      (1 until 10).foreach(i => assert(e.putBatch(Seq(dp(i))).isRight))
+      // inline→L0 and L0→hive folds ran from the write path; their
+      // vacuums (grace 0) must have deleted the folded-away L0 files...
+      assert(l0Files(dir).size == e.fileCounts._2,
+        s"write-path fold vacuum must delete the dereferenced L0 files " +
+          s"(disk=${l0Files(dir).size}, live=${e.fileCounts._2})")
+      assert(e.derefLedgerSize == 0,
+        "the dereference ledger must drain once its files are deleted")
+      // ...but never the stray it did not dereference
+      assert(Files.exists(stray),
+        "a write-path fold must NOT sweep unreferenced strays in the root")
+      e.vacuum(0L) // the admin full sweep is where strays die
+      assert(!Files.exists(stray),
+        "the explicit admin vacuum must keep the full-sweep semantics")
+    }
+  }
+
   test("restoreVersion re-keys re-added L0 files: per-metric serving " +
       "sees the restored rows") {
     withDir { dir =>

@@ -132,6 +132,43 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("auto width probe runs ONCE per distinct join shape across " +
+      "repeated plannings") {
+    // every DataFrame ACTION re-plans (a noop write builds a fresh
+    // QueryExecution — the property behind r14's 313 s sf1 finding), so
+    // an unmemoized probe pays one planning-time aggregation job per
+    // action on repeated serving. The width is cached by the
+    // CANONICALIZED probe plan: same shape → one derivation, a
+    // different interval side → its own derivation.
+    // oracle computed OUTSIDE the rule scope: a crossJoin+filter is
+    // itself an inequality-only join the active rule would rewrite
+    // (and probe) under a differently-canonicalized interval side
+    val naive = ivs.crossJoin(pts).filter($"t" >= $"s" && $"t" <= $"e")
+      .select($"iv_id", $"pt_id").as[(Long, Long)].collect().toSet
+    graft.plans.RangeJoinRewrite.clearWidthCache()
+    withRuleNoConf(None) {
+      val before = graft.plans.RangeJoinRewrite.probeRuns.get()
+      val joined = ivs.join(pts, $"t" >= $"s" && $"t" <= $"e")
+      (0 until 3).foreach { _ =>
+        assert(joined.select($"iv_id", $"pt_id").as[(Long, Long)]
+          .collect().toSet == naive)
+      }
+      // a re-CONSTRUCTED identical frame canonicalizes to the same key
+      // (the probed shape is the OPTIMIZED interval side, so the action
+      // must project the same columns — a count() would prune the
+      // interval side differently and probe its own shape once)
+      assert(ivs.join(pts, $"t" >= $"s" && $"t" <= $"e")
+        .select($"iv_id", $"pt_id").as[(Long, Long)].collect().toSet == naive)
+      assert(graft.plans.RangeJoinRewrite.probeRuns.get() == before + 1,
+        "one width derivation per distinct join shape")
+      // a DIFFERENT interval side is a different shape: one more probe
+      val shifted = ivs.withColumn("e", $"e" + 1L)
+      shifted.join(pts, $"t" >= $"s" && $"t" <= $"e")
+        .select($"iv_id", $"pt_id").collect()
+      assert(graft.plans.RangeJoinRewrite.probeRuns.get() == before + 2)
+    }
+  }
+
   test("joins that already have an equi key are left alone") {
     withRule(100L) {
       val a = Seq((1L, 5L)).toDF("k", "x")
