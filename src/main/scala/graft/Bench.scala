@@ -564,6 +564,13 @@ object Bench {
       if (lat.isEmpty) 0.0 else lat(math.min(lat.size - 1, (p * lat.size).toInt))
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query MIN alongside the median: on a host with documented
+    // same-day 1.9x upper-quartile drift (SCALE.md r14), the min is the
+    // more code-faithful statistic for cross-round comparisons — the
+    // r14 ANN-family "regression" was medians-of-3 inflated by host
+    // noise while every pass minimum sat at the prior round's level
+    val qminJson = byQuery.map { case (k, ts) => "\"" + k + "\":" + ts.min }
+      .mkString("{", ",", "}")
     val runsJson = byQuery.map { case (k, ts) =>
       "\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -578,6 +585,7 @@ object Bench {
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
+      s""""queries_min":$qminJson,""" +
       s""""runs":$runsJson,"passes":$nPasses,""" +
       s""""total_count_mode":$totalCount,""" +
       s""""p50":${pct(0.5)},"p90":${pct(0.9)},"p99":${pct(0.99)},""" +
