@@ -229,6 +229,75 @@ class CheckpointSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: live ingest vs concurrent FOREIGN checkpoint+truncate, " +
+      "follower sync and time travel — no lost rows, no poisoned reader") {
+    // The r14 backpressure probe found its TOCTOU in exactly this class
+    // (concurrent fold + commit interleavings); this fuzzes the
+    // checkpoint/truncation side: an ingesting writer (threshold folds
+    // riding it), a FOREIGN process checkpointing and truncating with
+    // grace 0 (the most aggressive legal truncator), a lagging follower
+    // sync()ing through the truncation boundary, and a time traveler
+    // reading historical versions. Invariants: no thread throws
+    // (IllegalStateException on a truncated-past readAt is the
+    // documented clean failure), every acked row is durable, and the
+    // follower converges to the writer's exact state.
+    withDir { dir =>
+      val e = new TsdbEngine(spark, s"$dir/db")
+      e.checkpointInterval = 5
+      e.inlineCompactThreshold = 8
+      e.l0CompactThreshold = 2
+      e.foldVacuumGraceMs = 3600000L // readers protected; ledger holds
+      val n = 160
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def guard(name: String)(f: => Unit): Thread = {
+        val t = new Thread(() =>
+          try f catch { case ex: Throwable =>
+            errs.add(new RuntimeException(name, ex)); stop.set(true) })
+        t.setDaemon(true); t.start(); t
+      }
+      val follower = new TsdbEngine(spark, s"$dir/db")
+      val ingester = guard("ingest") {
+        (0 until n).foreach { i =>
+          assert(e.putBatch(Seq(pt("m", s"h${i % 7}", i * 1000L,
+            i.toDouble))).isRight)
+        }
+        stop.set(true)
+      }
+      val foreign = new TxLog(s"$dir/db/_log")
+      val truncator = guard("foreign-ckpt-trunc") {
+        while (!stop.get()) {
+          val s = foreign.replay()
+          if (s.version > 0) foreign.writeCheckpoint(s)
+          foreign.truncate(graceMs = 0L, keepCheckpoints = 2)
+        }
+      }
+      val syncer = guard("follower-sync") {
+        while (!stop.get()) { follower.sync(); Thread.sleep(1) }
+      }
+      val traveler = guard("time-travel") {
+        val rnd = new scala.util.Random(15L)
+        while (!stop.get()) {
+          val v = e.version
+          if (v > 0)
+            try e.readAt(math.max(1L, v - rnd.nextInt(10))).count()
+            catch { case _: IllegalStateException => () } // truncated past: clean
+          Thread.sleep(2)
+        }
+      }
+      Seq(ingester, truncator, syncer, traveler).foreach(_.join(300000))
+      assert(errs.isEmpty, {
+        val sw = new java.io.StringWriter()
+        errs.forEach(_.printStackTrace(new java.io.PrintWriter(sw)))
+        s"fuzz threads failed:\n$sw"
+      })
+      assert(count(e, "m") == n, "every acked row must be durable")
+      assert(follower.sync() == e.version)
+      assert(count(follower, "m") == n,
+        "the follower must converge across checkpoint/truncation churn")
+    }
+  }
+
   test("TxLog: checkpoint round-trips the snapshot bit-for-bit; " +
       "latestVersion needs no listing once tipped") {
     withDir { dir =>
