@@ -32,4 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 121-query battery regenerates whole-stage-codegen classes on
+  // every pass (each action re-plans); the JDK-17 default 240m code
+  // cache runs ~80% full by pass 3 and its sweeper churn surfaced as a
+  // late-run battery tail (SCALE.md r15 pass-residual attribution)
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "512m")}",
 )

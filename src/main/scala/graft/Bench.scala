@@ -540,12 +540,42 @@ object Bench {
     // then pass 3): a transient CPU stall lands in at most one sample per
     // query, and the per-query median discards it.
     val nPasses = 3
-    val samples: Seq[Seq[(String, Double)]] = (0 until nPasses).map { _ =>
-      qs.map { case (name, fn) =>
+    // SPARK_GRAFT_PASS_DIAG=1: per-pass JVM/BlockManager accounting on
+    // stderr — attribution data for late-pass drift (SCALE.md r14: an
+    // unexplained battery-only pass-3 +4.6% residual). Cumulative
+    // counters (jit/gc) are diffed between passes by the reader.
+    val passDiag = sys.env.get("SPARK_GRAFT_PASS_DIAG").contains("1")
+    def diag(tag: String): Unit = if (passDiag) {
+      import java.lang.management.{ManagementFactory => mf}
+      val jitMs = mf.getCompilationMXBean.getTotalCompilationTime
+      var gcMs = 0L
+      mf.getGarbageCollectorMXBeans.forEach(g =>
+        gcMs += math.max(0L, g.getCollectionTime))
+      var codeKb = 0L; var metaKb = 0L
+      mf.getMemoryPoolMXBeans.forEach { p =>
+        val n = p.getName
+        if (n.contains("CodeHeap") || n.contains("Code Cache"))
+          codeKb += p.getUsage.getUsed >> 10
+        if (n.contains("Metaspace")) metaKb += p.getUsage.getUsed >> 10
+      }
+      val rdds = spark.sparkContext.getPersistentRDDs.size
+      val blockMem = spark.sparkContext.getExecutorMemoryStatus
+        .map { case (_, (max, rem)) => max - rem }.sum
+      System.err.println(s"[diag] $tag jit_ms=$jitMs gc_ms=$gcMs " +
+        s"code_kb=$codeKb meta_kb=$metaKb persistent_rdds=$rdds " +
+        s"block_mem_used_mb=${blockMem >> 20} " +
+        s"heap_used_mb=${mf.getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20} " +
+        s"threads=${mf.getThreadMXBean.getThreadCount}")
+    }
+    diag("warmup-end")
+    val samples: Seq[Seq[(String, Double)]] = (0 until nPasses).map { p =>
+      val passRows = qs.map { case (name, fn) =>
         val t0 = System.nanoTime()
         run(name, materialize(fn(spark, sfDir)))
         name -> (System.nanoTime() - t0) / 1e9
       }
+      diag(s"pass$p-end total=${passRows.map(_._2).sum}")
+      passRows
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val byQuery: Seq[(String, Seq[Double])] =
