@@ -2840,8 +2840,13 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     // a time-travel/reader-protected file early — but any deref whose
     // commit was truncated happened at or before (truncation − its
     // grace), so that bound is a sound upper estimate. Pure strays the
-    // log never saw (crashed staging moves) are at worst deleted a
-    // little later than their mtime alone would allow.
+    // log never saw (crashed staging moves) are deleted LATER than
+    // their mtime alone would allow — under continuous truncation a
+    // graced vacuum defers them until ingest (and so truncation)
+    // pauses for a full grace window; only a grace-0 vacuum collects
+    // strays unconditionally. Deliberate: strays are rare crash debris
+    // and never read, while an early delete of a truncation-lost deref
+    // breaks live readers.
     lazy val removedAtMs: Map[String, Long] =
       if (graceMs <= 0) Map.empty
       else log.availableCommitVersions().filter(_ <= snap.version)
