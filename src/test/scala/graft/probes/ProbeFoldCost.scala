@@ -32,12 +32,15 @@ object ProbeFoldCost {
     val batches = 120
     def dp(i: Int) = DataPoint("m", Map("host" -> s"h${i % 50}"),
       i.toLong * 1000000000L, Map("value" -> FieldValue.ofDouble(i.toDouble)))
-    // JIT/codegen warmup on a throwaway engine, excluded
+    // JIT/codegen warmup on a throwaway engine, excluded — a FULL
+    // batch count: the first probe run's 30-batch warmup left the 1k
+    // row carrying ~24 s of residual JIT (59.9 vs 36.2/36.3 s at
+    // 10k/100k on the same code)
     locally {
       val w = new TsdbEngine(spark, s"$tmp/warm")
       w.inlineCompactThreshold = 2; w.l0CompactThreshold = 1
       w.foldVacuumGraceMs = 0L
-      (0 until 30).foreach(i => w.putBatch(Seq(dp(i))))
+      (0 until batches).foreach(i => w.putBatch(Seq(dp(i))))
       w.close()
     }
     Seq(1000, 10000, 100000).foreach { n =>
