@@ -229,6 +229,14 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   /** Current estimated heap held by the retained ring (test seam). */
   private[graft] def recentPutsRetainedBytes: Long = recentPutsBytes.get()
 
+  /** Ground-truth byte sum over the ring's live entries (test seam —
+    * specs pin the running counter exact against it at quiescence). */
+  private[graft] def recentPutsExactBytes: Long = {
+    var n = 0L
+    recentPuts.values().forEach(v => n += v._2)
+    n
+  }
+
   /** Rough driver-heap estimate of one retained point: JVM object
     * headers/boxing flat cost plus 2 bytes per string char (UTF-16). */
   private def pointBytes(p: DataPoint): Long = {

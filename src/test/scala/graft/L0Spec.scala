@@ -323,6 +323,40 @@ class L0Spec extends SparkSpec {
     }
   }
 
+  test("retained ring byte counter stays EXACT under concurrent " +
+      "writers and eviction churn") {
+    // ADVICE r14: the eviction loop's hard counter reset could race a
+    // concurrent appendPoints' addAndGet, permanently under-counting
+    // and silently disabling the byte budget. Eviction now only ever
+    // subtracts per polled entry, so at quiescence the running counter
+    // must equal the ground-truth sum over live entries — under a
+    // byte budget small enough that every writer forces evictions.
+    withDir { dir =>
+      val e = new TsdbEngine(spark, s"$dir/db")
+      e.recentPutsMaxBytes = 4096L // continuous eviction churn
+      val (threads, perT) = (8, 25)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = (0 until threads).map { tid =>
+        val t = new Thread(() => try {
+          (0 until perT).foreach { i =>
+            e.putBatch(Seq(DataPoint("m", Map("host" -> s"ring-$tid-$i"),
+              i.toLong * 1000L,
+              Map("value" -> FieldValue.ofDouble(i.toDouble)))))
+              .fold(sys.error, identity)
+          }
+        } catch { case x: Throwable => errs.add(x); () })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      assert(errs.isEmpty, s"writer failed: ${Option(errs.peek())}")
+      assert(e.recentPutsRetainedBytes == e.recentPutsExactBytes,
+        s"running counter ${e.recentPutsRetainedBytes} != ground truth " +
+          s"${e.recentPutsExactBytes} — eviction raced an insert's accounting")
+      assert(e.recentPutsExactBytes > 0L,
+        "test setup: the ring should retain something at the end")
+    }
+  }
+
   test("subscription commit reads and time travel see L0 commits") {
     withDir { dir =>
       val e = new TsdbEngine(spark, s"$dir/db")
