@@ -2805,20 +2805,29 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   /** Write-path vacuum: delete ONLY files this engine's own commits
     * dereferenced (the fold knows exactly which files it dropped), once
     * their dereference is `graceMs` old. Never touches — or even lists —
-    * anything else in the data root; the `_staging` orphan sweep is kept
-    * (it lists only in-flight fold dirs, bounded by fold concurrency). */
+    * anything else in the data root, and never consults the live file
+    * set either (an O(live-files) set build per fold is the in-memory
+    * echo of the walk this ledger replaced): a ledger entry is dead by
+    * INVARIANT — fresh adds carry commit-unique names, the only local
+    * re-add path ([[restoreVersion]]) prunes its re-adds from the
+    * ledger before committing, [[restore]] swaps the root and clears
+    * the ledger, and a FOREIGN restore racing live folds is outside
+    * restore's own documented contract (admin op, must not race
+    * writers). Entries younger than the grace stay put — memory is
+    * bounded by grace window × fold rate, and a file a concurrent full
+    * vacuum already deleted just ages into a deleteIfExists no-op. The
+    * `_staging` orphan sweep is kept (it lists only in-flight fold
+    * dirs, bounded by fold concurrency). */
   private def vacuumDerefs(graceMs: Long): Unit = {
     val cutoff = System.currentTimeMillis() - graceMs
-    val live = snap.files.toSet
     val root = Paths.get(dataDir)
     val it = derefLedger.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (live.contains(e.getKey)) it.remove() // re-added: impossible (commit-unique names), but never delete a live file
-      else if (graceMs <= 0L || e.getValue < cutoff) {
+      if (graceMs <= 0L || e.getValue < cutoff) {
         Files.deleteIfExists(root.resolve(e.getKey))
         it.remove()
-      } else if (!Files.exists(root.resolve(e.getKey))) it.remove() // a full vacuum beat us
+      }
     }
     sweepStagingOrphans(graceMs)
   }
@@ -3031,6 +3040,10 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     synchronized {
       snap = log.replay()
       viewCache = (-1L, None)
+      // the whole root was swapped: every dereference this instance
+      // remembers is about the OLD root — files with those names may be
+      // live again in the restored one
+      derefLedger.clear()
       seqCounter.set(snap.maxSeq)
       // log versions may have moved BACKWARDS — epoch-keyed caches are all
       // stale (the restored root has no _rollup materialization either)
@@ -3071,6 +3084,12 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     // exact column predicates on top; omitting them would make serving
     // views and rollups silently skip the restored rows)
     val l0ReKeys = readds.filter(TxLog.isL0).flatMap(old.l0Keys.get)
+    // a re-add resurrects paths the ledger may hold as dead — prune
+    // BEFORE the commit so no write-path fold vacuum can ever delete a
+    // just-restored live file (the one re-add path in the design; see
+    // vacuumDerefs). A restore that fails after this point merely
+    // leaves the files for the admin full-sweep vacuum.
+    readds.foreach(derefLedger.remove)
     log.commit(v => LogCommit(v,
       adds = readds, removes = cur.files.diff(old.files),
       tombs = old.tombs, clearTombs = true, clearInline = true,

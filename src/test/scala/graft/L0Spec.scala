@@ -563,6 +563,46 @@ class L0Spec extends SparkSpec {
     }
   }
 
+  test("a restored (re-added) file is never deleted by a later " +
+      "write-path fold vacuum") {
+    withDir { dir =>
+      // restoreVersion is the ONE path that re-adds a previously
+      // dereferenced file — the dereference ledger must forget it
+      // BEFORE the restore commits, or the next write-path fold's
+      // grace-0 vacuum deletes a LIVE file (silent data loss)
+      val e = new TsdbEngine(spark, s"$dir/db")
+      e.vacuumGraceMs = 3600000L // compact keeps the dead file around
+      e.foldVacuumGraceMs = 0L   // fold vacuums bite immediately
+      // the restored file must be a HIVE file: a restored L0 file gets
+      // consumed (legitimately re-dereferenced) by the very next L0
+      // fold, so only a hive re-add leaves a stale ledger entry for a
+      // file that stays live — the actual data-loss window
+      e.putDF(txnBatch(e, "rr", "h1", 1000L, 7.0)) // txn=None → hive layout
+      val v1 = e.version
+      assert(e.compact().isRight) // hive file dereferenced, ledger holds it
+      assert(e.restoreVersion(v1).isRight) // ...and is live again
+      assert(e.query(QueryParams("rr", startNs = 0L,
+        endNs = Some(1L << 40))).count() == 1)
+      // drive threshold folds from the write path (their vacuum runs
+      // with grace 0 against the ledger — the fold grace is
+      // max(vacuumGraceMs, foldVacuumGraceMs), so the retention grace
+      // that protected the pre-restore window must drop now)
+      e.vacuumGraceMs = 0L
+      e.inlineCompactThreshold = 2
+      e.l0CompactThreshold = 1
+      def dp(i: Int) = DataPoint("other", Map("host" -> s"h$i"), i * 1000L,
+        Map("value" -> FieldValue.ofDouble(i.toDouble)))
+      (0 until 8).foreach(i => assert(e.putBatch(Seq(dp(i))).isRight))
+      assert(e.query(QueryParams("rr", startNs = 0L,
+        endNs = Some(1L << 40))).count() == 1,
+        "the restored file must survive write-path fold vacuums")
+      // and a restart still reads it (the file really is on disk)
+      val e2 = new TsdbEngine(spark, s"$dir/db")
+      assert(e2.query(QueryParams("rr", startNs = 0L,
+        endNs = Some(1L << 40))).count() == 1)
+    }
+  }
+
   test("restoreVersion re-keys re-added L0 files: per-metric serving " +
       "sees the restored rows") {
     withDir { dir =>
