@@ -2763,6 +2763,70 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     Right(())
   }
 
+  /** Retention as a METADATA operation: drop every data file whose
+    * date partition lies ENTIRELY before the retention cutoff — one
+    * commit of `removes`, no read, no rewrite. At 100 TB a daily
+    * retention pass must not cost a table rewrite; this is the
+    * lakehouse analog of the reference dropping expired entries only
+    * for the subset a compaction already touches
+    * (`engine2/compaction_manager.go:734-760` — retention there is
+    * incremental too, never a standalone full rewrite). The boundary
+    * partition (cutoff mid-day) keeps its rows until [[compact]]'s
+    * exact ns filter — the same "enforced at compaction time, not
+    * query time" semantics, advanced for whole partitions only, since
+    * a fully-expired partition would contribute zero surviving rows to
+    * the next compaction anyway. L0 files are dropped only when EVERY
+    * recorded date is fully expired (files with no recorded keys are
+    * conservatively kept for compact()). Fires the compaction hook
+    * pair (a PreCompaction veto skips the sweep). Returns files
+    * dropped. */
+  def enforceRetention(nowNs: Option[Long] = None): Either[String, Int] =
+    retentionPeriodNs match {
+      case None => Right(0)
+      case Some(period) =>
+        if (hooks.hasListeners(EventType.PreCompaction))
+          hooks.trigger(HookEvent(EventType.PreCompaction, Payloads.PreCompaction())) match {
+            case Left(err) => return Left(err)
+            case Right(()) => ()
+          }
+        val cutoff = nowNs.getOrElse(System.currentTimeMillis() * 1000000L) - period
+        // partition date=D spans [D, D+1) days; fully expired iff
+        // (D+1)·day ≤ cutoff iff D < dayStr(cutoff) — ISO dates compare
+        // lexicographically, matching compact()'s `timestamp >= cutoff`
+        val cutoffDay = TsdbEngine.dayStr(cutoff)
+        // racing threshold folds read L0 files from THEIR snapshot; a
+        // retention drop + vacuum in between would FileNotFound the
+        // fold's read — same discipline as compact(): blocking acquire
+        foldLock.lock()
+        try {
+          val s = snap
+          val dead = s.files.filter { f =>
+            if (TxLog.isL0(f))
+              s.l0Keys.get(f).exists { case (_, dates) =>
+                dates.nonEmpty && dates.forall(_ < cutoffDay) }
+            else TsdbEngine.dateOfPath(f).exists(_ < cutoffDay)
+          }
+          if (dead.isEmpty) Right(0)
+          else {
+            val deadL0 = dead.filter(TxLog.isL0)
+            val bytesDropped = bytesOf(dead)
+            val hwm = seqCounter.get()
+            log.commit(v => LogCommit(v, removes = dead,
+              metrics = (metricsOf(dead) ++
+                deadL0.flatMap(f => s.l0Keys.get(f).fold(Seq.empty[String])(_._1))).distinct,
+              dates = deadL0.flatMap(f =>
+                s.l0Keys.get(f).fold(Seq.empty[String])(_._2)).distinct,
+              maxSeq = hwm))
+            recordDerefs(dead)
+            committed()
+            firePost(EventType.PostCompaction,
+              Payloads.PostCompaction(dead, Nil, bytesDropped, 0L))
+            vacuum()
+            Right(dead.size)
+          }
+        } finally foldLock.unlock()
+    }
+
   /** Physically delete data files no longer referenced by the CURRENT
     * version (like `VACUUM`; time travel reaches back only to versions
     * whose files survive). */
@@ -3168,6 +3232,15 @@ object TsdbEngine {
     case PointTombstone(m, tg, ts, sq) => TombRow("point", m, tg, ts, ts, sq)
     case SeriesTombstone(m, tg, sq) => TombRow("series", m, tg, 0L, 0L, sq)
     case RangeTombstone(m, tg, a, b, sq) => TombRow("range", m, tg, a, b, sq)
+  }
+
+  /** `date=` partition value of a hive-layout path
+    * (`metric=<m>/date=<yyyy-MM-dd>/<file>`), if present. */
+  def dateOfPath(p: String): Option[String] = {
+    val segs = p.split('/')
+    if (segs.length >= 2 && segs(1).startsWith("date="))
+      Some(segs(1).drop(5))
+    else None
   }
 
   /** Distinct metrics named by a set of `metric=<m>/...` paths

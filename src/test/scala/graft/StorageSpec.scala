@@ -150,6 +150,68 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("enforceRetention drops fully-expired partitions as METADATA — " +
+      "no read, no rewrite; boundary rows wait for compact") {
+    withDir { dir =>
+      // at 100 TB a daily retention pass must not cost a table rewrite:
+      // enforceRetention commits `removes` for whole expired date
+      // partitions (one manifest write), leaving the boundary partition
+      // to compact()'s exact ns filter
+      val e = new TsdbEngine(spark, s"$dir/db")
+      e.inlineMaxRows = 0 // hive layout, one date partition per day
+      val day = TsdbEngine.DayNs
+      // days 1, 5, and two points on day 6 straddling a mid-day cutoff
+      e.putBatch(Seq(pt("m", "h1", 1 * day, 1.0), pt("m", "h1", 5 * day, 2.0),
+        pt("m", "h1", 6 * day + 1000L, 3.0), pt("m", "h1", 9 * day, 4.0)))
+      e.retentionPeriodNs = Some(Math.round(3.5 * day)) // cutoff = day 6.5
+      val before = e.fileCounts._1
+      val vBefore = e.version
+      val dropped = e.enforceRetention(nowNs = Some(10 * day))
+      assert(dropped == Right(2), s"days 1 and 5 are fully expired: $dropped")
+      assert(e.version == vBefore + 1, "ONE metadata commit")
+      assert(e.fileCounts._1 == before - 2,
+        "no files were written — removes only")
+      val ts = e.query(QueryParams("m", startNs = 0L, endNs = Some(20 * day)))
+        .select("timestamp").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ts == Seq(6 * day + 1000L, 9 * day),
+        s"whole expired partitions gone, boundary day-6 row STAYS " +
+          s"(compaction-time semantics, advanced per partition): $ts")
+      // compact() finishes the job exactly (day-6 row < cutoff dies)
+      assert(e.compact(nowNs = Some(10 * day)).isRight)
+      assert(count(e, "m") == 1)
+      // idempotent / nothing-to-do path
+      assert(e.enforceRetention(nowNs = Some(10 * day)) == Right(0))
+      // no retention configured → no-op
+      e.retentionPeriodNs = None
+      assert(e.enforceRetention(nowNs = Some(100 * day)) == Right(0))
+      // restart replays the drop
+      val e2 = new TsdbEngine(spark, s"$dir/db")
+      assert(count(e2, "m") == 1)
+    }
+  }
+
+  test("enforceRetention drops an L0 file only when EVERY recorded " +
+      "date is expired") {
+    withDir { dir =>
+      val e = new TsdbEngine(spark, s"$dir/db")
+      val day = TsdbEngine.DayNs
+      import SparkTestSession.spark.implicits._
+      def l0batch(id: Long, ts: Long*) = {
+        e.putDF(ts.map(t => TsdbEngine.StoredPoint("m", Map("host" -> "h1"),
+          t, Map("value" -> TsdbEngine.StoredValue(Some(1.0), None, None, None)),
+          e.nextSeq())).toDF(), txn = Some(("ret", id)))
+      }
+      l0batch(0L, 1 * day)             // fully expired
+      l0batch(1L, 2 * day, 9 * day)    // straddles: one live date → kept
+      e.retentionPeriodNs = Some(4 * day)
+      assert(e.enforceRetention(nowNs = Some(10 * day)) == Right(1))
+      val ts = e.query(QueryParams("m", startNs = 0L, endNs = Some(20 * day)))
+        .select("timestamp").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ts == Seq(2 * day, 9 * day),
+        s"the straddling L0 file must be kept whole for compact(): $ts")
+    }
+  }
+
   test("incremental snapshot: second snapshot copies only new files") {
     withDir { dir =>
       val e = new TsdbEngine(spark, s"$dir/db")
