@@ -1475,4 +1475,52 @@ class RollupSpec extends SparkSpec {
           s"boundary=$boundary): resumed folds must be bit-identical")
     }
   }
+
+  test("rollup + smoothing survive enforceRetention's partition drop " +
+      "bit-identically to raw") {
+    // A retention drop is a PREFIX EDIT: the dropped days fall before
+    // every surviving one, so the smoothing states (prefix folds from
+    // each series' first sample) must re-fold from the NEW first sample
+    // — the suffix-incremental maintenance path with an empty prefix.
+    // Raw oracle = a second engine on the same root with NO rollup
+    // registered, so the routed result is compared against the raw
+    // plan over exactly the post-drop data.
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_ret").toString
+    val eng = new TsdbEngine(spark, dir)
+    val Day = 24 * Hr
+    val points = for (d <- 1 to 9; i <- 0 until 6; h <- Seq("h0", "h1"))
+      yield graft.model.DataPoint("ret.m", Map("host" -> h),
+        d * Day + i * 4 * Hr + (i % 3) * Min,
+        Map("value" -> graft.model.FieldValue.ofDouble(
+          math.sin(d * 6 + i) * 10 + d)))
+    assert(eng.putBatch(points).isRight)
+    assert(eng.compact().isRight) // land the hive date partitions
+    eng.registerRollup("ret.m", Hr, Seq("value"),
+      smooth = Seq(SmoothSpec("value", "ewma", 0.25)))
+    val q = QueryParams("ret.m", startNs = 0L, endNs = Some(11 * Day - 1),
+      downsampleNs = Some(Day),
+      aggs = Seq(AggSpec("sum", "value"), AggSpec("count", "*"),
+        AggSpec("min", "value"), AggSpec("max", "value")))
+    val ewmaBy = AnalyzeEwmaBy("value", 0.25, 12 * Hr)
+    eng.analyze(q.copy(downsampleNs = None, aggs = Nil), ewmaBy).collect()
+    assert(eng.lastServePath == "rollup-ewma", eng.lastServePath)
+    // drop days 1-5 as metadata (cutoff = day 6.5)
+    eng.retentionPeriodNs = Some(Math.round(3.5 * Day))
+    assert(eng.enforceRetention(nowNs = Some(10 * Day)) == Right(5))
+    val raw = new TsdbEngine(spark, dir) // no rollup registered → raw plans
+    def canon(rs: Array[org.apache.spark.sql.Row]) = rs.map(_.toSeq).toSeq
+    val routedDs = eng.queryServing(q).collect()
+    val rawDs = raw.query(q).collect()
+    assert(canon(routedDs) == canon(rawDs) && rawDs.nonEmpty,
+      "routed downsample must equal raw after the partition drop")
+    val routedE = eng.analyze(q.copy(downsampleNs = None, aggs = Nil), ewmaBy)
+      .collect()
+    assert(eng.lastServePath == "rollup-ewma",
+      s"the smoothing route must still serve: ${eng.lastServePath}")
+    val rawE = raw.analyze(q.copy(downsampleNs = None, aggs = Nil), ewmaBy)
+      .collect()
+    assert(raw.lastServePath == "analyze-raw", raw.lastServePath)
+    assert(canon(routedE) == canon(rawE) && rawE.nonEmpty,
+      "stored EWMA folds must restart from the post-drop first sample")
+  }
 }
