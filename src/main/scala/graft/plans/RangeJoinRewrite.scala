@@ -51,19 +51,33 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     * QueryExecution), so without the cache a serving loop re-runs the
     * p95+max aggregation job once per action — pure planning-time waste
     * (the same property that made r14's scoped-registration bench time
-    * an un-rescued plan). Bounded LRU; the width is a performance knob
-    * (the original condition is always re-verified), so a stale entry
-    * after data growth costs fanout, never correctness — writers that
-    * materially change interval distributions can clear it via
-    * [[clearWidthCache]]. Thread-safe via synchronized access (plan
-    * rewrites are driver-side and rare). */
+    * an un-rescued plan). Bounded LRU (the plan-tree keys can
+    * transitively pin relation metadata, so the bound matters) AND
+    * TTL-expired ([[WidthTtlKey]]): a mutable-source interval side
+    * (catalog/JDBC relation) keeps a STABLE canonicalized plan across
+    * data growth — unlike file relations, whose FileIndex identity
+    * changes — and the exact-max floor exists precisely to bound a
+    * later long-outlier interval's Sequence explosion, so an entry
+    * must not outlive the data distribution it measured. A stale width
+    * within the TTL costs fanout up to [[MaxFanout]] (the original
+    * join condition is always re-verified, so never correctness);
+    * expiry costs one trivial re-probe aggregation. Writers that
+    * materially change interval distributions can still clear eagerly
+    * via [[clearWidthCache]]. Thread-safe via synchronized access
+    * (plan rewrites are driver-side and rare). */
   private val WidthCacheMax = 64
+  private val WidthTtlKey = "spark.graft.rangeJoin.widthCacheTtlMs"
+  private val WidthTtlDefaultMs = 600000L // 10 min
   private val widthCache =
-    new java.util.LinkedHashMap[LogicalPlan, Option[Long]](16, 0.75f, true) {
+    new java.util.LinkedHashMap[LogicalPlan, (Option[Long], Long)](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[LogicalPlan, Option[Long]]): Boolean =
+          e: java.util.Map.Entry[LogicalPlan, (Option[Long], Long)]): Boolean =
         size() > WidthCacheMax
     }
+
+  private def widthTtlMs: Long =
+    try conf.getConfString(WidthTtlKey, WidthTtlDefaultMs.toString).toLong
+    catch { case _: NumberFormatException => WidthTtlDefaultMs }
 
   def clearWidthCache(): Unit = widthCache.synchronized(widthCache.clear())
 
@@ -100,7 +114,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     val len = Alias(Subtract(hi, lo), "__graft_len")()
     val probePlan = Project(Seq(len), ival)
     val key = probePlan.canonicalized
+    val ttl = widthTtlMs
+    val now = System.currentTimeMillis()
     val cached = widthCache.synchronized(Option(widthCache.get(key)))
+      .collect { case (w, at) if ttl <= 0 || now - at < ttl => w }
     cached.getOrElse {
       probeRuns.incrementAndGet()
       val spark = SparkSession.active
@@ -120,7 +137,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         }
       // a None (empty interval side) is NOT cached: the side may fill
       // up later, and re-probing an empty side is a trivial agg
-      if (w.isDefined) widthCache.synchronized(widthCache.put(key, w))
+      if (w.isDefined) widthCache.synchronized(widthCache.put(key, (w, now)))
       w
     }
   } catch {

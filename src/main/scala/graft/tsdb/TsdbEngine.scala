@@ -2821,7 +2821,13 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
             committed()
             firePost(EventType.PostCompaction,
               Payloads.PostCompaction(dead, Nil, bytesDropped, 0L))
-            vacuum()
+            // ledger-only vacuum: the dropped files were just recorded as
+            // derefs, so this stays O(files dropped) — a full data-root
+            // walk here would contradict the metadata-only contract above
+            // (and block write-path folds for its O(all files) duration,
+            // since it runs under foldLock). Strays stay the explicit
+            // admin vacuum()'s job.
+            vacuumDerefs(vacuumGraceMs)
             Right(dead.size)
           }
         } finally foldLock.unlock()
@@ -3132,37 +3138,49 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     }
     if (old.version != version)
       return Left(s"cannot restore to $version: log tip is ${old.version}")
-    val missing = old.files.filterNot(f => Files.exists(Paths.get(s"$dataDir/$f")))
-    if (missing.nonEmpty)
-      return Left(s"cannot restore to $version: ${missing.size} files vacuumed")
-    val cur = snap
-    val hwm = seqCounter.get()
-    // inline commits roll back too: clear the live set and re-record the
-    // target version's blobs as one combined blob (rows keep their seqs,
-    // so the merge semantics are unchanged)
-    val oldInline = old.inline.flatMap(ic => InlineRows.decode(ic.blob))
-    val readds = old.files.diff(cur.files)
-    // re-added L0 files carry no metric/date path segments — replay keys
-    // them in l0Keys from THIS commit's recorded sets, so fold their old
-    // keys in (over-approximation is safe: per-metric selection applies
-    // exact column predicates on top; omitting them would make serving
-    // views and rollups silently skip the restored rows)
-    val l0ReKeys = readds.filter(TxLog.isL0).flatMap(old.l0Keys.get)
-    // a re-add resurrects paths the ledger may hold as dead — prune
-    // BEFORE the commit so no write-path fold vacuum can ever delete a
-    // just-restored live file (the one re-add path in the design; see
-    // vacuumDerefs). A restore that fails after this point merely
-    // leaves the files for the admin full-sweep vacuum.
-    readds.foreach(derefLedger.remove)
-    log.commit(v => LogCommit(v,
-      adds = readds, removes = cur.files.diff(old.files),
-      tombs = old.tombs, clearTombs = true, clearInline = true,
-      inline = if (oldInline.isEmpty) None else Some(InlineRows.encode(oldInline)),
-      metrics = (metricsOf(cur.files ++ old.files) ++ l0ReKeys.flatMap(_._1) ++
-        old.inline.flatMap(_.metrics) ++ cur.inline.flatMap(_.metrics)).distinct,
-      dates = (l0ReKeys.flatMap(_._2) ++ old.inline.flatMap(_.dates) ++
-        cur.inline.flatMap(_.dates)).distinct, maxSeq = hwm))
-    recordDerefs(cur.files.diff(old.files))
+    // The whole check-diff-and-commit runs under foldLock: (a) the
+    // vacuumed-file check and the diff against `snap` must not go stale
+    // under a racing fold's commit-and-vacuum, and (b) the ledger prune
+    // below must not race an IN-FLIGHT vacuumDerefs whose
+    // weakly-consistent iterator already fetched the entry (it would
+    // delete the file after this commit makes it live again) — every
+    // ledger vacuum runs under foldLock, so a blocking acquire
+    // serializes the prune-commit against it (same discipline as
+    // compact()/enforceRetention). A restore that fails after the prune
+    // merely leaves the files for the admin vacuum.
+    foldLock.lock()
+    try {
+      val missing = old.files.filterNot(f => Files.exists(Paths.get(s"$dataDir/$f")))
+      if (missing.nonEmpty)
+        return Left(s"cannot restore to $version: ${missing.size} files vacuumed")
+      val cur = snap
+      val hwm = seqCounter.get()
+      // inline commits roll back too: clear the live set and re-record the
+      // target version's blobs as one combined blob (rows keep their seqs,
+      // so the merge semantics are unchanged)
+      val oldInline = old.inline.flatMap(ic => InlineRows.decode(ic.blob))
+      val readds = old.files.diff(cur.files)
+      // re-added L0 files carry no metric/date path segments — replay keys
+      // them in l0Keys from THIS commit's recorded sets, so fold their old
+      // keys in (over-approximation is safe: per-metric selection applies
+      // exact column predicates on top; omitting them would make serving
+      // views and rollups silently skip the restored rows)
+      val l0ReKeys = readds.filter(TxLog.isL0).flatMap(old.l0Keys.get)
+      // a re-add resurrects paths the ledger may hold as dead — prune
+      // BEFORE the commit so no write-path fold vacuum can ever delete a
+      // just-restored live file (the one re-add path in the design; see
+      // vacuumDerefs)
+      readds.foreach(derefLedger.remove)
+      log.commit(v => LogCommit(v,
+        adds = readds, removes = cur.files.diff(old.files),
+        tombs = old.tombs, clearTombs = true, clearInline = true,
+        inline = if (oldInline.isEmpty) None else Some(InlineRows.encode(oldInline)),
+        metrics = (metricsOf(cur.files ++ old.files) ++ l0ReKeys.flatMap(_._1) ++
+          old.inline.flatMap(_.metrics) ++ cur.inline.flatMap(_.metrics)).distinct,
+        dates = (l0ReKeys.flatMap(_._2) ++ old.inline.flatMap(_.dates) ++
+          cur.inline.flatMap(_.dates)).distinct, maxSeq = hwm))
+      recordDerefs(cur.files.diff(old.files))
+    } finally foldLock.unlock()
     committed()
     Right(())
   }

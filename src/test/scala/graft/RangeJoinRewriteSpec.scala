@@ -169,6 +169,33 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("width cache entries EXPIRE (TTL): a stable-plan interval side " +
+      "re-probes after the TTL so grown data re-floors the fanout bound") {
+    // catalog/JDBC-style relations keep a STABLE canonicalized plan
+    // across data growth (unlike file relations, whose FileIndex
+    // identity changes) — without expiry a stale width re-opens the
+    // unbounded Sequence explosion the exact-max probe bounds. The TTL
+    // makes staleness bounded-by-time for every relation type.
+    val naive = ivs.crossJoin(pts).filter($"t" >= $"s" && $"t" <= $"e")
+      .select($"iv_id", $"pt_id").as[(Long, Long)].collect().toSet
+    graft.plans.RangeJoinRewrite.clearWidthCache()
+    try {
+      spark.conf.set("spark.graft.rangeJoin.widthCacheTtlMs", "50")
+      withRuleNoConf(None) {
+        val before = graft.plans.RangeJoinRewrite.probeRuns.get()
+        val joined = ivs.join(pts, $"t" >= $"s" && $"t" <= $"e")
+        assert(joined.select($"iv_id", $"pt_id").as[(Long, Long)]
+          .collect().toSet == naive)
+        assert(graft.plans.RangeJoinRewrite.probeRuns.get() == before + 1)
+        Thread.sleep(80) // past the TTL — the entry must be treated as absent
+        assert(joined.select($"iv_id", $"pt_id").as[(Long, Long)]
+          .collect().toSet == naive)
+        assert(graft.plans.RangeJoinRewrite.probeRuns.get() == before + 2,
+          "an expired entry must re-derive the width")
+      }
+    } finally spark.conf.unset("spark.graft.rangeJoin.widthCacheTtlMs")
+  }
+
   test("joins that already have an equi key are left alone") {
     withRule(100L) {
       val a = Seq((1L, 5L)).toDF("k", "x")
