@@ -3073,6 +3073,19 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         case Some(cv) =>
           val ck = log.readCheckpoint(cv)
           ck.files.foreach(shipFile)
+          // the files SIDECAR (large-table checkpoint format) ships
+          // before the manifest that references it — the same
+          // files-before-manifest invariant as data commits, so the
+          // follower never reads a manifest whose sidecar is missing
+          val sidecarSrc = log.checkpointFilesPath(cv)
+          if (Files.exists(sidecarSrc)) {
+            val sidecarDst = destLogDir.resolve(sidecarSrc.getFileName.toString)
+            if (!Files.exists(sidecarDst)) {
+              val tmp = destLogDir.resolve(s".ship-ckptf-$cv.tmp")
+              Files.copy(sidecarSrc, tmp, StandardCopyOption.REPLACE_EXISTING)
+              Files.move(tmp, sidecarDst, StandardCopyOption.ATOMIC_MOVE)
+            }
+          }
           val manifest = destLogDir.resolve(
             log.checkpointPath(cv).getFileName.toString)
           if (!Files.exists(manifest)) {

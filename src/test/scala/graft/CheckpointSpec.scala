@@ -327,4 +327,78 @@ class CheckpointSpec extends SparkSpec {
       assert(t2.replay() == s, "cold replay must start from the checkpoint")
     }
   }
+
+  test("large-table checkpoints split the files list to a SIDECAR: " +
+      "round-trip, cold replay, truncation cleanup") {
+    withDir { dir =>
+      // at ~800k live files (100 TB / 128 MB) the inline JSON files list
+      // is ~40 MB serialized on the committing thread every interval —
+      // above the threshold the list moves to a newline sidecar
+      // (ProbeCkptCost: 1M-file write 203→~35 ms, read 513→~160 ms)
+      val saved = TxLog.filesSidecarThreshold
+      TxLog.filesSidecarThreshold = 10
+      try {
+        val t = new TxLog(s"$dir/log")
+        val paths = (0 until 50).map(i =>
+          f"metric=m${i % 3}/date=2024-01-${i % 9 + 1}%02d/c-$i%04d.parquet")
+        t.commit(v => LogCommit(v, adds = paths,
+          metrics = Seq("m0", "m1", "m2"), dates = Seq("2024-01-01"),
+          maxSeq = 1L))
+        t.commit(v => LogCommit(v, tombs = Seq(TsdbEngine.TombRow("series",
+          "m0", Map("h" -> "a"), 0L, 0L, 2L)), metrics = Seq("m0"), maxSeq = 2L))
+        val s = t.replay()
+        t.writeCheckpoint(s)
+        assert(Files.exists(t.checkpointFilesPath(2L)),
+          "50 files ≥ threshold 10 must produce a sidecar")
+        assert(Files.size(t.checkpointPath(2L)) < 1000,
+          "the JSON manifest must not inline the file list")
+        assert(t.readCheckpoint(2L) == s,
+          "sidecar checkpoint must round-trip the snapshot exactly")
+        // cold replay across truncation sees only the sidecar checkpoint
+        t.truncate(graceMs = 0L, keepCheckpoints = 1)
+        val t2 = new TxLog(s"$dir/log")
+        assert(t2.replay() == s)
+        // a SMALL list stays inline (both formats readable side by side)
+        t.commit(v => LogCommit(v, removes = paths.drop(1),
+          metrics = Seq("m0", "m1", "m2"), maxSeq = 3L))
+        TxLog.filesSidecarThreshold = 1000
+        t.writeCheckpoint(t.replay())
+        assert(!Files.exists(t.checkpointFilesPath(3L)))
+        assert(t.readCheckpoint(3L) == t.replay())
+        // truncation collects the old sidecar WITH its manifest
+        t.truncate(graceMs = 0L, keepCheckpoints = 1)
+        assert(!Files.exists(t.checkpointPath(2L)))
+        assert(!Files.exists(t.checkpointFilesPath(2L)),
+          "a truncated checkpoint must not orphan its sidecar")
+      } finally TxLog.filesSidecarThreshold = saved
+    }
+  }
+
+  test("replicateTo ships the sidecar BEFORE the checkpoint manifest; " +
+      "the follower replays a sidecar checkpoint") {
+    withDir { dir =>
+      val saved = TxLog.filesSidecarThreshold
+      TxLog.filesSidecarThreshold = 1 // any non-empty table crosses it
+      try {
+        val e1 = tuned(new TsdbEngine(spark, s"$dir/db"))
+        (0 until 30).foreach(i =>
+          assert(e1.putBatch(Seq(pt("m", s"h$i", i * 1000L, i.toDouble))).isRight))
+        assert(e1.compact().isRight)
+        (30 until 40).foreach(i =>
+          assert(e1.putBatch(Seq(pt("m", s"h$i", i * 1000L, i.toDouble))).isRight))
+        val log = new TxLog(s"$dir/db/_log")
+        val cv = log.latestCheckpoint().get
+        assert(Files.exists(log.checkpointFilesPath(cv)),
+          "test setup: the shipped checkpoint must use the sidecar format")
+        val shipped = e1.replicateTo(s"$dir/follower")
+        assert(shipped == e1.version)
+        val fl = new TxLog(s"$dir/follower/_log")
+        assert(Files.exists(fl.checkpointFilesPath(cv)),
+          "the sidecar must ship with its manifest")
+        val f = new TsdbEngine(spark, s"$dir/follower")
+        assert(f.version == e1.version)
+        assert(count(f, "m") == 40)
+      } finally TxLog.filesSidecarThreshold = saved
+    }
+  }
 }

@@ -26,7 +26,9 @@ object ProbeCkptCost {
         t.writeCheckpoint(t.replay()); t.readCheckpoint(1L)
       }
     }
-    Seq(1000, 10000, 100000).foreach { n =>
+    val sizes = if (args.contains("--big")) Seq(100000, 300000, 1000000)
+      else Seq(1000, 10000, 100000)
+    sizes.foreach { n =>
       val log = new TxLog(s"$tmp/log$n")
       // adds spread over 100 commits (a realistic manifest mix), paths
       // shaped like real fold output
@@ -50,7 +52,9 @@ object ProbeCkptCost {
         (System.nanoTime() - t0) / 1e6
       }
       val ckptV = log.latestCheckpoint().get
-      val size = Files.size(log.checkpointPath(ckptV))
+      val sidecar = log.checkpointFilesPath(ckptV)
+      val size = Files.size(log.checkpointPath(ckptV)) +
+        (if (Files.exists(sidecar)) Files.size(sidecar) else 0L)
       val r = (0 until 5).map { _ =>
         val t0 = System.nanoTime()
         log.readCheckpoint(ckptV)
