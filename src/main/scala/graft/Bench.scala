@@ -38,6 +38,25 @@ object Bench {
     e.getClass.getSimpleName + ": " +
       String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
 
+  /** Host-drift sentinel (VERDICT r15 #4): a fixed, deterministic,
+    * allocation-free CPU loop (FNV-1a over a counter stream) timed at
+    * battery start / middle / end. Identical work every run, no Spark,
+    * no I/O, single-threaded — its wall time measures the HOST
+    * (frequency / steal / thermal phase), so cross-round comparisons
+    * can normalize absolute numbers by the sentinel ratio instead of
+    * narrative adjudication (SCALE.md host-offset rule: identical-code
+    * absolutes have swung 1.5–2× between sessions). */
+  private def sentinelMs(): Double = {
+    var h = 0xcbf29ce484222325L
+    var i = 0L
+    val n = 200000000L
+    val t0 = System.nanoTime()
+    while (i < n) { h = (h ^ i) * 0x100000001b3L; i += 1 }
+    val dt = (System.nanoTime() - t0) / 1e6
+    if (h == 42L) System.err.println("sentinel") // value used: no DCE
+    dt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -67,6 +86,10 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // sentinel sample 1: session up, nothing Spark-heavy run yet
+    val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
+    sentinels += sentinelMs()
 
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (targeted scale
     // measurements; also keeps one JVM's broadcast/cleaner backlog
@@ -568,6 +591,8 @@ object Bench {
         s"threads=${mf.getThreadMXBean.getThreadCount}")
     }
     diag("warmup-end")
+    // sentinel sample 2: between the serving tier and the battery
+    sentinels += sentinelMs()
     val samples: Seq[Seq[(String, Double)]] = (0 until nPasses).map { p =>
       val passRows = qs.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -577,6 +602,8 @@ object Bench {
       diag(s"pass$p-end total=${passRows.map(_._2).sum}")
       passRows
     }
+    // sentinel sample 3: battery done
+    sentinels += sentinelMs()
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val byQuery: Seq[(String, Seq[Double])] =
       qs.map { case (name, _) => name -> samples.map(_.toMap.apply(name)) }
@@ -648,6 +675,11 @@ object Bench {
       s""""qps_cold_c10":${sm("qps_cold_c10")},""" +
       s""""ingest_rows_per_sec_c10":${sm("ingest_rows_per_sec_c10")},""" +
       s""""serving_runs":$servingRunsJson,""" +
+      // host-drift sentinel (start/middle/end): normalize cross-round
+      // absolutes by the ratio of sentinel MEDIANS before judging a
+      // regression; a spread within one run flags an intra-run phase
+      s""""sentinel_ms":${sentinels.mkString("[", ",", "]")},""" +
+      s""""sentinel_ms_median":${sentinels.sorted.apply(sentinels.size / 2)},""" +
       // spec-change provenance for keys whose measured query SHAPE changed
       // across rounds (comparing them round-over-round without this note
       // would be apples-to-oranges)

@@ -26,7 +26,8 @@ object ProbeStreamIngest {
       pts.drop("seq").toJSON.toDF("value")
         .repartition(8).write.text(s"$tmp/in")
       println(s"rows=$nRows files=8")
-      (0 until 3).foreach { pass =>
+      val passes = args.headOption.map(_.toInt).getOrElse(3)
+      (0 until passes).foreach { pass =>
         val engine = new graft.tsdb.TsdbEngine(spark, s"$tmp/db$pass")
         var batchWallNs = 0L
         var nBatches = 0
