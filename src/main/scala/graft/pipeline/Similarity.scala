@@ -543,9 +543,16 @@ object Similarity {
   /** `_index.json` marker of a materialized ANN index: quantizer
     * geometry + the trained centroids/codebooks, so query batches need
     * NO access to the original vectors. */
+  /** `distortion` is the mean ADC encode distortion (1 − cosine between
+    * a vector and its code reconstruction) of a training-corpus sample,
+    * recorded at build time — the baseline the drift gauge
+    * [[annIndexDistortionRatio]] compares appends against. Defaults 0
+    * so pre-r16 markers still read (their gauge reports a benign 1.0
+    * via the ratio floor). */
   final case class AnnIndexMarker(m: Int, ks: Int, nlist: Int,
       replicate: Int, centroids: Array[Array[Double]],
-      codebooks: Array[Array[Array[Double]]])
+      codebooks: Array[Array[Array[Double]]],
+      distortion: Double = 0.0)
 
   /** Materialize the IVF-PQ index of a corpus: `cells/` parquet of
     * (neighbor_id, codes) PARTITIONED BY cid, plus `_index.json`
@@ -570,7 +577,63 @@ object Similarity {
       .repartition(col("cid"))
       .write.partitionBy("cid").mode("overwrite").parquet(s"$path/cells")
     writeMarker(corpus.sparkSession, path,
-      AnnIndexMarker(m, ks, nlist, replicate, cents.map(_._2), cb))
+      AnnIndexMarker(m, ks, nlist, replicate, cents.map(_._2), cb,
+        distortion = sampleAdcDistortion(corpus, cb)))
+  }
+
+  /** Mean ADC encode distortion (1 − cos(v, reconstruction(codes(v))))
+    * of a hash-ordered sample — how much resolution the codebooks have
+    * WHERE `df`'s vectors live. Driver-side over ≤ `maxSample` vectors
+    * (same budget discipline as the quantizer trainers). */
+  def sampleAdcDistortion(df: DataFrame, cb: Array[Array[Array[Double]]],
+      maxSample: Int = 1024): Double = {
+    val raw = df.orderBy(xxhash64(col("id")), col("id")).limit(maxSample)
+      .select(col("vec")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    if (raw.isEmpty) return 0.0
+    val m = cb.length
+    val sub = raw.head.length / m
+    val per = raw.map { v =>
+      val rec = new Array[Double](v.length)
+      var j = 0
+      while (j < m) {
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cb(j).length) {
+          var s = 0.0; var i = 0
+          while (i < sub) {
+            val d = v(j * sub + i) - cb(j)(c)(i); s += d * d; i += 1
+          }
+          if (s < bd) { bd = s; best = c }
+          c += 1
+        }
+        System.arraycopy(cb(j)(best), 0, rec, j * sub, sub)
+        j += 1
+      }
+      var dv = 0.0; var nv = 0.0; var nr = 0.0; var i = 0
+      while (i < v.length) {
+        dv += v(i) * rec(i); nv += v(i) * v(i); nr += rec(i) * rec(i)
+        i += 1
+      }
+      val den = math.sqrt(nv) * math.sqrt(nr)
+      if (den == 0.0) 1.0 else 1.0 - dv / den
+    }
+    per.sum / per.length
+  }
+
+  /** Drift gauge #2: the ADC distortion of `df` (typically an increment
+    * about to be appended) relative to the marker's build-time training
+    * distortion. ≈1 while new data lives where the quantizer was
+    * trained; rises as the distribution moves somewhere the codebooks
+    * cannot resolve — the failure mode CELL SKEW misses entirely
+    * (`ProbeAnnDrift`: an orthant-folded increment kept skew at 3.2,
+    * under the bound, while its recall@10 sat at the full-probe
+    * ceiling — pure code error, distortion ratio >2). Markers from
+    * before the distortion field read as baseline 0 → the max() floor
+    * makes the gauge report a benign 1.0 rather than divide by zero. */
+  def annIndexDistortionRatio(df: DataFrame, path: String): Double = {
+    val mk = readMarker(df.sparkSession, path)
+    if (mk.distortion <= 0.0) 1.0
+    else sampleAdcDistortion(df, mk.codebooks) / mk.distortion
   }
 
   /** Marker IO goes through the Hadoop FileSystem resolved from the
@@ -650,6 +713,106 @@ object Similarity {
       throw new java.io.IOException(s"compactAnnIndex: cannot publish $staged")
     }
     fs.delete(new Path(retired), true)
+  }
+
+  /** Max-cell / mean-cell row-count skew of a materialized index — the
+    * drift gauge for the frozen-quantizer append model: appends assign
+    * new vectors to the EXISTING centroids, so a distribution shift
+    * piles them into the few cells nearest the new mass. Skewed cells
+    * hurt twice — probed-cell scans read more rows than nprobe/nlist
+    * promises, and recall for shifted queries decays because their true
+    * neighbors concentrate where the quantizer has no resolution
+    * (measured: `ProbeAnnDrift`). Balanced ≈ 1; the documented rebuild
+    * bound is [[DefaultAnnRebuildSkew]]. One groupBy over the code rows
+    * — cheap next to any query batch. */
+  def annIndexCellSkew(spark: org.apache.spark.sql.SparkSession,
+      path: String): Double = {
+    val counts = spark.read.parquet(s"$path/cells")
+      .groupBy("cid").count().select("count").collect().map(_.getLong(0))
+    if (counts.isEmpty) 0.0
+    else counts.max.toDouble / (counts.sum.toDouble / counts.length)
+  }
+
+  /** Sampled ground-truth recall audit of a materialized index: take
+    * `nQueries` hash-ordered sample vectors from `corpus`, answer them
+    * through [[pqTopKIndexed]] AND through exact [[bruteTopK]] over the
+    * same corpus, return mean recall@k. The reliable drift detector —
+    * `ProbeAnnDrift` measured a drift mode (orthant-folded appends:
+    * neighbor SEPARATION shrinks while absolute distortion doesn't)
+    * that neither cell skew (3.2, under bound) nor the distortion
+    * ratio (1.15) flags, while recall@10 for the shifted mass sat at
+    * its full-probe ceiling. Cost is one narrow pass of the corpus'
+    * vec column against `nQueries` broadcast queries — run it per
+    * maintenance window, not per query batch (the FAISS-style index
+    * health check, amortized like the engine's checkpointing). */
+  def annIndexRecallAudit(corpus: DataFrame, path: String, k: Int,
+      nprobe: Int, nQueries: Int = 32): Double = {
+    val spark = corpus.sparkSession
+    val qs = corpus.orderBy(xxhash64(col("id")), col("id")).limit(nQueries)
+      .select("id", "vec").cache()
+    try {
+      def sets(df: DataFrame): Map[Long, Set[Long]] =
+        df.select(col("query_id").cast("long"),
+          col("neighbor_id").cast("long")).collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val ann = sets(pqTopKIndexed(spark, path, qs, k, nprobe))
+      val exact = sets(bruteTopK(qs, corpus, k))
+      val per = exact.map { case (q, ex) =>
+        ann.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
+      if (per.isEmpty) 0.0 else per.sum / per.size
+    } finally { qs.unpersist(); () }
+  }
+
+  /** Rebuild trigger for drifted indexes, three gauges in cost order
+    * (all measured in `ProbeAnnDrift`, SCALE.md r16):
+    *
+    *  - CELL SKEW > `maxSkew` (one groupBy over code rows): appended
+    *    mass concentrated into few cells — probed scans read more than
+    *    nprobe/nlist promises and coarse routing loses resolution;
+    *  - ENCODE DISTORTION RATIO of the latest increment >
+    *    `maxDistortionRatio` (driver-side sample; pass via
+    *    `increment`): the codebooks cannot resolve where the new data
+    *    lives relative to where they were trained;
+    *  - RECALL AUDIT < `minRecall` (one corpus pass; opt-in): the
+    *    ground truth, catching drift modes the cheap gauges miss —
+    *    the probe's orthant fold held skew at 3.2 and distortion ratio
+    *    at 1.15 while shifted-query recall@10 sat at 0.06, its
+    *    full-probe ceiling (neighbor separation shrank, not absolute
+    *    distortion).
+    *
+    * When any bound is crossed, RETRAIN the quantizer on the full
+    * current corpus and rewrite the index (same geometry knobs from the
+    * marker); otherwise a no-op. Like the engine's threshold compaction
+    * this is the maintenance hook to drive from a scheduler (append →
+    * cheap gauges per append, recall audit per window → maybe rebuild).
+    * The rewrite replaces marker + cells together and is NOT
+    * concurrent-reader-safe (a reader could pair the new marker with
+    * old cells) — run it in the maintenance window, the same contract
+    * as the reference's manual reindex ops. Returns true when a
+    * rebuild ran. */
+  val DefaultAnnRebuildSkew = 4.0
+  val DefaultAnnRebuildDistortion = 2.0
+  def maybeRebuildAnnIndex(corpus: DataFrame, path: String,
+      maxSkew: Double = DefaultAnnRebuildSkew,
+      increment: Option[DataFrame] = None,
+      maxDistortionRatio: Double = DefaultAnnRebuildDistortion,
+      minRecall: Option[Double] = None, auditK: Int = 10,
+      auditNprobe: Int = 0): Boolean = {
+    val spark = corpus.sparkSession
+    lazy val mk = readMarker(spark, path)
+    val drifted = annIndexCellSkew(spark, path) > maxSkew ||
+      increment.exists(annIndexDistortionRatio(_, path) > maxDistortionRatio) ||
+      minRecall.exists(floor => annIndexRecallAudit(corpus, path, auditK,
+        if (auditNprobe > 0) auditNprobe else math.max(1, mk.nlist / 4)) < floor)
+    if (!drifted) false
+    else {
+      writeAnnIndex(corpus, path, mk.m, mk.ks, mk.nlist,
+        codebooks = Some(trainedCodebooks(corpus, mk.m, mk.ks)),
+        centroids = Some(kmeansCentroids(corpus, mk.nlist)),
+        replicate = mk.replicate)
+      true
+    }
   }
 
   /** Top-k against a materialized [[writeAnnIndex]] — identical ranks to

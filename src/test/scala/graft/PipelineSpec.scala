@@ -729,6 +729,42 @@ class PipelineSpec extends SparkSpec {
     assert(Similarity.pqTopKIndexed(spark, dir, q, 10, 6).count() > 0)
   }
 
+  test("ANN index drift maintenance: gauges report, the rebuild trigger " +
+      "fires on a crossed bound and retrains, a healthy index is a no-op") {
+    val vecs = graft.tsdb.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val a = vecs.filter(col("id") % 2 === 0)
+    // orthant-folded drift (ProbeAnnDrift's model): structure-preserving,
+    // concentrated where the trained quantizer has no resolution
+    val b = vecs.filter(col("id") % 2 === 1)
+      .select((col("id") + lit(10000000L)).as("id"),
+        transform(col("vec"), x => abs(x)).as("vec"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_d").toString
+    Similarity.writeAnnIndex(a, dir, m = 8, ks = 16, nlist = 16,
+      codebooks = Some(Similarity.trainedCodebooks(a, 8, 16)),
+      centroids = Some(Similarity.kmeansCentroids(a, 16)))
+    // build-time marker distortion makes the ratio ≈1 for training data
+    val selfRatio = Similarity.annIndexDistortionRatio(a, dir)
+    assert(selfRatio > 0.5 && selfRatio < 1.5,
+      s"training-data distortion ratio must sit near 1, got $selfRatio")
+    assert(Similarity.annIndexCellSkew(spark, dir) < 4.0,
+      "a trained build must start balanced")
+    // healthy index: every gauge under its bound → no-op
+    assert(!Similarity.maybeRebuildAnnIndex(a, dir, increment = Some(a)),
+      "a healthy index must not rebuild")
+    Similarity.appendAnnIndex(b, dir)
+    val union = a.unionByName(b)
+    val audit = Similarity.annIndexRecallAudit(union, dir, 10, 6)
+    assert(audit >= 0.0 && audit <= 1.0)
+    // a recall floor above the measured audit fires the trigger
+    assert(Similarity.maybeRebuildAnnIndex(union, dir,
+      minRecall = Some(math.min(0.99, audit + 0.01)), auditNprobe = 6),
+      "a crossed recall floor must trigger the retrain-rebuild")
+    // the rebuilt index serves the standard shape
+    val q = a.filter(col("id") < 10)
+    assert(Similarity.pqTopKIndexed(spark, dir, q, 10, 6).count() > 0)
+  }
+
   test("IVF near-dup: no invented pairs; planted duplicates found") {
     // testdata pairs at >=0.45 are coincidental (cosines 0.45-0.48, ~62°)
     // — no blocking scheme has locality there; verification correctness

@@ -1,0 +1,144 @@
+package graft
+
+import graft.pipeline.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-16 probe (VERDICT r15 #6): recall of the frozen-quantizer
+  * indexed ANN path under DISTRIBUTION DRIFT. The append contract
+  * (`appendAnnIndex`) is oracle-gated for row-identity with a rebuild
+  * over the same quantizer — but a quantizer trained on yesterday's
+  * distribution has no resolution where tomorrow's mass lands, so
+  * recall@k for shifted queries is the unmeasured quality axis.
+  * Protocol: train IVF-PQ on half the corpus, append a deterministic
+  * distribution-shifted second half under the frozen quantizer, measure
+  * recall@10 vs exact (`bruteTopK`) for original-distribution and
+  * shifted queries before/after, then retrain-rebuild
+  * (`maybeRebuildAnnIndex`) and measure the recovery plus the cell-size
+  * skew (`annIndexCellSkew`) at each stage — the skew is the cheap
+  * online gauge the rebuild trigger keys on. */
+object ProbeAnnDrift {
+
+  private def recallAt(ann: DataFrame, exact: DataFrame, k: Int): Double = {
+    def sets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val a = sets(ann); val e = sets(exact)
+    val per = e.map { case (q, ex) =>
+      a.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
+    if (per.isEmpty) 0.0 else per.sum / per.size
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val k = 10; val nprobe = 6; val nlist = 16; val m = 8; val ks = 16
+
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // half A: the trained (near-isotropic) distribution; half B: the
+    // same vectors folded into the POSITIVE ORTHANT (abs per coord) —
+    // a deterministic shift that models "new data from a narrower
+    // domain": B stays unit-norm with its near-dup structure intact,
+    // but its mass concentrates where A's isotropic quantizer has only
+    // a few cells (ids offset to stay unique)
+    val a = all.filter(col("id") % 2 === 0)
+    val b = all.filter(col("id") % 2 === 1)
+      .select((col("id") + lit(10000000L)).as("id"),
+        transform(col("vec"), x => abs(x)).as("vec"))
+    val nA = a.count(); val nB = b.count()
+    println(s"[probe] corpus A=$nA shifted B=$nB dim=64 k=$k nprobe=$nprobe")
+
+    val qA = a.filter(col("id") % 29 === 0).limit(40).cache()
+    val qB = b.filter(col("id") % 29 === 1).limit(40).cache()
+    println(s"[probe] queries: A-dist=${qA.count()} B-dist=${qB.count()}")
+
+    val idx = java.nio.file.Files.createTempDirectory("graft_ann_drift").toString
+    try {
+      // trained on A only — the realistic "yesterday's quantizer"
+      Similarity.writeAnnIndex(a, idx, m = m, ks = ks, nlist = nlist,
+        codebooks = Some(Similarity.trainedCodebooks(a, m, ks)),
+        centroids = Some(Similarity.kmeansCentroids(a, nlist)))
+      val skew0 = Similarity.annIndexCellSkew(spark, idx)
+      val r0 = recallAt(
+        Similarity.pqTopKIndexed(spark, idx, qA, k, nprobe),
+        Similarity.bruteTopK(qA, a, k), k)
+      println(f"[probe] stage=built-on-A     skew=$skew0%5.2f recall@10(A-queries)=$r0%.3f")
+
+      // drifted appends under the FROZEN quantizer
+      Similarity.appendAnnIndex(b, idx)
+      val union = a.unionByName(b)
+      val skew1 = Similarity.annIndexCellSkew(spark, idx)
+      val rA1 = recallAt(Similarity.pqTopKIndexed(spark, idx, qA, k, nprobe),
+        Similarity.bruteTopK(qA, union, k), k)
+      val rB1 = recallAt(Similarity.pqTopKIndexed(spark, idx, qB, k, nprobe),
+        Similarity.bruteTopK(qB, union, k), k)
+      // full-probe ceiling (nprobe = nlist): isolates CODE error from
+      // coarse-quantizer (cell) error — the gap to the ceiling is cells
+      val rB1c = recallAt(
+        Similarity.pqTopKIndexed(spark, idx, qB, k, nlist),
+        Similarity.bruteTopK(qB, union, k), k)
+      val distRatio = Similarity.annIndexDistortionRatio(b, idx)
+      println(f"[probe] stage=drifted-append skew=$skew1%5.2f " +
+        f"distortion_ratio(B)=$distRatio%5.2f " +
+        f"recall@10(A)=$rA1%.3f recall@10(B-shifted)=$rB1%.3f " +
+        f"(B full-probe ceiling=$rB1c%.3f)")
+
+      // the recall AUDIT is the gauge that fires on this drift mode
+      // (skew 3.2 under bound, distortion ratio ~1.15)
+      val audit = Similarity.annIndexRecallAudit(union, idx, k, nprobe)
+      println(f"[probe] recall audit over union (32 sampled queries) = $audit%.3f")
+      val rebuilt = Similarity.maybeRebuildAnnIndex(union, idx,
+        increment = Some(b), minRecall = Some(0.2), auditNprobe = nprobe)
+      val skew2 = Similarity.annIndexCellSkew(spark, idx)
+      val rA2 = recallAt(Similarity.pqTopKIndexed(spark, idx, qA, k, nprobe),
+        Similarity.bruteTopK(qA, union, k), k)
+      val rB2 = recallAt(Similarity.pqTopKIndexed(spark, idx, qB, k, nprobe),
+        Similarity.bruteTopK(qB, union, k), k)
+      val rB2c = recallAt(
+        Similarity.pqTopKIndexed(spark, idx, qB, k, nlist),
+        Similarity.bruteTopK(qB, union, k), k)
+      println(f"[probe] stage=rebuilt($rebuilt)  skew=$skew2%5.2f " +
+        f"recall@10(A)=$rA2%.3f recall@10(B-shifted)=$rB2%.3f " +
+        f"(B full-probe ceiling=$rB2c%.3f)")
+      val audit2 = Similarity.annIndexRecallAudit(union, idx, k, nprobe)
+      println(f"[probe] recall audit after rebuild = $audit2%.3f")
+
+      // remedies at the REAL quality levers, for calibration:
+      // (a) bigger code budget — retrain at ks=256 (8-bit subcodes,
+      //     8 B/vector instead of 4 B)
+      Similarity.writeAnnIndex(union, idx, m = m, ks = 256, nlist = nlist,
+        codebooks = Some(Similarity.trainedCodebooks(union, m, 256)),
+        centroids = Some(Similarity.kmeansCentroids(union, nlist)))
+      val rB3 = recallAt(Similarity.pqTopKIndexed(spark, idx, qB, k, nprobe),
+        Similarity.bruteTopK(qB, union, k), k)
+      val rA3 = recallAt(Similarity.pqTopKIndexed(spark, idx, qA, k, nprobe),
+        Similarity.bruteTopK(qA, union, k), k)
+      println(f"[probe] remedy ks=256 rebuild: recall@10(A)=$rA3%.3f " +
+        f"recall@10(B-shifted)=$rB3%.3f")
+      // (b) exact re-rank (refine ×8) over the DRIFTED frozen quantizer
+      //     — the serving-side remedy needing no rebuild at all
+      val rB4 = recallAt(
+        Similarity.pqTopKRefined(qB, union, k, refine = 8, m = m, ks = ks,
+          nlist = nlist, nprobe = nprobe,
+          codebooks = Some(Similarity.trainedCodebooks(a, m, ks)),
+          centroids = Some(Similarity.kmeansCentroids(a, nlist))),
+        Similarity.bruteTopK(qB, union, k), k)
+      println(f"[probe] remedy refine(8) on the DRIFTED quantizer: " +
+        f"recall@10(B-shifted)=$rB4%.3f")
+      // a retrained index must not re-trigger on any gauge
+      println(s"[probe] re-trigger after rebuild: " +
+        s"${Similarity.maybeRebuildAnnIndex(union, idx, increment = Some(b),
+          minRecall = Some(0.2), auditNprobe = nprobe)} (want false)")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx)); ()
+    }
+    spark.stop()
+  }
+}
