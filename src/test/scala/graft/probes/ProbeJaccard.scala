@@ -66,6 +66,59 @@ object ProbeJaccard {
     println(f"[probe] selectivity: true/candRaw = ${t.toDouble / candRaw}%.4f, " +
       f"true/candLen = ${t.toDouble / candLen}%.4f, " +
       f"lenFilter cut = ${1 - candLen.toDouble / candRaw}%.4f")
+    // ---- VERIFY stage in isolation (candidates persisted first) ----
+    val candFrame = joinedRaw.filter(
+      least(col("nsh_a"), col("nsh_b")).cast("double") >=
+        greatest(col("nsh_a"), col("nsh_b")) * threshold)
+      .select(col("doc_a"), col("doc_b")).distinct().persist()
+    candFrame.count() // materialize outside the timer
+    val shp = sh.persist(); shp.count()
+    val verified = time("verify stage alone (exact jaccard joins)") {
+      candFrame
+        .join(shp.select(col("doc").as("doc_a"), col("sh").as("sh_a"),
+          col("nsh").as("nsh_a")), "doc_a")
+        .join(shp.select(col("doc").as("doc_b"), col("sh").as("sh_b"),
+          col("nsh").as("nsh_b")), "doc_b")
+        .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .filter(col("common").cast("double") /
+          (col("nsh_a") + col("nsh_b") - col("common")).cast("double")
+          >= threshold)
+        .count()
+    }
+    println(s"[probe] verify output = $verified")
+    // ---- POSITIONAL filter potential (safe relational variant) ----
+    // prefixes of both docs are heads of the SAME global (df, h) order,
+    // so common tokens before a matched one appear before it in BOTH
+    // lists: overlap ≤ min(pa, pb) + 1 + min(nsh_a − pa − 1,
+    // nsh_b − pb − 1) (0-indexed). A true pair (overlap ≥
+    // ⌈t/(1+t)·(|A|+|B|)⌉) passes at EVERY matching row, so filtering
+    // rows is lossless for the pair set.
+    val prefixPos = posts.join(dfreq, "h").groupBy(col("doc"))
+      .agg(first(col("nsh")).as("nsh"),
+        array_sort(collect_list(struct(col("df"), col("h")))).as("ranked"))
+      .select(col("doc"), col("nsh"),
+        posexplode(slice(col("ranked"), lit(1), prefixLen)))
+      .select(col("doc"), col("nsh"), col("pos"), col("col.h").as("h"))
+      .persist()
+    prefixPos.count()
+    val ap = prefixPos.select(col("h"), col("doc").as("doc_a"),
+      col("nsh").as("nsh_a"), col("pos").as("pos_a"))
+    val bp = prefixPos.select(col("h"), col("doc").as("doc_b"),
+      col("nsh").as("nsh_b"), col("pos").as("pos_b"))
+    val alpha = ceil((col("nsh_a") + col("nsh_b")) *
+      lit(threshold / (1.0 + threshold)))
+    val candPos = time("candidate distinct (+ length + positional)") {
+      ap.join(bp, Seq("h")).filter(col("doc_a") < col("doc_b") &&
+        least(col("nsh_a"), col("nsh_b")).cast("double") >=
+          greatest(col("nsh_a"), col("nsh_b")) * threshold &&
+        (least(col("pos_a"), col("pos_b")) + lit(1) +
+          least(col("nsh_a") - col("pos_a") - 1,
+            col("nsh_b") - col("pos_b") - 1)).cast("double") >= alpha)
+        .select(col("doc_a"), col("doc_b")).distinct().count()
+    }
+    println(f"[probe] candidate pairs (+positional) = $candPos " +
+      f"(further cut = ${1 - candPos.toDouble / candLen}%.4f; " +
+      f"true/candPos = ${t.toDouble / candPos}%.4f)")
     spark.stop()
   }
 }
