@@ -570,15 +570,25 @@ object Similarity {
       codebooks: Option[Array[Array[Array[Double]]]] = None,
       centroids: Option[Array[Array[Double]]] = None,
       replicate: Int = 1): Unit = {
+    val spark = corpus.sparkSession
+    val fs = fsOf(spark, path)
+    // versioned by default; a pre-r16 FLAT root (marker at the root, no
+    // version dirs) keeps its layout and rebuilds in place
+    val cur = currentVersion(spark, path)
+    val flatLegacy = cur.isEmpty && fs.exists(markerPath(path))
+    val target =
+      if (flatLegacy) path else versionDir(path, cur.getOrElse(0) + 1)
     val cb = codebooks.getOrElse(firstKsCodebooks(corpus, m, ks))
     val cents: Array[(Int, Array[Double])] =
       centroids.getOrElse(kmeansCentroids(corpus, nlist)).zipWithIndex.map(_.swap)
     pqCells(corpus, cb, cents, replicate)
       .repartition(col("cid"))
-      .write.partitionBy("cid").mode("overwrite").parquet(s"$path/cells")
-    writeMarker(corpus.sparkSession, path,
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$target/cells")
+    writeMarker(spark, target,
       AnnIndexMarker(m, ks, nlist, replicate, cents.map(_._2), cb,
         distortion = sampleAdcDistortion(corpus, cb)))
+    // marker+cells complete under the version dir — now visible
+    if (!flatLegacy) publishVersion(spark, path, cur.getOrElse(0) + 1)
   }
 
   /** Mean ADC encode distortion (1 − cos(v, reconstruction(codes(v))))
@@ -631,7 +641,8 @@ object Similarity {
     * before the distortion field read as baseline 0 → the max() floor
     * makes the gauge report a benign 1.0 rather than divide by zero. */
   def annIndexDistortionRatio(df: DataFrame, path: String): Double = {
-    val mk = readMarker(df.sparkSession, path)
+    val mk = readMarker(df.sparkSession,
+      resolveIndexDir(df.sparkSession, path))
     if (mk.distortion <= 0.0) 1.0
     else sampleAdcDistortion(df, mk.codebooks) / mk.distortion
   }
@@ -663,6 +674,79 @@ object Similarity {
     finally in.close()
   }
 
+  // ---- versioned index root ------------------------------------------------
+  //
+  // A rebuild replaces marker AND cells; in one flat directory a reader
+  // can pair the new marker with old cells (mixed geometries — wrong
+  // answers, the r16 maintenance-window restriction). The root is
+  // therefore VERSIONED: `<path>/v00001/{_index.json,cells}`, with an
+  // advisory `_current` pointer — a rebuild writes the next version
+  // COMPLETELY, then flips the pointer, so every reader resolves one
+  // immutable marker+cells pair (the same files-before-manifest shape
+  // as TxLog commits; Delta's versioned-table answer to the same race).
+  // The PREVIOUS version survives one rebuild for in-flight readers
+  // (TxLog keepCheckpoints discipline); older ones are GC'd at flip.
+  // Pre-r16 flat roots (marker at `<path>/_index.json`, no pointer)
+  // keep reading and rebuilding IN PLACE — their documented
+  // maintenance-window contract is unchanged.
+
+  private def currentPtr(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_current")
+  private def versionDir(path: String, v: Int) = f"$path/v$v%05d"
+
+  /** Live version number of a versioned root: the `_current` pointer
+    * when valid, else the newest listed `v*` directory carrying a
+    * marker (a torn/missing pointer costs a listing, never
+    * correctness); None for flat/fresh roots. */
+  private def currentVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Int] = {
+    val fs = fsOf(spark, path)
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val fromPtr = scala.util.Try {
+      val in = fs.open(currentPtr(path))
+      try (org.json4s.jackson.JsonMethods.parse(
+        new java.io.InputStreamReader(in, "UTF-8")) \ "version").extract[Int]
+      finally in.close()
+    }.toOption.filter(v => fs.exists(markerPath(versionDir(path, v))))
+    fromPtr.orElse {
+      scala.util.Try(fs.listStatus(new org.apache.hadoop.fs.Path(path)))
+        .toOption.toSeq.flatten
+        .map(_.getPath.getName)
+        .filter(n => n.length == 6 && n.startsWith("v") &&
+          n.drop(1).forall(_.isDigit))
+        .map(_.drop(1).toInt).sorted.reverseIterator
+        .find(v => fs.exists(markerPath(versionDir(path, v))))
+    }
+  }
+
+  /** Directory holding the index's LIVE marker+cells pair: the current
+    * version dir of a versioned root, or the root itself for a pre-r16
+    * flat layout. Public — operational tooling pins a version by
+    * resolving once. */
+  def resolveIndexDir(spark: org.apache.spark.sql.SparkSession,
+      path: String): String =
+    currentVersion(spark, path).map(versionDir(path, _)).getOrElse(path)
+
+  /** Flip `_current` to `v` and GC versions older than the one just
+    * superseded (the previous version stays for in-flight readers). */
+  private def publishVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String, v: Int): Unit = {
+    val fs = fsOf(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/._current-${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"version":$v}""".getBytes("UTF-8"))
+    finally out.close()
+    // rename-over is not universal on Hadoop filesystems: delete+rename,
+    // with the listing fallback in currentVersion covering the window
+    fs.delete(currentPtr(path), false)
+    if (!fs.rename(tmp, currentPtr(path)))
+      throw new java.io.IOException(s"cannot publish index version $v at $path")
+    (1 until v - 1).foreach { old =>
+      fs.delete(new org.apache.hadoop.fs.Path(versionDir(path, old)), true)
+    }
+  }
+
   /** Append an increment to a materialized [[writeAnnIndex]]: encode the
     * new vectors under the index's FROZEN quantizer and append their
     * cell rows. Assignment depends only on the marker's centroids and
@@ -671,11 +755,12 @@ object Similarity {
     * the 100 TB maintenance contract: daily increments cost one narrow
     * encode of the new data, the existing cells are never rewritten. */
   def appendAnnIndex(increment: DataFrame, path: String): Unit = {
-    val mk = readMarker(increment.sparkSession, path)
+    val dir = resolveIndexDir(increment.sparkSession, path)
+    val mk = readMarker(increment.sparkSession, dir)
     pqCells(increment, mk.codebooks, mk.centroids.zipWithIndex.map(_.swap),
         mk.replicate)
       .repartition(col("cid"))
-      .write.partitionBy("cid").mode("append").parquet(s"$path/cells")
+      .write.partitionBy("cid").mode("append").parquet(s"$dir/cells")
   }
 
   /** Fold the per-append file sets of a materialized index: every
@@ -694,9 +779,10 @@ object Similarity {
   def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val cells = s"$path/cells"
-    val staged = s"$path/cells_compacting"
-    val retired = s"$path/cells_retired"
+    val dir = resolveIndexDir(spark, path)
+    val cells = s"$dir/cells"
+    val staged = s"$dir/cells_compacting"
+    val retired = s"$dir/cells_retired"
     val fs = fsOf(spark, path)
     // a crash between the two renames strands the cells under _retired;
     // restore before clearing leftovers (same recovery as the dedup index)
@@ -727,7 +813,7 @@ object Similarity {
     * — cheap next to any query batch. */
   def annIndexCellSkew(spark: org.apache.spark.sql.SparkSession,
       path: String): Double = {
-    val counts = spark.read.parquet(s"$path/cells")
+    val counts = spark.read.parquet(s"${resolveIndexDir(spark, path)}/cells")
       .groupBy("cid").count().select("count").collect().map(_.getLong(0))
     if (counts.isEmpty) 0.0
     else counts.max.toDouble / (counts.sum.toDouble / counts.length)
@@ -786,11 +872,12 @@ object Similarity {
     * marker); otherwise a no-op. Like the engine's threshold compaction
     * this is the maintenance hook to drive from a scheduler (append →
     * cheap gauges per append, recall audit per window → maybe rebuild).
-    * The rewrite replaces marker + cells together and is NOT
-    * concurrent-reader-safe (a reader could pair the new marker with
-    * old cells) — run it in the maintenance window, the same contract
-    * as the reference's manual reindex ops. Returns true when a
-    * rebuild ran. */
+    * On a VERSIONED root (every root built since r16) the rebuild is
+    * concurrent-reader-safe: the next version is written completely,
+    * then the `_current` pointer flips, and in-flight readers keep the
+    * previous version's immutable marker+cells pair. Only pre-r16 FLAT
+    * roots rebuild in place and keep the maintenance-window contract.
+    * Returns true when a rebuild ran. */
   val DefaultAnnRebuildSkew = 4.0
   val DefaultAnnRebuildDistortion = 2.0
   def maybeRebuildAnnIndex(corpus: DataFrame, path: String,
@@ -800,7 +887,7 @@ object Similarity {
       minRecall: Option[Double] = None, auditK: Int = 10,
       auditNprobe: Int = 0): Boolean = {
     val spark = corpus.sparkSession
-    lazy val mk = readMarker(spark, path)
+    lazy val mk = readMarker(spark, resolveIndexDir(spark, path))
     val drifted = annIndexCellSkew(spark, path) > maxSkew ||
       increment.exists(annIndexDistortionRatio(_, path) > maxDistortionRatio) ||
       minRecall.exists(floor => annIndexRecallAudit(corpus, path, auditK,
@@ -823,15 +910,18 @@ object Similarity {
     * read. */
   def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    graft.pipeline.Dedup.recoverStagedSwap(fsOf(spark, path),
-      new org.apache.hadoop.fs.Path(s"$path/cells"))
-    val mk = readMarker(spark, path)
+    // resolve ONCE: marker and cells are read from the same immutable
+    // version dir, so a concurrent rebuild's flip cannot mix geometries
+    val dir = resolveIndexDir(spark, path)
+    graft.pipeline.Dedup.recoverStagedSwap(fsOf(spark, dir),
+      new org.apache.hadoop.fs.Path(s"$dir/cells"))
+    val mk = readMarker(spark, dir)
     require(nprobe <= mk.nlist, s"nprobe $nprobe > nlist ${mk.nlist}")
     val cents = mk.centroids.zipWithIndex.map(_.swap)
     val probed = queries
       .select(explode(nearestCells(cents)(col("vec"), nprobe)).as("cid"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val enc = spark.read.parquet(s"$path/cells")
+    val enc = spark.read.parquet(s"$dir/cells")
       .filter(col("cid").isin(probed.map(Integer.valueOf).toSeq: _*))
     pqAdcRank(queries, enc, mk.codebooks, cents, k, nprobe)
   }

@@ -704,7 +704,8 @@ class PipelineSpec extends SparkSpec {
     Similarity.appendAnnIndex(vecs.filter(col("id") % 3 === 1), dir)
     Similarity.appendAnnIndex(vecs.filter(col("id") % 3 === 2), dir)
     def filesPerCell: Map[String, Int] = {
-      val root = java.nio.file.Paths.get(dir, "cells")
+      val root = java.nio.file.Paths.get(
+        Similarity.resolveIndexDir(spark, dir), "cells")
       import scala.collection.JavaConverters._
       java.nio.file.Files.list(root).iterator().asScala
         .filter(_.getFileName.toString.startsWith("cid="))
@@ -763,6 +764,67 @@ class PipelineSpec extends SparkSpec {
     // the rebuilt index serves the standard shape
     val q = a.filter(col("id") < 10)
     assert(Similarity.pqTopKIndexed(spark, dir, q, 10, 6).count() > 0)
+  }
+
+  test("versioned ANN index root: rebuilds flip atomically, in-flight " +
+      "readers keep a consistent pair, old versions GC to one, flat " +
+      "legacy roots keep their layout") {
+    val vecs = graft.tsdb.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cb = Similarity.firstKsCodebooks(vecs, 8, 16)
+    val cents = Similarity.firstNCentroids(vecs, 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_v").toString
+    val q = vecs.filter(col("id") < 5)
+    Similarity.writeAnnIndex(vecs, dir, 8, 16, 16,
+      codebooks = Some(cb), centroids = Some(cents))
+    assert(Similarity.resolveIndexDir(spark, dir).endsWith("v00001"),
+      "a fresh root must be versioned")
+    val answers = Similarity.pqTopKIndexed(spark, dir, q, 10, 6)
+      .select("query_id", "rank", "neighbor_id", "adc_e4")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    // an in-flight reader: its plan resolved v00001 BEFORE the rebuild
+    val pinned = Similarity.pqTopKIndexed(spark, dir, q, 10, 6)
+    Similarity.writeAnnIndex(vecs, dir, 8, 16, 16,
+      codebooks = Some(cb), centroids = Some(cents)) // rebuild → v00002
+    assert(Similarity.resolveIndexDir(spark, dir).endsWith("v00002"))
+    assert(pinned.select("query_id", "rank", "neighbor_id", "adc_e4")
+      .as[(Long, Int, Long, Long)].collect().toSet == answers,
+      "the superseded version must survive ONE rebuild for in-flight readers")
+    // answers through the flipped pointer are identical (same quantizer)
+    assert(Similarity.pqTopKIndexed(spark, dir, q, 10, 6)
+      .select("query_id", "rank", "neighbor_id", "adc_e4")
+      .as[(Long, Int, Long, Long)].collect().toSet == answers)
+    // a second rebuild GCs v00001, retains v00002
+    Similarity.writeAnnIndex(vecs, dir, 8, 16, 16,
+      codebooks = Some(cb), centroids = Some(cents)) // → v00003
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v00001")),
+      "versions older than the superseded one must be GC'd")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v00002")))
+    // appends land inside the CURRENT version dir
+    Similarity.appendAnnIndex(vecs.filter(col("id") === 1L)
+      .select(col("id") + 100000L as "id", col("vec")), dir)
+    assert(Similarity.pqTopKIndexed(spark, dir, q, 10, 6).count() > 0)
+    // flat legacy layout (pre-r16): marker at the root — reads fine and
+    // a rebuild stays IN PLACE (no version dirs appear)
+    val legacy = java.nio.file.Files.createTempDirectory("graft_ann_l").toString
+    Similarity.writeAnnIndex(vecs, legacy, 8, 16, 16,
+      codebooks = Some(cb), centroids = Some(cents))
+    val v1 = java.nio.file.Paths.get(legacy, "v00001")
+    java.nio.file.Files.move(v1.resolve("_index.json"),
+      java.nio.file.Paths.get(legacy, "_index.json"))
+    java.nio.file.Files.move(v1.resolve("cells"),
+      java.nio.file.Paths.get(legacy, "cells"))
+    // the hadoop local FS leaves checksum (.crc) siblings in the dir
+    org.apache.commons.io.FileUtils.deleteDirectory(v1.toFile)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(legacy, "_current"))
+    assert(Similarity.resolveIndexDir(spark, legacy) == legacy)
+    assert(Similarity.pqTopKIndexed(spark, legacy, q, 10, 6)
+      .select("query_id", "rank", "neighbor_id", "adc_e4")
+      .as[(Long, Int, Long, Long)].collect().toSet == answers)
+    Similarity.writeAnnIndex(vecs, legacy, 8, 16, 16,
+      codebooks = Some(cb), centroids = Some(cents))
+    assert(Similarity.resolveIndexDir(spark, legacy) == legacy,
+      "a flat legacy root must rebuild in place, not sprout versions")
   }
 
   test("IVF near-dup: no invented pairs; planted duplicates found") {
