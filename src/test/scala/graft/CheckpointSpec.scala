@@ -241,7 +241,22 @@ class CheckpointSpec extends SparkSpec {
     // (IllegalStateException on a truncated-past readAt is the
     // documented clean failure), every acked row is durable, and the
     // follower converges to the writer's exact state.
-    withDir { dir =>
+    withDir(ckptTruncFuzz)
+  }
+
+  test("fuzz under the SIDECAR checkpoint format: identical invariants " +
+      "with every checkpoint carrying a files sidecar") {
+    // the large-table format races differently: sidecar link before
+    // manifest link (two put-if-absents), truncation deleting the pair,
+    // replay reading manifest+sidecar while a foreign truncator runs
+    val saved = TxLog.filesSidecarThreshold
+    TxLog.filesSidecarThreshold = 1
+    try withDir(ckptTruncFuzz)
+    finally TxLog.filesSidecarThreshold = saved
+  }
+
+  private def ckptTruncFuzz(dir: String): Unit = {
+    locally {
       val e = new TsdbEngine(spark, s"$dir/db")
       e.checkpointInterval = 5
       e.inlineCompactThreshold = 8
