@@ -549,10 +549,19 @@ object Similarity {
     * [[annIndexDistortionRatio]] compares appends against. Defaults 0
     * so pre-r16 markers still read (their gauge reports a benign 1.0
     * via the ratio floor). */
+  /** `skew` is the cell-size skew measured right after the build —
+    * concentrated corpora are INHERENTLY skewed (k-means allocates few
+    * angular cells to a tight cluster), so the drift gauge compares
+    * against this baseline as a RATIO, exactly like `distortion`
+    * (an absolute bound would re-trigger forever on such data — the
+    * rebuild-churn mode `ProbeAnnDrift` exposed when the √n rebuild of
+    * an orthant-concentrated corpus measured 22.8). Both default 0 for
+    * pre-r16 markers (gauges then report benign ratios). */
   final case class AnnIndexMarker(m: Int, ks: Int, nlist: Int,
       replicate: Int, centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
-      distortion: Double = 0.0)
+      distortion: Double = 0.0,
+      skew: Double = 0.0)
 
   /** Materialize the IVF-PQ index of a corpus: `cells/` parquet of
     * (neighbor_id, codes) PARTITIONED BY cid, plus `_index.json`
@@ -584,9 +593,17 @@ object Similarity {
     pqCells(corpus, cb, cents, replicate)
       .repartition(col("cid"))
       .write.partitionBy("cid").mode("overwrite").parquet(s"$target/cells")
+    // build-time baselines for the drift gauges: both are RATIO
+    // denominators (see AnnIndexMarker doc)
+    val builtSkew = {
+      val counts = spark.read.parquet(s"$target/cells")
+        .groupBy("cid").count().select("count").collect().map(_.getLong(0))
+      if (counts.isEmpty) 0.0
+      else counts.max.toDouble / (counts.sum.toDouble / counts.length)
+    }
     writeMarker(spark, target,
       AnnIndexMarker(m, ks, nlist, replicate, cents.map(_._2), cb,
-        distortion = sampleAdcDistortion(corpus, cb)))
+        distortion = sampleAdcDistortion(corpus, cb), skew = builtSkew))
     // marker+cells complete under the version dir — now visible
     if (!flatLegacy) publishVersion(spark, path, cur.getOrElse(0) + 1)
   }
@@ -853,9 +870,14 @@ object Similarity {
   /** Rebuild trigger for drifted indexes, three gauges in cost order
     * (all measured in `ProbeAnnDrift`, SCALE.md r16):
     *
-    *  - CELL SKEW > `maxSkew` (one groupBy over code rows): appended
-    *    mass concentrated into few cells — probed scans read more than
-    *    nprobe/nlist promises and coarse routing loses resolution;
+    *  - CELL SKEW RATIO (current skew / build-time baseline from the
+    *    marker, floored at 1) > `maxSkew` — one groupBy over code
+    *    rows: appended mass concentrated into few cells means probed
+    *    scans read more than nprobe/nlist promises and coarse routing
+    *    loses resolution. A ratio, not an absolute: inherently
+    *    concentrated corpora build skewed (k-means gives a tight
+    *    cluster few angular cells) and an absolute bound would
+    *    re-trigger forever;
     *  - ENCODE DISTORTION RATIO of the latest increment >
     *    `maxDistortionRatio` (driver-side sample; pass via
     *    `increment`): the codebooks cannot resolve where the new data
@@ -868,8 +890,10 @@ object Similarity {
     *    distortion).
     *
     * When any bound is crossed, RETRAIN the quantizer on the full
-    * current corpus and rewrite the index (same geometry knobs from the
-    * marker); otherwise a no-op. Like the engine's threshold compaction
+    * current corpus and rewrite the index (code geometry m/ks kept
+    * from the marker; nlist re-derived as max(marker, ⌈√n⌉) per the
+    * [[autoNlist]] contract — a drift rebuild is exactly when the
+    * corpus has outgrown its cell count); otherwise a no-op. Like the engine's threshold compaction
     * this is the maintenance hook to drive from a scheduler (append →
     * cheap gauges per append, recall audit per window → maybe rebuild).
     * On a VERSIONED root (every root built since r16) the rebuild is
@@ -888,15 +912,27 @@ object Similarity {
       auditNprobe: Int = 0): Boolean = {
     val spark = corpus.sparkSession
     lazy val mk = readMarker(spark, resolveIndexDir(spark, path))
-    val drifted = annIndexCellSkew(spark, path) > maxSkew ||
+    val drifted =
+      annIndexCellSkew(spark, path) > maxSkew * math.max(1.0, mk.skew) ||
       increment.exists(annIndexDistortionRatio(_, path) > maxDistortionRatio) ||
       minRecall.exists(floor => annIndexRecallAudit(corpus, path, auditK,
         if (auditNprobe > 0) auditNprobe else math.max(1, mk.nlist / 4)) < floor)
     if (!drifted) false
     else {
-      writeAnnIndex(corpus, path, mk.m, mk.ks, mk.nlist,
+      // re-derive nlist at rebuild time: a drift-triggered rebuild is
+      // exactly the moment the corpus has outgrown its cell count, and
+      // a frozen nlist contradicts the √n contract ([[autoNlist]] —
+      // pinned cells leave per-cell volume quadratic once the corpus
+      // outgrows the config). The marker's nlist is kept as a floor so
+      // a deliberately over-provisioned index never shrinks. Code
+      // geometry (m, ks) is a storage-format choice and stays.
+      val nlist = math.max(mk.nlist, autoNlist(corpus.count()))
+      val cents =
+        if (nlist <= 128) kmeansCentroids(corpus, nlist)
+        else sampledCentroids(corpus, nlist) // k-means init is O(nlist²)
+      writeAnnIndex(corpus, path, mk.m, mk.ks, nlist,
         codebooks = Some(trainedCodebooks(corpus, mk.m, mk.ks)),
-        centroids = Some(kmeansCentroids(corpus, mk.nlist)),
+        centroids = Some(cents),
         replicate = mk.replicate)
       true
     }

@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * distribution-shifted second half under the frozen quantizer, measure
   * recall@10 vs exact (`bruteTopK`) for original-distribution and
   * shifted queries before/after, then retrain-rebuild
-  * (`maybeRebuildAnnIndex`) and measure the recovery plus the cell-size
-  * skew (`annIndexCellSkew`) at each stage — the skew is the cheap
-  * online gauge the rebuild trigger keys on. */
+  * (`maybeRebuildAnnIndex`: re-derived √n nlist) and measure the
+  * recovery plus all three drift gauges at each stage — cell skew and
+  * increment distortion ratio (cheap, per append) and the sampled
+  * recall audit (per maintenance window, the one that fires on this
+  * drift mode). */
 object ProbeAnnDrift {
 
   private def recallAt(ann: DataFrame, exact: DataFrame, k: Int): Double = {
@@ -109,6 +111,11 @@ object ProbeAnnDrift {
         f"(B full-probe ceiling=$rB2c%.3f)")
       val audit2 = Similarity.annIndexRecallAudit(union, idx, k, nprobe)
       println(f"[probe] recall audit after rebuild = $audit2%.3f")
+      // churn check: the √n rebuild of a concentrated corpus measures
+      // HIGH absolute skew (inherent data shape, recorded as the
+      // marker baseline) — the skew-ratio gauge must NOT re-fire
+      println(s"[probe] skew-gauge churn check after the rebuild: " +
+        s"${Similarity.maybeRebuildAnnIndex(union, idx)} (want false)")
 
       // remedies at the REAL quality levers, for calibration:
       // (a) bigger code budget — retrain at ks=256 (8-bit subcodes,
