@@ -594,18 +594,42 @@ object Similarity {
       .repartition(col("cid"))
       .write.partitionBy("cid").mode("overwrite").parquet(s"$target/cells")
     // build-time baselines for the drift gauges: both are RATIO
-    // denominators (see AnnIndexMarker doc)
-    val builtSkew = {
-      val counts = spark.read.parquet(s"$target/cells")
-        .groupBy("cid").count().select("count").collect().map(_.getLong(0))
-      if (counts.isEmpty) 0.0
-      else counts.max.toDouble / (counts.sum.toDouble / counts.length)
-    }
+    // denominators (see AnnIndexMarker doc). Skew comes from the
+    // parquet FOOTERS of the files just written — per-cell row counts
+    // are metadata, and a Spark job here would ride inside every
+    // index build (the battery's indexed query builds one per run)
     writeMarker(spark, target,
       AnnIndexMarker(m, ks, nlist, replicate, cents.map(_._2), cb,
-        distortion = sampleAdcDistortion(corpus, cb), skew = builtSkew))
+        distortion = sampleAdcDistortion(corpus, cb),
+        skew = footerCellSkew(spark, target)))
     // marker+cells complete under the version dir — now visible
     if (!flatLegacy) publishVersion(spark, path, cur.getOrElse(0) + 1)
+  }
+
+  /** Per-cell row counts from parquet FOOTER metadata (no Spark job,
+    * no data read): one listing per `cid=` directory plus one footer
+    * read per file — O(files) driver-side, used at build time where
+    * the file set was just written and is small per cell. */
+  private def footerCellSkew(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Double = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, dir)
+    val cells = new Path(s"$dir/cells")
+    if (!fs.exists(cells)) return 0.0
+    val counts = fs.listStatus(cells).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+      .map { d =>
+        fs.listStatus(d.getPath).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(f, spark.sparkContext.hadoopConfiguration)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }.sum
+      }
+    if (counts.isEmpty) 0.0
+    else counts.max.toDouble / (counts.sum.toDouble / counts.length)
   }
 
   /** Mean ADC encode distortion (1 − cos(v, reconstruction(codes(v))))
