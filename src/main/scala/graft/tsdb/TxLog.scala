@@ -463,34 +463,59 @@ final class TxLog(logDirPath: String) {
     * newest CHECKPOINT ≤ `upTo` first and replays only the commits
     * after it — O(checkpoint interval), never O(total commits ever).
     * An incremental refresh (live `base` at or past the checkpoint)
-    * takes the plain tail walk it always did. */
+    * takes the plain tail walk it always did.
+    *
+    * Truncation can race the WALK, not just the jump decision: the
+    * `fileOf(start+1)` existence check passes, then a concurrent
+    * truncator deletes commits in (start, tip] before [[replayTail]]
+    * reads them (caught live by `ProbeCkptFuzz`: a follower `sync()`
+    * died on "commit manifest 3 is gone" ~1/60 iterations under a
+    * grace-0 foreign truncator). A manifest only ever disappears
+    * because its state is materialized in a checkpoint ([[truncate]]
+    * deletes at or below the oldest KEPT checkpoint), so the walk
+    * retries with the jump FORCED — resolve the newest readable
+    * checkpoint past `base` regardless of the existence probe and walk
+    * again. Bounded retries; a genuinely uncovered gap (time travel
+    * below the retained window) still fails with the original clean
+    * error. */
   def replay(base: LogSnapshot = LogSnapshot.empty,
       upTo: Long = Long.MaxValue): LogSnapshot = {
-    val tip = math.min(latestVersion(), upTo)
-    var start = base
-    if (start.version < tip &&
-        (start.version == 0L || !Files.exists(fileOf(start.version + 1)))) {
-      // jump when starting cold, or when the needed chain was truncated
-      // (a lagging follower across a checkpoint boundary): the hint
-      // first; a LISTING retry when the hint is stale — a foreign
-      // process may have checkpointed without this instance noticing.
-      // readCheckpoint itself races foreign truncation (the file can
-      // vanish between the exists-check inside latestCheckpoint and the
-      // read) — on a miss, drop the poisoned hint and take the newest
-      // LISTED checkpoint that still reads.
-      def tryRead(cv: Long): Option[LogSnapshot] =
-        try Some(readCheckpoint(cv))
-        catch {
-          case _: java.nio.file.NoSuchFileException =>
-            ckptHint.compareAndSet(cv, -1L); None
-        }
-      latestCheckpoint(tip).filter(_ > start.version).flatMap(tryRead)
-        .orElse(checkpointVersions().filter(v =>
-          v > start.version && v <= tip).sorted.reverseIterator
-          .flatMap(tryRead(_)).nextOption())
-        .foreach(s => start = s)
+    var attempt = 0
+    while (true) {
+      val tip = math.min(latestVersion(), upTo)
+      var start = base
+      if (start.version < tip &&
+          (attempt > 0 || start.version == 0L ||
+            !Files.exists(fileOf(start.version + 1)))) {
+        // jump when starting cold, when the needed chain was truncated
+        // (a lagging follower across a checkpoint boundary), or on a
+        // RETRY after a mid-walk truncation: the hint first; a LISTING
+        // retry when the hint is stale — a foreign process may have
+        // checkpointed without this instance noticing. readCheckpoint
+        // itself races foreign truncation (the file can vanish between
+        // the exists-check inside latestCheckpoint and the read) — on
+        // a miss, drop the poisoned hint and take the newest LISTED
+        // checkpoint that still reads.
+        def tryRead(cv: Long): Option[LogSnapshot] =
+          try Some(readCheckpoint(cv))
+          catch {
+            case _: java.nio.file.NoSuchFileException =>
+              ckptHint.compareAndSet(cv, -1L); None
+          }
+        latestCheckpoint(tip).filter(_ > start.version).flatMap(tryRead)
+          .orElse(checkpointVersions().filter(v =>
+            v > start.version && v <= tip).sorted.reverseIterator
+            .flatMap(tryRead(_)).nextOption())
+          .foreach(s => start = s)
+      }
+      try return replayTail(start, tip)
+      catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+      }
     }
-    replayTail(start, tip)
+    throw new IllegalStateException("unreachable")
   }
 
   private def replayTail(base: LogSnapshot, tip: Long): LogSnapshot = {

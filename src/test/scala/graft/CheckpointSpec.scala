@@ -313,6 +313,36 @@ class CheckpointSpec extends SparkSpec {
     }
   }
 
+  test("replay survives a truncation landing MID-WALK: the retry forces " +
+      "the jump to a covering checkpoint; uncovered gaps still fail clean") {
+    withDir { dir =>
+      // the ProbeCkptFuzz capture: the jump probe saw commit start+1
+      // present, a concurrent grace-0 truncator then deleted commits in
+      // (start, tip] before replayTail read them → "commit manifest 3
+      // is gone" killed a follower sync. A manifest only disappears
+      // when a checkpoint materializes its state, so the walk must
+      // re-resolve the jump and retry, not die.
+      val t = new TxLog(s"$dir/log")
+      (1 to 10).foreach { i =>
+        t.commit(v => LogCommit(v,
+          adds = Seq(f"metric=m/date=1970-01-01/c$v%03d.parquet"),
+          metrics = Seq("m"), maxSeq = i.toLong))
+      }
+      val base = t.replay(upTo = 2L)
+      val full = t.replay()
+      t.writeCheckpoint(t.replay(upTo = 8L))
+      // the race as a directory state: the jump probe sees commit 3
+      // present, but 4..8 vanish before the walk reads them
+      (4 to 8).foreach(v => Files.delete(t.commitPath(v)))
+      assert(new TxLog(s"$dir/log").replay(base) == full,
+        "a mid-walk truncation hole must recover via the checkpoint jump")
+      // below the retained window there is no covering checkpoint —
+      // the documented clean failure is preserved, not an endless retry
+      intercept[IllegalStateException](
+        new TxLog(s"$dir/log").replay(upTo = 5L))
+    }
+  }
+
   test("TxLog: checkpoint round-trips the snapshot bit-for-bit; " +
       "latestVersion needs no listing once tipped") {
     withDir { dir =>
