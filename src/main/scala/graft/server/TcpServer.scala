@@ -228,7 +228,21 @@ final class GraftTcpServer(executor: NbqlExecutor, port: Int = 0,
               }
               Nil // an append commit never carries tombstones
             case None =>
-              val (puts, ts) = engine.commitChanges(v)
+              val (puts, ts) = try engine.commitChanges(v) catch {
+                case _: IllegalStateException =>
+                  // lagging past the truncation horizon: commit v's
+                  // manifest was truncated under a checkpoint, so its
+                  // per-commit changes can no longer be replayed.
+                  // Pub/sub is best-effort live-tail — the reference's
+                  // non-blocking publish likewise drops what a slow
+                  // subscriber missed (`engine2/pubsub.go:105-126`) —
+                  // so skip to the oldest commit still on disk and keep
+                  // the subscription alive instead of killing the
+                  // connection.
+                  v = engine.oldestAvailableCommitVersion
+                    .filter(_ > v).getOrElse(tip + 1) - 1
+                  (None, Nil)
+              }
               puts.foreach { df =>
                 val matched = PubSub.subscribe(df, filter).orderBy("seq")
                 // toLocalIterator, not collect: a bulk backfill commit

@@ -1538,6 +1538,12 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     * rewrites, not new data, so a subscriber must never see them as puts
     * — and tombstones surface as DELETE updates. Files vacuumed since the
     * commit are skipped (their rows were rewritten, not new). */
+  /** Oldest commit manifest still on disk — the subscription push
+    * loop's lag horizon (commits below it were truncated under a
+    * checkpoint and can no longer be replayed per-commit). */
+  private[graft] def oldestAvailableCommitVersion: Option[Long] =
+    log.availableCommitVersions().headOption
+
   def commitChanges(version: Long): (Option[DataFrame], Seq[TombRow]) = {
     val c = log.read(version)
     val puts =

@@ -707,6 +707,65 @@ class ServerSpec extends SparkSpec {
     }
   }
 
+  test("client: TCP SUBSCRIBE survives lagging past the truncation " +
+      "horizon — best-effort live-tail, the connection stays up") {
+    import spark.implicits._
+    // a slow subscriber can fall behind checkpoint truncation: the
+    // manifests of commits it has not pushed yet get deleted (their
+    // state lives in the checkpoint). The push loop must SKIP to the
+    // oldest still-available commit — the reference's non-blocking
+    // publish likewise drops what a slow subscriber missed
+    // (engine2/pubsub.go:105-126) — never die on "manifest is gone".
+    val dir = java.nio.file.Files.createTempDirectory("graft_sublag").toString
+    val eng = new TsdbEngine(spark, s"$dir/db")
+    eng.checkpointInterval = 4
+    eng.foldVacuumGraceMs = 0L   // truncation bites immediately
+    eng.recentPutsMaxBytes = 1L  // ring evicts → every push reads manifests
+    val ex = new NbqlExecutor(eng)
+    val srv = new GraftTcpServer(ex, port = 0)
+    srv.subscriptionPollMs = 20L
+    srv.start()
+    val sub = NbqlClient.connect("127.0.0.1", srv.boundPort)
+    try {
+      val s = sub.subscribe("lag.*", Map.empty)
+      // bulk commit A: enough matching rows that the push loop BLOCKS on
+      // the unread socket mid-stream — the subscriber now lags
+      val n = 20000
+      val rows = (0 until n).map(i => TP("lag.m", Map("host" -> s"h${i % 5}"),
+        1000L + i, Map("v" -> FV.dv(i.toDouble)), 10000L + i))
+      eng.putDF(rows.toDF().repartition(8))
+      // 20 non-matching commits drive checkpoints + grace-0 truncation
+      // past the blocked subscriber's position
+      (0 until 20).foreach { i =>
+        assert(eng.put(graft.model.DataPoint("other.m", Map("h" -> "a"),
+          i * 1000L, Map("v" -> FieldValue.ofDouble(i.toDouble)))).isRight)
+      }
+      assert(eng.oldestAvailableCommitVersion.exists(_ > 2),
+        "test setup: truncation must have passed the subscriber")
+      // a matching put AFTER the truncation window
+      assert(eng.put(graft.model.DataPoint("lag.m", Map("h" -> "z"), 777L,
+        Map("v" -> FieldValue.ofDouble(7.0)))).isRight)
+      // drain: all of A (still replayable — its data files are live),
+      // then the post-truncation put. With the old behavior the loop
+      // died at the first truncated manifest and this next() hangs.
+      val gotA = (0 until n).map(_ => s.next())
+      assert(gotA.forall(u => u.item.metric == "lag.m"))
+      assert(gotA.map(_.item.seq) == gotA.map(_.item.seq).sorted)
+      val c = s.next()
+      assert(c.item.timestamp == 777L,
+        s"the subscription must resume past the truncation gap, got $c")
+      // and it is still LIVE for later commits
+      assert(eng.put(graft.model.DataPoint("lag.m", Map("h" -> "z"), 888L,
+        Map("v" -> FieldValue.ofDouble(8.0)))).isRight)
+      assert(s.next().item.timestamp == 888L)
+      s.close()
+    } finally {
+      try sub.close() catch { case _: Exception => () }
+      srv.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("client: TCP SUBSCRIBE delivery is commit-signal-driven, not poll-bound") {
     val dir = java.nio.file.Files.createTempDirectory("graft_subsig").toString
     val eng = new TsdbEngine(spark, s"$dir/db")
