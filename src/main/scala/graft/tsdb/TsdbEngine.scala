@@ -3206,51 +3206,65 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
         Files.copy(src, dst)
       }
     }
+    // Ship the newest checkpoint ≤ the tip: its data files FIRST, then
+    // the sidecar (large-table format), then the checkpoint manifest —
+    // the same files-before-manifest invariant as commits. The
+    // follower's replay jumps to the shipped checkpoint.
+    def shipCheckpoint(cv: Long): Unit = {
+      val ck = log.readCheckpoint(cv)
+      ck.files.foreach(shipFile)
+      // the files SIDECAR ships before the manifest that references
+      // it, so the follower never reads a manifest whose sidecar is
+      // missing
+      val sidecarSrc = log.checkpointFilesPath(cv)
+      if (Files.exists(sidecarSrc)) {
+        val sidecarDst = destLogDir.resolve(sidecarSrc.getFileName.toString)
+        if (!Files.exists(sidecarDst)) {
+          val tmp = destLogDir.resolve(s".ship-ckptf-$cv.tmp")
+          Files.copy(sidecarSrc, tmp, StandardCopyOption.REPLACE_EXISTING)
+          Files.move(tmp, sidecarDst, StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+      val manifest = destLogDir.resolve(
+        log.checkpointPath(cv).getFileName.toString)
+      if (!Files.exists(manifest)) {
+        val tmp = destLogDir.resolve(s".ship-ckpt-$cv.tmp")
+        Files.copy(log.checkpointPath(cv), tmp,
+          StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
     // The follower's next commit was TRUNCATED at the source (it lags
-    // past a checkpoint boundary, or is brand-new against a checkpointed
-    // log): ship the newest checkpoint ≤ the tip instead — its data
-    // files FIRST, then the checkpoint manifest (same files-before-
-    // manifest invariant as commits), and resume the commit walk after
-    // it. The follower's replay jumps to the shipped checkpoint.
-    if (from < s.version && !log.hasCommit(from + 1))
-      log.latestCheckpoint(s.version).filter(_ > from) match {
-        case Some(cv) =>
-          val ck = log.readCheckpoint(cv)
-          ck.files.foreach(shipFile)
-          // the files SIDECAR (large-table checkpoint format) ships
-          // before the manifest that references it — the same
-          // files-before-manifest invariant as data commits, so the
-          // follower never reads a manifest whose sidecar is missing
-          val sidecarSrc = log.checkpointFilesPath(cv)
-          if (Files.exists(sidecarSrc)) {
-            val sidecarDst = destLogDir.resolve(sidecarSrc.getFileName.toString)
-            if (!Files.exists(sidecarDst)) {
-              val tmp = destLogDir.resolve(s".ship-ckptf-$cv.tmp")
-              Files.copy(sidecarSrc, tmp, StandardCopyOption.REPLACE_EXISTING)
-              Files.move(tmp, sidecarDst, StandardCopyOption.ATOMIC_MOVE)
-            }
-          }
-          val manifest = destLogDir.resolve(
-            log.checkpointPath(cv).getFileName.toString)
-          if (!Files.exists(manifest)) {
-            val tmp = destLogDir.resolve(s".ship-ckpt-$cv.tmp")
-            Files.copy(log.checkpointPath(cv), tmp,
-              StandardCopyOption.REPLACE_EXISTING)
-            Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE)
-          }
-          from = cv
+    // past a checkpoint boundary, or is brand-new against a
+    // checkpointed log): ship a covering checkpoint and resume the
+    // commit walk after it.
+    def resolveGap(v: Long): Long =
+      log.latestCheckpoint(s.version).filter(_ >= v) match {
+        case Some(cv) => shipCheckpoint(cv); cv
         case None => throw new IllegalStateException(
-          s"replication gap: source commit ${from + 1} truncated and no " +
+          s"replication gap: source commit $v truncated and no " +
             "checkpoint covers the follower")
       }
-    (from + 1 to s.version).foreach { v =>
-      val c = log.read(v)
-      c.adds.foreach(shipFile)
-      val manifest = destLogDir.resolve(f"$v%020d.json")
-      if (!Files.exists(manifest)) {
-        val tmp = destLogDir.resolve(s".ship-$v.tmp")
-        Files.copy(log.commitPath(v), tmp, StandardCopyOption.REPLACE_EXISTING)
-        Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE)
+    if (from < s.version && !log.hasCommit(from + 1))
+      from = resolveGap(from + 1)
+    var v = from + 1
+    while (v <= s.version) {
+      // a commit can be truncated MID-WALK (a concurrent checkpoint +
+      // truncation at the source — the same TOCTOU replay retries on):
+      // its state is in a newer checkpoint by the truncate invariant,
+      // so re-resolve the gap and resume past it
+      val c = try log.read(v) catch {
+        case _: IllegalStateException => v = resolveGap(v) + 1; null
+      }
+      if (c != null) {
+        c.adds.foreach(shipFile)
+        val manifest = destLogDir.resolve(f"$v%020d.json")
+        if (!Files.exists(manifest)) {
+          val tmp = destLogDir.resolve(s".ship-$v.tmp")
+          Files.copy(log.commitPath(v), tmp, StandardCopyOption.REPLACE_EXISTING)
+          Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE)
+        }
+        v += 1
       }
     }
     s.version

@@ -261,13 +261,22 @@ final class TxLog(logDirPath: String) {
       ckptHint.compareAndSet(h, -1L)
       h = ckptHint.get()
     }
-    if (h < 0L) {
+    if (h <= 0L) {
+      // "no checkpoint yet" is NOT a cacheable verdict: a FOREIGN
+      // process (or an admin tool) can write the first checkpoint at
+      // any time, and a 0 cached as final would hide it from this
+      // instance forever — replay would survive only via its listing
+      // fallback while commitsSinceCheckpoint and replication gap
+      // resolution silently failed (caught by the r16 mid-walk
+      // replication spec). Re-resolving costs one ~50-byte hint read
+      // (plus a listing only while the hint is absent), and is paid
+      // only until the first checkpoint lands — then h > 0 caches.
       h = readCkptHintFile().filter(v => Files.exists(ckptFileOf(v)))
         .getOrElse(checkpointVersions().foldLeft(0L)(math.max))
       ckptHint.getAndAccumulate(h, math.max(_, _))
       h = ckptHint.get()
     }
-    if (h <= upTo) { if (h > 0L) Some(h) else None } // 0 = none known — O(1)
+    if (h <= upTo) { if (h > 0L) Some(h) else None }
     else checkpointVersions().filter(_ <= upTo).maxOption // time travel below the hint
   }
 

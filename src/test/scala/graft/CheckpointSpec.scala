@@ -127,6 +127,33 @@ class CheckpointSpec extends SparkSpec {
     }
   }
 
+  test("replicateTo recovers from a truncation hole MID-WALK by " +
+      "shipping a covering checkpoint; the follower replays through it") {
+    withDir { dir =>
+      // the replay-TOCTOU's replication twin: the pre-walk gap check
+      // passes (the follower's next commit exists), then commits
+      // further along the walk are truncated — the shipper must
+      // re-resolve and ship a covering checkpoint, and the follower's
+      // replay (retry-jump) must recover through the dest-side hole
+      val e1 = tuned(new TsdbEngine(spark, s"$dir/db"))
+      e1.checkpointInterval = 0 // manual checkpoints only — no truncation
+      (0 until 30).foreach(i =>
+        assert(e1.putBatch(Seq(pt("m", s"h$i", i * 1000L, i.toDouble))).isRight))
+      val log = new TxLog(s"$dir/db/_log")
+      log.writeCheckpoint(log.replay())
+      val tip = log.latestVersion()
+      // carve the mid-walk hole: commit 1 stays (the gap check passes),
+      // 2..tip-2 vanish as a concurrent truncation would leave them
+      (2L to tip - 2).foreach(v => Files.delete(log.commitPath(v)))
+      val shipped = e1.replicateTo(s"$dir/follower")
+      assert(shipped == e1.version)
+      val f = new TsdbEngine(spark, s"$dir/follower")
+      assert(f.version == e1.version)
+      assert(count(f, "m") == 30,
+        "the follower must see every row through the mid-walk hole")
+    }
+  }
+
   test("time travel works back to the retained window; older versions " +
       "fail CLEANLY") {
     withDir { dir =>
