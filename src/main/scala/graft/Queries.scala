@@ -66,8 +66,7 @@ object Queries {
     * exact end-to-end, not merely self-consistent. */
   def tsdbRollupDownsample(s: SparkSession, dir: String): DataFrame = {
     val oneMin = 60000000000L
-    val rollup = Rollup.build(QueryEngine.mergedView(pts(s, dir), Nil),
-      oneMin, Seq("value"))
+    val rollup = Rollup.buildRaw(pts(s, dir), oneMin, Seq("value"))
     val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture - 1),
       downsampleNs = Some(HourNs),
       aggs = Seq(AggSpec("avg", "value"), AggSpec("sum", "value"),
@@ -350,7 +349,13 @@ object Queries {
   def lmCrossentropy(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.LangModel
     val docs = t(s, dir, "documents")
-    LangModel.selfCrossEntropy(docs, "doc_id", "text", k = 0.5)
+    // hintBroadcast: a natural-language bigram model is ≪ the corpus at
+    // any scale (millions of rows vs billions of docs) — broadcasting
+    // both model-side joins keeps the corpus-side bigram explode
+    // entirely un-shuffled until the per-doc aggregation (r17; plan
+    // change only, identical rows)
+    LangModel.selfCrossEntropy(docs, "doc_id", "text", k = 0.5,
+      hintBroadcast = true)
       .select(col("doc_id"), col("n_bigrams"),
         round(col("bits_per_bigram"), 4).as("bits_per_bigram"))
       .orderBy("doc_id")
@@ -854,8 +859,7 @@ object Queries {
     * the exactness of the decomposition every round. */
   def tsdbRollupDelta(s: SparkSession, dir: String): DataFrame = {
     val oneMin = 60000000000L
-    val rollup = Rollup.build(QueryEngine.mergedView(pts(s, dir), Nil),
-      oneMin, Seq("value"))
+    val rollup = Rollup.buildRaw(pts(s, dir), oneMin, Seq("value"))
     val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture - 1))
     Rollup.runDelta(rollup, oneMin, q, "value")
       .select(userCol, col("n_points"),
@@ -874,8 +878,7 @@ object Queries {
     * every round. */
   def tsdbRollupDeltaBy(s: SparkSession, dir: String): DataFrame = {
     val oneMin = 60000000000L
-    val rollup = Rollup.build(QueryEngine.mergedView(pts(s, dir), Nil),
-      oneMin, Seq("value"))
+    val rollup = Rollup.buildRaw(pts(s, dir), oneMin, Seq("value"))
     val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture - 1))
     Rollup.runDeltaBy(rollup, oneMin, q, "value", windowNs = 24L * HourNs)
       .select(userCol, col("window_start"), col("n_points"),
@@ -890,8 +893,8 @@ object Queries {
     * grouping differs (ulp-level under the oracle's rounding). */
   def tsdbRollupTwa(s: SparkSession, dir: String): DataFrame = {
     val oneMin = 60000000000L
-    val rollup = Rollup.build(QueryEngine.mergedView(
-      Tables.eventsAsPoints(s, dir).filter(col("metric") === "view"), Nil),
+    val rollup = Rollup.buildRaw(
+      Tables.eventsAsPoints(s, dir).filter(col("metric") === "view"),
       oneMin, Seq("value"))
     val q = QueryParams("view", startNs = 0L, endNs = Some(FarFuture - 1),
       downsampleNs = Some(7L * 24L * HourNs))
@@ -908,8 +911,8 @@ object Queries {
     * grouping differs (ulp-level under the oracle's rounding). */
   def tsdbRollupPredict(s: SparkSession, dir: String): DataFrame = {
     val oneMin = 60000000000L
-    val rollup = Rollup.build(QueryEngine.mergedView(
-      Tables.eventsAsPoints(s, dir).filter(col("metric") === "view"), Nil),
+    val rollup = Rollup.buildRaw(
+      Tables.eventsAsPoints(s, dir).filter(col("metric") === "view"),
       oneMin, Seq("value"))
     val q = QueryParams("view", startNs = 0L, endNs = Some(FarFuture - 1))
     Rollup.runPredict(rollup, oneMin, q, "value", horizonNs = 7L * 24 * HourNs)
@@ -1033,8 +1036,7 @@ object Queries {
     * decomposition (exact: long counts) every round. */
   def tsdbRollupResets(s: SparkSession, dir: String): DataFrame = {
     val oneMin = 60000000000L
-    val rollup = Rollup.build(QueryEngine.mergedView(pts(s, dir), Nil),
-      oneMin, Seq("value"))
+    val rollup = Rollup.buildRaw(pts(s, dir), oneMin, Seq("value"))
     val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture - 1))
     Rollup.runTransitions(rollup, oneMin, q, "value")
       .select(userCol, col("n_points"), col("resets"))
@@ -1056,8 +1058,7 @@ object Queries {
     * verbatim (exact long counts), gating the grouped decomposition. */
   def tsdbRollupResetsBy(s: SparkSession, dir: String): DataFrame = {
     val oneMin = 60000000000L
-    val rollup = Rollup.build(QueryEngine.mergedView(pts(s, dir), Nil),
-      oneMin, Seq("value"))
+    val rollup = Rollup.buildRaw(pts(s, dir), oneMin, Seq("value"))
     val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture - 1))
     Rollup.runTransitionsBy(rollup, oneMin, q, "value", 24L * HourNs)
       .select(userCol, col("window_start"), col("n_points"), col("resets"))
@@ -1080,8 +1081,7 @@ object Queries {
     * path from resets' less-than). */
   def tsdbRollupChanges(s: SparkSession, dir: String): DataFrame = {
     val oneMin = 60000000000L
-    val rollup = Rollup.build(QueryEngine.mergedView(pts(s, dir), Nil),
-      oneMin, Seq("value"))
+    val rollup = Rollup.buildRaw(pts(s, dir), oneMin, Seq("value"))
     val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture - 1))
     Rollup.runTransitions(rollup, oneMin, q, "value")
       .select(userCol, col("n_points"), col("changes"))
@@ -1251,8 +1251,8 @@ object Queries {
     * not ulp-level; [[graft.tsdb.SmoothSpec]]). */
   def tsdbRollupEwma(s: SparkSession, dir: String): DataFrame = {
     val sm = SmoothSpec("value", "ewma", 0.25)
-    val rollup = Rollup.build(QueryEngine.mergedView(
-      pts(s, dir).filter(col("metric") === "purchase"), Nil),
+    val rollup = Rollup.buildRaw(
+      pts(s, dir).filter(col("metric") === "purchase"),
       HourNs, Seq("value"), smooth = Seq(sm))
     val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture - 1))
     Rollup.runSmoothBy(rollup, HourNs, q, sm, windowNs = 24L * HourNs)
@@ -1279,8 +1279,8 @@ object Queries {
     * verbatim ([[tsdbRollupEwma]] contract, 2-d state). */
   def tsdbRollupHolt(s: SparkSession, dir: String): DataFrame = {
     val sm = SmoothSpec("value", "holt", 0.5, 0.25)
-    val rollup = Rollup.build(QueryEngine.mergedView(
-      pts(s, dir).filter(col("metric") === "error"), Nil),
+    val rollup = Rollup.buildRaw(
+      pts(s, dir).filter(col("metric") === "error"),
       HourNs, Seq("value"), smooth = Seq(sm))
     val q = QueryParams("error", startNs = 0L, endNs = Some(FarFuture - 1))
     Rollup.runSmoothBy(rollup, HourNs, q, sm, windowNs = 24L * HourNs)

@@ -41,15 +41,6 @@ object Curate {
       evalN: Int = 5, evalMinHits: Long = 1L): DataFrame = {
     val id = col(idCol)
 
-    // narrow per-doc signals, computed once
-    val scoredE4 =
-      floor(TextAnalysis.qualityScore(col(textCol)) * 1e4 + 0.5).cast("long")
-    val signals = docs.select(id, col(textCol),
-      TextAnalysis.langId(col(textCol)).as("__lang"), scoredE4.as("__q"))
-
-    val langOk = signals.filter(col("__lang").isin(allowedLangs.toSeq: _*))
-    val qualOk = langOk.filter(col("__q") >= minQualityE4)
-
     // Reuse discipline (measured in SCALE.md round 5/6): persist only
     // SLIM multiply-referenced frames — id/label/score longs. Text is
     // NEVER cached; every consumer that needs it re-joins ids against
@@ -60,12 +51,30 @@ object Curate {
     def slim(df: DataFrame): DataFrame =
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // exact dedup on quality survivors: keep the min-id copy per fp
-    val fped = qualOk.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
-    val groups = fped.groupBy(col("__fp")).agg(min(id).as("__keep_id"))
+    // narrow per-doc signals, computed ONCE and persisted slim (r17:
+    // langId + qualityScore + fingerprint are the costliest per-row
+    // expressions in the pipeline and were evaluated 3× over the corpus
+    // — once per exact-dedup join side, once for filter attribution;
+    // one persisted pass of (id, lang, q, fp) longs+hash serves all
+    // consumers). The fingerprint is computed here, pre-filter, purely
+    // to share the pass — only quality survivors' rows are ever grouped.
+    val scoredE4 =
+      floor(TextAnalysis.qualityScore(col(textCol)) * 1e4 + 0.5).cast("long")
+    val signals = slim(docs.select(id.as("doc_id"),
+      TextAnalysis.langId(col(textCol)).as("__lang"), scoredE4.as("__q"),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp")))
+
+    val qualOk = signals.filter(
+      col("__lang").isin(allowedLangs.toSeq: _*) && col("__q") >= minQualityE4)
+
+    // exact dedup on quality survivors: keep the min-id copy per fp —
+    // single-pass window min over the persisted signals (r17: was a
+    // groupBy + self-join, i.e. two evaluations of the fingerprint pass)
+    val keepW = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
     // (doc_id, __keep_id, __q) — three longs per surviving row
-    val keepOf = slim(fped.join(groups, "__fp")
-      .select(id.as("doc_id"), col("__keep_id"), col("__q")))
+    val keepOf = slim(qualOk
+      .withColumn("__keep_id", min(col("doc_id")).over(keepW))
+      .select(col("doc_id"), col("__keep_id"), col("__q")))
     val exactDropped = keepOf.filter(col("doc_id") =!= col("__keep_id"))
       .select(col("doc_id"), lit("exact_dup").as("drop_reason"),
         col("__keep_id").as("dup_of"))
@@ -109,13 +118,14 @@ object Curate {
         lit("").as("drop_reason"), lit(null).cast("long").as("dup_of")).limit(0)
     }
 
-    // narrow-filter reasons, attributed in stage order
+    // narrow-filter reasons, attributed in stage order (reads the same
+    // persisted signals pass — no re-evaluation of langId/quality)
     val filterDropped = signals
       .withColumn("drop_reason",
         when(!col("__lang").isin(allowedLangs.toSeq: _*), "lang")
           .when(col("__q") < minQualityE4, "quality"))
       .filter(col("drop_reason").isNotNull)
-      .select(id.as("doc_id"), col("drop_reason"),
+      .select(col("doc_id"), col("drop_reason"),
         lit(null).cast("long").as("dup_of"))
 
     val dropped = filterDropped

@@ -213,8 +213,12 @@ object Dedup {
       .groupBy("fp").agg(min("ex_id").as("exact_of"))
     val inFp = incoming
       .select(col(idCol).as("doc_id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
-    val exact = inFp.join(exFp, Seq("fp"), "left")
-      .select(col("doc_id"), col("exact_of"))
+    // persisted slim (two longs/row): the exact verdicts feed the
+    // non-exact semi-join, the near pass's two incoming-side scans AND
+    // the final assembly — without the persist both sides' fingerprint
+    // passes re-evaluate once per reference (r17)
+    val exact = reused(inFp.join(exFp, Seq("fp"), "left")
+      .select(col("doc_id"), col("exact_of")))
     // exact dups — the most common duplicate class — never enter the
     // near pass: their verdict is already decided, so running them
     // through LSH banding + Jaccard verification (the expensive half)
@@ -333,15 +337,24 @@ object Dedup {
     * either path. */
   @volatile var driverCcMaxEdges: Long = 4000000L
 
+  /** Both directions of an edge set via ONE explode — `edges ∪
+    * flip(edges)` evaluates the (expensive, e.g. MinHash-LSH) upstream
+    * pair-generation subtree once PER UNION BRANCH, i.e. twice; the
+    * explode emits both directions from a single evaluation (r17,
+    * measured: halves the pair-chain cost of every CC materialization). */
+  private def undirected(edges: DataFrame): DataFrame =
+    edges.select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
     // Persist the undirected edge set ONCE: every round joins it —
     // without this the whole upstream pair-generation lineage (e.g. the
     // MinHash-LSH chain) re-executes per round. Caught by the sf1
     // measurement: cluster resolution cost rounds × LSH, not LSH + rounds.
-    val und = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .cache()
+    val und = undirected(edges).cache()
     try {
       // Driver union-find fast path: label propagation pays per ROUND
       // (two shuffles + a count + a checkpoint each), a fixed multi-job
@@ -418,9 +431,7 @@ object Dedup {
     * longs. */
   def connectedComponentsLabelProp(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
-    val und = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .cache()
+    val und = undirected(edges).cache()
     try {
       var labels = nodes.select(col("node"), col("node").as("label"))
         .localCheckpoint(true)
@@ -479,9 +490,9 @@ object Dedup {
     var it = 0
     var stable = e.isEmpty
     while (!stable && it < maxIter) {
-      // large-star: u gathers Γ(u) from both directions
-      val und = e.select(col("a").as("u"), col("b").as("v"))
-        .union(e.select(col("b").as("u"), col("a").as("v")))
+      // large-star: u gathers Γ(u) from both directions (one explode —
+      // e is checkpointed, but a single read still beats two)
+      val und = undirected(e).select(col("a").as("u"), col("b").as("v"))
       val lsMin = und.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
       val ls = und.join(lsMin, "u").filter(col("v") > col("u"))
         .select(col("v").as("a"), col("m").as("b"))

@@ -37,8 +37,14 @@ object LangModel {
     * shuffles carry counts, never text. */
   def trainBigram(df: DataFrame, textCol: String): (DataFrame, Long) = {
     val ws = TextAnalysis.words(col(textCol))
+    // persist the unigram counts: the vocab count below materializes the
+    // cache, so the model join reads it instead of re-tokenizing and
+    // re-exploding the corpus a second time (r17; the frame is slim —
+    // one (word, count) row per DISTINCT word, ≪ corpus). Freed by the
+    // ContextCleaner when the model frame becomes unreachable.
     val uni = df.select(explode(ws).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bi = df.select(explode(bigramsOf(ws)).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
@@ -62,13 +68,18 @@ object LangModel {
     val ws = TextAnalysis.words(col(textCol))
     val pairs = docs.select(col(idCol), explode(bigramsOf(ws)).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // persist the model projection: it feeds the bigram join AND the
+    // context frame below — without it the whole model-training subtree
+    // (two corpus aggregations + a join) executes once per reference
+    // (r17; slim (w1, w2, counts) rows, freed by the ContextCleaner)
     val m0 = model.select(col("w1"), col("w2"), col("c2"), col("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = if (hintBroadcast) broadcast(m0) else m0
     // unigram context counts for unseen (w1, w2) where w1 IS in-vocab:
     // the bigram row is absent but c1 must still be the context count —
     // recover it from any model row of that context via a second
     // (context-level) frame, derived without rescanning the corpus
-    val ctx0 = model.groupBy("w1").agg(first(col("c1")).as("c1ctx"))
+    val ctx0 = m0.groupBy("w1").agg(first(col("c1")).as("c1ctx"))
     val ctx = if (hintBroadcast) broadcast(ctx0) else ctx0
     val joined = pairs
       .join(m, Seq("w1", "w2"), "left")

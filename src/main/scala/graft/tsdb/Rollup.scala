@@ -184,14 +184,70 @@ object Rollup {
       withDigests: Boolean = false,
       smooth: Seq[SmoothSpec] = Nil,
       seeds: Option[DataFrame] = None): DataFrame = {
-    require(intervalNs > 0, "rollup interval must be > 0")
-    require(smooth.distinct.size == smooth.size,
-      "duplicate smoothing spec")
-    require(seeds.isEmpty || smooth.nonEmpty, "seeds without smoothing specs")
     val keyed0 =
       if (merged.columns.contains("series_key")) merged
       else merged.withColumn("series_key",
         QueryEngine.seriesKeyCol(col("metric"), col("tags")))
+    buildPartials(keyed0, intervalNs, fields, withDigests, smooth, seeds)
+  }
+
+  /** [[build]] from the RAW (un-merged) point frame: fuses the
+    * latest-version dedup + tombstone elision into the build's own
+    * clustering, so the whole merge → window passes → aggregate pipeline
+    * runs off ONE hash exchange (r17; via [[QueryEngine.mergedView]] the
+    * dedup window inserts its own (series_key, timestamp) exchange and
+    * the build's (series_key[, window_start]) windows then need a
+    * second). The explicit key mirrors `QueryEngine.partitionedInput`:
+    * (series_key, window_start) — time-salted, so a pathologically hot
+    * series spreads over windows — except when smoothing specs are
+    * present, whose per-series sequential folds require whole-series
+    * clustering (series_key alone) anyway. The dedup window adds
+    * window_start to its partition keys in the salted case — a pure
+    * function of timestamp, so groups and semantics are IDENTICAL to
+    * mergedView's (series_key, timestamp) dedup; tombstones are applied
+    * after the merge exactly as mergedView does. */
+  def buildRaw(points: DataFrame, intervalNs: Long, fields: Seq[String],
+      withDigests: Boolean = false,
+      smooth: Seq[SmoothSpec] = Nil,
+      seeds: Option[DataFrame] = None,
+      tombstones: Seq[Tombstone] = Nil): DataFrame = {
+    require(intervalNs > 0, "rollup interval must be > 0")
+    val keyed0 =
+      if (points.columns.contains("series_key")) points
+      else points.withColumn("series_key",
+        QueryEngine.seriesKeyCol(col("metric"), col("tags")))
+    val bucketed = keyed0.withColumn("window_start",
+      col("timestamp") - pmod(col("timestamp"), lit(intervalNs)))
+    val clustered =
+      if (smooth.nonEmpty) bucketed.repartition(col("series_key"))
+      else bucketed.repartition(col("series_key"), col("window_start"))
+    val dedupKeys =
+      if (smooth.nonEmpty) Seq(col("series_key"), col("timestamp"))
+      else Seq(col("series_key"), col("window_start"), col("timestamp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(dedupKeys: _*).orderBy(col("seq").desc)
+    val merged = QueryEngine.applyTombstones(
+      bucketedDedup(clustered, w), tombstones)
+    buildPartials(merged, intervalNs, fields, withDigests, smooth, seeds)
+  }
+
+  private def bucketedDedup(df: DataFrame,
+      w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+
+  /** Shared back half of [[build]]/[[buildRaw]]: seed join, smoothing
+    * folds, per-window lag partials, final (series, window) aggregation.
+    * Reuses an existing `window_start` column when the caller computed
+    * it pre-shuffle ([[buildRaw]]) — recomputing would re-alias the
+    * attribute and orphan the child partitioning (= a new exchange). */
+  private def buildPartials(keyed0: DataFrame, intervalNs: Long,
+      fields: Seq[String], withDigests: Boolean,
+      smooth: Seq[SmoothSpec], seeds: Option[DataFrame]): DataFrame = {
+    require(intervalNs > 0, "rollup interval must be > 0")
+    require(smooth.distinct.size == smooth.size,
+      "duplicate smoothing spec")
+    require(seeds.isEmpty || smooth.nonEmpty, "seeds without smoothing specs")
     // the seed join shares the series_key clustering the smoothing window
     // pass needs anyway — at most one exchange for both
     val keyed = seeds.fold(keyed0)(sd =>
@@ -220,8 +276,10 @@ object Rollup {
           throw new IllegalArgumentException(s"unknown smoothing kind $other")
       }
     }
-    val windowed = preWindow.withColumn("window_start",
-      col("timestamp") - pmod(col("timestamp"), lit(intervalNs)))
+    val windowed =
+      if (preWindow.columns.contains("window_start")) preWindow
+      else preWindow.withColumn("window_start",
+        col("timestamp") - pmod(col("timestamp"), lit(intervalNs)))
     // per-field consecutive reset-aware deltas WITHIN each window: the
     // previous numeric sample via last(ignoreNulls) over a running frame
     // (skips null-valued rows like the raw operator). The window rides

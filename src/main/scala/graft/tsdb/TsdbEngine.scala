@@ -2221,9 +2221,14 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
   private def writeRollupPartitions(dirM: Path, metric: String, spec: RollupReg,
       replaceDates: Option[Set[String]],
       seeds: Option[DataFrame] = None): Unit = {
-    val merged = metricMergedView(metric, replaceDates)
-    val rolled = Rollup.build(merged, spec.intervalNs, spec.fields,
-      spec.digests, spec.smooth, seeds)
+    // buildRaw fuses the latest-version dedup into the build's own
+    // clustering — one exchange for the whole merge → window → aggregate
+    // pipeline instead of mergedView's (series_key, timestamp) exchange
+    // plus the build's own (r17; same merged semantics, tombstones
+    // applied post-dedup exactly as metricMergedView did)
+    val rolled = Rollup.buildRaw(metricPoints(metric, replaceDates),
+      spec.intervalNs, spec.fields, spec.digests, spec.smooth, seeds,
+      tombstones = loadTombstones().filter(_.metric == metric))
       .withColumn("date", dateOfTs(col("window_start")))
     val stamp = java.util.UUID.randomUUID().toString.take(12)
     val staging = Paths.get(s"$rootDir/_staging/rollup-$stamp")

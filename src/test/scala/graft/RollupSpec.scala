@@ -1523,4 +1523,36 @@ class RollupSpec extends SparkSpec {
     assert(canon(routedE) == canon(rawE) && rawE.nonEmpty,
       "stored EWMA folds must restart from the post-drop first sample")
   }
+
+  test("buildRaw == build(mergedView): dedup, tombstones, smoothing (r17)") {
+    // buildRaw fuses the latest-version dedup + tombstone elision into
+    // the build's own (single) exchange; its output must be ROW-identical
+    // to the two-exchange build-over-mergedView it replaces — including
+    // the duplicate-version pair (seq 3001 wins), a shadowing tombstone,
+    // and the bit-exact smoothing fold states.
+    val pts = fixture
+    val tombs = Seq[Tombstone](
+      PointTombstone("cpu.usage", Map("host" -> "h1"), 14 * Min, 5000L),
+      RangeTombstone("cpu.usage", Map("host" -> "h2"), 60 * Min, 80 * Min, 5000L))
+    val smooth = Seq(SmoothSpec("value", "ewma", 0.25),
+      SmoothSpec("value", "holt", 0.5, 0.25))
+    def canon(df: DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).drop("tags")
+        .collect().map(_.toString).toSeq.sorted
+    }
+    val viaMerged = Rollup.build(
+      QueryEngine.mergedView(pts, tombs), Min, Seq("value", "load"),
+      smooth = smooth)
+    val viaRaw = Rollup.buildRaw(pts, Min, Seq("value", "load"),
+      smooth = smooth, tombstones = tombs)
+    assert(viaMerged.columns.toSeq == viaRaw.columns.toSeq)
+    val (a, b) = (canon(viaMerged), canon(viaRaw))
+    assert(a.nonEmpty && a == b)
+    // and the un-smoothed (time-salted clustering) variant
+    val (c, d) = (canon(Rollup.build(QueryEngine.mergedView(pts, tombs),
+      Min, Seq("value"))),
+      canon(Rollup.buildRaw(pts, Min, Seq("value"), tombstones = tombs)))
+    assert(c.nonEmpty && c == d)
+  }
 }
