@@ -78,6 +78,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // driver-side generated-class cache, sized to the battery (r17):
+      // the default 100 entries holds ~12 queries' codegen units, so a
+      // 121-query battery evicts everything once per pass and janino
+      // recompiles every stage every pass — pure driver fixed cost,
+      // identical on a 1000-executor cluster's driver (generated classes
+      // are driver-compiled). Scale-independent, bounded memory
+      // (~thousands of small classes); any long-running serving
+      // deployment re-running many query shapes wants the same.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       // the library's standard deployment: SQL functions + optimizer
       // rules (TsPushdown, RangeJoinRewrite) ride the session — the
       // bench must time the plans a real deployment gets (round 14:

@@ -28,6 +28,22 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Round-robin spread of a SMALL single-file scan across the session's
+    * parallelism: a single-row-group parquet file scans as ONE task, so
+    * regex-heavy narrow projections (langId, PII regexes, quality
+    * scoring, gram hashing) serialize on one core at bench scale. No-op
+    * whenever the source already provides enough splits — at 100 TB
+    * inputs are thousands of files and the plan is UNCHANGED (the same
+    * derive-from-data adaptivity as SPLIT AUTO / IVF auto-nlist).
+    * Applied ONLY to queries whose heavy stage feeds no early shuffle
+    * (measured r17: wins on scan-bound regex pipelines, loses on
+    * persist + self-join pipelines where the extra exchange disturbs
+    * AQE); row-local semantics only — results never depend on layout. */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length * 4 >= p) df else df.repartition(p)
+  }
+
   /** End-of-data sentinel well past all event timestamps (year 2100). */
   private val FarFuture = 4102444800000000000L
   /** 2024-01-01T00:00:00Z .. 2024-01-02T00:00:00Z in ns. */
@@ -260,7 +276,7 @@ object Queries {
   /** Text quality statistics + heuristic quality score per document. */
   def docStats(s: SparkSession, dir: String): DataFrame = {
     val ws = TA.words(col("text"))
-    t(s, dir, "documents").select(
+    spread(t(s, dir, "documents")).select(
       col("doc_id"),
       size(ws).as("n_tokens"),
       size(array_distinct(ws)).as("n_uniq"),
@@ -363,7 +379,7 @@ object Queries {
 
   /** Language-ID heuristic (stopword/CJK scoring, deterministic tie-break). */
   def langId(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
+    spread(t(s, dir, "documents")).select(
       col("doc_id"), col("lang").as("labeled"),
       TA.langId(col("text")).as("predicted"))
       .orderBy("doc_id")
@@ -488,7 +504,7 @@ object Queries {
     * benchmark; train docs sharing >= 3 distinct 5-grams with it are
     * flagged (eval n-gram set broadcast — the 100 TB probe shape). */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = spread(t(s, dir, "documents"))
     Decontaminate.contamination(
       docs.filter(col("doc_id") % 20 =!= 0),
       docs.filter(col("doc_id") % 20 === 0),
@@ -499,7 +515,7 @@ object Queries {
   /** Gopher-style repetition signals: duplicate-word and top-bigram
     * fractions (×10⁴) per document. */
   def docRepetition(s: SparkSession, dir: String): DataFrame =
-    TA.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+    TA.repetitionStats(spread(t(s, dir, "documents")), "doc_id", "text")
       .orderBy("doc_id")
 
   /** PII scan + redaction over text with deterministically planted PII
@@ -516,7 +532,7 @@ object Queries {
         .otherwise(lit("")),
       lit(" ip 10."), (col("doc_id") % 256).cast("string"),
       lit(".0."), (col("doc_id") % 100).cast("string"), lit(" end"))
-    t(s, dir, "documents")
+    spread(t(s, dir, "documents"))
       .select(col("doc_id") +: (TA.piiCounts(planted) :+
         md5(TA.piiRedact(planted)).as("red_fp")): _*)
       .orderBy("doc_id")
@@ -1504,7 +1520,7 @@ object Queries {
     * every drop reason appear in the output; dials are deterministic and
     * mirrored literally in the oracle SQL. */
   def curateLineage(s: SparkSession, dir: String): DataFrame = {
-    val docs0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val docs0 = spread(t(s, dir, "documents")).select(col("doc_id"), col("text"))
     val planted = docs0.filter(col("doc_id") < 15)
       .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
     val german = s.range(1).select(lit(200000L).as("doc_id"),
