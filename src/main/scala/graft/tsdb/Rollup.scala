@@ -252,7 +252,12 @@ object Rollup {
     // pass needs anyway — at most one exchange for both
     val keyed = seeds.fold(keyed0)(sd =>
       keyed0.join(sd, Seq("series_key"), "left"))
-    val preWindow = smooth.foldLeft(keyed) { (df, s) =>
+    // Column-batched construction (r17): every chained withColumn eagerly
+    // re-runs the analyzer over the whole (growing) plan — for |fields|
+    // delta columns that was O(fields²) analyzer passes and showed up as
+    // hundreds of ms of DRIVER time per build. Each batch below is ONE
+    // select (one analyzer pass); semantics identical.
+    val smoothCols = smooth.map { s =>
       // exact recurrence state per sample ([[SmoothSpec]]): the raw
       // operator's own native fold over the per-SERIES merged order.
       // Runs BEFORE the per-(series, window) lag pass; hash(series_key)
@@ -260,22 +265,26 @@ object Rollup {
       // clustering, so the extra pass costs one sort, never an exchange.
       val n = QueryEngine.numericOf(s.field)
       val seedCol = seeds.map(_ => col(smoothSeedCol(s)))
-      s.kind match {
-        case "ewma" => df.withColumn(smoothStateCol(s),
+      val state = s.kind match {
+        case "ewma" =>
           graft.functions.WindowFunctions.ewma(n, s.alpha,
             partitionBy = Seq(col("series_key")),
             orderBy = Seq(col("timestamp")),
-            seed = seedCol))
-        case "holt" => df.withColumn(smoothStateCol(s),
+            seed = seedCol)
+        case "holt" =>
           graft.functions.WindowFunctions.holtTrend(n, s.alpha, s.beta,
             partitionBy = Seq(col("series_key")),
             orderBy = Seq(col("timestamp")),
             seed = seedCol.map(c =>
-              (c.getField("level"), c.getField("trend")))))
+              (c.getField("level"), c.getField("trend"))))
         case other =>
           throw new IllegalArgumentException(s"unknown smoothing kind $other")
       }
+      state.as(smoothStateCol(s))
     }
+    val preWindow =
+      if (smoothCols.isEmpty) keyed
+      else keyed.select(col("*") +: smoothCols: _*)
     val windowed =
       if (preWindow.columns.contains("window_start")) preWindow
       else preWindow.withColumn("window_start",
@@ -289,38 +298,42 @@ object Rollup {
       .partitionBy(col("series_key"), col("window_start"))
       .orderBy(col("timestamp"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val withDeltas = fields.foldLeft(windowed) { (df, f) =>
+    // batch 1: the per-field previous NUMERIC sample's value + ord (the
+    // lag behind the __inc/__area/__plast partials) — materialized as
+    // columns so each window function is computed once, then referenced
+    val prevCols = fields.flatMap { f =>
       val n = QueryEngine.numericOf(f)
       val ord = struct(col("timestamp"), col("series_key"),
         (col("seq") * -1).as("negseq"))
-      df
-        // previous NUMERIC sample's value + ord within the window (the
-        // lag behind the __inc/__area/__plast partials)
-        .withColumn(s"__graft_prev_$f", last(n, ignoreNulls = true).over(winSpec))
-        .withColumn(s"__graft_prevord_$f",
-          last(when(n.isNotNull, ord), ignoreNulls = true).over(winSpec))
-        .withColumn(s"__graft_inc_$f",
-          when(n.isNotNull && col(s"__graft_prev_$f").isNotNull,
-            when(n < col(s"__graft_prev_$f"), n)
-              .otherwise(n - col(s"__graft_prev_$f"))))
+      Seq(
+        last(n, ignoreNulls = true).over(winSpec).as(s"__graft_prev_$f"),
+        last(when(n.isNotNull, ord), ignoreNulls = true).over(winSpec)
+          .as(s"__graft_prevord_$f"))
+    }
+    val withPrev = windowed.select(col("*") +: prevCols: _*)
+    // batch 2: pair deltas / transition flags / LOCF integrals over the
+    // materialized prev columns
+    val deltaCols = fields.flatMap { f =>
+      val n = QueryEngine.numericOf(f)
+      val prev = col(s"__graft_prev_$f")
+      Seq(
+        when(n.isNotNull && prev.isNotNull,
+          when(n < prev, n).otherwise(n - prev)).as(s"__graft_inc_$f"),
         // counter-transition flags per consecutive numeric pair (the
         // __resets/__changes partials; long so the sums stay exact)
-        .withColumn(s"__graft_reset_$f",
-          when(n.isNotNull && col(s"__graft_prev_$f").isNotNull,
-            when(n < col(s"__graft_prev_$f"), lit(1L)).otherwise(lit(0L))))
-        .withColumn(s"__graft_chg_$f",
-          when(n.isNotNull && col(s"__graft_prev_$f").isNotNull,
-            when(n =!= col(s"__graft_prev_$f"), lit(1L)).otherwise(lit(0L))))
+        when(n.isNotNull && prev.isNotNull,
+          when(n < prev, lit(1L)).otherwise(lit(0L))).as(s"__graft_reset_$f"),
+        when(n.isNotNull && prev.isNotNull,
+          when(n =!= prev, lit(1L)).otherwise(lit(0L))).as(s"__graft_chg_$f"),
         // LOCF pair integral, assigned to the pair's LATER row: the
         // earlier sample's value × the ns gap, as double (the raw TWA
         // path's v·w product over the same operands)
-        .withColumn(s"__graft_area_$f",
-          when(n.isNotNull && col(s"__graft_prev_$f").isNotNull,
-            col(s"__graft_prev_$f") *
-              (col("timestamp") -
-                col(s"__graft_prevord_$f").getField("timestamp"))
-                .cast("double")))
+        when(n.isNotNull && prev.isNotNull,
+          prev * (col("timestamp") -
+            col(s"__graft_prevord_$f").getField("timestamp")).cast("double"))
+          .as(s"__graft_area_$f"))
     }
+    val withDeltas = withPrev.select(col("*") +: deltaCols: _*)
     // smoothing partials: the state at the window's LAST numeric sample
     // (max_by over the same vord key as first/last — non-numeric rows
     // carry the fold unchanged and are excluded by the null ord)

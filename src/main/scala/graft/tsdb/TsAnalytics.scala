@@ -168,8 +168,9 @@ object TsAnalytics {
       case None =>
         val df = prep(slice(points, p, field, tombstones))
         val w = Window.partitionBy(col("series_key")).orderBy(col("timestamp"))
-        df.withColumn("__pv", lag(col("__v"), 1).over(w))
-          .withColumn("__pt", lag(col("timestamp"), 1).over(w))
+        df.select(col("*"),
+          lag(col("__v"), 1).over(w).as("__pv"),
+          lag(col("timestamp"), 1).over(w).as("__pt"))
       case Some(sw) =>
         val df = prep(sliceChunked(points, p, field, tombstones, sw))
         val wc = Window.partitionBy(col("series_key"), col("__chunk"))
@@ -188,13 +189,17 @@ object TsAnalytics {
             col("__prev").getField("v").as("__bpv"))
         // only a chunk's FIRST row patches from the boundary: a null
         // in-chunk lag value on later rows means a null-valued
-        // predecessor ROW, which must stay null (unsplit semantics)
-        df.withColumn("__pv0", lag(col("__v"), 1).over(wc))
-          .withColumn("__pt0", lag(col("timestamp"), 1).over(wc))
-          .withColumn("__rn1", row_number().over(wc))
+        // predecessor ROW, which must stay null (unsplit semantics).
+        // (column-batched selects — not chained withColumn — so the
+        // analyzer runs once per batch, r17)
+        df.select(col("*"),
+            lag(col("__v"), 1).over(wc).as("__pv0"),
+            lag(col("timestamp"), 1).over(wc).as("__pt0"),
+            row_number().over(wc).as("__rn1"))
           .join(bounds, Seq("series_key", "__chunk"), "left")
-          .withColumn("__pv", when(col("__rn1") === 1, col("__bpv")).otherwise(col("__pv0")))
-          .withColumn("__pt", when(col("__rn1") === 1, col("__bpt")).otherwise(col("__pt0")))
+          .select(col("*"),
+            when(col("__rn1") === 1, col("__bpv")).otherwise(col("__pv0")).as("__pv"),
+            when(col("__rn1") === 1, col("__bpt")).otherwise(col("__pt0")).as("__pt"))
     }
   }
 
@@ -1098,18 +1103,22 @@ object TsAnalytics {
     val df = slice(points, p, field, tombstones)
     val w = Window.partitionBy(col("series_key")).orderBy(col("timestamp"))
       .rowsBetween(-lookback, -1)
-    val mean = avg(col("__v")).over(w)
-    val sd = stddev_samp(col("__v")).over(w)
-    val n = count(col("__v")).over(w)
+    // ONE select materializes each window aggregate once (r17: the
+    // chained-withColumn form embedded avg/stddev twice — once as the
+    // output column, once inside z — so the Window operator evaluated
+    // them twice per row; analyzer also ran once per withColumn).
     // stddev within 1e-12 of zero → undefined score (a constant baseline
     // makes any change infinitely surprising; report null, not ±Inf)
-    val z = when(n >= minPoints && sd > 1e-12,
-      (col("__v") - mean) / when(sd =!= 0.0, sd))
-    df.withColumn("mean", mean).withColumn("stddev", sd).withColumn("z", z)
-      .withColumn("is_anomaly", coalesce(abs(col("z")) > threshold, lit(false)))
+    val stats = df.select(col("*"),
+      avg(col("__v")).over(w).as("mean"),
+      stddev_samp(col("__v")).over(w).as("stddev"),
+      count(col("__v")).over(w).as("__wn"))
+    val z = when(col("__wn") >= minPoints && col("stddev") > 1e-12,
+      (col("__v") - col("mean")) / when(col("stddev") =!= 0.0, col("stddev")))
+    stats.select(col("*"), z.as("z"))
       .select(col("metric"), col("tags"), col("series_key"), col("timestamp"),
         col("__v").as("value"), col("mean"), col("stddev"), col("z"),
-        col("is_anomaly"))
+        coalesce(abs(col("z")) > threshold, lit(false)).as("is_anomaly"))
       .orderBy(col("series_key"), col("timestamp"))
   }
 
@@ -1157,17 +1166,18 @@ object TsAnalytics {
     val all = base.withColumn("__ctx", lit(false)).unionByName(replicas)
     val w = Window.partitionBy(col("series_key"), col("__chunk"))
       .orderBy(col("timestamp")).rowsBetween(-lookback, -1)
-    val mean = avg(col("__v")).over(w)
-    val sd = stddev_samp(col("__v")).over(w)
-    val n = count(col("__v")).over(w)
-    val z = when(n >= minPoints && sd > 1e-12,
-      (col("__v") - mean) / when(sd =!= 0.0, sd))
-    all.withColumn("mean", mean).withColumn("stddev", sd).withColumn("z", z)
-      .withColumn("is_anomaly", coalesce(abs(col("z")) > threshold, lit(false)))
+    // same single-evaluation batching as the unsplit path (r17)
+    val stats = all.select(col("*"),
+      avg(col("__v")).over(w).as("mean"),
+      stddev_samp(col("__v")).over(w).as("stddev"),
+      count(col("__v")).over(w).as("__wn"))
+    val z = when(col("__wn") >= minPoints && col("stddev") > 1e-12,
+      (col("__v") - col("mean")) / when(col("stddev") =!= 0.0, col("stddev")))
+    stats.select(col("*"), z.as("z"))
       .filter(!col("__ctx"))
       .select(col("metric"), col("tags"), col("series_key"), col("timestamp"),
         col("__v").as("value"), col("mean"), col("stddev"), col("z"),
-        col("is_anomaly"))
+        coalesce(abs(col("z")) > threshold, lit(false)).as("is_anomaly"))
       .orderBy(col("series_key"), col("timestamp"))
   }
 }
