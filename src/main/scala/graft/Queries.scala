@@ -21,9 +21,12 @@ object Queries {
   // ---- helpers ----------------------------------------------------------
 
   /** Events viewed as the canonical point stream (metric=event_type,
-    * tags={user}, ns timestamp, fields={value,props}). */
+    * tags={user}, ns timestamp, fields={value,props}), with `series_key`
+    * precomputed from the typed columns (r18 — [[Tables.eventsAsPointsKeyed]]:
+    * byte-equal to the generic lambda-chain derivation, one concat per row
+    * instead of an interpreted map_entries→array_sort→transform per row). */
   private def pts(s: SparkSession, dir: String): DataFrame =
-    Tables.eventsAsPoints(s, dir)
+    Tables.eventsAsPointsKeyed(s, dir)
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -79,10 +82,19 @@ object Queries {
   /** A2 answered from a MATERIALIZED 1m ROLLUP (SURVEY §4 north-star:
     * downsample rewritten onto pre-aggregated partials). The oracle still
     * computes from RAW events — a green row proves the rollup path is
-    * exact end-to-end, not merely self-consistent. */
+    * exact end-to-end, not merely self-consistent. The build input is
+    * pre-filtered to the queried metric (r18, the tsdbRollupTwa/Predict
+    * pattern): the engine's materialization is per-metric anyway
+    * (`registerRollup(metric, …)`), and without the pre-filter the
+    * `metric = purchase` predicate lands ABOVE the build aggregation —
+    * every other metric's points are scanned, shuffled, windowed and
+    * aggregated only to be thrown away (plan: the filter now reaches the
+    * parquet scan as PushedFilters on event_type). Output identical:
+    * series keys are metric-prefixed, so no cross-metric groups exist. */
   def tsdbRollupDownsample(s: SparkSession, dir: String): DataFrame = {
     val oneMin = 60000000000L
-    val rollup = Rollup.buildRaw(pts(s, dir), oneMin, Seq("value"))
+    val rollup = Rollup.buildRaw(
+      pts(s, dir).filter(col("metric") === "purchase"), oneMin, Seq("value"))
     val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture - 1),
       downsampleNs = Some(HourNs),
       aggs = Seq(AggSpec("avg", "value"), AggSpec("sum", "value"),
@@ -875,7 +887,8 @@ object Queries {
     * the exactness of the decomposition every round. */
   def tsdbRollupDelta(s: SparkSession, dir: String): DataFrame = {
     val oneMin = 60000000000L
-    val rollup = Rollup.buildRaw(pts(s, dir), oneMin, Seq("value"))
+    val rollup = Rollup.buildRaw(
+      pts(s, dir).filter(col("metric") === "purchase"), oneMin, Seq("value"))
     val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture - 1))
     Rollup.runDelta(rollup, oneMin, q, "value")
       .select(userCol, col("n_points"),
@@ -894,7 +907,8 @@ object Queries {
     * every round. */
   def tsdbRollupDeltaBy(s: SparkSession, dir: String): DataFrame = {
     val oneMin = 60000000000L
-    val rollup = Rollup.buildRaw(pts(s, dir), oneMin, Seq("value"))
+    val rollup = Rollup.buildRaw(
+      pts(s, dir).filter(col("metric") === "purchase"), oneMin, Seq("value"))
     val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture - 1))
     Rollup.runDeltaBy(rollup, oneMin, q, "value", windowNs = 24L * HourNs)
       .select(userCol, col("window_start"), col("n_points"),
@@ -1052,7 +1066,8 @@ object Queries {
     * decomposition (exact: long counts) every round. */
   def tsdbRollupResets(s: SparkSession, dir: String): DataFrame = {
     val oneMin = 60000000000L
-    val rollup = Rollup.buildRaw(pts(s, dir), oneMin, Seq("value"))
+    val rollup = Rollup.buildRaw(
+      pts(s, dir).filter(col("metric") === "purchase"), oneMin, Seq("value"))
     val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture - 1))
     Rollup.runTransitions(rollup, oneMin, q, "value")
       .select(userCol, col("n_points"), col("resets"))
@@ -1074,7 +1089,8 @@ object Queries {
     * verbatim (exact long counts), gating the grouped decomposition. */
   def tsdbRollupResetsBy(s: SparkSession, dir: String): DataFrame = {
     val oneMin = 60000000000L
-    val rollup = Rollup.buildRaw(pts(s, dir), oneMin, Seq("value"))
+    val rollup = Rollup.buildRaw(
+      pts(s, dir).filter(col("metric") === "purchase"), oneMin, Seq("value"))
     val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture - 1))
     Rollup.runTransitionsBy(rollup, oneMin, q, "value", 24L * HourNs)
       .select(userCol, col("window_start"), col("n_points"), col("resets"))
@@ -1097,7 +1113,8 @@ object Queries {
     * path from resets' less-than). */
   def tsdbRollupChanges(s: SparkSession, dir: String): DataFrame = {
     val oneMin = 60000000000L
-    val rollup = Rollup.buildRaw(pts(s, dir), oneMin, Seq("value"))
+    val rollup = Rollup.buildRaw(
+      pts(s, dir).filter(col("metric") === "purchase"), oneMin, Seq("value"))
     val q = QueryParams("purchase", startNs = 0L, endNs = Some(FarFuture - 1))
     Rollup.runTransitions(rollup, oneMin, q, "value")
       .select(userCol, col("n_points"), col("changes"))

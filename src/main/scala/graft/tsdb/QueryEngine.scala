@@ -120,8 +120,13 @@ object QueryEngine {
     * reference's merging iterator exposes (`iterator/iterator.go:244-294`)
     * and what compaction materializes. */
   def mergedView(points: DataFrame, tombstones: Seq[Tombstone]): DataFrame = {
-    val keyed = points.withColumn("series_key",
-      seriesKeyCol(col("metric"), col("tags")))
+    // reuse a present series_key (r18): frames off the storage layout or
+    // the keyed events view already carry the canonical key — recomputing
+    // would run the per-row lambda chain again for identical bytes
+    val keyed =
+      if (points.columns.contains("series_key")) points
+      else points.withColumn("series_key",
+        seriesKeyCol(col("metric"), col("tags")))
     val w = Window.partitionBy(col("series_key"), col("timestamp"))
       .orderBy(col("seq").desc)
     val deduped = keyed.withColumn("__rn", row_number().over(w))
@@ -166,7 +171,8 @@ object QueryEngine {
     //    computed HERE, before the shuffle, and reused downstream:
     //    recomputing it post-shuffle would re-alias the attribute and
     //    orphan the child partitioning (= a second exchange).
-    df = df.withColumn("series_key", seriesKeyCol(col("metric"), col("tags")))
+    if (!df.columns.contains("series_key")) // reuse a present key (r18)
+      df = df.withColumn("series_key", seriesKeyCol(col("metric"), col("tags")))
     val timeKey =
       if (p.isDownsample) {
         val interval = p.downsampleNs.get

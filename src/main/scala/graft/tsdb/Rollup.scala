@@ -107,9 +107,18 @@ object Rollup {
   /** Stored partial-aggregate columns for field `f` (null-safe: a window
     * whose points lack the field stores nulls / zero counts). With
     * `digest`, adds the serialized t-digest sketch of the window's
-    * numeric values (`f__tdigest`) for percentile re-aggregation. */
+    * numeric values (`f__tdigest`) for percentile re-aggregation.
+    *
+    * Inputs reference the MATERIALIZED `__graft_n_<f>` column
+    * ([[buildPartials]]'s batch-0 select, r18) instead of re-deriving the
+    * cleaned numeric inline: the aggregation plans as SortAggregate
+    * (struct-typed buffers), which runs interpreted with NO
+    * common-subexpression elimination — the inline form evaluated the
+    * fields-map extract + NaN/Inf CASE chain once per aggregate function
+    * per row (~10× redundant work, and an expression tree large enough to
+    * show up in analysis time). */
   private def partials(f: String, digest: Boolean): Seq[Column] = {
-    val n = QueryEngine.numericOf(f)
+    val n = col(s"__graft_n_$f")
     val ord = struct(col("timestamp"), col("series_key"),
       (col("seq") * -1).as("negseq"))
     val vord = when(n.isNotNull, ord)
@@ -250,8 +259,25 @@ object Rollup {
     require(seeds.isEmpty || smooth.nonEmpty, "seeds without smoothing specs")
     // the seed join shares the series_key clustering the smoothing window
     // pass needs anyway — at most one exchange for both
-    val keyed = seeds.fold(keyed0)(sd =>
+    val seeded = seeds.fold(keyed0)(sd =>
       keyed0.join(sd, Seq("series_key"), "left"))
+    // batch 0 (r18): materialize each rolled field's CLEANED NUMERIC value
+    // once as a column. Every downstream consumer — the smoothing folds,
+    // the per-window lag pass, the delta/transition/integral columns, and
+    // all ~18 stored partials — references the 8-byte column instead of
+    // re-deriving fields[f] map extraction + the NaN/Inf CASE chain per
+    // use (the aggregation plans as SortAggregate for its struct-typed
+    // buffers, which evaluates interpreted with NO common-subexpression
+    // elimination — the inline form paid that chain ~10× per row). The
+    // ord STRUCT is deliberately NOT materialized: in the build()/
+    // mergedView path this select sits below the windows' exchange, and a
+    // per-field struct(ts, series_key, negseq) column would widen the
+    // build shuffle ~30% (guide §2.3) to save 4 post-shuffle struct
+    // constructions — the wrong trade at scale.
+    val matFields = (fields ++ smooth.map(_.field)).distinct
+    val matCols = matFields.map(f =>
+      QueryEngine.numericOf(f).as(s"__graft_n_$f"))
+    val keyed = seeded.select(col("*") +: matCols: _*)
     // Column-batched construction (r17): every chained withColumn eagerly
     // re-runs the analyzer over the whole (growing) plan — for |fields|
     // delta columns that was O(fields²) analyzer passes and showed up as
@@ -263,7 +289,7 @@ object Rollup {
       // Runs BEFORE the per-(series, window) lag pass; hash(series_key)
       // partitioning satisfies the downstream (series, window)
       // clustering, so the extra pass costs one sort, never an exchange.
-      val n = QueryEngine.numericOf(s.field)
+      val n = col(s"__graft_n_${s.field}")
       val seedCol = seeds.map(_ => col(smoothSeedCol(s)))
       val state = s.kind match {
         case "ewma" =>
@@ -302,7 +328,7 @@ object Rollup {
     // lag behind the __inc/__area/__plast partials) — materialized as
     // columns so each window function is computed once, then referenced
     val prevCols = fields.flatMap { f =>
-      val n = QueryEngine.numericOf(f)
+      val n = col(s"__graft_n_$f")
       val ord = struct(col("timestamp"), col("series_key"),
         (col("seq") * -1).as("negseq"))
       Seq(
@@ -314,7 +340,7 @@ object Rollup {
     // batch 2: pair deltas / transition flags / LOCF integrals over the
     // materialized prev columns
     val deltaCols = fields.flatMap { f =>
-      val n = QueryEngine.numericOf(f)
+      val n = col(s"__graft_n_$f")
       val prev = col(s"__graft_prev_$f")
       Seq(
         when(n.isNotNull && prev.isNotNull,
@@ -338,7 +364,7 @@ object Rollup {
     // (max_by over the same vord key as first/last — non-numeric rows
     // carry the fold unchanged and are excluded by the null ord)
     val smoothAggs = smooth.map { s =>
-      val n = QueryEngine.numericOf(s.field)
+      val n = col(s"__graft_n_${s.field}")
       val vord = when(n.isNotNull, struct(col("timestamp"), col("series_key"),
         (col("seq") * -1).as("negseq")))
       max_by(col(smoothStateCol(s)), vord).as(smoothStateCol(s))

@@ -52,8 +52,26 @@ object Tables {
     * metric = event_type, series tags = {user: user_id}, ts = ns epoch,
     * fields = {value: double, props: string}, seq = event_id (ingest
     * order stands in for the reference's write sequence number). */
-  def eventsAsPoints(spark: SparkSession, sfDir: String): DataFrame = {
-    load(spark, sfDir, "events").select(
+  def eventsAsPoints(spark: SparkSession, sfDir: String): DataFrame =
+    eventsView(spark, sfDir, keyed = false)
+
+  /** [[eventsAsPoints]] plus a precomputed `series_key` column (r18):
+    * byte-equal to `QueryEngine.seriesKeyCol(metric, tags)` for this
+    * view's statically known single-tag shape — {user: user_id} means
+    * the generic map_entries → array_sort → transform lambda chain
+    * (interpreted per row, no whole-stage codegen) constant-folds to one
+    * concat over the typed columns. A null user_id makes a null map
+    * value, which array_join skips → empty entry string; coalesce
+    * reproduces that case exactly. Consumers (QueryEngine, TsAnalytics,
+    * Rollup) reuse a present series_key instead of recomputing. The
+    * unkeyed view keeps the canonical 5-column schema for ingest/wire
+    * paths whose row layout is itself the contract. */
+  def eventsAsPointsKeyed(spark: SparkSession, sfDir: String): DataFrame =
+    eventsView(spark, sfDir, keyed = true)
+
+  private def eventsView(spark: SparkSession, sfDir: String,
+      keyed: Boolean): DataFrame = {
+    val base = Seq(
       col("event_type").as("metric"),
       map(lit("user"), col("user_id").cast("string")).as("tags"),
       col("ts").as("timestamp"),
@@ -64,5 +82,11 @@ object Tables {
           col("props").as("s"), lit(null).cast("boolean").as("b"))
       ).as("fields"),
       col("event_id").as("seq"))
+    val cols =
+      if (!keyed) base
+      else base :+ concat(col("event_type"), lit(SeriesKey.Sep),
+        coalesce(concat(lit("user="), col("user_id").cast("string")), lit("")))
+        .as("series_key")
+    load(spark, sfDir, "events").select(cols: _*)
   }
 }

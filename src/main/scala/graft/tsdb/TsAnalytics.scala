@@ -64,9 +64,10 @@ object TsAnalytics {
     p.tags.foreach { case (k, v) => df = df.filter(TagMatch.pred(k, v)) }
     val (startNs, endNs) = QueryEngine.resolveRange(df, p)
     df = df.filter(col("timestamp").between(startNs, endNs))
-      .withColumn("series_key",
+    if (!df.columns.contains("series_key")) // reuse a present key (r18)
+      df = df.withColumn("series_key",
         QueryEngine.seriesKeyCol(col("metric"), col("tags")))
-      .repartition(col("series_key"))
+    df = df.repartition(col("series_key"))
     val w = Window.partitionBy(col("series_key"), col("timestamp"))
       .orderBy(col("seq").desc)
     df = df.withColumn("__rn", row_number().over(w))
@@ -97,9 +98,10 @@ object TsAnalytics {
     p.tags.foreach { case (k, v) => df = df.filter(TagMatch.pred(k, v)) }
     val (startNs, endNs) = QueryEngine.resolveRange(df, p)
     df = df.filter(col("timestamp").between(startNs, endNs))
-      .withColumn("series_key",
+    if (!df.columns.contains("series_key")) // reuse a present key (r18)
+      df = df.withColumn("series_key",
         QueryEngine.seriesKeyCol(col("metric"), col("tags")))
-      .withColumn("__chunk",
+    df = df.withColumn("__chunk",
         col("timestamp") - pmod(col("timestamp"), lit(splitNs)))
       .repartition(col("series_key"), col("__chunk"))
     val w = Window.partitionBy(col("series_key"), col("__chunk"), col("timestamp"))

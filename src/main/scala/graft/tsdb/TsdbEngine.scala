@@ -2716,9 +2716,10 @@ class TsdbEngine(val spark: SparkSession, val rootDir: String) {
     var df = loadPoints().getOrElse(emptyPoints(spark))
       .filter(col("metric") === metric)
     tags.foreach { case (k, v) => df = df.filter(col("tags").getItem(k) === v) }
-    df.withColumn("series_key",
+    if (!df.columns.contains("series_key")) // reuse a present key (r18)
+      df = df.withColumn("series_key",
         QueryEngine.seriesKeyCol(col("metric"), col("tags")))
-      .select("series_key").distinct().orderBy("series_key")
+    df.select("series_key").distinct().orderBy("series_key")
   }
 
   // ---- maintenance ------------------------------------------------------
