@@ -181,8 +181,13 @@ object Queries {
           lit(null).cast("long").as("l"), lit(null).cast("string").as("s"),
           lit(null).cast("boolean").as("b"))))
     val q = QueryParams("signup", startNs = 0L, endNs = Some(FarFuture))
-    QueryEngine.run(p.select("metric", "tags", "timestamp", "fields", "seq")
-        .union(v2.select("metric", "tags", "timestamp", "fields", "seq")), q)
+    // series_key rides the union (metric/tags are untouched by the v2
+    // rewrite, so both sides carry the identical precomputed key — r18;
+    // dropping it would make QueryEngine re-derive it per row)
+    QueryEngine.run(
+      p.select("metric", "tags", "timestamp", "fields", "seq", "series_key")
+        .union(v2.select("metric", "tags", "timestamp", "fields", "seq",
+          "series_key")), q)
       .select(col("metric"), userCol, tsUs,
         col("fields").getItem("value").getField("d").as("value"))
       .orderBy("timestamp")
@@ -1438,10 +1443,12 @@ object Queries {
     * integer e4 partial sums make the score order-free. */
   def annPqTopK(s: SparkSession, dir: String): DataFrame = {
     val all = embVecs(s, dir)
+    // ks == nlist: ONE first-16 collect seeds both trainers (r18)
+    val seed = Similarity.firstVecs(all, 16)
     Similarity.pqTopK(all.filter(col("id") < 5), all, k = 10,
       m = 8, ks = 16, nlist = 16, nprobe = 6,
-      codebooks = Some(Similarity.firstKsCodebooks(all, 8, 16)),
-      centroids = Some(Similarity.firstNCentroids(all, 16)), replicate = 1)
+      codebooks = Some(Similarity.codebooksOfVecs(seed, 8)),
+      centroids = Some(seed), replicate = 1)
       .orderBy("query_id", "rank")
   }
 
@@ -1453,10 +1460,12 @@ object Queries {
     * recall and exact refinement order) are hash-checked. */
   def annPqRefine(s: SparkSession, dir: String): DataFrame = {
     val all = embVecs(s, dir)
+    // ks == nlist: ONE first-16 collect seeds both trainers (r18)
+    val seed = Similarity.firstVecs(all, 16)
     Similarity.pqTopKRefined(all.filter(col("id") < 5), all, k = 10,
       refine = 4, m = 8, ks = 16, nlist = 16, nprobe = 6,
-      codebooks = Some(Similarity.firstKsCodebooks(all, 8, 16)),
-      centroids = Some(Similarity.firstNCentroids(all, 16)), replicate = 1)
+      codebooks = Some(Similarity.codebooksOfVecs(seed, 8)),
+      centroids = Some(seed), replicate = 1)
       .orderBy("query_id", "rank")
   }
 
@@ -1471,8 +1480,10 @@ object Queries {
     * (PlanSpec-pinned). */
   def annPqTopKIndexed(s: SparkSession, dir: String): DataFrame = {
     val all = embVecs(s, dir)
-    val cb = Similarity.firstKsCodebooks(all, 8, 16)
-    val cents = Similarity.firstNCentroids(all, 16)
+    // ks == nlist: ONE first-16 collect seeds both trainers (r18)
+    val seed = Similarity.firstVecs(all, 16)
+    val cb = Similarity.codebooksOfVecs(seed, 8)
+    val cents = seed
     val idx = java.nio.file.Files.createTempDirectory("graft_ann_idx").toString
     Similarity.writeAnnIndex(all.filter(col("id") % 3 =!= 0), idx,
       m = 8, ks = 16, nlist = 16, codebooks = Some(cb), centroids = Some(cents))

@@ -351,9 +351,20 @@ object Similarity {
     * `dim/m`-wide slice of the c-th vector. Production fits would train
     * per-subspace k-means instead; the transform/scoring machinery below
     * is identical either way. */
-  def firstKsCodebooks(corpus: DataFrame, m: Int, ks: Int): Array[Array[Array[Double]]] = {
-    val vecs = corpus.orderBy(col("id")).limit(ks).select(col("vec")).collect()
+  def firstKsCodebooks(corpus: DataFrame, m: Int, ks: Int): Array[Array[Array[Double]]] =
+    codebooksOfVecs(firstVecs(corpus, ks), m)
+
+  /** The first `n` corpus vectors by id — ONE TakeOrdered collect. The
+    * deterministic trainer seed shared by [[firstKsCodebooks]] and
+    * [[firstNCentroids]]: a caller needing both (the PQ battery queries
+    * pass ks == nlist) collects once instead of running the same
+    * driver-side job twice (r18). */
+  def firstVecs(corpus: DataFrame, n: Int): Array[Array[Double]] =
+    corpus.orderBy(col("id")).limit(n).select(col("vec")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** [[firstKsCodebooks]] over an already-collected vector seed. */
+  def codebooksOfVecs(vecs: Array[Array[Double]], m: Int): Array[Array[Array[Double]]] = {
     require(vecs.nonEmpty && vecs.head.length % m == 0,
       s"dim ${vecs.headOption.fold(0)(_.length)} not divisible by m=$m")
     val sub = vecs.head.length / m

@@ -846,6 +846,28 @@ object TsAnalytics {
   def seriesCardinality(points: DataFrame, windowNs: Long,
       startNs: Long, endNs: Long,
       tombstones: Seq[Tombstone] = Nil): DataFrame = {
+    if (tombstones.isEmpty) {
+      // tombstone-free fast path (r18): the latest-version merge only
+      // collapses duplicate (series, ts) versions — it never changes
+      // WHICH (series, ts) pairs exist — so merged-row counts are
+      // exactly distinct-(series, ts) counts and the dedup window's
+      // (series_key, timestamp) exchange + sort can be skipped outright:
+      // both distincts ride ONE two-level exact distinct aggregation
+      // (the shuffle carries (metric, window, key) partials, not
+      // points). With tombstones the surviving row's seq decides
+      // visibility, which needs the merge — the general path below.
+      val keyed =
+        if (points.columns.contains("series_key")) points
+        else points.withColumn("series_key",
+          QueryEngine.seriesKeyCol(col("metric"), col("tags")))
+      return keyed.filter(col("timestamp").between(startNs, endNs))
+        .withColumn("window_start",
+          col("timestamp") - pmod(col("timestamp"), lit(windowNs)))
+        .groupBy(col("metric"), col("window_start"))
+        .agg(count_distinct(col("series_key")).as("n_series"),
+          count_distinct(col("series_key"), col("timestamp")).as("n_points"))
+        .orderBy(col("metric"), col("window_start"))
+    }
     val df = QueryEngine.mergedView(
       points.filter(col("timestamp").between(startNs, endNs)), tombstones)
     df.withColumn("window_start",
