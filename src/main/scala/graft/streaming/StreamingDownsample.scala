@@ -55,7 +55,8 @@ object StreamingDownsample {
     val aggCols: Seq[Column] = aggs.map { s =>
       val numeric = if (s.field == "*") lit(null).cast("double") else v
       val nonNull = if (s.field == "*") lit(1) else col("__v")
-      AggFunctions.build(s, numeric, nonNull, ord)
+      // build takes the null-GATED ord (r18)
+      AggFunctions.build(s, numeric, nonNull, when(numeric.isNotNull, ord))
     }
     df.groupBy(col("series_key"),
         window(col("__t"), s"${intervalNs / 1000L} microseconds"))

@@ -29,9 +29,15 @@ object AggFunctions {
     * @param numeric cleaned numeric value of the field: double, int64
     *                promoted, NaN/±Inf already mapped to null
     * @param anyNonNull 1 when the field has a non-null value of any type, else null
-    * @param ord     ordering struct (timestamp asc, seq desc) for first/last
+    * @param vord    NULL-GATED ordering struct for first/last: the
+    *                (timestamp asc, seq desc) stream-ord struct when the
+    *                field's numeric value is non-null, else null (r18 —
+    *                was an ungated struct gated here per use; callers now
+    *                pass `when(numeric.isNotNull, ord)` or a materialized
+    *                column of it, so aggregates with several first/last
+    *                specs evaluate the gate once per row, not per spec)
     */
-  def build(spec: AggSpec, numeric: Column, anyNonNull: Column, ord: Column): Column = {
+  def build(spec: AggSpec, numeric: Column, anyNonNull: Column, vord: Column): Column = {
     val n = numeric
     val result: Column = spec.func match {
       case "count" if spec.field == "*" => count(lit(1))
@@ -40,9 +46,9 @@ object AggFunctions {
       case "avg"   => coalesce(avg(n), nan)
       case "min"   => coalesce(min(n), nan)
       case "max"   => coalesce(max(n), nan)
-      case "first" => coalesce(min_by(n, when(n.isNotNull, ord)), nan)
-      case "last"  => coalesce(max_by(n, when(n.isNotNull, ord)), nan)
-      case "frac"  => fracExpr(n, ord)
+      case "first" => coalesce(min_by(n, vord), nan)
+      case "last"  => coalesce(max_by(n, vord), nan)
+      case "frac"  => fracExpr(n, vord)
       case "stddev" => coalesce(stddev_samp(n), nan)
       case p => spec.percentile match {
         case Some(q) => coalesce(percentile(n, lit(q / 100.0)), nan)
@@ -54,10 +60,10 @@ object AggFunctions {
 
   /** frac = (last − first) / first over numeric values in stream order
     * (`multi_field_aggregator.go:279-292`). */
-  private def fracExpr(n: Column, ord: Column): Column = {
+  private def fracExpr(n: Column, vord: Column): Column = {
     val cnt = count(n)
-    val fst = min_by(n, when(n.isNotNull, ord))
-    val lst = max_by(n, when(n.isNotNull, ord))
+    val fst = min_by(n, vord)
+    val lst = max_by(n, vord)
     // divisor guarded with null (not 0) so ANSI mode can never raise
     // DIVIDE_BY_ZERO even when subexpression elimination hoists the divide
     when(cnt < 2, nan)

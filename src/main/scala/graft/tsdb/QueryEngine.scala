@@ -304,14 +304,45 @@ object QueryEngine {
       v.getField("s").isNotNull || v.getField("b").isNotNull), lit(1))
   }
 
+  /** Materialize each aggregated field's kernel inputs ONCE as columns
+    * (r18): the cleaned numeric (`__agg_n_<f>`), the any-type non-null
+    * marker (`__agg_any_<f>`) and the null-gated stream-ord struct
+    * (`__agg_vord_<f>`). The downsample/final aggregations plan as
+    * SortAggregate whenever a first/last/frac/percentile spec brings a
+    * struct or digest buffer, and SortAggregate evaluates its input
+    * expressions INTERPRETED with no common-subexpression elimination —
+    * inline, every spec re-ran the fields-map extract + NaN/Inf CASE
+    * chain (and the ord gate) per row. This projection always sits ABOVE
+    * the query's one hash exchange (partitionedInput/merged frames), so
+    * the materialized struct never widens a shuffle. */
+  private[tsdb] def withAggInputs(df: DataFrame, p: QueryParams): DataFrame = {
+    val fields = p.aggs.map(_.field).filter(_ != "*").distinct
+    if (fields.isEmpty) df
+    else {
+      // stream order for first/last: (ts asc, series_key asc, seq desc) —
+      // the k-way merge emission order, `iterator/iterator.go:35-63`.
+      val ord = struct(col("timestamp"), col("series_key"),
+        (col("seq") * -1).as("negseq"))
+      val cols = fields.flatMap { f =>
+        val n = numericOf(f)
+        Seq(n.as(s"__agg_n_$f"), anyNonNullOf(f).as(s"__agg_any_$f"),
+          when(n.isNotNull, ord).as(s"__agg_vord_$f"))
+      }
+      df.select(col("*") +: cols: _*)
+    }
+  }
+
+  /** Aggregate Columns for `p.aggs` over the [[withAggInputs]] columns —
+    * callers must have applied [[withAggInputs]] to the frame first. */
   private[tsdb] def aggColumns(p: QueryParams): Seq[Column] = {
-    // stream order for first/last: (ts asc, series_key asc, seq desc) —
-    // the k-way merge emission order, `iterator/iterator.go:35-63`.
-    val ord = struct(col("timestamp"), col("series_key"), (col("seq") * -1).as("negseq"))
     p.aggs.map { s =>
-      val numeric = if (s.field == "*") lit(null).cast("double") else numericOf(s.field)
-      val nonNull = if (s.field == "*") lit(1) else anyNonNullOf(s.field)
-      AggFunctions.build(s, numeric, nonNull, ord)
+      val star = s.field == "*"
+      val numeric =
+        if (star) lit(null).cast("double") else col(s"__agg_n_${s.field}")
+      val nonNull = if (star) lit(1) else col(s"__agg_any_${s.field}")
+      val vord =
+        if (star) lit(null) else col(s"__agg_vord_${s.field}")
+      AggFunctions.build(s, numeric, nonNull, vord)
     }
   }
 
@@ -319,7 +350,7 @@ object QueryEngine {
     * (`engine2/adapter.go:1350-1364`). */
   private def finalAgg(df: DataFrame, p: QueryParams, startNs: Long): DataFrame = {
     val cols = aggColumns(p)
-    df.agg(cols.head, cols.tail: _*)
+    withAggInputs(df, p).agg(cols.head, cols.tail: _*)
       .select(lit(p.metric).as("metric") +: lit(startNs).as("timestamp") +:
         p.aggs.map(s => col(s.outputName)): _*)
   }
@@ -348,7 +379,7 @@ object QueryEngine {
     // `window_start` was computed upstream of the shuffle (partitionedInput)
     // precisely so this groupBy rides the same exchange — reuse, don't
     // recompute (a fresh alias would orphan the child partitioning).
-    val bucketed = df.filter(col("window_start") <= lastW)
+    val bucketed = withAggInputs(df.filter(col("window_start") <= lastW), p)
     val aggd = bucketed
       .groupBy(col("series_key"), col("window_start"))
       .agg(first(col("metric")).as("metric"),

@@ -915,7 +915,8 @@ object TsAnalytics {
 
     val tagCols = tagKeys.map(k => col("tags").getItem(k).as(s"tag_$k"))
     val keyRefs = tagKeys.map(k => col(s"tag_$k"))
-    val withKeys = merged.select(col("*") +: tagCols: _*)
+    val withKeys = QueryEngine.withAggInputs(
+      merged.select(col("*") +: tagCols: _*), p)
     val aggCols = QueryEngine.aggColumns(p)
     val outAggs = p.aggs.map(s => col(s.outputName))
     val asc = p.order == Ascending
