@@ -347,7 +347,7 @@ object Queries {
     * windows advancing 24 — partial tails kept, narrow map + explode
     * only. */
   def docChunks(s: SparkSession, dir: String): DataFrame =
-    TA.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+    TA.chunkDocs(spread(t(s, dir, "documents")), "doc_id", "text",
         chunkTokens = 32, overlap = 8)
       .orderBy("doc_id", "chunk_index")
 
@@ -356,6 +356,8 @@ object Queries {
     * chunks repeated across ≥ 2 distinct documents are boilerplate
     * candidates. Narrow chunking into one count shuffle on the
     * fingerprint. */
+  // deliberately NOT spread (r18 A/B: 0.50 → 0.63 — the round-robin
+  // exchange lands just before the fp groupBy's shuffle and loses)
   def boilerplateChunks(s: SparkSession, dir: String): DataFrame =
     TA.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 8, overlap = 0)
@@ -416,7 +418,8 @@ object Queries {
 
   /** MinHash signatures (k=8 engine-agnostic string minhash). */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", n = 3, k = 8)
+    Dedup.minhashSignatures(spread(t(s, dir, "documents")), "doc_id", "text",
+        n = 3, k = 8)
       .orderBy("doc")
 
   /** MinHash-LSH candidate pairs (4 bands × 2 rows) verified by exact
@@ -432,7 +435,7 @@ object Queries {
     * come from md5(shingle) nibbles, so the DuckDB oracle reproduces the
     * sketch bit-for-bit from its own md5 (hash-checkable, not rows-only). */
   def simhashSketches(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", n = 3)
+    Dedup.simhash(spread(t(s, dir, "documents")), "doc_id", "text", n = 3)
       .select(col("doc"),
         lpad(lower(hex(col("simhash"))), 16, "0").as("simhash_hex"))
       .orderBy("doc")
@@ -468,6 +471,8 @@ object Queries {
     * (exact cross-engine ranking — see
     * [[graft.pipeline.TextAnalysis.tfidfTopTerms]]). */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    // deliberately NOT spread (r18 A/B: 0.57 → 0.60 — join/window
+    // pipeline, the r17 spread-loss pattern)
     val docs = t(s, dir, "documents")
     val n = docCountMemo.computeIfAbsent(dir, d => t(s, d, "documents").count())
     TA.tfidfTopTerms(docs, "doc_id", "text", nDocs = n, k = 3)
@@ -594,7 +599,7 @@ object Queries {
   /** Corpus-level top-50 bigrams with term + document frequency — the
     * vocabulary/boilerplate audit pass. */
   def ngramTopK(s: SparkSession, dir: String): DataFrame =
-    TA.ngramTopK(t(s, dir, "documents"), "doc_id", "text", n = 2, k = 50)
+    TA.ngramTopK(spread(t(s, dir, "documents")), "doc_id", "text", n = 2, k = 50)
 
   private def embVecs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
