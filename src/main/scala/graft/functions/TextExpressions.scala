@@ -214,6 +214,216 @@ case class CompressRatio(child: Expression)
   override def prettyName: String = "compress_ratio"
 }
 
+/** Row-local replacements for per-document aggregations that were
+  * formulated as explode → groupBy — a corpus-wide shuffle of every
+  * posting just to fold values that never leave their own row (r18
+  * optimization round 2, guide §2.4 "remove shuffles outright"). Each
+  * util reproduces the engine-agnostic md5 formulation of the SQL oracle
+  * bit-for-bit, so results are unchanged; only the plan shape is (the
+  * Exchange disappears). */
+object DocAggUtil {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** Max frequency of any positional n-gram of `words` (duplicates
+    * kept — frequency is the point); 0 when fewer than n words. Equals
+    * `max(count) … GROUP BY doc, ngram` over the exploded positional
+    * n-grams, computed without leaving the row. */
+  def topNgramCount(words: ArrayData, n: Int): Long = {
+    val m = words.numElements() - n + 1
+    if (m <= 0) return 0L
+    val counts = new java.util.HashMap[String, Integer](m * 2)
+    var best = 0
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        val w = words.getUTF8String(i + j)
+        if (w != null) sb.append(w.toString)
+        j += 1
+      }
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
+
+  /** MinHash lanes over a shingle array: lane i = lexicographic min over
+    * shingles of `substring(md5("<i/4>:" + shingle), (i%4)*8 + 1, 8)` —
+    * the identical engine-agnostic string minhash the SQL oracle
+    * computes (8 lowercase hex chars per lane, 4 lanes per md5). A
+    * fixed-width lowercase-hex slice compares lexicographically exactly
+    * like its 32-bit unsigned value, so the loop keeps unsigned-int
+    * minima and renders the winners to hex once at the end. Null for an
+    * empty array (callers filter empties out — SQL min over zero rows
+    * is null). */
+  def minhashLanes(shingles: ArrayData, k: Int): ArrayData = {
+    val len = shingles.numElements()
+    if (len == 0) return null
+    val nMd5 = (k + 3) / 4
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, 0xFFFFFFFFL + 1) // above any u32
+    val digest = md5.get()
+    var i = 0
+    while (i < len) {
+      val s = shingles.getUTF8String(i)
+      val body = (if (s == null) "" else s.toString)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var j = 0
+      while (j < nMd5) {
+        digest.reset()
+        // seed prefix is "<j>:" — j is a single decimal digit for k <= 40
+        digest.update(('0' + j).toByte)
+        digest.update(':'.toByte)
+        val d = digest.digest(body)
+        var lane = j * 4
+        var off = 0
+        while (lane < k && off < 16) {
+          val v = ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+            ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
+          if (v < mins(lane)) mins(lane) = v
+          lane += 1
+          off += 4
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](k)
+    var lane = 0
+    while (lane < k) {
+      val v = mins(lane)
+      val cs = new Array[Char](8)
+      var p = 0
+      while (p < 8) {
+        cs(p) = hexChars(((v >>> (4 * (7 - p))) & 0xF).toInt)
+        p += 1
+      }
+      out(lane) = UTF8String.fromString(new String(cs))
+      lane += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash over a (distinct) shingle array: per shingle, lane b
+    * reads bit b%4 of hex nibble b/4 of md5(shingle) (+1 when set, −1
+    * otherwise); sketch bit b = sign of the summed vote — identical to
+    * the explode → 64-sum-agg formulation and the oracle's nibble
+    * arithmetic. 0 for an empty array (callers filter empties). */
+  def simhash64(shingles: ArrayData): Long = {
+    val len = shingles.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < len) {
+      val s = shingles.getUTF8String(i)
+      val digest = md5.get()
+      digest.reset()
+      val d = digest.digest((if (s == null) "" else s.toString)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var b = 0
+      while (b < 64) {
+        val q = b >> 2 // hex-nibble index 0..15 over the first 8 bytes
+        val byteV = d(q >> 1) & 0xff
+        val nib = if ((q & 1) == 0) byteV >> 4 else byteV & 0xF
+        if (((nib >> (b & 3)) & 1) == 1) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sk = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sk |= 1L << b
+      b += 1
+    }
+    sk
+  }
+}
+
+/** `top_ngram_count(words, n)` — max positional n-gram frequency. */
+case class TopNgramCount(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "ngram size must be >= 1")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"top_ngram_count requires array<string>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(words: Any): Any =
+    DocAggUtil.topNgramCount(words.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DocAggUtil.topNgramCount($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "top_ngram_count"
+}
+
+/** `minhash_lanes(shingles, k)` — k-lane engine-agnostic string minhash. */
+case class MinhashLanes(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1 && k <= 40, "lane count must be in [1, 40]") // single-digit md5 seeds
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_lanes requires array<string>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true // null for empty shingle arrays
+
+  override protected def nullSafeEval(shingles: Any): Any =
+    DocAggUtil.minhashLanes(shingles.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // nullSafeCodeGen (not defineCodeGen): the util returns null for an
+    // empty array and the generated code must propagate that
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.DocAggUtil.minhashLanes($c, $k);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "minhash_lanes"
+}
+
+/** `simhash64(shingles)` — 64-bit SimHash sketch of a shingle array. */
+case class Simhash64(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 requires array<string>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(shingles: Any): Any =
+    DocAggUtil.simhash64(shingles.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DocAggUtil.simhash64($c)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graft.ColumnBridge
   def word_shingles(words: Column, n: Int): Column =
@@ -222,4 +432,10 @@ object TextFunctions {
     ColumnBridge.column(WinnowHashes(ColumnBridge.expression(words), n, w))
   def compress_ratio(text: Column): Column =
     ColumnBridge.column(CompressRatio(ColumnBridge.expression(text)))
+  def top_ngram_count(words: Column, n: Int): Column =
+    ColumnBridge.column(TopNgramCount(ColumnBridge.expression(words), n))
+  def minhash_lanes(shingles: Column, k: Int): Column =
+    ColumnBridge.column(MinhashLanes(ColumnBridge.expression(shingles), k))
+  def simhash64(shingles: Column): Column =
+    ColumnBridge.column(Simhash64(ColumnBridge.expression(shingles)))
 }

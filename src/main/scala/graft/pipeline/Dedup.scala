@@ -136,29 +136,27 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
-  /** Each md5 feeds this many signature lanes (8 hex chars = 32 bits per
-    * lane): k lanes cost only ⌈k/4⌉ md5 evaluations per posting. */
-  private val LanesPerMd5 = 4
-
   /** MinHash signature columns m0..m{k−1}: lane `i` is the lexicographic
     * min of an 8-hex-char slice of md5("<i/4>:<shingle>") — still an
     * engine-agnostic string minhash a SQL oracle reproduces verbatim
     * (`min(substring(md5('j:' || sg), off, 8))`), but ⌈k/4⌉ md5 calls per
-    * posting instead of k. 32-bit lanes perturb min-collisions only at
+    * shingle instead of k. 32-bit lanes perturb min-collisions only at
     * ~|shingles|/2³² — immaterial to LSH banding. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
-    val nMd5 = (k + LanesPerMd5 - 1) / LanesPerMd5
-    val posts = shingled(df, idCol, textCol, n)
-      .select(col("doc"), explode(col("sh")).as("s"))
-      .select(col("doc") +: (0 until nMd5).map(j =>
-        md5(concat(lit(s"$j:"), col("s"))).as(s"h$j")): _*)
-    val mins = (0 until k).map { i =>
-      val j = i / LanesPerMd5
-      val off = (i % LanesPerMd5) * 8 + 1
-      min(substring(col(s"h$j"), off, 8)).as(s"m$i")
-    }
-    posts.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+    // ROW-LOCAL since r18 round 2: each lane min folds over the doc's OWN
+    // shingle set, so the explode → k-min groupBy formulation shuffled
+    // every shingle posting corpus-wide to compute per-row values.
+    // `minhash_lanes` (native, codegen) keeps the identical
+    // engine-agnostic definition — lane i = min(substring(md5("<i/4>:" ||
+    // shingle), (i%4)*8+1, 8)) — in one pass per row; signatures are
+    // bit-identical and the signature Exchange disappears from every LSH
+    // consumer (guide §2.4). ⌈k/4⌉ md5 evals per shingle, same as before.
+    shingled(df, idCol, textCol, n)
+      .select(col("doc"),
+        graft.functions.TextFunctions.minhash_lanes(col("sh"), k).as("__lanes"))
+      .select(col("doc") +: (0 until k).map(i =>
+        element_at(col("__lanes"), i + 1).as(s"m$i")): _*)
   }
 
   /** (doc, band hash) rows: k minhash lanes folded into `bands` band
@@ -254,31 +252,17 @@ object Dedup {
     * nibble at position `b / 4` of md5(shingle) — deliberately
     * engine-agnostic (like the string minhash above) so a SQL oracle can
     * reproduce the sketch bit-for-bit from its own md5. */
-  def simhash(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    // extract md5's 64 bits as two 32-bit ints (2 convs per posting, not
-    // 16 nibble convs): hex char p (1-based) is the (8-p)-th nibble of the
-    // int holding its half, so lane b — nibble b/4, nibble-bit b%4 —
-    // reads int bit 4*(7 - (b/4 % 8)) + b%4 of half b/32. Bit-identical
-    // to per-nibble extraction, so the oracle is untouched.
-    val posts = shingled(df, idCol, textCol, n)
-      .select(col("doc"), explode(col("sh")).as("s"))
-      .select(col("doc"), md5(col("s")).as("h"))
+  def simhash(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    // ROW-LOCAL since r18 round 2: the 64 bit votes fold over the doc's
+    // OWN shingle set — the previous explode → 64-sum groupBy shuffled
+    // every shingle posting corpus-wide for per-row values. `simhash64`
+    // (native, codegen) runs the identical nibble arithmetic — lane b =
+    // bit b%4 of hex nibble b/4 of md5(shingle), +1/−1 vote, sketch bit =
+    // vote sign — in one pass per row; sketches are bit-identical and the
+    // vote Exchange disappears (guide §2.4).
+    shingled(df, idCol, textCol, n)
       .select(col("doc"),
-        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("w0"),
-        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("w1"))
-    // vote per bit lane: sum of (bit ? 1 : -1) == 2*countSet - count
-    val votes = (0 until 64).map { b =>
-      val word = col(if (b < 32) "w0" else "w1")
-      val shift = 4 * (7 - (b / 4 % 8)) + b % 4
-      sum(when(shiftright(word, shift).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"v$b")
-    }
-    val voted = posts.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map { b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
-    }.reduce((x, y) => x.bitwiseOR(y))
-    voted.select(col("doc"), sig.as("simhash"))
-  }
+        graft.functions.TextFunctions.simhash64(col("sh")).as("simhash"))
 
   /** Hamming distance between two 64-bit sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -140,23 +140,26 @@ object TextAnalysis {
     * per-doc mode, partial-aggregated map-side. Docs with < 2 words
     * report 0 for both fractions. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // ROW-LOCAL since r18 round 2: the per-doc top-bigram count is a fold
+    // over the doc's own bigrams, so shipping every (doc, bigram) posting
+    // through an exchange + two aggregations + a join back (the previous
+    // formulation) shuffled the corpus to compute values that never leave
+    // their row. `top_ngram_count` (native, codegen-friendly) counts the
+    // mode in one pass per row — the whole operator is now a narrow map
+    // (guide §2.4); counts are exact integers, so output is bit-identical.
     val ws = df.select(col(idCol).as("doc"), words(col(textCol)).as("ws"))
       .filter(size(col("ws")) > 0)
-    val base = ws.select(col("doc"), size(col("ws")).as("n_words"),
-      size(array_distinct(col("ws"))).as("n_distinct"))
-    val top = ws.filter(size(col("ws")) >= 2)
-      .select(col("doc"), explode(transform(sequence(lit(1), size(col("ws")) - 1),
-        i => concat(element_at(col("ws"), i), lit(" "),
-          element_at(col("ws"), i + 1)))).as("bg"))
-      .groupBy(col("doc"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc")).agg(max(col("c")).as("top_c"))
-    base.join(top, Seq("doc"), "left")
+    ws.select(col("doc"), size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_distinct"),
+        when(size(col("ws")) >= 2,
+          graft.functions.TextFunctions.top_ngram_count(col("ws"), 2))
+          .otherwise(lit(0L)).as("top_c"))
       .select(col("doc").as(idCol), col("n_words"),
         floor((col("n_words") - col("n_distinct")) * 10000.0 / col("n_words") + 0.5)
           .cast("long").as("dup_word_e4"),
-        coalesce(
-          floor(col("top_c") * 10000.0 / (col("n_words") - 1) + 0.5).cast("long"),
-          lit(0L)).as("top_bigram_e4"))
+        when(col("n_words") >= 2,
+          floor(col("top_c") * 10000.0 / (col("n_words") - 1) + 0.5).cast("long"))
+          .otherwise(lit(0L)).as("top_bigram_e4"))
   }
 
   /** POSITIONAL n-grams (duplicates kept) over a materialized words

@@ -27,6 +27,64 @@ class PipelineSpec extends SparkSpec {
     assert(pairs(0).getAs[Long]("doc_a") == 1L && pairs(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("row-local natives == explode/groupBy formulations (minhash, simhash, top-bigram)") {
+    // r18 round 2 pins: minhash_lanes / simhash64 / top_ngram_count
+    // replaced corpus-wide explode → groupBy shuffles with per-row folds;
+    // this re-states the OLD Catalyst formulations verbatim and demands
+    // bit-identical results on the real corpus slice.
+    val docs = graft.tsdb.Tables.load(spark, sf, "documents")
+    val sh = Dedup.shingled(docs, "doc_id", "text", 3)
+
+    // old minhash: explode + k min(substring(md5("<j>:"||s), off, 8)) aggs
+    val k = 8
+    val posts = sh.select(col("doc"), explode(col("sh")).as("s"))
+      .select(col("doc") +: (0 until 2).map(j =>
+        md5(concat(lit(s"$j:"), col("s"))).as(s"h$j")): _*)
+    val oldSig = posts.groupBy(col("doc")).agg(
+      min(substring(col("h0"), 1, 8)).as("m0"),
+      (1 until k).map { i =>
+        min(substring(col(s"h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"m$i")
+      }: _*)
+    val newSig = Dedup.minhashSignatures(docs, "doc_id", "text", 3, k)
+    assert(newSig.exceptAll(oldSig).isEmpty && oldSig.exceptAll(newSig).isEmpty,
+      "native minhash_lanes must reproduce the explode/groupBy signatures")
+
+    // old simhash: explode + 64 vote sums over md5 nibble bits
+    val votePosts = sh.select(col("doc"), explode(col("sh")).as("s"))
+      .select(col("doc"), md5(col("s")).as("h"))
+      .select(col("doc"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("w0"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("w1"))
+    val votes = (0 until 64).map { b =>
+      val word = col(if (b < 32) "w0" else "w1")
+      val shift = 4 * (7 - (b / 4 % 8)) + b % 4
+      sum(when(shiftright(word, shift).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$b")
+    }
+    val sig = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce((x, y) => x.bitwiseOR(y))
+    val oldSk = votePosts.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
+      .select(col("doc"), sig.as("simhash"))
+    val newSk = Dedup.simhash(docs, "doc_id", "text", 3)
+    assert(newSk.exceptAll(oldSk).isEmpty && oldSk.exceptAll(newSk).isEmpty,
+      "native simhash64 must reproduce the vote-agg sketches")
+
+    // old top-bigram: explode positional bigrams + two-level agg
+    val ws = docs.select(col("doc_id").as("doc"),
+      TextAnalysis.words(col("text")).as("ws")).filter(size(col("ws")) >= 2)
+    val oldTop = ws
+      .select(col("doc"), explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat(element_at(col("ws"), i), lit(" "),
+          element_at(col("ws"), i + 1)))).as("bg"))
+      .groupBy(col("doc"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc")).agg(max(col("c")).as("top_c"))
+    val newTop = ws.select(col("doc"),
+      graft.functions.TextFunctions.top_ngram_count(col("ws"), 2).as("top_c"))
+    assert(newTop.exceptAll(oldTop).isEmpty && oldTop.exceptAll(newTop).isEmpty,
+      "native top_ngram_count must reproduce the two-level agg mode counts")
+  }
+
   test("minhash LSH finds the same high-threshold pairs as exact jaccard") {
     val docs = graft.tsdb.Tables.load(spark, sf, "documents")
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)

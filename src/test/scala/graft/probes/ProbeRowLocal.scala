@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** r18 round 2: back-to-back A/B of the row-local native doc aggregations
+  * (minhash_lanes / simhash64 / top_ngram_count) against the explode →
+  * groupBy formulations they replaced, in ONE session so host phase can't
+  * confound the comparison. Variants also measure spread() on the input,
+  * since removing the aggregation exchange changes where parallelism
+  * comes from. */
+object ProbeRowLocal {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.pipeline.{Dedup, TextAnalysis}
+
+    def time(tag: String)(f: => DataFrame): Unit = {
+      def mat(): Unit = f.write.format("noop").mode("overwrite").save()
+      mat()
+      val ts = (0 until 3).map { _ =>
+        val t0 = System.nanoTime(); mat(); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[rowlocal] $tag%-36s min=${ts.min}%6.3f  runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+
+    val docs = graft.tsdb.Tables.load(spark, sfDir, "documents")
+    val docsSpread = docs.repartition(cpus.toInt)
+
+    // ---- OLD formulations (as shipped before this round) ----
+    def oldMinhashSigs(df: DataFrame, n: Int, k: Int): DataFrame = {
+      val sh = Dedup.shingled(df, "doc_id", "text", n)
+      val nMd5 = (k + 3) / 4
+      val posts = sh.select(col("doc"), explode(col("sh")).as("s"))
+        .select(col("doc") +: (0 until nMd5).map(j =>
+          md5(concat(lit(s"$j:"), col("s"))).as(s"h$j")): _*)
+      val mins = (0 until k).map { i =>
+        min(substring(col(s"h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"m$i")
+      }
+      posts.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+    }
+    def oldBandKeys(df: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {
+      val rows = k / bands
+      val sigs = oldMinhashSigs(df, n, k)
+      val bandCols = (0 until bands).map { bi =>
+        struct(lit(bi).as("band"),
+          md5(concat_ws("|", (0 until rows).map(r => col(s"m${bi * rows + r}")): _*)).as("h"))
+      }
+      sigs.select(col("doc"), explode(array(bandCols: _*)).as("bh"))
+    }
+    def oldLshPairs(df: DataFrame, n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+      val banded = oldBandKeys(df, n, k, bands)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = banded.as("x").join(banded.as("y"), col("x.bh") === col("y.bh"))
+        .filter(col("x.doc") < col("y.doc"))
+        .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b")).distinct()
+      val sh = Dedup.shingled(df, "doc_id", "text", n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cand
+        .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a"), col("nsh").as("nsh_a")), "doc_a")
+        .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b"), col("nsh").as("nsh_b")), "doc_b")
+        .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard",
+          col("common").cast("double") /
+            (col("nsh_a") + col("nsh_b") - col("common")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }
+    def oldSimhash(df: DataFrame, n: Int): DataFrame = {
+      val posts = Dedup.shingled(df, "doc_id", "text", n)
+        .select(col("doc"), explode(col("sh")).as("s"))
+        .select(col("doc"), md5(col("s")).as("h"))
+        .select(col("doc"),
+          conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("w0"),
+          conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("w1"))
+      val votes = (0 until 64).map { b =>
+        val word = col(if (b < 32) "w0" else "w1")
+        val shift = 4 * (7 - (b / 4 % 8)) + b % 4
+        sum(when(shiftright(word, shift).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"v$b")
+      }
+      val voted = posts.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
+      val sig = (0 until 64).map { b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
+      }.reduce((x, y) => x.bitwiseOR(y))
+      voted.select(col("doc"), sig.as("simhash"))
+    }
+
+    // battery shapes: signatures query is spread at the query level
+    time("sigs OLD (spread input)") {
+      oldMinhashSigs(docsSpread, 3, 8).orderBy("doc") }
+    time("sigs NEW (spread input)") {
+      Dedup.minhashSignatures(docsSpread, "doc_id", "text", 3, 8).orderBy("doc") }
+    time("sigs NEW (unspread)") {
+      Dedup.minhashSignatures(docs, "doc_id", "text", 3, 8).orderBy("doc") }
+
+    time("lsh OLD (unspread)") {
+      oldLshPairs(docs, 3, 8, 4, 0.8) }
+    time("lsh NEW (unspread)") {
+      Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 8, 4, 0.8) }
+    time("lsh NEW (spread input)") {
+      Dedup.minhashLshPairs(docsSpread, "doc_id", "text", 3, 8, 4, 0.8) }
+
+    time("simhash OLD (unspread)") {
+      oldSimhash(docs, 3).orderBy("doc") }
+    time("simhash NEW (unspread)") {
+      Dedup.simhash(docs, "doc_id", "text", 3).orderBy("doc") }
+    time("simhash NEW (spread input)") {
+      Dedup.simhash(docsSpread, "doc_id", "text", 3).orderBy("doc") }
+
+    // repetition: old vs new (battery query is spread at the query level)
+    def oldRepetition(df: DataFrame): DataFrame = {
+      val ws = df.select(col("doc_id").as("doc"), TextAnalysis.words(col("text")).as("ws"))
+        .filter(size(col("ws")) > 0)
+      val base = ws.select(col("doc"), size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_distinct"))
+      val top = ws.filter(size(col("ws")) >= 2)
+        .select(col("doc"), explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat(element_at(col("ws"), i), lit(" "),
+            element_at(col("ws"), i + 1)))).as("bg"))
+        .groupBy(col("doc"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc")).agg(max(col("c")).as("top_c"))
+      base.join(top, Seq("doc"), "left")
+        .select(col("doc").as("doc_id"), col("n_words"),
+          floor((col("n_words") - col("n_distinct")) * 10000.0 / col("n_words") + 0.5)
+            .cast("long").as("dup_word_e4"),
+          coalesce(
+            floor(col("top_c") * 10000.0 / (col("n_words") - 1) + 0.5).cast("long"),
+            lit(0L)).as("top_bigram_e4"))
+    }
+    time("repetition OLD (spread input)") { oldRepetition(docsSpread).orderBy("doc_id") }
+    time("repetition NEW (spread input)") {
+      TextAnalysis.repetitionStats(docsSpread, "doc_id", "text").orderBy("doc_id") }
+
+    spark.stop()
+  }
+}
