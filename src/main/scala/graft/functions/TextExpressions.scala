@@ -346,6 +346,110 @@ object DocAggUtil {
   }
 }
 
+/** Positional / distinct n-gram hash arrays — the posting-generation
+  * kernel of the span, decontamination and containment operators. Values
+  * are the SAME engine-agnostic u32 md5 prefix every SQL oracle replays
+  * (`conv(substring(md5(gram), 1, 8), 16, 10)` — identical to
+  * [[WinnowUtil]]'s internal hashes); computing them BEFORE the explode
+  * means gram strings are never materialized as rows and the interpreted
+  * `transform`/`concat_ws` lambda per gram disappears (r18 round 2). */
+object GramHashUtil {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def hashAt(words: ArrayData, i: Int, n: Int,
+      digest: java.security.MessageDigest): Long = {
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j < n) {
+      if (j > 0) sb.append(' ')
+      val w = words.getUTF8String(i + j)
+      if (w != null) sb.append(w.toString)
+      j += 1
+    }
+    digest.reset()
+    val d = digest.digest(
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Hashes of all POSITIONAL n-grams (duplicates kept, index order) —
+    * row i is the gram starting at token i. Empty for < n words. */
+  def positional(words: ArrayData, n: Int): ArrayData = {
+    val m = words.numElements() - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val digest = md5.get()
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) { out(i) = hashAt(words, i, n, digest); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Hashes of the DISTINCT n-grams (distinct as strings, first-seen
+    * order) — matches hashing [[ShingleUtil.shingles]]'s output
+    * element-wise. Empty for < n words. */
+  def distinctHashes(words: ArrayData, n: Int): ArrayData = {
+    val m = words.numElements() - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val digest = md5.get()
+    val seen = new java.util.LinkedHashMap[String, java.lang.Long]()
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        val w = words.getUTF8String(i + j)
+        if (w != null) sb.append(w.toString)
+        j += 1
+      }
+      val s = sb.toString
+      if (!seen.containsKey(s)) {
+        digest.reset()
+        val d = digest.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        seen.put(s, ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL))
+      }
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.values().iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `gram_hashes(words, n, distinct)` — u32 md5-prefix n-gram hashes. */
+case class GramHashes(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, "ngram size must be >= 1")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gram_hashes requires array<string>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(words: Any): Any =
+    if (distinct) GramHashUtil.distinctHashes(words.asInstanceOf[ArrayData], n)
+    else GramHashUtil.positional(words.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      if (distinct) s"graft.functions.GramHashUtil.distinctHashes($c, $n)"
+      else s"graft.functions.GramHashUtil.positional($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "gram_hashes"
+}
+
 /** `top_ngram_count(words, n)` — max positional n-gram frequency. */
 case class TopNgramCount(child: Expression, n: Int)
     extends UnaryExpression {
@@ -434,6 +538,8 @@ object TextFunctions {
     ColumnBridge.column(CompressRatio(ColumnBridge.expression(text)))
   def top_ngram_count(words: Column, n: Int): Column =
     ColumnBridge.column(TopNgramCount(ColumnBridge.expression(words), n))
+  def gram_hashes(words: Column, n: Int, distinct: Boolean): Column =
+    ColumnBridge.column(GramHashes(ColumnBridge.expression(words), n, distinct))
   def minhash_lanes(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinhashLanes(ColumnBridge.expression(shingles), k))
   def simhash64(shingles: Column): Column =

@@ -20,10 +20,14 @@ object Decontaminate {
     * SQL oracle reproduces values; 8-byte longs through every shuffle. */
   private def gramPostings(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    Dedup.shingled(df, idCol, textCol, n)
-      .select(col("doc"), explode(col("sh")).as("s"))
+    // distinct grams hashed BEFORE the explode (native gram_hashes — the
+    // identical conv(substring(md5(gram),1,8),16,10) u32 over the same
+    // distinct set word_shingles produced): gram strings never
+    // materialize as rows (r18 round 2; posting values bit-identical)
+    df.select(col(idCol).as("doc"), TextAnalysis.words(col(textCol)).as("ws"))
       .select(col("doc"),
-        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("gh"))
+        explode(graft.functions.TextFunctions.gram_hashes(col("ws"), n,
+          distinct = true)).as("gh"))
 
   /** Train docs sharing >= `minHits` distinct `n`-grams with any eval
     * doc: (doc_id, hits = distinct shared grams, evals = distinct eval

@@ -570,13 +570,16 @@ object Dedup {
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Long = 2L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // postings feed the duplicated-gram aggregation AND the join back
+    // postings feed the duplicated-gram aggregation AND the join back.
+    // Grams are hashed BEFORE the posexplode (native gram_hashes — the
+    // identical conv(substring(md5(gram),1,8),16,10) u32): gram strings
+    // never materialize as rows and the interpreted per-gram concat
+    // lambda is gone (r18 round 2; values bit-identical)
     val posts = reused(docs
       .select(col(idCol).as("doc"), TextAnalysis.words(col(textCol)).as("ws"))
       .select(col("doc"),
-        posexplode(TextAnalysis.ngramsPositional(col("ws"), n)).as(Seq("pos", "gram")))
-      .select(col("doc"), col("pos"),
-        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("gh")))
+        posexplode(graft.functions.TextFunctions.gram_hashes(col("ws"), n,
+          distinct = false)).as(Seq("pos", "gh"))))
     val dup = posts.groupBy(col("gh"))
       .agg(countDistinct(col("doc")).as("nd"))
       .filter(col("nd") >= minDocs).select("gh")

@@ -83,6 +83,31 @@ class PipelineSpec extends SparkSpec {
       graft.functions.TextFunctions.top_ngram_count(col("ws"), 2).as("top_c"))
     assert(newTop.exceptAll(oldTop).isEmpty && oldTop.exceptAll(newTop).isEmpty,
       "native top_ngram_count must reproduce the two-level agg mode counts")
+
+    // gram_hashes: positional == hash-after-posexplode of ngramsPositional;
+    // distinct == hash-after-explode of word_shingles
+    val wsAll = docs.select(col("doc_id").as("doc"),
+      TextAnalysis.words(col("text")).as("ws"))
+    val oldPos = wsAll
+      .select(col("doc"), posexplode(TextAnalysis.ngramsPositional(col("ws"), 6))
+        .as(Seq("pos", "gram")))
+      .select(col("doc"), col("pos"),
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("gh"))
+    val newPos = wsAll
+      .select(col("doc"), posexplode(graft.functions.TextFunctions
+        .gram_hashes(col("ws"), 6, distinct = false)).as(Seq("pos", "gh")))
+      .select(col("doc"), col("pos"), col("gh"))
+    assert(newPos.exceptAll(oldPos).isEmpty && oldPos.exceptAll(newPos).isEmpty,
+      "positional gram_hashes must reproduce hash-after-explode postings")
+    val oldDist = Dedup.shingled(docs, "doc_id", "text", 5)
+      .select(col("doc"), explode(col("sh")).as("s"))
+      .select(col("doc"),
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("gh"))
+    val newDist = wsAll
+      .select(col("doc"), explode(graft.functions.TextFunctions
+        .gram_hashes(col("ws"), 5, distinct = true)).as("gh"))
+    assert(newDist.exceptAll(oldDist).isEmpty && oldDist.exceptAll(newDist).isEmpty,
+      "distinct gram_hashes must reproduce the shingle-hash postings")
   }
 
   test("minhash LSH finds the same high-threshold pairs as exact jaccard") {

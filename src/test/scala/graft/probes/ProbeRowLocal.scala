@@ -142,6 +142,58 @@ object ProbeRowLocal {
     time("repetition NEW (spread input)") {
       TextAnalysis.repetitionStats(docsSpread, "doc_id", "text").orderBy("doc_id") }
 
+    // ---- gram_hashes: spans + decontamination ----
+    def oldSpans(df: DataFrame, n: Int, minDocs: Long): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val posts = df
+        .select(col("doc_id").as("doc"), TextAnalysis.words(col("text")).as("ws"))
+        .select(col("doc"),
+          posexplode(TextAnalysis.ngramsPositional(col("ws"), n)).as(Seq("pos", "gram")))
+        .select(col("doc"), col("pos"),
+          conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("gh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dup = posts.groupBy(col("gh"))
+        .agg(countDistinct(col("doc")).as("nd"))
+        .filter(col("nd") >= minDocs).select("gh")
+      val marked = posts.join(dup, "gh").select(col("doc"), col("pos"))
+      val byDoc = Window.partitionBy("doc").orderBy("pos")
+      marked
+        .withColumn("brk",
+          when(col("pos") - lag("pos", 1).over(byDoc) > n, 1).otherwise(0))
+        .withColumn("island", sum("brk").over(byDoc))
+        .groupBy(col("doc"), col("island"))
+        .agg(min("pos").as("s"), (max("pos") + n).as("e"))
+        .select(col("doc"), col("s").cast("long").as("span_start"),
+          col("e").cast("long").as("span_end"),
+          (col("e") - col("s")).cast("long").as("span_tokens"))
+    }
+    def oldContamination(train: DataFrame, evalDf: DataFrame,
+        n: Int, minHits: Long): DataFrame = {
+      def posts(df: DataFrame): DataFrame =
+        Dedup.shingled(df, "doc_id", "text", n)
+          .select(col("doc"), explode(col("sh")).as("s"))
+          .select(col("doc"),
+            conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("gh"))
+      posts(train).join(broadcast(
+          posts(evalDf).select(col("doc").as("eval_id"), col("gh"))), "gh")
+        .groupBy(col("doc").as("doc_id"))
+        .agg(countDistinct(col("gh")).as("hits"),
+          countDistinct(col("eval_id")).as("evals"))
+        .filter(col("hits") >= minHits)
+    }
+    time("spans OLD (unspread)") {
+      oldSpans(docs, 6, 2L).orderBy("doc", "span_start") }
+    time("spans NEW (unspread)") {
+      Dedup.repeatedSpans(docs, "doc_id", "text", 6, 2L).orderBy("doc", "span_start") }
+    time("decontaminate OLD (spread)") {
+      oldContamination(docsSpread.filter(col("doc_id") % 20 =!= 0),
+        docsSpread.filter(col("doc_id") % 20 === 0), 5, 3L).orderBy("doc_id") }
+    time("decontaminate NEW (spread)") {
+      graft.pipeline.Decontaminate.contamination(
+        docsSpread.filter(col("doc_id") % 20 =!= 0),
+        docsSpread.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", 5, 3L).orderBy("doc_id") }
+
     spark.stop()
   }
 }
