@@ -346,6 +346,111 @@ object DocAggUtil {
   }
 }
 
+/** Native whitespace tokenizer — the `words()` kernel every text
+  * operator starts from. The Catalyst formulation
+  * `filter(split(lower(trim(text)), "\\s+"), w => w =!= "")` is a
+  * higher-order function, which evaluates INTERPRETED (CodegenFallback)
+  * and drags the whole projection out of whole-stage codegen; this
+  * expression produces the identical token array in one byte scan.
+  * Semantics replicated exactly: trim/lowercase via UTF8String's own
+  * methods (the same ones Spark's trim/lower call), then runs of Java
+  * regex `\s` (ASCII space, \t, \n, \x0B, \f, \r — Java's default,
+  * non-UNICODE_CHARACTER_CLASS class) split the byte stream; empty
+  * tokens cannot occur (leading/trailing/consecutive separators produce
+  * nothing), which is what the `w =!= ""` filter achieved. UTF-8
+  * continuation bytes are ≥ 0x80, so byte-level ASCII matching never
+  * splits inside a multi-byte character. */
+object SplitWordsUtil {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def splitWords(text: UTF8String): ArrayData = {
+    val t = text.trim().toLowerCase()
+    val bytes = t.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start)
+        out.add(UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, start, i)))
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `count_in(words, set)` — occurrences of any of `set`'s strings in the
+  * array (the stopword-hit kernel of langId/qualityScore; the
+  * `size(filter(ws, w.isin(...)))` formulation is an interpreted
+  * higher-order function). */
+case class CountInSet(child: Expression, set: Seq[String])
+    extends UnaryExpression {
+  require(set.nonEmpty, "count_in needs a non-empty set")
+  @transient private lazy val utf8Set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    set.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"count_in requires array<string>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = IntegerType
+
+  def countIn(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val w = arr.getUTF8String(i)
+      if (w != null && utf8Set.contains(w)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def nullSafeEval(arr: Any): Any =
+    countIn(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("countInExpr", this,
+      "graft.functions.CountInSet")
+    defineCodeGen(ctx, ev, c => s"$ref.countIn($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "count_in"
+}
+
+/** `split_words(text)` — lowercased whitespace word list of a string. */
+case class SplitWords(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"split_words requires string, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(text: Any): Any =
+    SplitWordsUtil.splitWords(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SplitWordsUtil.splitWords($c)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "split_words"
+}
+
 /** Positional / distinct n-gram hash arrays — the posting-generation
   * kernel of the span, decontamination and containment operators. Values
   * are the SAME engine-agnostic u32 md5 prefix every SQL oracle replays
@@ -540,6 +645,10 @@ object TextFunctions {
     ColumnBridge.column(TopNgramCount(ColumnBridge.expression(words), n))
   def gram_hashes(words: Column, n: Int, distinct: Boolean): Column =
     ColumnBridge.column(GramHashes(ColumnBridge.expression(words), n, distinct))
+  def split_words(text: Column): Column =
+    ColumnBridge.column(SplitWords(ColumnBridge.expression(text)))
+  def count_in(words: Column, set: Seq[String]): Column =
+    ColumnBridge.column(CountInSet(ColumnBridge.expression(words), set))
   def minhash_lanes(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinhashLanes(ColumnBridge.expression(shingles), k))
   def simhash64(shingles: Column): Column =

@@ -108,6 +108,27 @@ class PipelineSpec extends SparkSpec {
         .gram_hashes(col("ws"), 5, distinct = true)).as("gh"))
     assert(newDist.exceptAll(oldDist).isEmpty && oldDist.exceptAll(newDist).isEmpty,
       "distinct gram_hashes must reproduce the shingle-hash postings")
+
+    // split_words / count_in: corpus + whitespace/unicode edge cases vs
+    // the old higher-order formulations
+    val edge = Seq((1000001L, "  Tab\tsep\nlines\r\nand\fforms  "),
+      (1000002L, " \t\r\n "), (1000003L, ""), (1000004L, "ONE"),
+      (1000005L, "中文 文本 the nbsp stays the"),
+      (1000006L, "a  b   c\t\td")).toDF("doc_id", "text")
+    val probe = docs.select(col("doc_id"), col("text")).unionByName(edge)
+    val oldWords = probe.select(col("doc_id"),
+      filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= "").as("ws"))
+    val newWords = probe.select(col("doc_id"),
+      graft.functions.TextFunctions.split_words(col("text")).as("ws"))
+    assert(newWords.exceptAll(oldWords).isEmpty && oldWords.exceptAll(newWords).isEmpty,
+      "native split_words must reproduce the filter/split/lower/trim tokens")
+    val stopEn = Seq("the", "a", "of", "and")
+    val oldHits = newWords.select(col("doc_id"),
+      size(filter(col("ws"), w => w.isin(stopEn.map(lit): _*))).as("hits"))
+    val newHits = newWords.select(col("doc_id"),
+      graft.functions.TextFunctions.count_in(col("ws"), stopEn).as("hits"))
+    assert(newHits.exceptAll(oldHits).isEmpty && oldHits.exceptAll(newHits).isEmpty,
+      "native count_in must reproduce the isin-filter hit counts")
   }
 
   test("minhash LSH finds the same high-threshold pairs as exact jaccard") {

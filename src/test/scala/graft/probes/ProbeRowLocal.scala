@@ -194,6 +194,84 @@ object ProbeRowLocal {
         docsSpread.filter(col("doc_id") % 20 === 0),
         "doc_id", "text", 5, 3L).orderBy("doc_id") }
 
+    // ---- split_words / count_in: the tokenizer kernel ----
+    def oldWords(text: org.apache.spark.sql.Column) =
+      filter(split(lower(trim(text)), "\\s+"), w => w =!= "")
+    def oldStopHits(ws: org.apache.spark.sql.Column, set: Seq[String]) =
+      size(filter(ws, w => w.isin(set.map(lit): _*)))
+    def docStatsShape(w: org.apache.spark.sql.Column, d: DataFrame) =
+      d.select(col("doc_id"), size(w).as("n_tokens"),
+        size(array_distinct(w)).as("n_uniq"),
+        length(col("text")).as("n_chars")).orderBy("doc_id")
+    time("doc_stats-ish OLD words (spread)") {
+      docStatsShape(oldWords(col("text")), docsSpread) }
+    time("doc_stats-ish NEW words (spread)") {
+      docStatsShape(TextAnalysis.words(col("text")), docsSpread) }
+    def langIdShape(w: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        h: (org.apache.spark.sql.Column, Seq[String]) => org.apache.spark.sql.Column,
+        d: DataFrame) = {
+      val ws = w(col("text"))
+      val en = h(ws, Seq("the", "a", "of", "and"))
+      val de = h(ws, Seq("der", "die", "und", "das"))
+      val es = h(ws, Seq("el", "que", "los", "y"))
+      val fr = h(ws, Seq("le", "les", "et", "la"))
+      val zh = length(col("text")) - length(regexp_replace(col("text"), "[一-鿿]", ""))
+      d.select(col("doc_id"),
+        when(zh > greatest(en, de, es, fr), "zh")
+          .when(en >= greatest(de, es, fr), "en")
+          .when(de >= greatest(es, fr), "de")
+          .when(es >= fr, "es").otherwise("fr").as("predicted"))
+        .orderBy("doc_id")
+    }
+    time("lang_id-ish OLD words (spread)") {
+      langIdShape(oldWords, oldStopHits, docsSpread) }
+    time("lang_id-ish NEW words (spread)") {
+      langIdShape(TextAnalysis.words,
+        (ws, s) => graft.functions.TextFunctions.count_in(ws, s), docsSpread) }
+
+    // jaccard pairs with the words kernel swapped (old vs native) —
+    // everything downstream identical to Dedup.jaccardPairs
+    def jaccardWith(wordsOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        df: DataFrame, n: Int, threshold: Double): DataFrame = {
+      val sh = df.select(col("doc_id").as("doc"), wordsOf(col("text")).as("ws"))
+        .select(col("doc"), TextAnalysis.shinglesOfWords(col("ws"), n).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("nsh", size(col("sh")))
+      val posts = sh.select(col("doc"), col("nsh"), explode(col("sh")).as("s"))
+        .select(col("doc"), col("nsh"), xxhash64(col("s")).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfreq = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val prefixLen = (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int")
+      val prefix = posts
+        .join(dfreq, "h")
+        .groupBy(col("doc"))
+        .agg(first(col("nsh")).as("nsh"),
+          array_sort(collect_list(struct(col("df"), col("h")))).as("ranked"))
+        .select(col("doc"), col("nsh"),
+          explode(slice(col("ranked"), lit(1), prefixLen)).as("p"))
+        .select(col("doc"), col("nsh"), col("p.h").as("h"))
+      val a = prefix.select(col("h"), col("doc").as("doc_a"), col("nsh").as("nsh_a"))
+      val b = prefix.select(col("h"), col("doc").as("doc_b"), col("nsh").as("nsh_b"))
+      val cand = a.join(b, Seq("h"))
+        .filter(col("doc_a") < col("doc_b") &&
+          least(col("nsh_a"), col("nsh_b")).cast("double") /
+            greatest(col("nsh_a"), col("nsh_b")).cast("double") >= threshold)
+        .select(col("doc_a"), col("doc_b")).distinct()
+      cand
+        .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a"), col("nsh").as("nsh_a")), "doc_a")
+        .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b"), col("nsh").as("nsh_b")), "doc_b")
+        .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard",
+          col("common").cast("double") /
+            (col("nsh_a") + col("nsh_b") - col("common")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }
+    time("jaccard OLD words (unspread)") {
+      jaccardWith(oldWords, docs, 3, 0.8).orderBy("doc_a", "doc_b") }
+    time("jaccard NEW words (unspread)") {
+      jaccardWith(TextAnalysis.words, docs, 3, 0.8).orderBy("doc_a", "doc_b") }
+
     spark.stop()
   }
 }
