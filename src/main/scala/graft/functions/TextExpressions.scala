@@ -555,6 +555,134 @@ case class GramHashes(child: Expression, n: Int, distinct: Boolean)
   override def prettyName: String = "gram_hashes"
 }
 
+/** `cut_spans(words, spans)` — drop the tokens inside every
+  * [span_start, span_end) range (the exact-substring dedup cut). The
+  * Catalyst formulation — `filter(ws, (_, i) => !exists(spans, …))` —
+  * evaluates two nested interpreted lambdas per token × span; this is
+  * one loop. Spans come pre-merged (non-overlapping maximal intervals),
+  * but the loop makes no use of that assumption. */
+case class CutSpans(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(_: StructType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cut_spans requires (array<string>, array<struct>), got " +
+            s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  def cut(words: ArrayData, spans: ArrayData): ArrayData = {
+    val n = words.numElements()
+    val m = spans.numElements()
+    val starts = new Array[Long](m)
+    val ends = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      val row = spans.getStruct(j, 2)
+      starts(j) = row.getLong(0)
+      ends(j) = row.getLong(1)
+      j += 1
+    }
+    val out = new java.util.ArrayList[Any](n)
+    var i = 0
+    while (i < n) {
+      var inSpan = false
+      var s = 0
+      while (!inSpan && s < m) {
+        if (i >= starts(s) && i < ends(s)) inSpan = true
+        s += 1
+      }
+      if (!inSpan) out.add(words.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(words: Any, spans: Any): Any =
+    cut(words.asInstanceOf[ArrayData], spans.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cutSpansExpr", this,
+      "graft.functions.CutSpans")
+    defineCodeGen(ctx, ev, (w, s) => s"$ref.cut($w, $s)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "cut_spans"
+}
+
+/** `bpeish_count(text)` — the BPE-ish subword count: maximal `\w` runs
+  * plus standalone punctuation code points, previously
+  * `size(filter(split(text, "[^\\w]+"), _ != "")) +
+  * (length − length(regexp_replace(text, "[^\\w\\s]", "")))` — two regex
+  * passes and an interpreted filter lambda per row. Java's default
+  * (non-UNICODE_CHARACTER_CLASS) `\w` = [a-zA-Z0-9_] and `\s` are
+  * ASCII-only, so every non-ASCII code point is punctuation; lengths are
+  * code points on both sides (Spark `length` = UTF8String.numChars), so
+  * one UTF-8 byte scan reproduces the exact counts. */
+case class BpeishCount(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpeish_count requires string, got ${other.simpleString}")
+    }
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(text: Any): Any =
+    BpeishUtil.count(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeishUtil.count($c)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "bpeish_count"
+}
+
+object BpeishUtil {
+  private def isWordByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+      (b >= '0' && b <= '9') || b == '_'
+  private def isWsByte(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def count(text: UTF8String): Int = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    var chunks = 0
+    var punct = 0
+    var inWord = false
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if (b >= 0) { // ASCII
+        if (isWordByte(b)) {
+          if (!inWord) { chunks += 1; inWord = true }
+        } else {
+          inWord = false
+          if (!isWsByte(b)) punct += 1
+        }
+        i += 1
+      } else {
+        // non-ASCII code point: not \w, not \s -> punctuation; skip
+        // continuation bytes so each code point counts once
+        inWord = false
+        punct += 1
+        i += 1
+        while (i < n && (bytes(i) & 0xC0) == 0x80) i += 1
+      }
+    }
+    chunks + punct
+  }
+}
+
 /** `top_ngram_count(words, n)` — max positional n-gram frequency. */
 case class TopNgramCount(child: Expression, n: Int)
     extends UnaryExpression {
@@ -649,6 +777,11 @@ object TextFunctions {
     ColumnBridge.column(SplitWords(ColumnBridge.expression(text)))
   def count_in(words: Column, set: Seq[String]): Column =
     ColumnBridge.column(CountInSet(ColumnBridge.expression(words), set))
+  def cut_spans(words: Column, spans: Column): Column =
+    ColumnBridge.column(CutSpans(
+      ColumnBridge.expression(words), ColumnBridge.expression(spans)))
+  def bpeish_count(text: Column): Column =
+    ColumnBridge.column(BpeishCount(ColumnBridge.expression(text)))
   def minhash_lanes(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinhashLanes(ColumnBridge.expression(shingles), k))
   def simhash64(shingles: Column): Column =

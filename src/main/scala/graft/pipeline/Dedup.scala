@@ -619,11 +619,13 @@ object Dedup {
     val toks = docs.select(col(idCol).as("doc"),
       TextAnalysis.words(col(textCol)).as("ws"))
     toks.join(spans, Seq("doc"), "left")
+      // cut_spans (native) instead of filter+exists: the two nested
+      // interpreted lambdas per token × span become one codegen loop
+      // (r18 round 2; identical kept set)
       .withColumn("kept",
         when(col("spans").isNull, col("ws"))
-          .otherwise(filter(col("ws"), (_, i) =>
-            !exists(col("spans"), sp =>
-              i >= sp.getField("span_start") && i < sp.getField("span_end")))))
+          .otherwise(graft.functions.TextFunctions.cut_spans(
+            col("ws"), col("spans"))))
       .select(col("doc"),
         size(col("kept")).cast("long").as("n_kept"),
         coalesce(col("n_cut"), lit(0L)).as("n_cut"),

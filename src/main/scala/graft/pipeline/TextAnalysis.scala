@@ -25,10 +25,13 @@ object TextAnalysis {
 
   /** BPE-ish subword count: word chunks + standalone punctuation marks
     * (lookahead-free so RE2-based engines agree: chunk count from a
-    * non-word split plus a punctuation character count). */
+    * non-word split plus a punctuation character count). Native since
+    * r18 round 2 — the split/filter/regexp_replace formulation paid two
+    * regex passes and an interpreted lambda per row; `bpeish_count` is
+    * one byte scan with the identical ASCII `\w`/`\s` classes
+    * (equivalence spec-pinned incl. CJK). */
   def bpeishTokenCount(text: Column): Column =
-    size(filter(split(text, "[^\\w]+"), t => t =!= "")) +
-      charClassCount(text, "[^\\w\\s]")
+    graft.functions.TextFunctions.bpeish_count(text)
 
   /** Fixed-token chunking with overlap — the embedding-prep step
     * (retrieval corpora index CHUNKS, not documents): split each doc's

@@ -129,6 +129,33 @@ class PipelineSpec extends SparkSpec {
       graft.functions.TextFunctions.count_in(col("ws"), stopEn).as("hits"))
     assert(newHits.exceptAll(oldHits).isEmpty && oldHits.exceptAll(newHits).isEmpty,
       "native count_in must reproduce the isin-filter hit counts")
+
+    // bpeish_count: one byte scan == split-filter + regexp_replace diff
+    val oldBpeish = probe.select(col("doc_id"),
+      (size(filter(split(col("text"), "[^\\w]+"), t => t =!= "")) +
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[^\\w\\s]", "")))).as("n"))
+    val newBpeish = probe.select(col("doc_id"),
+      graft.functions.TextFunctions.bpeish_count(col("text")).as("n"))
+    assert(newBpeish.exceptAll(oldBpeish).isEmpty && oldBpeish.exceptAll(newBpeish).isEmpty,
+      "native bpeish_count must reproduce the regex chunk+punct count")
+
+    // cut_spans: native loop == filter + exists lambda cut
+    val spansDf = Dedup.repeatedSpans(docs, "doc_id", "text", 6, 2L)
+      .groupBy(col("doc"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val withSpans = docs.select(col("doc_id").as("doc"),
+        TextAnalysis.words(col("text")).as("ws"))
+      .join(spansDf, Seq("doc"))
+    val oldCut = withSpans.select(col("doc"),
+      filter(col("ws"), (_, i) =>
+        !exists(col("spans"), sp =>
+          i >= sp.getField("span_start") && i < sp.getField("span_end"))).as("kept"))
+    val newCut = withSpans.select(col("doc"),
+      graft.functions.TextFunctions.cut_spans(col("ws"), col("spans")).as("kept"))
+    assert(newCut.count() > 0, "cut_spans pin needs spanned docs")
+    assert(newCut.exceptAll(oldCut).isEmpty && oldCut.exceptAll(newCut).isEmpty,
+      "native cut_spans must reproduce the filter+exists token cut")
   }
 
   test("minhash LSH finds the same high-threshold pairs as exact jaccard") {

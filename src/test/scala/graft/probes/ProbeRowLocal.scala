@@ -272,6 +272,42 @@ object ProbeRowLocal {
     time("jaccard NEW words (unspread)") {
       jaccardWith(TextAnalysis.words, docs, 3, 0.8).orderBy("doc_a", "doc_b") }
 
+    // exact-substring cut: interpreted filter+exists vs native cut_spans
+    def cutWith(native: Boolean, df: DataFrame): DataFrame = {
+      val spans = Dedup.repeatedSpans(df, "doc_id", "text", 6, 2L)
+        .groupBy(col("doc"))
+        .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"),
+          sum(col("span_tokens")).as("n_cut"))
+      val toks = df.select(col("doc_id").as("doc"),
+        TextAnalysis.words(col("text")).as("ws"))
+      toks.join(spans, Seq("doc"), "left")
+        .withColumn("kept",
+          when(col("spans").isNull, col("ws"))
+            .otherwise(if (native)
+              graft.functions.TextFunctions.cut_spans(col("ws"), col("spans"))
+            else filter(col("ws"), (_, i) =>
+              !exists(col("spans"), sp =>
+                i >= sp.getField("span_start") && i < sp.getField("span_end")))))
+        .select(col("doc"), size(col("kept")).cast("long").as("n_kept"),
+          coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+          md5(array_join(col("kept"), " ")).as("clean_fp"))
+        .orderBy("doc")
+    }
+    time("substring_cut OLD lambda") { cutWith(native = false, docs) }
+    time("substring_cut NEW native") { cutWith(native = true, docs) }
+
+    // bpeish count: regex formulation vs native byte scan (doc_stats shape)
+    def oldBpeish(text: org.apache.spark.sql.Column) =
+      size(filter(split(text, "[^\\w]+"), t => t =!= "")) +
+        (length(text) - length(regexp_replace(text, "[^\\w\\s]", "")))
+    time("doc_stats bpeish OLD (spread)") {
+      docsSpread.select(col("doc_id"), oldBpeish(col("text")).as("n_bpeish"))
+        .orderBy("doc_id") }
+    time("doc_stats bpeish NEW (spread)") {
+      docsSpread.select(col("doc_id"),
+        graft.functions.TextFunctions.bpeish_count(col("text")).as("n_bpeish"))
+        .orderBy("doc_id") }
+
     spark.stop()
   }
 }
