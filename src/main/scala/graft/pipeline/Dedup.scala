@@ -118,14 +118,25 @@ object Dedup {
         least(col("nsh_a"), col("nsh_b")).cast("double") /
           greatest(col("nsh_a"), col("nsh_b")).cast("double") >= threshold)
       .select(col("doc_a"), col("doc_b")).distinct()
-    verifyJaccard(cand, sh, threshold)
+    verifyJaccard(cand, df, idCol, textCol, n, threshold)
   }
 
-  /** Exact-Jaccard verification of candidate pairs: join the (small)
-    * id-only candidate set back to the shingle arrays — ids travel
-    * through the wide shuffle, arrays only through the final joins. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
-      threshold: Double): DataFrame =
+  /** Exact-Jaccard verification of candidate pairs: the corpus is
+    * SEMI-JOIN PRUNED to candidate docs BEFORE shingling (r18 round 2) —
+    * a projection sits below a join, so without the prune Spark
+    * re-evaluated the shingle build for every corpus row on BOTH
+    * verification joins even though only candidate docs are ever
+    * matched. Candidates are a slim persisted (id, id) frame read three
+    * times (id explode + two joins); verification shingles are computed
+    * for candidate docs only — at 100 TB that is "shingle the
+    * duplicates", not "shingle the corpus, twice". Identical pairs: the
+    * prune only drops rows the equi-joins could never match. */
+  private def verifyJaccard(cand0: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): DataFrame = {
+    val cand = reused(cand0)
+    val ids = cand.select(explode(array(col("doc_a"), col("doc_b"))).as(idCol))
+      .distinct()
+    val sh = shingled(docs.join(ids, Seq(idCol), "leftsemi"), idCol, textCol, n)
     cand
       .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a"), col("nsh").as("nsh_a")), "doc_a")
       .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b"), col("nsh").as("nsh_b")), "doc_b")
@@ -135,6 +146,7 @@ object Dedup {
           (col("nsh_a") + col("nsh_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
 
   /** MinHash signature columns m0..m{k−1}: lane `i` is the lexicographic
     * min of an 8-hex-char slice of md5("<i/4>:<shingle>") — still an
@@ -184,8 +196,30 @@ object Dedup {
     val cand = banded.as("x").join(banded.as("y"), col("x.bh") === col("y.bh"))
       .filter(col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b")).distinct()
-    verifyJaccard(cand, reused(shingled(df, idCol, textCol, n)), threshold)
+    // verification deliberately reads ONE persisted full shingle pass
+    // rather than semi-join pruning to candidate docs: the prune was
+    // measured (r18 round 2 A/B, min-of-3) at 0.44 → 1.08 s here — it
+    // serializes candidate generation and verification behind an extra
+    // join, while the cached pass lets them share one materialization.
+    // (jaccardPairs, whose verification would otherwise re-shingle the
+    // corpus TWICE uncached, keeps the prune — measured win there.)
+    verifyJaccardFull(cand, reused(shingled(df, idCol, textCol, n)), threshold)
   }
+
+  /** Verification against an (already slim or cached) full shingle
+    * frame — the pre-r18-round-2 shape, still right when the shingle
+    * pass is shared/persisted (see [[minhashLshPairs]]). */
+  private def verifyJaccardFull(cand: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame =
+    cand
+      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a"), col("nsh").as("nsh_a")), "doc_a")
+      .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b"), col("nsh").as("nsh_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("nsh_a") + col("nsh_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
   /** Incremental dedup: classify each INCOMING doc against an EXISTING
     * corpus without ever re-comparing existing docs to each other — the
@@ -227,6 +261,11 @@ object Dedup {
     val candidates = bandKeys(nonExact, idCol, textCol, n, k, bands).as("x")
       .join(bandKeys(existing, idCol, textCol, n, k, bands).as("y"), col("x.bh") === col("y.bh"))
       .select(col("x.doc").as("doc_id"), col("y.doc").as("ex_id")).distinct()
+    // verification deliberately UNPRUNED (r18 round 2 A/B: semi-joining
+    // both sides to candidate docs before shingling measured 0.78 →
+    // 0.95 s — the extra joins serialize the pipeline; same verdict as
+    // minhashLshPairs, opposite of jaccardPairs whose verification was
+    // re-shingling the corpus twice uncached)
     val near = candidates
       .join(shingled(nonExact, idCol, textCol, n)
         .select(col("doc").as("doc_id"), col("sh").as("sh_a"), col("nsh").as("nsh_a")), "doc_id")

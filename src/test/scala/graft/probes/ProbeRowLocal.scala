@@ -271,6 +271,11 @@ object ProbeRowLocal {
       jaccardWith(oldWords, docs, 3, 0.8).orderBy("doc_a", "doc_b") }
     time("jaccard NEW words (unspread)") {
       jaccardWith(TextAnalysis.words, docs, 3, 0.8).orderBy("doc_a", "doc_b") }
+    // jaccardWith verifies against the FULL shingled corpus (the old
+    // shape); Dedup.jaccardPairs now semi-join prunes verification to
+    // candidate docs — this pair isolates the prune
+    time("jaccard PRUNED verify (shipped)") {
+      Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8).orderBy("doc_a", "doc_b") }
 
     // exact-substring cut: interpreted filter+exists vs native cut_spans
     def cutWith(native: Boolean, df: DataFrame): DataFrame = {
@@ -295,6 +300,57 @@ object ProbeRowLocal {
     }
     time("substring_cut OLD lambda") { cutWith(native = false, docs) }
     time("substring_cut NEW native") { cutWith(native = true, docs) }
+
+    // incremental dedup: verification shingles pruned to candidates vs
+    // the unpruned full-corpus shingle joins (battery shape)
+    def incrementalUnpruned(existing: DataFrame, incoming: DataFrame,
+        n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+      val exFp = existing
+        .select(col("doc_id").as("ex_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(min("ex_id").as("exact_of"))
+      val inFp = incoming
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      val exact = inFp.join(exFp, Seq("fp"), "left")
+        .select(col("doc_id"), col("exact_of"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nonExact = incoming.join(
+        exact.filter(col("exact_of").isNull)
+          .select(col("doc_id")), Seq("doc_id"), "leftsemi")
+      def bandKeysOf(df: DataFrame): DataFrame = {
+        val rows = k / bands
+        val sigs = Dedup.minhashSignatures(df, "doc_id", "text", n, k)
+        val bandCols = (0 until bands).map { bi =>
+          struct(lit(bi).as("band"),
+            md5(concat_ws("|", (0 until rows).map(r => col(s"m${bi * rows + r}")): _*)).as("h"))
+        }
+        sigs.select(col("doc"), explode(array(bandCols: _*)).as("bh"))
+      }
+      val candidates = bandKeysOf(nonExact).as("x")
+        .join(bandKeysOf(existing).as("y"), col("x.bh") === col("y.bh"))
+        .select(col("x.doc").as("doc_id"), col("y.doc").as("ex_id")).distinct()
+      val near = candidates
+        .join(Dedup.shingled(nonExact, "doc_id", "text", n)
+          .select(col("doc").as("doc_id"), col("sh").as("sh_a"), col("nsh").as("nsh_a")), "doc_id")
+        .join(Dedup.shingled(existing, "doc_id", "text", n)
+          .select(col("doc").as("ex_id"), col("sh").as("sh_b"), col("nsh").as("nsh_b")), "ex_id")
+        .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .filter(col("common").cast("double") /
+          (col("nsh_a") + col("nsh_b") - col("common")).cast("double") >= threshold)
+        .groupBy("doc_id").agg(min("ex_id").as("near_of"))
+      exact.join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("exact_of").isNotNull, "exact_dup")
+            .when(col("near_of").isNotNull, "near_dup")
+            .otherwise("new").as("verdict"),
+          coalesce(col("exact_of"), col("near_of")).as("dup_of"))
+    }
+    val exDocs = docs.filter(col("doc_id") % 2 === 0)
+    val inDocs = docs.filter(col("doc_id") % 2 === 1)
+    time("incremental UNPRUNED verify") {
+      incrementalUnpruned(exDocs, inDocs, 3, 8, 4, 0.8).orderBy("doc_id") }
+    time("incremental PRUNED verify (shipped)") {
+      Dedup.incrementalDedup(exDocs, inDocs, "doc_id", "text", 3, 8, 4, 0.8)
+        .orderBy("doc_id") }
 
     // bpeish count: regex formulation vs native byte scan (doc_stats shape)
     def oldBpeish(text: org.apache.spark.sql.Column) =
