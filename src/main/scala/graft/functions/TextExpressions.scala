@@ -555,6 +555,55 @@ case class GramHashes(child: Expression, n: Int, distinct: Boolean)
   override def prettyName: String = "gram_hashes"
 }
 
+/** `positional_ngrams(words, n)` — ALL n-grams in position order,
+  * duplicates kept (the frequency-preserving variant of
+  * [[WordShingles]]); one loop instead of an interpreted
+  * transform/concat_ws lambda per gram. */
+case class PositionalNgrams(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "ngram size must be >= 1")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"positional_ngrams requires array<string>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(words: Any): Any =
+    PositionalNgrams.build(words.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PositionalNgrams.build($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "positional_ngrams"
+}
+
+object PositionalNgrams {
+  def build(words: ArrayData, n: Int): ArrayData = {
+    val m = words.numElements() - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        val w = words.getUTF8String(i + j)
+        if (w != null) sb.append(w.toString)
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** `cut_spans(words, spans)` — drop the tokens inside every
   * [span_start, span_end) range (the exact-substring dedup cut). The
   * Catalyst formulation — `filter(ws, (_, i) => !exists(spans, …))` —
@@ -782,6 +831,8 @@ object TextFunctions {
       ColumnBridge.expression(words), ColumnBridge.expression(spans)))
   def bpeish_count(text: Column): Column =
     ColumnBridge.column(BpeishCount(ColumnBridge.expression(text)))
+  def positional_ngrams(words: Column, n: Int): Column =
+    ColumnBridge.column(PositionalNgrams(ColumnBridge.expression(words), n))
   def minhash_lanes(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinhashLanes(ColumnBridge.expression(shingles), k))
   def simhash64(shingles: Column): Column =

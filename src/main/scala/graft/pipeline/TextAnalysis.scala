@@ -190,9 +190,13 @@ object TextAnalysis {
     * is unique per group row. */
   def ngramTopK(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
+    // positional_ngrams (native) instead of the interpreted
+    // transform/concat_ws lambda of [[ngramsPositional]] — identical
+    // gram strings (spec-pinned), one loop per row (r18 round 2)
     val posts = df
       .select(col(idCol).as("doc"), words(col(textCol)).as("ws"))
-      .select(col("doc"), explode(ngramsPositional(col("ws"), n)).as("ngram"))
+      .select(col("doc"), explode(graft.functions.TextFunctions
+        .positional_ngrams(col("ws"), n)).as("ngram"))
     posts.groupBy("ngram")
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc")).as("df"))
       .orderBy(col("tf").desc, col("ngram").asc)

@@ -156,6 +156,14 @@ class PipelineSpec extends SparkSpec {
     assert(newCut.count() > 0, "cut_spans pin needs spanned docs")
     assert(newCut.exceptAll(oldCut).isEmpty && oldCut.exceptAll(newCut).isEmpty,
       "native cut_spans must reproduce the filter+exists token cut")
+
+    // positional_ngrams: native loop == the transform/concat_ws lambda
+    val oldGrams = wsAll.select(col("doc"),
+      TextAnalysis.ngramsPositional(col("ws"), 2).as("grams"))
+    val newGrams = wsAll.select(col("doc"),
+      graft.functions.TextFunctions.positional_ngrams(col("ws"), 2).as("grams"))
+    assert(newGrams.exceptAll(oldGrams).isEmpty && oldGrams.exceptAll(newGrams).isEmpty,
+      "native positional_ngrams must reproduce the lambda n-gram arrays")
   }
 
   test("minhash LSH finds the same high-threshold pairs as exact jaccard") {
