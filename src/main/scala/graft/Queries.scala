@@ -669,7 +669,10 @@ object Queries {
           x.cast("double") *
             when(pmod(i, lit(2)) === 0, lit(1.45)).otherwise(lit(0.55))).as("vec"))
     val corpus = base
-      .select(col("id"), transform(col("vec"), x => x.cast("double")).as("vec"))
+      // array<double> CAST, not a per-element transform lambda: the
+      // lambda evaluates interpreted over the whole corpus; the cast is
+      // codegen and float→double widening is exact either way (r18 r2)
+      .select(col("id"), col("vec").cast("array<double>").as("vec"))
       .union(pert)
     Similarity.cosinePairsAuto(corpus, threshold = 0.9, dim = 64, nlist = 16)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
